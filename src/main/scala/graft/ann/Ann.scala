@@ -1,0 +1,94 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    One scan, integer-quantized dot products inside Catalyst, global
+  *    top-k via `orderBy(...).limit(k)` → `TakeOrderedAndProject` (each
+  *    partition keeps k rows; no full sort, no collect).
+  *  - [[ivfTopK]]: IVF-style scale path — a coarse quantizer partitions
+  *    vectors into inverted lists; the query probes only the `nprobe`
+  *    nearest lists, scanning a fraction of the data (Jégou et al., 2011,
+  *    "Product quantization for nearest neighbor search" — coarse stage
+  *    only). List selection pushes down as a partition-prunable equality
+  *    filter.
+  *  - [[lshNearDupPairs]]: all-pairs near-dup via random-hyperplane LSH
+  *    buckets, avoiding the quadratic cross join.
+  */
+object Ann {
+
+  /** Exact cosine top-k neighbors of `queryId` (excluded from results). */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId)
+      .select(quantize(col(vecCol)).as("qv"))
+    emb.filter(col(idCol) =!= queryId)
+      .select(col(idCol), quantize(col(vecCol)).as("ev"))
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        cosineFromQ(dotQ(col("ev"), col("qv")),
+          normSqQ(col("ev")), normSqQ(col("qv"))).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Coarse centroids: one per value of `listCol` (e.g. a cluster/label
+    * column assigned upstream). Component-wise mean via posexplode →
+    * groupBy(list, dim) — fully distributed; the result is `nlists` rows
+    * (tiny), the IVF "index".
+    */
+  def centroids(emb: DataFrame, listCol: String, vecCol: String): DataFrame =
+    emb
+      .select(col(listCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(listCol), col("dim"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col(listCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("cx")))),
+        s => s.getField("cx").cast("float")).as("centroid"))
+
+  /** IVF top-k: probe the `nprobe` lists whose centroids are most cosine-
+    * similar to the query, then exact-search only those lists. The list
+    * filter is an `isin` over `listCol` — partition-prunable when the
+    * table is written partitioned by list id, which is the intended layout
+    * at 100 TB (scan cost ~ nprobe/nlists of the data).
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, listCol: String, vecCol: String,
+      queryId: Long, k: Int, nprobe: Int): DataFrame = {
+    val cents = centroids(emb, listCol, vecCol)
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("q_vec"))
+    // index-build-time step: nlists rows — the one intentional driver hop
+    val probeLists: Seq[Any] = cents.crossJoin(broadcast(q))
+      .select(col(listCol), cosine(col("centroid"), col("q_vec")).as("sim"))
+      .orderBy(col("sim").desc, col(listCol))
+      .limit(nprobe)
+      .select(listCol).collect().toSeq.map(_.get(0))
+    bruteForceTopK(
+      emb.filter(col(listCol).isin(probeLists: _*)), idCol, vecCol,
+      queryId, k)
+  }
+
+  /** Near-duplicate pairs via `bits`-bit hyperplane LSH buckets: pairs are
+    * generated only within buckets (expected bucket size n / 2^bits), then
+    * exact cosine-verified.
+    */
+  def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      bits: Int): DataFrame = {
+    val bucketed = emb.select(col(idCol).as("vid"),
+      quantize(col(vecCol)).as("qv"),
+      lshBucket(col(vecCol), bits).as("bucket"))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        cosineFromQ(dotQ(col("a.qv"), col("b.qv")),
+          normSqQ(col("a.qv")), normSqQ(col("b.qv"))).as("sim"))
+  }
+}

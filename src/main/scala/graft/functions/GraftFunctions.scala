@@ -1,0 +1,21 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/** Column-level entry points for graft's custom Catalyst expressions, plus
+  * session registration so they are callable from SQL text. Resolution goes
+  * through the session function registry (`call_function`), so
+  * [[register]] must have run on the session first — query builders in
+  * `graft.queries` / `graft.dedup` do this for their own sessions.
+  */
+object GraftFunctions {
+
+  /** 64-bit SimHash of a token array (see [[SimHash]]). */
+  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  /** Register all graft SQL functions on a session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    SimHash.register(spark)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text-analysis primitives for large-scale training-data pipelines
+  * (BASELINE.json north star). Everything here is built from codegen'd
+  * `org.apache.spark.sql.functions` — no Scala UDFs in the hot path — so
+  * whole-stage codegen spans stay wide and the ops scale linearly with
+  * input splits (pure map-side work, no shuffle).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count (long). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** BPE-ish subword segmentation regex: letter runs, digit runs, single
+    * punctuation — a cheap deterministic stand-in for a learned tokenizer's
+    * pre-tokenization pass.
+    */
+  val subTokenPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def subTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(subTokenPattern), lit(0)))
+      .cast(LongType)
+
+  /** Character-class counts (long). */
+  def alphaChars(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", "")).cast(LongType)
+  def punctChars(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast(LongType)
+
+  /** Heuristic quality score in [0,1]: favors alphabetic content, penalizes
+    * punctuation soup. Deterministic double arithmetic (left-assoc, same
+    * shape as the SQL oracle).
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast(DoubleType)
+    val alphaRatio = alphaChars(text).cast(DoubleType) / len
+    val punctRatio = punctChars(text).cast(DoubleType) / len
+    lit(0.6) * alphaRatio + lit(0.4) * (lit(1.0) - punctRatio)
+  }
+
+  /** Tiny per-language stopword profiles for n-gram-free language ID.
+    * Deterministic heuristic: score = |tokens ∩ profile|, argmax with
+    * lexicographic tie-break (via max over (score, lang) structs).
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "est"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "you", "zai", "ta"))
+
+  /** Predicted language code for a text column. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = langProfiles.map { case (lang, words) =>
+      struct(
+        size(array_intersect(toks, array(words.map(lit): _*)))
+          .as("score"),
+        lit(lang).as("lang"))
+    }
+    // struct ordering: by score, then lang — deterministic argmax.
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** 64-bit rolling-hash document fingerprint over token hashes:
+    * fp = fold(tokens, 0; rotl(acc, 5) XOR xxhash64(token)). Order-
+    * sensitive (same bag, different order → different fp) and built from
+    * bitwise ops only, so it is exact under ANSI mode (no overflow).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => xxhash64(t)),
+      lit(0L),
+      (acc, h) =>
+        (shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)))
+          .bitwiseXOR(h))
+
+  /** `n`-word shingles, the unit for MinHash/Jaccard near-dup detection. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(toks) - lit(n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Embedding-vector math over `array<float>` columns, built on Spark's
+  * higher-order array functions (`transform`/`zip_with`/`aggregate`) so the
+  * dot product stays inside Catalyst — no UDF, no driver round-trips.
+  *
+  * Exactness strategy: similarity ranking must be identical across engines
+  * (DuckDB oracle) and across partitionings, so floats are quantized to
+  * fixed-point BIGINT (×1e6) and the dot/norm accumulate in integer space —
+  * order-independent and overflow-safe for unit-scale embeddings up to
+  * ~10k dims. Cosine is then a fixed expression over exact integers.
+  */
+object VectorFunctions {
+
+  private val Q = 1000000L
+
+  /** Quantize array<float> → array<long> at 1e-6 resolution. */
+  def quantize(v: Column): Column =
+    transform(v, x => round(x.cast(DoubleType) * Q.toDouble).cast(LongType))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Exact integer squared norm of a quantized vector. */
+  def normSqQ(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine similarity from quantized components (deterministic double). */
+  def cosineFromQ(dot: Column, normSqA: Column, normSqB: Column): Column =
+    dot.cast(DoubleType) /
+      (sqrt(normSqA.cast(DoubleType)) * sqrt(normSqB.cast(DoubleType)))
+
+  /** Cosine similarity of two float-array columns (via quantization). */
+  def cosine(a: Column, b: Column): Column = {
+    val qa = quantize(a)
+    val qb = quantize(b)
+    cosineFromQ(dotQ(qa, qb), normSqQ(qa), normSqQ(qb))
+  }
+
+  /** Plain double-precision dot product (sequential fold — deterministic
+    * for a fixed element order).
+    */
+  def dotDouble(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Random-hyperplane (SimHash-for-vectors) LSH bucket id with `bits`
+    * hyperplanes. Hyperplane components are deterministic pseudo-random
+    * ±1 derived from xxhash64(bit, dim) — computed per element with no
+    * stored model. Same-bucket vectors are cosine-close with high
+    * probability; used to prefilter near-dup candidate pairs so the
+    * all-pairs join never materializes at scale.
+    */
+  def lshBucket(v: Column, bits: Int): Column = {
+    val qv = quantize(v)
+    val bitCols = (0 until bits).map { b =>
+      // sign of <v, h_b> where h_b[i] = ±1 from a hash of (b, i)
+      val dot = aggregate(
+        zip_with(qv, sequence(lit(0), size(qv) - 1),
+          (x, i) => when(pmod(xxhash64(lit(b), i), lit(2)) === 0, x)
+            .otherwise(-x)),
+        lit(0L), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a + b)
+  }
+}

@@ -1,0 +1,144 @@
+package graft.governance
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sales.SalesFixture
+
+/** Lake-Formation-style governance, Spark-native.
+  *
+  * The reference attaches security metadata to catalog objects, not data:
+  * an LF-Tag `pii=sensitive` on two columns (reference `main.tf:382-429`),
+  * a data-cells filter combining a row predicate with a column allowlist
+  * (`main.tf:432-457`), and per-principal grants (`main.tf:460-487`).
+  * Athena consults Lake Formation at plan time and injects the filter into
+  * the plan. Here the same semantics are plain relational algebra: wrap the
+  * governed relation in `Project(allowedCols, Filter(rowPredicate, rel))`
+  * before handing it to the caller — Catalyst then pushes both into the
+  * parquet scan, which is exactly what LF+Athena achieve operationally.
+  */
+sealed trait Principal { def name: String }
+
+/** Full access, including raw PII (reference `main.tf:460-470`). */
+case object DataAdmin extends Principal { val name = "DataAdmin" }
+
+/** SELECT only through the data-cells filter (reference `main.tf:473-487`). */
+case object Analyst extends Principal { val name = "Analyst" }
+
+object Principal {
+  def fromName(s: String): Principal = s match {
+    case DataAdmin.name => DataAdmin
+    case Analyst.name   => Analyst
+    case other => throw new IllegalArgumentException(s"unknown principal $other")
+  }
+}
+
+/** Row predicate + column allowlist attached to (principal, table) —
+  * reference `main.tf:432-457` (`analyst-apac-filter`).
+  */
+final case class DataCellsFilter(
+    name: String,
+    table: String,
+    rowFilterSql: String,
+    allowedColumns: Seq[String])
+
+/** In-memory governance catalog seeded with the reference's configuration
+  * (`locals.tf:16-20`, `main.tf:432-487`). Table-level tag→column map plus
+  * per-principal data-cells filters.
+  */
+object GovernanceCatalog {
+
+  /** Columns tagged `pii=sensitive` (reference `main.tf:393-429`). */
+  val piiColumns: Seq[String] = Seq("customer_email", "ssn")
+
+  /** The analyst's data-cells filter (reference `main.tf:432-457`). */
+  val analystApacFilter: DataCellsFilter = DataCellsFilter(
+    name = "analyst-apac-filter",
+    table = SalesFixture.tableName,
+    rowFilterSql = "sales_region = 'APAC'",
+    allowedColumns = Seq("customer_id", "customer_name", "sales_region",
+      "sales_amount", "sale_date"))
+
+  /** Data-cells filter applying to `principal` reading `table`, if any.
+    * DataAdmin has ALL on the table (no filter); Analyst reads through the
+    * cells filter.
+    */
+  def filterFor(principal: Principal, table: String): Option[DataCellsFilter] =
+    (principal, table) match {
+      case (Analyst, SalesFixture.tableName) => Some(analystApacFilter)
+      case _ => None
+    }
+
+  /** Columns of `schemaCols` visible to `principal` on `table`. */
+  def visibleColumns(principal: Principal, table: String,
+      schemaCols: Seq[String]): Seq[String] =
+    filterFor(principal, table) match {
+      case Some(f) => schemaCols.filter(f.allowedColumns.contains)
+      case None    => schemaCols
+    }
+}
+
+object Governance {
+
+  /** Email mask from the reference's view DDL (`outputs.tf:48`):
+    * `REGEXP_REPLACE(customer_email, '^([^@]{1,3}).*@', '***@')`.
+    */
+  def maskEmail(c: Column): Column =
+    regexp_replace(c, "^([^@]{1,3}).*@", "***@")
+
+  /** SSN mask (`outputs.tf:49`): every digit → `*`. */
+  def maskSsn(c: Column): Column = regexp_replace(c, "\\d", "*")
+
+  /** Governed read of the sales table for `principal` — the Spark analog of
+    * Athena calling `lakeformation:GetDataAccess` at plan time
+    * (reference `main.tf:191-197`): inject Filter(rowPredicate) then
+    * Project(allowlist) beneath whatever the caller composes on top.
+    */
+  def secureRead(spark: SparkSession, principal: Principal): DataFrame = {
+    val base = SalesFixture.df(spark)
+    GovernanceCatalog.filterFor(principal, SalesFixture.tableName) match {
+      case None => base
+      case Some(f) =>
+        base.filter(expr(f.rowFilterSql))
+          .select(f.allowedColumns.map(col): _*)
+    }
+  }
+
+  /** The `sales_masked` view body (reference `outputs.tf:44-53`): all seven
+    * columns, PII columns masked. Row-level security still applies beneath
+    * the view for governed principals.
+    */
+  def maskedView(sales: DataFrame): DataFrame =
+    sales.select(
+      col("customer_id"),
+      col("customer_name"),
+      maskEmail(col("customer_email")).as("customer_email"),
+      maskSsn(col("ssn")).as("ssn"),
+      col("sales_region"),
+      col("sales_amount"),
+      col("sale_date"))
+
+  /** Masked view as seen by `principal`: view expansion composed with the
+    * principal's row filter (reference behavior: `validate.sh:223-225` —
+    * the analyst sees masked PII *and* only APAC rows).
+    */
+  def maskedViewFor(spark: SparkSession, principal: Principal): DataFrame = {
+    val view = maskedView(SalesFixture.df(spark))
+    GovernanceCatalog.filterFor(principal, SalesFixture.tableName) match {
+      case None    => view
+      case Some(f) => view.filter(expr(f.rowFilterSql))
+    }
+  }
+
+  /** SQL text of the masked-view oracle body (shared with Tier A oracles).
+    * DuckDB note: its `regexp_replace` is first-match-only by default, so
+    * the SSN mask needs the `'g'` flag; Spark's is global. The email
+    * pattern is anchored (single match) so the two dialects agree.
+    */
+  val maskedViewOracleSelect: String =
+    """SELECT customer_id, customer_name,
+      |  regexp_replace(customer_email, '^([^@]{1,3}).*@', '***@') AS customer_email,
+      |  regexp_replace(ssn, '\d', '*', 'g') AS ssn,
+      |  sales_region, sales_amount, sale_date
+      |FROM sales""".stripMargin
+}

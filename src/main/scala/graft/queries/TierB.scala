@@ -1,0 +1,367 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.sources.Tables
+
+/** Tier B — the general relational surface the reference delegates to
+  * Athena (SURVEY.md §2 Tier B), pinned down one representative query per
+  * operator family, on the driver's TPC-H-ish testdata.
+  *
+  * Determinism conventions (SURVEY §7.5): every query ends in a total
+  * ORDER BY with a unique tie-break; float aggregates go through
+  * DECIMAL(18,2) so the sum is exact and order-independent, then cast back
+  * to DOUBLE (identical correctly-rounded value in Spark and DuckDB);
+  * integer-ish outputs are cast to BIGINT on both sides.
+  */
+object TierB {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val dec = DecimalType(18, 2)
+
+  /** Order-independent exact sum of a 2-decimal double column → double. */
+  private def dsum(c: Column): Column = sum(c.cast(dec)).cast(DoubleType)
+
+  /** Exact per-row revenue: price * (1 - discount) in decimal → double. */
+  private def revenue(price: Column, discount: Column): Column =
+    (price.cast(dec) * (lit(1) - discount.cast(dec))).cast(DoubleType)
+
+  private val revenueSql =
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)"
+
+  private def dsumSql(col: String): String =
+    s"CAST(SUM(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"
+
+  val queries: Map[String, Q] = Map(
+
+    // B1 — equi inner join, small dimension broadcast: lineitem ⋈ part.
+    // At scale: part is the dimension side → BroadcastHashJoinExec, no
+    // shuffle of the fact table.
+    "q_join_inner_hash" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("l_extendedprice")).as("total_price"))
+        .orderBy(col("p_brand"))),
+
+    // B2 — fact-fact equi join: orders ⋈ lineitem as sort-merge (both sides
+    // large at 100 TB; merge hint models that even though AQE would
+    // broadcast at test SF).
+    "q_join_sortmerge" -> ((s, d) =>
+      Tables.orders(s, d).hint("merge")
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))),
+
+    // B3 — left outer join preserving order-less customers.
+    "q_join_left_outer" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_spent"))
+        .orderBy(col("c_custkey"))),
+
+    // B4 — left semi (IN/EXISTS): customers with a >400k order.
+    "q_join_semi" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy(col("c_custkey"))),
+
+    // B5 — left anti (NOT EXISTS): customers with no 'P'-status order.
+    "q_join_anti" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy(col("c_custkey"))),
+
+    // B6 — non-equi range (theta) join: part size bands → region rows.
+    // Broadcast-nested-loop with the 5-row side broadcast: safe at scale.
+    "q_join_theta_range" -> ((s, d) =>
+      Tables.part(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("p_size").between(col("r_regionkey") * 10 + 1,
+            col("r_regionkey") * 10 + 10))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("p_retailprice")).as("total_price"))
+        .orderBy(col("r_name"))),
+
+    // B7 — multi-aggregate group-by (TPC-H Q1 shape): partial/final hash
+    // aggregate, map-side combine before the shuffle.
+    "q_agg_multi" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          // sum the exact decimal(·,4) product — no intermediate rounding
+          // (a cast back to (18,2) would hit half-rounding dialect drift)
+          sum(col("l_extendedprice").cast(dec) *
+            (lit(1) - col("l_discount").cast(dec)))
+            .cast(DoubleType).as("sum_disc_price"),
+          (sum(col("l_quantity").cast(dec)).cast(DoubleType) /
+            count(lit(1))).as("avg_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // B8a — ROLLUP with sentinel labels (no NULL-ordering dialect drift).
+    "q_agg_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("_ALL_")).as("rf"),
+          coalesce(col("l_linestatus"), lit("_ALL_")).as("ls"),
+          col("cnt"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"))),
+
+    // B8b — CUBE.
+    "q_agg_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("_ALL_")).as("rf"),
+          coalesce(col("l_linestatus"), lit("_ALL_")).as("ls"),
+          col("cnt"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"))),
+
+    // B9 — ranking window: top-3 orders per customer.
+    "q_window_rank" -> ((s, d) => {
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(byPrice).cast(LongType).as("rnk"),
+          dense_rank().over(byPrice).cast(LongType).as("drnk"),
+          row_number().over(byPrice).cast(LongType).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // B10 — analytic frame: running total + lag/lead per customer.
+    "q_window_running" -> ((s, d) => {
+      val byDate = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(dec))
+            .over(byDate.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow))
+            .cast(DoubleType).as("running_total"),
+          lag(col("o_totalprice"), 1).over(byDate).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(byDate).as("next_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // B11 — global top-k: TakeOrderedAndProject, no full sort at scale.
+    "q_sort_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)),
+
+    // B12 — set ops on nation keys of customers vs suppliers.
+    "q_union" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey")))
+        .distinct()
+        .orderBy(col("nationkey"))),
+
+    "q_intersect" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, d)
+          .select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))),
+
+    "q_except" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .except(Tables.supplier(s, d)
+          .select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))),
+
+    // B13 — string functions.
+    "q_scalar_string" -> ((s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_name").like("%e%"))
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("name_upper"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          length(col("c_name")).cast(LongType).as("name_len"),
+          concat(col("c_mktsegment"), lit("#"),
+            col("c_custkey").cast("string")).as("seg_key"))
+        .orderBy(col("c_custkey"))),
+
+    // B14 — date functions over timestamps.
+    "q_scalar_date" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(
+          year(col("o_orderdate")).cast(LongType).as("order_year"),
+          month(col("o_orderdate")).cast(LongType).as("order_month"),
+          date_trunc("month", col("o_orderdate")).as("month_start"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("order_year"), col("order_month"))),
+
+    // B15 — arithmetic + CASE WHEN.
+    "q_scalar_math" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 48.0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_discount") > 0.05, "HIGH")
+            .when(col("l_discount") > 0.02, "MID")
+            .otherwise("LOW").as("disc_band"),
+          revenue(col("l_extendedprice"), col("l_discount")).as("rev"),
+          (col("l_quantity") * col("l_quantity")).as("qty_sq"),
+          floor(col("l_extendedprice")).cast(LongType).as("price_floor"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // B16 — DISTINCT.
+    "q_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // B17 — scalar subquery (exact decimal avg → identical threshold).
+    "q_subquery_scalar" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val thresh = o.agg((sum(col("o_totalprice").cast(dec))
+        .cast(DoubleType) / count(lit(1))).as("t"))
+      o.join(broadcast(thresh))
+        .filter(col("o_totalprice") > col("t") * 1.5)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_orderkey"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_join_inner_hash" ->
+      ("SELECT p_brand, COUNT(*) AS cnt, " + dsumSql("l_extendedprice") +
+        " AS total_price FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY p_brand ORDER BY p_brand"),
+    "q_join_sortmerge" ->
+      ("SELECT o_orderpriority, COUNT(*) AS cnt, " + dsumSql("l_quantity") +
+        " AS sum_qty FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_join_left_outer" ->
+      ("SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders, " +
+        dsumSql("o_totalprice") + " AS total_spent " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_custkey, c_name ORDER BY c_custkey"),
+    "q_join_semi" ->
+      ("SELECT c_custkey, c_name, c_mktsegment FROM customer " +
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders " +
+        "WHERE o_totalprice > 400000.0) ORDER BY c_custkey"),
+    "q_join_anti" ->
+      ("SELECT c_custkey, c_name FROM customer c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o " +
+        "WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P') " +
+        "ORDER BY c_custkey"),
+    "q_join_theta_range" ->
+      ("SELECT r_name, COUNT(*) AS cnt, " + dsumSql("p_retailprice") +
+        " AS total_price FROM part JOIN region " +
+        "ON p_size BETWEEN r_regionkey * 10 + 1 AND r_regionkey * 10 + 10 " +
+        "GROUP BY r_name ORDER BY r_name"),
+    "q_agg_multi" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        dsumSql("l_quantity") + " AS sum_qty, " +
+        dsumSql("l_extendedprice") + " AS sum_base_price, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) " +
+        "AS sum_disc_price, " +
+        dsumSql("l_quantity") + " / COUNT(*) AS avg_qty, " +
+        "MIN(l_extendedprice) AS min_price, " +
+        "MAX(l_extendedprice) AS max_price, " +
+        "COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(*) AS cnt " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus"),
+    "q_agg_rollup" ->
+      ("SELECT COALESCE(l_returnflag, '_ALL_') AS rf, " +
+        "COALESCE(l_linestatus, '_ALL_') AS ls, COUNT(*) AS cnt, " +
+        dsumSql("l_quantity") + " AS sum_qty FROM lineitem " +
+        "GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY rf, ls"),
+    "q_agg_cube" ->
+      ("SELECT COALESCE(l_returnflag, '_ALL_') AS rf, " +
+        "COALESCE(l_linestatus, '_ALL_') AS ls, COUNT(*) AS cnt, " +
+        dsumSql("l_quantity") + " AS sum_qty FROM lineitem " +
+        "GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rf, ls"),
+    "q_window_rank" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, rnk, drnk, rn FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk, " +
+        "ROW_NUMBER() OVER w AS rn FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey)) " +
+        "WHERE rn <= 3 ORDER BY o_custkey, rn"),
+    "q_window_running" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) " +
+        "AS running_total, " +
+        "LAG(o_totalprice, 1) OVER w AS prev_price, " +
+        "LEAD(o_totalprice, 1) OVER w AS next_price FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey"),
+    "q_sort_topk" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"),
+    "q_union" ->
+      ("SELECT c_nationkey AS nationkey FROM customer UNION " +
+        "SELECT s_nationkey FROM supplier ORDER BY nationkey"),
+    "q_intersect" ->
+      ("SELECT c_nationkey AS nationkey FROM customer INTERSECT " +
+        "SELECT s_nationkey AS nationkey FROM supplier ORDER BY nationkey"),
+    "q_except" ->
+      ("SELECT c_nationkey AS nationkey FROM customer EXCEPT " +
+        "SELECT s_nationkey AS nationkey FROM supplier ORDER BY nationkey"),
+    "q_scalar_string" ->
+      ("SELECT c_custkey, UPPER(c_name) AS name_upper, " +
+        "SUBSTRING(c_name, 1, 8) AS name_prefix, " +
+        "CAST(LENGTH(c_name) AS BIGINT) AS name_len, " +
+        "c_mktsegment || '#' || CAST(c_custkey AS VARCHAR) AS seg_key " +
+        "FROM customer WHERE c_name LIKE '%e%' ORDER BY c_custkey"),
+    "q_scalar_date" ->
+      ("SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS order_year, " +
+        "CAST(MONTH(o_orderdate) AS BIGINT) AS order_month, " +
+        "DATE_TRUNC('month', o_orderdate) AS month_start, " +
+        "COUNT(*) AS cnt, " + dsumSql("o_totalprice") + " AS total_price " +
+        "FROM orders GROUP BY 1, 2, 3 ORDER BY order_year, order_month"),
+    "q_scalar_math" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "CASE WHEN l_discount > 0.05 THEN 'HIGH' " +
+        "WHEN l_discount > 0.02 THEN 'MID' ELSE 'LOW' END AS disc_band, " +
+        revenueSql + " AS rev, l_quantity * l_quantity AS qty_sq, " +
+        "CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor " +
+        "FROM lineitem WHERE l_quantity >= 48.0 " +
+        "ORDER BY l_orderkey, l_linenumber"),
+    "q_distinct" ->
+      ("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem " +
+        "ORDER BY l_returnflag, l_linestatus"),
+    "q_subquery_scalar" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_totalprice > (SELECT " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
+        "/ COUNT(*) FROM orders) * 1.5 ORDER BY o_orderkey")
+  )
+}

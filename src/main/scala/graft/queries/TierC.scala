@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.sources.Tables
+
+/** Tier C — the LLM-training-data-pipeline operators (BASELINE.json north
+  * star): dedup (exact / MinHash / SimHash / n-gram Jaccard / embedding),
+  * similarity search, text analysis, event-stream analytics.
+  *
+  * Oracle-expressible queries follow the same determinism rules as Tier B.
+  * Approximate/hash-specific ops (MinHash, SimHash, LSH, HLL, IVF) are
+  * declared without `oracleSql` → the driver records a rows-only check;
+  * their outputs are still fully deterministic (fixed seeds, total orders).
+  */
+object TierC {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val dec = DecimalType(18, 2)
+  private def dsum(c: Column): Column = sum(c.cast(dec)).cast(DoubleType)
+
+  val queries: Map[String, Q] = Map(
+
+    // C1 — exact dedup: content-hash group-by; shuffles hashes, not text.
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+        .select(col("content_hash"), col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))),
+
+    // C2 — corpus stats by language: pure map-side text measures + one agg.
+    "q_text_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"),
+          T.tokenCount(col("text")).as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          (sum(col("n_chars")).cast(DoubleType) / count(lit(1)))
+            .as("avg_chars"))
+        .orderBy(col("lang"))),
+
+    // C2b — per-document token counting: whitespace + BPE-ish subword regex.
+    "q_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          T.tokenCount(col("text")).as("ws_tokens"),
+          T.subTokenCount(col("text")).as("sub_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // C2c — heuristic quality scoring (length / char-class ratios).
+    "q_quality_score" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          length(col("text")).cast(LongType).as("char_len"),
+          (T.alphaChars(col("text")).cast(DoubleType) /
+            length(col("text")).cast(DoubleType)).as("alpha_ratio"),
+          T.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // C3 — exact cosine top-k similarity search (brute-force baseline;
+    // integer-quantized dot → bit-identical ranking across engines).
+    "q_embed_topk" -> ((s, d) =>
+      Ann.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryId = 0L, k = 10)),
+
+    // C5 — tumbling-window event counts (batch form; streaming variant in
+    // graft.streaming with identical aggregation logic).
+    "q_stream_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+        .select(col("w.start").cast("timestamp_ntz").as("hour_ts"),
+          col("event_type"),
+          col("cnt"), col("total_value"))
+        .orderBy(col("hour_ts"), col("event_type"))),
+
+    // C6 — distinct users per event type (exact, for the oracle; the HLL
+    // variant is q_hll_distinct below).
+    "q_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("event_type"))),
+
+    // JSON extraction from the events props column.
+    "q_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 500)
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))
+        .orderBy(col("event_id"))),
+
+    // ---- rows-only checked (approximate / hash-specific semantics) ----
+
+    // HLL sketch distinct — the scale path for C6 (one pass, no shuffle of
+    // raw user ids, mergeable partial sketches).
+    "q_hll_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy(col("event_type"))),
+
+    // C4 — MinHash+LSH near-dup candidates: top pairs by estimated Jaccard.
+    // 1-row bands (k=32, bands=32) because this corpus has near-zero
+    // pairwise Jaccard; at higher dup rates fewer, wider bands are cheaper.
+    "q_minhash_dup" -> ((s, d) =>
+      Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
+        k = 32, bands = 32)
+        .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
+        .limit(50)),
+
+    // SimHash near-dup candidates: closest pairs by Hamming distance.
+    "q_simhash_dup" -> ((s, d) =>
+      Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text",
+        chunkBits = 8)
+        .orderBy(col("hamming"), col("id_a"), col("id_b"))
+        .limit(20)),
+
+    // Exact n-gram Jaccard verification of the MinHash candidates.
+    "q_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.verifyJaccard(docs, "doc_id", "text",
+        Dedup.minhashCandidates(docs, "doc_id", "text", k = 32, bands = 32)
+          .select("id_a", "id_b"))
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+
+    // Embedding-cosine near-dup via hyperplane LSH buckets.
+    "q_embed_neardup" -> ((s, d) =>
+      Ann.lshNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        bits = 12)
+        .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+        .limit(20)),
+
+    // IVF-style ANN: probe 3 of the label-partitioned inverted lists.
+    "q_ann_ivf" -> ((s, d) =>
+      Ann.ivfTopK(Tables.embeddings(s, d), "vec_id", "label", "embedding",
+        queryId = 0L, k = 10, nprobe = 3)),
+
+    // Language-ID heuristic vs the labeled lang column (confusion counts).
+    "q_lang_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), T.langId(col("text")).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"), col("pred_lang"))),
+
+    // Rolling-hash document fingerprints.
+    "q_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")))
+  )
+
+  private val quantSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      ("SELECT sha256(text) AS content_hash, MIN(doc_id) AS doc_id, " +
+        "COUNT(*) AS n_copies FROM documents GROUP BY sha256(text) " +
+        "ORDER BY doc_id"),
+    "q_text_stats" ->
+      ("SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
+        "CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) " +
+        "AS total_tokens, MIN(n_chars) AS min_chars, " +
+        "MAX(n_chars) AS max_chars, " +
+        "CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "q_token_count" ->
+      ("SELECT doc_id, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) " +
+        "AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, " +
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS sub_tokens " +
+        "FROM documents WHERE doc_id < 500 ORDER BY doc_id"),
+    "q_quality_score" ->
+      ("SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS char_len, " +
+        "CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)" +
+        " / CAST(LENGTH(text) AS DOUBLE) AS alpha_ratio, " +
+        "0.6 * (CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) " +
+        "AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE)) + 0.4 * (1.0 - " +
+        "CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) " +
+        "AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE)) AS quality " +
+        "FROM documents WHERE doc_id < 500 ORDER BY doc_id"),
+    "q_embed_topk" ->
+      ("WITH q AS (SELECT " + quantSql + " AS qv FROM embeddings " +
+        "WHERE vec_id = 0), " +
+        "e AS (SELECT vec_id, " + quantSql + " AS ev FROM embeddings " +
+        "WHERE vec_id <> 0), " +
+        "s AS (SELECT vec_id, " +
+        "CAST(list_sum(list_transform(list_zip(ev, qv), " +
+        "p -> p[1] * p[2])) AS BIGINT) AS dotq, " +
+        "CAST(list_sum(list_transform(ev, x -> x * x)) AS BIGINT) AS na, " +
+        "CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nb " +
+        "FROM e, q) " +
+        "SELECT vec_id, CAST(dotq AS DOUBLE) / " +
+        "(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS sim " +
+        "FROM s ORDER BY sim DESC, vec_id LIMIT 10"),
+    "q_stream_window" ->
+      ("SELECT date_trunc('hour', ts) AS hour_ts, event_type, " +
+        "COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type"),
+    "q_approx_distinct" ->
+      ("SELECT event_type, COUNT(DISTINCT user_id) AS n_users, " +
+        "COUNT(*) AS cnt FROM events GROUP BY event_type " +
+        "ORDER BY event_type"),
+    "q_json_extract" ->
+      ("SELECT event_id, event_type, " +
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val " +
+        "FROM events WHERE event_id < 500 ORDER BY event_id")
+  )
+}
