@@ -17,6 +17,11 @@ object Verify {
       // outputs compare cleanly against the DuckDB oracle.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+      .config("spark.sql.extensions", "graft.governance.GraftExtensions")
+      .config("spark.sql.queryExecutionListeners",
+        "graft.governance.AuditListener")
+      .config("spark.sql.warehouse.dir",
+        new java.io.File("target/spark-warehouse").getAbsolutePath)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

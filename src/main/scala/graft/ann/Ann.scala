@@ -24,18 +24,28 @@ object Ann {
 
   /** Exact cosine top-k neighbors of `queryId` (excluded from results). */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, k: Int): DataFrame = {
-    val q = emb.filter(col(idCol) === queryId)
-      .select(quantize(col(vecCol)).as("qv"))
+      queryId: Long, k: Int): DataFrame =
+    bruteForceTopK(emb,
+      emb.filter(col(idCol) === queryId)
+        .select(quantize(col(vecCol)).as("qv")),
+      idCol, vecCol, queryId, k)
+
+  /** Exact cosine top-k against an explicit (1-row, quantized) query-vector
+    * frame. Taking the query separately lets callers capture it BEFORE
+    * restricting the search set (e.g. IVF list pruning) — deriving it from
+    * the filtered set would silently return 0 rows whenever the query's own
+    * list isn't probed.
+    */
+  def bruteForceTopK(emb: DataFrame, queryVec: DataFrame, idCol: String,
+      vecCol: String, queryId: Long, k: Int): DataFrame =
     emb.filter(col(idCol) =!= queryId)
       .select(col(idCol), quantize(col(vecCol)).as("ev"))
-      .crossJoin(broadcast(q))
+      .crossJoin(broadcast(queryVec))
       .select(col(idCol),
         cosineFromQ(dotQ(col("ev"), col("qv")),
           normSqQ(col("ev")), normSqQ(col("qv"))).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
-  }
 
   /** Coarse centroids: one per value of `listCol` (e.g. a cluster/label
     * column assigned upstream). Component-wise mean via posexplode →
@@ -69,8 +79,12 @@ object Ann {
       .orderBy(col("sim").desc, col(listCol))
       .limit(nprobe)
       .select(listCol).collect().toSeq.map(_.get(0))
+    // query vector captured from the FULL table — the query's own list may
+    // legitimately not be among the probed lists.
+    val qv = emb.filter(col(idCol) === queryId)
+      .select(quantize(col(vecCol)).as("qv"))
     bruteForceTopK(
-      emb.filter(col(listCol).isin(probeLists: _*)), idCol, vecCol,
+      emb.filter(col(listCol).isin(probeLists: _*)), qv, idCol, vecCol,
       queryId, k)
   }
 
@@ -79,10 +93,10 @@ object Ann {
     * exact cosine-verified.
     */
   def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-      bits: Int): DataFrame = {
+      bits: Int, dims: Int = 64): DataFrame = {
     val bucketed = emb.select(col(idCol).as("vid"),
       quantize(col(vecCol)).as("qv"),
-      lshBucket(col(vecCol), bits).as("bucket"))
+      lshBucket(col(vecCol), bits, dims).as("bucket"))
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") &&

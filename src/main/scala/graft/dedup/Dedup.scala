@@ -10,13 +10,20 @@ import graft.functions.TextFunctions
   * distributed dataflow (no driver-side loops):
   *
   *  - exact: content-hash group-by (shuffles 32-byte hashes, never text)
-  *  - MinHash+LSH: shingle → k minhashes → banded buckets → self-join on
-  *    band keys, so the quadratic all-pairs comparison never materializes
-  *    (Broder 1997 "On the resemblance and containment of documents";
-  *    banding per Mining of Massive Datasets §3.4)
+  *  - MinHash+LSH: shingle → k minhashes → banded buckets → per-bucket
+  *    pair explosion, so the quadratic all-pairs comparison never
+  *    materializes (Broder 1997 "On the resemblance and containment of
+  *    documents"; banding per Mining of Massive Datasets §3.4)
   *  - SimHash: 64-bit fingerprint, Hamming-ball candidate join via the
   *    pigeonhole chunk trick (Manku, Jain, Sarma, WWW 2007)
   *  - exact n-gram Jaccard verification of candidate pairs
+  *
+  * Scale shape shared by the LSH paths: ONE shuffle keyed on the bucket
+  * key (a groupBy → collect_list of ids), a bucket-size cap that drops
+  * degenerate hot buckets (boilerplate shingles / all-zero chunks would
+  * otherwise go O(n²) on one reducer), then map-side pair explosion within
+  * each ≤cap bucket. Compared to the naïve keyed self-join this removes a
+  * second full shuffle AND bounds the worst-case reducer to cap²/2 pairs.
   */
 object Dedup {
 
@@ -32,40 +39,57 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  // ---- shared: capped-bucket pair generation ------------------------------
+
+  /** Default cap on LSH bucket size. A bucket over the cap is a degenerate
+    * key (boilerplate shingle band / constant simhash chunk), not a real
+    * duplicate cluster: with multiple independent bands, a genuine near-dup
+    * pair collides again in a non-degenerate bucket with probability
+    * ≈ 1-(1-s^r)^(bands-1), so dropping hot buckets costs ~no recall while
+    * removing the O(n²) skew reducer.
+    */
+  val DefaultBucketCap = 1000
+
+  /** All ordered (id_a < id_b) pairs within one id array, map-side.
+    * Input arrays are capped, so the per-row expansion is bounded by
+    * cap·(cap-1)/2 — no single reducer ever sees unbounded work.
+    */
+  private def pairsWithin(ids: Column): Column = {
+    val sorted = array_sort(ids)
+    flatten(transform(sequence(lit(1), size(sorted) - 1),
+      i => transform(slice(sorted, i + 1, size(sorted) - i),
+        b => struct(element_at(sorted, i).as("a"), b.as("b")))))
+  }
+
+  /** Distinct candidate pairs from (bucketKey..., member) rows: group by
+    * the bucket key, cap, explode within-bucket pairs, distinct. `member`
+    * may be a plain id or a struct (sorted by its first field).
+    */
+  private def cappedPairs(keyed: DataFrame, keyCols: Seq[String],
+      memberCol: String, bucketCap: Int): DataFrame =
+    keyed
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col(memberCol)).as("members"))
+      .filter(size(col("members")).between(2, bucketCap))
+      .select(explode(pairsWithin(col("members"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+
   // ---- MinHash -----------------------------------------------------------
 
   val ShingleSize = 3
 
-  /** Deterministic splitmix64 stream for permutation constants. */
-  private def splitmix(seed: Long): Iterator[Long] =
-    Iterator.iterate(seed) { s => s + 0x9e3779b97f4a7c15L }.drop(1).map { z0 =>
-      var z = z0
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-
-  /** k (multiplier, offset) pairs, bounded to 30 bits (odd multipliers) so
-    * `h32 * a + b` stays within a signed 64-bit long under ANSI mode.
+  /** array<long> of k MinHash signature values for a text column, via the
+    * codegen'd [[graft.functions.MinHashSig]] expression: shingle hashes
+    * are computed ONCE per row and update all k running minima in a single
+    * pass. (The higher-order-function formulation — k separate
+    * `array_min(transform(...))` — re-evaluates the shingle array per
+    * component and is interpreted, ~30× slower.) Callers must have run
+    * `GraftFunctions.register` on the session.
     */
-  private def perms(k: Int): Seq[(Long, Long)] = {
-    val it = splitmix(42L)
-    (0 until k).map(_ =>
-      ((it.next() & 0x3fffffffL) | 1L, it.next() & 0x3fffffffL))
-  }
-
-  /** array<long> of k MinHash signature values for a text column.
-    * Shingle hashes are computed once (xxhash64, codegen'd) and folded to
-    * 32 bits; each signature value is min over an affine rehash — overflow-
-    * free (32+30 < 63 bits), exact under ANSI mode.
-    */
-  def minhashSignature(text: Column, k: Int): Column = {
-    val hs = transform(TextFunctions.shingles(text, ShingleSize),
-      sh => pmod(xxhash64(sh), lit(4294967296L)))
-    array(perms(k).map { case (a, b) =>
-      array_min(transform(hs, h => h * a + b))
-    }: _*)
-  }
+  def minhashSignature(text: Column, k: Int): Column =
+    graft.functions.GraftFunctions
+      .minhash32(TextFunctions.tokens(text), ShingleSize, k)
 
   /** array<long> of band keys: signature split into `bands` contiguous
     * groups, each hashed to one join key.
@@ -78,14 +102,23 @@ object Dedup {
   /** Candidate near-dup pairs (idA < idB) with estimated Jaccard =
     * fraction of agreeing signature components.
     *
-    * Scale shape: explode docs×bands → shuffle on (band, key) via the
-    * self-equi-join → distinct pairs → join signatures back for the
-    * estimate. Only ids and 8-byte keys move in the candidate shuffle;
+    * Banding math: a pair with true Jaccard s becomes a candidate with
+    * probability 1-(1-s^r)^bands where r = k/bands; the defaults
+    * (k=32, bands=8, r=4) put the S-curve threshold at (1/8)^(1/4) ≈ 0.59
+    * — pairs below ~0.4 essentially never collide, pairs above ~0.8
+    * essentially always do. (1-row bands would make ANY single agreeing
+    * component a candidate and degenerate toward all-pairs.)
+    *
+    * Scale shape: explode docs×bands → ONE shuffle on (band, key) → capped
+    * per-bucket pair explosion → distinct pairs → join signatures back for
+    * the estimate. Only ids and 8-byte keys ride the candidate shuffle;
     * signatures (k longs) are joined back only for surviving pairs.
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 32, bands: Int = 8): DataFrame = {
+      k: Int = 32, bands: Int = 8,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     require(k % bands == 0, "bands must divide k")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val rowsPerBand = k / bands
     val sigs = docs
       .select(col(idCol).as("doc_id"),
@@ -94,13 +127,9 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(bandKeys(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "band_key")))
-    val pairs = keyed.as("a")
-      .join(keyed.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    val pairs = cappedPairs(keyed, Seq("band", "band_key"), "doc_id",
+      bucketCap)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
     pairs
       .join(sigs.withColumnRenamed("doc_id", "id_a")
         .withColumnRenamed("sig", "sig_a"), "id_a")
@@ -112,18 +141,28 @@ object Dedup {
           .as("est_jaccard"))
   }
 
-  /** Exact shingle-set Jaccard for given candidate pairs: re-derives the
-    * shingle sets from the docs table for only the candidate ids (semi-join
-    * pruned), so full shingle arrays never ride through the LSH shuffle.
+  /** Exact shingle-set Jaccard for given candidate pairs. The docs table is
+    * pruned to candidate ids FIRST (semi-join on the exploded pair-id set),
+    * so shingle arrays are built for only the |candidates| docs — at 100 TB
+    * the shingle materialization is proportional to the (tiny) candidate
+    * set, never the corpus. The pruned shingle-set side is broadcast when
+    * small, keeping the pair join shuffle-free.
     */
   def verifyJaccard(docs: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame): DataFrame = {
-    val sets = docs.select(col(idCol).as("doc_id"),
-      array_distinct(TextFunctions.shingles(col(textCol), ShingleSize))
-        .as("sh"))
+    val candIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("cand_id"))
+      .distinct()
+    val sets = docs
+      .join(candIds, col(idCol) === col("cand_id"), "left_semi")
+      .select(col(idCol).as("doc_id"),
+        array_distinct(TextFunctions.shingles(col(textCol), ShingleSize))
+          .as("sh"))
     pairs
-      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(broadcast(sets.select(col("doc_id").as("id_a"),
+        col("sh").as("sh_a"))), "id_a")
+      .join(broadcast(sets.select(col("doc_id").as("id_b"),
+        col("sh").as("sh_b"))), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
@@ -134,11 +173,17 @@ object Dedup {
   /** Candidate near-dup pairs by SimHash, with Hamming distance attached.
     * The 64-bit fingerprint is split into `64 / chunkBits` chunks; a pair
     * within Hamming ≤ (nChunks - 1) agrees on at least one chunk
-    * (pigeonhole), so a chunk-equality self-join finds every such pair
+    * (pigeonhole), so a chunk-equality bucket join finds every such pair
     * without an all-pairs scan. Callers filter/rank on `hamming`.
+    *
+    * chunkBits=16 → 4 chunks (Hamming ≤ 3 guaranteed recall) and 65,536
+    * bucket values per chunk position, so expected bucket size is n/65,536
+    * — 8-bit chunks would give 256-value buckets and O(n²/65k) candidate
+    * pairs, quadratic at scale.
     */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      chunkBits: Int = 8): DataFrame = {
+      chunkBits: Int = 16,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     require(64 % chunkBits == 0, "chunkBits must divide 64")
     val nChunks = 64 / chunkBits
     val mask = (1L << chunkBits) - 1
@@ -146,18 +191,14 @@ object Dedup {
     val fps = docs.select(col(idCol).as("doc_id"),
       graft.functions.GraftFunctions
         .simhash64(TextFunctions.tokens(col(textCol))).as("fp"))
-    val chunked = fps.select(col("doc_id"), col("fp"),
+    val chunked = fps.select(
+      struct(col("doc_id"), col("fp")).as("m"),
       posexplode(array((0 until nChunks).map { c =>
         shiftrightunsigned(col("fp"), c * chunkBits).bitwiseAND(lit(mask))
       }: _*)).as(Seq("chunk", "chunk_val")))
-    chunked.as("a")
-      .join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") &&
-          col("a.chunk_val") === col("b.chunk_val") &&
-          col("a.doc_id") < col("b.doc_id"))
+    cappedPairs(chunked, Seq("chunk", "chunk_val"), "m", bucketCap)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast(LongType)
           .as("hamming"))
-      .distinct()
   }
 }

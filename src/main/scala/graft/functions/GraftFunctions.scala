@@ -14,8 +14,15 @@ object GraftFunctions {
   /** 64-bit SimHash of a token array (see [[SimHash]]). */
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
 
+  /** k-value MinHash signature of a token array (see [[MinHashSig]]). */
+  def minhash32(tokens: Column, shingleSize: Int, k: Int): Column =
+    call_function("minhash32", tokens,
+      org.apache.spark.sql.functions.lit(shingleSize),
+      org.apache.spark.sql.functions.lit(k))
+
   /** Register all graft SQL functions on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     SimHash.register(spark)
+    MinHashSig.register(spark)
   }
 }

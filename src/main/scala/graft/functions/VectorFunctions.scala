@@ -50,21 +50,35 @@ object VectorFunctions {
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Random-hyperplane (SimHash-for-vectors) LSH bucket id with `bits`
-    * hyperplanes. Hyperplane components are deterministic pseudo-random
-    * ±1 derived from xxhash64(bit, dim) — computed per element with no
-    * stored model. Same-bucket vectors are cosine-close with high
-    * probability; used to prefilter near-dup candidate pairs so the
-    * all-pairs join never materializes at scale.
+  /** Deterministic ±1 hyperplane component row for bit `b` (splitmix64
+    * parity, seed 42) — precomputed ONCE on the driver and shipped as an
+    * array literal, instead of re-hashing (bit, dim) per row per element.
     */
-  def lshBucket(v: Column, bits: Int): Column = {
+  private def signRow(b: Int, dims: Int): Seq[Long] = {
+    var s = 42L + b.toLong * 0x9e3779b97f4a7c15L
+    (0 until dims).map { _ =>
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^= (z >>> 31)
+      if ((z & 1L) == 0L) 1L else -1L
+    }
+  }
+
+  /** Random-hyperplane (SimHash-for-vectors) LSH bucket id with `bits`
+    * hyperplanes over `dims`-dimensional vectors. The ±1 sign matrix is a
+    * driver-side constant embedded as array literals (no per-row hashing).
+    * Same-bucket vectors are cosine-close with high probability; used to
+    * prefilter near-dup candidate pairs so the all-pairs join never
+    * materializes at scale. Elements beyond `dims` (or null) contribute 0.
+    */
+  def lshBucket(v: Column, bits: Int, dims: Int): Column = {
     val qv = quantize(v)
     val bitCols = (0 until bits).map { b =>
-      // sign of <v, h_b> where h_b[i] = ±1 from a hash of (b, i)
       val dot = aggregate(
-        zip_with(qv, sequence(lit(0), size(qv) - 1),
-          (x, i) => when(pmod(xxhash64(lit(b), i), lit(2)) === 0, x)
-            .otherwise(-x)),
+        zip_with(qv, typedlit(signRow(b, dims)),
+          (x, s) => coalesce(x * s, lit(0L))),
         lit(0L), (acc, x) => acc + x)
       when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
     }

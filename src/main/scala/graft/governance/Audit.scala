@@ -1,0 +1,82 @@
+package graft.governance
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** One audit record per executed query — the Spark analog of the
+  * reference's CloudTrail/Lake Formation audit trail (reference
+  * `README.md:12`): who (principal), what (catalog tables touched),
+  * whether governance rewrote the plan, how many rows came out, how long
+  * it took.
+  */
+final case class AuditEvent(
+    funcName: String,
+    principal: String,
+    tables: Seq[String],
+    governed: Boolean,
+    rowsOut: Option[Long],
+    durationNs: Long,
+    error: Option[String])
+
+/** Process-wide audit sink. In-memory ring for tests/inspection plus
+  * stderr lines; a production deployment would point this at a durable
+  * sink (the reference ships them to CloudTrail/S3).
+  */
+object AuditLog {
+  private val queue = new ConcurrentLinkedQueue[AuditEvent]()
+  private val Cap = 10000
+
+  def record(e: AuditEvent): Unit = {
+    queue.add(e)
+    while (queue.size > Cap) queue.poll()
+  }
+
+  def events: Seq[AuditEvent] = queue.asScala.toSeq
+  def clear(): Unit = queue.clear()
+}
+
+/** Register with `.config("spark.sql.queryExecutionListeners",
+  * "graft.governance.AuditListener")` (zero-arg constructor contract) or
+  * `spark.listenerManager.register(new AuditListener)`.
+  */
+class AuditListener extends QueryExecutionListener {
+
+  private def eventFor(funcName: String, qe: QueryExecution,
+      durationNs: Long, error: Option[String]): AuditEvent = {
+    val principal = qe.sparkSession.conf
+      .get(GovernanceRule.PrincipalConf, DataAdmin.name)
+    val tables = qe.analyzed.collect {
+      case r: LogicalRelation =>
+        r.catalogTable.map(_.identifier.unquotedString).getOrElse("<files>")
+    }.distinct
+    val governed = qe.analyzed
+      .find(_.getTagValue(GovernanceRule.GovernedTag).isDefined).isDefined
+    val rowsOut = qe.executedPlan.metrics.get("numOutputRows")
+      .map(_.value)
+    AuditEvent(funcName, principal, tables, governed, rowsOut, durationNs,
+      error)
+  }
+
+  override def onSuccess(funcName: String, qe: QueryExecution,
+      durationNs: Long): Unit = {
+    val e = eventFor(funcName, qe, durationNs, None)
+    AuditLog.record(e)
+    logInfo(s"audit: $e")
+  }
+
+  override def onFailure(funcName: String, qe: QueryExecution,
+      exception: Exception): Unit = {
+    val e = eventFor(funcName, qe, 0L, Some(exception.getMessage))
+    AuditLog.record(e)
+    logWarning(s"audit(failed): $e")
+  }
+
+  // minimal logging without depending on Spark's internal Logging trait
+  private def logInfo(s: String): Unit = ()
+  private def logWarning(s: String): Unit = System.err.println(s"[audit] $s")
+}

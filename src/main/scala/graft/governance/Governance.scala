@@ -89,17 +89,46 @@ object Governance {
   /** SSN mask (`outputs.tf:49`): every digit → `*`. */
   def maskSsn(c: Column): Column = regexp_replace(c, "\\d", "*")
 
+  /** Run `f` with the session principal set to `p`, restoring the previous
+    * principal afterwards. DataFrame construction inside the block analyzes
+    * eagerly, so the governance rule sees the intended principal.
+    */
+  def withPrincipal[T](spark: SparkSession, p: Principal)(f: => T): T = {
+    val key = GovernanceRule.PrincipalConf
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, p.name)
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** True when the analyzed plan carries the governance-rule marker — i.e.
+    * the plan-time rewrite actually fired for this DataFrame.
+    */
+  private def ruleApplied(df: DataFrame): Boolean =
+    df.queryExecution.analyzed
+      .find(_.getTagValue(GovernanceRule.GovernedTag).isDefined).isDefined
+
   /** Governed read of the sales table for `principal` — the Spark analog of
-    * Athena calling `lakeformation:GetDataAccess` at plan time
-    * (reference `main.tf:191-197`): inject Filter(rowPredicate) then
-    * Project(allowlist) beneath whatever the caller composes on top.
+    * Athena calling `lakeformation:GetDataAccess` at plan time (reference
+    * `main.tf:191-197`). Reads the CATALOG table (parquet-backed,
+    * [[SalesFixture.ensureRegistered]]); enforcement is the
+    * [[GovernanceRule]] plan rewrite, the same choke point raw
+    * `spark.sql` traffic goes through. If the session was built without
+    * `GraftExtensions`, falls back to wrapping the relation here, so this
+    * API never returns ungoverned rows.
     */
   def secureRead(spark: SparkSession, principal: Principal): DataFrame = {
-    val base = SalesFixture.df(spark)
+    SalesFixture.ensureRegistered(spark)
+    val table = s"${SalesFixture.dbName}.${SalesFixture.tableName}"
+    val df = withPrincipal(spark, principal)(spark.table(table))
     GovernanceCatalog.filterFor(principal, SalesFixture.tableName) match {
-      case None => base
+      case None => df
+      case Some(_) if ruleApplied(df) => df
       case Some(f) =>
-        base.filter(expr(f.rowFilterSql))
+        df.filter(expr(f.rowFilterSql))
           .select(f.allowedColumns.map(col): _*)
     }
   }
@@ -118,15 +147,22 @@ object Governance {
       col("sales_amount"),
       col("sale_date"))
 
-  /** Masked view as seen by `principal`: view expansion composed with the
-    * principal's row filter (reference behavior: `validate.sh:223-225` —
-    * the analyst sees masked PII *and* only APAC rows).
+  /** Masked view as seen by `principal`: the CATALOG view `sales_masked`
+    * (a real `CREATE VIEW`, reference `outputs.tf:41-55`) read under the
+    * principal's session — [[GovernanceRule]] injects the row filter
+    * BENEATH the view body (as Lake Formation does), so the analyst sees
+    * masked PII *and* only APAC rows (`validate.sh:223-225`). Fallback for
+    * extension-less sessions composes the filter over the view projection
+    * (equivalent while no mask touches a filter column).
     */
   def maskedViewFor(spark: SparkSession, principal: Principal): DataFrame = {
-    val view = maskedView(SalesFixture.df(spark))
+    SalesFixture.ensureRegistered(spark)
+    val view = s"${SalesFixture.dbName}.${SalesFixture.viewName}"
+    val df = withPrincipal(spark, principal)(spark.table(view))
     GovernanceCatalog.filterFor(principal, SalesFixture.tableName) match {
-      case None    => view
-      case Some(f) => view.filter(expr(f.rowFilterSql))
+      case None => df
+      case Some(_) if ruleApplied(df) => df
+      case Some(f) => df.filter(expr(f.rowFilterSql))
     }
   }
 

@@ -1,0 +1,117 @@
+package graft.governance
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.analysis.{GetViewColumnByNameAndOrdinal, UnresolvedAttribute}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, View}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+import graft.sales.SalesFixture
+
+/** Plan-time governance, the Spark analog of Athena consulting Lake
+  * Formation on EVERY table access (reference `main.tf:432-487`,
+  * `main.tf:191-197`): a resolution rule injected via
+  * `SparkSessionExtensions` rewrites any reference to the governed catalog
+  * table into `Project(allowlist, Filter(rowPredicate, rel))` for the
+  * session's principal — so raw `spark.sql("SELECT * FROM sales_db.sales")`
+  * is governed identically to the `Governance.secureRead` API path, closing
+  * the bypass where only wrapper-function callers were protected.
+  *
+  * Enable with `.config("spark.sql.extensions", "graft.governance.
+  * GraftExtensions")`; select the principal per session with
+  * `spark.conf.set("spark.graft.principal", "Analyst" | "DataAdmin")`
+  * (defaults to DataAdmin, matching the reference where the admin role owns
+  * the catalog).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectResolutionRule(session => GovernanceRule(session))
+}
+
+object GovernanceRule {
+  /** Session conf key naming the active principal. */
+  val PrincipalConf = "spark.graft.principal"
+
+  /** Marks a relation copy that already has governance injected, so the
+    * fixpoint analyzer never double-wraps. The tag is set only on private
+    * copies of the relation node (never on the instance cached in the
+    * session catalog's relation cache) — a tag on the shared cached
+    * instance would suppress wrapping for every LATER query in the
+    * session, silently disabling governance.
+    */
+  val GovernedTag: TreeNodeTag[String] =
+    new TreeNodeTag[String]("graft.governance.applied")
+}
+
+/** Rewrites governed-table relations per the active principal's data-cells
+  * filter. Two passes, mirroring Lake Formation's semantics:
+  *
+  *  1. relations referenced through the `sales_masked` view get the row
+  *     filter only — the view body already masks the PII columns, and the
+  *     filter is injected BENEATH the view (as LF does), so a future mask
+  *     on a filter column cannot change the filter's input;
+  *  2. all remaining (direct) references get the row filter plus the
+  *     column-allowlist projection.
+  *
+  * Catalyst then pushes both into the parquet scan (PushedFilters +
+  * pruned ReadSchema), which is exactly what LF+Athena achieve.
+  */
+case class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import GovernanceRule._
+
+  private def principal: Principal =
+    Principal.fromName(spark.conf.get(PrincipalConf, DataAdmin.name))
+
+  private def isSales(r: LogicalRelation): Boolean =
+    r.catalogTable.exists(t =>
+      t.identifier.table == SalesFixture.tableName &&
+        t.identifier.database.contains(SalesFixture.dbName))
+
+  private def isMaskedView(v: View): Boolean =
+    v.desc.identifier.table == SalesFixture.viewName &&
+      v.desc.identifier.database.contains(SalesFixture.dbName)
+
+  /** Mid-resolution, a persisted view's body sits under a Project whose
+    * list is `GetViewColumnByNameAndOrdinal(viewName, ...)` expressions —
+    * the `View` wrapper node only appears once the body has resolved. The
+    * governed relation resolves strictly EARLIER (same fixpoint iteration
+    * as FindDataSourceTable), so view detection must recognize this
+    * marker-Project shape too.
+    */
+  private def isMaskedViewMarker(p: Project): Boolean =
+    p.projectList.exists(_.find {
+      case g: GetViewColumnByNameAndOrdinal =>
+        g.viewName.contains(SalesFixture.viewName)
+      case _ => false
+    }.isDefined)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    GovernanceCatalog.filterFor(principal, SalesFixture.tableName) match {
+      case None => plan
+      case Some(f) =>
+        def rowFilter(r: LogicalRelation): Filter = {
+          val marked = r.copy()
+          marked.setTagValue(GovernedTag, f.name)
+          Filter(
+            spark.sessionState.sqlParser.parseExpression(f.rowFilterSql),
+            marked)
+        }
+        def filterBeneath(p: LogicalPlan): LogicalPlan = p.transformUp {
+          case r: LogicalRelation
+              if isSales(r) && r.getTagValue(GovernedTag).isEmpty =>
+            rowFilter(r)
+        }
+        val viewGoverned = plan.transformUp {
+          case v: View if isMaskedView(v) => v.mapChildren(filterBeneath)
+          case p: Project if isMaskedViewMarker(p) =>
+            p.mapChildren(filterBeneath)
+        }
+        viewGoverned.transformUp {
+          case r: LogicalRelation
+              if isSales(r) && r.getTagValue(GovernedTag).isEmpty =>
+            Project(f.allowedColumns.map(UnresolvedAttribute(_)),
+              rowFilter(r))
+        }
+    }
+}

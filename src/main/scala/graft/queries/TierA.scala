@@ -95,7 +95,29 @@ object TierA {
       Governance.secureRead(s, Analyst)
         .groupBy(col("sales_region"))
         .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("sales_region")))
+        .orderBy(col("sales_region"))),
+
+    // A13/M6 — RAW SQL against the catalog table as Analyst: the
+    // SparkSessionExtensions governance rule rewrites the relation at plan
+    // time, so even un-wrapped spark.sql traffic is row-filtered and
+    // column-allowlisted (the semantics LF enforces for every Athena
+    // query, main.tf:432-487).
+    "q_sql_governed" -> ((s, _) => {
+      SalesFixture.ensureRegistered(s)
+      Governance.withPrincipal(s, Analyst)(
+        s.sql(s"SELECT * FROM ${SalesFixture.dbName}.${SalesFixture.tableName}" +
+          " ORDER BY customer_id"))
+    }),
+
+    // A7/A13 — RAW SQL against the CREATE VIEW sales_masked catalog object
+    // as Analyst: masks from the view body compose with the row filter the
+    // rule injects beneath the view (validate.sh:223-225).
+    "q_sql_view_analyst" -> ((s, _) => {
+      SalesFixture.ensureRegistered(s)
+      Governance.withPrincipal(s, Analyst)(
+        s.sql(s"SELECT * FROM ${SalesFixture.dbName}.${SalesFixture.viewName}" +
+          " ORDER BY customer_id"))
+    })
   )
 
   private val allowedCols =
@@ -137,6 +159,15 @@ object TierA {
     "q_analyst_counts" -> (cte +
       "SELECT sales_region, COUNT(*) AS cnt FROM sales " +
       "WHERE sales_region = 'APAC' " +
-      "GROUP BY sales_region ORDER BY sales_region")
+      "GROUP BY sales_region ORDER BY sales_region"),
+    "q_sql_governed" -> (cte +
+      s"SELECT $allowedCols FROM sales " +
+      "WHERE sales_region = 'APAC' ORDER BY customer_id"),
+    "q_sql_view_analyst" -> (cte +
+      "SELECT customer_id, customer_name, " +
+      "regexp_replace(customer_email, '^([^@]{1,3}).*@', '***@') " +
+      "AS customer_email, regexp_replace(ssn, '\\d', '*', 'g') AS ssn, " +
+      "sales_region, sales_amount, sale_date FROM sales " +
+      "WHERE sales_region = 'APAC' ORDER BY customer_id")
   )
 }

@@ -113,26 +113,30 @@ object TierC {
         .orderBy(col("event_type"))),
 
     // C4 — MinHash+LSH near-dup candidates: top pairs by estimated Jaccard.
-    // 1-row bands (k=32, bands=32) because this corpus has near-zero
-    // pairwise Jaccard; at higher dup rates fewer, wider bands are cheaper.
+    // k=32, bands=8 (r=4) puts the banding S-curve threshold near
+    // Jaccard 0.59 — the planted near-dups (J ≈ 0.98) always collide,
+    // random word-soup pairs (J ≈ 0.05) essentially never do.
     "q_minhash_dup" -> ((s, d) =>
       Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
-        k = 32, bands = 32)
+        k = 32, bands = 8)
         .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
         .limit(50)),
 
     // SimHash near-dup candidates: closest pairs by Hamming distance.
+    // 16-bit chunks → 4 chunks (Hamming ≤ 3 recall), 65,536-way buckets.
     "q_simhash_dup" -> ((s, d) =>
       Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text",
-        chunkBits = 8)
+        chunkBits = 16)
         .orderBy(col("hamming"), col("id_a"), col("id_b"))
         .limit(20)),
 
-    // Exact n-gram Jaccard verification of the MinHash candidates.
+    // Exact n-gram Jaccard verification of the MinHash candidates: the
+    // candidate set is computed once and the docs table is semi-join
+    // pruned to candidate ids before any shingle arrays are built.
     "q_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.verifyJaccard(docs, "doc_id", "text",
-        Dedup.minhashCandidates(docs, "doc_id", "text", k = 32, bands = 32)
+        Dedup.minhashCandidates(docs, "doc_id", "text", k = 32, bands = 8)
           .select("id_a", "id_b"))
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
         .limit(20)

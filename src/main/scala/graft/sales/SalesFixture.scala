@@ -84,14 +84,41 @@ object SalesFixture {
       schema)
 
   /** Write + register as an external-style parquet table, mirroring the
-    * Glue external table over an S3 prefix (reference `main.tf:303-372`).
+    * Glue external table over an S3 prefix (reference `main.tf:303-372`),
+    * plus the `sales_masked` view DDL (reference `outputs.tf:41-55`).
+    * DDL runs as DataAdmin: the admin owns the catalog objects; governance
+    * applies when other principals query them.
     */
-  def register(spark: SparkSession, location: String): Unit = {
-    df(spark).write.mode("overwrite").parquet(location)
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $dbName")
-    spark.sql(s"DROP TABLE IF EXISTS $dbName.$tableName")
-    spark.sql(
-      s"CREATE TABLE $dbName.$tableName USING parquet LOCATION '$location'")
+  def register(spark: SparkSession, location: String): Unit =
+    graft.governance.Governance.withPrincipal(
+        spark, graft.governance.DataAdmin) {
+      df(spark).write.mode("overwrite").parquet(location)
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $dbName")
+      spark.sql(s"DROP TABLE IF EXISTS $dbName.$tableName")
+      spark.sql(
+        s"CREATE TABLE $dbName.$tableName USING parquet LOCATION '$location'")
+      // Spark SQL string literals are backslash-escaped, hence \\d here.
+      spark.sql(
+        s"""CREATE OR REPLACE VIEW $dbName.$viewName AS
+           |SELECT customer_id, customer_name,
+           |  regexp_replace(customer_email, '^([^@]{1,3}).*@', '***@')
+           |    AS customer_email,
+           |  regexp_replace(ssn, '\\\\d', '*') AS ssn,
+           |  sales_region, sales_amount, sale_date
+           |FROM $dbName.$tableName""".stripMargin)
+    }
+
+  /** Idempotent catalog registration: the sales table + masked view exist
+    * after this call (in-memory catalog — re-registered once per session).
+    */
+  def ensureRegistered(spark: SparkSession): Unit = synchronized {
+    if (!spark.catalog.databaseExists(dbName) ||
+        !spark.catalog.tableExists(s"$dbName.$tableName") ||
+        !spark.catalog.tableExists(s"$dbName.$viewName")) {
+      val loc = new java.io.File(
+        "target/graft-data/sales_parquet").getAbsolutePath
+      register(spark, loc)
+    }
   }
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
