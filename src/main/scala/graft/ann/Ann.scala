@@ -68,9 +68,33 @@ object Ann {
     * table is written partitioned by list id, which is the intended layout
     * at 100 TB (scan cost ~ nprobe/nlists of the data).
     */
+  /** Persisted IVF index: centroids are computed once and written to
+    * parquet (idempotent, keyed by `_SUCCESS`), then every query reads the
+    * tiny nlists-row index file instead of re-aggregating the full
+    * embeddings table — at 100 TB the index build is a one-time batch job,
+    * not per-query work.
+    */
+  def persistedCentroids(emb: DataFrame, listCol: String, vecCol: String,
+      path: String): DataFrame = synchronized {
+    val dir = new java.io.File(path)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      centroids(emb, listCol, vecCol)
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    }
+    emb.sparkSession.read.parquet(dir.getAbsolutePath)
+  }
+
   def ivfTopK(emb: DataFrame, idCol: String, listCol: String, vecCol: String,
-      queryId: Long, k: Int, nprobe: Int): DataFrame = {
-    val cents = centroids(emb, listCol, vecCol)
+      queryId: Long, k: Int, nprobe: Int): DataFrame =
+    ivfTopK(emb, centroids(emb, listCol, vecCol), idCol, listCol, vecCol,
+      queryId, k, nprobe)
+
+  /** IVF top-k against a prebuilt centroid index (see
+    * [[persistedCentroids]]).
+    */
+  def ivfTopK(emb: DataFrame, cents: DataFrame, idCol: String,
+      listCol: String, vecCol: String, queryId: Long, k: Int,
+      nprobe: Int): DataFrame = {
     val q = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("q_vec"))
     // index-build-time step: nlists rows — the one intentional driver hop

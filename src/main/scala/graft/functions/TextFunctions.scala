@@ -12,8 +12,12 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object TextFunctions {
 
-  /** Whitespace tokens. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokens. Empty/whitespace-only text yields an EMPTY array —
+    * `split(trim(""), "\\s+")` alone returns `[""]`, which would count one
+    * phantom token and produce bogus empty shingles on real corpora.
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= lit(""))
 
   /** Whitespace token count (long). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
@@ -36,13 +40,15 @@ object TextFunctions {
 
   /** Heuristic quality score in [0,1]: favors alphabetic content, penalizes
     * punctuation soup. Deterministic double arithmetic (left-assoc, same
-    * shape as the SQL oracle).
+    * shape as the SQL oracle). Empty text scores 0.0 — without the guard
+    * the ratios divide by zero and return NaN.
     */
   def qualityScore(text: Column): Column = {
     val len = length(text).cast(DoubleType)
     val alphaRatio = alphaChars(text).cast(DoubleType) / len
     val punctRatio = punctChars(text).cast(DoubleType) / len
-    lit(0.6) * alphaRatio + lit(0.4) * (lit(1.0) - punctRatio)
+    when(length(text) === 0, lit(0.0))
+      .otherwise(lit(0.6) * alphaRatio + lit(0.4) * (lit(1.0) - punctRatio))
   }
 
   /** Tiny per-language stopword profiles for n-gram-free language ID.

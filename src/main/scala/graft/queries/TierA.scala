@@ -117,6 +117,23 @@ object TierA {
       Governance.withPrincipal(s, Analyst)(
         s.sql(s"SELECT * FROM ${SalesFixture.dbName}.${SalesFixture.viewName}" +
           " ORDER BY customer_id"))
+    }),
+
+    // A12 — CSV result sink: query results land as one headered CSV per
+    // query (main.tf:504-510, validate.sh:160-163), then round-trip back
+    // with an explicit schema (CSV carries no types).
+    "q_csv_sink" -> ((s, _) => {
+      import org.apache.spark.sql.types._
+      val out = Governance.secureRead(s, DataAdmin)
+        .groupBy(col("sales_region"))
+        .agg(count(lit(1)).as("cnt"))
+      val path = new java.io.File(
+        "target/graft-data/csv/q_count_by_region").getAbsolutePath
+      graft.sources.Sinks.writeCsv(out, path)
+      graft.sources.Sinks.readCsv(s, path, StructType(Seq(
+          StructField("sales_region", StringType),
+          StructField("cnt", LongType))))
+        .orderBy(col("sales_region"))
     })
   )
 
@@ -168,6 +185,9 @@ object TierA {
       "regexp_replace(customer_email, '^([^@]{1,3}).*@', '***@') " +
       "AS customer_email, regexp_replace(ssn, '\\d', '*', 'g') AS ssn, " +
       "sales_region, sales_amount, sale_date FROM sales " +
-      "WHERE sales_region = 'APAC' ORDER BY customer_id")
+      "WHERE sales_region = 'APAC' ORDER BY customer_id"),
+    "q_csv_sink" -> (cte +
+      "SELECT sales_region, COUNT(*) AS cnt FROM sales " +
+      "GROUP BY sales_region ORDER BY sales_region")
   )
 }

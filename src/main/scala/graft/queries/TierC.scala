@@ -6,7 +6,8 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.ann.Ann
 import graft.dedup.Dedup
-import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.functions.{TextFunctions => T}
+import graft.multimodal.{Multimodal => M}
 import graft.sources.Tables
 
 /** Tier C — the LLM-training-data-pipeline operators (BASELINE.json north
@@ -74,16 +75,26 @@ object TierC {
       Ann.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10)),
 
-    // C5 — tumbling-window event counts (batch form; streaming variant in
-    // graft.streaming with identical aggregation logic).
+    // C5 — tumbling-window event counts. The aggregation body is
+    // graft.streaming.EventStream.hourlyCounts — literally the same
+    // function that runs incrementally under readStream/writeStream with a
+    // watermark (see EventStreamSpec); on this batch input the watermark
+    // node is eliminated and it is a plain two-phase hash aggregate.
     "q_stream_window" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
-        .select(col("w.start").cast("timestamp_ntz").as("hour_ts"),
-          col("event_type"),
-          col("cnt"), col("total_value"))
+      graft.streaming.EventStream.hourlyCounts(Tables.events(s, d))
+        .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz"))
         .orderBy(col("hour_ts"), col("event_type"))),
+
+    // Partition-pruned daily slice: events materialized partitioned by
+    // event_date (the 100 TB fact layout) — the date predicate prunes
+    // whole partitions at plan time (PartitionFilters in .explain), so
+    // scan cost is 1/30th of the table here and 1/N in general.
+    "q_partition_prune" -> ((s, d) =>
+      Tables.eventsByDate(s, d)
+        .filter(col("event_date") === lit("2024-01-15").cast("date"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+        .orderBy(col("event_type"))),
 
     // C6 — distinct users per event type (exact, for the oracle; the HLL
     // variant is q_hll_distinct below).
@@ -149,10 +160,15 @@ object TierC {
         .orderBy(col("sim").desc, col("id_a"), col("id_b"))
         .limit(20)),
 
-    // IVF-style ANN: probe 3 of the label-partitioned inverted lists.
-    "q_ann_ivf" -> ((s, d) =>
-      Ann.ivfTopK(Tables.embeddings(s, d), "vec_id", "label", "embedding",
-        queryId = 0L, k = 10, nprobe = 3)),
+    // IVF-style ANN: probe 3 inverted lists against the PERSISTED centroid
+    // index (built once per dataset, not per query — the 100 TB posture).
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Ann.persistedCentroids(emb, "label", "embedding",
+        s"target/graft-data/ivf_centroids/${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+      Ann.ivfTopK(emb, cents, "vec_id", "label", "embedding",
+        queryId = 0L, k = 10, nprobe = 3)
+    }),
 
     // Language-ID heuristic vs the labeled lang column (confusion counts).
     "q_lang_id" -> ((s, d) =>
@@ -167,7 +183,31 @@ object TierC {
       Tables.documents(s, d)
         .filter(col("doc_id") < 500)
         .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // ---- multimodal (binary payload columns; graft.multimodal) ----
+
+    // Per-media-type size stats over opaque binary payloads + typed meta.
+    "q_media_stats" -> ((s, d) =>
+      M.mediaFromDocs(Tables.documents(s, d))
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(M.payloadBytes(col("payload"))).as("total_bytes"),
+          max(col("meta.byte_len")).as("max_bytes"))
+        .orderBy(col("media_type"))),
+
+    // Frame sampling + stubbed decode: 4 byte-slices per payload, decoded
+    // (deterministic stub) to an 8-dim feature vector; output is the
+    // per-media frame count and first feature — exercises the binary
+    // plumbing end-to-end. Rows-only (hash functions differ per engine).
+    "q_media_decode" -> ((s, d) =>
+      M.mediaFromDocs(Tables.documents(s, d))
+        .filter(col("media_id") < 200)
+        .select(col("media_id"), col("media_type"),
+          size(M.frameSample(col("payload"), 4, 16)).as("n_frames"),
+          element_at(M.decodeStub(col("payload"), 8), 1).as("feat0"),
+          M.payloadFingerprint(col("payload")).as("payload_fp"))
+        .orderBy(col("media_id")))
   )
 
   private val quantSql =
@@ -181,15 +221,16 @@ object TierC {
     "q_text_stats" ->
       ("SELECT lang, COUNT(*) AS n_docs, " +
         "CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
-        "CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) " +
+        "CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), " +
+        "'\\s+'), t -> t <> ''))) AS BIGINT) " +
         "AS total_tokens, MIN(n_chars) AS min_chars, " +
         "MAX(n_chars) AS max_chars, " +
         "CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars " +
         "FROM documents GROUP BY lang ORDER BY lang"),
     "q_token_count" ->
       ("SELECT doc_id, " +
-        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) " +
-        "AS ws_tokens, " +
+        "CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), " +
+        "t -> t <> '')) AS BIGINT) AS ws_tokens, " +
         "CAST(len(regexp_extract_all(text, " +
         "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS sub_tokens " +
         "FROM documents WHERE doc_id < 500 ORDER BY doc_id"),
@@ -197,10 +238,11 @@ object TierC {
       ("SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS char_len, " +
         "CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)" +
         " / CAST(LENGTH(text) AS DOUBLE) AS alpha_ratio, " +
+        "CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE " +
         "0.6 * (CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) " +
         "AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE)) + 0.4 * (1.0 - " +
         "CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) " +
-        "AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE)) AS quality " +
+        "AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE)) END AS quality " +
         "FROM documents WHERE doc_id < 500 ORDER BY doc_id"),
     "q_embed_topk" ->
       ("WITH q AS (SELECT " + quantSql + " AS qv FROM embeddings " +
@@ -228,6 +270,17 @@ object TierC {
     "q_json_extract" ->
       ("SELECT event_id, event_type, " +
         "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val " +
-        "FROM events WHERE event_id < 500 ORDER BY event_id")
+        "FROM events WHERE event_id < 500 ORDER BY event_id"),
+    "q_partition_prune" ->
+      ("SELECT event_type, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15' " +
+        "GROUP BY event_type ORDER BY event_type"),
+    "q_media_stats" ->
+      ("SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
+        "ELSE 'video' END AS media_type, COUNT(*) AS n_media, " +
+        "CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes, " +
+        "CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes " +
+        "FROM documents GROUP BY 1 ORDER BY media_type")
   )
 }

@@ -1,0 +1,30 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Result sinks. The reference's query results land as one CSV object per
+  * query under `s3://.../athena-results/` (reference `main.tf:504-510`,
+  * `scripts/validate.sh:160-163`); [[writeCsv]] mirrors that contract.
+  */
+object Sinks {
+
+  /** Write a RESULT SET (post-aggregation, small by construction — the
+    * analog of an Athena result object) as a single headered CSV file
+    * directory. The `coalesce(1)` is deliberate and safe here precisely
+    * because this sink is for query results, not datasets; bulk data
+    * export at 100 TB would drop the coalesce and write one part per
+    * partition.
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(path)
+
+  /** Read a headered CSV with an explicit schema (CSV carries no types, so
+    * round-trips must re-assert them — same reason Athena DDL declares
+    * column types over the raw objects).
+    */
+  def readCsv(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+}

@@ -42,6 +42,28 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  private def cacheKey(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Date-partitioned materialization of `events` — the 100 TB layout:
+    * big fact tables are written partitioned on event date so date-ranged
+    * queries prune whole partitions at planning time instead of scanning
+    * and filtering (`.explain` shows the pruned `PartitionFilters`).
+    * Written once per source dir (idempotent, keyed by `_SUCCESS`).
+    */
+  def eventsByDate(s: SparkSession, d: String): DataFrame = synchronized {
+    val path = new java.io.File(
+      s"target/graft-data/events_by_date/${cacheKey(d)}")
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      events(s, d)
+        .withColumn("event_date", org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")))
+        .write.mode("overwrite").partitionBy("event_date")
+        .parquet(path.getAbsolutePath)
+    }
+    s.read.parquet(path.getAbsolutePath)
+  }
+
   /** Register every testdata table as a temp view, so `spark.sql` text
     * matches the oracle SQL one-for-one.
     */

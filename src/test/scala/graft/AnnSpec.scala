@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+
+import graft.ann.Ann
+
+class AnnSpec extends AnyFunSuite with SparkTestBase {
+
+  /** 6 vectors in 3 lists; vec 0 is the query. Cosine order vs vec 0:
+    * 1 (same direction) > 2 (close) > 3 (45°) > 4 (orthogonal-ish) > 5.
+    */
+  private def vectors(): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(2.0f, 0.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.1f, 0.0f), 1),
+      (3L, Array(1.0f, 1.0f, 0.0f), 1),
+      (4L, Array(0.1f, 1.0f, 0.0f), 2),
+      (5L, Array(0.0f, 0.0f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+  }
+
+  test("bruteForceTopK ranks by exact cosine") {
+    val out = Ann.bruteForceTopK(vectors(), "vec_id", "embedding", 0L, 4)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(out == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("bruteForceTopK sim of a colinear vector is 1.0") {
+    val sim = Ann.bruteForceTopK(vectors(), "vec_id", "embedding", 0L, 1)
+      .collect().head.getAs[Double]("sim")
+    assert(math.abs(sim - 1.0) < 1e-9)
+  }
+
+  test("ivfTopK returns k rows even when the query's own list is pruned") {
+    // nprobe=1: with list 0 (the query's own, containing the best match)
+    // probed, result must be vec 1; regression for deriving the query
+    // vector AFTER the list filter, which returned 0 rows.
+    val out = Ann.ivfTopK(vectors(), "vec_id", "label", "embedding",
+      queryId = 0L, k = 2, nprobe = 2)
+    val ids = out.collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(ids.nonEmpty, "ivfTopK returned no rows")
+    assert(ids.head == 1L)
+  }
+
+  test("persistedCentroids round-trips and skips the rebuild") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_test").toFile.getAbsolutePath + "/cents"
+    val c1 = Ann.persistedCentroids(vectors(), "label", "embedding", dir)
+      .collect()
+    assert(c1.length == 3)
+    // second call reads the persisted index (same contents)
+    val c2 = Ann.persistedCentroids(vectors(), "label", "embedding", dir)
+      .collect()
+    assert(c1.map(_.toString).sorted.toSeq ==
+      c2.map(_.toString).sorted.toSeq)
+  }
+
+  test("hyperplane LSH puts identical vectors in the same bucket") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-3.0f, 1.0f, -2.0f))
+    ).toDF("vec_id", "embedding")
+    val buckets = df.select($"vec_id",
+      VectorFunctions.lshBucket($"embedding", bits = 8, dims = 3)
+        .as("b")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(0L) == buckets(1L))
+    assert(buckets(0L) != buckets(2L))
+  }
+
+  test("lshNearDupPairs finds the identical pair with sim 1.0") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-3.0f, 1.0f, -2.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Ann.lshNearDupPairs(df, "vec_id", "embedding",
+        bits = 8, dims = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getAs[Double]("sim"))).toMap
+    assert(math.abs(pairs((0L, 1L)) - 1.0) < 1e-9)
+  }
+
+  test("cosine/quantization math: orthogonal is 0, opposite is -1") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f),
+      Array(-1.0f, 0.0f))).toDF("a", "b", "c")
+    val r = df.select(
+      cosine($"a", $"b").as("ab"), cosine($"a", $"c").as("ac"),
+      cosine($"a", $"a").as("aa")).collect().head
+    assert(math.abs(r.getAs[Double]("ab")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ac") + 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("aa") - 1.0) < 1e-9)
+  }
+}

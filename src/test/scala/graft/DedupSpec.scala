@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+
+import graft.dedup.Dedup
+
+/** Semantic validation of the approximate dedup operators on a synthetic
+  * corpus with PLANTED duplicates: exact copies, near-duplicates (one word
+  * changed), and unrelated documents. Asserts recovery (planted pairs
+  * found) and precision (unrelated pairs not found) — the properties
+  * rows-only driver checks cannot see.
+  */
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private def corpus(): DataFrame = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cat watches from the warm windowsill in the morning sun"
+    val near = base.replace("morning", "evening")
+    val far = (1 to 20).map(i => s"word$i").mkString(" ")
+    val far2 = (21 to 40).map(i => s"token$i").mkString(" ")
+    Seq(
+      (0L, base), (1L, base),            // exact pair
+      (2L, near),                        // near-dup of 0/1
+      (3L, far), (4L, far2)              // unrelated
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical content, keeps min id") {
+    val out = Dedup.exact(corpus(), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 4) // 5 docs, one exact pair
+    val dupRow = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupRow.getAs[Long]("doc_id") == 0L)
+  }
+
+  test("minhash LSH recovers exact and near pairs, rejects unrelated") {
+    val pairs = Dedup.minhashCandidates(corpus(), "doc_id", "text",
+        k = 32, bands = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("est_jaccard"))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)), s"exact pair missing from $keys")
+    assert(keys.contains((0L, 2L)) && keys.contains((1L, 2L)),
+      s"near pair missing from $keys")
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L || p._2 == 4L),
+      s"unrelated doc in candidates: $keys")
+    val exactEst = pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3
+    assert(exactEst == 1.0)
+  }
+
+  test("minhash estimate tracks true Jaccard for the near pair") {
+    val est = Dedup.minhashCandidates(corpus(), "doc_id", "text",
+        k = 32, bands = 8)
+      .filter("id_a = 0 AND id_b = 2").collect().head
+      .getAs[Double]("est_jaccard")
+    val truth = Dedup.verifyJaccard(corpus(), "doc_id", "text",
+        Dedup.minhashCandidates(corpus(), "doc_id", "text", 32, 8)
+          .select("id_a", "id_b"))
+      .filter("id_a = 0 AND id_b = 2").collect().head
+      .getAs[Double]("jaccard")
+    assert(truth > 0.7 && truth < 1.0, s"true jaccard $truth")
+    assert(math.abs(est - truth) < 0.25, s"est $est vs true $truth")
+  }
+
+  test("verifyJaccard computes exact shingle-set jaccard") {
+    import spark.implicits._
+    // doc A: shingles {a b c, b c d}; doc B: {a b c, b c e}
+    // intersection 1, union 3 -> 1/3
+    val docs = Seq((0L, "a b c d"), (1L, "a b c e")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L)).toDF("id_a", "id_b")
+    val j = Dedup.verifyJaccard(docs, "doc_id", "text", pairs)
+      .collect().head.getAs[Double]("jaccard")
+    assert(math.abs(j - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("simhash: identical docs at hamming 0, near docs close, far docs far") {
+    val out = Dedup.simhashCandidates(corpus(), "doc_id", "text",
+        chunkBits = 16)
+      .collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Long]("hamming"))).toMap
+    assert(out((0L, 1L)) == 0L)
+    assert(out.get((0L, 2L)).exists(_ <= 8L),
+      s"near pair too distant: $out")
+  }
+
+  test("oversized LSH buckets are dropped (skew cap)") {
+    import spark.implicits._
+    // 30 identical docs -> one bucket of 30 > cap of 10 -> no pairs
+    val same = (0L until 30L).map(i => (i, "x y z w v u t s")).toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidates(same, "doc_id", "text",
+      k = 32, bands = 8, bucketCap = 10)
+    assert(capped.count() == 0)
+    // with a roomier cap the pairs come back
+    val uncapped = Dedup.minhashCandidates(same, "doc_id", "text",
+      k = 32, bands = 8, bucketCap = 1000)
+    assert(uncapped.count() == 30L * 29L / 2L)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStream
+
+case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+/** Deterministic micro-batch validation of the streaming tumbling-window
+  * aggregation (SURVEY §7.3.5): feed batches through a MemoryStream with a
+  * watermark, and assert the finalized windows equal the SAME aggregation
+  * run in batch mode over the same rows — the batch/stream unification
+  * claim, tested.
+  */
+class EventStreamSpec extends AnyFunSuite with SparkTestBase {
+
+  private def t(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  test("streaming windows (append mode) match the batch aggregation") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val events = Seq(
+      Ev(t("00:10"), "click", 1.0), Ev(t("00:40"), "click", 2.5),
+      Ev(t("00:20"), "view", 1.5), Ev(t("01:15"), "click", 4.0))
+    val late = Seq(
+      // advances max event time to 05:00 -> watermark 03:00 -> hours 0,1
+      // are finalized and emitted in append mode
+      Ev(t("05:00"), "view", 9.0))
+
+    val q = EventStream.hourlyCounts(stream.toDF(), "2 hours")
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      stream.addData(late: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("hourly_test")
+      .select($"hour_ts", $"event_type", $"cnt", $"total_value")
+      .collect().map(_.toSeq).toSet
+    val batch = EventStream.hourlyCounts((events ++ late).toDF())
+      .filter($"hour_ts" < t("02:00")) // the finalized windows
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"streamed=$streamed\nbatch=$batch")
+  }
+
+  test("batch q_stream_window equals a direct SQL aggregation") {
+    val viaModule = graft.queries.TierC.queries("q_stream_window")(
+      spark, sfDir).collect()
+    assert(viaModule.nonEmpty)
+    // counts sum to the table size
+    val total = viaModule.map(_.getAs[Long]("cnt")).sum
+    assert(total == graft.sources.Tables.events(spark, sfDir).count())
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{Sinks, Tables}
+
+class SinksAndSourcesSpec extends AnyFunSuite with SparkTestBase {
+
+  test("CSV sink round-trips a result set with schema intact") {
+    import spark.implicits._
+    val df = Seq(("APAC", 8L), ("EMEA", 6L), ("AMER", 6L))
+      .toDF("sales_region", "cnt")
+    val path = java.nio.file.Files
+      .createTempDirectory("csv_test").toFile.getAbsolutePath + "/out"
+    Sinks.writeCsv(df, path)
+    // exactly one part file, with a header line
+    val parts = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".csv"))
+    assert(parts.length == 1)
+    val lines = scala.io.Source.fromFile(parts.head).getLines().toSeq
+    assert(lines.head == "sales_region,cnt")
+    val back = Sinks.readCsv(spark, path, StructType(Seq(
+      StructField("sales_region", StringType),
+      StructField("cnt", LongType))))
+    assert(back.schema("cnt").dataType == LongType)
+    assert(back.collect().map(_.toSeq).toSet ==
+      df.collect().map(_.toSeq).toSet)
+  }
+
+  test("q_csv_sink query matches the direct aggregation") {
+    val viaCsv = graft.queries.TierA.queries("q_csv_sink")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaCsv == Seq(Seq("AMER", 6L), Seq("APAC", 8L), Seq("EMEA", 6L)))
+  }
+
+  test("events date partitioning prunes partitions in the plan") {
+    val df = Tables.eventsByDate(spark, sfDir)
+      .filter(col("event_date") === lit("2024-01-15").cast("date"))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters"),
+      s"no partition filters in plan:\n$physical")
+    assert(physical.contains("event_date"),
+      "partition column missing from filters")
+    // pruned scan reads a single partition directory
+    val scanned = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(!scanned.contains("PushedFilters: [IsNotNull(event_date"),
+      "date predicate should prune partitions, not push as a data filter")
+  }
+
+  test("partition-pruned results equal filtering the unpartitioned table") {
+    val pruned = graft.queries.TierC.queries("q_partition_prune")(
+      spark, sfDir).collect().map(_.toSeq).toSeq
+    val direct = Tables.events(spark, sfDir)
+      .filter(to_date(col("ts")) === lit("2024-01-15").cast("date"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("total_value"))
+      .orderBy(col("event_type")).collect().map(_.toSeq).toSeq
+    assert(pruned == direct)
+    assert(pruned.nonEmpty)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextFunctions => T}
+
+class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def one[A](c: org.apache.spark.sql.Column, input: String): A = {
+    import spark.implicits._
+    Seq(input).toDF("text").select(c.as("v")).collect().head.getAs[A]("v")
+  }
+
+  test("tokenCount counts whitespace tokens") {
+    import spark.implicits._
+    val out = Seq("a b c", "  padded   words  ", "one").toDF("text")
+      .select(T.tokenCount($"text").as("n")).collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(3L, 2L, 1L))
+  }
+
+  test("empty and whitespace-only text has zero tokens, not one") {
+    import spark.implicits._
+    val out = Seq("", "   ", "\t\n").toDF("text")
+      .select(T.tokenCount($"text").as("n")).collect().map(_.getLong(0))
+    assert(out.forall(_ == 0L))
+  }
+
+  test("qualityScore is 0.0 for empty text (no NaN)") {
+    import spark.implicits._
+    val q = one[Double](T.qualityScore($"text"), "")
+    assert(q == 0.0)
+  }
+
+  test("qualityScore favors clean prose over punctuation soup") {
+    import spark.implicits._
+    val clean = one[Double](T.qualityScore($"text"), "clean readable words")
+    val soup = one[Double](T.qualityScore($"text"), "@#$% !!! ^^&* ###")
+    assert(clean > 0.8 && soup < 0.3)
+  }
+
+  test("langId identifies obvious samples") {
+    import spark.implicits._
+    assert(one[String](T.langId($"text"),
+      "the cat and the dog sat in a house that is big") == "en")
+    assert(one[String](T.langId($"text"),
+      "der Hund und die Katze ist nicht ein Haus mit") == "de")
+    assert(one[String](T.langId($"text"),
+      "le chat et la maison est un des les jours") == "fr")
+  }
+
+  test("shingles: sliding windows, short text collapses to one shingle") {
+    import spark.implicits._
+    val sh = Seq("a b c d").toDF("text")
+      .select(T.shingles($"text", 3).as("s")).collect().head
+      .getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("text")
+      .select(T.shingles($"text", 3).as("s")).collect().head
+      .getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    import spark.implicits._
+    val fps = Seq("alpha beta gamma", "gamma beta alpha", "alpha beta gamma")
+      .toDF("text").select(T.fingerprint($"text").as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fps(0) == fps(2))
+    assert(fps(0) != fps(1))
+  }
+
+  test("subTokenCount splits letter runs, digit runs, punctuation") {
+    import spark.implicits._
+    // "ab12-cd" -> ab, 12, -, cd = 4
+    assert(one[Long](T.subTokenCount($"text"), "ab12-cd") == 4L)
+  }
+}
