@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation by salting — the manual counterpart to AQE's runtime
+  * skew-join splitting, for when a handful of hot keys would otherwise
+  * send most of the data to a few reducers.
+  *
+  * Both transforms are deterministic end-to-end: the salt is derived from
+  * row content (xxhash64), not randomness, and the final re-aggregation /
+  * join result is independent of how rows were salted.
+  */
+object Skew {
+
+  /** Salt column in [0, salts): content-derived, so repeatable. */
+  private def saltOf(cols: Seq[Column], salts: Int): Column =
+    pmod(xxhash64(cols: _*), lit(salts))
+
+  /** Two-phase salted aggregation: groupBy (key, salt) fans a hot key out
+    * over `salts` reducers for the heavy partial phase; the final combine
+    * over `salts` sub-aggregates per key is tiny. Supports the mergeable
+    * aggregates (count/sum/min/max) — the partial and final shapes are
+    * (count→sum, sum→sum, min→min, max→max).
+    */
+  def saltedCountSum(df: DataFrame, keyCol: String, valueCol: String,
+      salts: Int = 16): DataFrame = {
+    val salted = df.withColumn("_salt",
+      saltOf(df.columns.map(col).toSeq, salts))
+    salted
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(count(lit(1)).as("_cnt"), sum(col(valueCol)).as("_sum"),
+        min(col(valueCol)).as("_min"), max(col(valueCol)).as("_max"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_cnt")).as("cnt"), sum(col("_sum")).as("total"),
+        min(col("_min")).as("min_v"), max(col("_max")).as("max_v"))
+  }
+
+  /** Salted equi-join for a skewed LEFT side: left rows get a
+    * content-derived salt in [0, salts); the (small, hot) right side is
+    * replicated `salts` times with an explicit salt column; the join key
+    * becomes (key, salt), so one hot key spreads over `salts` tasks
+    * instead of one. Right-side replication costs |right| × salts rows —
+    * use only when right is small relative to the skew it breaks.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      salts: Int = 16): DataFrame = {
+    val saltedLeft = left.withColumn("_salt",
+      saltOf(left.columns.map(col).toSeq, salts))
+    val replicatedRight = right.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    saltedLeft.join(replicatedRight, Seq(key, "_salt")).drop("_salt")
+  }
+}

@@ -250,7 +250,41 @@ object TierB {
         .filter(col("o_totalprice") > col("t") * 1.5)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy(col("o_orderkey"))
-    })
+    }),
+
+    // B18 — co-located bucketed join: orders and lineitem written
+    // hash-bucketed on the order key, so this (and every later) join on
+    // that key is a ZERO-SHUFFLE sort-merge — no Exchange under the join
+    // (asserted in BucketingSpec). The one-time bucketed write amortizes
+    // across all downstream joins: the 100 TB fact-table layout.
+    "q_join_bucketed" -> ((s, d) => {
+      val key = d.replaceAll("[^A-Za-z0-9]", "_")
+      val o = graft.operators.Bucketing.ensureBucketed(s,
+        Tables.orders(s, d), s"bkt_orders_$key", "o_orderkey")
+      val l = graft.operators.Bucketing.ensureBucketed(s,
+        Tables.lineitem(s, d), s"bkt_lineitem_$key", "l_orderkey")
+      // merge hint: at 100 TB neither fact side broadcasts; the bucketed
+      // layout then makes the sort-merge join exchange-free.
+      o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("total_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // B19 — salted skewed aggregation: two-phase groupBy spreads hot keys
+    // over 16 sub-reducers; the final combine is key-count × 16 rows.
+    // Result is provably equal to the direct aggregation (same oracle
+    // shape as a plain GROUP BY — determinism via decimal sums).
+    "q_skew_salted_agg" -> ((s, d) =>
+      graft.operators.Skew.saltedCountSum(
+          Tables.events(s, d)
+            .select(col("event_type"), col("value").cast(dec).as("v")),
+          "event_type", "v", salts = 16)
+        .select(col("event_type"), col("cnt"),
+          col("total").cast(DoubleType).as("total_value"),
+          col("min_v").cast(DoubleType).as("min_value"),
+          col("max_v").cast(DoubleType).as("max_value"))
+        .orderBy(col("event_type")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -362,6 +396,17 @@ object TierB {
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE o_totalprice > (SELECT " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) " +
-        "/ COUNT(*) FROM orders) * 1.5 ORDER BY o_orderkey")
+        "/ COUNT(*) FROM orders) * 1.5 ORDER BY o_orderkey"),
+    "q_join_bucketed" ->
+      ("SELECT o_orderpriority, COUNT(*) AS cnt, " +
+        dsumSql("l_quantity") + " AS total_qty " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_skew_salted_agg" ->
+      ("SELECT event_type, COUNT(*) AS cnt, " +
+        dsumSql("value") + " AS total_value, " +
+        "CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value, " +
+        "CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type")
   )
 }

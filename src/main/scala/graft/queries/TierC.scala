@@ -135,9 +135,13 @@ object TierC {
 
     // SimHash near-dup candidates: closest pairs by Hamming distance.
     // 16-bit chunks → 4 chunks (Hamming ≤ 3 recall), 65,536-way buckets.
+    // bucketCap=100: this small-vocab corpus clusters fingerprints (top
+    // chunk buckets reach ~200 docs ⇒ 250k candidate pairs); capping
+    // drops only clustered-but-unrelated buckets — true near-dups sit at
+    // Hamming 0-1 and re-collide in all 4 chunk buckets, so recall holds.
     "q_simhash_dup" -> ((s, d) =>
       Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text",
-        chunkBits = 16)
+        chunkBits = 16, bucketCap = 100)
         .orderBy(col("hamming"), col("id_a"), col("id_b"))
         .limit(20)),
 
