@@ -27,25 +27,29 @@ object Ann {
       queryId: Long, k: Int): DataFrame =
     bruteForceTopK(emb,
       emb.filter(col(idCol) === queryId)
-        .select(quantize(col(vecCol)).as("qv")),
+        .select(col(vecCol).as("qv")),
       idCol, vecCol, queryId, k)
 
-  /** Exact cosine top-k against an explicit (1-row, quantized) query-vector
+  /** Exact cosine top-k against an explicit (1-row, raw float) query-vector
     * frame. Taking the query separately lets callers capture it BEFORE
     * restricting the search set (e.g. IVF list pruning) — deriving it from
     * the filtered set would silently return 0 rows whenever the query's own
-    * list isn't probed.
+    * list isn't probed. The similarity is the fused codegen'd
+    * [[graft.functions.CosineQuant]] — quantize+dot+norms in one loop,
+    * bit-identical to the zip_with formulation (and the DuckDB oracle).
     */
   def bruteForceTopK(emb: DataFrame, queryVec: DataFrame, idCol: String,
-      vecCol: String, queryId: Long, k: Int): DataFrame =
+      vecCol: String, queryId: Long, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     emb.filter(col(idCol) =!= queryId)
-      .select(col(idCol), quantize(col(vecCol)).as("ev"))
+      .select(col(idCol), col(vecCol).as("ev"))
       .crossJoin(broadcast(queryVec))
       .select(col(idCol),
-        cosineFromQ(dotQ(col("ev"), col("qv")),
-          normSqQ(col("ev")), normSqQ(col("qv"))).as("sim"))
+        graft.functions.GraftFunctions.cosineQuant(col("ev"), col("qv"))
+          .as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
+  }
 
   /** Coarse centroids: one per value of `listCol` (e.g. a cluster/label
     * column assigned upstream). Component-wise mean via posexplode →
@@ -106,7 +110,7 @@ object Ann {
     // query vector captured from the FULL table — the query's own list may
     // legitimately not be among the probed lists.
     val qv = emb.filter(col(idCol) === queryId)
-      .select(quantize(col(vecCol)).as("qv"))
+      .select(col(vecCol).as("qv"))
     bruteForceTopK(
       emb.filter(col(listCol).isin(probeLists: _*)), qv, idCol, vecCol,
       queryId, k)
@@ -118,15 +122,17 @@ object Ann {
     */
   def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       bits: Int, dims: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val bucketed = emb.select(col(idCol).as("vid"),
-      quantize(col(vecCol)).as("qv"),
-      lshBucket(col(vecCol), bits, dims).as("bucket"))
+      col(vecCol).as("v"),
+      graft.functions.GraftFunctions.hplaneBucket(col(vecCol), bits, dims)
+        .as("bucket"))
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
-        cosineFromQ(dotQ(col("a.qv"), col("b.qv")),
-          normSqQ(col("a.qv")), normSqQ(col("b.qv"))).as("sim"))
+        graft.functions.GraftFunctions.cosineQuant(col("a.v"), col("b.v"))
+          .as("sim"))
   }
 }

@@ -20,9 +20,20 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(shingleSize),
       org.apache.spark.sql.functions.lit(k))
 
+  /** Fused quantized cosine of two float vectors (see [[CosineQuant]]). */
+  def cosineQuant(a: Column, b: Column): Column =
+    call_function("cosine_quant", a, b)
+
+  /** Hyperplane LSH bucket of a float vector (see [[HyperplaneBucket]]). */
+  def hplaneBucket(v: Column, bits: Int, dims: Int): Column =
+    call_function("hplane_bucket", v,
+      org.apache.spark.sql.functions.lit(bits),
+      org.apache.spark.sql.functions.lit(dims))
+
   /** Register all graft SQL functions on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     SimHash.register(spark)
     MinHashSig.register(spark)
+    VectorExprs.register(spark)
   }
 }

@@ -1,0 +1,165 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** Fused, codegen'd vector math over `array<float>` embedding columns.
+  *
+  * The Column-level formulation (`quantize` → `zip_with` dot →
+  * `aggregate` norms) is semantically identical but runs through
+  * INTERPRETED higher-order functions: per-element closure dispatch, and
+  * the quantized arrays materialize once per use. These expressions do
+  * quantize+dot+norms+cosine in ONE loop per row via a static call
+  * inlined into whole-stage codegen.
+  *
+  * Exactness contract (must hash-match the DuckDB oracle): quantization
+  * is `round(x * 1e6)` with HALF_UP on the double product — replicated
+  * here with `BigDecimal.valueOf` exactly as Catalyst's `Round` computes
+  * it — and dot/norms accumulate in exact integer space, so the final
+  * double cosine is bit-identical to the Column version.
+  */
+object VecOps {
+
+  /** Catalyst `Round(v * 1e6, 0)` for doubles, exactly. */
+  def quant(x: Double): Long =
+    JBigDecimal.valueOf(x * 1000000.0)
+      .setScale(0, RoundingMode.HALF_UP).longValue()
+
+  /** Quantized cosine similarity of two float vectors; null-free inputs
+    * of equal length expected (returns NaN-free double; unequal lengths
+    * fall back to the common prefix like the zip_with formulation's
+    * non-null span).
+    */
+  def cosineQuant(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < n) {
+      val qa = quant(a.getFloat(i).toDouble)
+      val qb = quant(b.getFloat(i).toDouble)
+      dot += qa * qb
+      na += qa * qa
+      nb += qb * qb
+      i += 1
+    }
+    // norms include any tail beyond the common prefix (normSqQ spans the
+    // full array in the Column version)
+    var j = n
+    while (j < a.numElements()) {
+      val q = quant(a.getFloat(j).toDouble); na += q * q; j += 1
+    }
+    j = n
+    while (j < b.numElements()) {
+      val q = quant(b.getFloat(j).toDouble); nb += q * q; j += 1
+    }
+    dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  private val signCache = new ConcurrentHashMap[(Int, Int), Array[Array[Long]]]()
+
+  /** ±1 hyperplane sign matrix [bits][dims] — identical derivation to
+    * `VectorFunctions.signRow` (splitmix64 parity, seed 42).
+    */
+  def signs(bits: Int, dims: Int): Array[Array[Long]] =
+    signCache.computeIfAbsent((bits, dims), { case (b0, d0) =>
+      Array.tabulate(b0) { b =>
+        var s = 42L + b.toLong * 0x9e3779b97f4a7c15L
+        Array.fill(d0) {
+          s += 0x9e3779b97f4a7c15L
+          var z = s
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^= (z >>> 31)
+          if ((z & 1L) == 0L) 1L else -1L
+        }
+      }
+    })
+
+  /** Random-hyperplane LSH bucket of a float vector: one fused loop over
+    * bits × dims instead of `bits` interpreted zip_with/aggregate passes.
+    */
+  def hyperplaneBucket(v: ArrayData, bits: Int, dims: Int): Long = {
+    val m = signs(bits, dims)
+    val n = math.min(v.numElements(), dims)
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) { q(i) = quant(v.getFloat(i).toDouble); i += 1 }
+    var bucket = 0L
+    var b = 0
+    while (b < bits) {
+      val row = m(b)
+      var dot = 0L
+      var k = 0
+      while (k < n) { dot += q(k) * row(k); k += 1 }
+      if (dot >= 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+}
+
+/** `cosine_quant(array<float>, array<float>) -> double` — fused quantized
+  * cosine (see [[VecOps.cosineQuant]]).
+  */
+case class CosineQuant(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_quant"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.cosineQuant(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VecOps.cosineQuant($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineQuant = copy(newLeft, newRight)
+}
+
+/** `hplane_bucket(array<float>) -> bigint` with static (bits, dims). */
+case class HyperplaneBucket(child: Expression, bits: Int, dims: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hplane_bucket"
+
+  override def nullSafeEval(v: Any): Any =
+    VecOps.hyperplaneBucket(v.asInstanceOf[ArrayData], bits, dims)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VecOps.hyperplaneBucket($c, $bits, $dims)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneBucket = copy(child = newChild)
+}
+
+object VectorExprs {
+
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_quant",
+      (es: Seq[Expression]) => CosineQuant(es(0), es(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hplane_bucket",
+      (es: Seq[Expression]) =>
+        HyperplaneBucket(es(0), intOf(es(1)), intOf(es(2))), "scala_udf")
+  }
+
+  private def intOf(e: Expression): Int = e.eval() match {
+    case i: Int  => i
+    case l: Long => l.toInt
+    case other =>
+      throw new IllegalArgumentException(s"expected int literal, got $other")
+  }
+}
