@@ -284,7 +284,97 @@ object TierB {
           col("total").cast(DoubleType).as("total_value"),
           col("min_v").cast(DoubleType).as("min_value"),
           col("max_v").cast(DoubleType).as("max_value"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // B20 — correlated EXISTS subquery (decorrelated by Catalyst into a
+    // left-semi join).
+    "q_subquery_exists" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("b20_customer")
+      Tables.orders(s, d).createOrReplaceTempView("b20_orders")
+      s.sql("""SELECT c_custkey, c_name FROM b20_customer c
+               WHERE EXISTS (SELECT 1 FROM b20_orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 300000)
+               ORDER BY c_custkey""")
+    }),
+
+    // B21 — pivot: per-year revenue spread over fixed region columns
+    // (explicit value list → deterministic output schema).
+    "q_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(year(col("o_orderdate")).cast(LongType).as("order_year"),
+          col("n_name"), col("o_totalprice").cast(dec).as("price"))
+        .groupBy(col("order_year"))
+        .pivot("n_name", Seq("CHINA", "FRANCE", "KENYA"))
+        .agg(sum(col("price")).cast(DoubleType))
+        .orderBy(col("order_year"))),
+
+    // B22 — lateral explode (generator): one row per word of p_name.
+    "q_explode_words" -> ((s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"),
+          posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+        .select(col("p_partkey"), col("pos").cast(LongType).as("pos"),
+          col("word"))
+        .orderBy(col("p_partkey"), col("pos"))),
+
+    // B23 — array functions over grouped data: sorted type list per
+    // brand (array_sort makes collect_set order-insensitive).
+    "q_array_funcs" -> ((s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_partkey") <= 500)
+        .groupBy(col("p_brand"))
+        .agg(
+          array_sort(collect_set(col("p_type"))).as("types"),
+          size(array_sort(collect_set(col("p_type"))))
+            .cast(LongType).as("n_types"))
+        .select(col("p_brand"),
+          array_join(col("types"), ",").as("types"),
+          col("n_types"))
+        .orderBy(col("p_brand"))),
+
+    // B24 — GROUPING SETS with grouping() disambiguation of the NULL
+    // rollup rows.
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("b24_lineitem")
+      s.sql(s"""SELECT l_returnflag, l_linestatus,
+                  COUNT(*) AS cnt,
+                  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+                  CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+                FROM b24_lineitem
+                GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                        (l_returnflag), ())
+                ORDER BY g_flag, g_status, l_returnflag, l_linestatus""")
+    }),
+
+    // B25 — null semantics: COALESCE / NULLIF / IS DISTINCT FROM.
+    "q_scalar_null" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          coalesce(nullif(col("o_orderpriority"), lit("1-URGENT")),
+            lit("URGENT")).as("prio"),
+          expr("o_orderstatus IS DISTINCT FROM o_orderpriority")
+            .as("status_differs"))
+        .orderBy(col("o_orderkey"))),
+
+    // B26 — value-based window frame + distribution functions.
+    "q_window_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 4000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy(col("o_orderkey"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -407,6 +497,56 @@ object TierB {
         dsumSql("value") + " AS total_value, " +
         "CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value, " +
         "CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value " +
-        "FROM events GROUP BY event_type ORDER BY event_type")
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "q_subquery_exists" ->
+      ("SELECT c_custkey, c_name FROM customer c WHERE EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_totalprice > 300000) ORDER BY c_custkey"),
+    "q_pivot" ->
+      ("SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) " +
+        "AS order_year, " +
+        "CAST(SUM(CASE WHEN n_name = 'CHINA' THEN " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS CHINA, " +
+        "CAST(SUM(CASE WHEN n_name = 'FRANCE' THEN " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS FRANCE, " +
+        "CAST(SUM(CASE WHEN n_name = 'KENYA' THEN " +
+        "CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS KENYA " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY 1 ORDER BY order_year"),
+    "q_explode_words" ->
+      ("SELECT p_partkey, CAST(u.pos - 1 AS BIGINT) AS pos, u.word " +
+        "FROM (SELECT p_partkey, unnest(list_transform(" +
+        "string_split(p_name, ' '), (w, i) -> " +
+        "struct_pack(word := w, pos := i))) AS u " +
+        "FROM part WHERE p_partkey <= 200) " +
+        "ORDER BY p_partkey, pos"),
+    "q_array_funcs" ->
+      ("SELECT p_brand, list_aggregate(list_sort(list(DISTINCT " +
+        "p_type)), 'string_agg', ',') AS types, " +
+        "CAST(len(list_sort(list(DISTINCT p_type))) AS BIGINT) " +
+        "AS n_types FROM part WHERE p_partkey <= 500 " +
+        "GROUP BY p_brand ORDER BY p_brand"),
+    "q_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, " +
+        "CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag, " +
+        "CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, " +
+        "l_linestatus), (l_returnflag), ()) " +
+        "ORDER BY g_flag, g_status, l_returnflag, l_linestatus"),
+    "q_scalar_null" ->
+      ("SELECT o_orderkey, COALESCE(NULLIF(o_orderpriority, " +
+        "'1-URGENT'), 'URGENT') AS prio, " +
+        "o_orderstatus IS DISTINCT FROM o_orderpriority " +
+        "AS status_differs " +
+        "FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey"),
+    "q_window_ntile" ->
+      ("SELECT o_orderkey, o_orderpriority, " +
+        "CAST(NTILE(4) OVER w AS BIGINT) AS quartile, " +
+        "PERCENT_RANK() OVER w AS pct_rank, " +
+        "CUME_DIST() OVER w AS cume " +
+        "FROM orders WHERE o_orderkey <= 4000 " +
+        "WINDOW w AS (PARTITION BY o_orderpriority " +
+        "ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey")
   )
 }
