@@ -59,15 +59,29 @@ object GovernanceCatalog {
     allowedColumns = Seq("customer_id", "customer_name", "sales_region",
       "sales_amount", "sale_date"))
 
+  /** Registry of data-cells filters keyed by (principal name, table) —
+    * the Spark analog of Lake Formation's grant store. Seeded with the
+    * reference's single grant; additional governed tables register here
+    * and the plan-time rule picks them up with no further wiring.
+    */
+  @volatile private var registry: Map[(String, String), DataCellsFilter] =
+    Map((Analyst.name, SalesFixture.tableName) -> analystApacFilter)
+
+  /** Register (or replace) a data-cells filter for a principal+table. */
+  def register(principal: Principal, filter: DataCellsFilter): Unit =
+    synchronized {
+      registry = registry + ((principal.name, filter.table) -> filter)
+    }
+
+  /** Tables with at least one registered filter (for the rule's match). */
+  def governedTables: Set[String] = registry.keySet.map(_._2)
+
   /** Data-cells filter applying to `principal` reading `table`, if any.
-    * DataAdmin has ALL on the table (no filter); Analyst reads through the
-    * cells filter.
+    * DataAdmin has ALL on every table (no filter); other principals read
+    * through their registered cells filter.
     */
   def filterFor(principal: Principal, table: String): Option[DataCellsFilter] =
-    (principal, table) match {
-      case (Analyst, SalesFixture.tableName) => Some(analystApacFilter)
-      case _ => None
-    }
+    registry.get((principal.name, table))
 
   /** Columns of `schemaCols` visible to `principal` on `table`. */
   def visibleColumns(principal: Principal, table: String,

@@ -63,10 +63,14 @@ case class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def principal: Principal =
     Principal.fromName(spark.conf.get(PrincipalConf, DataAdmin.name))
 
-  private def isSales(r: LogicalRelation): Boolean =
-    r.catalogTable.exists(t =>
-      t.identifier.table == SalesFixture.tableName &&
-        t.identifier.database.contains(SalesFixture.dbName))
+  /** The data-cells filter applying to this relation for `p`, if any —
+    * any table in the [[GovernanceCatalog]] registry is picked up here
+    * with no per-table wiring.
+    */
+  private def filterOn(r: LogicalRelation,
+      p: Principal): Option[DataCellsFilter] =
+    r.catalogTable.flatMap(t =>
+      GovernanceCatalog.filterFor(p, t.identifier.table))
 
   private def isMaskedView(v: View): Boolean =
     v.desc.identifier.table == SalesFixture.viewName &&
@@ -86,32 +90,32 @@ case class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     }.isDefined)
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    GovernanceCatalog.filterFor(principal, SalesFixture.tableName) match {
-      case None => plan
-      case Some(f) =>
-        def rowFilter(r: LogicalRelation): Filter = {
-          val marked = r.copy()
-          marked.setTagValue(GovernedTag, f.name)
-          Filter(
-            spark.sessionState.sqlParser.parseExpression(f.rowFilterSql),
-            marked)
-        }
-        def filterBeneath(p: LogicalPlan): LogicalPlan = p.transformUp {
-          case r: LogicalRelation
-              if isSales(r) && r.getTagValue(GovernedTag).isEmpty =>
-            rowFilter(r)
-        }
-        val viewGoverned = plan.transformUp {
-          case v: View if isMaskedView(v) => v.mapChildren(filterBeneath)
-          case p: Project if isMaskedViewMarker(p) =>
-            p.mapChildren(filterBeneath)
-        }
-        viewGoverned.transformUp {
-          case r: LogicalRelation
-              if isSales(r) && r.getTagValue(GovernedTag).isEmpty =>
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val p = principal
+    def rowFilter(r: LogicalRelation, f: DataCellsFilter): Filter = {
+      val marked = r.copy()
+      marked.setTagValue(GovernedTag, s"${p.name}:${f.name}")
+      Filter(
+        spark.sessionState.sqlParser.parseExpression(f.rowFilterSql),
+        marked)
+    }
+    def filterBeneath(pl: LogicalPlan): LogicalPlan = pl.transformUp {
+      case r: LogicalRelation if r.getTagValue(GovernedTag).isEmpty =>
+        filterOn(r, p).map(rowFilter(r, _)).getOrElse(r)
+    }
+    val viewGoverned = plan.transformUp {
+      case v: View if isMaskedView(v) => v.mapChildren(filterBeneath)
+      case pr: Project if isMaskedViewMarker(pr) =>
+        pr.mapChildren(filterBeneath)
+    }
+    viewGoverned.transformUp {
+      case r: LogicalRelation if r.getTagValue(GovernedTag).isEmpty =>
+        filterOn(r, p) match {
+          case Some(f) =>
             Project(f.allowedColumns.map(UnresolvedAttribute(_)),
-              rowFilter(r))
+              rowFilter(r, f))
+          case None => r
         }
     }
+  }
 }

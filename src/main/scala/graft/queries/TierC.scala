@@ -206,6 +206,42 @@ object TierC {
         .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // C2d — vocabulary building: corpus-wide token frequencies, top 50.
+    // Explode is map-side; the count is a two-phase hash aggregate on the
+    // token — the standard first step of tokenizer training.
+    "q_vocab_topk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(T.tokens(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(50)),
+
+    // C2e — C4-style quality gate: language + quality score + token-count
+    // band. Pure map-side predicates over the corpus — the shape of every
+    // large-scale pretraining-data filter.
+    "q_quality_filter" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("lang") === "en")
+        .filter(T.qualityScore(col("text")) > 0.75)
+        .filter(T.tokenCount(col("text")).between(20, 60))
+        .select(col("doc_id"), col("lang"),
+          T.tokenCount(col("text")).as("n_tokens"),
+          T.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // C1+C2 composite — the cleaning-pipeline yield metric: exact-dedup
+    // keepers that pass the quality gate, and how many tokens survive.
+    "q_pipeline_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keepers = Dedup.exact(docs, "doc_id", "text")
+        .select(col("doc_id"))
+      docs.join(keepers, "doc_id")
+        .filter(T.qualityScore(col("text")) > 0.7)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(T.tokenCount(col("text"))).as("surviving_tokens"))
+    }),
+
     // ---- multimodal (binary payload columns; graft.multimodal) ----
 
     // Per-media-type size stats over opaque binary payloads + typed meta.
@@ -233,6 +269,13 @@ object TierC {
 
   private val quantSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+
+  /** SQL twin of TextFunctions.qualityScore (non-empty text). */
+  private val qualitySql: String =
+    "(0.6 * (CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) " +
+      "AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE)) + 0.4 * (1.0 - " +
+      "CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) " +
+      "AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE)))"
 
   /** Gaps-and-islands sessionization, the SQL twin of session_window with
     * a 30-minute gap: a session breaks only when the inter-event gap
@@ -308,6 +351,27 @@ object TierC {
       ("SELECT event_id, event_type, " +
         "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val " +
         "FROM events WHERE event_id < 500 ORDER BY event_id"),
+    "q_vocab_topk" ->
+      ("SELECT u.word AS word, COUNT(*) AS cnt FROM (SELECT " +
+        "unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), " +
+        "t -> t <> '')) AS word FROM documents) u " +
+        "GROUP BY u.word ORDER BY cnt DESC, word LIMIT 50"),
+    "q_quality_filter" ->
+      ("SELECT doc_id, lang, " +
+        "CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+')," +
+        " t -> t <> '')) AS BIGINT) AS n_tokens, " +
+        qualitySql + " AS quality FROM documents " +
+        "WHERE lang = 'en' AND " + qualitySql + " > 0.75 AND " +
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), " +
+        "t -> t <> '')) BETWEEN 20 AND 60 ORDER BY doc_id"),
+    "q_pipeline_tokens" ->
+      ("WITH keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents " +
+        "GROUP BY sha256(text)) " +
+        "SELECT COUNT(*) AS n_docs, " +
+        "CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), " +
+        "'\\s+'), t -> t <> ''))) AS BIGINT) AS surviving_tokens " +
+        "FROM documents JOIN keepers USING (doc_id) WHERE " +
+        qualitySql + " > 0.7"),
     "q_sessionize" -> sessionOracle,
     "q_sessionize_typed" -> sessionOracle,
     "q_partition_prune" ->

@@ -125,6 +125,28 @@ class GovernanceSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.head.getAs[Long]("count") == 8)
   }
 
+  test("a second registered table is governed with no extra wiring") {
+    import spark.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("gov2")
+      .toFile.getAbsolutePath + "/clicks"
+    Seq((1L, "click", "s3cret"), (2L, "view", "hidden"))
+      .toDF("id", "etype", "secret").write.mode("overwrite").parquet(loc)
+    Governance.withPrincipal(spark, DataAdmin) {
+      spark.sql("CREATE DATABASE IF NOT EXISTS gov2db")
+      spark.sql("DROP TABLE IF EXISTS gov2db.clicks")
+      spark.sql(s"CREATE TABLE gov2db.clicks USING parquet LOCATION '$loc'")
+    }
+    GovernanceCatalog.register(Analyst, DataCellsFilter(
+      "clicks-filter", "clicks", "etype = 'click'", Seq("id", "etype")))
+    val df = Governance.withPrincipal(spark, Analyst)(
+      spark.sql("SELECT * FROM gov2db.clicks"))
+    assert(df.columns.toSeq == Seq("id", "etype"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // admin still sees everything
+    assert(Governance.withPrincipal(spark, DataAdmin)(
+      spark.sql("SELECT * FROM gov2db.clicks")).count() == 2)
+  }
+
   test("audit listener records governed queries with principal") {
     SalesFixture.ensureRegistered(spark)
     AuditLog.clear()
