@@ -39,6 +39,19 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Streaming exact dedup for ingest pipelines: the first occurrence of
+    * each content hash passes; later copies are dropped while their hash
+    * is still in state, and the watermark bounds that state — a duplicate
+    * arriving more than `delay` after the original is treated as new
+    * (the standard bounded-state tradeoff; unbounded exact dedup over an
+    * infinite stream is impossible).
+    */
+  def exactStreaming(docs: DataFrame, textCol: String, tsCol: String,
+      delay: String): DataFrame =
+    docs.withColumn("content_hash", sha2(col(textCol), 256))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   // ---- shared: capped-bucket pair generation ------------------------------
 
   /** Default cap on LSH bucket size. A bucket over the cap is a degenerate

@@ -42,14 +42,6 @@ object VectorFunctions {
     cosineFromQ(dotQ(qa, qb), normSqQ(qa), normSqQ(qb))
   }
 
-  /** Plain double-precision dot product (sequential fold — deterministic
-    * for a fixed element order).
-    */
-  def dotDouble(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
-
   /** Deterministic ±1 hyperplane component row for bit `b` (splitmix64
     * parity, seed 42) — precomputed ONCE on the driver and shipped as an
     * array literal, instead of re-hashing (bit, dim) per row per element.
@@ -67,11 +59,12 @@ object VectorFunctions {
   }
 
   /** Random-hyperplane (SimHash-for-vectors) LSH bucket id with `bits`
-    * hyperplanes over `dims`-dimensional vectors. The ±1 sign matrix is a
-    * driver-side constant embedded as array literals (no per-row hashing).
-    * Same-bucket vectors are cosine-close with high probability; used to
-    * prefilter near-dup candidate pairs so the all-pairs join never
-    * materializes at scale. Elements beyond `dims` (or null) contribute 0.
+    * hyperplanes over `dims`-dimensional vectors — the Column-level
+    * REFERENCE formulation of [[graft.functions.VecOps.hyperplaneBucket]]
+    * (the codegen'd expression used in the hot path); the two derive the
+    * same sign matrix and are differentially tested equal. The ±1 sign
+    * matrix is a driver-side constant embedded as array literals (no
+    * per-row hashing). Elements beyond `dims` (or null) contribute 0.
     */
   def lshBucket(v: Column, bits: Int, dims: Int): Column = {
     val qv = quantize(v)

@@ -87,6 +87,28 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(pairs((0L, 1L)) - 1.0) < 1e-9)
   }
 
+  test("fused expressions match the Column-level reference formulations") {
+    import spark.implicits._
+    import graft.functions.{GraftFunctions, VectorFunctions}
+    GraftFunctions.register(spark)
+    val vecs = Seq(
+      Array(0.13f, -0.8f, 2.5f, 0.0f),
+      Array(-1.0f, 1.0f, -1.0f, 1.0f),
+      Array(0.000001f, -0.000001f, 0.5f, -0.25f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    // hyperplane bucket: interpreted Column formulation vs codegen'd expr
+    val buckets = df.select(
+      VectorFunctions.lshBucket($"v", 10, 4).as("col_b"),
+      GraftFunctions.hplaneBucket($"v", 10, 4).as("expr_b")).collect()
+    buckets.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // cosine: zip_with/aggregate formulation vs fused expr
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .select(VectorFunctions.cosine($"a.v", $"b.v").as("col_c"),
+        GraftFunctions.cosineQuant($"a.v", $"b.v").as("expr_c")).collect()
+    pairs.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("cosine/quantization math: orthogonal is 0, opposite is -1") {
     import spark.implicits._
     import graft.functions.VectorFunctions._

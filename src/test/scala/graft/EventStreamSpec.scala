@@ -10,6 +10,7 @@ import graft.streaming.EventStream
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
 case class SessEv(ts: Timestamp, user_id: Long, value: Double)
+case class DocEv(ts: Timestamp, doc_id: Long, text: String)
 
 /** Deterministic micro-batch validation of the streaming tumbling-window
   * aggregation (SURVEY §7.3.5): feed batches through a MemoryStream with a
@@ -101,6 +102,29 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.length == 1, rows.mkString(","))
     assert(rows.head.getAs[Long]("n_events") == 2)
     assert(rows.head.getAs[Double]("total_value") == 3.0)
+  }
+
+  test("streaming exact dedup drops copies within the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[DocEv]
+    val q = graft.dedup.Dedup
+      .exactStreaming(stream.toDF(), "text", "ts", "1 hour")
+      .select($"doc_id", $"text")
+      .writeStream.format("memory").queryName("dedup_stream_test")
+      .outputMode("append").start()
+    try {
+      stream.addData(DocEv(t("00:00"), 1L, "same words"),
+        DocEv(t("00:05"), 2L, "same words"),
+        DocEv(t("00:10"), 3L, "unique words"))
+      q.processAllAvailable()
+      // a later in-watermark copy is still suppressed
+      stream.addData(DocEv(t("00:20"), 4L, "same words"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("dedup_stream_test").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "same words"), (3L, "unique words")))
   }
 
   test("batch q_stream_window equals a direct SQL aggregation") {
