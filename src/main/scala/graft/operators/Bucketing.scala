@@ -12,28 +12,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Register `df` as a bucketed managed table (idempotent per session
-    * catalog). Bucket count is a layout choice: at 100 TB you size buckets
-    * to ~executor-core parallelism × a small factor; 8 keeps the local
-    * test layout small.
+  /** Register `df` as a bucketed EXTERNAL table (idempotent). The layout
+    * is written once to a stable location; a later session whose
+    * in-memory catalog has forgotten the table re-registers the existing
+    * bucketed files via DDL instead of rewriting them — the write
+    * amortizes across sessions as well as across joins. Bucket count is a
+    * layout choice: at 100 TB you size buckets to ~executor-core
+    * parallelism × a small factor; 8 keeps the local test layout small.
     */
   def ensureBucketed(spark: SparkSession, df: => DataFrame, table: String,
       bucketCol: String, nBuckets: Int = 8): DataFrame = synchronized {
     if (!spark.catalog.tableExists(table)) {
-      // the in-memory catalog forgets tables across JVMs but their
-      // warehouse directories persist — clear a stale location first
-      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-      val loc = new java.io.File(
-        new java.net.URI(warehouse).getPath, table)
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
+      val loc = new java.io.File(s"target/graft-data/bucketed/$table")
+      if (new java.io.File(loc, "_SUCCESS").exists()) {
+        val d = df
+        spark.sql(
+          s"""CREATE TABLE $table (${d.schema.toDDL})
+             |USING parquet
+             |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+             |INTO $nBuckets BUCKETS
+             |LOCATION '${loc.getAbsolutePath}'""".stripMargin)
+      } else {
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete()
+          }
+          rm(loc)
         }
-        rm(loc)
+        df.write.bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+          .option("path", loc.getAbsolutePath)
+          .format("parquet").saveAsTable(table)
       }
-      df.write.bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
-        .format("parquet").saveAsTable(table)
     }
     spark.table(table)
   }
