@@ -48,18 +48,25 @@ class AuditListener extends QueryExecutionListener {
 
   private def eventFor(funcName: String, qe: QueryExecution,
       durationNs: Long, error: Option[String]): AuditEvent = {
-    val principal = qe.sparkSession.conf
-      .get(GovernanceRule.PrincipalConf, DataAdmin.name)
     val tables = qe.analyzed.collect {
       case r: LogicalRelation =>
         r.catalogTable.map(_.identifier.unquotedString).getOrElse("<files>")
     }.distinct
-    val governed = qe.analyzed
-      .find(_.getTagValue(GovernanceRule.GovernedTag).isDefined).isDefined
+    // The governed tag records "<principal>:<filterName>" at ANALYSIS
+    // time — the moment governance was decided. The session conf may
+    // have been restored to another principal by the time this listener
+    // fires (it is async), so the tag is the trustworthy source.
+    val applied = qe.analyzed.collect {
+      case p if p.getTagValue(GovernanceRule.GovernedTag).isDefined =>
+        p.getTagValue(GovernanceRule.GovernedTag).get
+    }.headOption
+    val principal = applied.map(_.takeWhile(_ != ':')).getOrElse(
+      qe.sparkSession.conf.get(GovernanceRule.PrincipalConf,
+        DataAdmin.name))
     val rowsOut = qe.executedPlan.metrics.get("numOutputRows")
       .map(_.value)
-    AuditEvent(funcName, principal, tables, governed, rowsOut, durationNs,
-      error)
+    AuditEvent(funcName, principal, tables, applied.isDefined, rowsOut,
+      durationNs, error)
   }
 
   override def onSuccess(funcName: String, qe: QueryExecution,

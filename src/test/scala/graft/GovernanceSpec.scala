@@ -157,9 +157,11 @@ class GovernanceSpec extends AnyFunSuite with SparkTestBase {
     var found = false
     while (!found && System.currentTimeMillis() < deadline) {
       found = AuditLog.events.exists(e =>
-        e.governed && e.tables.exists(_.contains("sales")))
+        e.governed && e.tables.exists(_.contains("sales")) &&
+          e.principal == Analyst.name)
       if (!found) Thread.sleep(100)
     }
-    assert(found, s"no governed audit event in ${AuditLog.events}")
+    assert(found,
+      s"no governed Analyst audit event in ${AuditLog.events}")
   }
 }
