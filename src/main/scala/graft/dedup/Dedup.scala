@@ -130,12 +130,37 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    minhashCandidatesFromSigs(
+      docs.select(col(idCol).as("doc_id"),
+        minhashSignature(col(textCol), k).as("sig")),
+      k, bands, bucketCap)
+  }
+
+  /** Signature table (doc_id, sig) computed once and persisted — the
+    * 100 TB shape: the signature index is a BUILD ARTIFACT shared by
+    * every downstream dedup query (candidate generation, verification,
+    * re-runs), not per-query work. The in-plan alternative evaluates the
+    * signature subtree once per use (keyed + two join-backs = 3×) and
+    * again for every query that needs it.
+    */
+  def persistedSignatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, path: String): DataFrame = synchronized {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val dir = new java.io.File(path)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      docs.select(col(idCol).as("doc_id"),
+          minhashSignature(col(textCol), k).as("sig"))
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    }
+    docs.sparkSession.read.parquet(dir.getAbsolutePath)
+  }
+
+  /** Candidate pairs from a prebuilt (doc_id, sig) signature table. */
+  def minhashCandidatesFromSigs(sigs: DataFrame, k: Int, bands: Int,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
     val rowsPerBand = k / bands
-    val sigs = docs
-      .select(col(idCol).as("doc_id"),
-        minhashSignature(col(textCol), k).as("sig"))
     val keyed = sigs
       .select(col("doc_id"),
         posexplode(bandKeys(col("sig"), bands, rowsPerBand))

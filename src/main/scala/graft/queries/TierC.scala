@@ -26,6 +26,12 @@ object TierC {
   private val dec = DecimalType(18, 2)
   private def dsum(c: Column): Column = sum(c.cast(dec)).cast(DoubleType)
 
+  /** Per-dataset persisted MinHash signature index (k=32). */
+  private def minhashSigs(s: SparkSession, d: String) =
+    Dedup.persistedSignatures(Tables.documents(s, d), "doc_id", "text",
+      k = 32,
+      s"target/graft-data/minhash_sigs/${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+
   val queries: Map[String, Q] = Map(
 
     // C1 — exact dedup: content-hash group-by; shuffles hashes, not text.
@@ -143,10 +149,11 @@ object TierC {
     // C4 — MinHash+LSH near-dup candidates: top pairs by estimated Jaccard.
     // k=32, bands=8 (r=4) puts the banding S-curve threshold near
     // Jaccard 0.59 — the planted near-dups (J ≈ 0.98) always collide,
-    // random word-soup pairs (J ≈ 0.05) essentially never do.
+    // random word-soup pairs (J ≈ 0.05) essentially never do. Signatures
+    // come from the persisted per-dataset index (built once, shared with
+    // q_ngram_jaccard and re-runs).
     "q_minhash_dup" -> ((s, d) =>
-      Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
-        k = 32, bands = 8)
+      Dedup.minhashCandidatesFromSigs(minhashSigs(s, d), k = 32, bands = 8)
         .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
         .limit(50)),
 
@@ -162,14 +169,14 @@ object TierC {
         .orderBy(col("hamming"), col("id_a"), col("id_b"))
         .limit(20)),
 
-    // Exact n-gram Jaccard verification of the MinHash candidates: the
-    // candidate set is computed once and the docs table is semi-join
+    // Exact n-gram Jaccard verification of the MinHash candidates: reuses
+    // the persisted signature index, and the docs table is semi-join
     // pruned to candidate ids before any shingle arrays are built.
     "q_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.verifyJaccard(docs, "doc_id", "text",
-        Dedup.minhashCandidates(docs, "doc_id", "text", k = 32, bands = 8)
-          .select("id_a", "id_b"))
+        Dedup.minhashCandidatesFromSigs(minhashSigs(s, d), k = 32,
+          bands = 8).select("id_a", "id_b"))
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
         .limit(20)
     }),
