@@ -363,6 +363,28 @@ object TierB {
             .as("status_differs"))
         .orderBy(col("o_orderkey"))),
 
+    // B27 — exact percentiles (linear interpolation) + the sketch-based
+    // scale path (approx_percentile, mergeable t-digest-style partials).
+    // Exact columns are oracle-checked; the approx column rides along
+    // rows-only in q_percentile_approx below.
+    "q_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          expr("percentile(l_quantity, 0.99)").as("p99"))
+        .orderBy(col("l_returnflag"))),
+
+    // rows-only: sketch percentile (error-bounded, mergeable partials —
+    // the 100 TB path where exact percentile's full sort is infeasible).
+    "q_percentile_approx" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+          .as("p50_approx"))
+        .orderBy(col("l_returnflag"))),
+
     // B26 — value-based window frame + distribution functions.
     "q_window_ntile" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderpriority"))
@@ -540,6 +562,12 @@ object TierB {
         "o_orderstatus IS DISTINCT FROM o_orderpriority " +
         "AS status_differs " +
         "FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey"),
+    "q_percentiles" ->
+      ("SELECT l_returnflag, " +
+        "quantile_cont(l_quantity, 0.5) AS p50, " +
+        "quantile_cont(l_quantity, 0.9) AS p90, " +
+        "quantile_cont(l_quantity, 0.99) AS p99 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_window_ntile" ->
       ("SELECT o_orderkey, o_orderpriority, " +
         "CAST(NTILE(4) OVER w AS BIGINT) AS quartile, " +
