@@ -30,20 +30,25 @@ object Ann {
         .select(col(vecCol).as("qv")),
       idCol, vecCol, queryId, k)
 
-  /** Exact cosine top-k against an explicit (1-row, raw float) query-vector
-    * frame. Taking the query separately lets callers capture it BEFORE
-    * restricting the search set (e.g. IVF list pruning) — deriving it from
-    * the filtered set would silently return 0 rows whenever the query's own
-    * list isn't probed. The similarity is the fused codegen'd
-    * [[graft.functions.CosineQuant]] — quantize+dot+norms in one loop,
-    * bit-identical to the zip_with formulation (and the DuckDB oracle).
+  /** Exact cosine top-k against an explicit query-vector frame — exactly
+    * ONE row and ONE column holding the raw float vector (any column
+    * name; it is renamed internally). Taking the query separately lets
+    * callers capture it BEFORE restricting the search set (e.g. IVF list
+    * pruning) — deriving it from the filtered set would silently return 0
+    * rows whenever the query's own list isn't probed. The similarity is
+    * the fused codegen'd [[graft.functions.CosineQuant]] —
+    * quantize+dot+norms in one loop, bit-identical to the zip_with
+    * formulation (and the DuckDB oracle).
     */
   def bruteForceTopK(emb: DataFrame, queryVec: DataFrame, idCol: String,
       vecCol: String, queryId: Long, k: Int): DataFrame = {
+    require(queryVec.columns.length == 1,
+      s"queryVec must have exactly one (vector) column, " +
+        s"got ${queryVec.columns.mkString(",")}")
     graft.functions.GraftFunctions.register(emb.sparkSession)
     emb.filter(col(idCol) =!= queryId)
       .select(col(idCol), col(vecCol).as("ev"))
-      .crossJoin(broadcast(queryVec))
+      .crossJoin(broadcast(queryVec.toDF("qv")))
       .select(col(idCol),
         graft.functions.GraftFunctions.cosineQuant(col("ev"), col("qv"))
           .as("sim"))

@@ -54,12 +54,15 @@ object Dedup {
 
   // ---- shared: capped-bucket pair generation ------------------------------
 
-  /** Default cap on LSH bucket size. A bucket over the cap is a degenerate
-    * key (boilerplate shingle band / constant simhash chunk), not a real
-    * duplicate cluster: with multiple independent bands, a genuine near-dup
-    * pair collides again in a non-degenerate bucket with probability
-    * ≈ 1-(1-s^r)^(bands-1), so dropping hot buckets costs ~no recall while
-    * removing the O(n²) skew reducer.
+  /** Cap on all-pairs expansion per LSH bucket. Buckets at or under the
+    * cap expand to all n·(n-1)/2 pairs; buckets OVER the cap fall back to
+    * linear "star" pairs (every member paired with the bucket minimum),
+    * bounding per-bucket work at O(n) while keeping every member of an
+    * oversized bucket reachable from its anchor — a genuine mega-cluster
+    * of duplicates (the case a drop-the-bucket policy silently loses) is
+    * still recovered via connected components over the star edges, and a
+    * degenerate hot key (boilerplate shingles) costs n rows instead of
+    * an O(n²) skew reducer.
     */
   val DefaultBucketCap = 1000
 
@@ -74,17 +77,30 @@ object Dedup {
         b => struct(element_at(sorted, i).as("a"), b.as("b")))))
   }
 
+  /** Linear star pairs for an oversized bucket: (min, member) for every
+    * other member — O(n) edges that keep the cluster connected.
+    */
+  private def starPairs(ids: Column): Column = {
+    val sorted = array_sort(ids)
+    transform(slice(sorted, lit(2), size(sorted) - 1),
+      b => struct(element_at(sorted, 1).as("a"), b.as("b")))
+  }
+
   /** Distinct candidate pairs from (bucketKey..., member) rows: group by
-    * the bucket key, cap, explode within-bucket pairs, distinct. `member`
-    * may be a plain id or a struct (sorted by its first field).
+    * the bucket key, then all-pairs expansion up to the cap and star
+    * expansion beyond it. `member` may be a plain id or a struct (sorted
+    * by its first field).
     */
   private def cappedPairs(keyed: DataFrame, keyCols: Seq[String],
       memberCol: String, bucketCap: Int): DataFrame =
     keyed
       .groupBy(keyCols.map(col): _*)
       .agg(collect_list(col(memberCol)).as("members"))
-      .filter(size(col("members")).between(2, bucketCap))
-      .select(explode(pairsWithin(col("members"))).as("p"))
+      .filter(size(col("members")) >= 2)
+      .select(explode(
+        when(size(col("members")) <= bucketCap,
+          pairsWithin(col("members")))
+          .otherwise(starPairs(col("members")))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
 
@@ -182,9 +198,12 @@ object Dedup {
   /** Exact shingle-set Jaccard for given candidate pairs. The docs table is
     * pruned to candidate ids FIRST (semi-join on the exploded pair-id set),
     * so shingle arrays are built for only the |candidates| docs — at 100 TB
-    * the shingle materialization is proportional to the (tiny) candidate
-    * set, never the corpus. The pruned shingle-set side is broadcast when
-    * small, keeping the pair join shuffle-free.
+    * the shingle materialization is proportional to the candidate set,
+    * never the corpus. No broadcast hint on the joins: Spark's size-based
+    * planning (plus AQE) broadcasts the pruned side when it is small and
+    * falls back to a shuffle join when a high-dup corpus makes the
+    * candidate set large — a mandatory hint would force the large case
+    * through the driver and OOM.
     */
   def verifyJaccard(docs: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame): DataFrame = {
@@ -197,10 +216,10 @@ object Dedup {
         array_distinct(TextFunctions.shingles(col(textCol), ShingleSize))
           .as("sh"))
     pairs
-      .join(broadcast(sets.select(col("doc_id").as("id_a"),
-        col("sh").as("sh_a"))), "id_a")
-      .join(broadcast(sets.select(col("doc_id").as("id_b"),
-        col("sh").as("sh_b"))), "id_b")
+      .join(sets.select(col("doc_id").as("id_a"),
+        col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"),
+        col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))

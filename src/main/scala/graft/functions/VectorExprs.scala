@@ -32,9 +32,10 @@ object VecOps {
       .setScale(0, RoundingMode.HALF_UP).longValue()
 
   /** Quantized cosine similarity of two float vectors; null-free inputs
-    * of equal length expected (returns NaN-free double; unequal lengths
-    * fall back to the common prefix like the zip_with formulation's
-    * non-null span).
+    * of equal length expected (unequal lengths fall back to the common
+    * prefix for the dot, full arrays for the norms, like the zip_with
+    * formulation). Returns NaN for a zero-norm input — the [[CosineQuant]]
+    * expression converts that to NULL to match Divide semantics.
     */
   def cosineQuant(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -107,20 +108,29 @@ object VecOps {
 }
 
 /** `cosine_quant(array<float>, array<float>) -> double` — fused quantized
-  * cosine (see [[VecOps.cosineQuant]]).
+  * cosine (see [[VecOps.cosineQuant]]). A zero-norm input (all components
+  * quantize to 0) yields NULL, matching the Column formulation where
+  * Spark's `Divide` nulls on a zero divisor — returning the raw 0/0 NaN
+  * would rank the degenerate vector FIRST under `orderBy(desc)`.
   */
 case class CosineQuant(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_quant"
+  override def nullable: Boolean = true
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VecOps.cosineQuant(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = VecOps.cosineQuant(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+    if (java.lang.Double.isNaN(r)) null else r
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.VecOps.cosineQuant($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.functions.VecOps.cosineQuant($a, $b);
+      if (Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
+    """)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): CosineQuant = copy(newLeft, newRight)

@@ -59,34 +59,39 @@ object GovernanceCatalog {
     allowedColumns = Seq("customer_id", "customer_name", "sales_region",
       "sales_amount", "sale_date"))
 
-  /** Registry of data-cells filters keyed by (principal name, table) —
-    * the Spark analog of Lake Formation's grant store. Seeded with the
-    * reference's single grant; additional governed tables register here
-    * and the plan-time rule picks them up with no further wiring.
+  /** Registry of data-cells filters keyed by (principal name, database,
+    * table) — the Spark analog of Lake Formation's grant store. Seeded
+    * with the reference's single grant; additional governed tables
+    * register here and the plan-time rule picks them up with no further
+    * wiring. Keying on the full (db, table) identifier means a same-named
+    * table in another database is neither governed by this grant nor
+    * broken by its row predicate.
     */
-  @volatile private var registry: Map[(String, String), DataCellsFilter] =
-    Map((Analyst.name, SalesFixture.tableName) -> analystApacFilter)
+  @volatile private var registry
+      : Map[(String, String, String), DataCellsFilter] =
+    Map((Analyst.name, SalesFixture.dbName, SalesFixture.tableName) ->
+      analystApacFilter)
 
-  /** Register (or replace) a data-cells filter for a principal+table. */
-  def register(principal: Principal, filter: DataCellsFilter): Unit =
+  /** Register (or replace) a data-cells filter for principal+db+table. */
+  def register(principal: Principal, database: String,
+      filter: DataCellsFilter): Unit =
     synchronized {
-      registry = registry + ((principal.name, filter.table) -> filter)
+      registry =
+        registry + ((principal.name, database, filter.table) -> filter)
     }
 
-  /** Tables with at least one registered filter (for the rule's match). */
-  def governedTables: Set[String] = registry.keySet.map(_._2)
-
-  /** Data-cells filter applying to `principal` reading `table`, if any.
-    * DataAdmin has ALL on every table (no filter); other principals read
-    * through their registered cells filter.
+  /** Data-cells filter applying to `principal` reading `db.table`, if
+    * any. DataAdmin has ALL on every table (no filter); other principals
+    * read through their registered cells filter.
     */
-  def filterFor(principal: Principal, table: String): Option[DataCellsFilter] =
-    registry.get((principal.name, table))
+  def filterFor(principal: Principal, database: String,
+      table: String): Option[DataCellsFilter] =
+    registry.get((principal.name, database, table))
 
-  /** Columns of `schemaCols` visible to `principal` on `table`. */
-  def visibleColumns(principal: Principal, table: String,
+  /** Columns of `schemaCols` visible to `principal` on `db.table`. */
+  def visibleColumns(principal: Principal, database: String, table: String,
       schemaCols: Seq[String]): Seq[String] =
-    filterFor(principal, table) match {
+    filterFor(principal, database, table) match {
       case Some(f) => schemaCols.filter(f.allowedColumns.contains)
       case None    => schemaCols
     }
@@ -138,7 +143,8 @@ object Governance {
     SalesFixture.ensureRegistered(spark)
     val table = s"${SalesFixture.dbName}.${SalesFixture.tableName}"
     val df = withPrincipal(spark, principal)(spark.table(table))
-    GovernanceCatalog.filterFor(principal, SalesFixture.tableName) match {
+    GovernanceCatalog.filterFor(principal, SalesFixture.dbName,
+        SalesFixture.tableName) match {
       case None => df
       case Some(_) if ruleApplied(df) => df
       case Some(f) =>
@@ -173,7 +179,8 @@ object Governance {
     SalesFixture.ensureRegistered(spark)
     val view = s"${SalesFixture.dbName}.${SalesFixture.viewName}"
     val df = withPrincipal(spark, principal)(spark.table(view))
-    GovernanceCatalog.filterFor(principal, SalesFixture.tableName) match {
+    GovernanceCatalog.filterFor(principal, SalesFixture.dbName,
+        SalesFixture.tableName) match {
       case None => df
       case Some(_) if ruleApplied(df) => df
       case Some(f) => df.filter(expr(f.rowFilterSql))

@@ -65,12 +65,15 @@ case class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** The data-cells filter applying to this relation for `p`, if any —
     * any table in the [[GovernanceCatalog]] registry is picked up here
-    * with no per-table wiring.
+    * with no per-table wiring. Grants are keyed by (database, table):
+    * a same-named table in another database is NOT governed by this
+    * grant (and not accidentally broken by its row predicate).
     */
   private def filterOn(r: LogicalRelation,
       p: Principal): Option[DataCellsFilter] =
     r.catalogTable.flatMap(t =>
-      GovernanceCatalog.filterFor(p, t.identifier.table))
+      t.identifier.database.flatMap(db =>
+        GovernanceCatalog.filterFor(p, db, t.identifier.table)))
 
   private def isMaskedView(v: View): Boolean =
     v.desc.identifier.table == SalesFixture.viewName &&
@@ -81,12 +84,18 @@ case class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * the `View` wrapper node only appears once the body has resolved. The
     * governed relation resolves strictly EARLIER (same fixpoint iteration
     * as FindDataSourceTable), so view detection must recognize this
-    * marker-Project shape too.
+    * marker-Project shape too. The name match is EXACT on the trailing
+    * (db, view) identifier parts — a substring match would let any view
+    * merely NAMED like the masked view (e.g. `sales_masked_raw`) take the
+    * row-filter-only path and bypass the column allowlist.
     */
   private def isMaskedViewMarker(p: Project): Boolean =
     p.projectList.exists(_.find {
       case g: GetViewColumnByNameAndOrdinal =>
-        g.viewName.contains(SalesFixture.viewName)
+        val parts = g.viewName.replace("`", "").split('.')
+        parts.length >= 2 &&
+          parts(parts.length - 2) == SalesFixture.dbName &&
+          parts.last == SalesFixture.viewName
       case _ => false
     }.isDefined)
 

@@ -258,11 +258,14 @@ object TierB {
     // (asserted in BucketingSpec). The one-time bucketed write amortizes
     // across all downstream joins: the 100 TB fact-table layout.
     "q_join_bucketed" -> ((s, d) => {
-      val key = d.replaceAll("[^A-Za-z0-9]", "_")
+      val oKey = graft.sources.Artifacts.datasetKey(d, s"$d/orders.parquet")
+        .replace(".", "_")
+      val lKey = graft.sources.Artifacts
+        .datasetKey(d, s"$d/lineitem.parquet").replace(".", "_")
       val o = graft.operators.Bucketing.ensureBucketed(s,
-        Tables.orders(s, d), s"bkt_orders_$key", "o_orderkey")
+        Tables.orders(s, d), s"bkt_orders_$oKey", "o_orderkey")
       val l = graft.operators.Bucketing.ensureBucketed(s,
-        Tables.lineitem(s, d), s"bkt_lineitem_$key", "l_orderkey")
+        Tables.lineitem(s, d), s"bkt_lineitem_$lKey", "l_orderkey")
       // merge hint: at 100 TB neither fact side broadcasts; the bucketed
       // layout then makes the sort-merge join exchange-free.
       o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))

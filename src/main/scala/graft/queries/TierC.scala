@@ -26,11 +26,13 @@ object TierC {
   private val dec = DecimalType(18, 2)
   private def dsum(c: Column): Column = sum(c.cast(dec)).cast(DoubleType)
 
-  /** Per-dataset persisted MinHash signature index (k=32). */
+  /** Per-dataset persisted MinHash signature index (k=32); the path
+    * embeds the source fingerprint so regenerated data rebuilds it.
+    */
   private def minhashSigs(s: SparkSession, d: String) =
     Dedup.persistedSignatures(Tables.documents(s, d), "doc_id", "text",
-      k = 32,
-      s"target/graft-data/minhash_sigs/${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+      k = 32, "target/graft-data/minhash_sigs/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/documents.parquet"))
 
   val queries: Map[String, Q] = Map(
 
@@ -193,7 +195,8 @@ object TierC {
     "q_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val cents = Ann.persistedCentroids(emb, "label", "embedding",
-        s"target/graft-data/ivf_centroids/${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+        "target/graft-data/ivf_centroids/" +
+          graft.sources.Artifacts.datasetKey(d, s"$d/embeddings.parquet"))
       Ann.ivfTopK(emb, cents, "vec_id", "label", "embedding",
         queryId = 0L, k = 10, nprobe = 3)
     }),

@@ -42,18 +42,17 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  private def cacheKey(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9.]", "_")
-
   /** Date-partitioned materialization of `events` — the 100 TB layout:
     * big fact tables are written partitioned on event date so date-ranged
     * queries prune whole partitions at planning time instead of scanning
     * and filtering (`.explain` shows the pruned `PartitionFilters`).
-    * Written once per source dir (idempotent, keyed by `_SUCCESS`).
+    * Written once per source dataset (idempotent; the cache path embeds
+    * an input fingerprint, so a regenerated source never serves stale
+    * partitions — see [[Artifacts]]).
     */
   def eventsByDate(s: SparkSession, d: String): DataFrame = synchronized {
-    val path = new java.io.File(
-      s"target/graft-data/events_by_date/${cacheKey(d)}")
+    val path = new java.io.File("target/graft-data/events_by_date/" +
+      Artifacts.datasetKey(d, s"$d/events.parquet"))
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       events(s, d)
         .withColumn("event_date", org.apache.spark.sql.functions.to_date(

@@ -52,8 +52,14 @@ object EventStream {
   * surface for session logic the built-in window can't express (e.g.
   * value-dependent gaps, early emission). This implementation reproduces
   * exactly the fixed-gap semantics of [[EventStream.sessionize]], so the
-  * two are interchangeable and test-checked equal; on a stream the same
-  * function runs incrementally with an event-time timeout.
+  * two are interchangeable and test-checked equal.
+  *
+  * Scope: BATCH execution (each group's iterator is complete and
+  * `GroupState` stays unused). Running this incrementally on a stream
+  * additionally requires carrying the open session in `GroupState` with
+  * an event-time timeout to emit it — use [[EventStream.sessionize]]
+  * (the built-in session_window handles that state) for streaming
+  * fixed-gap sessions.
   */
 object TypedSessionize {
 
@@ -63,6 +69,17 @@ object TypedSessionize {
   final case class SessionEvent(user_id: Long, tsMicros: Long, value: Double)
   final case class Session(user_id: Long, startMicros: Long,
       n_events: Long, total_cents: Long)
+
+  /** CAST(v AS DECIMAL(18,2)) in integer cents: HALF_UP on the SHORTEST
+    * DECIMAL REPRESENTATION of the double (BigDecimal.valueOf), exactly
+    * as Spark's decimal cast and the oracle compute it —
+    * `math.round(v * 100)` would disagree on 3-decimal values like 8.845
+    * (stored as 8.84499…, rounding to 884 instead of 885).
+    */
+  def cents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .movePointRight(2).longValueExact()
 
   /** Split one user's (sorted) events into fixed-gap sessions. Value sums
     * accumulate as exact integer cents, so the result is deterministic and
@@ -77,19 +94,19 @@ object TypedSessionize {
       var start = sorted.head.tsMicros
       var last = start
       var n = 0L
-      var cents = 0L
+      var sumCents = 0L
       sorted.foreach { e =>
         // strict >: session_window treats an exactly-gap-length pause as
         // still inside the session (windows merge when adjacent)
         if (e.tsMicros - last > gapMicros) {
-          out += Session(sorted.head.user_id, start, n, cents)
-          start = e.tsMicros; n = 0L; cents = 0L
+          out += Session(sorted.head.user_id, start, n, sumCents)
+          start = e.tsMicros; n = 0L; sumCents = 0L
         }
         last = e.tsMicros
         n += 1
-        cents += math.round(e.value * 100)
+        sumCents += cents(e.value)
       }
-      out += Session(sorted.head.user_id, start, n, cents)
+      out += Session(sorted.head.user_id, start, n, sumCents)
       out.iterator
     }
   }

@@ -87,14 +87,18 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"near pair too distant: $out")
   }
 
-  test("oversized LSH buckets are dropped (skew cap)") {
+  test("oversized LSH buckets fall back to linear star pairs (skew cap)") {
     import spark.implicits._
-    // 30 identical docs -> one bucket of 30 > cap of 10 -> no pairs
+    // 30 identical docs -> every band bucket holds all 30 > cap of 10 ->
+    // star pairs only: (0, i) for i in 1..29 — the mega-cluster stays
+    // CONNECTED (recoverable by components) at O(n) instead of O(n²).
     val same = (0L until 30L).map(i => (i, "x y z w v u t s")).toDF("doc_id", "text")
     val capped = Dedup.minhashCandidates(same, "doc_id", "text",
-      k = 32, bands = 8, bucketCap = 10)
-    assert(capped.count() == 0)
-    // with a roomier cap the pairs come back
+      k = 32, bands = 8, bucketCap = 10).collect()
+    assert(capped.length == 29)
+    assert(capped.forall(_.getAs[Long]("id_a") == 0L))
+    assert(capped.forall(_.getAs[Double]("est_jaccard") == 1.0))
+    // under the cap, the full quadratic pair set is produced
     val uncapped = Dedup.minhashCandidates(same, "doc_id", "text",
       k = 32, bands = 8, bucketCap = 1000)
     assert(uncapped.count() == 30L * 29L / 2L)

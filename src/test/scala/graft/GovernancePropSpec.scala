@@ -79,7 +79,7 @@ class GovernancePropSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("no analyst-visible column is PII-tagged") {
-    val visible = GovernanceCatalog.visibleColumns(Analyst, "sales",
+    val visible = GovernanceCatalog.visibleColumns(Analyst, "sales_db", "sales",
       graft.sales.SalesFixture.schema.fieldNames.toSeq)
     assert(GovernanceCatalog.piiColumns.forall(c => !visible.contains(c)))
   }

@@ -136,7 +136,7 @@ class GovernanceSpec extends AnyFunSuite with SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS gov2db.clicks")
       spark.sql(s"CREATE TABLE gov2db.clicks USING parquet LOCATION '$loc'")
     }
-    GovernanceCatalog.register(Analyst, DataCellsFilter(
+    GovernanceCatalog.register(Analyst, "gov2db", DataCellsFilter(
       "clicks-filter", "clicks", "etype = 'click'", Seq("id", "etype")))
     val df = Governance.withPrincipal(spark, Analyst)(
       spark.sql("SELECT * FROM gov2db.clicks"))
@@ -145,6 +145,33 @@ class GovernanceSpec extends AnyFunSuite with SparkTestBase {
     // admin still sees everything
     assert(Governance.withPrincipal(spark, DataAdmin)(
       spark.sql("SELECT * FROM gov2db.clicks")).count() == 2)
+  }
+
+  test("a view merely NAMED like the masked view gets no mask exemption") {
+    SalesFixture.ensureRegistered(spark)
+    // An unmasking view whose name contains "sales_masked": if view
+    // detection matched by substring, the analyst would get the
+    // row-filter-only path and see raw PII through it.
+    Governance.withPrincipal(spark, DataAdmin) {
+      spark.sql("CREATE OR REPLACE VIEW sales_db.sales_masked_raw AS " +
+        "SELECT * FROM sales_db.sales")
+    }
+    // The allowlist applies BENEATH the view, so the view's captured
+    // 7-column schema can no longer resolve for the analyst — the query
+    // fails (securely) instead of returning PII.
+    val e = intercept[Exception] {
+      Governance.withPrincipal(spark, Analyst)(
+        spark.sql("SELECT ssn FROM sales_db.sales_masked_raw")).collect()
+    }
+    assert(e.getMessage.contains("customer_email") ||
+      e.getMessage.contains("ssn"))
+    intercept[Exception] {
+      Governance.withPrincipal(spark, Analyst)(
+        spark.sql("SELECT * FROM sales_db.sales_masked_raw")).collect()
+    }
+    // admin is unaffected
+    assert(Governance.withPrincipal(spark, DataAdmin)(
+      spark.sql("SELECT * FROM sales_db.sales_masked_raw")).count() == 20)
   }
 
   test("audit listener records governed queries with principal") {
