@@ -85,7 +85,9 @@ object Ann {
     */
   def persistedCentroids(emb: DataFrame, listCol: String, vecCol: String,
       path: String): DataFrame = synchronized {
-    val dir = new java.io.File(path)
+    // column choice is part of the cache key, so an index built over a
+    // different list/vector column is never silently reused
+    val dir = new java.io.File(s"${path}_${listCol}_$vecCol")
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       centroids(emb, listCol, vecCol)
         .write.mode("overwrite").parquet(dir.getAbsolutePath)

@@ -163,7 +163,10 @@ object Dedup {
   def persistedSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int, path: String): DataFrame = synchronized {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val dir = new java.io.File(path)
+    // k is part of the cache key: a stale index with a different k would
+    // make band slicing read past the signature array and poison the
+    // banding (identical empty-slice keys for every doc)
+    val dir = new java.io.File(s"${path}_k$k")
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       docs.select(col(idCol).as("doc_id"),
           minhashSignature(col(textCol), k).as("sig"))

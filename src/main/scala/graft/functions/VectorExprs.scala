@@ -31,14 +31,17 @@ object VecOps {
     JBigDecimal.valueOf(x * 1000000.0)
       .setScale(0, RoundingMode.HALF_UP).longValue()
 
-  /** Quantized cosine similarity of two float vectors; null-free inputs
-    * of equal length expected (unequal lengths fall back to the common
-    * prefix for the dot, full arrays for the norms, like the zip_with
-    * formulation). Returns NaN for a zero-norm input — the [[CosineQuant]]
-    * expression converts that to NULL to match Divide semantics.
+  /** Quantized cosine similarity of two float vectors. Returns NaN —
+    * which [[CosineQuant]] converts to NULL — for (a) a zero-norm input
+    * (matching Divide's null-on-zero-divisor in the Column formulation)
+    * and (b) LENGTH-MISMATCHED vectors (matching zip_with's null-padding,
+    * which nulls the whole dot product): a corrupt/truncated embedding
+    * must be excluded from rankings, not ranked by a fabricated
+    * prefix similarity.
     */
   def cosineQuant(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return Double.NaN
     var dot = 0L
     var na = 0L
     var nb = 0L
@@ -50,16 +53,6 @@ object VecOps {
       na += qa * qa
       nb += qb * qb
       i += 1
-    }
-    // norms include any tail beyond the common prefix (normSqQ spans the
-    // full array in the Column version)
-    var j = n
-    while (j < a.numElements()) {
-      val q = quant(a.getFloat(j).toDouble); na += q * q; j += 1
-    }
-    j = n
-    while (j < b.numElements()) {
-      val q = quant(b.getFloat(j).toDouble); nb += q * q; j += 1
     }
     dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
   }

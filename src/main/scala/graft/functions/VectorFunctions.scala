@@ -30,10 +30,16 @@ object VectorFunctions {
   def normSqQ(a: Column): Column =
     aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
 
-  /** Cosine similarity from quantized components (deterministic double). */
+  /** Cosine similarity from quantized components (deterministic double).
+    * A zero-norm vector yields NULL — excluded from rankings — rather
+    * than an ANSI DIVIDE_BY_ZERO error killing the job (one corrupt
+    * embedding must not fail a 100 TB pass) or a NaN that sorts first
+    * under desc. Matches [[graft.functions.VecOps.cosineQuant]].
+    */
   def cosineFromQ(dot: Column, normSqA: Column, normSqB: Column): Column =
-    dot.cast(DoubleType) /
-      (sqrt(normSqA.cast(DoubleType)) * sqrt(normSqB.cast(DoubleType)))
+    when(normSqA === 0 || normSqB === 0, lit(null).cast(DoubleType))
+      .otherwise(dot.cast(DoubleType) /
+        (sqrt(normSqA.cast(DoubleType)) * sqrt(normSqB.cast(DoubleType))))
 
   /** Cosine similarity of two float-array columns (via quantization). */
   def cosine(a: Column, b: Column): Column = {

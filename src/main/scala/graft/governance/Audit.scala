@@ -29,15 +29,20 @@ final case class AuditEvent(
   */
 object AuditLog {
   private val queue = new ConcurrentLinkedQueue[AuditEvent]()
+  // ConcurrentLinkedQueue.size is O(n); track the count separately so
+  // record stays O(1) once the ring is full
+  private val count = new java.util.concurrent.atomic.AtomicInteger(0)
   private val Cap = 10000
 
   def record(e: AuditEvent): Unit = {
     queue.add(e)
-    while (queue.size > Cap) queue.poll()
+    if (count.incrementAndGet() > Cap) {
+      if (queue.poll() != null) count.decrementAndGet()
+    }
   }
 
   def events: Seq[AuditEvent] = queue.asScala.toSeq
-  def clear(): Unit = queue.clear()
+  def clear(): Unit = { queue.clear(); count.set(0) }
 }
 
 /** Register with `.config("spark.sql.queryExecutionListeners",
@@ -63,8 +68,13 @@ class AuditListener extends QueryExecutionListener {
     val principal = applied.map(_.takeWhile(_ != ':')).getOrElse(
       qe.sparkSession.conf.get(GovernanceRule.PrincipalConf,
         DataAdmin.name))
-    val rowsOut = qe.executedPlan.metrics.get("numOutputRows")
-      .map(_.value)
+    // executedPlan is lazy: for a query that failed during physical
+    // planning, touching it RETHROWS, the listener bus swallows the
+    // throw, and the failed (most audit-worthy) access would leave no
+    // record — guard it
+    val rowsOut = scala.util.Try(
+      qe.executedPlan.metrics.get("numOutputRows").map(_.value))
+      .toOption.flatten
     AuditEvent(funcName, principal, tables, applied.isDefined, rowsOut,
       durationNs, error)
   }
@@ -83,7 +93,8 @@ class AuditListener extends QueryExecutionListener {
     logWarning(s"audit(failed): $e")
   }
 
-  // minimal logging without depending on Spark's internal Logging trait
-  private def logInfo(s: String): Unit = ()
+  // minimal logging without depending on Spark's internal Logging trait;
+  // successful governed accesses are part of the audit trail too
+  private def logInfo(s: String): Unit = System.err.println(s"[audit] $s")
   private def logWarning(s: String): Unit = System.err.println(s"[audit] $s")
 }

@@ -23,7 +23,13 @@ object Bucketing {
   def ensureBucketed(spark: SparkSession, df: => DataFrame, table: String,
       bucketCol: String, nBuckets: Int = 8): DataFrame = synchronized {
     if (!spark.catalog.tableExists(table)) {
-      val loc = new java.io.File(s"target/graft-data/bucketed/$table")
+      // layout params are part of the cache path: files bucketed with a
+      // different column/count miss the cache and rebuild, so the DDL
+      // re-registration can never declare a bucketing the on-disk files
+      // don't have (Spark trusts the declaration and would silently drop
+      // matching rows from the exchange-free join)
+      val loc = new java.io.File(
+        s"target/graft-data/bucketed/${table}_${bucketCol}_$nBuckets")
       if (new java.io.File(loc, "_SUCCESS").exists()) {
         val d = df
         spark.sql(

@@ -7,15 +7,22 @@ import org.apache.spark.sql.functions._
   * skew-join splitting, for when a handful of hot keys would otherwise
   * send most of the data to a few reducers.
   *
-  * Both transforms are deterministic end-to-end: the salt is derived from
-  * row content (xxhash64), not randomness, and the final re-aggregation /
-  * join result is independent of how rows were salted.
+  * The salt is a per-ROW round-robin over the partition-local position,
+  * not a hash of row content: a hot key's rows are typically IDENTICAL
+  * (the canonical skew case), so any content-derived salt would map them
+  * all to one value and spread nothing. The final aggregation / join
+  * RESULT is provably independent of the salt assignment (counts/sums/
+  * min/max merge associatively; the join replicates the right side to
+  * every salt), so position-derived salting keeps results deterministic
+  * even though the assignment itself varies with partitioning.
   */
 object Skew {
 
-  /** Salt column in [0, salts): content-derived, so repeatable. */
-  private def saltOf(cols: Seq[Column], salts: Int): Column =
-    pmod(xxhash64(cols: _*), lit(salts))
+  /** Salt column in [0, salts): round-robin by partition-local row
+    * position — spreads identical rows uniformly.
+    */
+  private def saltOf(salts: Int): Column =
+    pmod(monotonically_increasing_id(), lit(salts))
 
   /** Two-phase salted aggregation: groupBy (key, salt) fans a hot key out
     * over `salts` reducers for the heavy partial phase; the final combine
@@ -25,8 +32,7 @@ object Skew {
     */
   def saltedCountSum(df: DataFrame, keyCol: String, valueCol: String,
       salts: Int = 16): DataFrame = {
-    val salted = df.withColumn("_salt",
-      saltOf(df.columns.map(col).toSeq, salts))
+    val salted = df.withColumn("_salt", saltOf(salts))
     salted
       .groupBy(col(keyCol), col("_salt"))
       .agg(count(lit(1)).as("_cnt"), sum(col(valueCol)).as("_sum"),
@@ -45,8 +51,7 @@ object Skew {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salts: Int = 16): DataFrame = {
-    val saltedLeft = left.withColumn("_salt",
-      saltOf(left.columns.map(col).toSeq, salts))
+    val saltedLeft = left.withColumn("_salt", saltOf(salts))
     val replicatedRight = right.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedLeft.join(replicatedRight, Seq(key, "_salt")).drop("_salt")

@@ -107,6 +107,17 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
       .select(VectorFunctions.cosine($"a.v", $"b.v").as("col_c"),
         GraftFunctions.cosineQuant($"a.v", $"b.v").as("expr_c")).collect()
     pairs.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // edge cases both formulations must NULL: zero-norm and ragged vecs
+    val edges = Seq(
+      (Array(1.0f, 2.0f), Array(0.0f, 0.0f)),   // zero norm
+      (Array(1.0f, 2.0f), Array(1.0f)))          // length mismatch
+      .toDF("a", "b")
+      .select(VectorFunctions.cosine($"a", $"b").as("col_c"),
+        GraftFunctions.cosineQuant($"a", $"b").as("expr_c")).collect()
+    edges.foreach { r =>
+      assert(r.isNullAt(1), s"fused cosine not null: $r")
+      assert(r.isNullAt(0), s"column cosine not null: $r")
+    }
   }
 
   test("cosine/quantization math: orthogonal is 0, opposite is -1") {
