@@ -54,12 +54,12 @@ object EventStream {
   * exactly the fixed-gap semantics of [[EventStream.sessionize]], so the
   * two are interchangeable and test-checked equal.
   *
-  * Scope: BATCH execution (each group's iterator is complete and
-  * `GroupState` stays unused). Running this incrementally on a stream
-  * additionally requires carrying the open session in `GroupState` with
-  * an event-time timeout to emit it — use [[EventStream.sessionize]]
-  * (the built-in session_window handles that state) for streaming
-  * fixed-gap sessions.
+  * [[TypedSessionize.sessionize]] is the BATCH path (each group's
+  * iterator is complete, state unused); [[TypedSessionize.sessionizeStream]]
+  * is the streaming path, carrying the open session in `GroupState` and
+  * emitting it on event-time timeout. Both share the gap semantics and
+  * cent-exact sums, and [[EventStream.sessionize]] (built-in
+  * session_window) is the third, equivalent formulation.
   */
 object TypedSessionize {
 
@@ -111,9 +111,90 @@ object TypedSessionize {
     }
   }
 
-  /** Batch/stream-capable sessionize over (user_id, ts, value). On batch
-    * each group arrives complete and state is unused; on a stream the
-    * state would carry the open session across micro-batches.
+  /** Open-session state carried across micro-batches by
+    * [[sessionizeStream]].
+    */
+  final case class OpenSession(user_id: Long, startMicros: Long,
+      lastMicros: Long, n_events: Long, total_cents: Long)
+
+  /** Stream-side event row: keeps the TIMESTAMP column itself (the
+    * watermark is tracked on it — projecting it away before the stateful
+    * operator makes event-time timeout unusable).
+    */
+  final case class StreamEvent(user_id: Long, ts: java.sql.Timestamp,
+      value: Double) {
+    def tsMicros: Long =
+      ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+  }
+
+  /** STREAMING sessionization with explicit custom state: the open
+    * session lives in `GroupState` across micro-batches and is emitted
+    * when the event-time timeout fires (watermark passes last-event +
+    * gap) — the full flatMapGroupsWithState lifecycle the built-in
+    * session_window implements internally, exposed for session logic the
+    * built-in can't express. Late events beyond the watermark are
+    * dropped by the watermark itself.
+    */
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int, delayThreshold: String = "2 hours"): DataFrame = {
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val typed: Dataset[StreamEvent] = events
+      .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+      .withWatermark("ts", delayThreshold)
+      .as[StreamEvent]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[StreamEvent],
+            state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(s.user_id, s.startMicros, s.n_events,
+              s.total_cents))
+          } else {
+            val sorted = rows.toIndexedSeq.sortBy(_.tsMicros)
+            val closed =
+              scala.collection.mutable.ArrayBuffer.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                // strict >: exactly-gap pause stays in-session
+                case Some(s) if e.tsMicros - s.lastMicros <= gapMicros =>
+                  cur = Some(s.copy(lastMicros = e.tsMicros,
+                    n_events = s.n_events + 1,
+                    total_cents = s.total_cents + cents(e.value)))
+                case Some(s) =>
+                  closed += Session(s.user_id, s.startMicros, s.n_events,
+                    s.total_cents)
+                  cur = Some(OpenSession(uid, e.tsMicros, e.tsMicros, 1L,
+                    cents(e.value)))
+                case None =>
+                  cur = Some(OpenSession(uid, e.tsMicros, e.tsMicros, 1L,
+                    cents(e.value)))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                s.lastMicros / 1000L + gapMinutes * 60L * 1000L)
+            }
+            closed.iterator
+          }
+      }(Encoders.product[OpenSession], Encoders.product[Session])
+      .select(col("user_id"),
+        expr("CAST(timestamp_micros(startMicros) AS TIMESTAMP_NTZ)")
+          .as("session_start"),
+        col("n_events"),
+        (col("total_cents").cast("double") / 100.0).as("total_value"))
+  }
+
+  /** Batch sessionize over (user_id, ts, value): each group arrives
+    * complete, so state is unused — the batch twin of
+    * [[sessionizeStream]], sharing its gap semantics and cent-exact
+    * sums.
     */
   def sessionize(spark: SparkSession, events: DataFrame,
       gapMinutes: Int): DataFrame = {

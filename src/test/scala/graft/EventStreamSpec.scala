@@ -104,6 +104,36 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.head.getAs[Double]("total_value") == 3.0)
   }
 
+  test("stateful sessionizeStream carries open sessions across batches " +
+      "and emits on event-time timeout") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[SessEv]
+    val q = graft.streaming.TypedSessionize
+      .sessionizeStream(spark, stream.toDF(), gapMinutes = 30, "1 hour")
+      .writeStream.format("memory").queryName("typed_sessions_test")
+      .outputMode("append").start()
+    try {
+      // session split across two micro-batches: state must carry it
+      stream.addData(SessEv(t("00:00"), 1L, 1.0))
+      q.processAllAvailable()
+      stream.addData(SessEv(t("00:10"), 1L, 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past session end + gap...
+      stream.addData(SessEv(t("23:00"), 1L, 0.5))
+      q.processAllAvailable()
+      // ...and one more batch so the timeout fires under the new watermark
+      stream.addData(SessEv(t("23:05"), 2L, 0.25))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("typed_sessions_test").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value")))
+    // exactly one finalized session: user 1's two-batch session of 2
+    // events totalling 3.0 — NOT two one-event partials
+    assert(rows.toSeq == Seq((1L, 2L, 3.0)), rows.mkString(","))
+  }
+
   test("streaming exact dedup drops copies within the watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
