@@ -54,6 +54,22 @@ object Multimodal {
       i => substring(payload, i * stride + 1, lit(frameLen)))
   }
 
+  /** STUB resize: byte-level downsample keeping every `factor`-th byte —
+    * the binary-plumbing analog of image resizing (a real implementation
+    * swaps in a codec's scaler; the schema/partitioning contract — binary
+    * in, smaller binary out, map-side — is what downstream operators
+    * depend on). Output length is ceil(len / factor).
+    */
+  def resizeStub(payload: Column, factor: Int): Column = {
+    require(factor >= 1, "factor must be >= 1")
+    val idx = sequence(lit(1),
+      ((length(payload) + (factor - 1)) / factor).cast("int"))
+    aggregate(
+      transform(idx, i => substring(payload, (i - 1) * factor + 1, lit(1))),
+      lit(Array.emptyByteArray),
+      (acc, b) => concat(acc, b))
+  }
+
   /** STUB decoder: a deterministic `dims`-float fake feature vector from
     * payload byte slices (xxhash of each slice, scaled to [-1, 1]). A real
     * deployment replaces this one expression with a codec call; everything

@@ -62,6 +62,17 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(feats == again)
   }
 
+  test("resizeStub downsamples payload bytes by the factor") {
+    import spark.implicits._
+    val out = Seq("abcdefghij").toDF("text")
+      .select(M.resizeStub($"text".cast("binary"), 3).as("r"),
+        M.resizeStub($"text".cast("binary"), 1).as("same"))
+      .collect().head
+    assert(new String(out.getAs[Array[Byte]]("r"), "UTF-8") == "adgj")
+    assert(new String(out.getAs[Array[Byte]]("same"), "UTF-8") ==
+      "abcdefghij")
+  }
+
   test("payload fingerprint detects identical bytes") {
     import spark.implicits._
     val two = Seq((0L, "same bytes"), (1L, "same bytes"),
