@@ -163,10 +163,13 @@ object Dedup {
   def persistedSignatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int, path: String): DataFrame = synchronized {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    // k is part of the cache key: a stale index with a different k would
-    // make band slicing read past the signature array and poison the
-    // banding (identical empty-slice keys for every doc)
-    val dir = new java.io.File(s"${path}_k$k")
+    // every parameter that changes the signature is part of the cache
+    // key: a stale index with a different k would make band slicing read
+    // past the array (identical empty-slice keys for every doc), and one
+    // built over a different text/id column would silently poison
+    // candidates (same bug class as the centroid-index key)
+    val dir = new java.io.File(
+      s"${path}_${idCol}_${textCol}_s${ShingleSize}_k$k")
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       docs.select(col(idCol).as("doc_id"),
           minhashSignature(col(textCol), k).as("sig"))

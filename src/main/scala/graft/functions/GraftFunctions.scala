@@ -35,5 +35,6 @@ object GraftFunctions {
     SimHash.register(spark)
     MinHashSig.register(spark)
     VectorExprs.register(spark)
+    BinaryStride.register(spark)
   }
 }

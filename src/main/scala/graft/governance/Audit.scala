@@ -1,6 +1,5 @@
 package graft.governance
 
-import java.util.concurrent.ConcurrentLinkedQueue
 
 import scala.jdk.CollectionConverters._
 
@@ -28,21 +27,19 @@ final case class AuditEvent(
   * sink (the reference ships them to CloudTrail/S3).
   */
 object AuditLog {
-  private val queue = new ConcurrentLinkedQueue[AuditEvent]()
-  // ConcurrentLinkedQueue.size is O(n); track the count separately so
-  // record stays O(1) once the ring is full
-  private val count = new java.util.concurrent.atomic.AtomicInteger(0)
+  // bounded ring under one lock: audit volume is one event per query, so
+  // a lock costs nothing, keeps eviction O(1), and cannot drift the way
+  // a lock-free queue + separate counter can under a concurrent clear()
+  private val ring = new java.util.ArrayDeque[AuditEvent]()
   private val Cap = 10000
 
-  def record(e: AuditEvent): Unit = {
-    queue.add(e)
-    if (count.incrementAndGet() > Cap) {
-      if (queue.poll() != null) count.decrementAndGet()
-    }
+  def record(e: AuditEvent): Unit = synchronized {
+    ring.addLast(e)
+    if (ring.size > Cap) ring.pollFirst()
   }
 
-  def events: Seq[AuditEvent] = queue.asScala.toSeq
-  def clear(): Unit = { queue.clear(); count.set(0) }
+  def events: Seq[AuditEvent] = synchronized { ring.asScala.toSeq }
+  def clear(): Unit = synchronized { ring.clear() }
 }
 
 /** Register with `.config("spark.sql.queryExecutionListeners",

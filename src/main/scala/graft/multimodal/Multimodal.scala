@@ -58,17 +58,13 @@ object Multimodal {
     * the binary-plumbing analog of image resizing (a real implementation
     * swaps in a codec's scaler; the schema/partitioning contract — binary
     * in, smaller binary out, map-side — is what downstream operators
-    * depend on). Output length is ceil(len / factor).
+    * depend on). Output length is ceil(len / factor). Single-pass
+    * codegen'd kernel ([[graft.functions.BinaryStride]]); callers must
+    * have run `GraftFunctions.register` on the session.
     */
-  def resizeStub(payload: Column, factor: Int): Column = {
-    require(factor >= 1, "factor must be >= 1")
-    val idx = sequence(lit(1),
-      ((length(payload) + (factor - 1)) / factor).cast("int"))
-    aggregate(
-      transform(idx, i => substring(payload, (i - 1) * factor + 1, lit(1))),
-      lit(Array.emptyByteArray),
-      (acc, b) => concat(acc, b))
-  }
+  def resizeStub(payload: Column, factor: Int): Column =
+    org.apache.spark.sql.functions.call_function("binary_stride",
+      payload, lit(factor))
 
   /** STUB decoder: a deterministic `dims`-float fake feature vector from
     * payload byte slices (xxhash of each slice, scaled to [-1, 1]). A real

@@ -11,10 +11,18 @@ import org.apache.spark.sql.functions._
   * not a hash of row content: a hot key's rows are typically IDENTICAL
   * (the canonical skew case), so any content-derived salt would map them
   * all to one value and spread nothing. The final aggregation / join
-  * RESULT is provably independent of the salt assignment (counts/sums/
+  * RESULT is independent of the salt assignment (counts/exact sums/
   * min/max merge associatively; the join replicates the right side to
-  * every salt), so position-derived salting keeps results deterministic
-  * even though the assignment itself varies with partitioning.
+  * every salt).
+  *
+  * Retry-stability contract: the salt is partition-position-derived, so
+  * it is stable under task retry exactly when the input's partitioning
+  * and row order are — true for deterministic source scans (parquet
+  * files), NOT for a shuffle output whose row order can change on
+  * recomputation. Apply these operators directly over source-scanned (or
+  * materialized) frames; and use an exact (decimal/integer) value column
+  * for sums, as the declared queries do, so partial-sum grouping cannot
+  * affect the result either.
   */
 object Skew {
 
@@ -43,11 +51,12 @@ object Skew {
   }
 
   /** Salted equi-join for a skewed LEFT side: left rows get a
-    * content-derived salt in [0, salts); the (small, hot) right side is
-    * replicated `salts` times with an explicit salt column; the join key
-    * becomes (key, salt), so one hot key spreads over `salts` tasks
-    * instead of one. Right-side replication costs |right| × salts rows —
-    * use only when right is small relative to the skew it breaks.
+    * position-derived round-robin salt in [0, salts); the (small, hot)
+    * right side is replicated `salts` times with an explicit salt column;
+    * the join key becomes (key, salt), so one hot key spreads over
+    * `salts` tasks instead of one. Right-side replication costs
+    * |right| × salts rows — use only when right is small relative to the
+    * skew it breaks.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salts: Int = 16): DataFrame = {

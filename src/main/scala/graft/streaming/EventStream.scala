@@ -161,11 +161,27 @@ object TypedSessionize {
             var cur = state.getOption
             sorted.foreach { e =>
               cur match {
-                // strict >: exactly-gap pause stays in-session
-                case Some(s) if e.tsMicros - s.lastMicros <= gapMicros =>
-                  cur = Some(s.copy(lastMicros = e.tsMicros,
+                // Merge decision is against the session INTERVAL: an
+                // admitted late event inside [start-gap, last+gap] merges
+                // (exactly what the globally-sorted batch twin does —
+                // in-interval events are always within gap of a member),
+                // extending the interval on whichever side it lands.
+                // Comparing only against lastMicros would let a late
+                // event REWIND lastMicros and wrongly split on the next
+                // in-order event.
+                case Some(s)
+                    if e.tsMicros >= s.startMicros - gapMicros &&
+                      e.tsMicros <= s.lastMicros + gapMicros =>
+                  cur = Some(s.copy(
+                    startMicros = math.min(s.startMicros, e.tsMicros),
+                    lastMicros = math.max(s.lastMicros, e.tsMicros),
                     n_events = s.n_events + 1,
                     total_cents = s.total_cents + cents(e.value)))
+                // gap-isolated BEFORE the open session: it can never
+                // merge with anything later — emit as its own session
+                case Some(s) if e.tsMicros < s.startMicros - gapMicros =>
+                  closed += Session(uid, e.tsMicros, 1L, cents(e.value))
+                // strictly past the gap after the session: close + open
                 case Some(s) =>
                   closed += Session(s.user_id, s.startMicros, s.n_events,
                     s.total_cents)

@@ -119,19 +119,29 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       q.processAllAvailable()
       stream.addData(SessEv(t("00:10"), 1L, 2.0))
       q.processAllAvailable()
-      // advance the watermark far past session end + gap...
+      // gap-split path: 23:00 closes the carried session in the data path
       stream.addData(SessEv(t("23:00"), 1L, 0.5))
       q.processAllAvailable()
-      // ...and one more batch so the timeout fires under the new watermark
-      stream.addData(SessEv(t("23:05"), 2L, 0.25))
+      // timeout path: next-day event pushes the watermark (−1h) past the
+      // 23:00 session's timeout (23:30), so user 1's LAST session is
+      // emitted by state.hasTimedOut, with no further user-1 data
+      val nextDay = Timestamp.valueOf("2024-01-02 01:00:00")
+      stream.addData(SessEv(nextDay, 2L, 0.25))
+      q.processAllAvailable()
+      // one more batch tick: event-time timeouts fire at the start of the
+      // batch AFTER the watermark advanced
+      stream.addData(SessEv(Timestamp.valueOf("2024-01-02 01:05:00"),
+        2L, 0.25))
       q.processAllAvailable()
     } finally q.stop()
     val rows = spark.table("typed_sessions_test").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
-        r.getAs[Double]("total_value")))
-    // exactly one finalized session: user 1's two-batch session of 2
-    // events totalling 3.0 — NOT two one-event partials
-    assert(rows.toSeq == Seq((1L, 2L, 3.0)), rows.mkString(","))
+        r.getAs[Double]("total_value"))).sortBy(r => (r._1, r._3))
+    // two finalized user-1 sessions: the two-batch session of 2 events
+    // totalling 3.0 (closed by the gap split) and the single-event 23:00
+    // session (closed by EVENT-TIME TIMEOUT — no later user-1 event)
+    assert(rows.toSeq == Seq((1L, 1L, 0.5), (1L, 2L, 3.0)),
+      rows.mkString(","))
   }
 
   test("streaming exact dedup drops copies within the watermark") {

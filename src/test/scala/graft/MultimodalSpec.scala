@@ -64,6 +64,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
 
   test("resizeStub downsamples payload bytes by the factor") {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val out = Seq("abcdefghij").toDF("text")
       .select(M.resizeStub($"text".cast("binary"), 3).as("r"),
         M.resizeStub($"text".cast("binary"), 1).as("same"))
