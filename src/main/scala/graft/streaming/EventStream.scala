@@ -111,11 +111,21 @@ object TypedSessionize {
     }
   }
 
-  /** Open-session state carried across micro-batches by
+  /** One open session interval carried across micro-batches by
     * [[sessionizeStream]].
     */
   final case class OpenSession(user_id: Long, startMicros: Long,
       lastMicros: Long, n_events: Long, total_cents: Long)
+
+  /** The full per-user state: ALL open sessions, kept disjoint (pairwise
+    * gaps strictly over the gap) and sorted by start. More than one
+    * session can be open at a time: an admitted late event earlier than
+    * `newest.start - gap` starts/extends an EARLIER run that must stay
+    * open until the watermark passes its end + gap — emitting it
+    * immediately would split two late events that belong to one session
+    * (the batch twin merges them).
+    */
+  final case class OpenSessions(sessions: Seq[OpenSession])
 
   /** Stream-side event row: keeps the TIMESTAMP column itself (the
     * watermark is tracked on it — projecting it away before the stateful
@@ -127,13 +137,23 @@ object TypedSessionize {
       ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
   }
 
-  /** STREAMING sessionization with explicit custom state: the open
-    * session lives in `GroupState` across micro-batches and is emitted
-    * when the event-time timeout fires (watermark passes last-event +
-    * gap) — the full flatMapGroupsWithState lifecycle the built-in
-    * session_window implements internally, exposed for session logic the
-    * built-in can't express. Late events beyond the watermark are
-    * dropped by the watermark itself.
+  /** STREAMING sessionization with explicit custom state: ALL open
+    * sessions live in `GroupState` across micro-batches and are emitted
+    * once the watermark passes their last event + gap (data path or
+    * event-time timeout) — the full flatMapGroupsWithState lifecycle the
+    * built-in session_window implements internally, exposed for session
+    * logic the built-in can't express. Late events beyond the watermark
+    * are dropped by the watermark itself.
+    *
+    * Each admitted event is folded in as a width-0 interval and the
+    * combined interval set is re-merged (runs joined when the gap
+    * between them is ≤ gap, the session_window rule), so two admitted
+    * late events that belong to one session merge — within one
+    * micro-batch or across several — exactly as the batch twin
+    * [[sessionize]] and `session_window` merge them. A session is only
+    * finalized when `last + gap ≤ watermark`: any future ADMITTED event
+    * has `ts ≥ watermark`, so nothing can still merge with it from
+    * either side.
     */
   def sessionizeStream(spark: SparkSession, events: DataFrame,
       gapMinutes: Int, delayThreshold: String = "2 hours"): DataFrame = {
@@ -148,58 +168,42 @@ object TypedSessionize {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[StreamEvent],
-            state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(Session(s.user_id, s.startMicros, s.n_events,
-              s.total_cents))
-          } else {
-            val sorted = rows.toIndexedSeq.sortBy(_.tsMicros)
-            val closed =
-              scala.collection.mutable.ArrayBuffer.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              cur match {
-                // Merge decision is against the session INTERVAL: an
-                // admitted late event inside [start-gap, last+gap] merges
-                // (exactly what the globally-sorted batch twin does —
-                // in-interval events are always within gap of a member),
-                // extending the interval on whichever side it lands.
-                // Comparing only against lastMicros would let a late
-                // event REWIND lastMicros and wrongly split on the next
-                // in-order event.
-                case Some(s)
-                    if e.tsMicros >= s.startMicros - gapMicros &&
-                      e.tsMicros <= s.lastMicros + gapMicros =>
-                  cur = Some(s.copy(
-                    startMicros = math.min(s.startMicros, e.tsMicros),
-                    lastMicros = math.max(s.lastMicros, e.tsMicros),
-                    n_events = s.n_events + 1,
-                    total_cents = s.total_cents + cents(e.value)))
-                // gap-isolated BEFORE the open session: it can never
-                // merge with anything later — emit as its own session
-                case Some(s) if e.tsMicros < s.startMicros - gapMicros =>
-                  closed += Session(uid, e.tsMicros, 1L, cents(e.value))
-                // strictly past the gap after the session: close + open
-                case Some(s) =>
-                  closed += Session(s.user_id, s.startMicros, s.n_events,
-                    s.total_cents)
-                  cur = Some(OpenSession(uid, e.tsMicros, e.tsMicros, 1L,
-                    cents(e.value)))
-                case None =>
-                  cur = Some(OpenSession(uid, e.tsMicros, e.tsMicros, 1L,
-                    cents(e.value)))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(
-                s.lastMicros / 1000L + gapMinutes * 60L * 1000L)
-            }
-            closed.iterator
+            state: GroupState[OpenSessions]) =>
+          // Timeout and data invocations share one body: merge whatever
+          // arrived (nothing, on timeout) into the open-session set, then
+          // finalize every session the watermark has passed.
+          val existing = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val units = existing ++ rows.map(e =>
+            OpenSession(uid, e.tsMicros, e.tsMicros, 1L, cents(e.value)))
+          val merged = scala.collection.mutable.ArrayBuffer.empty[OpenSession]
+          units.sortBy(s => (s.startMicros, s.lastMicros)).foreach { s =>
+            // ≤ gap merges (strict > splits) — the session_window rule;
+            // an event INSIDE an open interval has start ≤ prev.last and
+            // merges too (max() keeps the wider end).
+            if (merged.nonEmpty &&
+                s.startMicros - merged.last.lastMicros <= gapMicros) {
+              val p = merged.remove(merged.length - 1)
+              merged += OpenSession(uid, p.startMicros,
+                math.max(p.lastMicros, s.lastMicros),
+                p.n_events + s.n_events, p.total_cents + s.total_cents)
+            } else merged += s
           }
-      }(Encoders.product[OpenSession], Encoders.product[Session])
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) =
+            merged.partition(_.lastMicros + gapMicros <= wmMicros)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(OpenSessions(open.toSeq))
+            // earliest pending close; clamped above the watermark (an
+            // open session satisfies last+gap > wm in micros, but ms
+            // truncation could land exactly ON it, which Spark rejects)
+            state.setTimeoutTimestamp(math.max(
+              open.map(_.lastMicros).min / 1000L + gapMinutes * 60L * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+          }
+          closed.iterator.map(s =>
+            Session(s.user_id, s.startMicros, s.n_events, s.total_cents))
+      }(Encoders.product[OpenSessions], Encoders.product[Session])
       .select(col("user_id"),
         expr("CAST(timestamp_micros(startMicros) AS TIMESTAMP_NTZ)")
           .as("session_start"),

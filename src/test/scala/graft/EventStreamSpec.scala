@@ -23,6 +23,10 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
   private def t(hhmm: String): Timestamp =
     Timestamp.valueOf(s"2024-01-01 $hhmm:00")
 
+  /** TIMESTAMP_NTZ literal for comparing against sessionize output. */
+  private def ntz(hhmm: String): org.apache.spark.sql.Column =
+    lit(s"2024-01-01 $hhmm:00").cast("timestamp_ntz")
+
   test("streaming windows (append mode) match the batch aggregation") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -142,6 +146,75 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     // session (closed by EVENT-TIME TIMEOUT — no later user-1 event)
     assert(rows.toSeq == Seq((1L, 1L, 0.5), (1L, 2L, 3.0)),
       rows.mkString(","))
+  }
+
+  test("two admitted late events within gap in ONE micro-batch merge " +
+      "into one session (batch parity)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[SessEv]
+    val q = graft.streaming.TypedSessionize
+      .sessionizeStream(spark, stream.toDF(), gapMinutes = 30, "1 hour")
+      .writeStream.format("memory").queryName("late_run_one_batch")
+      .outputMode("append").start()
+    val all = scala.collection.mutable.ArrayBuffer.empty[SessEv]
+    def feed(evs: SessEv*): Unit = {
+      all ++= evs; stream.addData(evs: _*); q.processAllAvailable()
+    }
+    try {
+      feed(SessEv(t("12:00"), 1L, 1.0))        // watermark -> 11:00
+      // two late-but-admitted events (strictly above the 11:00
+      // watermark — an event AT the watermark is dropped) BEFORE
+      // 12:00-30m, within gap of each other: one session, not two
+      // singletons; 12:05 extends the newest session in the same batch
+      feed(SessEv(t("11:05"), 1L, 2.0), SessEv(t("11:15"), 1L, 4.0),
+        SessEv(t("12:05"), 1L, 8.0))
+      feed(SessEv(t("23:00"), 1L, 0.0))        // watermark -> 22:00
+      feed(SessEv(t("23:30"), 2L, 0.0))        // timeout tick for user 1
+    } finally q.stop()
+    val streamed = spark.table("late_run_one_batch")
+      .collect().map(_.toSeq).toSet
+    val batchClosed = graft.streaming.TypedSessionize
+      .sessionize(spark, all.toSeq.toDF(), gapMinutes = 30)
+      .filter($"session_start" < ntz("22:00"))   // the finalized ones
+      .collect().map(_.toSeq).toSet
+    assert(batchClosed.size == 2, batchClosed)
+    assert(streamed == batchClosed, s"streamed=$streamed\nbatch=$batchClosed")
+    // and the late run really is ONE 2-event session totalling 6.0
+    assert(spark.table("late_run_one_batch")
+      .filter($"session_start" === ntz("11:05")).collect().map(r =>
+        (r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+      .toSeq == Seq((2L, 6.0)))
+  }
+
+  test("two admitted late events within gap ACROSS micro-batches merge " +
+      "into one session (batch parity)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val stream = MemoryStream[SessEv]
+    val q = graft.streaming.TypedSessionize
+      .sessionizeStream(spark, stream.toDF(), gapMinutes = 30, "1 hour")
+      .writeStream.format("memory").queryName("late_run_two_batches")
+      .outputMode("append").start()
+    val all = scala.collection.mutable.ArrayBuffer.empty[SessEv]
+    def feed(evs: SessEv*): Unit = {
+      all ++= evs; stream.addData(evs: _*); q.processAllAvailable()
+    }
+    try {
+      feed(SessEv(t("12:00"), 1L, 1.0))        // watermark -> 11:00
+      feed(SessEv(t("11:05"), 1L, 2.0))        // late run, batch A
+      feed(SessEv(t("11:15"), 1L, 4.0))        // late run, batch B: merges
+      feed(SessEv(t("23:00"), 1L, 0.0))        // watermark -> 22:00
+      feed(SessEv(t("23:30"), 2L, 0.0))        // timeout tick for user 1
+    } finally q.stop()
+    val streamed = spark.table("late_run_two_batches")
+      .collect().map(_.toSeq).toSet
+    val batchClosed = graft.streaming.TypedSessionize
+      .sessionize(spark, all.toSeq.toDF(), gapMinutes = 30)
+      .filter($"session_start" < ntz("22:00"))
+      .collect().map(_.toSeq).toSet
+    assert(batchClosed.size == 2, batchClosed)
+    assert(streamed == batchClosed, s"streamed=$streamed\nbatch=$batchClosed")
   }
 
   test("streaming exact dedup drops copies within the watermark") {
