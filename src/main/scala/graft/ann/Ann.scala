@@ -126,20 +126,30 @@ object Ann {
   /** Near-duplicate pairs via `bits`-bit hyperplane LSH buckets: pairs are
     * generated only within buckets (expected bucket size n / 2^bits), then
     * exact cosine-verified.
+    *
+    * Scale shape shared with the text-side LSH paths
+    * ([[graft.dedup.Dedup]]): ONE shuffle keyed on the bucket (groupBy →
+    * collect_list of ids), all-pairs expansion only for buckets at or
+    * under `bucketCap`, linear star pairs beyond it — a hot bucket
+    * (clustered embeddings, or a zero-vector pile-up all hashing to one
+    * bucket) costs O(n) rows instead of an O(n²) self-join on a single
+    * reducer. Only ids and the 8-byte bucket ride the candidate shuffle;
+    * vectors are joined back for surviving pairs only.
     */
   def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-      bits: Int, dims: Int = 64): DataFrame = {
+      bits: Int, dims: Int = 64,
+      bucketCap: Int = graft.dedup.Dedup.DefaultBucketCap): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val bucketed = emb.select(col(idCol).as("vid"),
-      col(vecCol).as("v"),
-      graft.functions.GraftFunctions.hplaneBucket(col(vecCol), bits, dims)
+    val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val keyed = vecs.select(col("vid"),
+      graft.functions.GraftFunctions.hplaneBucket(col("v"), bits, dims)
         .as("bucket"))
-    bucketed.as("a")
-      .join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") &&
-          col("a.vid") < col("b.vid"))
-      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
-        graft.functions.GraftFunctions.cosineQuant(col("a.v"), col("b.v"))
+    graft.dedup.Dedup.cappedPairs(keyed, Seq("bucket"), "vid", bucketCap)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+      .join(vecs.select(col("vid").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(vecs.select(col("vid").as("id_b"), col("v").as("v_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.GraftFunctions.cosineQuant(col("v_a"), col("v_b"))
           .as("sim"))
   }
 }

@@ -91,7 +91,7 @@ object Dedup {
     * expansion beyond it. `member` may be a plain id or a struct (sorted
     * by its first field).
     */
-  private def cappedPairs(keyed: DataFrame, keyCols: Seq[String],
+  private[graft] def cappedPairs(keyed: DataFrame, keyCols: Seq[String],
       memberCol: String, bucketCap: Int): DataFrame =
     keyed
       .groupBy(keyCols.map(col): _*)

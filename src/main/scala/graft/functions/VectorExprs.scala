@@ -26,10 +26,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   */
 object VecOps {
 
-  /** Catalyst `Round(v * 1e6, 0)` for doubles, exactly. */
+  /** Catalyst `Round(v * 1e6, 0)` for doubles, exactly. `longValueExact`
+    * raises on magnitudes past 2^63 (|x| > ~9.2e12) instead of silently
+    * truncating to the low 64 bits.
+    */
   def quant(x: Double): Long =
     JBigDecimal.valueOf(x * 1000000.0)
-      .setScale(0, RoundingMode.HALF_UP).longValue()
+      .setScale(0, RoundingMode.HALF_UP).longValueExact()
 
   /** Quantized cosine similarity of two float vectors. Returns NaN —
     * which [[CosineQuant]] converts to NULL — for (a) a zero-norm input
@@ -38,6 +41,13 @@ object VecOps {
     * which nulls the whole dot product): a corrupt/truncated embedding
     * must be excluded from rankings, not ranked by a fabricated
     * prefix similarity.
+    *
+    * Accumulation is EXACT long arithmetic guarded by
+    * `Math.multiplyExact`/`addExact` (JIT intrinsics — free when no
+    * overflow): components beyond |x| ≈ 380 at dims=64 would otherwise
+    * wrap the 64-bit accumulator silently and corrupt rankings. Such
+    * vectors now fail loudly with a message naming the bound; unit-scale
+    * embeddings (the intended input) are far inside it.
     */
   def cosineQuant(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
@@ -46,13 +56,22 @@ object VecOps {
     var na = 0L
     var nb = 0L
     var i = 0
-    while (i < n) {
-      val qa = quant(a.getFloat(i).toDouble)
-      val qb = quant(b.getFloat(i).toDouble)
-      dot += qa * qb
-      na += qa * qa
-      nb += qb * qb
-      i += 1
+    try {
+      while (i < n) {
+        val qa = quant(a.getFloat(i).toDouble)
+        val qb = quant(b.getFloat(i).toDouble)
+        dot = Math.addExact(dot, Math.multiplyExact(qa, qb))
+        na = Math.addExact(na, Math.multiplyExact(qa, qa))
+        nb = Math.addExact(nb, Math.multiplyExact(qb, qb))
+        i += 1
+      }
+    } catch {
+      case _: ArithmeticException =>
+        throw new ArithmeticException(
+          "cosine_quant overflow: quantized accumulator exceeded 64 bits " +
+            s"at element $i — components must satisfy " +
+            "sum((x*1e6)^2) < 2^63 (roughly |x| < 3000/sqrt(dims)); " +
+            "rescale or normalize the embeddings")
     }
     dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
   }
@@ -92,7 +111,9 @@ object VecOps {
       val row = m(b)
       var dot = 0L
       var k = 0
-      while (k < n) { dot += q(k) * row(k); k += 1 }
+      // row entries are ±1, so the product can't overflow; the running
+      // sum can for huge components — fail loudly rather than mis-bucket
+      while (k < n) { dot = Math.addExact(dot, q(k) * row(k)); k += 1 }
       if (dot >= 0) bucket |= (1L << b)
       b += 1
     }

@@ -64,7 +64,7 @@ class AuditListener extends QueryExecutionListener {
     }.headOption
     val principal = applied.map(_.takeWhile(_ != ':')).getOrElse(
       qe.sparkSession.conf.get(GovernanceRule.PrincipalConf,
-        DataAdmin.name))
+        Anonymous.name))
     // executedPlan is lazy: for a query that failed during physical
     // planning, touching it RETHROWS, the listener bus swallows the
     // throw, and the failed (most audit-worthy) access would leave no

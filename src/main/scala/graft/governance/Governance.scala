@@ -25,10 +25,19 @@ case object DataAdmin extends Principal { val name = "DataAdmin" }
 /** SELECT only through the data-cells filter (reference `main.tf:473-487`). */
 case object Analyst extends Principal { val name = "Analyst" }
 
+/** The principal of a session that never set `spark.graft.principal`.
+  * Default-DENY on every governed table (zero rows, PII columns
+  * unresolvable) — the reference's posture, where access exists only via
+  * an explicitly assumed IAM role (reference `main.tf:115-284`); an
+  * unconfigured session there holds no credentials at all.
+  */
+case object Anonymous extends Principal { val name = "Anonymous" }
+
 object Principal {
   def fromName(s: String): Principal = s match {
     case DataAdmin.name => DataAdmin
     case Analyst.name   => Analyst
+    case Anonymous.name => Anonymous
     case other => throw new IllegalArgumentException(s"unknown principal $other")
   }
 }
@@ -72,6 +81,59 @@ object GovernanceCatalog {
     Map((Analyst.name, SalesFixture.dbName, SalesFixture.tableName) ->
       analystApacFilter)
 
+  /** Storage locations backing governed tables, mapped to their (db,
+    * table) identity — the Spark analog of the reference's S3
+    * public-access block + bucket policy (`main.tf:32-49`): without it,
+    * `spark.read.parquet(<governed location>)` would hand back raw PII
+    * with no governance, because the plan-time rule would only recognize
+    * catalog-backed relations. Keys are normalized filesystem paths; a
+    * read of the directory OR any file under it matches.
+    */
+  @volatile private var locations: Map[String, (String, String)] = Map.empty
+
+  /** Register the storage path backing governed table `db.table`. */
+  def registerLocation(path: String, database: String,
+      table: String): Unit =
+    synchronized {
+      locations = locations + (normalize(path) -> ((database, table)))
+    }
+
+  /** Governed-table identity for a file-source path, if the path is (or
+    * is under) a registered governed location.
+    */
+  def tableForLocation(path: String): Option[(String, String)] = {
+    val p = normalize(path)
+    locations.collectFirst {
+      case (loc, ident) if p == loc || p.startsWith(loc + "/") => ident
+    }
+  }
+
+  private def normalize(path: String): String = {
+    // strip URI scheme (file:, hdfs://host) down to the path part, drop
+    // trailing slashes, so hadoop Paths and java.io absolute paths meet
+    val p = try {
+      val u = new java.net.URI(path)
+      if (u.getPath == null || u.getPath.isEmpty) path else u.getPath
+    } catch { case _: java.net.URISyntaxException => path }
+    p.replaceAll("/+$", "")
+  }
+
+  /** Views registered as MASKED VIEWS over governed tables (seeded with
+    * the reference's `sales_masked`, `outputs.tf:41-55`): the plan-time
+    * rule injects only the ROW filter beneath them — their body already
+    * masks the PII columns — while direct table references also get the
+    * column allowlist.
+    */
+  @volatile private var maskedViews: Set[(String, String)] =
+    Set((SalesFixture.dbName, SalesFixture.viewName))
+
+  /** Register `db.view` as a masked view over a governed table. */
+  def registerMaskedView(database: String, view: String): Unit =
+    synchronized { maskedViews = maskedViews + ((database, view)) }
+
+  def isMaskedView(database: String, view: String): Boolean =
+    maskedViews.contains((database, view))
+
   /** Register (or replace) a data-cells filter for principal+db+table. */
   def register(principal: Principal, database: String,
       filter: DataCellsFilter): Unit =
@@ -81,12 +143,39 @@ object GovernanceCatalog {
     }
 
   /** Data-cells filter applying to `principal` reading `db.table`, if
-    * any. DataAdmin has ALL on every table (no filter); other principals
-    * read through their registered cells filter.
+    * any. DataAdmin has ALL on every table (no filter); a principal with
+    * a registered cells filter reads through it; every OTHER principal —
+    * including [[Anonymous]], the unset-conf default — is DENIED on
+    * governed tables (zero rows, PII columns unresolvable). Default-deny
+    * is the reference's posture: a grant must exist, or there is no
+    * access (`main.tf:115-284`). Tables with no registered filter at all
+    * are not governed and stay open.
     */
   def filterFor(principal: Principal, database: String,
       table: String): Option[DataCellsFilter] =
-    registry.get((principal.name, database, table))
+    principal match {
+      case DataAdmin => None
+      case _ =>
+        registry.get((principal.name, database, table))
+          .orElse(denyFilter(database, table))
+    }
+
+  /** Deny-all cells filter for a governed table: zero rows, and the most
+    * restrictive registered allowlist (so no PII column ever resolves).
+    * None when the table is not governed at all.
+    */
+  private def denyFilter(database: String,
+      table: String): Option[DataCellsFilter] = {
+    val registered = registry.collect {
+      case ((_, db, t), f) if db == database && t == table => f
+    }
+    if (registered.isEmpty) None
+    else {
+      val tightest = registered.minBy(f => (f.allowedColumns.size, f.name))
+      Some(DataCellsFilter("default-deny", table, "false",
+        tightest.allowedColumns))
+    }
+  }
 
   /** Columns of `schemaCols` visible to `principal` on `db.table`. */
   def visibleColumns(principal: Principal, database: String, table: String,

@@ -7,8 +7,6 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 
-import graft.sales.SalesFixture
-
 /** Plan-time governance, the Spark analog of Athena consulting Lake
   * Formation on EVERY table access (reference `main.tf:432-487`,
   * `main.tf:191-197`): a resolution rule injected via
@@ -20,9 +18,11 @@ import graft.sales.SalesFixture
   *
   * Enable with `.config("spark.sql.extensions", "graft.governance.
   * GraftExtensions")`; select the principal per session with
-  * `spark.conf.set("spark.graft.principal", "Analyst" | "DataAdmin")`
-  * (defaults to DataAdmin, matching the reference where the admin role owns
-  * the catalog).
+  * `spark.conf.set("spark.graft.principal", "Analyst" | "DataAdmin")`.
+  * A session that never sets the conf is [[Anonymous]] — default-DENY on
+  * every governed table (the reference's posture: access exists only via
+  * an explicitly assumed role, `main.tf:115-284`); principals must be
+  * selected explicitly, never inherited by omission.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -61,23 +61,44 @@ case class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
   import GovernanceRule._
 
   private def principal: Principal =
-    Principal.fromName(spark.conf.get(PrincipalConf, DataAdmin.name))
+    Principal.fromName(spark.conf.get(PrincipalConf, Anonymous.name))
+
+  /** Governed-table identities this relation resolves to: its catalog
+    * identifier if it is catalog-backed, plus any registered governed
+    * LOCATION its file paths fall under — so a direct
+    * `spark.read.parquet(<governed location>)` is governed identically
+    * to the catalog path (the reference gets this layer from the S3
+    * public-access block + IAM, `main.tf:32-49`), and so does a catalog
+    * table created under a different name over the same storage.
+    */
+  private def governedIdents(r: LogicalRelation): Seq[(String, String)] = {
+    val viaCatalog = r.catalogTable.toSeq.flatMap(t =>
+      t.identifier.database.map(db => (db, t.identifier.table)))
+    val viaLocation = r.relation match {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        h.location.rootPaths.flatMap(p =>
+          GovernanceCatalog.tableForLocation(p.toUri.toString))
+      case _ => Seq.empty
+    }
+    (viaCatalog ++ viaLocation).distinct
+  }
 
   /** The data-cells filter applying to this relation for `p`, if any —
     * any table in the [[GovernanceCatalog]] registry is picked up here
-    * with no per-table wiring. Grants are keyed by (database, table):
-    * a same-named table in another database is NOT governed by this
-    * grant (and not accidentally broken by its row predicate).
+    * with no per-table wiring, whether referenced through the catalog or
+    * read straight off its storage path. Grants are keyed by (database,
+    * table): a same-named table in another database is NOT governed by
+    * this grant (and not accidentally broken by its row predicate).
     */
   private def filterOn(r: LogicalRelation,
       p: Principal): Option[DataCellsFilter] =
-    r.catalogTable.flatMap(t =>
-      t.identifier.database.flatMap(db =>
-        GovernanceCatalog.filterFor(p, db, t.identifier.table)))
+    governedIdents(r).flatMap { case (db, t) =>
+      GovernanceCatalog.filterFor(p, db, t)
+    }.headOption
 
   private def isMaskedView(v: View): Boolean =
-    v.desc.identifier.table == SalesFixture.viewName &&
-      v.desc.identifier.database.contains(SalesFixture.dbName)
+    v.desc.identifier.database.exists(db =>
+      GovernanceCatalog.isMaskedView(db, v.desc.identifier.table))
 
   /** Mid-resolution, a persisted view's body sits under a Project whose
     * list is `GetViewColumnByNameAndOrdinal(viewName, ...)` expressions —
@@ -85,17 +106,17 @@ case class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * governed relation resolves strictly EARLIER (same fixpoint iteration
     * as FindDataSourceTable), so view detection must recognize this
     * marker-Project shape too. The name match is EXACT on the trailing
-    * (db, view) identifier parts — a substring match would let any view
-    * merely NAMED like the masked view (e.g. `sales_masked_raw`) take the
-    * row-filter-only path and bypass the column allowlist.
+    * (db, view) identifier parts against the registered masked-view set —
+    * a substring match would let any view merely NAMED like a masked view
+    * (e.g. `sales_masked_raw`) take the row-filter-only path and bypass
+    * the column allowlist.
     */
   private def isMaskedViewMarker(p: Project): Boolean =
     p.projectList.exists(_.find {
       case g: GetViewColumnByNameAndOrdinal =>
         val parts = g.viewName.replace("`", "").split('.')
         parts.length >= 2 &&
-          parts(parts.length - 2) == SalesFixture.dbName &&
-          parts.last == SalesFixture.viewName
+          GovernanceCatalog.isMaskedView(parts(parts.length - 2), parts.last)
       case _ => false
     }.isDefined)
 
@@ -108,9 +129,38 @@ case class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
         spark.sessionState.sqlParser.parseExpression(f.rowFilterSql),
         marked)
     }
+    /** A governed relation the principal has FULL access to (DataAdmin)
+      * is wrapped in `Filter(true, taggedCopy)` — the admin's "ALL rows"
+      * grant made structurally explicit, so the access decision is made
+      * exactly once, at analysis time. The trivially-true filter costs
+      * nothing (the optimizer removes it after analysis) but it MUST be
+      * there: a tag-only copy is `fastEquals` to the original and
+      * `mapChildren` silently discards it, so on any LATER re-analysis
+      * under whatever principal the session holds then (Anonymous by
+      * default) the unmarked relation would be re-judged and an admin's
+      * frame deny-wrapped after the fact. (Audit also keys "governed
+      * table touched" off this tag, so admin reads of governed tables
+      * are audited too.)
+      */
+    def fullAccessMark(r: LogicalRelation): LogicalPlan = {
+      val marked = r.copy()
+      marked.setTagValue(GovernedTag, s"${p.name}:full-access")
+      Filter(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral,
+        marked)
+    }
+    def governedRewrite(r: LogicalRelation,
+        withAllowlist: Boolean): LogicalPlan =
+      filterOn(r, p) match {
+        case Some(f) if withAllowlist =>
+          Project(f.allowedColumns.map(UnresolvedAttribute(_)),
+            rowFilter(r, f))
+        case Some(f) => rowFilter(r, f)
+        case None if governedIdents(r).nonEmpty => fullAccessMark(r)
+        case None => r
+      }
     def filterBeneath(pl: LogicalPlan): LogicalPlan = pl.transformUp {
       case r: LogicalRelation if r.getTagValue(GovernedTag).isEmpty =>
-        filterOn(r, p).map(rowFilter(r, _)).getOrElse(r)
+        governedRewrite(r, withAllowlist = false)
     }
     val viewGoverned = plan.transformUp {
       case v: View if isMaskedView(v) => v.mapChildren(filterBeneath)
@@ -119,12 +169,7 @@ case class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     viewGoverned.transformUp {
       case r: LogicalRelation if r.getTagValue(GovernedTag).isEmpty =>
-        filterOn(r, p) match {
-          case Some(f) =>
-            Project(f.allowedColumns.map(UnresolvedAttribute(_)),
-              rowFilter(r, f))
-          case None => r
-        }
+        governedRewrite(r, withAllowlist = true)
     }
   }
 }

@@ -92,6 +92,11 @@ object SalesFixture {
   def register(spark: SparkSession, location: String): Unit =
     graft.governance.Governance.withPrincipal(
         spark, graft.governance.DataAdmin) {
+      // the storage path itself is governed: a direct
+      // spark.read.parquet(location) goes through the same plan rewrite
+      // as the catalog table (reference S3 block, main.tf:32-49)
+      graft.governance.GovernanceCatalog.registerLocation(
+        location, dbName, tableName)
       df(spark).write.mode("overwrite").parquet(location)
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $dbName")
       spark.sql(s"DROP TABLE IF EXISTS $dbName.$tableName")

@@ -87,6 +87,52 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(pairs((0L, 1L)) - 1.0) < 1e-9)
   }
 
+  test("oversized LSH bucket falls back to linear star pairs") {
+    import spark.implicits._
+    // 50 identical vectors land in ONE bucket; with bucketCap=10 the
+    // all-pairs expansion must give way to linear star pairs anchored at
+    // the bucket minimum — O(n) edges, every member reachable from the
+    // anchor (connected-components recovers the full cluster), never the
+    // O(n²) self-join blowup on a single reducer.
+    val n = 50
+    val df = (0L until n).map(i => (i, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Ann.lshNearDupPairs(df, "vec_id", "embedding",
+      bits = 8, dims = 3, bucketCap = 10).collect()
+    assert(pairs.length == n - 1, s"expected linear star, got ${pairs.length}")
+    assert(pairs.forall(_.getLong(0) == 0L), "star pairs must anchor at min id")
+    assert(pairs.map(_.getLong(1)).toSet == (1L until n).toSet)
+    assert(pairs.forall(r => math.abs(r.getAs[Double]("sim") - 1.0) < 1e-9))
+    // at-or-under the cap keeps the exact all-pairs expansion
+    val full = Ann.lshNearDupPairs(df, "vec_id", "embedding",
+      bits = 8, dims = 3, bucketCap = n).collect()
+    assert(full.length == n * (n - 1) / 2)
+  }
+
+  test("cosineQuant raises loudly on quantized overflow, not mis-ranks") {
+    import graft.functions.VecOps
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // |x|=500 at dims=64: sum((5e8)^2) = 1.6e19 > 2^63 — must raise
+    val big = new GenericArrayData(Array.fill[Any](64)(500.0f))
+    val e = intercept[ArithmeticException] { VecOps.cosineQuant(big, big) }
+    assert(e.getMessage.contains("overflow"))
+    // |x|=300 stays inside the bound: exact self-similarity, no error
+    val ok = new GenericArrayData(Array.fill[Any](64)(300.0f))
+    assert(math.abs(VecOps.cosineQuant(ok, ok) - 1.0) < 1e-12)
+    // end-to-end through the codegen'd expression
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val df = Seq((Array.fill(64)(500.0f), Array.fill(64)(500.0f)))
+      .toDF("a", "b")
+    val thrown = intercept[Throwable] {
+      df.select(GraftFunctions.cosineQuant($"a", $"b")).collect()
+    }
+    val messages = Iterator.iterate(thrown)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("; ")
+    assert(messages.contains("overflow"), s"unexpected failure: $messages")
+  }
+
   test("fused expressions match the Column-level reference formulations") {
     import spark.implicits._
     import graft.functions.{GraftFunctions, VectorFunctions}
