@@ -141,9 +141,14 @@ object Ann {
       bucketCap: Int = graft.dedup.Dedup.DefaultBucketCap): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    // null vectors hash to a null bucket; groupBy would treat null as a
+    // real grouping key and pair all null-vector rows with each other
+    // (emitting null-sim candidates), where the former self-join dropped
+    // them — keep the drop-null semantics explicitly
     val keyed = vecs.select(col("vid"),
       graft.functions.GraftFunctions.hplaneBucket(col("v"), bits, dims)
         .as("bucket"))
+      .filter(col("bucket").isNotNull)
     graft.dedup.Dedup.cappedPairs(keyed, Seq("bucket"), "vid", bucketCap)
       .select(col("a").as("id_a"), col("b").as("id_b"))
       .join(vecs.select(col("vid").as("id_a"), col("v").as("v_a")), "id_a")

@@ -108,14 +108,27 @@ object GovernanceCatalog {
     }
   }
 
+  /** Normalized location key: `scheme://authority/path` with dot-segments
+    * collapsed. Scheme and authority are KEPT — keying on the path alone
+    * would make `s3://bucketA/data` and `s3://bucketB/data` collide (the
+    * second registration silently un-governs the first bucket, and reads
+    * of same-keyed paths on unrelated buckets get false-positive denies).
+    * `URI.normalize()` collapses `..`, closing the
+    * `<loc>/sibling/../<dir>` dodge of the prefix match. A scheme-less
+    * java.io absolute path and hadoop's `file:/...` form normalize to the
+    * same key (scheme-less ≡ `file`, empty authority), which is how
+    * registration-by-local-path meets `HadoopFsRelation` root URIs.
+    */
   private def normalize(path: String): String = {
-    // strip URI scheme (file:, hdfs://host) down to the path part, drop
-    // trailing slashes, so hadoop Paths and java.io absolute paths meet
-    val p = try {
-      val u = new java.net.URI(path)
-      if (u.getPath == null || u.getPath.isEmpty) path else u.getPath
-    } catch { case _: java.net.URISyntaxException => path }
-    p.replaceAll("/+$", "")
+    val u = try { new java.net.URI(path).normalize() }
+      catch { case _: java.net.URISyntaxException => null }
+    if (u == null || u.getPath == null || u.getPath.isEmpty)
+      path.replaceAll("/+$", "")
+    else {
+      val scheme = Option(u.getScheme).getOrElse("file")
+      val auth = Option(u.getAuthority).getOrElse("")
+      s"$scheme://$auth${u.getPath.replaceAll("/+$", "")}"
+    }
   }
 
   /** Views registered as MASKED VIEWS over governed tables (seeded with
@@ -133,6 +146,18 @@ object GovernanceCatalog {
 
   def isMaskedView(database: String, view: String): Boolean =
     maskedViews.contains((database, view))
+
+  /** True when `db.table` carries ANY governance metadata: a data-cells
+    * filter registered for some principal, or a registered storage
+    * location mapping to it. The plan-time rule uses this to decide
+    * whether a full-access principal's read should carry the governed
+    * audit mark — an ungoverned catalog table must NOT be marked, or the
+    * audit trail stops distinguishing governed access from plain reads.
+    */
+  def isGoverned(database: String, table: String): Boolean =
+    registry.keysIterator.exists {
+      case (_, db, t) => db == database && t == table
+    } || locations.valuesIterator.contains((database, table))
 
   /** Register (or replace) a data-cells filter for principal+db+table. */
   def register(principal: Principal, database: String,

@@ -155,7 +155,14 @@ case class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
           Project(f.allowedColumns.map(UnresolvedAttribute(_)),
             rowFilter(r, f))
         case Some(f) => rowFilter(r, f)
-        case None if governedIdents(r).nonEmpty => fullAccessMark(r)
+        // full-access mark ONLY for identities that are actually governed
+        // (a filter registered for some principal, or a governed storage
+        // location) — governedIdents() includes every catalog-backed
+        // identity, and marking ungoverned tables would report
+        // `governed=true` for every plain catalog read in the audit trail
+        case None if governedIdents(r).exists {
+          case (db, t) => GovernanceCatalog.isGoverned(db, t)
+        } => fullAccessMark(r)
         case None => r
       }
     def filterBeneath(pl: LogicalPlan): LogicalPlan = pl.transformUp {

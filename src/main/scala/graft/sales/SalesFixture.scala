@@ -117,11 +117,18 @@ object SalesFixture {
     * after this call (in-memory catalog — re-registered once per session).
     */
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
+    val loc = new java.io.File(
+      "target/graft-data/sales_parquet").getAbsolutePath
+    // the catalog can outlive the JVM (persistent metastore) while the
+    // JVM-static governed-locations map cannot: if registration were only
+    // inside register(), a restarted session with surviving catalog
+    // objects would silently lose direct-path governance. Idempotent, so
+    // always re-register the location.
+    graft.governance.GovernanceCatalog.registerLocation(
+      loc, dbName, tableName)
     if (!spark.catalog.databaseExists(dbName) ||
         !spark.catalog.tableExists(s"$dbName.$tableName") ||
         !spark.catalog.tableExists(s"$dbName.$viewName")) {
-      val loc = new java.io.File(
-        "target/graft-data/sales_parquet").getAbsolutePath
       register(spark, loc)
     }
   }

@@ -109,6 +109,23 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(full.length == n * (n - 1) / 2)
   }
 
+  test("null embeddings never pair (dropped, not grouped together)") {
+    import spark.implicits._
+    // null vectors hash to a null bucket; if groupBy treated null as a
+    // real key, the two null rows would pair with each other and emit a
+    // null-sim candidate row
+    val df = Seq(
+      (0L, Some(Array(1.0f, 2.0f, 3.0f))),
+      (1L, Some(Array(1.0f, 2.0f, 3.0f))),
+      (2L, Option.empty[Array[Float]]),
+      (3L, Option.empty[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val pairs = Ann.lshNearDupPairs(df, "vec_id", "embedding",
+      bits = 8, dims = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((0L, 1L)), s"null-vector rows leaked into pairs: ${pairs.toSeq}")
+  }
+
   test("cosineQuant raises loudly on quantized overflow, not mis-ranks") {
     import graft.functions.VecOps
     import org.apache.spark.sql.catalyst.util.GenericArrayData

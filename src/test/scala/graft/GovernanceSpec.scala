@@ -265,6 +265,62 @@ class GovernanceSpec extends AnyFunSuite with SparkTestBase {
       .map(_.getString(0)).forall(_.startsWith("555-")))
   }
 
+  test("ungoverned catalog table carries no governed mark") {
+    import spark.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("gov6")
+      .toFile.getAbsolutePath + "/plain"
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+      .write.mode("overwrite").parquet(loc)
+    Governance.withPrincipal(spark, DataAdmin) {
+      spark.sql("CREATE DATABASE IF NOT EXISTS gov6db")
+      spark.sql("DROP TABLE IF EXISTS gov6db.plain")
+      spark.sql(s"CREATE TABLE gov6db.plain USING parquet LOCATION '$loc'")
+    }
+    // no filter registered, no governed location: the full-access mark
+    // must NOT fire, or audit reports governed=true for plain catalog
+    // reads and can no longer distinguish governed access
+    val df = Governance.withPrincipal(spark, DataAdmin)(
+      spark.sql("SELECT * FROM gov6db.plain"))
+    assert(df.queryExecution.analyzed.find(
+      _.getTagValue(GovernanceRule.GovernedTag).isDefined).isEmpty,
+      "ungoverned catalog table was governance-marked")
+    assert(df.count() == 2)
+    // sanity: the governed table IS still marked for the admin
+    SalesFixture.ensureRegistered(spark)
+    val gov = Governance.withPrincipal(spark, DataAdmin)(
+      spark.sql("SELECT * FROM sales_db.sales"))
+    assert(gov.queryExecution.analyzed.find(
+      _.getTagValue(GovernanceRule.GovernedTag).isDefined).isDefined,
+      "governed table lost its audit mark")
+  }
+
+  test("governed locations key on scheme+authority and resolve ..") {
+    GovernanceCatalog.registerLocation("s3://bucketA/data", "dbA", "tA")
+    GovernanceCatalog.registerLocation("s3://bucketB/data", "dbB", "tB")
+    // same path on two buckets: both registrations survive, each routes
+    // to its own table (path-only keying collapsed them)
+    assert(GovernanceCatalog.tableForLocation("s3://bucketA/data")
+      .contains(("dbA", "tA")))
+    assert(GovernanceCatalog
+      .tableForLocation("s3://bucketB/data/part-0.parquet")
+      .contains(("dbB", "tB")))
+    // unrelated bucket/filesystem with the identical path: ungoverned —
+    // no false-positive deny
+    assert(GovernanceCatalog.tableForLocation("s3://bucketC/data").isEmpty)
+    assert(GovernanceCatalog.tableForLocation("hdfs://nn1/data").isEmpty)
+    // dot-segment dodge normalizes back onto the registered prefix
+    assert(GovernanceCatalog
+      .tableForLocation("s3://bucketA/sibling/../data/f.parquet")
+      .contains(("dbA", "tA")))
+    // scheme-less local registration matches hadoop's file: URI form
+    GovernanceCatalog.registerLocation("/tmp/govloc-key-test", "dbL", "tL")
+    assert(GovernanceCatalog
+      .tableForLocation("file:/tmp/govloc-key-test/p.parquet")
+      .contains(("dbL", "tL")))
+    assert(GovernanceCatalog.isGoverned("dbA", "tA"))
+    assert(!GovernanceCatalog.isGoverned("dbA", "other"))
+  }
+
   test("audit listener records governed queries with principal") {
     SalesFixture.ensureRegistered(spark)
     AuditLog.clear()
