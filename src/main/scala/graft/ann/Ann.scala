@@ -73,9 +73,11 @@ object Ann {
 
   /** IVF top-k: probe the `nprobe` lists whose centroids are most cosine-
     * similar to the query, then exact-search only those lists. The list
-    * filter is an `isin` over `listCol` — partition-prunable when the
-    * table is written partitioned by list id, which is the intended layout
-    * at 100 TB (scan cost ~ nprobe/nlists of the data).
+    * filter is an `isin` over `listCol`; feed it the list-partitioned
+    * layout ([[graft.sources.Tables.embeddingsByList]] — one directory
+    * per list id) and it becomes a plan-time `PartitionFilters` entry, so
+    * the probe reads ~nprobe/nlists of the files instead of filtering a
+    * full scan (plan-asserted in AnnSpec).
     */
   /** Persisted IVF index: centroids are computed once and written to
     * parquet (idempotent, keyed by `_SUCCESS`), then every query reads the

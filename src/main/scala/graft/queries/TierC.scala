@@ -190,10 +190,12 @@ object TierC {
         .orderBy(col("sim").desc, col("id_a"), col("id_b"))
         .limit(20)),
 
-    // IVF-style ANN: probe 3 inverted lists against the PERSISTED centroid
-    // index (built once per dataset, not per query — the 100 TB posture).
+    // IVF-style ANN over the LIST-PARTITIONED embedding layout: centroids
+    // from the PERSISTED index (built once per dataset); the probe filter
+    // prunes whole label=<list> partitions at plan time, so scan cost is
+    // ~nprobe/nlists of the table — the 100 TB posture on both axes.
     "q_ann_ivf" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
+      val emb = Tables.embeddingsByList(s, d)
       val cents = Ann.persistedCentroids(emb, "label", "embedding",
         "target/graft-data/ivf_centroids/" +
           graft.sources.Artifacts.datasetKey(d, s"$d/embeddings.parquet"))

@@ -63,6 +63,26 @@ object Tables {
     s.read.parquet(path.getAbsolutePath)
   }
 
+  /** List-partitioned materialization of `embeddings` — the IVF storage
+    * layout at 100 TB: vectors land in one directory per inverted-list id
+    * (`label=<list>/`), so an IVF probe's `isin` over the `nprobe`
+    * selected lists prunes whole partitions at planning time
+    * (`PartitionFilters` in `.explain`) and the probe scans ~nprobe/nlists
+    * of the data instead of filtering a full scan. Same idempotent
+    * fingerprint-keyed write as [[eventsByDate]]; one-time index build,
+    * not per-query work.
+    */
+  def embeddingsByList(s: SparkSession, d: String): DataFrame = synchronized {
+    val path = new java.io.File("target/graft-data/embeddings_by_list/" +
+      Artifacts.datasetKey(d, s"$d/embeddings.parquet"))
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      embeddings(s, d)
+        .write.mode("overwrite").partitionBy("label")
+        .parquet(path.getAbsolutePath)
+    }
+    s.read.parquet(path.getAbsolutePath)
+  }
+
   /** Register every testdata table as a temp view, so `spark.sql` text
     * matches the oracle SQL one-for-one.
     */

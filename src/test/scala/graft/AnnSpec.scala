@@ -109,6 +109,31 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(full.length == n * (n - 1) / 2)
   }
 
+  test("IVF probe prunes list partitions at plan time, same results") {
+    import graft.sources.Tables
+    val emb = Tables.embeddingsByList(spark, sfDir)
+    val out = Ann.ivfTopK(emb,
+      Ann.centroids(emb, "label", "embedding"),
+      "vec_id", "label", "embedding", queryId = 0L, k = 10, nprobe = 3)
+    // the probe's isin over the selected lists must reach the scan as a
+    // PARTITION filter (plan-time directory pruning), not a data filter
+    val probeScans = out.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.partitionFilters.exists(_.references.exists(
+            _.name == "label")) => f
+    }
+    assert(probeScans.nonEmpty,
+      s"no scan with a label partition filter:\n${out.queryExecution.sparkPlan}")
+    assert(probeScans.exists(_.partitionFilters.mkString.contains("IN")),
+      "probe list selection did not become a partition IN-filter")
+    // layout change is invisible to results: identical to IVF over the
+    // unpartitioned table
+    val viaFlat = Ann.ivfTopK(Tables.embeddings(spark, sfDir),
+      "vec_id", "label", "embedding", queryId = 0L, k = 10, nprobe = 3)
+    assert(out.collect().map(_.toSeq).toSeq ==
+      viaFlat.collect().map(_.toSeq).toSeq)
+  }
+
   test("null embeddings never pair (dropped, not grouped together)") {
     import spark.implicits._
     // null vectors hash to a null bucket; if groupBy treated null as a
