@@ -118,15 +118,52 @@ object GovernanceCatalog {
     * java.io absolute path and hadoop's `file:/...` form normalize to the
     * same key (scheme-less ≡ `file`, empty authority), which is how
     * registration-by-local-path meets `HadoopFsRelation` root URIs.
+    *
+    * Both sides of the registry must land on the SAME key even though they
+    * arrive in different representations: the read side passes Hadoop
+    * `Path.toUri` strings (percent-ENCODED, always URI-legal), while
+    * registration passes raw user strings that may contain URI-illegal
+    * chars (spaces). An encoded URI parses directly and `getPath` DECODES
+    * it; a raw string that fails to parse is re-read as unencoded — quoted
+    * through the multi-argument URI constructor (scheme-ful) or
+    * `File.toURI` (scheme-less) — so its decoded path equals the raw
+    * input. Keying such paths on the raw string (the old fallback) made
+    * registration and read keys diverge: the location was silently
+    * un-governed.
+    *
+    * Scheme and authority compare case-insensitively (hostnames are), and
+    * Hadoop filesystem-scheme ALIASES for the same storage canonicalize
+    * together (`s3a`/`s3n` → `s3`) — otherwise a location registered as
+    * `s3://bucket/data` would not govern the identical bytes read via
+    * `s3a://bucket/data`.
     */
+  private val rawSchemeUri = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/]*)(/.*)?$".r
+
+  private def parseUri(path: String): java.net.URI =
+    try new java.net.URI(path)
+    catch {
+      case _: java.net.URISyntaxException => path match {
+        case rawSchemeUri(scheme, auth, p) =>
+          new java.net.URI(scheme, if (auth.isEmpty) null else auth,
+            Option(p).getOrElse("/"), null)
+        case _ => new java.io.File(path).toURI
+      }
+    }
+
+  private def canonicalScheme(scheme: String): String = scheme match {
+    case "s3a" | "s3n" => "s3"
+    case other         => other
+  }
+
   private def normalize(path: String): String = {
-    val u = try { new java.net.URI(path).normalize() }
-      catch { case _: java.net.URISyntaxException => null }
-    if (u == null || u.getPath == null || u.getPath.isEmpty)
+    val u = parseUri(path).normalize()
+    if (u.getPath == null || u.getPath.isEmpty)
       path.replaceAll("/+$", "")
     else {
-      val scheme = Option(u.getScheme).getOrElse("file")
+      val scheme = canonicalScheme(Option(u.getScheme).getOrElse("file")
+        .toLowerCase(java.util.Locale.ROOT))
       val auth = Option(u.getAuthority).getOrElse("")
+        .toLowerCase(java.util.Locale.ROOT)
       s"$scheme://$auth${u.getPath.replaceAll("/+$", "")}"
     }
   }
@@ -187,19 +224,25 @@ object GovernanceCatalog {
 
   /** Deny-all cells filter for a governed table: zero rows, and the most
     * restrictive registered allowlist (so no PII column ever resolves).
-    * None when the table is not governed at all.
+    * A table governed ONLY by a registered storage location (no cells
+    * filter anywhere) is still governed — deny with an EMPTY allowlist,
+    * since nothing was ever granted to anyone; without this branch any
+    * principal, including Anonymous, would fall through to full access on
+    * location-registered tables. None when the table carries no
+    * governance metadata at all.
     */
   private def denyFilter(database: String,
       table: String): Option[DataCellsFilter] = {
     val registered = registry.collect {
       case ((_, db, t), f) if db == database && t == table => f
     }
-    if (registered.isEmpty) None
-    else {
+    if (registered.nonEmpty) {
       val tightest = registered.minBy(f => (f.allowedColumns.size, f.name))
       Some(DataCellsFilter("default-deny", table, "false",
         tightest.allowedColumns))
-    }
+    } else if (locations.valuesIterator.contains((database, table))) {
+      Some(DataCellsFilter("default-deny", table, "false", Seq.empty))
+    } else None
   }
 
   /** Columns of `schemaCols` visible to `principal` on `db.table`. */

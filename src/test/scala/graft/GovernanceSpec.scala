@@ -321,6 +321,54 @@ class GovernanceSpec extends AnyFunSuite with SparkTestBase {
     assert(!GovernanceCatalog.isGoverned("dbA", "other"))
   }
 
+  test("registered path with a space governs reads (key asymmetry)") {
+    import spark.implicits._
+    // URI-illegal chars in the raw registered path: registration must key
+    // identically to the read side's percent-encoded HadoopFsRelation
+    // root URIs, or the location is silently un-governed
+    val base = java.nio.file.Files.createTempDirectory("govsp").toFile
+    val loc = new java.io.File(base, "my data dir").getAbsolutePath
+    Seq((1L, "x", "top"), (2L, "y", "secret"))
+      .toDF("id", "v", "hidden").write.mode("overwrite").parquet(loc)
+    GovernanceCatalog.registerLocation(loc, "govspdb", "spaced")
+    // the exact string the read side produces for this directory
+    val hadoopForm = new org.apache.hadoop.fs.Path(loc).toUri.toString
+    assert(hadoopForm.contains("%20"), s"expected encoded form: $hadoopForm")
+    assert(GovernanceCatalog.tableForLocation(hadoopForm)
+      .contains(("govspdb", "spaced")))
+    // end-to-end: location-only governed table is default-deny for a
+    // session without an explicit principal...
+    spark.conf.unset(GovernanceRule.PrincipalConf)
+    val anon = spark.read.parquet(loc)
+    assert(anon.count() == 0, "anonymous read of governed location leaked")
+    assert(anon.columns.isEmpty,
+      s"anonymous read resolved columns: ${anon.columns.toSeq}")
+    // ...and for a principal with no registered grant
+    assert(Governance.withPrincipal(spark, Analyst)(
+      spark.read.parquet(loc)).count() == 0)
+    // the admin's ALL grant still applies, and the read is audit-marked
+    val admin = Governance.withPrincipal(spark, DataAdmin)(
+      spark.read.parquet(loc))
+    assert(admin.count() == 2)
+    assert(admin.queryExecution.analyzed.find(
+      _.getTagValue(GovernanceRule.GovernedTag).isDefined).isDefined)
+  }
+
+  test("scheme aliases and authority case resolve to one governed key") {
+    GovernanceCatalog.registerLocation("s3://Alias-Bkt/lake/t1",
+      "aliasdb", "t1")
+    // s3a/s3n are the same storage as s3; hostnames compare
+    // case-insensitively
+    assert(GovernanceCatalog
+      .tableForLocation("s3a://alias-bkt/lake/t1/part-0.parquet")
+      .contains(("aliasdb", "t1")))
+    assert(GovernanceCatalog.tableForLocation("s3n://ALIAS-BKT/lake/t1")
+      .contains(("aliasdb", "t1")))
+    // a different bucket does not alias in
+    assert(GovernanceCatalog.tableForLocation("s3a://other-bkt/lake/t1")
+      .isEmpty)
+  }
+
   test("audit listener records governed queries with principal") {
     SalesFixture.ensureRegistered(spark)
     AuditLog.clear()
