@@ -231,6 +231,88 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
+  // ---- cluster resolution ------------------------------------------------
+
+  /** Connected components over duplicate pairs (`id_a`, `id_b` columns):
+    * one row per member node, labeled with its component MINIMUM id as
+    * `cluster_id`. This is the resolution stage the star-fallback design
+    * depends on (see [[DefaultBucketCap]]): an oversized bucket emits only
+    * O(n) anchor edges, and the full mega-cluster is recovered here.
+    *
+    * All dataflow: per pass, every node takes the minimum of its own label
+    * and its neighbors' labels (join + groupBy-min = one shuffle), then a
+    * pointer-jumping shortcut replaces each label by THAT node's label —
+    * the classic shortcutting step that turns O(diameter) propagation into
+    * O(log n) passes (labels are always node ids, so the self-join always
+    * hits). Each pass ends in `localCheckpoint`, cutting lineage so pass N
+    * never re-executes passes 1..N-1, and convergence is checked by an
+    * anti-join-style changed-row probe — no driver-side graph state; the
+    * driver only counts passes.
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint(true)
+    var converged = labels.isEmpty
+    var pass = 0
+    while (!converged && pass < maxIters) {
+      // no Union here: unioning a checkpointed frame trips Spark 4.1's
+      // Union constraint rewrite ("key not found" on the LogicalRDD's
+      // carried constraints) — a left join + least() expresses
+      // min(self, neighbors) without it, and is materialized before the
+      // self-join below so the pointer-jump sees stable attribute ids
+      val nbrMin = edges.alias("e")
+        .join(labels.alias("l"), col("e.dst") === col("l.id"))
+        .groupBy(col("e.src").as("nid"))
+        .agg(min(col("l.cluster_id")).as("nmin"))
+      val neighborMin = labels.alias("l0")
+        .join(nbrMin, col("l0.id") === col("nid"), "left")
+        .select(col("l0.id").as("id"),
+          least(col("l0.cluster_id"),
+            coalesce(col("nmin"), col("l0.cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
+      val next = neighborMin.alias("n")
+        .join(neighborMin.select(col("id").as("jid"),
+          col("cluster_id").as("jlbl")).alias("j"),
+          col("n.cluster_id") === col("j.jid"), "left")
+        .select(col("n.id").as("id"),
+          coalesce(col("j.jlbl"), col("n.cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      converged = next.alias("a")
+        .join(labels.select(col("id").as("pid"),
+          col("cluster_id").as("prev")).alias("b"),
+          col("a.id") === col("b.pid"))
+        .filter(col("a.cluster_id") =!= col("b.prev"))
+        .isEmpty
+      labels = next
+      pass += 1
+    }
+    require(converged,
+      s"cluster label propagation did not converge in $maxIters passes")
+    labels
+  }
+
+  /** Keeper selection — the end-user deliverable of the dedup pipeline:
+    * one row per document with its resolved `cluster_id` and `is_keeper`
+    * (deterministic min-id policy). Documents in no duplicate pair are
+    * their own single-member cluster. Filtering `is_keeper` materializes
+    * the deduplicated corpus.
+    */
+  def keepers(docs: DataFrame, idCol: String,
+      clustered: DataFrame): DataFrame =
+    docs.select(col(idCol))
+      .join(clustered.select(col("id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .withColumn("is_keeper", col(idCol) === col("cluster_id"))
+
   // ---- SimHash -----------------------------------------------------------
 
   /** Candidate near-dup pairs by SimHash, with Hamming distance attached.

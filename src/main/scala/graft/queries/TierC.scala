@@ -171,16 +171,40 @@ object TierC {
         .orderBy(col("hamming"), col("id_a"), col("id_b"))
         .limit(20)),
 
-    // Exact n-gram Jaccard verification of the MinHash candidates: reuses
-    // the persisted signature index, and the docs table is semi-join
-    // pruned to candidate ids before any shingle arrays are built.
+    // Exact n-gram Jaccard verification of the MinHash candidates — the
+    // dedup pipeline's verify stage: reuses the persisted signature index,
+    // semi-join prunes docs to candidate ids before any shingle arrays are
+    // built, and keeps only pairs at or above the dedup threshold.
+    // Oracle-checked against a DuckDB ALL-pairs exact-Jaccard scan: the
+    // banding parameters (k=32, bands=8, r=4) collide a J>=0.9 pair with
+    // probability 1-(1-0.9^4)^8 ~ 0.9998 and the corpus is bimodal (every
+    // pair is J>=0.9 or J<0.2, no mid-band pairs), so the candidate set
+    // provably contains every pair the threshold keeps — making the
+    // LSH-pruned pipeline hash-comparable to the exhaustive oracle.
     "q_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.verifyJaccard(docs, "doc_id", "text",
         Dedup.minhashCandidatesFromSigs(minhashSigs(s, d), k = 32,
           bands = 8).select("id_a", "id_b"))
-        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
-        .limit(20)
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Duplicate-cluster resolution over the verified near-dup pairs:
+    // connected components (min-label propagation with pointer-jumping —
+    // Dedup.clusters) + keeper selection, one row per document. The
+    // star-fallback candidate design depends on exactly this stage to
+    // recover mega-clusters from their O(n) anchor edges. Oracle: DuckDB
+    // recursive-CTE transitive closure over the same thresholded pair set.
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val verified = Dedup.verifyJaccard(docs, "doc_id", "text",
+        Dedup.minhashCandidatesFromSigs(minhashSigs(s, d), k = 32,
+          bands = 8).select("id_a", "id_b"))
+        .filter(col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+      Dedup.keepers(docs, "doc_id", Dedup.clusters(verified))
+        .orderBy(col("doc_id"))
     }),
 
     // Embedding-cosine near-dup via hyperplane LSH buckets.
@@ -305,7 +329,47 @@ object TierC {
       "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
       "FROM y GROUP BY user_id, sid ORDER BY user_id, session_start"
 
+  /** DuckDB twin of `array_distinct(TextFunctions.shingles(text, 3))`:
+    * whitespace tokens → 3-gram shingles (whole text when under 3 tokens),
+    * deduplicated. Used by the exhaustive all-pairs Jaccard oracles.
+    */
+  private val shingleCte: String =
+    "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 " +
+      "THEN [array_to_string(toks, ' ')] " +
+      "ELSE list_transform(range(1, len(toks)-1), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s " +
+      "FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), " +
+      "'\\s+'), t -> t <> '') AS toks FROM documents))"
+
+  private val jaccardExpr: String =
+    "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+      "len(list_distinct(a.s || b.s))"
+
+  /** Thresholded exact-Jaccard duplicate pairs, computed EXHAUSTIVELY
+    * (all doc pairs) — the ground truth the LSH-pruned Spark pipeline
+    * must reproduce.
+    */
+  private val dupPairsSql: String =
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " + jaccardExpr +
+      " AS jaccard FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      "WHERE " + jaccardExpr + " >= 0.5"
+
   val oracles: Map[String, String] = Map(
+    "q_ngram_jaccard" ->
+      ("WITH " + shingleCte + " " + dupPairsSql + " ORDER BY id_a, id_b"),
+    "q_dedup_clusters" ->
+      ("WITH RECURSIVE " + shingleCte + ", " +
+        "pairs AS (" + dupPairsSql + "), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION SELECT id_b, id_a FROM pairs), " +
+        "reach(src, dst) AS (SELECT src, dst FROM edges UNION " +
+        "SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+        "comp AS (SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id " +
+        "FROM reach GROUP BY src) " +
+        "SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, " +
+        "d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_keeper " +
+        "FROM documents d LEFT JOIN comp c USING (doc_id) " +
+        "ORDER BY d.doc_id"),
     "q_dedup_exact" ->
       ("SELECT sha256(text) AS content_hash, MIN(doc_id) AS doc_id, " +
         "COUNT(*) AS n_copies FROM documents GROUP BY sha256(text) " +

@@ -87,6 +87,39 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       s"near pair too distant: $out")
   }
 
+  test("clusters: min-label components over pair edges, incl. chains") {
+    import spark.implicits._
+    // components: {1,2,3,9} (chain through 9), {5,7}, {10..13} (path) —
+    // the path exercises multi-pass propagation + pointer-jumping
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L),
+      (10L, 11L), (11L, 12L), (12L, 13L)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 7L -> 5L, 10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+  }
+
+  test("clusters recover a >cap mega-cluster from star edges; keepers") {
+    import spark.implicits._
+    // 30 identical docs with bucketCap=10: candidates are ONLY the 29
+    // star edges (0, i) — connected components must still resolve all 30
+    // into one cluster, keeper = min id; the two singletons keep themselves
+    val same = (0L until 30L).map(i => (i, "x y z w v u t s"))
+    val docs = (same ++ Seq((100L, "alpha beta gamma delta epsilon"),
+      (101L, "one two three four five six"))).toDF("doc_id", "text")
+    val starPairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+      k = 32, bands = 8, bucketCap = 10).select("id_a", "id_b")
+    val keep = Dedup.keepers(docs, "doc_id", Dedup.clusters(starPairs))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Boolean]("is_keeper")))
+    assert(keep.length == 32)
+    val mega = keep.filter(_._1 < 30L)
+    assert(mega.forall(_._2 == 0L), s"mega-cluster split: ${mega.toSeq}")
+    assert(mega.count(_._3) == 1 && mega.find(_._3).get._1 == 0L)
+    assert(keep.filter(_._1 >= 100L).forall(k => k._2 == k._1 && k._3))
+  }
+
   test("oversized LSH buckets fall back to linear star pairs (skew cap)") {
     import spark.implicits._
     // 30 identical docs -> every band bucket holds all 30 > cap of 10 ->
