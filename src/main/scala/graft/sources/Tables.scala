@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver testdata (`/root/testdata/sf*`, TESTDATA.md).
   *
@@ -16,8 +16,108 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Declared schemas, asserted on every read (SURVEY §1.1: an explicit
+    * `StructType` checked at the source, never trusted to inference —
+    * the Spark analog of the reference's declared Glue table schema,
+    * `main.tf:330-371`). Parquet self-describes, so a corrupted or
+    * silently-evolved file would otherwise drift into queries unnoticed;
+    * here it fails loudly at the read. Timestamp-kind fields accept both
+    * NTZ and local-timestamp logical types (a session-config difference,
+    * not data drift); `events.ts` additionally accepts raw BIGINT — the
+    * file is TIMESTAMP(NANOS), surfaced as a long under
+    * `spark.sql.legacy.parquet.nanosAsLong` and converted by [[events]].
+    */
+  val schemas: Map[String, StructType] = Map(
+    "region" -> StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType))),
+    "nation" -> StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType))),
+    "customer" -> StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType))),
+    "supplier" -> StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("s_acctbal", DoubleType))),
+    "part" -> StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_name", StringType),
+      StructField("p_brand", StringType),
+      StructField("p_type", StringType),
+      StructField("p_size", IntegerType),
+      StructField("p_retailprice", DoubleType))),
+    "orders" -> StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampNTZType),
+      StructField("o_orderpriority", StringType))),
+    "lineitem" -> StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType),
+      StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampNTZType))),
+    "events" -> StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType))),
+    "documents" -> StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType))),
+    "embeddings" -> StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType))))
+
+  /** Timestamp-kind logical types interchange per session config;
+    * `events.ts` may also surface as raw nanos (BIGINT).
+    */
+  private def typeCompatible(table: String, field: String,
+      expected: DataType, actual: DataType): Boolean =
+    expected == actual ||
+      (expected == TimestampNTZType && actual == TimestampType) ||
+      (table == "events" && field == "ts" &&
+        (actual == TimestampNTZType || actual == TimestampType))
+
+  def assertSchema(table: String, actual: StructType): Unit =
+    schemas.get(table).foreach { expected =>
+      val mismatch =
+        actual.fields.length != expected.fields.length ||
+          expected.fields.zip(actual.fields).exists { case (e, a) =>
+            e.name != a.name || !typeCompatible(table, e.name,
+              e.dataType, a.dataType)
+          }
+      require(!mismatch,
+        s"schema drift on table '$table': expected " +
+          s"${expected.simpleString}, found ${actual.simpleString}")
+    }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    assertSchema(name, df.schema)
+    df
+  }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")

@@ -35,6 +35,33 @@ class SinksAndSourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(viaCsv == Seq(Seq("AMER", 6L), Seq("APAC", 8L), Seq("EMEA", 6L)))
   }
 
+  test("schema drift on a testdata table fails loudly at the read") {
+    // every declared table reads clean against its asserted schema
+    Tables.all.foreach(t => Tables.table(spark, sfDir, t))
+    // a wrong type on a declared column is drift, not a silent coercion
+    val badType = StructType(Tables.schemas("documents").fields.map {
+      case f if f.name == "n_chars" => f.copy(dataType = StringType)
+      case f => f
+    })
+    val e1 = intercept[IllegalArgumentException] {
+      Tables.assertSchema("documents", badType)
+    }
+    assert(e1.getMessage.contains("schema drift") &&
+      e1.getMessage.contains("documents"))
+    // a dropped column is drift too
+    val dropped = StructType(Tables.schemas("events").fields
+      .filterNot(_.name == "props"))
+    intercept[IllegalArgumentException] {
+      Tables.assertSchema("events", dropped)
+    }
+    // timestamp-kind flexibility is config, not drift: ts as NTZ is fine
+    val ntzTs = StructType(Tables.schemas("events").fields.map {
+      case f if f.name == "ts" => f.copy(dataType = TimestampNTZType)
+      case f => f
+    })
+    Tables.assertSchema("events", ntzTs)
+  }
+
   test("events date partitioning prunes partitions in the plan") {
     val df = Tables.eventsByDate(spark, sfDir)
       .filter(col("event_date") === lit("2024-01-15").cast("date"))
