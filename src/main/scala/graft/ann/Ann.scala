@@ -60,12 +60,24 @@ object Ann {
     * column assigned upstream). Component-wise mean via posexplode →
     * groupBy(list, dim) — fully distributed; the result is `nlists` rows
     * (tiny), the IVF "index".
+    *
+    * The mean is computed over QUANTIZED components (1e-6 fixed-point
+    * longs, exact and order-independent under summation) rather than a
+    * floating `avg`: a double sum's value depends on partial-merge order,
+    * so a rebuilt index could differ in the last ulp and — across engines
+    * or rebuilds — flip a probe-ranking tie. Integer sum / count is
+    * bit-reproducible everywhere (and DuckDB-expressible, which is what
+    * makes `q_ann_ivf` oracle-checkable). Precision loss vs. the float
+    * mean is < 1e-6 per component — noise for a coarse quantizer. The
+    * long sum stays exact up to ~1e12 unit-scale rows per list.
     */
   def centroids(emb: DataFrame, listCol: String, vecCol: String): DataFrame =
     emb
-      .select(col(listCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col(listCol), posexplode(quantize(col(vecCol)))
+        .as(Seq("dim", "qx")))
       .groupBy(col(listCol), col("dim"))
-      .agg(avg(col("x")).as("cx"))
+      .agg((sum(col("qx")).cast("double") /
+        (lit(1000000.0) * count(lit(1)))).as("cx"))
       .groupBy(col(listCol))
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("cx")))),
@@ -87,9 +99,10 @@ object Ann {
     */
   def persistedCentroids(emb: DataFrame, listCol: String, vecCol: String,
       path: String): DataFrame = synchronized {
-    // column choice is part of the cache key, so an index built over a
-    // different list/vector column is never silently reused
-    val dir = new java.io.File(s"${path}_${listCol}_$vecCol")
+    // column choice AND centroid-formula version are part of the cache
+    // key, so an index built over different columns — or with a previous
+    // formula (m2 = quantized mean) — is never silently reused
+    val dir = new java.io.File(s"${path}_${listCol}_${vecCol}_m2")
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       centroids(emb, listCol, vecCol)
         .write.mode("overwrite").parquet(dir.getAbsolutePath)

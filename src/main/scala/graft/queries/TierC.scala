@@ -228,6 +228,8 @@ object TierC {
     }),
 
     // Language-ID heuristic vs the labeled lang column (confusion counts).
+    // Deterministic (stopword-profile argmax, lexicographic tie-break) and
+    // SQL-expressible, so it is oracle-checked despite being a heuristic.
     "q_lang_id" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("lang"), T.langId(col("text")).as("pred_lang"))
@@ -354,7 +356,70 @@ object TierC {
       " AS jaccard FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
       "WHERE " + jaccardExpr + " >= 0.5"
 
+  /** DuckDB twin of TextFunctions.langId: per-profile stopword-overlap
+    * scores as (score, lang) structs, argmax via list_max's lexicographic
+    * struct ordering — generated from the SAME langProfiles the Spark
+    * side uses, so the two can never drift.
+    */
+  private val langIdStructs: String =
+    T.langProfiles.map { case (lang, words) =>
+      "{'score': len(list_intersect(toks, [" +
+        words.map(w => s"'$w'").mkString(",") + s"])), 'lang': '$lang'}"
+    }.mkString(", ")
+
+  /** DuckDB twin of the IVF path (Ann.centroids + ivfTopK): quantized-
+    * mean centroids per label, probe = top-nprobe labels by quantized
+    * cosine to the query vector, then exact quantized-cosine top-k within
+    * the probed lists. Every accumulation is exact-integer, so the result
+    * is bit-identical to the Spark pipeline.
+    */
+  private def cosSql(dot: String, na: String, nb: String): String =
+    s"CASE WHEN $na = 0 OR $nb = 0 THEN NULL ELSE CAST($dot AS DOUBLE) / " +
+      s"(sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE))) END"
+
+  private def quantOf(v: String): String =
+    s"list_transform($v, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) " +
+      "AS BIGINT))"
+
+  private val ivfOracle: String =
+    "WITH ce AS (SELECT label, u.i AS dim, " +
+      "CAST(CAST(SUM(CAST(round(CAST(u.x AS DOUBLE) * 1000000) AS BIGINT))" +
+      " AS DOUBLE) / (1000000.0 * COUNT(*)) AS REAL) AS cx " +
+      "FROM (SELECT label, unnest(list_transform(embedding, " +
+      "(x,i) -> {'x': x, 'i': i})) AS u FROM embeddings) " +
+      "GROUP BY label, u.i), " +
+      "cent AS (SELECT label, list(cx ORDER BY dim) AS centroid " +
+      "FROM ce GROUP BY label), " +
+      "q AS (SELECT " + quantOf("embedding") + " AS qv FROM embeddings " +
+      "WHERE vec_id = 0), " +
+      "cq AS (SELECT label, " +
+      "list_sum(list_transform(list_zip(" + quantOf("centroid") +
+      ", qv), p -> p[1] * p[2])) AS dot, " +
+      "list_sum(list_transform(" + quantOf("centroid") +
+      ", x -> x*x)) AS na, " +
+      "list_sum(list_transform(qv, x -> x*x)) AS nb FROM cent, q), " +
+      "probe AS (SELECT label FROM (SELECT label, " +
+      cosSql("dot", "na", "nb") + " AS sim FROM cq) " +
+      "ORDER BY sim DESC, label LIMIT 3), " +
+      "e AS (SELECT vec_id, " + quantOf("embedding") + " AS ev " +
+      "FROM embeddings WHERE vec_id <> 0 " +
+      "AND label IN (SELECT label FROM probe)), " +
+      "s AS (SELECT vec_id, " +
+      "list_sum(list_transform(list_zip(ev, qv), p -> p[1] * p[2])) " +
+      "AS dot, list_sum(list_transform(ev, x -> x*x)) AS na, " +
+      "list_sum(list_transform(qv, x -> x*x)) AS nb FROM e, q) " +
+      "SELECT vec_id, " + cosSql("dot", "na", "nb") + " AS sim FROM s " +
+      "ORDER BY sim DESC, vec_id LIMIT 10"
+
   val oracles: Map[String, String] = Map(
+    "q_lang_id" ->
+      ("WITH t AS (SELECT lang, list_filter(regexp_split_to_array(" +
+        "trim(text), '\\s+'), x -> x <> '') AS toks FROM documents), " +
+        "p AS (SELECT lang, list_max([" + langIdStructs + "]).lang " +
+        "AS pred_lang FROM t) " +
+        "SELECT lang, pred_lang, COUNT(*) AS cnt FROM p " +
+        "GROUP BY lang, pred_lang ORDER BY lang, pred_lang"),
+    "q_ann_ivf" -> ivfOracle,
     "q_ngram_jaccard" ->
       ("WITH " + shingleCte + " " + dupPairsSql + " ORDER BY id_a, id_b"),
     "q_dedup_clusters" ->
