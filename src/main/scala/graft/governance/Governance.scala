@@ -265,6 +265,76 @@ object Governance {
   /** SSN mask (`outputs.tf:49`): every digit → `*`. */
   def maskSsn(c: Column): Column = regexp_replace(c, "\\d", "*")
 
+  // ---- tag-driven auto-masking (SURVEY §1.3) -----------------------------
+
+  /** Mask registry keyed by the `mask` metadata kind. The `pii` tag on a
+    * column decides WHAT is sensitive (the LF-Tag analog); this registry
+    * decides HOW each kind is masked. A tagged field with no (or an
+    * unregistered) kind falls back to full redaction — tagged data is
+    * never silently passed through in clear.
+    */
+  val maskKinds: Map[String, Column => Column] = Map(
+    "email" -> maskEmail,
+    "digits" -> maskSsn)
+
+  private val redact: Column => Column = _ => lit("***")
+
+  /** Mask for a schema field: None when untagged. */
+  def maskForField(f: org.apache.spark.sql.types.StructField)
+      : Option[Column => Column] =
+    if (!f.metadata.contains("pii")) None
+    else Some(
+      if (f.metadata.contains("mask"))
+        maskKinds.getOrElse(f.metadata.getString("mask"), redact)
+      else redact)
+
+  /** Masked projection derived purely from `df`'s schema metadata — zero
+    * per-table SQL. On the sales fixture this reproduces the reference's
+    * hand-written `sales_masked` body exactly (oracle-proven by
+    * `q_auto_masked_view` against the same oracle as `q_masked_view`).
+    */
+  def autoMaskedView(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      maskForField(f).map(m => m(col(f.name)).as(f.name))
+        .getOrElse(col(f.name))
+    }.toSeq: _*)
+
+  /** Spark-SQL twins of [[maskKinds]], for generated view DDL. */
+  private def maskSql(kind: Option[String], c: String): String = kind match {
+    case Some("email")  => s"regexp_replace($c, '^([^@]{1,3}).*@', '***@')"
+    case Some("digits") => s"regexp_replace($c, '\\\\d', '*')"
+    case _              => "'***'"
+  }
+
+  /** Create + register a masked catalog view over any governed table,
+    * with the body GENERATED from the table schema's `pii`/`mask`
+    * metadata — no hand-written SQL per table. The view registers in the
+    * masked-view registry, so the plan-time rule injects the principal's
+    * row filter BENEATH it exactly like the reference's `sales_masked`.
+    */
+  def createAutoMaskedView(spark: SparkSession, database: String,
+      table: String, view: String): Unit = {
+    val schema = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table,
+        Some(database))).schema
+    val cols = schema.fields.map { f =>
+      val q = s"`${f.name}`"
+      if (!f.metadata.contains("pii")) q
+      else {
+        val kind =
+          if (f.metadata.contains("mask"))
+            Some(f.metadata.getString("mask"))
+          else None
+        s"${maskSql(kind, q)} AS $q"
+      }
+    }.mkString(", ")
+    withPrincipal(spark, DataAdmin) {
+      spark.sql(s"CREATE OR REPLACE VIEW $database.$view AS " +
+        s"SELECT $cols FROM $database.$table")
+    }
+    GovernanceCatalog.registerMaskedView(database, view)
+  }
+
   /** Run `f` with the session principal set to `p`, restoring the previous
     * principal afterwards. DataFrame construction inside the block analyzes
     * eagerly, so the governance rule sees the intended principal.

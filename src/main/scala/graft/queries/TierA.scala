@@ -64,6 +64,14 @@ object TierA {
       Governance.maskedViewFor(s, DataAdmin)
         .orderBy(col("customer_id"))),
 
+    // A7b — the SAME masked view derived from pii/mask column METADATA
+    // (tag-driven auto-masking, SURVEY §1.3) instead of the hand-written
+    // body; checked against the identical oracle as q_masked_view, so the
+    // metadata-derived projection provably reproduces the reference DDL.
+    "q_auto_masked_view" -> ((s, _) =>
+      Governance.autoMaskedView(Governance.secureRead(s, DataAdmin))
+        .orderBy(col("customer_id"))),
+
     // A8 — analyst through the masked view: masks AND row filter compose
     // (validate.sh:223-225)
     "q_analyst_masked_view" -> ((s, _) =>
@@ -159,6 +167,8 @@ object TierA {
       "SELECT customer_id, regexp_replace(ssn, '\\d', '*', 'g') AS ssn " +
       "FROM sales ORDER BY customer_id"),
     "q_masked_view" -> (cte + Governance.maskedViewOracleSelect +
+      " ORDER BY customer_id"),
+    "q_auto_masked_view" -> (cte + Governance.maskedViewOracleSelect +
       " ORDER BY customer_id"),
     "q_analyst_masked_view" -> (cte +
       "SELECT customer_id, regexp_replace(customer_email, " +

@@ -17,14 +17,21 @@ object SalesFixture {
   val tableName = "sales"     // reference locals.tf:8
   val viewName = "sales_masked" // reference locals.tf:9
 
-  private val piiMeta =
-    new MetadataBuilder().putString("pii", "sensitive").build()
+  /** `pii=sensitive` is the LF-Tag analog (WHAT is sensitive,
+    * reference `main.tf:393-429`); `mask` names the registered mask kind
+    * (HOW it is masked — [[graft.governance.Governance.maskKinds]]), so
+    * masked views derive mechanically from the schema.
+    */
+  private def piiMeta(maskKind: String) =
+    new MetadataBuilder().putString("pii", "sensitive")
+      .putString("mask", maskKind).build()
 
   val schema: StructType = StructType(Seq(
     StructField("customer_id", StringType, nullable = false),
     StructField("customer_name", StringType, nullable = false),
-    StructField("customer_email", StringType, nullable = false, piiMeta),
-    StructField("ssn", StringType, nullable = false, piiMeta),
+    StructField("customer_email", StringType, nullable = false,
+      piiMeta("email")),
+    StructField("ssn", StringType, nullable = false, piiMeta("digits")),
     StructField("sales_region", StringType, nullable = false),
     StructField("sales_amount", DoubleType, nullable = false),
     StructField("sale_date", StringType, nullable = false)

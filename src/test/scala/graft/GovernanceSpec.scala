@@ -321,6 +321,64 @@ class GovernanceSpec extends AnyFunSuite with SparkTestBase {
     assert(!GovernanceCatalog.isGoverned("dbA", "other"))
   }
 
+  test("auto-masked view from metadata equals the hand-written body") {
+    val admin = Governance.secureRead(spark, DataAdmin)
+    val auto = Governance.autoMaskedView(admin)
+      .orderBy("customer_id").collect().map(_.toSeq).toSeq
+    val hand = Governance.maskedView(admin)
+      .orderBy("customer_id").collect().map(_.toSeq).toSeq
+    assert(auto == hand)
+    assert(auto.nonEmpty)
+  }
+
+  test("second governed table gets an auto-masked view, zero new SQL") {
+    import org.apache.spark.sql.types._
+    // schema tagged via metadata only: phone masks digits, badge has an
+    // unregistered kind -> full redaction (tagged data never passes clear)
+    val piiDigits = new MetadataBuilder()
+      .putString("pii", "sensitive").putString("mask", "digits").build()
+    val piiUnknown = new MetadataBuilder()
+      .putString("pii", "sensitive").putString("mask", "rot13").build()
+    val schema = StructType(Seq(
+      StructField("emp_id", LongType, nullable = false),
+      StructField("dept", StringType, nullable = false),
+      StructField("phone", StringType, nullable = false, piiDigits),
+      StructField("badge", StringType, nullable = false, piiUnknown)))
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "eng", "555-0101", "B-77"),
+      org.apache.spark.sql.Row(2L, "ops", "555-0202", "B-88"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val loc = java.nio.file.Files.createTempDirectory("gov7")
+      .toFile.getAbsolutePath + "/emp"
+    Governance.withPrincipal(spark, DataAdmin) {
+      df.write.mode("overwrite").parquet(loc)
+      spark.sql("CREATE DATABASE IF NOT EXISTS gov7db")
+      spark.sql("DROP TABLE IF EXISTS gov7db.emp")
+      spark.sql(s"CREATE TABLE gov7db.emp USING parquet LOCATION '$loc'")
+    }
+    GovernanceCatalog.register(Analyst, "gov7db", DataCellsFilter(
+      "emp-eng", "emp", "dept = 'eng'",
+      Seq("emp_id", "dept", "phone", "badge")))
+    // the view body is GENERATED from catalog metadata (parquet footers
+    // round-trip StructField metadata) — no hand-written SQL
+    Governance.createAutoMaskedView(spark, "gov7db", "emp", "emp_masked")
+    val viaView = Governance.withPrincipal(spark, Analyst)(
+      spark.sql("SELECT * FROM gov7db.emp_masked ORDER BY emp_id"))
+      .collect()
+    assert(viaView.length == 1, "row filter must apply beneath the view")
+    assert(viaView.head.getAs[String]("phone") == "***-****")
+    assert(viaView.head.getAs[String]("badge") == "***")
+    assert(viaView.head.getAs[String]("dept") == "eng")
+    // admin sees raw values through the table, masked through the view
+    assert(Governance.withPrincipal(spark, DataAdmin)(
+      spark.sql("SELECT phone FROM gov7db.emp")).collect()
+      .map(_.getString(0)).toSet == Set("555-0101", "555-0202"))
+    assert(Governance.withPrincipal(spark, DataAdmin)(
+      spark.sql("SELECT phone FROM gov7db.emp_masked")).collect()
+      .map(_.getString(0)).forall(_ == "***-****"))
+  }
+
   test("registered path with a space governs reads (key asymmetry)") {
     import spark.implicits._
     // URI-illegal chars in the raw registered path: registration must key
