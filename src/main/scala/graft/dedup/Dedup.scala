@@ -250,9 +250,13 @@ object Dedup {
     * driver only counts passes.
     */
   def clusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs
+    // materialize the incoming pair pipeline ONCE: the symmetric edge
+    // union references it twice, and the upstream (LSH + verification)
+    // is the expensive part of the whole job — without this it runs twice
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val edges = p
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id"))
