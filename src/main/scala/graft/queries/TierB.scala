@@ -101,6 +101,26 @@ object TierB {
           dsum(col("p_retailprice")).as("total_price"))
         .orderBy(col("r_name"))),
 
+    // B6b — as-of (point-in-time) join, trades-to-quotes shape: each
+    // purchase event picks up the most recent AT-OR-BEFORE view snapshot
+    // for its user. ONE window sweep per user (operators/AsOfJoin.scala)
+    // — one shuffle, linear per key — instead of a range join's
+    // candidate-pair explosion. Right side pre-aggregated to unique
+    // (user, ts) so the matched row is well-defined in every engine.
+    // Oracle: DuckDB's native ASOF LEFT JOIN.
+    "q_join_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(dsum(col("value")).as("view_value"))
+        .select(col("user_id"), col("ts").as("view_ts"), col("view_value"))
+      graft.operators.AsOfJoin.asOf(purchases, views, Seq("user_id"),
+        "ts", "view_ts")
+        .orderBy(col("event_id"))
+    }),
+
     // B7 — multi-aggregate group-by (TPC-H Q1 shape): partial/final hash
     // aggregate, map-side combine before the shuffle.
     "q_agg_multi" -> ((s, d) =>
@@ -430,6 +450,16 @@ object TierB {
         " AS total_price FROM part JOIN region " +
         "ON p_size BETWEEN r_regionkey * 10 + 1 AND r_regionkey * 10 + 10 " +
         "GROUP BY r_name ORDER BY r_name"),
+    "q_join_asof" ->
+      ("WITH p AS (SELECT event_id, user_id, ts, value FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "v AS (SELECT user_id, ts AS view_ts, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS view_value " +
+        "FROM events WHERE event_type = 'view' GROUP BY user_id, ts) " +
+        "SELECT p.event_id, p.user_id, p.ts, p.value, v.view_ts, " +
+        "v.view_value FROM p ASOF LEFT JOIN v " +
+        "ON p.user_id = v.user_id AND p.ts >= v.view_ts " +
+        "ORDER BY p.event_id"),
     "q_agg_multi" ->
       ("SELECT l_returnflag, l_linestatus, " +
         dsumSql("l_quantity") + " AS sum_qty, " +

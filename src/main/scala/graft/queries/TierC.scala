@@ -15,9 +15,15 @@ import graft.sources.Tables
   * similarity search, text analysis, event-stream analytics.
   *
   * Oracle-expressible queries follow the same determinism rules as Tier B.
-  * Approximate/hash-specific ops (MinHash, SimHash, LSH, HLL, IVF) are
-  * declared without `oracleSql` → the driver records a rows-only check;
-  * their outputs are still fully deterministic (fixed seeds, total orders).
+  * Only ops whose engine-specific hashing DuckDB cannot reproduce
+  * (MinHash/SimHash/hyperplane LSH via xxhash64/splitmix64, HLL and
+  * percentile sketches, the multimodal payload fingerprint) are declared
+  * without `oracleSql` → rows-only check; their outputs are still fully
+  * deterministic (fixed seeds, total orders), and each has an exact
+  * oracle-checked twin where one exists. IVF, language-ID and the
+  * thresholded n-gram-Jaccard/cluster pipeline ARE hash-checked: their
+  * arithmetic is exact-integer (or integer-quantized), so DuckDB
+  * reproduces them bit-for-bit.
   */
 object TierC {
 

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bucketing, Skew}
+import graft.operators.{AsOfJoin, Bucketing, Skew}
 import graft.sources.Tables
 
 class OperatorsSpec extends AnyFunSuite with SparkTestBase {
@@ -29,6 +29,45 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .groupBy(col("o_orderpriority")).count()
     assert(joined.collect().map(_.toSeq).toSet ==
       plain.collect().map(_.toSeq).toSet)
+  }
+
+  test("as-of join: at-or-before match, per-key isolation, left nulls") {
+    import spark.implicits._
+    val trades = Seq(
+      ("A", 5L, 100.0),   // before any quote -> null
+      ("A", 10L, 101.0),  // tie with quote at 10 -> sees it ("at or before")
+      ("A", 12L, 102.0),  // between quotes -> still the t=10 quote
+      ("A", 50L, 103.0),  // after the t=20 quote
+      ("B", 15L, 200.0))  // key B only sees B quotes
+      .toDF("sym", "t", "px")
+    val quotes = Seq(
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("B", 11L, 9.0))
+      .toDF("sym", "qt", "bid")
+    val out = AsOfJoin.asOf(trades, quotes, Seq("sym"), "t", "qt")
+      .orderBy("sym", "t")
+      .collect()
+      .map(r => (r.getAs[String]("sym"), r.getAs[Long]("t"),
+        Option(r.getAs[Any]("qt")), Option(r.getAs[Any]("bid"))))
+    assert(out.toSeq == Seq(
+      ("A", 5L, None, None),
+      ("A", 10L, Some(10L), Some(1.0)),
+      ("A", 12L, Some(10L), Some(1.0)),
+      ("A", 50L, Some(20L), Some(2.0)),
+      ("B", 15L, Some(11L), Some(9.0))))
+    // the plan is a single window sweep, not a join: no pair explosion
+    val plan = AsOfJoin.asOf(trades, quotes, Seq("sym"), "t", "qt")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected a window sweep:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    // a NULL payload field in the matched row stays NULL (struct carry):
+    // the older non-null value must NOT leak forward
+    val qn = Seq(("A", 10L, Some(1.0)), ("A", 20L, None))
+      .toDF("sym", "qt", "bid")
+    val leaked = AsOfJoin.asOf(trades, qn, Seq("sym"), "t", "qt")
+      .filter($"t" === 50L).collect().head
+    assert(leaked.getAs[Long]("qt") == 20L)
+    assert(leaked.isNullAt(leaked.fieldIndex("bid")),
+      "null payload in matched row must stay null, not carry the t=10 value")
   }
 
   test("salted aggregation equals the direct aggregation") {
