@@ -35,7 +35,8 @@ object Bench {
     // steady-state query cost and runs are comparable round-over-round
     // regardless of the target/graft-data cache state.
     Seq("q_count_by_region", "q_distinct", "q_join_bucketed",
-        "q_minhash_dup", "q_ann_ivf", "q_partition_prune").foreach { w =>
+        "q_minhash_dup", "q_ann_ivf", "q_partition_prune",
+        "q_ngram_jaccard").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

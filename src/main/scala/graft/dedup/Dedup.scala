@@ -231,6 +231,29 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
+  /** Verified duplicate pairs — exact Jaccard at or above `threshold`
+    * over the MinHash candidate set — persisted as a build artifact: at
+    * 100 TB the candidate + verification pass is one-time corpus index
+    * construction shared by every downstream consumer (cluster
+    * resolution, keeper selection, audits, re-runs), not per-query work.
+    * The cache key embeds every parameter that changes the pair set
+    * (same contract as [[persistedSignatures]]).
+    */
+  def persistedVerifiedPairs(docs: DataFrame, idCol: String,
+      textCol: String, sigs: DataFrame, k: Int, bands: Int,
+      threshold: Double, path: String): DataFrame = synchronized {
+    val dir = new java.io.File(
+      s"${path}_${idCol}_${textCol}_k${k}_b${bands}" +
+        s"_t${math.round(threshold * 1000)}")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      verifyJaccard(docs, idCol, textCol,
+        minhashCandidatesFromSigs(sigs, k, bands).select("id_a", "id_b"))
+        .filter(col("jaccard") >= threshold)
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    }
+    docs.sparkSession.read.parquet(dir.getAbsolutePath)
+  }
+
   // ---- cluster resolution ------------------------------------------------
 
   /** Connected components over duplicate pairs (`id_a`, `id_b` columns):

