@@ -192,6 +192,28 @@ object TierB {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // B10c — RANGE-framed window: trailing one-hour per-user running
+    // totals, ordered by event time. A range frame bounds by VALUE
+    // distance (microsecond epochs — exact integers in both engines;
+    // second-granularity epochs would truncate differently), not row
+    // count, and equal-timestamp peers share a frame. One shuffle on
+    // user_id; per-partition sorted sweep.
+    "q_window_range_frame" -> ((s, d) => {
+      val hourUs = 3600L * 1000000L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("epoch_us"))
+        .rangeBetween(-(hourUs - 1), 0)
+      Tables.events(s, d)
+        .filter(col("event_id") < 3000)
+        .withColumn("epoch_us", unix_micros(col("ts").cast("timestamp")))
+        .select(col("event_id"), col("user_id"), col("epoch_us"),
+          count(lit(1)).over(w).as("cnt_1h"),
+          sum(col("value").cast(dec)).over(w).cast(DoubleType)
+            .as("sum_1h"))
+        .orderBy(col("event_id"))
+    }),
+
     // B11 — global top-k: TakeOrderedAndProject, no full sort at scale.
     "q_sort_topk" -> ((s, d) =>
       Tables.orders(s, d)
@@ -450,6 +472,14 @@ object TierB {
         " AS total_price FROM part JOIN region " +
         "ON p_size BETWEEN r_regionkey * 10 + 1 AND r_regionkey * 10 + 10 " +
         "GROUP BY r_name ORDER BY r_name"),
+    "q_window_range_frame" ->
+      ("SELECT event_id, user_id, epoch_us(ts) AS epoch_us, " +
+        "COUNT(*) OVER w AS cnt_1h, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) " +
+        "AS sum_1h FROM events WHERE event_id < 3000 " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) " +
+        "RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id"),
     "q_join_asof" ->
       ("WITH p AS (SELECT event_id, user_id, ts, value FROM events " +
         "WHERE event_type = 'purchase'), " +

@@ -67,6 +67,46 @@ class GovernancePropSpec extends AnyFunSuite with SparkTestBase {
     })
   }
 
+  // path segments with URI-legal and URI-ILLEGAL (space) characters —
+  // the two arrival forms the location registry must reconcile
+  private val segGen: Gen[String] = for {
+    head <- Gen.alphaNumChar
+    tail <- Gen.listOfN(6,
+      Gen.frequency(8 -> Gen.alphaNumChar, 1 -> Gen.const(' '),
+        1 -> Gen.oneOf('-', '_', '.'))).map(_.mkString)
+  } yield (head + tail).trim
+
+  test("registration key always matches the read side's encoded URI form") {
+    check(Prop.forAll(Gen.listOfN(3, segGen).suchThat(_.forall(_.nonEmpty))) {
+      segs =>
+        val raw = "/govprop-root/" + segs.mkString("/")
+        // read side: HadoopFsRelation rootPaths arrive as Hadoop Path
+        // URIs (percent-encoded); registration gets the raw string
+        val hadoopForm =
+          new org.apache.hadoop.fs.Path(raw).toUri.toString
+        GovernanceCatalog.registerLocation(raw, "govpropdb", "t")
+        GovernanceCatalog.tableForLocation(hadoopForm)
+          .contains(("govpropdb", "t")) &&
+          GovernanceCatalog
+            .tableForLocation(hadoopForm + "/part-0.parquet")
+            .contains(("govpropdb", "t"))
+    })
+  }
+
+  test("scheme aliases and case cannot smuggle a read past the registry") {
+    check(Prop.forAll(Gen.listOfN(2, segGen).suchThat(_.forall(_.nonEmpty)),
+      Gen.oneOf("s3", "s3a", "s3n"), Gen.oneOf("s3", "s3a", "s3n")) {
+      (segs, regScheme, readScheme) =>
+        val tail = segs.map(_.replace(" ", "")).filter(_.nonEmpty)
+        val rel = if (tail.isEmpty) "d" else tail.mkString("/")
+        GovernanceCatalog.registerLocation(s"$regScheme://bkt-alias/$rel",
+          "aliaspropdb", "t")
+        // any aliased scheme, any authority case: same storage, governed
+        GovernanceCatalog.tableForLocation(s"$readScheme://BKT-ALIAS/$rel")
+          .contains(("aliaspropdb", "t"))
+    })
+  }
+
   test("analyst rows are a subset of admin rows (on allowlist columns)") {
     val cols = GovernanceCatalog.analystApacFilter.allowedColumns
     val admin = Governance.secureRead(spark, DataAdmin)
