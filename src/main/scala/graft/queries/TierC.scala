@@ -126,6 +126,28 @@ object TierC {
           gapMinutes = 30)
         .orderBy(col("user_id"), col("session_start"))),
 
+    // C5d — interval join (stream-stream join family, batch form): each
+    // purchase paired with the same user's views from the preceding hour,
+    // then aggregated per purchase. The body is EventStream.intervalJoin —
+    // the same function runs as a watermarked stream-stream join
+    // (EventStreamSpec); here the watermark-free batch plan is an equality
+    // join on user_id with the time range as a join-side filter.
+    "q_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .filter(col("event_id") < 3000)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("value").as("v_value"))
+      graft.streaming.EventStream.intervalJoin(p, v, "user_id", "v_user",
+          "ts", "v_ts", "1 HOUR", "left_outer")
+        .groupBy(col("event_id"), col("user_id"), col("ts"))
+        .agg(count(col("v_ts")).as("n_views_1h"),
+          dsum(col("v_value")).as("view_value_1h"))
+        .orderBy(col("event_id"))
+    }),
+
     // Partition-pruned daily slice: events materialized partitioned by
     // event_date (the 100 TB fact layout) — the date predicate prunes
     // whole partitions at plan time (PartitionFilters in .explain), so
@@ -442,6 +464,18 @@ object TierC {
       "ORDER BY sim DESC, vec_id LIMIT 10"
 
   val oracles: Map[String, String] = Map(
+    "q_interval_join" ->
+      ("WITH p AS (SELECT event_id, user_id, ts FROM events " +
+        "WHERE event_type = 'purchase' AND event_id < 3000), " +
+        "v AS (SELECT user_id AS v_user, ts AS v_ts, value AS v_value " +
+        "FROM events WHERE event_type = 'view') " +
+        "SELECT p.event_id, p.user_id, p.ts, " +
+        "COUNT(v.v_ts) AS n_views_1h, " +
+        "CAST(SUM(CAST(v.v_value AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS view_value_1h FROM p LEFT JOIN v " +
+        "ON p.user_id = v.v_user " +
+        "AND v.v_ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts " +
+        "GROUP BY p.event_id, p.user_id, p.ts ORDER BY p.event_id"),
     "q_tfidf_topk" ->
       ("WITH t AS (SELECT doc_id, unnest(list_filter(" +
         "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) " +

@@ -33,6 +33,29 @@ object EventStream {
       .select(col("w.start").as("hour_ts"), col("event_type"),
         col("cnt"), col("total_value"))
 
+  /** Stream-stream interval join: each left row paired with the right
+    * rows of the same key whose timestamp falls in
+    * `[leftTs - interval, leftTs]`. On streams BOTH sides must carry
+    * watermarks and the time-range condition is what bounds state: a
+    * buffered right row older than the left watermark minus the interval
+    * can never join again and is evicted — without the range bound,
+    * stream-stream join state grows with the stream. On batch frames the
+    * watermarks are no-ops and Catalyst plans an equality join on the key
+    * with the range as a join-side filter — one shuffle per side, no
+    * cross-key pair explosion.
+    *
+    * Column names must be disjoint across the two sides (rename before
+    * calling), the usual stream-stream join contract.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, leftTs: String, rightTs: String,
+      intervalSql: String, joinType: String = "inner"): DataFrame =
+    left.join(right,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $intervalSql") &&
+        col(rightTs) <= col(leftTs),
+      joinType)
+
   /** Per-user sessionization via the built-in `session_window`: a session
     * extends while consecutive events arrive within `gap`; on a stream the
     * watermark finalizes sessions whose window closed before it. One

@@ -87,6 +87,57 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2).getAs[Long]("user_id") == 2L)
   }
 
+  test("stream-stream interval join matches the batch join") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val pStream = MemoryStream[SessEv] // (ts, user_id, value) as purchases
+    val vStream = MemoryStream[SessEv] // same shape as views
+    val pDf = pStream.toDF()
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"),
+        $"value".as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    val vDf = vStream.toDF()
+      .select($"user_id".as("v_user"), $"ts".as("v_ts"),
+        $"value".as("v_value"))
+      .withWatermark("v_ts", "1 hour")
+    val q = graft.streaming.EventStream
+      .intervalJoin(pDf, vDf, "p_user", "v_user", "p_ts", "v_ts", "1 HOUR")
+      .writeStream.format("memory").queryName("ivj_test")
+      .outputMode("append").start()
+    val purchases = Seq(SessEv(t("01:00"), 1L, 10.0),
+      SessEv(t("02:30"), 1L, 20.0), SessEv(t("01:00"), 2L, 30.0))
+    val views = Seq(
+      SessEv(t("00:30"), 1L, 1.0),  // joins p@01:00 (in window)
+      SessEv(t("01:45"), 1L, 2.0),  // joins p@02:30
+      SessEv(t("00:59"), 2L, 4.0),  // joins user 2's purchase
+      SessEv(t("01:35"), 1L, 8.0))  // after p@01:00, within 1h of p@02:30
+    try {
+      pStream.addData(purchases: _*)
+      vStream.addData(views: _*)
+      q.processAllAvailable()
+      // advance both watermarks well past every buffered row (distinct
+      // users so the advance rows cannot join each other)
+      pStream.addData(SessEv(t("10:00"), 8L, 0.0))
+      vStream.addData(SessEv(t("10:00"), 9L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ivj_test")
+      .select("p_user", "p_ts", "v_ts", "v_value")
+      .collect().map(_.toSeq).toSet
+    // batch twin over the identical rows, same join body
+    val pB = purchases.toDF("ts", "user_id", "value")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+    val vB = views.toDF("ts", "user_id", "value")
+      .select($"user_id".as("v_user"), $"ts".as("v_ts"),
+        $"value".as("v_value"))
+    val batch = graft.streaming.EventStream
+      .intervalJoin(pB, vB, "p_user", "v_user", "p_ts", "v_ts", "1 HOUR")
+      .select("p_user", "p_ts", "v_ts", "v_value")
+      .collect().map(_.toSeq).toSet
+    assert(batch.size == 4, s"batch=$batch")
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+  }
+
   test("streaming sessionize finalizes sessions past the watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
