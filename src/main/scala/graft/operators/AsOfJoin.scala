@@ -51,6 +51,10 @@ object AsOfJoin {
     val clash = payload.intersect(left.columns)
     require(clash.isEmpty,
       s"right payload collides with left columns: ${clash.mkString(",")}")
+    val reserved = Seq("_ts", "_side", "_r")
+      .filter(r => left.columns.contains(r) || right.columns.contains(r))
+    require(reserved.isEmpty,
+      s"reserved column names in use: ${reserved.mkString(",")}")
     val rFields = rightTs +: payload
     val rStruct = StructType(rFields.map(right.schema(_)))
     val leftOther = left.columns.filterNot(on.contains).toSeq
