@@ -99,6 +99,17 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       5L -> 5L, 7L -> 5L, 10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
   }
 
+  test("clusters of an empty pair set: every doc keeps itself") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out = Dedup.keepers(docs, "doc_id", Dedup.clusters(noPairs))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Boolean]("is_keeper"))).toSeq
+    assert(out == Seq((1L, 1L, true), (2L, 2L, true)))
+  }
+
   test("clusters recover a >cap mega-cluster from star edges; keepers") {
     import spark.implicits._
     // 30 identical docs with bucketCap=10: candidates are ONLY the 29

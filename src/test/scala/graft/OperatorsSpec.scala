@@ -70,6 +70,33 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       "null payload in matched row must stay null, not carry the t=10 value")
   }
 
+  test("as-of join equals the naive range-join argmax on real events") {
+    import org.apache.spark.sql.expressions.Window
+    // differential check on testdata: the window-sweep formulation must
+    // equal the quadratic range-join + per-left argmax it replaces
+    val ev = Tables.events(spark, sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"),
+        col("value").as("v_value"))
+    val sweep = AsOfJoin.asOf(p, v, Seq("user_id"), "ts", "v_ts")
+      .select("event_id", "v_ts", "v_value")
+      .collect().map(_.toSeq).toSet
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("v_ts").desc_nulls_last)
+    val naive = p
+      .join(v.withColumnRenamed("user_id", "v_user"),
+        col("user_id") === col("v_user") &&
+          col("v_ts") <= col("ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "v_ts", "v_value")
+      .collect().map(_.toSeq).toSet
+    assert(sweep.nonEmpty)
+    assert(sweep == naive)
+  }
+
   test("salted aggregation equals the direct aggregation") {
     import spark.implicits._
     val df = Tables.events(spark, sfDir)
