@@ -101,6 +101,23 @@ object TierB {
           dsum(col("p_retailprice")).as("total_price"))
         .orderBy(col("r_name"))),
 
+    // B5b — NULL-SAFE equality join (<=>): NULL keys match each other,
+    // where plain equality would silently drop every NULL-keyed row
+    // (here: customers whose segment was nulled out still land in the
+    // null dimension bucket). EqualNullSafe is a supported hash-join key,
+    // so the plan is a normal shuffled hash/sort-merge join — no
+    // null-handling penalty at scale.
+    "q_join_nullsafe" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          expr("nullif(c_mktsegment, 'BUILDING')").as("nk"))
+      val dim = c.select(col("nk").as("dim_nk")).distinct()
+      c.join(dim, col("nk") <=> col("dim_nk"))
+        .groupBy(coalesce(col("dim_nk"), lit("<null>")).as("seg"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("seg"))
+    }),
+
     // B6b — as-of (point-in-time) join, trades-to-quotes shape: each
     // purchase event picks up the most recent AT-OR-BEFORE view snapshot
     // for its user. ONE window sweep per user (operators/AsOfJoin.scala)
@@ -472,6 +489,12 @@ object TierB {
         " AS total_price FROM part JOIN region " +
         "ON p_size BETWEEN r_regionkey * 10 + 1 AND r_regionkey * 10 + 10 " +
         "GROUP BY r_name ORDER BY r_name"),
+    "q_join_nullsafe" ->
+      ("WITH c AS (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') " +
+        "AS nk FROM customer), d AS (SELECT DISTINCT nk AS dim_nk FROM c) " +
+        "SELECT COALESCE(d.dim_nk, '<null>') AS seg, COUNT(*) AS cnt " +
+        "FROM c JOIN d ON c.nk IS NOT DISTINCT FROM d.dim_nk " +
+        "GROUP BY 1 ORDER BY seg"),
     "q_window_range_frame" ->
       ("SELECT event_id, user_id, epoch_us(ts) AS epoch_us, " +
         "COUNT(*) OVER w AS cnt_1h, " +
