@@ -231,6 +231,27 @@ object TierB {
         .orderBy(col("event_id"))
     }),
 
+    // B12b — MapType round-trip: per-user event-type counts built into a
+    // map column (map_from_entries over a SORTED entry list — map column
+    // equality is order-sensitive, so the sort is what makes the value
+    // deterministic), then exploded back to rows with the map's size.
+    // Exercises map construction, explode-of-map, and map cardinality;
+    // output is plain columns so the oracle compares engine-neutrally.
+    "q_map_funcs" -> ((s, d) => {
+      val g = Tables.events(s, d)
+        .filter(col("user_id") < 20)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      g.groupBy(col("user_id"))
+        .agg(map_from_entries(array_sort(collect_list(
+          struct(col("event_type"), col("cnt"))))).as("counts"))
+        .select(col("user_id"),
+          size(col("counts")).cast("long").as("n_types"),
+          explode(col("counts")).as(Seq("etype", "cnt")))
+        .select(col("user_id"), col("etype"), col("cnt"), col("n_types"))
+        .orderBy(col("user_id"), col("etype"))
+    }),
+
     // B11 — global top-k: TakeOrderedAndProject, no full sort at scale.
     "q_sort_topk" -> ((s, d) =>
       Tables.orders(s, d)
@@ -489,6 +510,12 @@ object TierB {
         " AS total_price FROM part JOIN region " +
         "ON p_size BETWEEN r_regionkey * 10 + 1 AND r_regionkey * 10 + 10 " +
         "GROUP BY r_name ORDER BY r_name"),
+    "q_map_funcs" ->
+      ("WITH g AS (SELECT user_id, event_type AS etype, COUNT(*) AS cnt " +
+        "FROM events WHERE user_id < 20 GROUP BY user_id, event_type) " +
+        "SELECT user_id, etype, cnt, " +
+        "COUNT(*) OVER (PARTITION BY user_id) AS n_types FROM g " +
+        "ORDER BY user_id, etype"),
     "q_join_nullsafe" ->
       ("WITH c AS (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') " +
         "AS nk FROM customer), d AS (SELECT DISTINCT nk AS dim_nk FROM c) " +
