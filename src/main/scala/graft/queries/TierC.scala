@@ -332,6 +332,29 @@ object TierC {
           sum(T.tokenCount(col("text"))).as("surviving_tokens"))
     }),
 
+    // C7 — JSONL dataset sink/source round-trip: the de-facto training-
+    // data interchange format (one JSON object per line, splittable,
+    // parallel parts — not the coalesced result-set CSV contract).
+    // Re-read with a DECLARED schema (inference scans once to guess and
+    // a field missing from early files silently drops the column), then
+    // aggregated — proving the round trip is lossless.
+    "q_jsonl_sink" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType => LT, StringType => ST,
+        StructField => SF, StructType => STt}
+      val path = new java.io.File(
+        "target/graft-data/jsonl/docs_head").getAbsolutePath
+      val subset = Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.Sinks.writeJsonl(subset, path)
+      graft.sources.Sinks.readJsonl(s, path, STt(Seq(
+          SF("doc_id", LT), SF("lang", ST), SF("n_chars", LT))))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- multimodal (binary payload columns; graft.multimodal) ----
 
     // Per-media-type size stats over opaque binary payloads + typed meta.
@@ -464,6 +487,10 @@ object TierC {
       "ORDER BY sim DESC, vec_id LIMIT 10"
 
   val oracles: Map[String, String] = Map(
+    "q_jsonl_sink" ->
+      ("SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents " +
+        "WHERE doc_id < 100 GROUP BY lang ORDER BY lang"),
     "q_interval_join" ->
       ("WITH p AS (SELECT event_id, user_id, ts FROM events " +
         "WHERE event_type = 'purchase' AND event_id < 3000), " +

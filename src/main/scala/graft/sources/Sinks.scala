@@ -27,4 +27,23 @@ object Sinks {
   def readCsv(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** Write JSON Lines — the de-facto interchange format of training-data
+    * pipelines (one JSON object per line, splittable, appendable). For
+    * DATASET export this keeps one part per partition (unlike the
+    * result-set CSV sink): JSONL's whole point at 100 TB is parallel
+    * write and parallel re-read.
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Read JSONL with an explicit schema — never inferred: inference
+    * scans the data once just to guess types, and a missing field in the
+    * first files silently drops the column for the whole read. With a
+    * declared schema, absent fields are NULL and extra fields are
+    * ignored, per JSONL convention.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

@@ -35,6 +35,27 @@ class SinksAndSourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(viaCsv == Seq(Seq("AMER", 6L), Seq("APAC", 8L), Seq("EMEA", 6L)))
   }
 
+  test("JSONL round-trips losslessly; declared schema handles absent fields") {
+    import spark.implicits._
+    val df = Seq((1L, "en", 10L), (2L, "fr", 20L))
+      .toDF("doc_id", "lang", "n_chars")
+    val path = java.nio.file.Files.createTempDirectory("jsonl_test")
+      .toFile.getAbsolutePath + "/out"
+    graft.sources.Sinks.writeJsonl(df, path)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    val back = graft.sources.Sinks.readJsonl(spark, path, schema)
+    assert(back.collect().map(_.toSeq).toSet ==
+      df.collect().map(_.toSeq).toSet)
+    // a field absent from the files reads as NULL under a declared
+    // schema (inference would silently shape-shift instead)
+    val wider = StructType(schema.fields :+ StructField("source", StringType))
+    val rows = graft.sources.Sinks.readJsonl(spark, path, wider).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.isNullAt(3)))
+  }
+
   test("schema drift on a testdata table fails loudly at the read") {
     // every declared table reads clean against its asserted schema
     Tables.all.foreach(t => Tables.table(spark, sfDir, t))
