@@ -136,6 +136,14 @@ object GovernanceCatalog {
     * together (`s3a`/`s3n` → `s3`) — otherwise a location registered as
     * `s3://bucket/data` would not govern the identical bytes read via
     * `s3a://bucket/data`.
+    *
+    * Known ambiguity: a registered path containing a LITERAL percent
+    * sequence (a directory named `my%20dir`) parses as an encoded URI
+    * and keys on the decoded form, while the read side double-encodes
+    * and keys on the literal — such locations must be registered in
+    * their Hadoop-encoded form. Inherent to accepting both raw and
+    * encoded inputs on one API; percent-named directories are the
+    * pathological case.
     */
   private val rawSchemeUri = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/]*)(/.*)?$".r
 

@@ -284,8 +284,10 @@ object TierC {
     // C2f — TF-IDF-style top terms per document: term frequency × a
     // rational inverse-document-frequency (tf·N/df — a RATIO of exact
     // integers, one IEEE division, so the score is bit-identical across
-    // engines; a libm log() would not be). Explode is map-side; tf and df
-    // are two-phase hash aggregates; top-3 per doc via a rank window.
+    // engines; a libm log() would not be). N is the doc_id slice bound,
+    // a FIXED scale constant — tf/df rankings are invariant to it, so it
+    // need not equal the live corpus count. Explode is map-side; tf and
+    // df are two-phase hash aggregates; top-3 per doc via a rank window.
     "q_tfidf_topk" -> ((s, d) => {
       val nDocs = 200L
       val tf = Tables.documents(s, d)
