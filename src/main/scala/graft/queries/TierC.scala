@@ -159,6 +159,24 @@ object TierC {
         .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
         .orderBy(col("event_type"))),
 
+    // Dynamic partition pruning — the join-driven twin of
+    // q_partition_prune: the fact table is joined to the derived date
+    // dimension filtered on a STORED attribute (dom_mod), so no static
+    // predicate on event_date exists at plan time; Catalyst's
+    // PartitionPruning rule attaches the broadcast dimension's surviving
+    // keys to the fact scan as a runtime DynamicPruningExpression and
+    // only the matching date partitions are read (plan-asserted in
+    // DppSpec). At 100 TB this is THE star-schema scan-cost mechanism:
+    // scan cost follows the dimension filter, not the fact size.
+    "q_dpp_join" -> ((s, d) => {
+      val fact = Tables.eventsByDate(s, d)
+      val dim = Tables.dateDim(s, d).filter(col("dom_mod") === 3)
+      fact.join(broadcast(dim), col("event_date") === col("d"))
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+        .orderBy(col("event_date"), col("event_type"))
+    }),
+
     // C6 — distinct users per event type (exact, for the oracle; the HLL
     // variant is q_hll_distinct below).
     "q_approx_distinct" -> ((s, d) =>
@@ -622,6 +640,12 @@ object TierC {
         qualitySql + " > 0.7"),
     "q_sessionize" -> sessionOracle,
     "q_sessionize_typed" -> sessionOracle,
+    "q_dpp_join" ->
+      ("SELECT CAST(ts AS DATE) AS event_date, event_type, " +
+        "COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM events WHERE day(CAST(ts AS DATE)) % 7 = 3 " +
+        "GROUP BY 1, 2 ORDER BY event_date, event_type"),
     "q_partition_prune" ->
       ("SELECT event_type, COUNT(*) AS cnt, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +

@@ -163,6 +163,36 @@ object Tables {
     s.read.parquet(path.getAbsolutePath)
   }
 
+  /** Small derived date dimension over the fact table's date domain —
+    * the star-schema companion to [[eventsByDate]]. Its attribute columns
+    * (`dom`, `dom_mod`, `week_of_month`) are STORED data, not expressions
+    * over `d` in the query plan: a filter on them cannot be rewritten into
+    * a static predicate on the fact's partition column, which is exactly
+    * the situation where Catalyst's DYNAMIC partition pruning must carry
+    * the dimension's surviving keys to the fact scan at runtime
+    * (`DynamicPruningExpression` in the scan's PartitionFilters) — the
+    * 100 TB mechanism the reference's Glue layer cannot express at all
+    * (reference `main.tf:313` disables even static partition projection).
+    * Same idempotent fingerprint-keyed build as [[eventsByDate]].
+    */
+  def dateDim(s: SparkSession, d: String): DataFrame = synchronized {
+    import org.apache.spark.sql.functions.{col, dayofmonth, to_date}
+    val path = new java.io.File("target/graft-data/date_dim/" +
+      Artifacts.datasetKey(d, s"$d/events.parquet"))
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      events(s, d)
+        .select(to_date(col("ts")).as("d"))
+        .distinct()
+        .select(col("d"),
+          dayofmonth(col("d")).as("dom"),
+          (dayofmonth(col("d")) % 7).as("dom_mod"),
+          ((dayofmonth(col("d")) - 1) / 7 + 1).as("week_of_month"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path.getAbsolutePath)
+    }
+    s.read.parquet(path.getAbsolutePath)
+  }
+
   /** List-partitioned materialization of `embeddings` — the IVF storage
     * layout at 100 TB: vectors land in one directory per inverted-list id
     * (`label=<list>/`), so an IVF probe's `isin` over the `nprobe`
