@@ -178,6 +178,26 @@ object Dedup {
     docs.sparkSession.read.parquet(dir.getAbsolutePath)
   }
 
+  /** Largest LSH band bucket over a (doc_id, sig) signature table — the
+    * occupancy probe behind [[persistedVerifiedPairs]]'s `assertUncapped`
+    * contract: buckets at or under the cap expand to ALL their pairs, so
+    * `maxBandBucketSize <= bucketCap` proves no star fallback fired and
+    * the candidate set is exactly the banding-theory one. One extra
+    * aggregation job, run only at index-build time.
+    */
+  def maxBandBucketSize(sigs: DataFrame, k: Int, bands: Int): Long = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    val m = sigs
+      .select(posexplode(bandKeys(col("sig"), bands, rowsPerBand))
+        .as(Seq("band", "band_key")))
+      .groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n")))
+      .head.get(0)
+    if (m == null) 0L else m.asInstanceOf[Long]
+  }
+
   /** Candidate pairs from a prebuilt (doc_id, sig) signature table. */
   def minhashCandidatesFromSigs(sigs: DataFrame, k: Int, bands: Int,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
@@ -236,18 +256,37 @@ object Dedup {
     * 100 TB the candidate + verification pass is one-time corpus index
     * construction shared by every downstream consumer (cluster
     * resolution, keeper selection, audits, re-runs), not per-query work.
-    * The cache key embeds every parameter that changes the pair set
-    * (same contract as [[persistedSignatures]]).
+    * The cache key embeds every parameter that changes the pair set —
+    * including the shingle size and the bucket cap (same contract as
+    * [[persistedSignatures]]): a non-default cap changes which pairs an
+    * oversized bucket emits, so reusing an index built under another cap
+    * would silently serve the wrong pair set.
+    *
+    * `assertUncapped = true` additionally proves, at build time, that no
+    * band bucket exceeded `bucketCap` (see [[maxBandBucketSize]]) — the
+    * precondition for comparing the pair set to an exhaustive all-pairs
+    * oracle, since the star fallback drops non-anchor pairs from
+    * oversized buckets.
     */
   def persistedVerifiedPairs(docs: DataFrame, idCol: String,
       textCol: String, sigs: DataFrame, k: Int, bands: Int,
-      threshold: Double, path: String): DataFrame = synchronized {
+      threshold: Double, path: String,
+      bucketCap: Int = DefaultBucketCap,
+      assertUncapped: Boolean = false): DataFrame = synchronized {
     val dir = new java.io.File(
-      s"${path}_${idCol}_${textCol}_k${k}_b${bands}" +
-        s"_t${math.round(threshold * 1000)}")
+      s"${path}_${idCol}_${textCol}_s${ShingleSize}_k${k}_b${bands}" +
+        s"_t${math.round(threshold * 1000)}_c$bucketCap")
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      if (assertUncapped) {
+        val m = maxBandBucketSize(sigs, k, bands)
+        require(m <= bucketCap,
+          s"band bucket of $m docs exceeds bucketCap=$bucketCap: star " +
+            "fallback would drop pairs, so the verified-pair set is no " +
+            "longer comparable to an exhaustive all-pairs oracle")
+      }
       verifyJaccard(docs, idCol, textCol,
-        minhashCandidatesFromSigs(sigs, k, bands).select("id_a", "id_b"))
+        minhashCandidatesFromSigs(sigs, k, bands, bucketCap)
+          .select("id_a", "id_b"))
         .filter(col("jaccard") >= threshold)
         .write.mode("overwrite").parquet(dir.getAbsolutePath)
     }
@@ -267,25 +306,39 @@ object Dedup {
     * pointer-jumping shortcut replaces each label by THAT node's label —
     * the classic shortcutting step that turns O(diameter) propagation into
     * O(log n) passes (labels are always node ids, so the self-join always
-    * hits). Each pass ends in `localCheckpoint`, cutting lineage so pass N
+    * hits). Each pass ends in a checkpoint, cutting lineage so pass N
     * never re-executes passes 1..N-1, and convergence is checked by an
     * anti-join-style changed-row probe — no driver-side graph state; the
     * driver only counts passes.
+    *
+    * Fault tolerance: by default the lineage cut is `localCheckpoint`
+    * (blocks live on executors — fast, right for local mode), which at
+    * cluster scale cannot survive executor loss past pass 1. Pass
+    * `checkpointDir` (a reliable shared filesystem path — HDFS/object
+    * store on a real cluster) to cut lineage with `Dataset.checkpoint`
+    * instead: every pass lands durably, and a lost executor recomputes
+    * from the last checkpoint rather than killing the job. That is the
+    * 100 TB form; the extra cost is one FS write per materialization.
     */
-  def clusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def clusters(pairs: DataFrame, maxIters: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(
+      pairs.sparkSession.sparkContext.setCheckpointDir(_))
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
     // materialize the incoming pair pipeline ONCE: the symmetric edge
     // union references it twice, and the upstream (LSH + verification)
     // is the expensive part of the whole job — without this it runs twice
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val p = cut(pairs.select(col("id_a"), col("id_b")))
     val edges = p
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id"))
+    val edgesCut = cut(edges)
+    var labels = cut(edgesCut.select(col("src").as("id"))
       .distinct()
-      .select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint(true)
+      .select(col("id"), col("id").as("cluster_id")))
     var converged = labels.isEmpty
     var pass = 0
     while (!converged && pass < maxIters) {
@@ -294,7 +347,7 @@ object Dedup {
       // carried constraints) — a left join + least() expresses
       // min(self, neighbors) without it, and is materialized before the
       // self-join below so the pointer-jump sees stable attribute ids
-      val nbrMin = edges.alias("e")
+      val nbrMin = edgesCut.alias("e")
         .join(labels.alias("l"), col("e.dst") === col("l.id"))
         .groupBy(col("e.src").as("nid"))
         .agg(min(col("l.cluster_id")).as("nmin"))
@@ -303,14 +356,13 @@ object Dedup {
         .select(col("l0.id").as("id"),
           least(col("l0.cluster_id"),
             coalesce(col("nmin"), col("l0.cluster_id"))).as("cluster_id"))
-        .localCheckpoint(true)
-      val next = neighborMin.alias("n")
-        .join(neighborMin.select(col("id").as("jid"),
+      val neighborMinCut = cut(neighborMin)
+      val next = cut(neighborMinCut.alias("n")
+        .join(neighborMinCut.select(col("id").as("jid"),
           col("cluster_id").as("jlbl")).alias("j"),
           col("n.cluster_id") === col("j.jid"), "left")
         .select(col("n.id").as("id"),
-          coalesce(col("j.jlbl"), col("n.cluster_id")).as("cluster_id"))
-        .localCheckpoint(true)
+          coalesce(col("j.jlbl"), col("n.cluster_id")).as("cluster_id")))
       converged = next.alias("a")
         .join(labels.select(col("id").as("pid"),
           col("cluster_id").as("prev")).alias("b"),

@@ -33,7 +33,12 @@ import org.apache.spark.sql.types.StructType
   *    it and leak an older value);
   *  - the right side must be unique per (key, rightTs) — pre-aggregate
   *    upstream (duplicate right timestamps would make "the" matched row
-  *    ambiguous in any engine).
+  *    ambiguous in any engine);
+  *  - NULL join keys follow equality-join semantics: a NULL-keyed right
+  *    row matches nothing (dropped before the sweep — the window would
+  *    otherwise group NULL keys together and leak NULL-keyed right rows
+  *    into NULL-keyed left rows), while a NULL-keyed left row is kept
+  *    with NULL right fields (left join).
   */
 object AsOfJoin {
 
@@ -61,7 +66,10 @@ object AsOfJoin {
     val lNorm = left.select(
       on.map(col) ++ Seq(col(leftTs).as("_ts"), lit(1).as("_side"),
         lit(null).cast(rStruct).as("_r")) ++ leftOther.map(col): _*)
-    val rNorm = right.select(
+    // NULL-keyed right rows can never satisfy an equality join; left
+    // NULL-keyed rows then sweep an empty partition and stay unenriched.
+    val rNonNull = right.filter(on.map(col(_).isNotNull).reduce(_ && _))
+    val rNorm = rNonNull.select(
       on.map(col) ++ Seq(col(rightTs).as("_ts"), lit(0).as("_side"),
         struct(rFields.map(col): _*).as("_r")) ++
         leftOther.map(c =>

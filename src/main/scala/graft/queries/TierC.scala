@@ -42,13 +42,17 @@ object TierC {
 
   /** Per-dataset persisted VERIFIED near-dup pair index (exact Jaccard
     * >= 0.5 over the MinHash candidates): one-time build shared by the
-    * verification query and cluster resolution.
+    * verification query and cluster resolution. `assertUncapped` makes
+    * the build fail loudly if any LSH band bucket exceeds the cap — the
+    * second precondition (besides banding recall) for comparing this
+    * pair set to the exhaustive all-pairs oracle below.
     */
   private def verifiedPairs(s: SparkSession, d: String) =
     Dedup.persistedVerifiedPairs(Tables.documents(s, d), "doc_id", "text",
       minhashSigs(s, d), k = 32, bands = 8, threshold = 0.5,
       "target/graft-data/verified_pairs/" +
-        graft.sources.Artifacts.datasetKey(d, s"$d/documents.parquet"))
+        graft.sources.Artifacts.datasetKey(d, s"$d/documents.parquet"),
+      assertUncapped = true)
 
   val queries: Map[String, Q] = Map(
 
@@ -237,6 +241,11 @@ object TierC {
     // pair is J>=0.9 or J<0.2, no mid-band pairs), so the candidate set
     // provably contains every pair the threshold keeps — making the
     // LSH-pruned pipeline hash-comparable to the exhaustive oracle.
+    // Second precondition: no band bucket may exceed the bucket cap
+    // (star fallback would drop non-anchor pairs from the verified set);
+    // the index build asserts this (persistedVerifiedPairs
+    // assertUncapped), so a denser corpus fails loudly at build time
+    // instead of confusingly at oracle compare.
     "q_ngram_jaccard" -> ((s, d) =>
       verifiedPairs(s, d).orderBy(col("id_a"), col("id_b"))),
 
@@ -361,8 +370,11 @@ object TierC {
     "q_jsonl_sink" -> ((s, d) => {
       import org.apache.spark.sql.types.{LongType => LT, StringType => ST,
         StructField => SF, StructType => STt}
-      val path = new java.io.File(
-        "target/graft-data/jsonl/docs_head").getAbsolutePath
+      // keyed by dataset like every other persisted artifact: a fixed
+      // path would interleave concurrent runs across datasets
+      val path = new java.io.File("target/graft-data/jsonl/docs_head_" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/documents.parquet"))
+        .getAbsolutePath
       val subset = Tables.documents(s, d)
         .filter(col("doc_id") < 100)
         .select(col("doc_id"), col("lang"), col("n_chars"))

@@ -99,6 +99,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       5L -> 5L, 7L -> 5L, 10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
   }
 
+  test("clusters via a reliable checkpoint dir match the local path") {
+    import spark.implicits._
+    // cluster-scale fault tolerance: with checkpointDir set, lineage cuts
+    // go through Dataset.checkpoint to a durable dir instead of
+    // executor-resident localCheckpoint blocks; results must be identical
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L))
+      .toDF("id_a", "id_b")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toFile.getAbsolutePath
+    val reliable = Dedup.clusters(pairs, checkpointDir = Some(dir))
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    val local = Dedup.clusters(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(reliable == local)
+    assert(new java.io.File(dir).listFiles != null &&
+      new java.io.File(dir).listFiles.nonEmpty,
+      "reliable path wrote no checkpoint data")
+  }
+
   test("clusters of an empty pair set: every doc keeps itself") {
     import spark.implicits._
     val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")

@@ -70,6 +70,24 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       "null payload in matched row must stay null, not carry the t=10 value")
   }
 
+  test("as-of join: NULL keys follow equality-join semantics") {
+    import spark.implicits._
+    // a NULL-keyed right row must match NOTHING (an equality join never
+    // matches NULLs); a NULL-keyed left row is kept, unenriched
+    val trades = Seq((Option("A"), 10L, 1.0), (Option.empty[String], 10L, 2.0))
+      .toDF("sym", "t", "px")
+    val quotes = Seq((Option("A"), 5L, 7.0), (Option.empty[String], 5L, 8.0))
+      .toDF("sym", "qt", "bid")
+    val out = AsOfJoin.asOf(trades, quotes, Seq("sym"), "t", "qt")
+      .collect()
+      .map(r => (Option(r.getAs[String]("sym")),
+        Option(r.getAs[Any]("bid")))).toSet
+    assert(out == Set(
+      (Some("A"), Some(7.0)),   // real key matches its quote
+      (None, None)),            // NULL key must NOT see the NULL-keyed quote
+      s"unexpected: $out")
+  }
+
   test("as-of join equals the naive range-join argmax on real events") {
     import org.apache.spark.sql.expressions.Window
     // differential check on testdata: the window-sweep formulation must
