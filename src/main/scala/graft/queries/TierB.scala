@@ -253,6 +253,32 @@ object TierB {
     }),
 
     // B11 — global top-k: TakeOrderedAndProject, no full sort at scale.
+    // Composite TPC-H-Q3-shaped query: three-way star join with a
+    // selective dimension filter, revenue aggregation, top-k — join
+    // ordering + AQE end-to-end in one declared query. Plan shape at
+    // scale: the filtered customer dimension broadcasts (no fact
+    // shuffle for its join); orders⋈lineitem shuffles once on the order
+    // key with both date filters pushed to the parquet scans; the top-k
+    // is TakeOrderedAndProject, never a full sort. Revenue is a sum of
+    // exact decimal products (one final cast to double), so the total is
+    // order-independent and bit-comparable across engines.
+    "q_composite_topk" -> ((s, d) => {
+      val cutoff = lit("1996-03-15 00:00:00").cast("timestamp_ntz")
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast(dec) *
+          (lit(1) - col("l_discount").cast(dec)))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
     "q_sort_topk" -> ((s, d) =>
       Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -582,6 +608,16 @@ object TierB {
         "WINDOW w AS (PARTITION BY o_custkey " +
         "ORDER BY o_orderdate, o_orderkey) " +
         "ORDER BY o_custkey, o_orderkey"),
+    "q_composite_topk" ->
+      ("SELECT l_orderkey, o_orderdate, o_orderpriority, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "AND o_orderdate < TIMESTAMP '1996-03-15' " +
+        "AND l_shipdate > TIMESTAMP '1996-03-15' " +
+        "GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10"),
     "q_sort_topk" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"),
