@@ -46,4 +46,21 @@ object Sinks {
   def readJsonl(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Streaming twin of [[readJsonl]]: tail a landing directory of JSONL
+    * files — the front door of a continuous training-data ingest
+    * pipeline (files land from crawlers/exports; the stream picks each
+    * one up exactly once, tracked by the query's checkpoint).
+    * `maxFilesPerTrigger` bounds per-micro-batch work so a backlog of
+    * thousands of landed files drains in controlled increments instead
+    * of one giant batch. Schema is declared for the same reason as the
+    * batch reader — inference is impossible on a stream anyway.
+    * Compose with [[graft.dedup.Dedup.exactStreaming]] for
+    * dedup-on-ingest (see SinksAndSourcesSpec for the end-to-end form).
+    */
+  def readJsonlStream(spark: SparkSession, path: String,
+      schema: StructType, maxFilesPerTrigger: Int = 64): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
 }

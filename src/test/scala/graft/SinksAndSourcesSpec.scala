@@ -56,6 +56,48 @@ class SinksAndSourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(_.isNullAt(3)))
   }
 
+  test("streaming JSONL ingest dedupes across file batches end-to-end") {
+    // the full ingest front door: files land in a directory → streaming
+    // JSONL source (declared schema, bounded files/trigger) → streaming
+    // exact dedup (watermark-bounded state) → append sink. The duplicate
+    // in the SECOND landed file must be dropped against state built from
+    // the FIRST — cross-micro-batch dedup, the property a per-batch
+    // distinct cannot give.
+    val dir = java.nio.file.Files
+      .createTempDirectory("jsonl_ingest").toFile
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("ts", TimestampType)))
+    def land(name: String, lines: Seq[String]): Unit = {
+      val f = new java.io.File(dir, name)
+      java.nio.file.Files.write(f.toPath,
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    land("batch1.jsonl", Seq(
+      """{"doc_id":1,"text":"alpha","ts":"2024-01-01T00:00:00Z"}""",
+      """{"doc_id":2,"text":"beta","ts":"2024-01-01T00:05:00Z"}"""))
+    val src = Sinks.readJsonlStream(spark, dir.getAbsolutePath, schema,
+      maxFilesPerTrigger = 1)
+    assert(src.isStreaming)
+    val q = graft.dedup.Dedup.exactStreaming(src, "text", "ts", "1 hour")
+      .select(col("doc_id"), col("text"))
+      .writeStream.format("memory").queryName("jsonl_ingest")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      land("batch2.jsonl", Seq(
+        // same content as doc 1, well inside the watermark delay → drop
+        """{"doc_id":3,"text":"alpha","ts":"2024-01-01T00:10:00Z"}""",
+        """{"doc_id":4,"text":"gamma","ts":"2024-01-01T00:15:00Z"}"""))
+      q.processAllAvailable()
+      val got = spark.table("jsonl_ingest").collect()
+        .map(r => r.getAs[Long]("doc_id")).toSet
+      assert(got == Set(1L, 2L, 4L),
+        s"expected dup doc 3 dropped across batches, got $got")
+    } finally q.stop()
+  }
+
   test("schema drift on a testdata table fails loudly at the read") {
     // every declared table reads clean against its asserted schema
     Tables.all.foreach(t => Tables.table(spark, sfDir, t))
