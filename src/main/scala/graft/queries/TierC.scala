@@ -225,9 +225,15 @@ object TierC {
     // chunk buckets reach ~200 docs ⇒ 250k candidate pairs); capping
     // drops only clustered-but-unrelated buckets — true near-dups sit at
     // Hamming 0-1 and re-collide in all 4 chunk buckets, so recall holds.
+    // The declared query takes a doc_id slice like its siblings (the
+    // fingerprint clustering made the full-corpus form ~15% of the whole
+    // bench total, drowning the signal of every other query); the
+    // full-corpus form stays exercised by DedupSpec and the pigeonhole
+    // contract in ToleranceSpec.
     "q_simhash_dup" -> ((s, d) =>
-      Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text",
-        chunkBits = 16, bucketCap = 100)
+      Dedup.simhashCandidates(
+        Tables.documents(s, d).filter(col("doc_id") < 2000),
+        "doc_id", "text", chunkBits = 16, bucketCap = 100)
         .orderBy(col("hamming"), col("id_a"), col("id_b"))
         .limit(20)),
 
