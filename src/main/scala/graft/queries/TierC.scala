@@ -355,6 +355,50 @@ object TierC {
           T.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
+    // C2g — benchmark decontamination: flag corpus documents sharing
+    // 3-gram shingles with a held-out eval set (here: docs 0-9 stand in
+    // for the benchmark). The eval shingle set is tiny by construction →
+    // broadcast, so the corpus side never shuffles: explode shingles
+    // map-side, hash-join against the broadcast set, one agg. At 100 TB
+    // the eval set stays a few MB (real benchmarks are) and the scan is
+    // embarrassingly parallel — the standard pretraining decontamination
+    // shape (n-gram overlap against eval data).
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val evalShingles = docs.filter(col("doc_id") < 10)
+        .select(explode(array_distinct(T.shingles(col("text"), 3)))
+          .as("shingle"))
+        .distinct()
+      docs.filter(col("doc_id") >= 10)
+        .select(col("doc_id"),
+          explode(array_distinct(T.shingles(col("text"), 3)))
+            .as("shingle"))
+        .join(broadcast(evalShingles), "shingle")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .withColumn("contaminated", col("n_overlap") >= 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // C2h — repetition-based quality gate (the "fraction of duplicate
+    // n-grams" family of pretraining filters): per document, the share
+    // of bigram occurrences that are repeats. Pure map-side arithmetic
+    // on exact integers (one IEEE division), so it is bit-stable and
+    // oracle-checked despite being a heuristic.
+    "q_repetition_filter" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          size(T.shingles(col("text"), 2)).cast(LongType)
+            .as("n_bigrams"),
+          size(array_distinct(T.shingles(col("text"), 2))).cast(LongType)
+            .as("n_distinct"))
+        .withColumn("dup_frac",
+          (col("n_bigrams") - col("n_distinct")).cast(DoubleType) /
+            col("n_bigrams"))
+        .withColumn("keep", col("dup_frac") <= lit(0.2))
+        .orderBy(col("doc_id"))),
+
     // C1+C2 composite — the cleaning-pipeline yield metric: exact-dedup
     // keepers that pass the quality gate, and how many tokens survive.
     "q_pipeline_tokens" -> ((s, d) => {
@@ -656,6 +700,30 @@ object TierC {
         "'\\s+'), t -> t <> ''))) AS BIGINT) AS surviving_tokens " +
         "FROM documents JOIN keepers USING (doc_id) WHERE " +
         qualitySql + " > 0.7"),
+    "q_decontaminate" ->
+      ("WITH " + shingleCte + ", " +
+        "ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh " +
+        "WHERE doc_id < 10), " +
+        "c AS (SELECT doc_id, unnest(s) AS shingle FROM sh " +
+        "WHERE doc_id >= 10) " +
+        "SELECT c.doc_id, COUNT(*) AS n_overlap, " +
+        "COUNT(*) >= 5 AS contaminated " +
+        "FROM c JOIN ev USING (shingle) GROUP BY c.doc_id " +
+        "ORDER BY c.doc_id"),
+    "q_repetition_filter" ->
+      ("WITH bg AS (SELECT doc_id, CASE WHEN len(toks) < 2 " +
+        "THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_transform(range(1, len(toks)), " +
+        "i -> toks[i] || ' ' || toks[i+1]) END AS b " +
+        "FROM (SELECT doc_id, list_filter(regexp_split_to_array(" +
+        "trim(text), '\\s+'), t -> t <> '') AS toks FROM documents " +
+        "WHERE doc_id < 500)) " +
+        "SELECT doc_id, CAST(len(b) AS BIGINT) AS n_bigrams, " +
+        "CAST(len(list_distinct(b)) AS BIGINT) AS n_distinct, " +
+        "CAST(len(b) - len(list_distinct(b)) AS DOUBLE) / len(b) " +
+        "AS dup_frac, " +
+        "(CAST(len(b) - len(list_distinct(b)) AS DOUBLE) / len(b)) " +
+        "<= 0.2 AS keep FROM bg ORDER BY doc_id"),
     "q_sessionize" -> sessionOracle,
     "q_sessionize_typed" -> sessionOracle,
     "q_dpp_join" ->
