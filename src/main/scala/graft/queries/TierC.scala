@@ -399,6 +399,63 @@ object TierC {
         .withColumn("keep", col("dup_frac") <= lit(0.2))
         .orderBy(col("doc_id"))),
 
+    // C2i — data-mixture sampling: per-language keep quotas applied with
+    // a DETERMINISTIC id-mod rule (reproducible across runs and engines,
+    // unlike seeded Bernoulli sampling whose RNG is engine-specific),
+    // reporting the achieved mixture. This is the pretraining "mixing
+    // weights" op; at 100 TB it is a pure map-side filter + one agg —
+    // no shuffle of kept rows, no sampling coordinator.
+    "q_data_mixture" -> ((s, d) => {
+      val quota = when(col("lang") === "en", 60)
+        .when(col("lang") === "zh", 40).otherwise(20)
+      Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(100)) < quota)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(T.tokenCount(col("text"))).as("kept_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // C2j — reproducible corpus shuffle: training order randomized by a
+    // Knuth multiplicative scramble of the id — exact integer arithmetic,
+    // so the permutation is bit-identical across engines and runs (a
+    // seeded rand() is neither). At scale the orderBy is a range-
+    // partitioned sort: sampled split points, one shuffle, per-partition
+    // sorts — the standard distributed shuffle-for-training pass.
+    "q_train_shuffle" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+            .as("shuffle_key"))
+        .orderBy(col("shuffle_key"), col("doc_id"))
+        .limit(100)),
+
+    // C2k — context-window chunking: each document split into fixed
+    // token-budget training chunks (here 32 tokens) with the tail chunk
+    // short. Entirely map-side (sequence + slice inside one projection,
+    // then a generator) — the shape of every packing/chunking pass that
+    // feeds a tokenizer at 100 TB.
+    "q_doc_chunks" -> ((s, d) => {
+      val chunkLen = 32
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0),
+            ceil(size(col("toks")) / lit(chunkLen.toDouble))
+              .cast("int") - 1),
+          i => struct(
+            i.cast(LongType).as("chunk_idx"),
+            concat_ws(" ",
+              slice(col("toks"), i * chunkLen + 1, lit(chunkLen)))
+              .as("chunk_text"),
+            least(lit(chunkLen), size(col("toks")) - i * chunkLen)
+              .cast(LongType).as("chunk_tokens")))).as("ch"))
+        .select(col("doc_id"), col("ch.chunk_idx"), col("ch.chunk_text"),
+          col("ch.chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // C1+C2 composite — the cleaning-pipeline yield metric: exact-dedup
     // keepers that pass the quality gate, and how many tokens survive.
     "q_pipeline_tokens" -> ((s, d) => {
@@ -700,6 +757,29 @@ object TierC {
         "'\\s+'), t -> t <> ''))) AS BIGINT) AS surviving_tokens " +
         "FROM documents JOIN keepers USING (doc_id) WHERE " +
         qualitySql + " > 0.7"),
+    "q_data_mixture" ->
+      ("SELECT lang, COUNT(*) AS kept_docs, " +
+        "CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), " +
+        "'\\s+'), t -> t <> ''))) AS BIGINT) AS kept_tokens " +
+        "FROM documents WHERE doc_id % 100 < " +
+        "CASE WHEN lang = 'en' THEN 60 WHEN lang = 'zh' THEN 40 " +
+        "ELSE 20 END GROUP BY lang ORDER BY lang"),
+    "q_train_shuffle" ->
+      ("SELECT doc_id, (doc_id * 2654435761) % 4294967296 " +
+        "AS shuffle_key FROM documents " +
+        "ORDER BY shuffle_key, doc_id LIMIT 100"),
+    "q_doc_chunks" ->
+      ("WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+        "trim(text), '\\s+'), x -> x <> '') AS toks FROM documents " +
+        "WHERE doc_id < 300), " +
+        "c AS (SELECT doc_id, unnest(list_transform(" +
+        "range(0, CAST(ceil(len(toks) / 32.0) AS BIGINT)), " +
+        "i -> struct_pack(idx := i, " +
+        "txt := array_to_string(list_slice(toks, i*32 + 1, i*32 + 32), " +
+        "' '), n := least(32, len(toks) - i*32)))) AS ch FROM t) " +
+        "SELECT doc_id, ch.idx AS chunk_idx, ch.txt AS chunk_text, " +
+        "CAST(ch.n AS BIGINT) AS chunk_tokens FROM c " +
+        "ORDER BY doc_id, chunk_idx"),
     "q_decontaminate" ->
       ("WITH " + shingleCte + ", " +
         "ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh " +
