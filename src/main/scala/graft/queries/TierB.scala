@@ -253,6 +253,28 @@ object TierB {
     }),
 
     // B11 — global top-k: TakeOrderedAndProject, no full sort at scale.
+    // MERGE/upsert as a declared query: a base snapshot (orders at
+    // version 1) merged with a repriced update batch (every 10th order
+    // at version 2) through Upsert.latestWins — latest version wins per
+    // key with ONE shuffle (ranking window), no join. The aggregation
+    // proves exactly the updated keys changed. This is the lake's
+    // CDC-apply path expressed as pure dataflow (no transactional
+    // format available in this environment).
+    "q_merge_upsert" -> ((s, d) => {
+      val base = Tables.orders(s, d).withColumn("version", lit(1L))
+      val updates = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice",
+          (col("o_totalprice").cast(dec) * 2).cast(DoubleType))
+        .withColumn("version", lit(2L))
+      graft.operators.Upsert
+        .latestWins(base, updates, Seq("o_orderkey"), "version")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Composite TPC-H-Q3-shaped query: three-way star join with a
     // selective dimension filter, revenue aggregation, top-k — join
     // ordering + AQE end-to-end in one declared query. Plan shape at
@@ -608,6 +630,14 @@ object TierB {
         "WINDOW w AS (PARTITION BY o_custkey " +
         "ORDER BY o_orderdate, o_orderkey) " +
         "ORDER BY o_custkey, o_orderkey"),
+    "q_merge_upsert" ->
+      ("SELECT o_orderstatus, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS total_price FROM (SELECT o_orderstatus, " +
+        "CASE WHEN o_orderkey % 10 = 0 " +
+        "THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE) " +
+        "ELSE o_totalprice END AS price FROM orders) " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q_composite_topk" ->
       ("SELECT l_orderkey, o_orderdate, o_orderpriority, " +
         "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +

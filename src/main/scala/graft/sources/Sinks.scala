@@ -63,4 +63,28 @@ object Sinks {
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(path)
+
+  /** Small-file compaction — the lake-maintenance pass every streaming
+    * ingest needs: a landing directory accumulates one file per
+    * micro-batch partition, and a 100 TB table read through thousands of
+    * KB-sized files is dominated by per-file open/footer cost. Rewrites
+    * the directory into `ceil(bytes / targetBytes)` files (size-derived,
+    * never a fixed count — a fixed count under-splits big inputs and
+    * over-splits small ones). Writes to a NEW directory: object stores
+    * have no atomic directory swap, so the safe pattern is
+    * write-new + repoint-readers + delete-old; compacting in place
+    * would window readers against missing files.
+    */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L << 20): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val parts = math.max(1L,
+      (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(parts)
+      .write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(outPath)
+  }
 }

@@ -115,6 +115,38 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(sweep == naive)
   }
 
+  test("latest-wins merge: upserts, inserts, tombstones, ambiguity") {
+    import spark.implicits._
+    import graft.operators.Upsert
+    val base = Seq((1L, "a", 1L, false), (2L, "b", 1L, false))
+      .toDF("k", "v", "version", "deleted")
+    val updates = Seq(
+      (2L, "b2", 2L, false),  // update wins over base
+      (3L, "c", 2L, false),   // fresh insert
+      (1L, "a", 2L, true))    // tombstone removes key 1
+      .toDF("k", "v", "version", "deleted")
+    val out = Upsert.latestWins(base, updates, Seq("k"), "version",
+        deletedCol = Some("deleted"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v"))
+      .toMap
+    assert(out == Map(2L -> "b2", 3L -> "c"))
+    // a duplicate WINNING version for one key is ambiguous in any
+    // engine: the merge must fail loudly, never pick a row
+    val dup = Seq((9L, "x", 5L, false), (9L, "y", 5L, false))
+      .toDF("k", "v", "version", "deleted")
+    val err = intercept[Exception] {
+      Upsert.latestWins(base, dup, Seq("k"), "version").collect()
+    }
+    assert(err.getMessage != null)
+    // a tie on a SUPERSEDED version is harmless
+    val old = Seq((2L, "b_old", 1L, false)).toDF("k", "v", "version",
+      "deleted")
+    val ok = Upsert.latestWins(base.union(old), updates, Seq("k"),
+        "version", deletedCol = Some("deleted"))
+      .filter($"k" === 2L).collect()
+    assert(ok.length == 1 && ok.head.getAs[String]("v") == "b2")
+  }
+
   test("salted aggregation equals the direct aggregation") {
     import spark.implicits._
     val df = Tables.events(spark, sfDir)

@@ -98,6 +98,35 @@ class SinksAndSourcesSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("compaction collapses small files, size-derived, content intact") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("compact_test").toFile.getAbsolutePath
+    val src = Tables.documents(spark, sfDir)
+    src.repartition(40).write.parquet(s"$tmp/landing")
+    val smallFiles = new java.io.File(s"$tmp/landing").listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(smallFiles >= 30, s"setup produced only $smallFiles files")
+    // huge target => everything fits one file
+    val out = graft.sources.Sinks.compactParquet(spark, s"$tmp/landing",
+      s"$tmp/compacted", targetBytes = 1L << 30)
+    val bigFiles = new java.io.File(s"$tmp/compacted").listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(bigFiles == 1, s"expected 1 compacted file, got $bigFiles")
+    assert(out.count() == src.count())
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      src.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // small target => multiple output files, ceil(bytes/target)
+    val sz = new java.io.File(s"$tmp/landing").listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val target = sz / 3
+    val out2 = graft.sources.Sinks.compactParquet(spark, s"$tmp/landing",
+      s"$tmp/compacted2", targetBytes = target)
+    val n2 = new java.io.File(s"$tmp/compacted2").listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(n2 >= 2 && n2 < smallFiles, s"expected 2..<$smallFiles, got $n2")
+    assert(out2.count() == src.count())
+  }
+
   test("schema drift on a testdata table fails loudly at the read") {
     // every declared table reads clean against its asserted schema
     Tables.all.foreach(t => Tables.table(spark, sfDir, t))
