@@ -1,0 +1,101 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Upsert}
+
+/** ScalaCheck differentials for the composed operators: each scalable
+  * formulation (window sweep, ranking window) is checked against the
+  * naive reference formulation (range join + argmax, per-key max
+  * reduce) over ARBITRARY generated inputs — the properties run through
+  * the engine, so they exercise the actual plans, not a Scala model.
+  */
+class OperatorPropSpec extends AnyFunSuite with SparkTestBase {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  // small key/time domains force collisions: ties, dense keys, keys on
+  // one side only — the cases where a sweep and a join could diverge
+  private val rowGen: Gen[(Long, Long, Long)] = for {
+    key <- Gen.chooseNum(0L, 4L)
+    ts <- Gen.chooseNum(0L, 20L)
+    payload <- Gen.chooseNum(0L, 999L)
+  } yield (key, ts, payload)
+
+  test("property: as-of sweep equals naive range-join argmax") {
+    import spark.implicits._
+    val p = Prop.forAll(Gen.listOfN(30, rowGen), Gen.listOfN(30, rowGen)) {
+      (lrows, rrows) =>
+        // right side unique per (key, ts): the operator's documented
+        // precondition (duplicate right timestamps are ambiguous)
+        val rDistinct = rrows.groupBy(r => (r._1, r._2))
+          .map(_._2.head).toSeq
+        val left = lrows.zipWithIndex
+          .map { case ((k, t, _), i) => (i.toLong, k, t) }
+          .toDF("lid", "k", "t")
+        val right = rDistinct.map { case (k, t, v) => (k, t, v) }
+          .toDF("k", "rt", "payload")
+        val swept = AsOfJoin.asOf(left, right, Seq("k"), "t", "rt")
+          .select("lid", "rt", "payload")
+          .collect().map(_.toSeq).toSet
+        val w = Window.partitionBy(col("lid"))
+          .orderBy(col("rt").desc_nulls_last)
+        val naive = left
+          .join(right.withColumnRenamed("k", "rk"),
+            col("k") === col("rk") && col("rt") <= col("t"), "left")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("lid", "rt", "payload")
+          .collect().map(_.toSeq).toSet
+        swept == naive
+    }
+    check(p)
+  }
+
+  test("property: latest-wins merge equals per-key argmax") {
+    import spark.implicits._
+    val p = Prop.forAll(Gen.listOfN(25, rowGen), Gen.listOfN(25, rowGen)) {
+      (brows, urows) =>
+        // make (key, version) unique across the union — the operator's
+        // documented precondition (ambiguous winners fail loudly, tested
+        // separately in OperatorsSpec)
+        val all = (brows.map(r => (r._1, r._2, r._3, "b")) ++
+          urows.map(r => (r._1, r._2, r._3, "u")))
+          .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+        val base = all.filter(_._4 == "b").map(r => (r._1, r._2, r._3))
+        val updates = all.filter(_._4 == "u").map(r => (r._1, r._2, r._3))
+        if (base.isEmpty || updates.isEmpty) true
+        else {
+          val b = base.toDF("k", "version", "v")
+          val u = updates.toDF("k", "version", "v")
+          val merged = Upsert.latestWins(b, u, Seq("k"), "version")
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            .toSet
+          val expected = all.groupBy(_._1).map { case (_, rs) =>
+            val win = rs.maxBy(_._2)
+            (win._1, win._2, win._3)
+          }.toSet
+          merged == expected
+        }
+    }
+    check(p)
+  }
+
+  test("merge plan is one ranking window, never a join") {
+    import spark.implicits._
+    val b = Seq((1L, 1L, 10L)).toDF("k", "version", "v")
+    val u = Seq((1L, 2L, 20L)).toDF("k", "version", "v")
+    val plan = Upsert.latestWins(b, u, Seq("k"), "version")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected a ranking window:\n$plan")
+    assert(!plan.contains("Join"),
+      s"latest-wins must not plan a join:\n$plan")
+  }
+}
