@@ -517,6 +517,24 @@ object TierB {
         .orderBy(col("l_returnflag"))),
 
     // B26 — value-based window frame + distribution functions.
+    // B27 — navigation window functions over the FULL partition frame
+    // (first/last/nth): unbounded-following frames are the one window
+    // shape that cannot stream within a partition — the operator buffers
+    // the partition (spilling when large), so partitioning on a real key
+    // is what keeps it scalable.
+    "q_window_firstlast" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") <= 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     "q_window_ntile" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice"), col("o_orderkey"))
@@ -747,6 +765,16 @@ object TierB {
         "quantile_cont(l_quantity, 0.9) AS p90, " +
         "quantile_cont(l_quantity, 0.99) AS p99 " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_window_firstlast" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "FIRST_VALUE(o_orderkey) OVER w AS first_order, " +
+        "LAST_VALUE(o_orderkey) OVER w AS last_order, " +
+        "NTH_VALUE(o_orderkey, 2) OVER w AS second_order " +
+        "FROM orders WHERE o_custkey <= 200 " +
+        "WINDOW w AS (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY o_custkey, o_orderkey"),
     "q_window_ntile" ->
       ("SELECT o_orderkey, o_orderpriority, " +
         "CAST(NTILE(4) OVER w AS BIGINT) AS quartile, " +

@@ -291,6 +291,47 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(rows == Set((1L, "same words"), (3L, "unique words")))
   }
 
+  test("streaming CDC apply: versioned snapshots, cross-batch merge") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_apply").toFile.getAbsolutePath
+    val stream = MemoryStream[(Long, Long, String, Boolean)]
+    val q = graft.streaming.CdcApply.start(
+      stream.toDF().toDF("k", "version", "v", "deleted"),
+      root, Seq("k"), "version", deletedCol = Some("deleted"),
+      queryName = "cdc_apply_test")
+    try {
+      // batch 1: two inserts
+      stream.addData((1L, 1L, "a", false), (2L, 1L, "b", false))
+      q.processAllAvailable()
+      val s1 = graft.streaming.CdcApply.readSnapshot(spark, root).get
+        .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v"))
+        .toMap
+      assert(s1 == Map(1L -> "a", 2L -> "b"))
+      // batch 2: update k=2, delete k=1, insert k=3, re-deliver (2,v1)
+      stream.addData((2L, 2L, "b2", false), (1L, 2L, "", true),
+        (3L, 1L, "c", false), (2L, 1L, "b", false))
+      q.processAllAvailable()
+      val s2 = graft.streaming.CdcApply.readSnapshot(spark, root).get
+        .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v"))
+        .toMap
+      assert(s2 == Map(2L -> "b2", 3L -> "c"),
+        s"snapshot after batch 2: $s2")
+      // a LATE lower-versioned update must lose to the applied v2 row
+      stream.addData((2L, 0L, "b_stale", false))
+      q.processAllAvailable()
+      val s3 = graft.streaming.CdcApply.readSnapshot(spark, root).get
+        .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v"))
+        .toMap
+      assert(s3(2L) == "b2", s"stale update replaced newer row: $s3")
+      // every applied batch left a complete versioned snapshot dir
+      val snaps = new java.io.File(root).listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("v")).length
+      assert(snaps >= 3, s"expected >=3 snapshot dirs, got $snaps")
+    } finally q.stop()
+  }
+
   test("batch q_stream_window equals a direct SQL aggregation") {
     val viaModule = graft.queries.TierC.queries("q_stream_window")(
       spark, sfDir).collect()
