@@ -59,6 +59,30 @@ object CdcApply {
       root: String): Option[DataFrame] =
     currentSnapshot(root).map(spark.read.parquet(_))
 
+  /** Retention sweep: delete all snapshot directories except the
+    * `keep` most recent (and never the one `CURRENT` points to). Run
+    * out-of-band on a schedule; `keep >= 2` leaves in-flight readers of
+    * the previous snapshot unbroken — the same contract as a table
+    * format's vacuum with a retention window.
+    */
+  def vacuum(root: String, keep: Int = 2): Seq[String] = {
+    require(keep >= 1, "must keep at least the current snapshot")
+    val cur = currentSnapshot(root).map(Paths.get(_).getFileName.toString)
+    val snaps = Option(new java.io.File(root).listFiles).getOrElse(Array())
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .sortBy(f => f.getName.drop(1).toLong)
+    val doomed = snaps.dropRight(keep)
+      .filterNot(f => cur.contains(f.getName))
+    doomed.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array()).foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+    }
+    doomed.map(_.getName).toSeq
+  }
+
   /** Start applying `updates` (a streaming DataFrame with `keys`,
     * `versionCol`, and optionally `deletedCol`) to the snapshot under
     * `root`.

@@ -329,6 +329,13 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       val snaps = new java.io.File(root).listFiles
         .filter(f => f.isDirectory && f.getName.startsWith("v")).length
       assert(snaps >= 3, s"expected >=3 snapshot dirs, got $snaps")
+      // retention sweep keeps the newest N and never breaks CURRENT
+      val removed = graft.streaming.CdcApply.vacuum(root, keep = 1)
+      assert(removed.nonEmpty, "vacuum removed nothing")
+      val after = graft.streaming.CdcApply.readSnapshot(spark, root).get
+        .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v"))
+        .toMap
+      assert(after == s3, "vacuum broke the current snapshot")
     } finally q.stop()
   }
 
