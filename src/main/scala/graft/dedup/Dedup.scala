@@ -233,6 +233,7 @@ object Dedup {
     */
   def verifyJaccard(docs: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val candIds = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("cand_id"))
       .distinct()

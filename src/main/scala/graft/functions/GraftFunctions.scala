@@ -30,11 +30,17 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(bits),
       org.apache.spark.sql.functions.lit(dims))
 
+  /** Word n-gram shingles of a token array (see [[Shingles]]). */
+  def shingles(tokens: Column, n: Int): Column =
+    call_function("shingles", tokens,
+      org.apache.spark.sql.functions.lit(n))
+
   /** Register all graft SQL functions on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     SimHash.register(spark)
     MinHashSig.register(spark)
     VectorExprs.register(spark)
     BinaryStride.register(spark)
+    Shingles.register(spark)
   }
 }

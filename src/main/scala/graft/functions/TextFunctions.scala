@@ -88,13 +88,13 @@ object TextFunctions {
         (shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)))
           .bitwiseXOR(h))
 
-  /** `n`-word shingles, the unit for MinHash/Jaccard near-dup detection. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(
-        transform(
-          sequence(lit(1), size(toks) - lit(n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+  /** `n`-word shingles, the unit for MinHash/Jaccard near-dup detection —
+    * the codegen'd [[Shingles]] kernel (the higher-order formulation is
+    * interpreted and re-evaluates the token split per branch, ~50×
+    * slower on a corpus scan). Callers must have run
+    * `GraftFunctions.register` on the session (the operator entry points
+    * in `graft.dedup` / `graft.queries` do).
+    */
+  def shingles(text: Column, n: Int): Column =
+    GraftFunctions.shingles(tokens(text), n)
 }

@@ -364,6 +364,7 @@ object TierC {
     // embarrassingly parallel — the standard pretraining decontamination
     // shape (n-gram overlap against eval data).
     "q_decontaminate" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val docs = Tables.documents(s, d)
       val evalShingles = docs.filter(col("doc_id") < 10)
         .select(explode(array_distinct(T.shingles(col("text"), 3)))
@@ -385,7 +386,8 @@ object TierC {
     // of bigram occurrences that are repeats. Pure map-side arithmetic
     // on exact integers (one IEEE division), so it is bit-stable and
     // oracle-checked despite being a heuristic.
-    "q_repetition_filter" -> ((s, d) =>
+    "q_repetition_filter" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
       Tables.documents(s, d)
         .filter(col("doc_id") < 500)
         .select(col("doc_id"),
@@ -397,7 +399,8 @@ object TierC {
           (col("n_bigrams") - col("n_distinct")).cast(DoubleType) /
             col("n_bigrams"))
         .withColumn("keep", col("dup_frac") <= lit(0.2))
-        .orderBy(col("doc_id"))),
+        .orderBy(col("doc_id"))
+    }),
 
     // C2i — data-mixture sampling: per-language keep quotas applied with
     // a DETERMINISTIC id-mod rule (reproducible across runs and engines,

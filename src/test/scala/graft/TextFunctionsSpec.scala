@@ -50,6 +50,7 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
 
   test("shingles: sliding windows, short text collapses to one shingle") {
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val sh = Seq("a b c d").toDF("text")
       .select(T.shingles($"text", 3).as("s")).collect().head
       .getSeq[String](0)

@@ -29,6 +29,7 @@ class ToleranceSpec extends AnyFunSuite with SparkTestBase {
     * docs. Shared by the MinHash and SimHash twins.
     */
   private lazy val groundTruthPairs: Array[(Long, Long, Double)] = {
+    GraftFunctions.register(spark)
     val sh = Tables.documents(spark, sfDir)
       .select(col("doc_id").as("id"),
         array_distinct(TextFunctions.shingles(col("text"), 3)).as("sh"))
