@@ -497,6 +497,28 @@ object TierC {
         .orderBy(col("lang"))
     }),
 
+    // C7b — ORC dataset round trip, the twin of q_jsonl_sink on the
+    // second columnar lake format: write a subset as ORC, re-read with
+    // a declared schema, aggregate — lossless round trip proven against
+    // the oracle computed from the original table.
+    "q_orc_sink" -> ((s, d) => {
+      import org.apache.spark.sql.types.{LongType => LT, StringType => ST,
+        StructField => SF, StructType => STt}
+      val path = new java.io.File("target/graft-data/orc/docs_head_" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/documents.parquet"))
+        .getAbsolutePath
+      val subset = Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.Sinks.writeOrc(subset, path)
+      graft.sources.Sinks.readOrc(s, path, STt(Seq(
+          SF("doc_id", LT), SF("lang", ST), SF("n_chars", LT))))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- multimodal (binary payload columns; graft.multimodal) ----
 
     // Per-media-type size stats over opaque binary payloads + typed meta.
@@ -760,6 +782,10 @@ object TierC {
         "'\\s+'), t -> t <> ''))) AS BIGINT) AS surviving_tokens " +
         "FROM documents JOIN keepers USING (doc_id) WHERE " +
         qualitySql + " > 0.7"),
+    "q_orc_sink" ->
+      ("SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents " +
+        "WHERE doc_id < 100 GROUP BY lang ORDER BY lang"),
     "q_data_mixture" ->
       ("SELECT lang, COUNT(*) AS kept_docs, " +
         "CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), " +

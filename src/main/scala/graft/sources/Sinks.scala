@@ -64,6 +64,23 @@ object Sinks {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(path)
 
+  /** ORC dataset sink — the second columnar lake format (built into
+    * Spark; the reference's Glue catalog serves ORC tables through the
+    * same DDL as parquet). Same vectorized-scan properties as parquet:
+    * predicate pushdown and column pruning (asserted in
+    * SinksAndSourcesSpec), one part per partition.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Read ORC with a DECLARED schema, same contract as [[readJsonl]] /
+    * the parquet table reads: never trust a lake file's self-description
+    * to match what the pipeline expects.
+    */
+  def readOrc(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Small-file compaction — the lake-maintenance pass every streaming
     * ingest needs: a landing directory accumulates one file per
     * micro-batch partition, and a 100 TB table read through thousands of

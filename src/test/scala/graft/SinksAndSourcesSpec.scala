@@ -98,6 +98,31 @@ class SinksAndSourcesSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("ORC round-trips losslessly with predicate pushdown in the scan") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("orc_test").toFile.getAbsolutePath + "/docs"
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Sinks.writeOrc(src, tmp)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    val back = Sinks.readOrc(spark, tmp, schema)
+    assert(back.collect().map(_.toSeq).toSet ==
+      src.collect().map(_.toSeq).toSet)
+    // the filter must reach the ORC scan as a pushed predicate, and the
+    // projection must prune the read schema — same contract as parquet
+    val q = back.filter(col("doc_id") < 50).select("doc_id", "lang")
+    val scan = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PushedFilters").contains("LessThan(doc_id,50)"),
+      s"filter not pushed to ORC scan: ${scan.metadata("PushedFilters")}")
+    assert(!scan.schema.fieldNames.contains("n_chars"),
+      s"read schema not pruned: ${scan.schema.fieldNames.mkString(",")}")
+  }
+
   test("compaction collapses small files, size-derived, content intact") {
     val tmp = java.nio.file.Files
       .createTempDirectory("compact_test").toFile.getAbsolutePath
