@@ -138,6 +138,61 @@ object Ann {
       queryId, k)
   }
 
+  /** Deterministic Lloyd's k-means over the embedding column — the
+    * coarse-quantizer TRAINING stage that makes the IVF index
+    * self-contained (without it, [[ivfTopK]] leans on a pre-assigned
+    * list column). Every arithmetic step is integer-quantized (1e-6
+    * fixed point, like [[centroids]]), seeds are the `k` lowest-id
+    * vectors, and ties break toward the lower list id — so the
+    * clustering is bit-reproducible across runs, partitionings and
+    * engines (a sampled/random init is none of these).
+    *
+    * Scale shape per iteration: centroids (k rows, tiny) broadcast to an
+    * assignment join (k candidate rows per vector, map-side argmax via
+    * `max_by`), then one shuffle for the quantized-mean recomputation —
+    * the standard distributed Lloyd's step. `iters` is fixed (index
+    * build, not convergence-chased); each iteration's centroid frame is
+    * tiny so the driver loop holds only k×dims doubles.
+    */
+  def kmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+    var cents = vecs.orderBy(col("vid")).limit(k)
+      .select(row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("vid")))
+          .cast("int").as("list"),
+        col("v").as("centroid"))
+    var i = 0
+    while (i < iters) {
+      val assigned = assignLists(vecs.toDF("vid", "v"), cents)
+      cents = centroids(
+        assigned.join(vecs, "vid").select(col("list"), col("v")),
+        "list", "v")
+        .select(col("list"), col("centroid"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    cents
+  }
+
+  /** Assign each vector to its nearest centroid by quantized cosine
+    * (ties to the lower list id): (vid, list). The centroid side is
+    * broadcast — k rows — so assignment is map-side with no shuffle of
+    * the vectors.
+    */
+  def assignLists(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .select(col("vid"),
+        struct(
+          graft.functions.GraftFunctions.cosineQuant(
+            col("v"), col("centroid")).as("sim"),
+          (-col("list")).as("neg_list")).as("cand"))
+      .groupBy(col("vid"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("vid"), (-col("best.neg_list")).as("list"))
+
   /** Near-duplicate pairs via `bits`-bit hyperplane LSH buckets: pairs are
     * generated only within buckets (expected bucket size n / 2^bits), then
     * exact cosine-verified.

@@ -286,6 +286,24 @@ object TierC {
         queryId = 0L, k = 10, nprobe = 3)
     }),
 
+    // Self-contained IVF: the coarse quantizer is TRAINED (deterministic
+    // integer-quantized k-means, Ann.kmeans) instead of taken from the
+    // data's label column — the full index-build + probe path a user
+    // without pre-clustered vectors runs. Rows-only: the iterative
+    // clustering is deterministic but not practically SQL-expressible;
+    // AnnSpec's recovery test on planted clusters is its exact twin.
+    "q_ann_kmeans" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Ann.kmeans(emb, "vec_id", "embedding", k = 8, iters = 3)
+      val lists = Ann.assignLists(
+        emb.select(col("vec_id").as("vid"), col("embedding").as("v")),
+        cents)
+      Ann.ivfTopK(
+        emb.join(lists.withColumnRenamed("vid", "vec_id"), "vec_id"),
+        cents, "vec_id", "list", "embedding",
+        queryId = 0L, k = 10, nprobe = 3)
+    }),
+
     // Language-ID heuristic vs the labeled lang column (confusion counts).
     // Deterministic (stopword-profile argmax, lexicographic tie-break) and
     // SQL-expressible, so it is oracle-checked despite being a heuristic.

@@ -134,6 +134,51 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
       viaFlat.collect().map(_.toSeq).toSeq)
   }
 
+  test("kmeans recovers planted well-separated clusters deterministically") {
+    import spark.implicits._
+    // three orthogonal directions with small perturbations: Lloyd's must
+    // put each group in one list, whatever the init picked
+    def v(axis: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(3)(0.0f); a(axis) = 1.0f; a((axis + 1) % 3) = eps; a
+    }
+    val df = (0 until 9).map { i =>
+      (i.toLong, v(i % 3, 0.01f * (i / 3)))
+    }.toDF("vec_id", "embedding")
+    val cents = Ann.kmeans(df, "vec_id", "embedding", k = 3, iters = 4)
+    assert(cents.count() == 3)
+    val lists = Ann.assignLists(
+      df.select($"vec_id".as("vid"), $"embedding".as("v")), cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0 until 3).foreach { axis =>
+      val group = (0 until 9).filter(_ % 3 == axis).map(i => lists(i.toLong))
+      assert(group.distinct.size == 1,
+        s"axis-$axis group split across lists: $group")
+    }
+    assert(lists.values.toSet.size == 3, s"collapsed lists: $lists")
+    // bit-reproducible: a second run yields the identical assignment
+    val again = Ann.assignLists(
+      df.select($"vec_id".as("vid"), $"embedding".as("v")),
+      Ann.kmeans(df, "vec_id", "embedding", k = 3, iters = 4))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == lists)
+  }
+
+  test("IVF over self-trained kmeans lists finds the brute-force top-k") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = graft.queries.TierC.queries("q_ann_kmeans")(spark, sfDir)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(out.size == 10)
+    val exact = Ann.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    // nprobe=3 of 8 lists: the probe is approximate by design — require
+    // majority overlap with the exact answer, not equality
+    val recall = out.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"kmeans-IVF recall $recall too low " +
+      s"(got $out, exact $exact)")
+  }
+
   test("null embeddings never pair (dropped, not grouped together)") {
     import spark.implicits._
     // null vectors hash to a null bucket; if groupBy treated null as a
