@@ -253,6 +253,21 @@ object TierB {
     }),
 
     // B11 — global top-k: TakeOrderedAndProject, no full sort at scale.
+    // B28 — LATERAL correlated subquery (per-group top-n as the inner
+    // query shape, distinct from the window formulation): for each
+    // region, its first two nations. Catalyst decorrelates the LIMIT'd
+    // lateral into a ranked join — same plan family as q_window_rank,
+    // but exercising the decorrelation path raw SQL users hit.
+    "q_lateral_topn" -> ((s, d) => {
+      Tables.region(s, d).createOrReplaceTempView("region_v")
+      Tables.nation(s, d).createOrReplaceTempView("nation_v")
+      s.sql("SELECT r.r_name, l.n_name FROM region_v r, " +
+        "LATERAL (SELECT n_name FROM nation_v n " +
+        "WHERE n.n_regionkey = r.r_regionkey " +
+        "ORDER BY n_name LIMIT 2) l " +
+        "ORDER BY r.r_name, l.n_name")
+    }),
+
     // MERGE/upsert as a declared query: a base snapshot (orders at
     // version 1) merged with a repriced update batch (every 10th order
     // at version 2) through Upsert.latestWins — latest version wins per
@@ -648,6 +663,12 @@ object TierB {
         "WINDOW w AS (PARTITION BY o_custkey " +
         "ORDER BY o_orderdate, o_orderkey) " +
         "ORDER BY o_custkey, o_orderkey"),
+    "q_lateral_topn" ->
+      ("SELECT r.r_name, l.n_name FROM region r, " +
+        "LATERAL (SELECT n_name FROM nation n " +
+        "WHERE n.n_regionkey = r.r_regionkey " +
+        "ORDER BY n_name LIMIT 2) l " +
+        "ORDER BY r.r_name, l.n_name"),
     "q_merge_upsert" ->
       ("SELECT o_orderstatus, COUNT(*) AS cnt, " +
         "CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) " +

@@ -59,6 +59,17 @@ object CdcApply {
       root: String): Option[DataFrame] =
     currentSnapshot(root).map(spark.read.parquet(_))
 
+  /** Time travel: read a specific retained snapshot version — every
+    * applied batch IS a full immutable snapshot, so any version the
+    * retention sweep has not removed is readable as of that batch.
+    */
+  def readSnapshotAt(spark: org.apache.spark.sql.SparkSession,
+      root: String, batchId: Long): Option[DataFrame] = {
+    val dir = Paths.get(root, s"v$batchId")
+    if (Files.exists(dir)) Some(spark.read.parquet(dir.toString))
+    else None
+  }
+
   /** Retention sweep: delete all snapshot directories except the
     * `keep` most recent (and never the one `CURRENT` points to). Run
     * out-of-band on a schedule; `keep >= 2` leaves in-flight readers of

@@ -329,6 +329,12 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       val snaps = new java.io.File(root).listFiles
         .filter(f => f.isDirectory && f.getName.startsWith("v")).length
       assert(snaps >= 3, s"expected >=3 snapshot dirs, got $snaps")
+      // time travel: the first batch's snapshot is still readable as of
+      // its version while retained
+      val asOf0 = graft.streaming.CdcApply.readSnapshotAt(spark, root, 0L)
+        .get.collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v"))
+        .toMap
+      assert(asOf0 == s1, s"time travel to v0 returned $asOf0")
       // retention sweep keeps the newest N and never breaks CURRENT
       val removed = graft.streaming.CdcApply.vacuum(root, keep = 1)
       assert(removed.nonEmpty, "vacuum removed nothing")
