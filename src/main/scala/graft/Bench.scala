@@ -36,7 +36,7 @@ object Bench {
     // regardless of the target/graft-data cache state.
     Seq("q_count_by_region", "q_distinct", "q_join_bucketed",
         "q_minhash_dup", "q_ann_ivf", "q_partition_prune",
-        "q_ngram_jaccard", "q_dpp_join").foreach { w =>
+        "q_ngram_jaccard", "q_dpp_join", "q_ann_kmeans").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

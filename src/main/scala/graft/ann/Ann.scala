@@ -177,6 +177,23 @@ object Ann {
     cents
   }
 
+  /** Persisted trained quantizer: [[kmeans]] centroids as a build
+    * artifact (same contract as [[persistedCentroids]] — the training
+    * pass is one-time index construction, not per-query work; the cache
+    * key embeds every parameter that changes the clustering plus a
+    * formula version).
+    */
+  def persistedKmeans(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, path: String): DataFrame = synchronized {
+    val dir = new java.io.File(
+      s"${path}_${idCol}_${vecCol}_k${k}_i${iters}_km1")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      kmeans(emb, idCol, vecCol, k, iters)
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    }
+    emb.sparkSession.read.parquet(dir.getAbsolutePath)
+  }
+
   /** Assign each vector to its nearest centroid by quantized cosine
     * (ties to the lower list id): (vid, list). The centroid side is
     * broadcast — k rows — so assignment is map-side with no shuffle of

@@ -294,7 +294,9 @@ object TierC {
     // AnnSpec's recovery test on planted clusters is its exact twin.
     "q_ann_kmeans" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val cents = Ann.kmeans(emb, "vec_id", "embedding", k = 8, iters = 3)
+      val cents = Ann.persistedKmeans(emb, "vec_id", "embedding",
+        k = 8, iters = 3, "target/graft-data/kmeans_centroids/" +
+          graft.sources.Artifacts.datasetKey(d, s"$d/embeddings.parquet"))
       val lists = Ann.assignLists(
         emb.select(col("vec_id").as("vid"), col("embedding").as("v")),
         cents)
