@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Global plan guard: every declared query's physical plan is screened
+  * for the two shapes that silently kill a 100 TB run — an unbounded
+  * cartesian product, and a nested-loop join that isn't one of the
+  * documented 1-row broadcast query-vector joins. Every future query
+  * addition is screened automatically by being declared.
+  */
+class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
+
+  /** Queries whose plan legitimately contains BroadcastNestedLoopJoin:
+    * a broadcast side of exactly ONE row (the ANN query vector / the
+    * theta-range small build side) — constant work per stream row.
+    */
+  private val bnljAllowed = Set(
+    "q_join_theta_range",  // non-equi range join, tiny broadcast side
+    "q_embed_topk",        // 1-row query-vector crossJoin
+    "q_ann_ivf",           // 1-row query-vector crossJoin
+    "q_ann_kmeans",        // 1-row query-vector crossJoin
+    "q_subquery_scalar")   // 1-row broadcast scalar-threshold aggregate
+
+  test("no declared query plans a cartesian product or a stray NL join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, sfDir).queryExecution.sparkPlan.toString
+          catch { case e: Throwable =>
+            fail(s"$name failed to plan: ${e.getMessage}")
+          }
+        val cartesian =
+          if (plan.contains("CartesianProduct")) Seq(s"$name: cartesian")
+          else Seq.empty
+        val bnlj =
+          if (plan.contains("BroadcastNestedLoopJoin") &&
+            !bnljAllowed(name)) Seq(s"$name: nested-loop join")
+          else Seq.empty
+        cartesian ++ bnlj
+    }
+    assert(offenders.isEmpty,
+      s"scale-hostile plan shapes:\n${offenders.mkString("\n")}")
+  }
+}
