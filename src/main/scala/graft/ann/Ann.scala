@@ -167,10 +167,18 @@ object Ann {
     var i = 0
     while (i < iters) {
       val assigned = assignLists(vecs.toDF("vid", "v"), cents)
-      cents = centroids(
+      val recomputed = centroids(
         assigned.join(vecs, "vid").select(col("list"), col("v")),
         "list", "v")
-        .select(col("list"), col("centroid"))
+        .select(col("list"), col("centroid").as("new_centroid"))
+      // a list that captured no vectors this round keeps its previous
+      // centroid — dropping it would silently shrink k for every later
+      // iteration AND the persisted quantizer (near-identical seed
+      // vectors make empty lists in round one a real case)
+      cents = cents
+        .join(recomputed, Seq("list"), "left")
+        .select(col("list"),
+          coalesce(col("new_centroid"), col("centroid")).as("centroid"))
         .localCheckpoint(true)
       i += 1
     }
@@ -186,7 +194,7 @@ object Ann {
   def persistedKmeans(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, path: String): DataFrame = synchronized {
     val dir = new java.io.File(
-      s"${path}_${idCol}_${vecCol}_k${k}_i${iters}_km1")
+      s"${path}_${idCol}_${vecCol}_k${k}_i${iters}_km2")
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       kmeans(emb, idCol, vecCol, k, iters)
         .write.mode("overwrite").parquet(dir.getAbsolutePath)

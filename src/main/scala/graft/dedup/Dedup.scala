@@ -320,13 +320,26 @@ object Dedup {
     * instead: every pass lands durably, and a lost executor recomputes
     * from the last checkpoint rather than killing the job. That is the
     * 100 TB form; the extra cost is one FS write per materialization.
+    * Retention contract: Spark does not delete checkpoint files (and
+    * the RETURNED frame still reads the final one), so the CALLER owns
+    * `checkpointDir` — point each run at its own subdirectory and
+    * remove it after the result is consumed or persisted. A
+    * pre-existing SparkContext-global checkpoint location is restored
+    * on exit, so other jobs' checkpoints are not silently redirected.
     */
   def clusters(pairs: DataFrame, maxIters: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(
-      pairs.sparkSession.sparkContext.setCheckpointDir(_))
+    val sc = pairs.sparkSession.sparkContext
+    val priorCheckpointDir = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir(_))
+    try clustersImpl(pairs, maxIters, checkpointDir.isDefined)
+    finally priorCheckpointDir.foreach(sc.setCheckpointDir(_))
+  }
+
+  private def clustersImpl(pairs: DataFrame, maxIters: Int,
+      reliable: Boolean): DataFrame = {
     def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      if (reliable) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
     // materialize the incoming pair pipeline ONCE: the symmetric edge
     // union references it twice, and the upstream (LSH + verification)

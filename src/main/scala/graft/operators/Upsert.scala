@@ -31,6 +31,10 @@ object Upsert {
     */
   def latestWins(base: DataFrame, updates: DataFrame, keys: Seq[String],
       versionCol: String, deletedCol: Option[String] = None): DataFrame = {
+    val reserved = Seq("_rn", "_ties")
+      .filter(r => base.columns.contains(r) || updates.columns.contains(r))
+    require(reserved.isEmpty,
+      s"reserved column names in use: ${reserved.mkString(",")}")
     val all = base.unionByName(updates)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(versionCol).desc)

@@ -463,6 +463,10 @@ object TierC {
       Tables.documents(s, d)
         .filter(col("doc_id") < 300)
         .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+        // a zero-token document has no chunks (mirrors the oracle's
+        // empty range()); without this, sequence(0, -1) would emit a
+        // DESCENDING [0, -1] and fabricate two bogus chunks
+        .filter(size(col("toks")) > 0)
         .select(col("doc_id"), explode(transform(
           sequence(lit(0),
             ceil(size(col("toks")) / lit(chunkLen.toDouble))

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.Upsert
@@ -19,7 +20,11 @@ import graft.operators.Upsert
   * immutable snapshot — never a directory mid-rewrite (object stores
   * cannot atomically swap directories, so pointer indirection is the
   * safe primitive; it is the same move table formats make with their
-  * metadata pointer). Old snapshot dirs remain until a retention sweep
+  * metadata pointer). All filesystem access goes through the Hadoop
+  * `FileSystem`/`FileContext` APIs, so `root` may be a local path, HDFS,
+  * or an object store; the pointer flip uses `FileContext.rename(
+  * OVERWRITE)` — atomic on HDFS and the local FS, a single small-object
+  * swap elsewhere. Old snapshot dirs remain until a retention sweep
   * deletes them, which also gives readers-in-flight time to finish.
   *
   * Scale shape: each apply is one key-shuffle (the merge window) over
@@ -29,14 +34,20 @@ import graft.operators.Upsert
   * merging only affected partitions is the refinement, orthogonal to
   * this operator's contract.
   *
-  * Exactly-once: `foreachBatch` can re-run a batch after failure;
-  * writing to the batch-id-keyed directory makes the apply idempotent
-  * (a re-run overwrites the same `v<batchId>` and re-points to it), and
-  * rows re-delivered in a LATER batch are dropped by (key, version)
-  * anti-join against the snapshot before merging — the version is
-  * authoritative for a row's identity. The snapshot persists
-  * `versionCol`, so ordering is true cross-batch latest-wins: a late,
-  * lower-versioned update arriving after a higher one loses, whichever
+  * Exactly-once, in three layers:
+  *  - a REPLAYED batch (crash after the pointer flip, before the
+  *    stream checkpoint commit) is detected by `CURRENT >= v<batchId>`
+  *    and skipped outright — re-merging would read and overwrite the
+  *    same directory;
+  *  - exact duplicate rows WITHIN a batch (at-least-once sources
+  *    replay) collapse via `dropDuplicates()` over all columns before
+  *    the merge — deterministic, since the copies are identical;
+  *  - rows re-delivered in a LATER batch are dropped by (key, version)
+  *    anti-join against the snapshot. Two rows sharing (key, version)
+  *    but DIFFERING in payload still fail loudly in `latestWins` —
+  *    that is corrupt input, not re-delivery.
+  * The snapshot persists `versionCol`, so ordering is true cross-batch
+  * latest-wins: a late, lower-versioned update loses whichever
   * micro-batch carried it. (One documented artifact of tombstones
   * removing rows entirely: a late update older than an applied delete
   * re-inserts the key — retaining tombstone rows with a retention
@@ -44,29 +55,43 @@ import graft.operators.Upsert
   */
 object CdcApply {
 
-  /** Resolve the current snapshot, or None before the first apply. */
-  def currentSnapshot(root: String): Option[String] = {
-    val ptr = Paths.get(root, "CURRENT")
-    if (Files.exists(ptr))
-      Some(Paths.get(root, Files.readString(ptr).trim).toString)
-    else None
+  private def fsFor(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Resolve the current snapshot path, or None before the first apply. */
+  def currentSnapshot(spark: SparkSession, root: String): Option[String] = {
+    val fs = fsFor(spark, root)
+    val ptr = new Path(root, "CURRENT")
+    if (!fs.exists(ptr)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(ptr).getLen.toInt)
+      val in = fs.open(ptr)
+      try in.readFully(0, buf) finally in.close()
+      Some(new Path(root,
+        new String(buf, StandardCharsets.UTF_8).trim).toString)
+    }
   }
 
-  /** Read the current snapshot as a DataFrame (empty-schema-safe only
-    * after at least one apply).
+  /** The batch id `CURRENT` points at, or None before the first apply. */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] =
+    currentSnapshot(spark, root)
+      .map(p => new Path(p).getName.stripPrefix("v").toLong)
+
+  /** Read the current snapshot as a DataFrame (defined only after at
+    * least one apply).
     */
-  def readSnapshot(spark: org.apache.spark.sql.SparkSession,
-      root: String): Option[DataFrame] =
-    currentSnapshot(root).map(spark.read.parquet(_))
+  def readSnapshot(spark: SparkSession, root: String): Option[DataFrame] =
+    currentSnapshot(spark, root).map(spark.read.parquet(_))
 
   /** Time travel: read a specific retained snapshot version — every
     * applied batch IS a full immutable snapshot, so any version the
     * retention sweep has not removed is readable as of that batch.
     */
-  def readSnapshotAt(spark: org.apache.spark.sql.SparkSession,
-      root: String, batchId: Long): Option[DataFrame] = {
-    val dir = Paths.get(root, s"v$batchId")
-    if (Files.exists(dir)) Some(spark.read.parquet(dir.toString))
+  def readSnapshotAt(spark: SparkSession, root: String,
+      batchId: Long): Option[DataFrame] = {
+    val dir = new Path(root, s"v$batchId")
+    if (fsFor(spark, root).exists(dir))
+      Some(spark.read.parquet(dir.toString))
     else None
   }
 
@@ -76,22 +101,18 @@ object CdcApply {
     * the previous snapshot unbroken — the same contract as a table
     * format's vacuum with a retention window.
     */
-  def vacuum(root: String, keep: Int = 2): Seq[String] = {
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2)
+      : Seq[String] = {
     require(keep >= 1, "must keep at least the current snapshot")
-    val cur = currentSnapshot(root).map(Paths.get(_).getFileName.toString)
-    val snaps = Option(new java.io.File(root).listFiles).getOrElse(Array())
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .sortBy(f => f.getName.drop(1).toLong)
+    val fs = fsFor(spark, root)
+    val cur = currentSnapshot(spark, root).map(new Path(_).getName)
+    val snaps = fs.listStatus(new Path(root))
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .sortBy(_.getPath.getName.drop(1).toLong)
     val doomed = snaps.dropRight(keep)
-      .filterNot(f => cur.contains(f.getName))
-    doomed.foreach { d =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).getOrElse(Array()).foreach(rm)
-        f.delete(); ()
-      }
-      rm(d)
-    }
-    doomed.map(_.getName).toSeq
+      .filterNot(s => cur.contains(s.getPath.getName))
+    doomed.foreach(s => fs.delete(s.getPath, true))
+    doomed.map(_.getPath.getName).toSeq
   }
 
   /** Start applying `updates` (a streaming DataFrame with `keys`,
@@ -101,38 +122,51 @@ object CdcApply {
   def start(updates: DataFrame, root: String, keys: Seq[String],
       versionCol: String, deletedCol: Option[String] = None,
       queryName: String = "cdc_apply"): StreamingQuery = {
-    Files.createDirectories(Paths.get(root))
     updates.writeStream
       .queryName(queryName)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions.lit
-        val spark = batch.sparkSession
-        val merged = readSnapshot(spark, root) match {
-          case Some(base) =>
-            // re-delivered rows (same key+version as an applied row) are
-            // dropped, not errors: at-least-once sources replay
-            val fresh = batch.join(
-              base.select((keys :+ versionCol)
-                .map(org.apache.spark.sql.functions.col): _*),
-              keys :+ versionCol, "left_anti")
-            // the snapshot never stores tombstones (deletes remove rows)
-            val withD = deletedCol.fold(base)(c =>
-              base.withColumn(c, lit(false)))
-            Upsert.latestWins(withD, fresh, keys, versionCol, deletedCol)
-          case None =>
-            Upsert.latestWins(batch.limit(0), batch, keys, versionCol,
-              deletedCol)
+        val spark = rawBatch.sparkSession
+        val fs = fsFor(spark, root)
+        fs.mkdirs(new Path(root))
+        // replay guard: if the pointer already covers this batch, the
+        // apply committed before the crash — re-merging would read and
+        // overwrite v<batchId> itself
+        if (!currentVersion(spark, root).exists(_ >= batchId)) {
+          // exact duplicate rows within the batch collapse
+          // deterministically; differing rows with one (key, version)
+          // still raise in latestWins
+          val batch = rawBatch.dropDuplicates()
+          val merged = readSnapshot(spark, root) match {
+            case Some(base) =>
+              // rows re-delivered from an ALREADY-APPLIED batch
+              val fresh = batch.join(
+                base.select((keys :+ versionCol)
+                  .map(org.apache.spark.sql.functions.col): _*),
+                keys :+ versionCol, "left_anti")
+              // the snapshot never stores tombstones (deletes remove rows)
+              val withD = deletedCol.fold(base)(c =>
+                base.withColumn(c, lit(false)))
+              Upsert.latestWins(withD, fresh, keys, versionCol, deletedCol)
+            case None =>
+              Upsert.latestWins(batch.limit(0), batch, keys, versionCol,
+                deletedCol)
+          }
+          val dest = s"v$batchId"
+          merged.write.mode("overwrite")
+            .parquet(new Path(root, dest).toString)
+          // atomic pointer flip: write-temp + rename(OVERWRITE), so a
+          // concurrent reader sees the old or the new pointer, never a
+          // torn write
+          val tmp = new Path(root, s".CURRENT.$batchId.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(dest.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          val fc = FileContext.getFileContext(new Path(root).toUri,
+            spark.sparkContext.hadoopConfiguration)
+          fc.rename(tmp, new Path(root, "CURRENT"),
+            Options.Rename.OVERWRITE)
         }
-        val dest = s"v$batchId"
-        merged.write.mode("overwrite")
-          .parquet(Paths.get(root, dest).toString)
-        // atomic pointer flip: write-temp + move, so a concurrent reader
-        // sees either the old or the new pointer, never a torn write
-        val tmp = Paths.get(root, s".CURRENT.$batchId.tmp")
-        Files.writeString(tmp, dest)
-        Files.move(tmp, Paths.get(root, "CURRENT"),
-          StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
         ()
       }
       .start()

@@ -163,6 +163,19 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(again == lists)
   }
 
+  test("kmeans keeps k centroids when a list captures no vectors") {
+    import spark.implicits._
+    // two identical seed vectors: assignment ties to the lower list, so
+    // the second seed's list is empty in round one — it must keep its
+    // previous centroid, not vanish and shrink k forever
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Ann.kmeans(df, "vec_id", "embedding", k = 2, iters = 3)
+    assert(cents.count() == 2, "empty list dropped from the quantizer")
+  }
+
   test("IVF over self-trained kmeans lists finds the brute-force top-k") {
     import graft.sources.Tables
     import org.apache.spark.sql.functions.col

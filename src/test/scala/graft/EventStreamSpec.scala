@@ -336,7 +336,7 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
         .toMap
       assert(asOf0 == s1, s"time travel to v0 returned $asOf0")
       // retention sweep keeps the newest N and never breaks CURRENT
-      val removed = graft.streaming.CdcApply.vacuum(root, keep = 1)
+      val removed = graft.streaming.CdcApply.vacuum(spark, root, keep = 1)
       assert(removed.nonEmpty, "vacuum removed nothing")
       val after = graft.streaming.CdcApply.readSnapshot(spark, root).get
         .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v"))
