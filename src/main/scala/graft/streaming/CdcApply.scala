@@ -115,60 +115,72 @@ object CdcApply {
     doomed.map(_.getPath.getName).toSeq
   }
 
+  /** Apply one change batch to the snapshot — the body `start` runs per
+    * micro-batch, public so the replay/idempotency contract is directly
+    * testable. Returns false when the batch was skipped by the replay
+    * guard (the pointer already covers `batchId`).
+    */
+  def applyBatch(rawBatch: DataFrame, batchId: Long, root: String,
+      keys: Seq[String], versionCol: String,
+      deletedCol: Option[String]): Boolean = {
+    import org.apache.spark.sql.functions.lit
+    val spark = rawBatch.sparkSession
+    val fs = fsFor(spark, root)
+    fs.mkdirs(new Path(root))
+    // replay guard: if the pointer already covers this batch, the
+    // apply committed before the crash — re-merging would read and
+    // overwrite v<batchId> itself
+    if (currentVersion(spark, root).exists(_ >= batchId)) false
+    else {
+      // exact duplicate rows within the batch collapse
+      // deterministically; differing rows with one (key, version)
+      // still raise in latestWins
+      val batch = rawBatch.dropDuplicates()
+      val merged = readSnapshot(spark, root) match {
+        case Some(base) =>
+          // rows re-delivered from an ALREADY-APPLIED batch
+          val fresh = batch.join(
+            base.select((keys :+ versionCol)
+              .map(org.apache.spark.sql.functions.col): _*),
+            keys :+ versionCol, "left_anti")
+          // the snapshot never stores tombstones (deletes remove rows)
+          val withD = deletedCol.fold(base)(c =>
+            base.withColumn(c, lit(false)))
+          Upsert.latestWins(withD, fresh, keys, versionCol, deletedCol)
+        case None =>
+          Upsert.latestWins(batch.limit(0), batch, keys, versionCol,
+            deletedCol)
+      }
+      val dest = s"v$batchId"
+      merged.write.mode("overwrite")
+        .parquet(new Path(root, dest).toString)
+      // atomic pointer flip: write-temp + rename(OVERWRITE), so a
+      // concurrent reader sees the old or the new pointer, never a
+      // torn write
+      val tmp = new Path(root, s".CURRENT.$batchId.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(dest.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val fc = FileContext.getFileContext(new Path(root).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, new Path(root, "CURRENT"),
+        Options.Rename.OVERWRITE)
+      true
+    }
+  }
+
   /** Start applying `updates` (a streaming DataFrame with `keys`,
     * `versionCol`, and optionally `deletedCol`) to the snapshot under
     * `root`.
     */
   def start(updates: DataFrame, root: String, keys: Seq[String],
       versionCol: String, deletedCol: Option[String] = None,
-      queryName: String = "cdc_apply"): StreamingQuery = {
+      queryName: String = "cdc_apply"): StreamingQuery =
     updates.writeStream
       .queryName(queryName)
       .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
-        import org.apache.spark.sql.functions.lit
-        val spark = rawBatch.sparkSession
-        val fs = fsFor(spark, root)
-        fs.mkdirs(new Path(root))
-        // replay guard: if the pointer already covers this batch, the
-        // apply committed before the crash — re-merging would read and
-        // overwrite v<batchId> itself
-        if (!currentVersion(spark, root).exists(_ >= batchId)) {
-          // exact duplicate rows within the batch collapse
-          // deterministically; differing rows with one (key, version)
-          // still raise in latestWins
-          val batch = rawBatch.dropDuplicates()
-          val merged = readSnapshot(spark, root) match {
-            case Some(base) =>
-              // rows re-delivered from an ALREADY-APPLIED batch
-              val fresh = batch.join(
-                base.select((keys :+ versionCol)
-                  .map(org.apache.spark.sql.functions.col): _*),
-                keys :+ versionCol, "left_anti")
-              // the snapshot never stores tombstones (deletes remove rows)
-              val withD = deletedCol.fold(base)(c =>
-                base.withColumn(c, lit(false)))
-              Upsert.latestWins(withD, fresh, keys, versionCol, deletedCol)
-            case None =>
-              Upsert.latestWins(batch.limit(0), batch, keys, versionCol,
-                deletedCol)
-          }
-          val dest = s"v$batchId"
-          merged.write.mode("overwrite")
-            .parquet(new Path(root, dest).toString)
-          // atomic pointer flip: write-temp + rename(OVERWRITE), so a
-          // concurrent reader sees the old or the new pointer, never a
-          // torn write
-          val tmp = new Path(root, s".CURRENT.$batchId.tmp")
-          val out = fs.create(tmp, true)
-          try out.write(dest.getBytes(StandardCharsets.UTF_8))
-          finally out.close()
-          val fc = FileContext.getFileContext(new Path(root).toUri,
-            spark.sparkContext.hadoopConfiguration)
-          fc.rename(tmp, new Path(root, "CURRENT"),
-            Options.Rename.OVERWRITE)
-        }
+        applyBatch(rawBatch, batchId, root, keys, versionCol, deletedCol)
         ()
       }
       .start()
-  }
 }

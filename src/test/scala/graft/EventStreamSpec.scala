@@ -345,6 +345,33 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("CDC replay guard: a committed batch re-run is a no-op") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_replay").toFile.getAbsolutePath
+    val b0 = Seq((1L, 1L, "a", false), (2L, 1L, "b", false))
+      .toDF("k", "version", "v", "deleted")
+    assert(graft.streaming.CdcApply.applyBatch(b0, 0L, root,
+      Seq("k"), "version", Some("deleted")))
+    // a foreachBatch replay after the pointer flip: same id, and even a
+    // DIFFERENT payload must not be re-merged (the batch committed)
+    val replay = Seq((3L, 2L, "c", false))
+      .toDF("k", "version", "v", "deleted")
+    assert(!graft.streaming.CdcApply.applyBatch(replay, 0L, root,
+      Seq("k"), "version", Some("deleted")), "replayed batch applied")
+    val state = graft.streaming.CdcApply.readSnapshot(spark, root).get
+      .collect().map(r => r.getAs[Long]("k")).toSet
+    assert(state == Set(1L, 2L), s"replayed batch mutated state: $state")
+    // an in-batch exact duplicate collapses instead of raising
+    val b1 = Seq((3L, 2L, "c", false), (3L, 2L, "c", false))
+      .toDF("k", "version", "v", "deleted")
+    assert(graft.streaming.CdcApply.applyBatch(b1, 1L, root,
+      Seq("k"), "version", Some("deleted")))
+    val s1 = graft.streaming.CdcApply.readSnapshot(spark, root).get
+      .collect().map(r => r.getAs[Long]("k")).toSet
+    assert(s1 == Set(1L, 2L, 3L))
+  }
+
   test("batch q_stream_window equals a direct SQL aggregation") {
     val viaModule = graft.queries.TierC.queries("q_stream_window")(
       spark, sfDir).collect()
