@@ -325,7 +325,10 @@ object Dedup {
     * `checkpointDir` — point each run at its own subdirectory and
     * remove it after the result is consumed or persisted. A
     * pre-existing SparkContext-global checkpoint location is restored
-    * on exit, so other jobs' checkpoints are not silently redirected.
+    * on exit, so other jobs' checkpoints are not silently redirected;
+    * when NONE existed, the provided dir remains set (Spark has no
+    * public unset) — delete it only once nothing else on the context
+    * checkpoints there.
     */
   def clusters(pairs: DataFrame, maxIters: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {

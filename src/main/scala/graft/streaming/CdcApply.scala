@@ -38,7 +38,12 @@ import graft.operators.Upsert
   *  - a REPLAYED batch (crash after the pointer flip, before the
   *    stream checkpoint commit) is detected by `CURRENT >= v<batchId>`
   *    and skipped outright — re-merging would read and overwrite the
-  *    same directory;
+  *    same directory. Corollary: one snapshot root belongs to ONE
+  *    streaming-checkpoint lineage. Restarting with a FRESH stream
+  *    checkpoint against an existing root resets batch ids to 0 and
+  *    the guard would drop them — point the new query at a new root
+  *    (or seed it from the old snapshot), exactly as a table format
+  *    ties commits to an application id;
   *  - exact duplicate rows WITHIN a batch (at-least-once sources
   *    replay) collapse via `dropDuplicates()` over all columns before
   *    the merge — deterministic, since the copies are identical;
@@ -64,11 +69,18 @@ object CdcApply {
     val ptr = new Path(root, "CURRENT")
     if (!fs.exists(ptr)) None
     else {
-      val buf = new Array[Byte](fs.getFileStatus(ptr).getLen.toInt)
+      // open ONCE and read to EOF: a stat-then-read pair could tear
+      // across a concurrent pointer flip (old length, new content) and
+      // resolve a truncated snapshot name
+      val out = new java.io.ByteArrayOutputStream()
       val in = fs.open(ptr)
-      try in.readFully(0, buf) finally in.close()
+      try {
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
       Some(new Path(root,
-        new String(buf, StandardCharsets.UTF_8).trim).toString)
+        out.toString(StandardCharsets.UTF_8.name).trim).toString)
     }
   }
 
@@ -105,6 +117,9 @@ object CdcApply {
       : Seq[String] = {
     require(keep >= 1, "must keep at least the current snapshot")
     val fs = fsFor(spark, root)
+    // a sweep scheduled before the first apply (or against a mistyped
+    // root) is a harmless no-op, not a crash
+    if (!fs.exists(new Path(root))) return Seq.empty
     val cur = currentSnapshot(spark, root).map(new Path(_).getName)
     val snaps = fs.listStatus(new Path(root))
       .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
@@ -133,9 +148,15 @@ object CdcApply {
     if (currentVersion(spark, root).exists(_ >= batchId)) false
     else {
       // exact duplicate rows within the batch collapse
-      // deterministically; differing rows with one (key, version)
-      // still raise in latestWins
-      val batch = rawBatch.dropDuplicates()
+      // deterministically; rows with one (key, version) that differ in
+      // an ORDERABLE column still raise in latestWins. Non-orderable
+      // columns (maps) cannot join a dropDuplicates grouping, so rows
+      // differing only there collapse arbitrarily-but-to-one.
+      val orderable = rawBatch.schema.fields.collect {
+        case f if org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(f.dataType) => f.name
+      }
+      val batch = rawBatch.dropDuplicates(orderable.toIndexedSeq)
       val merged = readSnapshot(spark, root) match {
         case Some(base) =>
           // rows re-delivered from an ALREADY-APPLIED batch

@@ -5,8 +5,9 @@
 # driver's correctness gate. Usage:
 #   python3 tools/compare_oracle.py <verify_out_dir> <sf_dir> [q_a,q_b,...]
 import duckdb, json, sys, glob, hashlib
-failed = False
 import pandas as pd
+
+failed = False
 outdir, sfdir = sys.argv[1], sys.argv[2]
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 con = duckdb.connect()
@@ -33,8 +34,8 @@ for name in names:
         return hashlib.sha256(pd.util.hash_pandas_object(df.astype(str), index=False).values.tobytes()).hexdigest()
     ok = h(sp) == h(du)
     print(name, "OK" if ok else "HASH MISMATCH", f"rows={len(sp)}")
-    if not ok: failed = True
     if not ok:
+        failed = True
         for c in sp.columns:
             if not sp[c].astype(str).equals(du[c].astype(str)):
                 print("  col", c, "\n  spark:", sp[c].head(5).tolist(), "\n  duck: ", du[c].head(5).tolist())
