@@ -3,7 +3,8 @@ package graft.streaming
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.Upsert
@@ -14,31 +15,50 @@ import graft.operators.Upsert
   * streaming MERGE a lake runs when no transactional table format is
   * available.
   *
-  * Snapshot layout: every applied batch writes a COMPLETE new snapshot
-  * under `root/v<batchId>/` and then atomically updates the `CURRENT`
-  * pointer file. Readers resolve the pointer and always see one whole,
-  * immutable snapshot — never a directory mid-rewrite (object stores
-  * cannot atomically swap directories, so pointer indirection is the
-  * safe primitive; it is the same move table formats make with their
-  * metadata pointer). All filesystem access goes through the Hadoop
-  * `FileSystem`/`FileContext` APIs, so `root` may be a local path, HDFS,
-  * or an object store; the pointer flip uses `FileContext.rename(
-  * OVERWRITE)` — atomic on HDFS and the local FS, a single small-object
-  * swap elsewhere. Old snapshot dirs remain until a retention sweep
-  * deletes them, which also gives readers-in-flight time to finish.
+  * Snapshot layout — PARTITION-SCOPED copy-on-write. Rows hash to one of
+  * `numBuckets` key-derived buckets, and a micro-batch rewrites ONLY the
+  * buckets its rows touch:
   *
-  * Scale shape: each apply is one key-shuffle (the merge window) over
-  * snapshot ∪ batch. For very large snapshots with small batches the
-  * rewrite cost is dominated by the snapshot rewrite itself — the
-  * standard copy-on-write tradeoff; partitioning the snapshot and
-  * merging only affected partitions is the refinement, orthogonal to
-  * this operator's contract.
+  * {{{
+  * root/CURRENT                 # pointer: name of the current manifest
+  * root/manifests/v<batch>.<gen>  # immutable manifest (text)
+  * root/data/v<batch>/_b=<k>/   # bucket k as rewritten by batch <batch>
+  * root/data/v<batch>g<gen>/_b=<k>/  # maintenance rewrite (tombstone expiry)
+  * }}}
+  *
+  * A manifest maps every live bucket to the data directory holding its
+  * current rows, plus a header fixing the table configuration (keys,
+  * version column, bucket count, tombstone retention). Readers resolve
+  * `CURRENT` → manifest → bucket paths and always see one consistent
+  * snapshot — never a directory mid-rewrite (object stores cannot swap
+  * directories atomically, so pointer indirection is the safe primitive;
+  * it is the same move table formats make with their metadata pointer).
+  * The pointer flip uses `FileContext.rename(OVERWRITE)` — atomic on
+  * HDFS and the local FS, a single small-object swap elsewhere.
+  *
+  * Scale shape: each apply is one (key, version)-dedup + anti-join +
+  * merge window over batch ∪ TOUCHED buckets only — O(touched data),
+  * not O(snapshot). A trickle batch against a 100 TB snapshot reads and
+  * rewrites only the few bucket directories its keys hash into; the
+  * other buckets' directories are carried forward by manifest reference,
+  * zero bytes moved. `numBuckets` bounds the blast radius of one key
+  * (snapshot_size / numBuckets rewritten per touched bucket) and is
+  * fixed at table creation (stored in the manifest; changing it would
+  * re-key every row).
+  *
+  * Tombstones: winning deletes are RETAINED as flagged rows for
+  * `tombstoneRetention` batches before being aged out, so a late update
+  * versioned OLDER than an applied delete loses the merge and the key
+  * stays dead — the CDC correctness property a delete-as-removal design
+  * forfeits. Aging happens for free whenever a merge rewrites the
+  * bucket, and [[vacuum]] sweeps expired tombstones out of untouched
+  * buckets. [[readSnapshot]] always filters tombstones; retention 0
+  * reproduces delete-as-removal.
   *
   * Exactly-once, in three layers:
   *  - a REPLAYED batch (crash after the pointer flip, before the
   *    stream checkpoint commit) is detected by `CURRENT >= v<batchId>`
-  *    and skipped outright — re-merging would read and overwrite the
-  *    same directory. Corollary: one snapshot root belongs to ONE
+  *    and skipped outright. Corollary: one snapshot root belongs to ONE
   *    streaming-checkpoint lineage. Restarting with a FRESH stream
   *    checkpoint against an existing root resets batch ids to 0 and
   *    the guard would drop them — point the new query at a new root
@@ -48,146 +68,415 @@ import graft.operators.Upsert
   *    replay) collapse via `dropDuplicates()` over all columns before
   *    the merge — deterministic, since the copies are identical;
   *  - rows re-delivered in a LATER batch are dropped by (key, version)
-  *    anti-join against the snapshot. Two rows sharing (key, version)
-  *    but DIFFERING in payload still fail loudly in `latestWins` —
-  *    that is corrupt input, not re-delivery.
+  *    anti-join against the snapshot (tombstones included, so
+  *    re-delivered deletes are recognized too). WITHIN one batch, two
+  *    rows sharing (key, version) but differing in an orderable payload
+  *    column still fail loudly in `latestWins` — corrupt input, not
+  *    re-delivery. ACROSS batches the anti-join cannot distinguish a
+  *    re-delivery from a corrupt same-(key, version) row with a new
+  *    payload: the later row is dropped either way (the first applied
+  *    payload wins, as in any log-replay system).
   * The snapshot persists `versionCol`, so ordering is true cross-batch
   * latest-wins: a late, lower-versioned update loses whichever
-  * micro-batch carried it. (One documented artifact of tombstones
-  * removing rows entirely: a late update older than an applied delete
-  * re-inserts the key — retaining tombstone rows with a retention
-  * window is the refinement.)
+  * micro-batch carried it.
   */
 object CdcApply {
+
+  /** Internal columns added to stored rows. `BucketCol` is the hash
+    * bucket (also the physical partition directory); `TsBatchCol` is the
+    * batch id at which a tombstone row was applied (null on live rows),
+    * the clock tombstone aging runs on.
+    */
+  val BucketCol = "_b"
+  val TsBatchCol = "_ts_batch"
+
+  /** Table configuration, fixed at first apply and carried in every
+    * manifest header so later applies, readers, and maintenance agree on
+    * the layout without re-supplying it correctly.
+    */
+  private final case class TableConf(numBuckets: Int, keys: Seq[String],
+      versionCol: String, deletedCol: Option[String], retention: Int)
+
+  private final case class Manifest(conf: TableConf,
+      buckets: Map[Int, String]) {
+    def dataPaths(root: String): Seq[String] =
+      buckets.valuesIterator.map(rel => s"$root/data/$rel").toSeq.sorted
+  }
 
   private def fsFor(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Resolve the current snapshot path, or None before the first apply. */
-  def currentSnapshot(spark: SparkSession, root: String): Option[String] = {
+  /** Open ONCE and read to EOF: a stat-then-read pair could tear across
+    * a concurrent pointer flip (old length, new content).
+    */
+  private def readSmallFile(fs: FileSystem, p: Path): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    out.toString(StandardCharsets.UTF_8.name)
+  }
+
+  private def writeSmallFile(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Name of the manifest `CURRENT` points at (`v<batch>.<gen>`), or
+    * None before the first apply.
+    */
+  def currentManifestName(spark: SparkSession, root: String)
+      : Option[String] = {
     val fs = fsFor(spark, root)
     val ptr = new Path(root, "CURRENT")
     if (!fs.exists(ptr)) None
-    else {
-      // open ONCE and read to EOF: a stat-then-read pair could tear
-      // across a concurrent pointer flip (old length, new content) and
-      // resolve a truncated snapshot name
-      val out = new java.io.ByteArrayOutputStream()
-      val in = fs.open(ptr)
-      try {
-        val buf = new Array[Byte](256)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      } finally in.close()
-      Some(new Path(root,
-        out.toString(StandardCharsets.UTF_8.name).trim).toString)
-    }
+    else Some(readSmallFile(fs, ptr).trim)
   }
 
-  /** The batch id `CURRENT` points at, or None before the first apply. */
+  /** The batch id `CURRENT` covers, or None before the first apply.
+    * Maintenance rewrites bump only the generation, never the batch id,
+    * so this is exactly the replay-guard watermark.
+    */
   def currentVersion(spark: SparkSession, root: String): Option[Long] =
-    currentSnapshot(spark, root)
-      .map(p => new Path(p).getName.stripPrefix("v").toLong)
+    currentManifestName(spark, root).map(parseManifestName(_)._1)
 
-  /** Read the current snapshot as a DataFrame (defined only after at
-    * least one apply).
+  private def parseManifestName(name: String): (Long, Int) = {
+    val core = name.stripPrefix("v")
+    val (b, g) = core.span(_ != '.')
+    (b.toLong, g.stripPrefix(".").toInt)
+  }
+
+  private def serializeManifest(m: Manifest): String = {
+    val c = m.conf
+    val header = s"graft-cdc v2 buckets=${c.numBuckets} " +
+      s"keys=${c.keys.mkString(",")} version=${c.versionCol} " +
+      s"deleted=${c.deletedCol.getOrElse("-")} retention=${c.retention}"
+    (header +: m.buckets.toSeq.sortBy(_._1).map { case (b, rel) =>
+      s"$b\t$rel"
+    }).mkString("\n")
+  }
+
+  private def parseManifest(s: String): Manifest = {
+    val lines = s.linesIterator.toSeq
+    val kv = lines.head.split(' ').drop(2).map { tok =>
+      val Array(k, v) = tok.split("=", 2); (k, v)
+    }.toMap
+    val conf = TableConf(
+      numBuckets = kv("buckets").toInt,
+      keys = kv("keys").split(',').toSeq,
+      versionCol = kv("version"),
+      deletedCol = Some(kv("deleted")).filter(_ != "-"),
+      retention = kv("retention").toInt)
+    val buckets = lines.tail.filter(_.nonEmpty).map { l =>
+      val Array(b, rel) = l.split('\t'); (b.toInt, rel)
+    }.toMap
+    Manifest(conf, buckets)
+  }
+
+  private def readManifest(spark: SparkSession, root: String,
+      name: String): Manifest =
+    parseManifest(readSmallFile(fsFor(spark, root),
+      new Path(root, s"manifests/$name")))
+
+  private def currentManifest(spark: SparkSession,
+      root: String): Option[Manifest] =
+    currentManifestName(spark, root).map(readManifest(spark, root, _))
+
+  /** Key-derived bucket column: deterministic from the key columns, so
+    * every row of one key lands in one bucket forever and a batch's
+    * touched-bucket set is exactly the buckets its keys live in.
+    */
+  private def bucketCol(keys: Seq[String], numBuckets: Int): Column =
+    pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int")
+
+  /** Raw stored rows of the given bucket paths — tombstones and internal
+    * columns included (the merge and maintenance view of the data).
+    */
+  private def readRaw(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.parquet(paths: _*)
+
+  private def stripInternal(df: DataFrame, conf: TableConf): DataFrame = {
+    val noTs = df.drop(TsBatchCol)
+    conf.deletedCol.fold(noTs)(d =>
+      noTs.filter(!coalesce(col(d), lit(false))).drop(d))
+  }
+
+  /** Read the current snapshot as a DataFrame — tombstones filtered,
+    * internal columns dropped. None before the first apply (or when the
+    * snapshot holds zero live buckets).
     */
   def readSnapshot(spark: SparkSession, root: String): Option[DataFrame] =
-    currentSnapshot(spark, root).map(spark.read.parquet(_))
+    currentManifest(spark, root).filter(_.buckets.nonEmpty).map(m =>
+      stripInternal(readRaw(spark, m.dataPaths(root)), m.conf))
 
-  /** Time travel: read a specific retained snapshot version — every
-    * applied batch IS a full immutable snapshot, so any version the
-    * retention sweep has not removed is readable as of that batch.
+  /** Time travel: read the snapshot as of `batchId` — every applied
+    * batch commits an immutable manifest, so any batch whose manifest
+    * and referenced data directories the retention sweep has not removed
+    * is readable as of that batch. Maintenance generations rewrite
+    * physical layout, not logical content, so the highest retained
+    * generation for the batch is used.
     */
   def readSnapshotAt(spark: SparkSession, root: String,
       batchId: Long): Option[DataFrame] = {
-    val dir = new Path(root, s"v$batchId")
-    if (fsFor(spark, root).exists(dir))
-      Some(spark.read.parquet(dir.toString))
-    else None
+    val fs = fsFor(spark, root)
+    val dir = new Path(root, "manifests")
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => scala.util.Try(parseManifestName(n)._1 == batchId)
+        .getOrElse(false))
+      .sortBy(parseManifestName(_)._2).lastOption
+      .map { name =>
+        val m = readManifest(spark, root, name)
+        stripInternal(readRaw(spark, m.dataPaths(root)), m.conf)
+      }
   }
 
-  /** Retention sweep: delete all snapshot directories except the
-    * `keep` most recent (and never the one `CURRENT` points to). Run
-    * out-of-band on a schedule; `keep >= 2` leaves in-flight readers of
-    * the previous snapshot unbroken — the same contract as a table
-    * format's vacuum with a retention window.
+  /** Retention sweep + tombstone expiry, the maintenance half of the
+    * contract. Keeps the `keep` most recent manifests (never fewer —
+    * `keep >= 2` leaves in-flight readers of the previous snapshot
+    * unbroken), deletes manifests older than that, then deletes every
+    * `data/` bucket directory no retained manifest references.
+    *
+    * Tombstone expiry: merges age tombstones out of the buckets they
+    * rewrite, but a bucket no batch touches again would hold its
+    * tombstones forever; when `expireTombstones` is set, buckets whose
+    * current data contains tombstones older than the retention window
+    * are rewritten without them (to a new GENERATION of the current
+    * batch id — `data/v<batch>g<gen>` — so the replay-guard watermark
+    * never moves) and `CURRENT` flips to the new manifest before the
+    * delete pass runs. Run out-of-band on a schedule, exactly like a
+    * table format's vacuum + expire-snapshots pair.
+    *
+    * Returns the names of removed manifests and data directories.
     */
-  def vacuum(spark: SparkSession, root: String, keep: Int = 2)
-      : Seq[String] = {
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2,
+      expireTombstones: Boolean = true): Seq[String] = {
     require(keep >= 1, "must keep at least the current snapshot")
     val fs = fsFor(spark, root)
-    // a sweep scheduled before the first apply (or against a mistyped
-    // root) is a harmless no-op, not a crash
-    if (!fs.exists(new Path(root))) return Seq.empty
-    val cur = currentSnapshot(spark, root).map(new Path(_).getName)
-    val snaps = fs.listStatus(new Path(root))
-      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
-      .sortBy(_.getPath.getName.drop(1).toLong)
-    val doomed = snaps.dropRight(keep)
-      .filterNot(s => cur.contains(s.getPath.getName))
-    doomed.foreach(s => fs.delete(s.getPath, true))
-    doomed.map(_.getPath.getName).toSeq
+    if (!fs.exists(new Path(root, "CURRENT"))) return Seq.empty
+
+    if (expireTombstones) expireCurrentTombstones(spark, root)
+
+    val curName = currentManifestName(spark, root).get
+    val mdir = new Path(root, "manifests")
+    val all = fs.listStatus(mdir).map(_.getPath.getName)
+      .sortBy { n => val (b, g) = parseManifestName(n); (b, g) }
+    val kept = (all.takeRight(keep) :+ curName).distinct
+    val doomedManifests = all.filterNot(kept.contains)
+    val live: Set[String] = kept
+      .map(readManifest(spark, root, _))
+      .flatMap(_.buckets.valuesIterator).toSet
+    doomedManifests.foreach(n => fs.delete(new Path(mdir, n), false))
+    // a data dir is removable only when NO kept manifest references any
+    // bucket under it; bucket-level deletes would leave half-empty
+    // version dirs, so sweep at bucket-dir granularity
+    val ddir = new Path(root, "data")
+    val doomedData =
+      if (!fs.exists(ddir)) Seq.empty[String]
+      else fs.listStatus(ddir).flatMap { ver =>
+        fs.listStatus(ver.getPath)
+          .filter(_.getPath.getName.startsWith(s"$BucketCol="))
+          .map(b => s"${ver.getPath.getName}/${b.getPath.getName}")
+          .filterNot(live.contains)
+      }.toSeq
+    doomedData.foreach(rel => fs.delete(new Path(ddir, rel), true))
+    // version dirs emptied of all their buckets go too
+    if (fs.exists(ddir)) fs.listStatus(ddir)
+      .filter(v => fs.listStatus(v.getPath)
+        .forall(!_.getPath.getName.startsWith(s"$BucketCol=")))
+      .foreach(v => fs.delete(v.getPath, true))
+    (doomedManifests ++ doomedData).toSeq
+  }
+
+  /** Rewrite buckets holding expired tombstones (see [[vacuum]]). */
+  private def expireCurrentTombstones(spark: SparkSession,
+      root: String): Unit = {
+    val name = currentManifestName(spark, root).get
+    val (batchId, gen) = parseManifestName(name)
+    val m = readManifest(spark, root, name)
+    val conf = m.conf
+    conf.deletedCol.foreach { d =>
+      val expired = col(TsBatchCol).isNotNull &&
+        lit(batchId) - col(TsBatchCol) >= lit(conf.retention.toLong)
+      // find buckets carrying expired tombstones: a metadata-sized scan
+      // (parquet stats prune row groups with no tombstones); bucket ids
+      // are recomputed from the keys — partition-dir paths are not
+      // loaded as a column when leaf dirs are read directly
+      val dirty = readRaw(spark, m.dataPaths(root))
+        .filter(coalesce(col(d), lit(false)) && expired)
+        .select(bucketCol(conf.keys, conf.numBuckets).as(BucketCol))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      if (dirty.nonEmpty) {
+        val dirTag = s"v${batchId}g${gen + 1}"
+        val dirtyPaths = dirty.map(b => s"$root/data/${m.buckets(b)}")
+        readRaw(spark, dirtyPaths)
+          .filter(!(coalesce(col(d), lit(false)) && expired))
+          .withColumn(BucketCol, bucketCol(conf.keys, conf.numBuckets))
+          .repartition(col(BucketCol))
+          .write.partitionBy(BucketCol).mode("overwrite")
+          .parquet(new Path(root, s"data/$dirTag").toString)
+        val written = listWrittenBuckets(spark, root, dirTag)
+        val newBuckets = (m.buckets -- dirty) ++
+          written.map(b => b -> s"$dirTag/$BucketCol=$b")
+        commitManifest(spark, root,
+          s"v$batchId.${gen + 1}", Manifest(conf, newBuckets), batchId)
+      }
+    }
+  }
+
+  /** Buckets that actually produced files under `data/<dirTag>` — a
+    * touched bucket whose merge output is EMPTY (every key deleted and
+    * aged out) writes no partition dir and drops out of the manifest.
+    */
+  private def listWrittenBuckets(spark: SparkSession, root: String,
+      dirTag: String): Seq[Int] = {
+    val fs = fsFor(spark, root)
+    val out = new Path(root, s"data/$dirTag")
+    if (!fs.exists(out)) Seq.empty
+    else fs.listStatus(out).map(_.getPath.getName)
+      .filter(_.startsWith(s"$BucketCol="))
+      .map(_.stripPrefix(s"$BucketCol=").toInt).toSeq.sorted
+  }
+
+  /** Write the manifest file, then atomically flip `CURRENT` to it:
+    * write-temp + rename(OVERWRITE), so a concurrent reader sees the old
+    * or the new pointer, never a torn write.
+    */
+  private def commitManifest(spark: SparkSession, root: String,
+      name: String, m: Manifest, batchId: Long): Unit = {
+    val fs = fsFor(spark, root)
+    fs.mkdirs(new Path(root, "manifests"))
+    writeSmallFile(fs, new Path(root, s"manifests/$name"),
+      serializeManifest(m))
+    val tmp = new Path(root, s".CURRENT.$batchId.tmp")
+    writeSmallFile(fs, tmp, name)
+    val fc = FileContext.getFileContext(new Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(root, "CURRENT"), Options.Rename.OVERWRITE)
   }
 
   /** Apply one change batch to the snapshot — the body `start` runs per
-    * micro-batch, public so the replay/idempotency contract is directly
-    * testable. Returns false when the batch was skipped by the replay
-    * guard (the pointer already covers `batchId`).
+    * micro-batch, public so the replay/idempotency and partition-scope
+    * contracts are directly testable. Returns false when the batch was
+    * skipped: already covered by the replay guard, or empty (an idle
+    * trigger must not copy-on-write anything — skipping the write AND
+    * the pointer flip is safe, since the `>=` guard and latest-wins
+    * semantics never depend on contiguous batch ids).
+    *
+    * `numBuckets` and `tombstoneRetention` take effect at FIRST apply
+    * and are then fixed in the manifest; later calls must pass matching
+    * values (a silent mismatch would re-key rows across buckets).
     */
   def applyBatch(rawBatch: DataFrame, batchId: Long, root: String,
       keys: Seq[String], versionCol: String,
-      deletedCol: Option[String]): Boolean = {
-    import org.apache.spark.sql.functions.lit
+      deletedCol: Option[String], numBuckets: Int = 16,
+      tombstoneRetention: Int = 100): Boolean = {
+    require(numBuckets >= 1, "numBuckets must be >= 1")
+    require(tombstoneRetention >= 0, "tombstoneRetention must be >= 0")
     val spark = rawBatch.sparkSession
-    val fs = fsFor(spark, root)
-    fs.mkdirs(new Path(root))
+    val internal = Seq(BucketCol, TsBatchCol)
+      .filter(rawBatch.columns.contains)
+    require(internal.isEmpty,
+      s"reserved column names in use: ${internal.mkString(",")}")
+    // the manifest header is whitespace/comma-delimited text
+    val unserializable = (keys :+ versionCol) ++ deletedCol
+    require(unserializable.forall(c => !c.exists(" ,\t\n".contains(_))),
+      "key/version/deleted column names must not contain spaces, " +
+        "commas, or tabs (they are serialized into the manifest header)")
     // replay guard: if the pointer already covers this batch, the
     // apply committed before the crash — re-merging would read and
-    // overwrite v<batchId> itself
-    if (currentVersion(spark, root).exists(_ >= batchId)) false
-    else {
-      // exact duplicate rows within the batch collapse
-      // deterministically; rows with one (key, version) that differ in
-      // an ORDERABLE column still raise in latestWins. Non-orderable
-      // columns (maps) cannot join a dropDuplicates grouping, so rows
-      // differing only there collapse arbitrarily-but-to-one.
-      val orderable = rawBatch.schema.fields.collect {
-        case f if org.apache.spark.sql.catalyst.expressions.RowOrdering
-          .isOrderable(f.dataType) => f.name
-      }
-      val batch = rawBatch.dropDuplicates(orderable.toIndexedSeq)
-      val merged = readSnapshot(spark, root) match {
-        case Some(base) =>
-          // rows re-delivered from an ALREADY-APPLIED batch
-          val fresh = batch.join(
-            base.select((keys :+ versionCol)
-              .map(org.apache.spark.sql.functions.col): _*),
-            keys :+ versionCol, "left_anti")
-          // the snapshot never stores tombstones (deletes remove rows)
-          val withD = deletedCol.fold(base)(c =>
-            base.withColumn(c, lit(false)))
-          Upsert.latestWins(withD, fresh, keys, versionCol, deletedCol)
-        case None =>
-          Upsert.latestWins(batch.limit(0), batch, keys, versionCol,
-            deletedCol)
-      }
-      val dest = s"v$batchId"
-      merged.write.mode("overwrite")
-        .parquet(new Path(root, dest).toString)
-      // atomic pointer flip: write-temp + rename(OVERWRITE), so a
-      // concurrent reader sees the old or the new pointer, never a
-      // torn write
-      val tmp = new Path(root, s".CURRENT.$batchId.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(dest.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      val fc = FileContext.getFileContext(new Path(root).toUri,
-        spark.sparkContext.hadoopConfiguration)
-      fc.rename(tmp, new Path(root, "CURRENT"),
-        Options.Rename.OVERWRITE)
-      true
+    // overwrite the batch's own output
+    if (currentVersion(spark, root).exists(_ >= batchId)) return false
+    if (rawBatch.isEmpty) return false
+
+    val conf0 = TableConf(numBuckets, keys, versionCol, deletedCol,
+      tombstoneRetention)
+    val existing = currentManifest(spark, root)
+    existing.foreach { m =>
+      require(m.conf == conf0,
+        s"table config mismatch: manifest has ${m.conf}, caller passed " +
+          s"$conf0 — bucket layout and tombstone clock are fixed at " +
+          "first apply")
     }
+    val conf = existing.map(_.conf).getOrElse(conf0)
+
+    // exact duplicate rows within the batch collapse deterministically;
+    // rows with one (key, version) that differ in an ORDERABLE column
+    // still raise in latestWins. Non-orderable columns (maps) cannot
+    // join a dropDuplicates grouping, so rows differing only there
+    // collapse arbitrarily-but-to-one.
+    val orderable = rawBatch.schema.fields.collect {
+      case f if org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType) => f.name
+    }
+    val deduped = rawBatch.dropDuplicates(orderable.toIndexedSeq)
+    val batch = deduped
+      .withColumn(BucketCol, bucketCol(conf.keys, conf.numBuckets))
+      .withColumn(TsBatchCol, conf.deletedCol match {
+        case Some(d) =>
+          when(coalesce(col(d), lit(false)), lit(batchId)).otherwise(
+            lit(null).cast("long"))
+        case None => lit(null).cast("long")
+      })
+
+    // touched-bucket set: at most numBuckets ints — manifest-sized
+    // metadata, the same class of driver hop as an index probe list
+    val touched = batch.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+
+    val merged = existing match {
+      case Some(m) =>
+        val basePaths = touched.flatMap(m.buckets.get)
+          .map(rel => s"$root/data/$rel")
+        if (basePaths.isEmpty) {
+          Upsert.latestWins(batch.limit(0), batch, conf.keys,
+            conf.versionCol, deletedCol = None)
+        } else {
+          // the partition column is not stored in the data files (and
+          // leaf-dir reads do not recover it), so recompute the bucket —
+          // deterministic from the keys
+          val base = readRaw(spark, basePaths)
+            .withColumn(BucketCol, bucketCol(conf.keys, conf.numBuckets))
+          // rows re-delivered from an ALREADY-APPLIED batch — the base
+          // side includes tombstones, so re-delivered deletes are
+          // recognized as applied too
+          val fresh = batch.join(
+            base.select((conf.keys :+ conf.versionCol).map(col): _*),
+            conf.keys :+ conf.versionCol, "left_anti")
+          // deletedCol = None: tombstones are retained as rows; aging
+          // and read-time filtering are this object's concern
+          Upsert.latestWins(base, fresh, conf.keys, conf.versionCol,
+            deletedCol = None)
+        }
+      case None =>
+        Upsert.latestWins(batch.limit(0), batch, conf.keys,
+          conf.versionCol, deletedCol = None)
+    }
+    // age expired tombstones out of the buckets being rewritten anyway;
+    // vacuum handles buckets no batch touches again
+    val aged = conf.deletedCol.fold(merged)(d =>
+      merged.filter(!(coalesce(col(d), lit(false)) &&
+        lit(batchId) - coalesce(col(TsBatchCol), lit(batchId)) >=
+          lit(conf.retention.toLong))))
+
+    val dirTag = s"v$batchId"
+    // one extra shuffle of TOUCHED data only, so each bucket's files are
+    // written together instead of numBuckets × shuffle-partitions
+    // fragments
+    aged.repartition(col(BucketCol))
+      .write.partitionBy(BucketCol).mode("overwrite")
+      .parquet(new Path(root, s"data/$dirTag").toString)
+    val written = listWrittenBuckets(spark, root, dirTag)
+    val prior = existing.map(_.buckets).getOrElse(Map.empty)
+    val newBuckets = (prior -- touched) ++
+      written.map(b => b -> s"$dirTag/$BucketCol=$b")
+    commitManifest(spark, root, s"v$batchId.0",
+      Manifest(conf, newBuckets), batchId)
+    true
   }
 
   /** Start applying `updates` (a streaming DataFrame with `keys`,
@@ -196,11 +485,13 @@ object CdcApply {
     */
   def start(updates: DataFrame, root: String, keys: Seq[String],
       versionCol: String, deletedCol: Option[String] = None,
-      queryName: String = "cdc_apply"): StreamingQuery =
+      queryName: String = "cdc_apply", numBuckets: Int = 16,
+      tombstoneRetention: Int = 100): StreamingQuery =
     updates.writeStream
       .queryName(queryName)
       .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
-        applyBatch(rawBatch, batchId, root, keys, versionCol, deletedCol)
+        applyBatch(rawBatch, batchId, root, keys, versionCol, deletedCol,
+          numBuckets, tombstoneRetention)
         ()
       }
       .start()

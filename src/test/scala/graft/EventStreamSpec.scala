@@ -325,10 +325,10 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
         .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v"))
         .toMap
       assert(s3(2L) == "b2", s"stale update replaced newer row: $s3")
-      // every applied batch left a complete versioned snapshot dir
-      val snaps = new java.io.File(root).listFiles
-        .filter(f => f.isDirectory && f.getName.startsWith("v")).length
-      assert(snaps >= 3, s"expected >=3 snapshot dirs, got $snaps")
+      // every applied batch committed an immutable manifest
+      val snaps = new java.io.File(root, "manifests").listFiles
+        .filter(_.getName.startsWith("v")).length
+      assert(snaps >= 3, s"expected >=3 manifests, got $snaps")
       // time travel: the first batch's snapshot is still readable as of
       // its version while retained
       val asOf0 = graft.streaming.CdcApply.readSnapshotAt(spark, root, 0L)
@@ -370,6 +370,171 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     val s1 = graft.streaming.CdcApply.readSnapshot(spark, root).get
       .collect().map(r => r.getAs[Long]("k")).toSet
     assert(s1 == Set(1L, 2L, 3L))
+  }
+
+  /** Bucket a key the way CdcApply does, for picking test keys that land
+    * in known-distinct buckets.
+    */
+  private def bucketOf(k: Long, n: Int): Int = {
+    import spark.implicits._
+    Seq(k).toDF("k")
+      .select(pmod(xxhash64($"k"), lit(n.toLong)).cast("int"))
+      .head().getInt(0)
+  }
+
+  test("CDC apply rewrites only the buckets a batch touches") {
+    import spark.implicits._
+    val n = 8
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_buckets").toFile.getAbsolutePath
+    // keys spread over several distinct buckets, plus one update key
+    val keys = (1L to 50L).toList
+    val distinctBuckets = keys.groupBy(bucketOf(_, n))
+    assert(distinctBuckets.size >= 3, "fixture keys too clustered")
+    val b0 = keys.map(k => (k, 1L, s"v$k", false))
+      .toDF("k", "version", "v", "deleted")
+    assert(graft.streaming.CdcApply.applyBatch(b0, 0L, root,
+      Seq("k"), "version", Some("deleted"), numBuckets = n))
+    val v0Buckets = new java.io.File(root, "data/v0").listFiles
+      .map(_.getName).filter(_.startsWith("_b=")).toSet
+    assert(v0Buckets.size == distinctBuckets.size)
+
+    // batch 1 updates ONE key -> exactly one bucket dir under data/v1
+    val upd = Seq((7L, 2L, "v7b", false))
+      .toDF("k", "version", "v", "deleted")
+    assert(graft.streaming.CdcApply.applyBatch(upd, 1L, root,
+      Seq("k"), "version", Some("deleted"), numBuckets = n))
+    val v1Buckets = new java.io.File(root, "data/v1").listFiles
+      .map(_.getName).filter(_.startsWith("_b=")).toSet
+    assert(v1Buckets == Set(s"_b=${bucketOf(7L, n)}"),
+      s"batch touching one key rewrote buckets $v1Buckets")
+    // untouched buckets are carried forward by manifest reference to v0
+    val manifest = scala.io.Source.fromFile(
+      new java.io.File(root, "manifests/v1.0")).mkString
+    val v0Refs = manifest.linesIterator.count(_.contains("v0/_b="))
+    assert(v0Refs == distinctBuckets.size - 1,
+      s"expected ${distinctBuckets.size - 1} carried-forward buckets:\n" +
+        manifest)
+    // and the merged snapshot is still complete and correct
+    val snap = graft.streaming.CdcApply.readSnapshot(spark, root).get
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v"))
+      .toMap
+    assert(snap.size == 50 && snap(7L) == "v7b" && snap(8L) == "v8")
+  }
+
+  test("tombstone retention: a late update older than a delete stays dead") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_tombstone").toFile.getAbsolutePath
+    def apply(rows: Seq[(Long, Long, String, Boolean)], id: Long,
+        retention: Int = 100) =
+      graft.streaming.CdcApply.applyBatch(
+        rows.toDF("k", "version", "v", "deleted"), id, root,
+        Seq("k"), "version", Some("deleted"),
+        tombstoneRetention = retention)
+    assert(apply(Seq((1L, 1L, "a", false), (2L, 1L, "b", false)), 0L))
+    // delete k=1 at version 3
+    assert(apply(Seq((1L, 3L, "", true)), 1L))
+    // a LATE update with an OLDER version arrives in a later batch: the
+    // retained tombstone (v3) must win the merge and keep the key dead
+    assert(apply(Seq((1L, 2L, "late", false)), 2L))
+    val snap = graft.streaming.CdcApply.readSnapshot(spark, root).get
+      .collect().map(_.getAs[Long]("k")).toSet
+    assert(snap == Set(2L),
+      s"late pre-delete update resurrected the key: $snap")
+    // a genuinely NEWER update does revive it
+    assert(apply(Seq((1L, 4L, "reborn", false)), 3L))
+    val snap2 = graft.streaming.CdcApply.readSnapshot(spark, root).get
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v"))
+      .toMap
+    assert(snap2 == Map(1L -> "reborn", 2L -> "b"))
+  }
+
+  test("retention 0 reproduces delete-as-removal (late update resurrects)") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_ret0").toFile.getAbsolutePath
+    def apply(rows: Seq[(Long, Long, String, Boolean)], id: Long) =
+      graft.streaming.CdcApply.applyBatch(
+        rows.toDF("k", "version", "v", "deleted"), id, root,
+        Seq("k"), "version", Some("deleted"), tombstoneRetention = 0)
+    assert(apply(Seq((1L, 1L, "a", false)), 0L))
+    assert(apply(Seq((1L, 3L, "", true)), 1L))
+    assert(apply(Seq((1L, 2L, "late", false)), 2L))
+    val snap = graft.streaming.CdcApply.readSnapshot(spark, root).get
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v"))
+      .toMap
+    // the documented artifact of zero retention — and the reason the
+    // default keeps tombstones around
+    assert(snap == Map(1L -> "late"))
+  }
+
+  test("empty micro-batch is skipped: no write, no pointer flip") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_empty").toFile.getAbsolutePath
+    val b0 = Seq((1L, 1L, "a", false)).toDF("k", "version", "v", "deleted")
+    assert(graft.streaming.CdcApply.applyBatch(b0, 0L, root,
+      Seq("k"), "version", Some("deleted")))
+    val before = graft.streaming.CdcApply.currentManifestName(spark, root)
+    assert(!graft.streaming.CdcApply.applyBatch(b0.limit(0), 1L, root,
+      Seq("k"), "version", Some("deleted")),
+      "empty batch reported as applied")
+    assert(graft.streaming.CdcApply
+      .currentManifestName(spark, root) == before)
+    assert(!new java.io.File(root, "data/v1").exists,
+      "empty batch copied the snapshot")
+    // the stream continues past the gap
+    val b2 = Seq((2L, 1L, "b", false)).toDF("k", "version", "v", "deleted")
+    assert(graft.streaming.CdcApply.applyBatch(b2, 2L, root,
+      Seq("k"), "version", Some("deleted")))
+    val snap = graft.streaming.CdcApply.readSnapshot(spark, root).get
+      .collect().map(_.getAs[Long]("k")).toSet
+    assert(snap == Set(1L, 2L))
+  }
+
+  test("vacuum expires aged tombstones out of untouched buckets") {
+    import spark.implicits._
+    val n = 8
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_expire").toFile.getAbsolutePath
+    def apply(rows: Seq[(Long, Long, String, Boolean)], id: Long) =
+      graft.streaming.CdcApply.applyBatch(
+        rows.toDF("k", "version", "v", "deleted"), id, root,
+        Seq("k"), "version", Some("deleted"), numBuckets = n,
+        tombstoneRetention = 2)
+    // pick an update key from a DIFFERENT bucket than the deleted key,
+    // so later batches never touch the tombstone's bucket
+    val dead = 1L
+    val other = (2L to 60L)
+      .find(k => bucketOf(k, n) != bucketOf(dead, n)).get
+    assert(apply(Seq((dead, 1L, "a", false), (other, 1L, "b", false)), 0L))
+    assert(apply(Seq((dead, 2L, "", true)), 1L))
+    assert(apply(Seq((other, 2L, "b2", false)), 2L))
+    assert(apply(Seq((other, 3L, "b3", false)), 3L))
+    // the tombstone (applied at batch 1, retention 2) is now expired but
+    // its bucket was never rewritten — it is still physically present
+    def rawDeleted(): Long = {
+      val m = graft.streaming.CdcApply
+        .currentManifestName(spark, root).get
+      val lines = scala.io.Source.fromFile(
+        new java.io.File(root, s"manifests/$m")).mkString
+      val paths = lines.linesIterator.drop(1).filter(_.nonEmpty)
+        .map(l => s"$root/data/${l.split('\t')(1)}").toSeq
+      spark.read.parquet(paths: _*).filter($"deleted").count()
+    }
+    assert(rawDeleted() == 1, "expected the tombstone to be retained")
+    val removed = graft.streaming.CdcApply.vacuum(spark, root, keep = 1)
+    assert(removed.nonEmpty)
+    assert(rawDeleted() == 0, "vacuum left the expired tombstone")
+    // logical content unchanged
+    val snap = graft.streaming.CdcApply.readSnapshot(spark, root).get
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v"))
+      .toMap
+    assert(snap == Map(other -> "b3"))
+    // the replay-guard watermark did not move (gen bumped, batch id not)
+    assert(graft.streaming.CdcApply
+      .currentVersion(spark, root).contains(3L))
   }
 
   test("batch q_stream_window equals a direct SQL aggregation") {
