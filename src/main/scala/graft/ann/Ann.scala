@@ -155,7 +155,30 @@ object Ann {
     * tiny so the driver loop holds only k×dims doubles.
     */
   def kmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int): DataFrame = {
+      iters: Int, checkpointDir: Option[String] = None): DataFrame = {
+    val sc = emb.sparkSession.sparkContext
+    val priorCheckpointDir = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir(_))
+    try kmeansImpl(emb, idCol, vecCol, k, iters, checkpointDir.isDefined)
+    finally priorCheckpointDir.foreach(sc.setCheckpointDir(_))
+  }
+
+  /** Fault tolerance: by default each iteration cuts lineage with
+    * `localCheckpoint` (executor-resident blocks — fast, right for local
+    * mode), which at cluster scale cannot survive executor loss
+    * mid-build. Pass `checkpointDir` (a reliable shared filesystem path)
+    * to cut lineage with `Dataset.checkpoint` instead — same contract as
+    * [[graft.dedup.Dedup.clusters]], including ownership: Spark never
+    * deletes checkpoint files, so the caller points each run at its own
+    * subdirectory and removes it once the centroids are persisted. The
+    * clustering itself is bit-identical either way (checkpointing only
+    * changes where the cut frames live).
+    */
+  private def kmeansImpl(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, reliable: Boolean): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val vecs = emb.select(col(idCol).as("vid"), col(vecCol).as("v"))
       .filter(col("v").isNotNull)
@@ -179,7 +202,7 @@ object Ann {
         .join(recomputed, Seq("list"), "left")
         .select(col("list"),
           coalesce(col("new_centroid"), col("centroid")).as("centroid"))
-        .localCheckpoint(true)
+      cents = cut(cents)
       i += 1
     }
     cents
@@ -192,11 +215,15 @@ object Ann {
     * formula version).
     */
   def persistedKmeans(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, path: String): DataFrame = synchronized {
+      k: Int, iters: Int, path: String,
+      checkpointDir: Option[String] = None): DataFrame = synchronized {
+    // checkpointDir is NOT part of the cache key: it changes where the
+    // training loop's cut frames live, never the centroids (bit-equality
+    // is spec-asserted), so an index built either way is interchangeable
     val dir = new java.io.File(
       s"${path}_${idCol}_${vecCol}_k${k}_i${iters}_km2")
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
-      kmeans(emb, idCol, vecCol, k, iters)
+      kmeans(emb, idCol, vecCol, k, iters, checkpointDir)
         .write.mode("overwrite").parquet(dir.getAbsolutePath)
     }
     emb.sparkSession.read.parquet(dir.getAbsolutePath)

@@ -6,8 +6,13 @@ import org.apache.spark.sql.functions.call_function
 /** Column-level entry points for graft's custom Catalyst expressions, plus
   * session registration so they are callable from SQL text. Resolution goes
   * through the session function registry (`call_function`), so
-  * [[register]] must have run on the session first — query builders in
-  * `graft.queries` / `graft.dedup` do this for their own sessions.
+  * [[register]] must have run on the session first. Sessions built with
+  * `graft.governance.GraftExtensions` get this automatically (the
+  * extension registers on analyzer construction); for any other session,
+  * call [[register]] once up front — otherwise every helper here fails at
+  * analysis time with UNRESOLVED_ROUTINE naming the missing function.
+  * Query builders in `graft.queries` / `graft.dedup` also register
+  * defensively for extension-less sessions.
   */
 object GraftFunctions {
 

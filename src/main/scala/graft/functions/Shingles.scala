@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -29,6 +30,17 @@ import org.apache.spark.unsafe.types.UTF8String
 case class Shingles(child: Expression, n: Int) extends UnaryExpression {
 
   require(n >= 1, "shingle size must be >= 1")
+
+  // a non-array<string> child fails at ANALYSIS with a typed error
+  // instead of a ClassCastException inside eval/codegen at runtime
+  // (checkInputDataTypes directly: ExpectsInputTypes.inputTypes needs
+  // the private[sql] AbstractDataType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"shingles requires array<string> input, got ${other.catalogString}")
+    }
 
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)

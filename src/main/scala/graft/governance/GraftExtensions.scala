@@ -26,7 +26,16 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectResolutionRule(session => GovernanceRule(session))
+    ext.injectResolutionRule { session =>
+      // the rule builder runs once per session as its analyzer is built —
+      // the hook where graft's SQL functions (simhash64, cosine_quant,
+      // shingles, ...) are registered, so ANY session carrying this
+      // extension can call them without a manual
+      // GraftFunctions.register step (query builders still register for
+      // extension-less sessions)
+      graft.functions.GraftFunctions.register(session)
+      GovernanceRule(session)
+    }
 }
 
 object GovernanceRule {

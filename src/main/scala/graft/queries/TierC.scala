@@ -32,6 +32,18 @@ object TierC {
   private val dec = DecimalType(18, 2)
   private def dsum(c: Column): Column = sum(c.cast(dec)).cast(DoubleType)
 
+  /** Knuth multiplicative scramble (id mod 2^32) * 2654435761 mod 2^32,
+    * overflow-free for ANY long id: the multiplier is split into
+    * 40503 * 2^16 + 31153 so every intermediate product stays under
+    * 2^48. Public for the overflow unit test (OperatorsSpec).
+    */
+  def trainShuffleKey(id: Column): Column = {
+    val m = lit(4294967296L) // 2^32
+    val a = pmod(id, m)
+    val hi = pmod(a * lit(40503L), lit(65536L)) * lit(65536L)
+    pmod(hi + a * lit(31153L), m)
+  }
+
   /** Per-dataset persisted MinHash signature index (k=32); the path
     * embeds the source fingerprint so regenerated data rebuilds it.
     */
@@ -445,11 +457,16 @@ object TierC {
     // seeded rand() is neither). At scale the orderBy is a range-
     // partitioned sort: sampled split points, one shuffle, per-partition
     // sorts — the standard distributed shuffle-for-training pass.
+    // The scramble is (id mod 2^32) * 2654435761 mod 2^32, computed as
+    // two 48-bit-safe modmuls (multiplier split 40503*2^16 + 31153): a
+    // single 64-bit product silently wraps for id >~ 3.5e9 (and diverges
+    // from any wide-integer oracle; ANSI mode would throw). Identical to
+    // the naive formula for every id < 2^32, overflow-free for all ids
+    // (unit-checked against BigInt at id = 2^33).
     "q_train_shuffle" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"),
-          pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
-            .as("shuffle_key"))
+        .select(col("doc_id"), trainShuffleKey(col("doc_id"))
+          .as("shuffle_key"))
         .orderBy(col("shuffle_key"), col("doc_id"))
         .limit(100)),
 
@@ -565,7 +582,40 @@ object TierC {
           size(M.frameSample(col("payload"), 4, 16)).as("n_frames"),
           element_at(M.decodeStub(col("payload"), 8), 1).as("feat0"),
           M.payloadFingerprint(col("payload")).as("payload_fp"))
-        .orderBy(col("media_id")))
+        .orderBy(col("media_id"))),
+
+    // C8 — the partition-scoped CDC apply end-to-end as a DECLARED
+    // query: a deterministic two-batch change stream (full insert load,
+    // then updates + deletes with delete-wins versioning) merged into a
+    // bucketed snapshot via CdcApply, final state read back through the
+    // manifest and aggregated. The oracle computes the same net state
+    // directly — updates applied where not superseded by a delete,
+    // deleted keys absent — so every layer (bucketing, anti-join,
+    // latest-wins window, tombstones, manifest pointer) is hash-checked,
+    // not just spec-tested.
+    "q_cdc_merge" -> ((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_cdc_q").toFile.getAbsolutePath
+      val sup = Tables.supplier(s, d)
+      val b0 = sup.withColumn("version", lit(1L))
+        .withColumn("deleted", lit(false))
+      val updates = sup.filter(col("s_suppkey") % 5 === 0)
+        .withColumn("s_acctbal", col("s_acctbal") + lit(100.0))
+        .withColumn("version", lit(2L))
+        .withColumn("deleted", lit(false))
+      val deletes = sup.filter(col("s_suppkey") % 7 === 0)
+        .withColumn("version", lit(3L))
+        .withColumn("deleted", lit(true))
+      import graft.streaming.CdcApply
+      CdcApply.applyBatch(b0, 0L, root, Seq("s_suppkey"), "version",
+        Some("deleted"))
+      CdcApply.applyBatch(updates.unionByName(deletes), 1L, root,
+        Seq("s_suppkey"), "version", Some("deleted"))
+      CdcApply.readSnapshot(s, root).get
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("s_acctbal")).as("total_bal"))
+        .orderBy(col("s_nationkey"))
+    })
   )
 
   private val quantSql =
@@ -818,7 +868,8 @@ object TierC {
         "CASE WHEN lang = 'en' THEN 60 WHEN lang = 'zh' THEN 40 " +
         "ELSE 20 END GROUP BY lang ORDER BY lang"),
     "q_train_shuffle" ->
-      ("SELECT doc_id, (doc_id * 2654435761) % 4294967296 " +
+      ("SELECT doc_id, (((doc_id % 4294967296) * 40503 % 65536) * 65536 " +
+        "+ (doc_id % 4294967296) * 31153) % 4294967296 " +
         "AS shuffle_key FROM documents " +
         "ORDER BY shuffle_key, doc_id LIMIT 100"),
     "q_doc_chunks" ->
@@ -875,6 +926,12 @@ object TierC {
         "ELSE 'video' END AS media_type, COUNT(*) AS n_media, " +
         "CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes, " +
         "CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes " +
-        "FROM documents GROUP BY 1 ORDER BY media_type")
+        "FROM documents GROUP BY 1 ORDER BY media_type"),
+    "q_cdc_merge" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
+        "FROM supplier WHERE s_suppkey % 7 <> 0 " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey")
   )
 }

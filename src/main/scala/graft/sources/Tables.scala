@@ -177,7 +177,10 @@ object Tables {
     */
   def dateDim(s: SparkSession, d: String): DataFrame = synchronized {
     import org.apache.spark.sql.functions.{col, dayofmonth, to_date}
-    val path = new java.io.File("target/graft-data/date_dim/" +
+    // _v2: week_of_month became a true integer ordinal — the dataset
+    // fingerprint keys on the INPUT data only, so a formula change must
+    // bump the path or stale cached artifacts would be read back
+    val path = new java.io.File("target/graft-data/date_dim_v2/" +
       Artifacts.datasetKey(d, s"$d/events.parquet"))
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       events(s, d)
@@ -186,7 +189,10 @@ object Tables {
         .select(col("d"),
           dayofmonth(col("d")).as("dom"),
           (dayofmonth(col("d")) % 7).as("dom_mod"),
-          ((dayofmonth(col("d")) - 1) / 7 + 1).as("week_of_month"))
+          // integer week ordinal (1..5); Column `/` is true division and
+          // would store 3.14-style doubles under an ordinal-named column
+          (((dayofmonth(col("d")) - 1) / 7).cast("int") + 1)
+            .as("week_of_month"))
         .coalesce(1)
         .write.mode("overwrite").parquet(path.getAbsolutePath)
     }

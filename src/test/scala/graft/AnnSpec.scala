@@ -163,6 +163,35 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(again == lists)
   }
 
+  test("kmeans with a reliable checkpoint dir is bit-identical") {
+    import spark.implicits._
+    val df = (0 until 24).map { i =>
+      val a = Array.fill(4)(0.0f); a(i % 4) = 1.0f; a((i + 1) % 4) = 0.02f * i
+      (i.toLong, a)
+    }.toDF("vec_id", "embedding")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("kmeans_ckpt").toFile.getAbsolutePath
+    def canon(cents: org.apache.spark.sql.DataFrame) =
+      cents.collect()
+        .map(r => r.getInt(0) -> r.getSeq[Any](1).toList).toMap
+    val local = canon(Ann.kmeans(df, "vec_id", "embedding", k = 4,
+      iters = 3))
+    // a pre-existing context-global checkpoint location must survive
+    val prior = java.nio.file.Files
+      .createTempDirectory("prior_ckpt").toFile.getAbsolutePath
+    spark.sparkContext.setCheckpointDir(prior)
+    val reliable = canon(Ann.kmeans(df, "vec_id", "embedding", k = 4,
+      iters = 3, checkpointDir = Some(ckpt)))
+    // the checkpoint mode changes fault tolerance, never the centroids
+    assert(reliable == local)
+    // and the reliable run actually wrote durable checkpoints
+    val wrote = new java.io.File(ckpt).listFiles
+    assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint written")
+    // the prior context-global checkpoint location was restored
+    assert(spark.sparkContext.getCheckpointDir.exists(_.contains(
+      new java.io.File(prior).getName)))
+  }
+
   test("kmeans keeps k centroids when a list captures no vectors") {
     import spark.implicits._
     // two identical seed vectors: assignment ties to the lower list, so

@@ -176,4 +176,23 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
         .mapValues(_.length).toMap)
     assert(salted.count() == 501) // 500 hot + 1 cold
   }
+
+  test("train-shuffle scramble matches BigInt beyond the 64-bit wrap") {
+    import spark.implicits._
+    // ids where doc_id * 2654435761 overflows a signed 64-bit product —
+    // the naive formula silently wraps there; the split-modmul form must
+    // agree with exact wide-integer arithmetic
+    val ids = Seq(0L, 1L, 12345L, (1L << 31) - 1, 1L << 32,
+      (1L << 33) + 7L, 3L << 40, Long.MaxValue / 3)
+    val got = ids.toDF("doc_id")
+      .select($"doc_id",
+        graft.queries.TierC.trainShuffleKey($"doc_id").as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      val expect = ((BigInt(id) % BigInt(2).pow(32)) * BigInt(2654435761L) %
+        BigInt(2).pow(32)).toLong
+      assert(got(id) == expect,
+        s"id=$id: got ${got(id)}, BigInt reference $expect")
+    }
+  }
 }

@@ -75,4 +75,18 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     // "ab12-cd" -> ab, 12, -, cd = 4
     assert(one[Long](T.subTokenCount($"text"), "ab12-cd") == 4L)
   }
+
+  test("shingles on a non-array child fails at analysis, not runtime") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.call_function
+    graft.functions.GraftFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("x")
+        .select(call_function("shingles", $"x",
+          org.apache.spark.sql.functions.lit(3)))
+        .collect()
+    }
+    assert(e.getMessage.contains("shingles") ||
+      e.getMessage.toLowerCase.contains("type"))
+  }
 }
