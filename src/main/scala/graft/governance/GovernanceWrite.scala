@@ -1,0 +1,92 @@
+package graft.governance
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.{CreateDataSourceTableAsSelectCommand, DropTableCommand, TruncateTableCommand}
+import org.apache.spark.sql.execution.datasources.{InsertIntoDataSourceCommand, InsertIntoHadoopFsRelationCommand, SaveIntoDataSourceCommand}
+
+/** Thrown when a principal without write grants targets a governed
+  * table — the Spark analog of Lake Formation rejecting a write by a
+  * SELECT-only principal (reference `main.tf:473-487` grants the
+  * Analyst the data-cells filter only; ALL — including write — is held
+  * solely by the DataAdmin, `main.tf:460-470`).
+  */
+class AccessDeniedException(msg: String) extends RuntimeException(msg)
+
+/** Plan-time WRITE enforcement, the missing half of read governance: an
+  * analysis CHECK rule (injected via `SparkSessionExtensions
+  * .injectCheckRule`) that rejects any mutation whose target is a
+  * governed table — SQL `INSERT INTO`/`INSERT OVERWRITE`, CTAS over a
+  * governed identity or location, `df.write.insertInto`/`saveAsTable`,
+  * a direct `df.write.parquet(<governed location>)`, `DROP TABLE`, and
+  * `TRUNCATE TABLE` — unless the session principal is the DataAdmin.
+  *
+  * The choke point is the same as the read rule's: analysis of the
+  * command's `QueryExecution`, which every execution path funnels
+  * through (SQL text, DataFrameWriter, streaming `foreachBatch`
+  * bodies). Denials throw [[AccessDeniedException]] BEFORE any physical
+  * planning or file I/O and leave an audit record, so a governed table
+  * cannot even be partially overwritten by a denied principal.
+  */
+case class GovernanceWriteCheck(spark: SparkSession)
+    extends (LogicalPlan => Unit) {
+
+  private def principal: Principal =
+    Principal.fromName(spark.conf.get(GovernanceRule.PrincipalConf,
+      Anonymous.name))
+
+  private def governedIdent(ident: TableIdentifier): Option[(String, String)] =
+    ident.database
+      .orElse(Some(spark.sessionState.catalog.getCurrentDatabase))
+      .map(db => (db, ident.table))
+      .filter { case (db, t) => GovernanceCatalog.isGoverned(db, t) }
+
+  private def governedPath(path: String): Option[(String, String)] =
+    GovernanceCatalog.tableForLocation(path)
+
+  /** The governed identity this write targets, if any. */
+  private def target(plan: LogicalPlan): Option[(String, String)] =
+    plan match {
+      case i: InsertIntoHadoopFsRelationCommand =>
+        i.catalogTable.flatMap(t => governedIdent(t.identifier))
+          .orElse(governedPath(i.outputPath.toString))
+      case c: CreateDataSourceTableAsSelectCommand =>
+        governedIdent(c.table.identifier)
+          .orElse(c.table.storage.locationUri
+            .flatMap(u => governedPath(u.toString)))
+      case i: InsertIntoDataSourceCommand =>
+        i.logicalRelation.catalogTable
+          .flatMap(t => governedIdent(t.identifier))
+      case s: SaveIntoDataSourceCommand =>
+        s.options.get("path").flatMap(governedPath)
+      case d: DropTableCommand => governedIdent(d.tableName)
+      case t: TruncateTableCommand => governedIdent(t.tableName)
+      // DROP TABLE analyzes to the V2 command form even on the session
+      // catalog (ResolveSessionCatalog no longer downgrades it)
+      case d: org.apache.spark.sql.catalyst.plans.logical.DropTable =>
+        d.child match {
+          case ri: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier
+              if ri.identifier.namespace().nonEmpty =>
+            governedIdent(TableIdentifier(ri.identifier.name(),
+              Some(ri.identifier.namespace().last)))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): Unit =
+    // write commands sit at the plan root; a root match keeps the check
+    // O(1) on the read path every query also runs through
+    target(plan).foreach { case (db, t) =>
+      val p = principal
+      if (p != DataAdmin) {
+        AuditLog.record(AuditEvent("write-denied", p.name,
+          Seq(s"$db.$t"), governed = true, rowsOut = None,
+          durationNs = 0L, error = Some("write denied")))
+        throw new AccessDeniedException(
+          s"principal ${p.name} may not write governed table $db.$t " +
+            "(only DataAdmin holds write access)")
+      }
+    }
+}

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.streaming.runtime.StreamingRelation
 
 /** Plan-time governance, the Spark analog of Athena consulting Lake
   * Formation on EVERY table access (reference `main.tf:432-487`,
@@ -25,7 +26,7 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * selected explicitly, never inherited by omission.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule { session =>
       // the rule builder runs once per session as its analyzer is built —
       // the hook where graft's SQL functions (simhash64, cosine_quant,
@@ -36,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.GraftFunctions.register(session)
       GovernanceRule(session)
     }
+    // write-path enforcement: reads are REWRITTEN (filter + allowlist),
+    // writes by non-admin principals are REJECTED at analysis
+    ext.injectCheckRule(session => GovernanceWriteCheck(session))
+  }
 }
 
 object GovernanceRule {
@@ -92,6 +97,28 @@ case class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
     (viaCatalog ++ viaLocation).distinct
   }
 
+  /** Governed identities of a STREAMING relation (`spark.readStream
+    * .table(...)` on a governed catalog table, or `readStream.parquet`
+    * over a governed location) — the read-side rule applies to streams
+    * exactly as to batch relations; without this, a streaming scan would
+    * bypass the row filter and column allowlist entirely.
+    */
+  private def governedIdentsStream(
+      sr: StreamingRelation): Seq[(String, String)] = {
+    val viaCatalog = sr.dataSource.catalogTable.toSeq.flatMap(t =>
+      t.identifier.database.map(db => (db, t.identifier.table)))
+    val viaLocation = sr.dataSource.paths.flatMap(
+      GovernanceCatalog.tableForLocation(_))
+    (viaCatalog ++ viaLocation).distinct
+  }
+
+  private def governedIdentsOf(node: LogicalPlan): Seq[(String, String)] =
+    node match {
+      case r: LogicalRelation   => governedIdents(r)
+      case s: StreamingRelation => governedIdentsStream(s)
+      case _                    => Seq.empty
+    }
+
   /** The data-cells filter applying to this relation for `p`, if any —
     * any table in the [[GovernanceCatalog]] registry is picked up here
     * with no per-table wiring, whether referenced through the catalog or
@@ -99,9 +126,9 @@ case class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * table): a same-named table in another database is NOT governed by
     * this grant (and not accidentally broken by its row predicate).
     */
-  private def filterOn(r: LogicalRelation,
+  private def filterOn(r: LogicalPlan,
       p: Principal): Option[DataCellsFilter] =
-    governedIdents(r).flatMap { case (db, t) =>
+    governedIdentsOf(r).flatMap { case (db, t) =>
       GovernanceCatalog.filterFor(p, db, t)
     }.headOption
 
@@ -131,13 +158,23 @@ case class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val p = principal
-    def rowFilter(r: LogicalRelation, f: DataCellsFilter): Filter = {
-      val marked = r.copy()
-      marked.setTagValue(GovernedTag, s"${p.name}:${f.name}")
+    /** Private tagged copy of a governed leaf (see [[GovernedTag]]) —
+      * batch and streaming relations take the same rewrite, so the
+      * copy is the only type-specific step.
+      */
+    def taggedCopy(node: LogicalPlan, tag: String): LogicalPlan = {
+      val marked = node match {
+        case r: LogicalRelation   => r.copy()
+        case s: StreamingRelation => s.copy()
+        case other                => other.clone()
+      }
+      marked.setTagValue(GovernedTag, tag)
+      marked
+    }
+    def rowFilter(r: LogicalPlan, f: DataCellsFilter): Filter =
       Filter(
         spark.sessionState.sqlParser.parseExpression(f.rowFilterSql),
-        marked)
-    }
+        taggedCopy(r, s"${p.name}:${f.name}"))
     /** A governed relation the principal has FULL access to (DataAdmin)
       * is wrapped in `Filter(true, taggedCopy)` — the admin's "ALL rows"
       * grant made structurally explicit, so the access decision is made
@@ -151,13 +188,10 @@ case class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
       * table touched" off this tag, so admin reads of governed tables
       * are audited too.)
       */
-    def fullAccessMark(r: LogicalRelation): LogicalPlan = {
-      val marked = r.copy()
-      marked.setTagValue(GovernedTag, s"${p.name}:full-access")
+    def fullAccessMark(r: LogicalPlan): LogicalPlan =
       Filter(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral,
-        marked)
-    }
-    def governedRewrite(r: LogicalRelation,
+        taggedCopy(r, s"${p.name}:full-access"))
+    def governedRewrite(r: LogicalPlan,
         withAllowlist: Boolean): LogicalPlan =
       filterOn(r, p) match {
         case Some(f) if withAllowlist =>
@@ -166,17 +200,27 @@ case class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case Some(f) => rowFilter(r, f)
         // full-access mark ONLY for identities that are actually governed
         // (a filter registered for some principal, or a governed storage
-        // location) — governedIdents() includes every catalog-backed
+        // location) — governedIdentsOf() includes every catalog-backed
         // identity, and marking ungoverned tables would report
         // `governed=true` for every plain catalog read in the audit trail
-        case None if governedIdents(r).exists {
+        case None if governedIdentsOf(r).exists {
           case (db, t) => GovernanceCatalog.isGoverned(db, t)
         } => fullAccessMark(r)
         case None => r
       }
+    // a LogicalRelation with isStreaming=true is the ENGINE-INTERNAL
+    // per-micro-batch frame a file stream source materializes beneath an
+    // already-governed StreamingRelation — governing it again would
+    // project away columns the streaming execution asserts are present
+    // (batch/source schema mismatch). Only engine internals construct
+    // such relations; every user entry point (readStream.table/parquet)
+    // yields a StreamingRelation, which IS governed here.
     def filterBeneath(pl: LogicalPlan): LogicalPlan = pl.transformUp {
-      case r: LogicalRelation if r.getTagValue(GovernedTag).isEmpty =>
+      case r: LogicalRelation
+          if !r.isStreaming && r.getTagValue(GovernedTag).isEmpty =>
         governedRewrite(r, withAllowlist = false)
+      case s: StreamingRelation if s.getTagValue(GovernedTag).isEmpty =>
+        governedRewrite(s, withAllowlist = false)
     }
     val viewGoverned = plan.transformUp {
       case v: View if isMaskedView(v) => v.mapChildren(filterBeneath)
@@ -184,8 +228,11 @@ case class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
         pr.mapChildren(filterBeneath)
     }
     viewGoverned.transformUp {
-      case r: LogicalRelation if r.getTagValue(GovernedTag).isEmpty =>
+      case r: LogicalRelation
+          if !r.isStreaming && r.getTagValue(GovernedTag).isEmpty =>
         governedRewrite(r, withAllowlist = true)
+      case s: StreamingRelation if s.getTagValue(GovernedTag).isEmpty =>
+        governedRewrite(s, withAllowlist = true)
     }
   }
 }

@@ -444,4 +444,172 @@ class GovernanceSpec extends AnyFunSuite with SparkTestBase {
     assert(found,
       s"no governed Analyst audit event in ${AuditLog.events}")
   }
+
+  // ---- write-path governance (reference main.tf:460-487: Analyst is
+  // SELECT-only; ALL, including write, is the DataAdmin's alone) -------
+
+  /** A governed table private to the write tests — writing to the shared
+    * sales fixture would corrupt every other suite in the JVM.
+    */
+  private lazy val writeTable: String = {
+    import spark.implicits._
+    val db = "wgov_db"
+    Governance.withPrincipal(spark, DataAdmin) {
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      // external table at a fresh temp location: a MANAGED table's
+      // warehouse dir outlives the in-memory catalog across JVMs and
+      // saveAsTable then refuses with LOCATION_ALREADY_EXISTS
+      spark.sql(s"DROP TABLE IF EXISTS $db.gov_w")
+      val loc = java.nio.file.Files
+        .createTempDirectory("wgov").toFile.getAbsolutePath
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        .write.mode("overwrite").option("path", loc)
+        .saveAsTable(s"$db.gov_w")
+    }
+    GovernanceCatalog.register(Analyst, db,
+      DataCellsFilter("wgov-filter", "gov_w", "true", Seq("id", "v")))
+    s"$db.gov_w"
+  }
+
+  test("analyst SQL INSERT into a governed table is denied at analysis") {
+    val t = writeTable
+    val before = Governance.withPrincipal(spark, DataAdmin)(
+      spark.table(t)).count()
+    val e = intercept[AccessDeniedException] {
+      Governance.withPrincipal(spark, Analyst)(
+        spark.sql(s"INSERT INTO $t VALUES (99, 'z')"))
+    }
+    assert(e.getMessage.contains("Analyst"))
+    // denial happened before any file I/O
+    assert(Governance.withPrincipal(spark, DataAdmin)(
+      spark.table(t)).count() == before)
+  }
+
+  test("anonymous df.write.insertInto a governed table is denied") {
+    import spark.implicits._
+    val t = writeTable
+    intercept[AccessDeniedException] {
+      Seq((7L, "x")).toDF("id", "v").write.insertInto(t)
+    }
+  }
+
+  test("DataAdmin retains write access to governed tables") {
+    import spark.implicits._
+    val t = writeTable
+    val before = Governance.withPrincipal(spark, DataAdmin)(
+      spark.table(t)).count()
+    Governance.withPrincipal(spark, DataAdmin) {
+      Seq((100L + before, "admin")).toDF("id", "v").write.insertInto(t)
+    }
+    assert(Governance.withPrincipal(spark, DataAdmin)(
+      spark.table(t)).count() == before + 1)
+  }
+
+  test("analyst CTAS over the governed storage location is denied") {
+    SalesFixture.ensureRegistered(spark)
+    val loc = new java.io.File(
+      "target/graft-data/sales_parquet").getAbsolutePath
+    intercept[AccessDeniedException] {
+      Governance.withPrincipal(spark, Analyst) {
+        spark.sql("CREATE TABLE wgov_db.evil USING parquet " +
+          s"LOCATION '$loc/evil' AS SELECT 1 AS c")
+      }
+    }
+  }
+
+  test("analyst direct df.write to the governed location is denied") {
+    import spark.implicits._
+    SalesFixture.ensureRegistered(spark)
+    val loc = new java.io.File(
+      "target/graft-data/sales_parquet").getAbsolutePath
+    intercept[AccessDeniedException] {
+      Governance.withPrincipal(spark, Analyst) {
+        Seq(1).toDF("c").write.mode("overwrite").parquet(loc)
+      }
+    }
+    // the fixture data is untouched
+    assert(Governance.withPrincipal(spark, DataAdmin)(
+      spark.table(s"${SalesFixture.dbName}.${SalesFixture.tableName}"))
+      .count() == 20)
+  }
+
+  test("analyst DROP/TRUNCATE of a governed table is denied") {
+    val t = writeTable
+    intercept[AccessDeniedException] {
+      Governance.withPrincipal(spark, Analyst)(
+        spark.sql(s"DROP TABLE $t"))
+    }
+    intercept[AccessDeniedException] {
+      Governance.withPrincipal(spark, Analyst)(
+        spark.sql(s"TRUNCATE TABLE $t"))
+    }
+    assert(spark.catalog.tableExists(t), "denied DROP still dropped")
+  }
+
+  test("a write denial leaves an audit record") {
+    val t = writeTable
+    AuditLog.clear()
+    intercept[AccessDeniedException] {
+      Governance.withPrincipal(spark, Analyst)(
+        spark.sql(s"INSERT INTO $t VALUES (55, 'q')"))
+    }
+    assert(AuditLog.events.exists(e =>
+      e.funcName == "write-denied" && e.principal == Analyst.name &&
+        e.tables.contains(t)),
+      s"no write-denied audit event in ${AuditLog.events}")
+  }
+
+  test("ungoverned tables stay writable by any principal") {
+    import spark.implicits._
+    Governance.withPrincipal(spark, Analyst) {
+      Seq((1, "ok")).toDF("id", "v")
+        .write.mode("overwrite").saveAsTable("open_w")
+    }
+    assert(spark.table("open_w").count() == 1)
+    spark.sql("DROP TABLE open_w")
+  }
+
+  // ---- streaming-read governance -------------------------------------
+
+  test("analyst streaming read of the governed table is filtered+pruned") {
+    SalesFixture.ensureRegistered(spark)
+    val sdf = Governance.withPrincipal(spark, Analyst)(
+      spark.readStream.table(
+        s"${SalesFixture.dbName}.${SalesFixture.tableName}"))
+    // no PII column resolves on the stream — the allowlist projection
+    // was injected at analysis, same as the batch path
+    assert(sdf.schema.fieldNames.toSet ==
+      Set("customer_id", "customer_name", "sales_region", "sales_amount",
+        "sale_date"),
+      s"streaming schema leaked columns: ${sdf.schema.fieldNames.toSeq}")
+    // and the row filter holds when the stream actually runs
+    val q = sdf.writeStream.format("memory")
+      .queryName("gov_stream_test").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("gov_stream_test").collect()
+    assert(rows.length == 8, s"expected 8 APAC rows, got ${rows.length}")
+    assert(rows.forall(_.getAs[String]("sales_region") == "APAC"))
+  }
+
+  test("analyst selecting PII on a streaming read fails resolution") {
+    SalesFixture.ensureRegistered(spark)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Governance.withPrincipal(spark, Analyst)(
+        spark.readStream.table(
+          s"${SalesFixture.dbName}.${SalesFixture.tableName}")
+          .select("ssn"))
+    }
+  }
+
+  test("anonymous streaming read is default-deny (zero rows)") {
+    SalesFixture.ensureRegistered(spark)
+    val sdf = spark.readStream.table(
+      s"${SalesFixture.dbName}.${SalesFixture.tableName}")
+    assert(!sdf.schema.fieldNames.contains("ssn"))
+    val q = sdf.writeStream.format("memory")
+      .queryName("gov_stream_anon").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("gov_stream_anon").isEmpty,
+      "anonymous streaming read returned rows")
+  }
 }
