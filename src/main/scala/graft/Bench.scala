@@ -42,19 +42,27 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val errors = mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
-        } catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .linesIterator.take(1).mkString.take(300)
-          false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
+    def timedPass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString.take(300)
+            false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    // three back-to-back timed passes: per-query harness noise on a
+    // shared box is 2-4x, so the headline total is the MEDIAN of the
+    // run totals and all three are reported — round-over-round
+    // regressions become attributable to code, not scheduling
+    val passes = Seq.fill(3)(timedPass())
+    val runTotals = passes.map(_.map(_._2).filter(_ >= 0).sum)
+    val results = passes.last
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""
@@ -66,8 +74,9 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    val total = runTotals.sorted.apply(runTotals.size / 2) // median
+    val runsJson = runTotals.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runsJson,"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
