@@ -97,10 +97,19 @@ object CdcApply {
   private final case class TableConf(numBuckets: Int, keys: Seq[String],
       versionCol: String, deletedCol: Option[String], retention: Int)
 
+  /** One bucket's manifest entry: its current data directory (relative
+    * to `root/data/`) plus the OLDEST tombstone batch id it holds, if
+    * any — manifest-level metadata that lets [[vacuum]] find buckets
+    * with expired tombstones without scanning a single data file (the
+    * same move table formats make with file-level stats in their
+    * manifests).
+    */
+  private final case class BucketEntry(rel: String, minTs: Option[Long])
+
   private final case class Manifest(conf: TableConf,
-      buckets: Map[Int, String]) {
+      buckets: Map[Int, BucketEntry]) {
     def dataPaths(root: String): Seq[String] =
-      buckets.valuesIterator.map(rel => s"$root/data/$rel").toSeq.sorted
+      buckets.valuesIterator.map(e => s"$root/data/${e.rel}").toSeq.sorted
   }
 
   private def fsFor(spark: SparkSession, root: String): FileSystem =
@@ -152,11 +161,11 @@ object CdcApply {
 
   private def serializeManifest(m: Manifest): String = {
     val c = m.conf
-    val header = s"graft-cdc v2 buckets=${c.numBuckets} " +
+    val header = s"graft-cdc v3 buckets=${c.numBuckets} " +
       s"keys=${c.keys.mkString(",")} version=${c.versionCol} " +
       s"deleted=${c.deletedCol.getOrElse("-")} retention=${c.retention}"
-    (header +: m.buckets.toSeq.sortBy(_._1).map { case (b, rel) =>
-      s"$b\t$rel"
+    (header +: m.buckets.toSeq.sortBy(_._1).map { case (b, e) =>
+      s"$b\t${e.rel}\t${e.minTs.map(_.toString).getOrElse("-")}"
     }).mkString("\n")
   }
 
@@ -172,7 +181,8 @@ object CdcApply {
       deletedCol = Some(kv("deleted")).filter(_ != "-"),
       retention = kv("retention").toInt)
     val buckets = lines.tail.filter(_.nonEmpty).map { l =>
-      val Array(b, rel) = l.split('\t'); (b.toInt, rel)
+      val Array(b, rel, ts) = l.split('\t')
+      (b.toInt, BucketEntry(rel, Some(ts).filter(_ != "-").map(_.toLong)))
     }.toMap
     Manifest(conf, buckets)
   }
@@ -269,7 +279,7 @@ object CdcApply {
     val doomedManifests = all.filterNot(kept.contains)
     val live: Set[String] = kept
       .map(readManifest(spark, root, _))
-      .flatMap(_.buckets.valuesIterator).toSet
+      .flatMap(_.buckets.valuesIterator.map(_.rel)).toSet
     doomedManifests.foreach(n => fs.delete(new Path(mdir, n), false))
     // a data dir is removable only when NO kept manifest references any
     // bucket under it; bucket-level deletes would leave half-empty
@@ -292,7 +302,12 @@ object CdcApply {
     (doomedManifests ++ doomedData).toSeq
   }
 
-  /** Rewrite buckets holding expired tombstones (see [[vacuum]]). */
+  /** Rewrite buckets holding expired tombstones (see [[vacuum]]). The
+    * dirty set comes straight from the manifest's per-bucket oldest-
+    * tombstone metadata — vacuum reads ZERO data files to decide what to
+    * rewrite, so at 100 TB a sweep over a mostly-clean table is a
+    * manifest read plus a rewrite of only the buckets that need it.
+    */
   private def expireCurrentTombstones(spark: SparkSession,
       root: String): Unit = {
     val name = currentManifestName(spark, root).get
@@ -302,44 +317,57 @@ object CdcApply {
     conf.deletedCol.foreach { d =>
       val expired = col(TsBatchCol).isNotNull &&
         lit(batchId) - col(TsBatchCol) >= lit(conf.retention.toLong)
-      // find buckets carrying expired tombstones: a metadata-sized scan
-      // (parquet stats prune row groups with no tombstones); bucket ids
-      // are recomputed from the keys — partition-dir paths are not
-      // loaded as a column when leaf dirs are read directly
-      val dirty = readRaw(spark, m.dataPaths(root))
-        .filter(coalesce(col(d), lit(false)) && expired)
-        .select(bucketCol(conf.keys, conf.numBuckets).as(BucketCol))
-        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      val dirty = m.buckets.collect {
+        case (b, e) if e.minTs.exists(ts =>
+          batchId - ts >= conf.retention.toLong) => b
+      }.toSeq.sorted
       if (dirty.nonEmpty) {
         val dirTag = s"v${batchId}g${gen + 1}"
-        val dirtyPaths = dirty.map(b => s"$root/data/${m.buckets(b)}")
+        val dirtyPaths = dirty.map(b => s"$root/data/${m.buckets(b).rel}")
         readRaw(spark, dirtyPaths)
           .filter(!(coalesce(col(d), lit(false)) && expired))
           .withColumn(BucketCol, bucketCol(conf.keys, conf.numBuckets))
-          .repartition(col(BucketCol))
+          .hint("rebalance", BucketCol)
           .write.partitionBy(BucketCol).mode("overwrite")
           .parquet(new Path(root, s"data/$dirTag").toString)
-        val written = listWrittenBuckets(spark, root, dirTag)
-        val newBuckets = (m.buckets -- dirty) ++
-          written.map(b => b -> s"$dirTag/$BucketCol=$b")
-        commitManifest(spark, root,
-          s"v$batchId.${gen + 1}", Manifest(conf, newBuckets), batchId)
+        val written = writtenEntries(spark, root, dirTag,
+          hasTombstones = true)
+        commitManifest(spark, root, s"v$batchId.${gen + 1}",
+          Manifest(conf, (m.buckets -- dirty) ++ written), batchId)
       }
     }
   }
 
-  /** Buckets that actually produced files under `data/<dirTag>` — a
-    * touched bucket whose merge output is EMPTY (every key deleted and
-    * aged out) writes no partition dir and drops out of the manifest.
+  /** Manifest entries for the buckets that actually produced files under
+    * `data/<dirTag>` — a touched bucket whose merge output is EMPTY
+    * (every key deleted and aged out) writes no partition dir and drops
+    * out of the manifest. When the table models deletes, each entry's
+    * oldest-tombstone batch is computed from the just-written files (a
+    * single-column pruned scan of touched data only, read WITH partition
+    * discovery so the bucket id comes back as a column).
     */
-  private def listWrittenBuckets(spark: SparkSession, root: String,
-      dirTag: String): Seq[Int] = {
+  private def writtenEntries(spark: SparkSession, root: String,
+      dirTag: String, hasTombstones: Boolean): Map[Int, BucketEntry] = {
     val fs = fsFor(spark, root)
     val out = new Path(root, s"data/$dirTag")
-    if (!fs.exists(out)) Seq.empty
-    else fs.listStatus(out).map(_.getPath.getName)
+    if (!fs.exists(out)) return Map.empty
+    val bucketIds = fs.listStatus(out).map(_.getPath.getName)
       .filter(_.startsWith(s"$BucketCol="))
-      .map(_.stripPrefix(s"$BucketCol=").toInt).toSeq.sorted
+      .map(_.stripPrefix(s"$BucketCol=").toInt).toSeq
+    if (bucketIds.isEmpty) Map.empty
+    else {
+      val minTs: Map[Int, Long] =
+        if (!hasTombstones) Map.empty
+        else spark.read.parquet(out.toString)
+          .groupBy(col(BucketCol))
+          .agg(min(col(TsBatchCol)).as("m"))
+          .collect().flatMap { r =>
+            if (r.isNullAt(1)) None
+            else Some(r.getInt(0) -> r.getLong(1))
+          }.toMap
+      bucketIds.map(b =>
+        b -> BucketEntry(s"$dirTag/$BucketCol=$b", minTs.get(b))).toMap
+    }
   }
 
   /** Write the manifest file, then atomically flip `CURRENT` to it:
@@ -431,7 +459,7 @@ object CdcApply {
     val merged = existing match {
       case Some(m) =>
         val basePaths = touched.flatMap(m.buckets.get)
-          .map(rel => s"$root/data/$rel")
+          .map(e => s"$root/data/${e.rel}")
         if (basePaths.isEmpty) {
           Upsert.latestWins(batch.limit(0), batch, conf.keys,
             conf.versionCol, deletedCol = None)
@@ -464,18 +492,21 @@ object CdcApply {
           lit(conf.retention.toLong))))
 
     val dirTag = s"v$batchId"
-    // one extra shuffle of TOUCHED data only, so each bucket's files are
-    // written together instead of numBuckets × shuffle-partitions
-    // fragments
-    aged.repartition(col(BucketCol))
+    // one extra shuffle of TOUCHED data only, organizing files per
+    // bucket dir. REBALANCE (not repartition): a plain hash repartition
+    // maps each bucket to exactly ONE task, so one oversized bucket —
+    // snapshot_size/numBuckets can be 100 GB at scale — would write
+    // single-threaded; AQE rebalancing splits oversized buckets across
+    // tasks and coalesces tiny ones, keeping the write parallel AND the
+    // file counts sane
+    aged.hint("rebalance", BucketCol)
       .write.partitionBy(BucketCol).mode("overwrite")
       .parquet(new Path(root, s"data/$dirTag").toString)
-    val written = listWrittenBuckets(spark, root, dirTag)
+    val written = writtenEntries(spark, root, dirTag,
+      conf.deletedCol.isDefined)
     val prior = existing.map(_.buckets).getOrElse(Map.empty)
-    val newBuckets = (prior -- touched) ++
-      written.map(b => b -> s"$dirTag/$BucketCol=$b")
     commitManifest(spark, root, s"v$batchId.0",
-      Manifest(conf, newBuckets), batchId)
+      Manifest(conf, (prior -- touched) ++ written), batchId)
     true
   }
 
