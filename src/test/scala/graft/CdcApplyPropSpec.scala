@@ -1,0 +1,76 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck differential for the partition-scoped CDC apply: an
+  * ARBITRARY change history (random keys, globally unique versions in
+  * random delivery order, random deletes) split into random micro-
+  * batches — applied through the full bucketed snapshot machinery —
+  * must land on the same final state as a trivial in-memory
+  * latest-wins-by-version reference. This exercises exactly the cases
+  * enumerated specs can miss: late lower-versioned updates after
+  * deletes, keys churning across batches, cross-batch re-delivery,
+  * batches touching disjoint or overlapping bucket sets, and empty
+  * splits.
+  */
+class CdcApplyPropSpec extends AnyFunSuite with SparkTestBase {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  // a change history: row i carries version perm(i) — unique globally
+  // (the operator's documented precondition) but delivered in an order
+  // unrelated to version order, so later batches routinely carry OLDER
+  // versions
+  private val historyGen: Gen[List[(Long, Long, Long, Boolean)]] = for {
+    n <- Gen.chooseNum(6, 18)
+    keys <- Gen.listOfN(n, Gen.chooseNum(0L, 5L))
+    payloads <- Gen.listOfN(n, Gen.chooseNum(0L, 999L))
+    deleted <- Gen.listOfN(n, Gen.prob(0.25))
+    perm <- Gen.const(scala.util.Random.javaRandomToRandom(
+      new java.util.Random(n * 7919L)).shuffle((1L to n.toLong).toList))
+  } yield keys.lazyZip(perm).lazyZip(payloads).lazyZip(deleted).toList
+    .map { case (k, v, pay, d) => (k, v, pay, d) }
+
+  test("property: batched bucketed apply equals global latest-wins") {
+    import spark.implicits._
+    val p = Prop.forAll(historyGen, Gen.chooseNum(1, 4),
+      Gen.prob(0.5)) { (history, nBatches, redeliver) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("cdc_prop").toFile.getAbsolutePath
+      // split the history into nBatches contiguous chunks (some may be
+      // empty); optionally re-deliver batch 0's first row in the last
+      // batch verbatim — it must be dropped by the (key, version)
+      // anti-join, not merged twice or flagged ambiguous
+      val size = math.max(1, history.size / nBatches)
+      val batches0 = history.grouped(size).toList.padTo(nBatches, Nil)
+      val batches =
+        if (redeliver && batches0.head.nonEmpty)
+          batches0.init :+ (batches0.last :+ batches0.head.head)
+        else batches0
+      batches.zipWithIndex.foreach { case (rows, id) =>
+        graft.streaming.CdcApply.applyBatch(
+          rows.toDF("k", "version", "payload", "deleted"),
+          id.toLong, root, Seq("k"), "version", Some("deleted"),
+          numBuckets = 4, tombstoneRetention = 100)
+      }
+      val got = graft.streaming.CdcApply.readSnapshot(spark, root)
+        .map(_.collect()
+          .map(r => r.getAs[Long]("k") -> r.getAs[Long]("payload")).toMap)
+        .getOrElse(Map.empty)
+      val expect = history.groupBy(_._1).flatMap { case (k, rows) =>
+        val winner = rows.maxBy(_._2)
+        if (winner._4) None else Some(k -> winner._3)
+      }
+      val ok = got == expect
+      if (!ok) println(s"[cdc-prop] history=$history batches=$batches " +
+        s"got=$got expect=$expect")
+      ok
+    }
+    check(p)
+  }
+}
