@@ -559,6 +559,24 @@ class GovernanceSpec extends AnyFunSuite with SparkTestBase {
       s"no write-denied audit event in ${AuditLog.events}")
   }
 
+  test("V2 writer API cannot reach governed V1 tables at all") {
+    import spark.implicits._
+    val t = writeTable
+    // Spark itself refuses writeTo() against a session-catalog V1 table
+    // ("Cannot write into v1 table"), so the V2 write plans the check
+    // rule does not match are structurally unreachable for governed
+    // tables — no bypass, verified here so a future Spark upgrade that
+    // opens the path fails this test instead of silently ungoverning it
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Governance.withPrincipal(spark, Analyst) {
+        Seq((77L, "v2")).toDF("id", "v").writeTo(t).append()
+      }
+    }
+    assert(e.getMessage.toLowerCase.contains("v1 table"))
+    assert(Governance.withPrincipal(spark, DataAdmin)(
+      spark.table(t)).filter($"id" === 77L).isEmpty)
+  }
+
   test("ungoverned tables stay writable by any principal") {
     import spark.implicits._
     Governance.withPrincipal(spark, Analyst) {
