@@ -3,7 +3,9 @@ package graft.governance
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.execution.command.{CreateDataSourceTableAsSelectCommand, DropTableCommand, TruncateTableCommand}
+import org.apache.spark.sql.catalyst.catalog.CatalogTable
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.{CreateDataSourceTableAsSelectCommand, DropTableCommand, InsertIntoDataSourceDirCommand, TruncateTableCommand}
 import org.apache.spark.sql.execution.datasources.{InsertIntoDataSourceCommand, InsertIntoHadoopFsRelationCommand, SaveIntoDataSourceCommand}
 
 /** Thrown when a principal without write grants targets a governed
@@ -45,6 +47,28 @@ case class GovernanceWriteCheck(spark: SparkSession)
   private def governedPath(path: String): Option[(String, String)] =
     GovernanceCatalog.tableForLocation(path)
 
+  /** Governed identity a streaming sink writes into: a governed catalog
+    * table (`writeStream.toTable`) or a file sink whose path falls
+    * under a governed location (`writeStream.format("parquet")
+    * .option("path", ...)`). The file-sink path is recovered from the
+    * sink's stable debug form `FileSink[<path>]` — the field itself is
+    * construction-private.
+    */
+  private def streamingSinkTarget(
+      sink: org.apache.spark.sql.connector.catalog.Table,
+      catalogTable: Option[CatalogTable],
+      ident: Option[Identifier]): Option[(String, String)] =
+    catalogTable.flatMap(t => governedIdent(t.identifier))
+      .orElse(ident.filter(_.namespace().nonEmpty).flatMap(id =>
+        governedIdent(TableIdentifier(id.name(),
+          Some(id.namespace().last)))))
+      .orElse {
+        val s = String.valueOf(sink)
+        if (s.startsWith("FileSink[") && s.endsWith("]"))
+          governedPath(s.stripPrefix("FileSink[").stripSuffix("]"))
+        else None
+      }
+
   /** The governed identity this write targets, if any. */
   private def target(plan: LogicalPlan): Option[(String, String)] =
     plan match {
@@ -58,8 +82,20 @@ case class GovernanceWriteCheck(spark: SparkSession)
       case i: InsertIntoDataSourceCommand =>
         i.logicalRelation.catalogTable
           .flatMap(t => governedIdent(t.identifier))
+      case i: InsertIntoDataSourceDirCommand =>
+        i.storage.locationUri.flatMap(u => governedPath(u.toString))
       case s: SaveIntoDataSourceCommand =>
         s.options.get("path").flatMap(governedPath)
+      // streaming writes: the sink never appears in any per-batch plan
+      // (FileStreamSink invokes the writer directly), so the choke point
+      // is the WriteToStream(Statement) plan analyzed ONCE at
+      // query-start — denial happens before the stream ever runs
+      case w: org.apache.spark.sql.catalyst.streaming.WriteToStreamStatement =>
+        streamingSinkTarget(w.sink, w.catalogTable,
+          w.catalogAndIdent.map(_._2))
+      case w: org.apache.spark.sql.catalyst.streaming.WriteToStream =>
+        streamingSinkTarget(w.sink, w.catalogTable,
+          w.catalogAndIdent.map(_._2))
       case d: DropTableCommand => governedIdent(d.tableName)
       case t: TruncateTableCommand => governedIdent(t.tableName)
       // DROP TABLE analyzes to the V2 command form even on the session

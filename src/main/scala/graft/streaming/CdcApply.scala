@@ -275,7 +275,19 @@ object CdcApply {
     val mdir = new Path(root, "manifests")
     val all = fs.listStatus(mdir).map(_.getPath.getName)
       .sortBy { n => val (b, g) = parseManifestName(n); (b, g) }
-    val kept = (all.takeRight(keep) :+ curName).distinct
+    // retention counts BATCHES, not manifest files: a tombstone-expiry
+    // generation adds a manifest for an existing batch and must not
+    // shorten the time-travel window. Within a retained batch only the
+    // HIGHEST generation survives — logical content is identical and a
+    // superseded generation still references the pre-expiry data dirs,
+    // which would otherwise stay live (and keep "expired" tombstone
+    // bytes on disk) forever on a quiesced table.
+    val keptBatches = all.map(parseManifestName(_)._1).distinct
+      .sorted.takeRight(keep).toSet
+    val kept = (all.groupBy(parseManifestName(_)._1).collect {
+      case (b, names) if keptBatches.contains(b) =>
+        names.maxBy(parseManifestName(_)._2)
+    }.toSeq :+ curName).distinct
     val doomedManifests = all.filterNot(kept.contains)
     val live: Set[String] = kept
       .map(readManifest(spark, root, _))
@@ -283,19 +295,30 @@ object CdcApply {
     doomedManifests.foreach(n => fs.delete(new Path(mdir, n), false))
     // a data dir is removable only when NO kept manifest references any
     // bucket under it; bucket-level deletes would leave half-empty
-    // version dirs, so sweep at bucket-dir granularity
+    // version dirs, so sweep at bucket-dir granularity. Dirs tagged with
+    // a batch id BEYOND the current watermark belong to an apply that is
+    // mid-write (its manifest is not committed yet) — never touch them
+    val curBatch = parseManifestName(curName)._1
+    def dirBatch(tag: String): Long =
+      tag.stripPrefix("v").takeWhile(_.isDigit).toLong
     val ddir = new Path(root, "data")
     val doomedData =
       if (!fs.exists(ddir)) Seq.empty[String]
-      else fs.listStatus(ddir).flatMap { ver =>
-        fs.listStatus(ver.getPath)
-          .filter(_.getPath.getName.startsWith(s"$BucketCol="))
-          .map(b => s"${ver.getPath.getName}/${b.getPath.getName}")
-          .filterNot(live.contains)
-      }.toSeq
+      else fs.listStatus(ddir)
+        .filter(v => scala.util.Try(dirBatch(v.getPath.getName))
+          .toOption.exists(_ <= curBatch))
+        .flatMap { ver =>
+          fs.listStatus(ver.getPath)
+            .filter(_.getPath.getName.startsWith(s"$BucketCol="))
+            .map(b => s"${ver.getPath.getName}/${b.getPath.getName}")
+            .filterNot(live.contains)
+        }.toSeq
     doomedData.foreach(rel => fs.delete(new Path(ddir, rel), true))
-    // version dirs emptied of all their buckets go too
+    // version dirs emptied of all their buckets go too (same in-flight
+    // guard: a mid-write dir holds only _temporary and must survive)
     if (fs.exists(ddir)) fs.listStatus(ddir)
+      .filter(v => scala.util.Try(dirBatch(v.getPath.getName))
+        .toOption.exists(_ <= curBatch))
       .filter(v => fs.listStatus(v.getPath)
         .forall(!_.getPath.getName.startsWith(s"$BucketCol=")))
       .foreach(v => fs.delete(v.getPath, true))
@@ -332,8 +355,18 @@ object CdcApply {
           .parquet(new Path(root, s"data/$dirTag").toString)
         val written = writtenEntries(spark, root, dirTag,
           hasTombstones = true)
-        commitManifest(spark, root, s"v$batchId.${gen + 1}",
-          Manifest(conf, (m.buckets -- dirty) ++ written), batchId)
+        // commit guard: if the STREAM advanced CURRENT while this
+        // rewrite ran, flipping to a manifest of the older batch id
+        // would roll the table back past a committed batch (and the
+        // replay guard would then drop it — silent data loss). Abort
+        // instead; the orphaned rewrite dir is swept by a later vacuum.
+        // This shrinks the writer-writer race to the read-check-flip
+        // window; one maintenance process per table remains the
+        // operating assumption, as for any table format's vacuum.
+        if (currentManifestName(spark, root).contains(name)) {
+          commitManifest(spark, root, s"v$batchId.${gen + 1}",
+            Manifest(conf, (m.buckets -- dirty) ++ written), batchId)
+        }
       }
     }
   }
@@ -405,6 +438,7 @@ object CdcApply {
       tombstoneRetention: Int = 100): Boolean = {
     require(numBuckets >= 1, "numBuckets must be >= 1")
     require(tombstoneRetention >= 0, "tombstoneRetention must be >= 0")
+    require(keys.nonEmpty, "at least one key column is required")
     val spark = rawBatch.sparkSession
     val internal = Seq(BucketCol, TsBatchCol)
       .filter(rawBatch.columns.contains)
@@ -419,7 +453,6 @@ object CdcApply {
     // apply committed before the crash — re-merging would read and
     // overwrite the batch's own output
     if (currentVersion(spark, root).exists(_ >= batchId)) return false
-    if (rawBatch.isEmpty) return false
 
     val conf0 = TableConf(numBuckets, keys, versionCol, deletedCol,
       tombstoneRetention)
@@ -442,6 +475,9 @@ object CdcApply {
         .isOrderable(f.dataType) => f.name
     }
     val deduped = rawBatch.dropDuplicates(orderable.toIndexedSeq)
+    // persisted for the three consumers below (touched-set probe, merge
+    // read, final write): without it each action re-reads the source
+    // and redoes the dedup shuffle — per trigger, on the hot path
     val batch = deduped
       .withColumn(BucketCol, bucketCol(conf.keys, conf.numBuckets))
       .withColumn(TsBatchCol, conf.deletedCol match {
@@ -450,11 +486,23 @@ object CdcApply {
             lit(null).cast("long"))
         case None => lit(null).cast("long")
       })
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try applyPersistedBatch(batch, batchId, root, conf, existing)
+    finally batch.unpersist()
+  }
 
+  private def applyPersistedBatch(batch: DataFrame, batchId: Long,
+      root: String, conf: TableConf,
+      existing: Option[Manifest]): Boolean = {
+    val spark = batch.sparkSession
     // touched-bucket set: at most numBuckets ints — manifest-sized
-    // metadata, the same class of driver hop as an index probe list
+    // metadata, the same class of driver hop as an index probe list.
+    // Doubles as the empty-batch short-circuit: an idle trigger must not
+    // copy-on-write anything, and skipping the write AND the pointer
+    // flip is safe (the >= replay guard never needs contiguous ids)
     val touched = batch.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return false
 
     val merged = existing match {
       case Some(m) =>

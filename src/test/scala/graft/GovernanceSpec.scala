@@ -577,6 +577,69 @@ class GovernanceSpec extends AnyFunSuite with SparkTestBase {
       spark.table(t)).filter($"id" === 77L).isEmpty)
   }
 
+  test("analyst INSERT OVERWRITE DIRECTORY over governed storage is denied") {
+    SalesFixture.ensureRegistered(spark)
+    val loc = new java.io.File(
+      "target/graft-data/sales_parquet").getAbsolutePath
+    intercept[AccessDeniedException] {
+      Governance.withPrincipal(spark, Analyst) {
+        spark.sql(s"INSERT OVERWRITE DIRECTORY '$loc' USING parquet " +
+          "SELECT 1 AS c")
+      }
+    }
+    assert(Governance.withPrincipal(spark, DataAdmin)(
+      spark.table(s"${SalesFixture.dbName}.${SalesFixture.tableName}"))
+      .count() == 20)
+  }
+
+  test("analyst writeStream into governed storage is denied at start") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // a DEDICATED governed location, not the shared sales fixture:
+    // DataStreamWriter.start() constructs the FileStreamSink — which
+    // eagerly creates an (empty) _spark_metadata log in the target dir —
+    // BEFORE the write plan is analyzed and denied, and a leftover empty
+    // sink log makes every later read of that directory list zero files
+    // (stock Spark behavior, unrelated to governance)
+    val loc = java.nio.file.Files
+      .createTempDirectory("gov_ws_loc").toFile.getAbsolutePath
+    GovernanceCatalog.registerLocation(loc, "wsgov_db", "stream_target")
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("gov_ws").toFile.getAbsolutePath
+    intercept[AccessDeniedException] {
+      Governance.withPrincipal(spark, Analyst) {
+        stream.toDF().writeStream.format("parquet")
+          .option("path", loc)
+          .option("checkpointLocation", ckpt)
+          .start()
+      }
+    }
+    // denied BEFORE the stream ever ran — no data files appeared
+    val dataFiles = new java.io.File(loc).listFiles
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(dataFiles.isEmpty,
+      s"denied stream wrote data: ${dataFiles.map(_.getName).toSeq}")
+  }
+
+  test("analyst writeStream.toTable on a governed table is denied") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val t = writeTable
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("gov_ws_t").toFile.getAbsolutePath
+    intercept[AccessDeniedException] {
+      Governance.withPrincipal(spark, Analyst) {
+        stream.toDF().toDF("id", "v").writeStream
+          .option("checkpointLocation", ckpt)
+          .toTable(t)
+      }
+    }
+  }
+
   test("ungoverned tables stay writable by any principal") {
     import spark.implicits._
     Governance.withPrincipal(spark, Analyst) {
