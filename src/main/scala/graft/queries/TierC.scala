@@ -32,6 +32,39 @@ object TierC {
   private val dec = DecimalType(18, 2)
   private def dsum(c: Column): Column = sum(c.cast(dec)).cast(DoubleType)
 
+  /** Shared snapshot root for the declared CDC queries: a deterministic
+    * two-batch change stream (full supplier insert load, then updates +
+    * delete-wins) merged via [[graft.streaming.CdcApply]]. The root is
+    * fingerprint-keyed on the input dataset (the
+    * [[Tables.eventsByDate]] artifact pattern) and the change stream is
+    * a pure function of the supplier table, so the snapshot is built
+    * ONCE per input dataset — the replay guard (`CURRENT >= v<batchId>`)
+    * turns every later invocation's re-applies into no-op manifest
+    * reads.
+    */
+  private def cdcQueryRoot(s: SparkSession, d: String): String =
+    synchronized {
+      import graft.sources.Artifacts
+      import graft.streaming.CdcApply
+      val root = new java.io.File("target/graft-data/cdc_merge_q/" +
+        Artifacts.datasetKey(d, s"$d/supplier.parquet")).getAbsolutePath
+      val sup = Tables.supplier(s, d)
+      val b0 = sup.withColumn("version", lit(1L))
+        .withColumn("deleted", lit(false))
+      val updates = sup.filter(col("s_suppkey") % 5 === 0)
+        .withColumn("s_acctbal", col("s_acctbal") + lit(100.0))
+        .withColumn("version", lit(2L))
+        .withColumn("deleted", lit(false))
+      val deletes = sup.filter(col("s_suppkey") % 7 === 0)
+        .withColumn("version", lit(3L))
+        .withColumn("deleted", lit(true))
+      CdcApply.applyBatch(b0, 0L, root, Seq("s_suppkey"), "version",
+        Some("deleted"))
+      CdcApply.applyBatch(updates.unionByName(deletes), 1L, root,
+        Seq("s_suppkey"), "version", Some("deleted"))
+      root
+    }
+
   /** Knuth multiplicative scramble (id mod 2^32) * 2654435761 mod 2^32,
     * overflow-free for ANY long id: the multiplier is split into
     * 40503 * 2^16 + 31153 so every intermediate product stays under
@@ -593,35 +626,23 @@ object TierC {
     // deleted keys absent — so every layer (bucketing, anti-join,
     // latest-wins window, tombstones, manifest pointer) is hash-checked,
     // not just spec-tested.
-    "q_cdc_merge" -> ((s, d) => {
-      // deterministic fingerprint-keyed root (the [[Tables.eventsByDate]]
-      // artifact pattern): the change stream is a pure function of the
-      // supplier table, so the snapshot is built ONCE per input dataset
-      // and every later invocation is a manifest read — the replay guard
-      // (`CURRENT >= v<batchId>`) turns the re-applies into no-ops
-      import graft.sources.Artifacts
-      val root = new java.io.File("target/graft-data/cdc_merge_q/" +
-        Artifacts.datasetKey(d, s"$d/supplier.parquet")).getAbsolutePath
-      val sup = Tables.supplier(s, d)
-      val b0 = sup.withColumn("version", lit(1L))
-        .withColumn("deleted", lit(false))
-      val updates = sup.filter(col("s_suppkey") % 5 === 0)
-        .withColumn("s_acctbal", col("s_acctbal") + lit(100.0))
-        .withColumn("version", lit(2L))
-        .withColumn("deleted", lit(false))
-      val deletes = sup.filter(col("s_suppkey") % 7 === 0)
-        .withColumn("version", lit(3L))
-        .withColumn("deleted", lit(true))
-      import graft.streaming.CdcApply
-      CdcApply.applyBatch(b0, 0L, root, Seq("s_suppkey"), "version",
-        Some("deleted"))
-      CdcApply.applyBatch(updates.unionByName(deletes), 1L, root,
-        Seq("s_suppkey"), "version", Some("deleted"))
-      CdcApply.readSnapshot(s, root).get
+    "q_cdc_merge" -> ((s, d) =>
+      graft.streaming.CdcApply.readSnapshot(s, cdcQueryRoot(s, d)).get
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("cnt"), dsum(col("s_acctbal")).as("total_bal"))
-        .orderBy(col("s_nationkey"))
-    })
+        .orderBy(col("s_nationkey"))),
+
+    // C8b — TIME TRAVEL through the same snapshot: the state as of batch
+    // 0 (the full insert load, before any update or delete applied) read
+    // back via that batch's immutable manifest. The oracle is the plain
+    // supplier aggregate — proof the later batches' rewrites did not
+    // disturb the retained batch-0 manifest or the data dirs it
+    // references.
+    "q_cdc_timetravel" -> ((s, d) =>
+      graft.streaming.CdcApply.readSnapshotAt(s, cdcQueryRoot(s, d), 0L).get
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("s_acctbal")).as("total_bal"))
+        .orderBy(col("s_nationkey")))
   )
 
   private val quantSql =
@@ -938,6 +959,11 @@ object TierC {
         "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
         "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
         "FROM supplier WHERE s_suppkey % 7 <> 0 " +
-        "GROUP BY s_nationkey ORDER BY s_nationkey")
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // batch-0 state: every supplier present, balances untouched
+    "q_cdc_timetravel" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
+        "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey")
   )
 }
