@@ -55,6 +55,16 @@ import graft.operators.Upsert
   * buckets. [[readSnapshot]] always filters tombstones; retention 0
   * reproduces delete-as-removal.
   *
+  * Schema evolution, additive: the table schema (persisted in each
+  * manifest) is the union of every batch's columns in first-seen order.
+  * New payload columns appear with NULL on all pre-evolution rows; a
+  * batch omitting a known column stores NULL there for ITS rows
+  * (whole-row upsert: the delivered row is the new version, not a
+  * column-level patch); a same-name column with a different type is
+  * refused loudly. Reads declare the manifest's schema — never
+  * `mergeSchema` footer scans — and time travel reads each batch under
+  * the schema it committed with.
+  *
   * Exactly-once, in three layers:
   *  - a REPLAYED batch (crash after the pointer flip, before the
   *    stream checkpoint commit) is detected by `CURRENT >= v<batchId>`
@@ -106,8 +116,19 @@ object CdcApply {
     */
   private final case class BucketEntry(rel: String, minTs: Option[Long])
 
+  /** `schema` is the STORED row schema (user columns + `TsBatchCol`,
+    * never `BucketCol` — that is the partition directory). It is the
+    * single source of truth for every multi-directory read: buckets
+    * written before an additive schema evolution are read with the
+    * CURRENT schema and their missing columns come back NULL, with no
+    * per-file footer merging (`mergeSchema` would scan every footer —
+    * O(files) metadata reads at 100 TB; a declared schema is O(1)).
+    * None only on manifests written before the schema line existed —
+    * those fall back to a footer-merged read.
+    */
   private final case class Manifest(conf: TableConf,
-      buckets: Map[Int, BucketEntry]) {
+      buckets: Map[Int, BucketEntry],
+      schema: Option[org.apache.spark.sql.types.StructType]) {
     def dataPaths(root: String): Seq[String] =
       buckets.valuesIterator.map(e => s"$root/data/${e.rel}").toSeq.sorted
   }
@@ -161,11 +182,15 @@ object CdcApply {
 
   private def serializeManifest(m: Manifest): String = {
     val c = m.conf
-    val header = s"graft-cdc v3 buckets=${c.numBuckets} " +
+    val header = s"graft-cdc v4 buckets=${c.numBuckets} " +
       s"keys=${c.keys.mkString(",")} version=${c.versionCol} " +
       s"deleted=${c.deletedCol.getOrElse("-")} retention=${c.retention}"
-    (header +: m.buckets.toSeq.sortBy(_._1).map { case (b, e) =>
-      s"$b\t${e.rel}\t${e.minTs.map(_.toString).getOrElse("-")}"
+    // schema JSON is one line (JSON escapes control chars), tagged so a
+    // bucket line (which starts with an int) can never shadow it
+    val schemaLine = m.schema.map(s => s"schema\t${s.json}").toSeq
+    ((header +: schemaLine) ++ m.buckets.toSeq.sortBy(_._1).map {
+      case (b, e) =>
+        s"$b\t${e.rel}\t${e.minTs.map(_.toString).getOrElse("-")}"
     }).mkString("\n")
   }
 
@@ -180,11 +205,16 @@ object CdcApply {
       versionCol = kv("version"),
       deletedCol = Some(kv("deleted")).filter(_ != "-"),
       retention = kv("retention").toInt)
-    val buckets = lines.tail.filter(_.nonEmpty).map { l =>
-      val Array(b, rel, ts) = l.split('\t')
-      (b.toInt, BucketEntry(rel, Some(ts).filter(_ != "-").map(_.toLong)))
-    }.toMap
-    Manifest(conf, buckets)
+    val schema = lines.tail.find(_.startsWith("schema\t")).map(l =>
+      org.apache.spark.sql.types.DataType.fromJson(
+        l.stripPrefix("schema\t"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val buckets = lines.tail
+      .filter(l => l.nonEmpty && !l.startsWith("schema\t")).map { l =>
+        val Array(b, rel, ts) = l.split('\t')
+        (b.toInt, BucketEntry(rel, Some(ts).filter(_ != "-").map(_.toLong)))
+      }.toMap
+    Manifest(conf, buckets, schema)
   }
 
   private def readManifest(spark: SparkSession, root: String,
@@ -205,9 +235,14 @@ object CdcApply {
 
   /** Raw stored rows of the given bucket paths — tombstones and internal
     * columns included (the merge and maintenance view of the data).
+    * With a declared schema, files written before a schema evolution
+    * yield NULL for the columns they lack; without one (pre-v4
+    * manifests) the read footer-merges so no column silently vanishes.
     */
-  private def readRaw(spark: SparkSession, paths: Seq[String]): DataFrame =
-    spark.read.parquet(paths: _*)
+  private def readRaw(spark: SparkSession, paths: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    schema.fold(spark.read.option("mergeSchema", "true"))(
+      spark.read.schema(_)).parquet(paths: _*)
 
   private def stripInternal(df: DataFrame, conf: TableConf): DataFrame = {
     val noTs = df.drop(TsBatchCol)
@@ -221,7 +256,7 @@ object CdcApply {
     */
   def readSnapshot(spark: SparkSession, root: String): Option[DataFrame] =
     currentManifest(spark, root).filter(_.buckets.nonEmpty).map(m =>
-      stripInternal(readRaw(spark, m.dataPaths(root)), m.conf))
+      stripInternal(readRaw(spark, m.dataPaths(root), m.schema), m.conf))
 
   /** Time travel: read the snapshot as of `batchId` — every applied
     * batch commits an immutable manifest, so any batch whose manifest
@@ -241,7 +276,9 @@ object CdcApply {
       .sortBy(parseManifestName(_)._2).lastOption
       .map { name =>
         val m = readManifest(spark, root, name)
-        stripInternal(readRaw(spark, m.dataPaths(root)), m.conf)
+        // that manifest's OWN schema: time travel to before an additive
+        // evolution sees the table as it was, without the later columns
+        stripInternal(readRaw(spark, m.dataPaths(root), m.schema), m.conf)
       }
   }
 
@@ -347,7 +384,7 @@ object CdcApply {
       if (dirty.nonEmpty) {
         val dirTag = s"v${batchId}g${gen + 1}"
         val dirtyPaths = dirty.map(b => s"$root/data/${m.buckets(b).rel}")
-        readRaw(spark, dirtyPaths)
+        readRaw(spark, dirtyPaths, m.schema)
           .filter(!(coalesce(col(d), lit(false)) && expired))
           .withColumn(BucketCol, bucketCol(conf.keys, conf.numBuckets))
           .hint("rebalance", BucketCol)
@@ -365,7 +402,8 @@ object CdcApply {
         // operating assumption, as for any table format's vacuum.
         if (currentManifestName(spark, root).contains(name)) {
           commitManifest(spark, root, s"v$batchId.${gen + 1}",
-            Manifest(conf, (m.buckets -- dirty) ++ written), batchId)
+            Manifest(conf, (m.buckets -- dirty) ++ written, m.schema),
+            batchId)
         }
       }
     }
@@ -444,6 +482,13 @@ object CdcApply {
       .filter(rawBatch.columns.contains)
     require(internal.isEmpty,
       s"reserved column names in use: ${internal.mkString(",")}")
+    // payload columns may come and go across batches (additive schema
+    // evolution), but the merge machinery's own columns may not
+    val structural = ((keys :+ versionCol) ++ deletedCol)
+      .filterNot(rawBatch.columns.contains)
+    require(structural.isEmpty,
+      s"batch is missing key/version/deleted columns: " +
+        structural.mkString(","))
     // the manifest header is whitespace/comma-delimited text
     val unserializable = (keys :+ versionCol) ++ deletedCol
     require(unserializable.forall(c => !c.exists(" ,\t\n".contains(_))),
@@ -504,23 +549,65 @@ object CdcApply {
       .collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return false
 
+    // ADDITIVE schema evolution: the table schema is the union of every
+    // batch's columns, in first-seen order. A batch may introduce new
+    // payload columns (older rows read back NULL there) or omit known
+    // ones (its rows store NULL there — whole-row upsert semantics: the
+    // new version of the row IS the delivered row). A same-name column
+    // with a DIFFERENT type is refused loudly — silent coercion corrupts
+    // every pre-evolution row at once.
+    import org.apache.spark.sql.types.StructType
+    val batchStored = StructType(
+      batch.schema.fields.filterNot(_.name == BucketCol))
+    val priorStored: Option[StructType] = existing.map(m =>
+      m.schema.getOrElse {
+        // pre-v4 manifest: recover the stored schema from file footers
+        // once; the commit below persists it so this never repeats
+        StructType(readRaw(spark, m.dataPaths(root), None)
+          .schema.fields.filterNot(_.name == BucketCol))
+      })
+    priorStored.foreach { prior =>
+      val clashes = batchStored.fields.flatMap(f =>
+        prior.fields.find(_.name == f.name)
+          .filter(_.dataType != f.dataType)
+          .map(p => s"${f.name}: table=${p.dataType.simpleString} " +
+            s"batch=${f.dataType.simpleString}"))
+      require(clashes.isEmpty,
+        s"schema evolution type clash: ${clashes.mkString("; ")}")
+    }
+    val evolved = priorStored.fold(batchStored) { prior =>
+      StructType(prior.fields ++ batchStored.fields
+        .filterNot(f => prior.fieldNames.contains(f.name))
+        .map(_.copy(nullable = true)))
+    }
+    // align a merge side to the evolved schema: known columns through,
+    // absent ones as typed NULLs, evolved order; bucket column rides
+    // along untouched
+    def align(df: DataFrame): DataFrame =
+      df.select(evolved.fields.map(f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq
+        :+ col(BucketCol): _*)
+
     val merged = existing match {
       case Some(m) =>
         val basePaths = touched.flatMap(m.buckets.get)
           .map(e => s"$root/data/${e.rel}")
         if (basePaths.isEmpty) {
-          Upsert.latestWins(batch.limit(0), batch, conf.keys,
+          val b = align(batch)
+          Upsert.latestWins(b.limit(0), b, conf.keys,
             conf.versionCol, deletedCol = None)
         } else {
           // the partition column is not stored in the data files (and
           // leaf-dir reads do not recover it), so recompute the bucket —
-          // deterministic from the keys
-          val base = readRaw(spark, basePaths)
+          // deterministic from the keys. The EVOLVED schema drives the
+          // read: pre-evolution files surface NULL for the new columns
+          val base = readRaw(spark, basePaths, Some(evolved))
             .withColumn(BucketCol, bucketCol(conf.keys, conf.numBuckets))
           // rows re-delivered from an ALREADY-APPLIED batch — the base
           // side includes tombstones, so re-delivered deletes are
           // recognized as applied too
-          val fresh = batch.join(
+          val fresh = align(batch).join(
             base.select((conf.keys :+ conf.versionCol).map(col): _*),
             conf.keys :+ conf.versionCol, "left_anti")
           // deletedCol = None: tombstones are retained as rows; aging
@@ -529,7 +616,8 @@ object CdcApply {
             deletedCol = None)
         }
       case None =>
-        Upsert.latestWins(batch.limit(0), batch, conf.keys,
+        val b = align(batch)
+        Upsert.latestWins(b.limit(0), b, conf.keys,
           conf.versionCol, deletedCol = None)
     }
     // age expired tombstones out of the buckets being rewritten anyway;
@@ -554,7 +642,8 @@ object CdcApply {
       conf.deletedCol.isDefined)
     val prior = existing.map(_.buckets).getOrElse(Map.empty)
     commitManifest(spark, root, s"v$batchId.0",
-      Manifest(conf, (prior -- touched) ++ written), batchId)
+      Manifest(conf, (prior -- touched) ++ written, Some(evolved)),
+      batchId)
     true
   }
 

@@ -469,6 +469,76 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(snap == Map(1L -> "late"))
   }
 
+  test("CDC schema evolution: a new column joins, old rows read NULL, " +
+      "time travel keeps the old schema") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_evolve").toFile.getAbsolutePath
+    val b0 = Seq((1L, 1L, "a", false), (2L, 1L, "b", false))
+      .toDF("k", "version", "v", "deleted")
+    assert(graft.streaming.CdcApply.applyBatch(b0, 0L, root,
+      Seq("k"), "version", Some("deleted")))
+    // batch 1 carries a NEW payload column: update k=2, insert k=3 —
+    // k=1 is untouched, so its bucket may never be rewritten and the
+    // new column must still surface (as NULL) via the declared-schema
+    // read
+    val b1 = Seq((2L, 2L, "b2", false, 10), (3L, 1L, "c", false, 20))
+      .toDF("k", "version", "v", "deleted", "score")
+    assert(graft.streaming.CdcApply.applyBatch(b1, 1L, root,
+      Seq("k"), "version", Some("deleted")))
+    val snap = graft.streaming.CdcApply.readSnapshot(spark, root).get
+    assert(snap.columns.contains("score"))
+    val byK = snap.collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[String]("v"), Option(r.getAs[Any]("score")))).toMap
+    assert(byK == Map(
+      1L -> ("a", None),           // pre-evolution row: typed NULL
+      2L -> ("b2", Some(10)),
+      3L -> ("c", Some(20))), s"evolved snapshot: $byK")
+    // time travel to batch 0 sees the table as committed then — the
+    // later column does not exist in that manifest's schema
+    val asOf0 = graft.streaming.CdcApply.readSnapshotAt(spark, root, 0L)
+      .get
+    assert(!asOf0.columns.contains("score"),
+      s"time travel leaked the evolved column: ${asOf0.columns.toSeq}")
+    // a later batch OMITTING a known column: whole-row upsert — the new
+    // version of k=3 stores NULL for v, untouched rows keep theirs
+    val b2 = Seq((3L, 2L, false, 30))
+      .toDF("k", "version", "deleted", "score")
+    assert(graft.streaming.CdcApply.applyBatch(b2, 2L, root,
+      Seq("k"), "version", Some("deleted")))
+    val s2 = graft.streaming.CdcApply.readSnapshot(spark, root).get
+      .collect().map(r => r.getAs[Long]("k") ->
+        (Option(r.getAs[String]("v")), Option(r.getAs[Any]("score"))))
+      .toMap
+    assert(s2 == Map(
+      1L -> (Some("a"), None),
+      2L -> (Some("b2"), Some(10)),
+      3L -> (None, Some(30))), s"post-omission snapshot: $s2")
+  }
+
+  test("CDC schema evolution refuses a same-name column of a new type") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_clash").toFile.getAbsolutePath
+    val b0 = Seq((1L, 1L, "a", false)).toDF("k", "version", "v", "deleted")
+    assert(graft.streaming.CdcApply.applyBatch(b0, 0L, root,
+      Seq("k"), "version", Some("deleted")))
+    val bad = Seq((1L, 2L, 99, false)).toDF("k", "version", "v", "deleted")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.CdcApply.applyBatch(bad, 1L, root,
+        Seq("k"), "version", Some("deleted"))
+    }
+    assert(e.getMessage.contains("type clash"), e.getMessage)
+    // and a batch missing a STRUCTURAL column is refused up front
+    val noVer = Seq((1L, "x", false)).toDF("k", "v", "deleted")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.CdcApply.applyBatch(noVer, 1L, root,
+        Seq("k"), "version", Some("deleted"))
+    }
+    assert(e2.getMessage.contains("missing key/version"), e2.getMessage)
+  }
+
   test("empty micro-batch is skipped: no write, no pointer flip") {
     import spark.implicits._
     val root = java.nio.file.Files
@@ -519,7 +589,8 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
         .currentManifestName(spark, root).get
       val lines = scala.io.Source.fromFile(
         new java.io.File(root, s"manifests/$m")).mkString
-      val paths = lines.linesIterator.drop(1).filter(_.nonEmpty)
+      val paths = lines.linesIterator.drop(1)
+        .filter(l => l.nonEmpty && !l.startsWith("schema\t"))
         .map(l => s"$root/data/${l.split('\t')(1)}").toSeq
       spark.read.parquet(paths: _*).filter($"deleted").count()
     }
