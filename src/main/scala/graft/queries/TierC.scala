@@ -533,6 +533,42 @@ object TierC {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // C2l — stratified train/val/test split: the scrambled id modulo 100
+    // buckets rows 80/10/10, DETERMINISTICALLY (the same doc lands in
+    // the same split on every run and every engine — a seeded
+    // randomSplit is neither), and the per-(lang, split) report verifies
+    // stratification: the scramble is independent of lang, so each
+    // language splits ~80/10/10 internally. At 100 TB: one map-side
+    // projection + a two-phase agg — assigning the split shuffles
+    // NOTHING; only the report aggregates.
+    "q_train_split" -> ((s, d) => {
+      val bucket = pmod(trainShuffleKey(col("doc_id")), lit(100L))
+      Tables.documents(s, d)
+        .select(col("lang"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"),
+          T.tokenCount(col("text")).as("tok"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+        .orderBy(col("lang"), col("split"))
+    }),
+
+    // C2m — sequence packing: shuffled docs concatenated into one token
+    // stream, cut into 512-token context windows, each doc assigned the
+    // window its first token falls in (Packing.packBins — a distributed
+    // prefix sum, never a single-partition global window). Reported as
+    // per-bin doc counts + token mass over the first 50 bins.
+    "q_pack_sequences" -> ((s, d) =>
+      graft.operators.Packing.packBins(
+        Tables.documents(s, d).filter(col("doc_id") < 2000)
+          .select(col("doc_id"), col("text"),
+            trainShuffleKey(col("doc_id")).as("sk")),
+        Seq(col("sk"), col("doc_id")), T.tokenCount(col("text")), 512L)
+        .groupBy(col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("bin_tokens"))
+        .orderBy(col("bin_id"))
+        .limit(50)),
+
     // C1+C2 composite — the cleaning-pipeline yield metric: exact-dedup
     // keepers that pass the quality gate, and how many tokens survive.
     "q_pipeline_tokens" -> ((s, d) => {
@@ -899,6 +935,30 @@ object TierC {
         "+ (doc_id % 4294967296) * 31153) % 4294967296 " +
         "AS shuffle_key FROM documents " +
         "ORDER BY shuffle_key, doc_id LIMIT 100"),
+    "q_train_split" ->
+      ("WITH t AS (SELECT lang, CASE WHEN ((((doc_id % 4294967296) " +
+        "* 40503 % 65536) * 65536 + (doc_id % 4294967296) * 31153) " +
+        "% 4294967296) % 100 < 80 THEN 'train' WHEN ((((doc_id " +
+        "% 4294967296) * 40503 % 65536) * 65536 + (doc_id " +
+        "% 4294967296) * 31153) % 4294967296) % 100 < 90 THEN 'val' " +
+        "ELSE 'test' END AS split, " +
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), " +
+        "x -> x <> '')) AS tok FROM documents) " +
+        "SELECT lang, split, COUNT(*) AS n_docs, " +
+        "CAST(SUM(tok) AS BIGINT) AS tokens FROM t " +
+        "GROUP BY lang, split ORDER BY lang, split"),
+    "q_pack_sequences" ->
+      ("WITH t AS (SELECT doc_id, (((doc_id % 4294967296) * 40503 " +
+        "% 65536) * 65536 + (doc_id % 4294967296) * 31153) " +
+        "% 4294967296 AS sk, " +
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), " +
+        "x -> x <> '')) AS tok FROM documents WHERE doc_id < 2000), " +
+        "c AS (SELECT tok, COALESCE(SUM(tok) OVER (ORDER BY sk, doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "AS strt FROM t) " +
+        "SELECT CAST(strt // 512 AS BIGINT) AS bin_id, " +
+        "COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS bin_tokens " +
+        "FROM c GROUP BY 1 ORDER BY bin_id LIMIT 50"),
     "q_doc_chunks" ->
       ("WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
         "trim(text), '\\s+'), x -> x <> '') AS toks FROM documents " +

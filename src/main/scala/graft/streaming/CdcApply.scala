@@ -282,6 +282,35 @@ object CdcApply {
       }
   }
 
+  /** Commit history of the table — one row per retained manifest:
+    * batch id, maintenance generation, whether it is the CURRENT
+    * pointer target, bucket count, and the committed column names.
+    * Time-travelable batches are exactly the rows here (maintenance
+    * generations rewrite layout, not content — the highest generation
+    * per batch is what [[readSnapshotAt]] serves). Driver-side listing
+    * of manifest metadata only — no data files are touched, mirroring
+    * a table format's DESCRIBE HISTORY.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val fs = fsFor(spark, root)
+    val mdir = new Path(root, "manifests")
+    val cur = currentManifestName(spark, root)
+    val rows =
+      if (!fs.exists(mdir)) Seq.empty
+      else fs.listStatus(mdir).map(_.getPath.getName).toSeq
+        .sortBy { n => val (b, g) = parseManifestName(n); (b, g) }
+        .map { n =>
+          val (b, g) = parseManifestName(n)
+          val m = readManifest(spark, root, n)
+          (b, g, cur.contains(n), m.buckets.size,
+            m.schema.map(_.fieldNames.filterNot(_ == TsBatchCol).toSeq)
+              .getOrElse(Seq.empty))
+        }
+    spark.createDataFrame(rows)
+      .toDF("batch_id", "generation", "is_current", "n_buckets",
+        "columns")
+  }
+
   /** Retention sweep + tombstone expiry, the maintenance half of the
     * contract. Keeps the `keep` most recent manifests (never fewer —
     * `keep >= 2` leaves in-flight readers of the previous snapshot

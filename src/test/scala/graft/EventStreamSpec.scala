@@ -539,6 +539,28 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(e2.getMessage.contains("missing key/version"), e2.getMessage)
   }
 
+  test("history lists retained commits with schema and CURRENT marker") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_hist").toFile.getAbsolutePath
+    val b0 = Seq((1L, 1L, "a", false)).toDF("k", "version", "v", "deleted")
+    assert(graft.streaming.CdcApply.applyBatch(b0, 0L, root,
+      Seq("k"), "version", Some("deleted")))
+    val b1 = Seq((2L, 1L, "b", false, 5))
+      .toDF("k", "version", "v", "deleted", "score")
+    assert(graft.streaming.CdcApply.applyBatch(b1, 1L, root,
+      Seq("k"), "version", Some("deleted")))
+    val h = graft.streaming.CdcApply.history(spark, root)
+      .orderBy($"batch_id", $"generation").collect()
+    assert(h.map(r => (r.getAs[Long]("batch_id"),
+      r.getAs[Boolean]("is_current"))).toSeq == Seq(0L -> false,
+      1L -> true), h.mkString("; "))
+    // the evolved column shows up only from its batch onward
+    val colIdx = h(0).fieldIndex("columns")
+    assert(!h(0).getSeq[String](colIdx).contains("score"))
+    assert(h(1).getSeq[String](colIdx).contains("score"))
+  }
+
   test("empty micro-batch is skipped: no write, no pointer flip") {
     import spark.implicits._
     val root = java.nio.file.Files

@@ -177,6 +177,36 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(salted.count() == 501) // 500 hot + 1 cold
   }
 
+  test("packBins distributed prefix sum matches the single-partition " +
+      "reference across partition boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // token counts chosen so bins straddle partition boundaries under
+    // any range partitioning of the 32 shuffle partitions
+    val docs = (0L until 500L).map(i => (i, (i * 37 % 90 + 1).toInt))
+      .toDF("id", "tok")
+    val got = graft.operators.Packing
+      .packBins(docs, Seq($"id"), $"tok", budget = 100L,
+        partitions = Some(8))
+      .select($"id", $"_start", $"bin_id")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    // reference: the textbook exclusive running sum on one partition
+    val ref = docs.withColumn("s",
+        coalesce(sum($"tok").over(Window.orderBy($"id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"id", $"s")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 500)
+    ref.foreach { case (id, s) =>
+      assert(got(id) == ((s, s / 100)),
+        s"id=$id: got ${got(id)}, expected start=$s bin=${s / 100}")
+    }
+    // and it genuinely ran distributed: the pinned range exchange keeps
+    // its 8 partitions, so the offsets path was exercised
+    assert(docs.repartitionByRange(8, $"id").rdd.getNumPartitions == 8)
+  }
+
   test("train-shuffle scramble matches BigInt beyond the 64-bit wrap") {
     import spark.implicits._
     // ids where doc_id * 2654435761 overflows a signed 64-bit product —
