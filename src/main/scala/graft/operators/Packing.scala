@@ -28,9 +28,21 @@ object Packing {
     * token lands in). `orderCols` must be a TOTAL order (break ties with
     * a unique id) or the packing is nondeterministic. `_tok` carries the
     * evaluated token count so callers aggregate without recomputing.
+    *
+    * The running total and the per-partition offsets both consume the
+    * prepared rows, and Spark does not reuse that stage across the
+    * offsets' broadcast boundary (measured: two source scans, two
+    * tokenize passes). `stagingDir` removes the recompute at scale:
+    * the prepared rows are written there ONCE, the offsets pass then
+    * reads a column-pruned (`_pid`, `_tok`) projection of the staged
+    * parquet instead of re-running scan + tokenize + range exchange —
+    * the same one-time-materialization idiom as the dedup signature
+    * index. Leave it None for small inputs where a second pass is
+    * cheaper than a full write.
     */
   def packBins(docs: DataFrame, orderCols: Seq[Column], tokens: Column,
-      budget: Long, partitions: Option[Int] = None): DataFrame = {
+      budget: Long, partitions: Option[Int] = None,
+      stagingDir: Option[String] = None): DataFrame = {
     require(budget >= 1, "budget must be >= 1")
     val reserved = Seq("_tok", "_pid", "_start", "_ptotal", "_offset",
       "bin_id").filter(docs.columns.contains)
@@ -39,10 +51,17 @@ object Packing {
     val withTok = docs.withColumn("_tok", tokens.cast("long"))
     // explicit count pins the range exchange (AQE coalesces the default
     // — right in production, wrong when a test must prove boundaries)
-    val base = partitions
+    val prepared = partitions
       .fold(withTok.repartitionByRange(orderCols: _*))(n =>
         withTok.repartitionByRange(n, orderCols: _*))
       .withColumn("_pid", spark_partition_id())
+    // once staged, `_pid` is an ordinary stored column — the window's
+    // hash exchange on it below re-establishes co-location, so losing
+    // the physical range partitioning in the round trip is harmless
+    val base = stagingDir.fold(prepared) { dir =>
+      prepared.write.mode("overwrite").parquet(dir)
+      docs.sparkSession.read.parquet(dir)
+    }
     // local running total, EXCLUSIVE of the current row (a document
     // starts at the boundary its predecessors reached)
     val local = base.withColumn("_start",

@@ -207,6 +207,24 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(docs.repartitionByRange(8, $"id").rdd.getNumPartitions == 8)
   }
 
+  test("packBins staged run matches the unstaged result exactly") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, (i * 13 % 50 + 1).toInt))
+      .toDF("id", "tok")
+    val dir = java.nio.file.Files
+      .createTempDirectory("pack_stage").toFile.getAbsolutePath
+    def run(stage: Option[String]) = graft.operators.Packing
+      .packBins(docs, Seq($"id"), $"tok", budget = 64L,
+        partitions = Some(8), stagingDir = stage)
+      .select($"id", $"_start", $"bin_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(run(Some(dir)) == run(None))
+    // the staged copy landed where asked
+    assert(new java.io.File(dir).listFiles.exists(
+      _.getName.endsWith(".parquet")))
+  }
+
   test("train-shuffle scramble matches BigInt beyond the 64-bit wrap") {
     import spark.implicits._
     // ids where doc_id * 2654435761 overflows a signed 64-bit product —
