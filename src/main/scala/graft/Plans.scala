@@ -59,7 +59,17 @@ object Plans {
       "parquet scan (the snapshot IS ordinary parquet) with a two-phase " +
       "hash aggregate; the merge work upstream touched only the bucket " +
       "directories the batches' keys hash into, with an AQE-rebalanced " +
-      "per-bucket write."))
+      "per-bucket write."),
+    "q_train_split" -> ("Deterministic stratified split: the split " +
+      "assignment is a map-side projection over the scrambled id — no " +
+      "shuffle exists except the report's own two-phase aggregate, so " +
+      "splitting 100 TB costs one scan."),
+    "q_pack_sequences" -> ("Sequence packing as a DISTRIBUTED prefix " +
+      "sum: range exchange on the shuffle key, per-partition running " +
+      "totals in a partition-id window, the per-partition grand totals " +
+      "(one row each) offset-summed on a single tiny partition and " +
+      "broadcast back — no single-partition window over data ever " +
+      "forms."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
