@@ -569,6 +569,25 @@ object TierC {
         .orderBy(col("bin_id"))
         .limit(50)),
 
+    // C2n — per-group deterministic sample: the first 50 docs of each
+    // language in scrambled-id order (eval-set construction: a fixed,
+    // reproducible per-stratum draw; a seeded sampleBy is neither
+    // stable across engines nor exactly sized). ONE shuffle on lang —
+    // and at 100 TB the rank window never materializes a language
+    // globally sorted: row_number over (lang, scrambled id) streams
+    // each group's partition.
+    "q_group_sample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          trainShuffleKey(col("doc_id")).as("sk"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+            .orderBy(col("sk"), col("doc_id"))))
+        .filter(col("rk") <= 50)
+        .select(col("lang"), col("doc_id"), col("rk").cast(LongType)
+          .as("rk"))
+        .orderBy(col("lang"), col("rk"))),
+
     // C1+C2 composite — the cleaning-pipeline yield metric: exact-dedup
     // keepers that pass the quality gate, and how many tokens survive.
     "q_pipeline_tokens" -> ((s, d) => {
@@ -947,6 +966,14 @@ object TierC {
         "SELECT lang, split, COUNT(*) AS n_docs, " +
         "CAST(SUM(tok) AS BIGINT) AS tokens FROM t " +
         "GROUP BY lang, split ORDER BY lang, split"),
+    "q_group_sample" ->
+      ("WITH t AS (SELECT lang, doc_id, (((doc_id % 4294967296) " +
+        "* 40503 % 65536) * 65536 + (doc_id % 4294967296) * 31153) " +
+        "% 4294967296 AS sk FROM documents), " +
+        "r AS (SELECT lang, doc_id, ROW_NUMBER() OVER " +
+        "(PARTITION BY lang ORDER BY sk, doc_id) AS rk FROM t) " +
+        "SELECT lang, doc_id, rk FROM r WHERE rk <= 50 " +
+        "ORDER BY lang, rk"),
     "q_pack_sequences" ->
       ("WITH t AS (SELECT doc_id, (((doc_id % 4294967296) * 40503 " +
         "% 65536) * 65536 + (doc_id % 4294967296) * 31153) " +
