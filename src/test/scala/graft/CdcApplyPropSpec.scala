@@ -73,4 +73,53 @@ class CdcApplyPropSpec extends AnyFunSuite with SparkTestBase {
     }
     check(p)
   }
+
+  test("property: additive evolution mid-stream still equals global " +
+      "latest-wins, with NULLs exactly on pre-evolution winners") {
+    import spark.implicits._
+    val p = Prop.forAll(historyGen, Gen.chooseNum(1, 4),
+      Gen.chooseNum(0, 5)) { (history, nBatches, evolveAt) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("cdc_prop_ev").toFile.getAbsolutePath
+      val size = math.max(1, history.size / nBatches)
+      val batches = history.grouped(size).toList
+      batches.zipWithIndex.foreach { case (rows, id) =>
+        // batches from `evolveAt` on deliver an extra column (a pure
+        // function of the payload, so the expectation is closed-form)
+        val df =
+          if (id >= evolveAt)
+            rows.map(r => (r._1, r._2, r._3, r._4, r._3 * 2))
+              .toDF("k", "version", "payload", "deleted", "extra")
+          else rows.toDF("k", "version", "payload", "deleted")
+        graft.streaming.CdcApply.applyBatch(df, id.toLong, root,
+          Seq("k"), "version", Some("deleted"),
+          numBuckets = 4, tombstoneRetention = 100)
+      }
+      val snap = graft.streaming.CdcApply.readSnapshot(spark, root)
+      val hasExtra = snap.exists(_.columns.contains("extra"))
+      val got = snap.map(_.collect().map(r =>
+        r.getAs[Long]("k") -> ((r.getAs[Long]("payload"),
+          if (hasExtra) Option(r.getAs[Any]("extra")) else None)))
+        .toMap).getOrElse(Map.empty)
+      // reference: winner by version; its EXTRA is set iff the winning
+      // delivery arrived in an evolved batch
+      val expect = history.zipWithIndex.groupBy(_._1._1).flatMap {
+        case (k, rows) =>
+          val (winner, idx) = rows.maxBy(_._1._2)
+          if (winner._4) None
+          else Some(k -> ((winner._3,
+            if (idx / size >= evolveAt) Some(winner._3 * 2) else None)))
+      }
+      // the column itself exists iff any applied (non-empty) batch was
+      // evolved
+      val expectExtra = batches.zipWithIndex
+        .exists { case (rows, id) => id >= evolveAt && rows.nonEmpty }
+      val ok = got == expect && hasExtra == expectExtra
+      if (!ok) println(s"[cdc-prop-ev] history=$history " +
+        s"evolveAt=$evolveAt got=$got expect=$expect " +
+        s"hasExtra=$hasExtra expectExtra=$expectExtra")
+      ok
+    }
+    check(p)
+  }
 }
