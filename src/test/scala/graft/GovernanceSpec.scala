@@ -640,6 +640,60 @@ class GovernanceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("CDC apply into a governed location obeys write governance") {
+    import spark.implicits._
+    // a CDC snapshot root registered as governed storage: the apply's
+    // own parquet write must hit the same choke point as any df.write —
+    // subsystems compose, there is no side door through CdcApply
+    val root = java.nio.file.Files
+      .createTempDirectory("gov_cdc_root").toFile.getAbsolutePath
+    GovernanceCatalog.registerLocation(root, "govcdc_db", "cdc_target")
+    val b0 = Seq((1L, 1L, "a", false)).toDF("k", "version", "v", "deleted")
+    intercept[AccessDeniedException] {
+      Governance.withPrincipal(spark, Analyst) {
+        graft.streaming.CdcApply.applyBatch(b0, 0L, root,
+          Seq("k"), "version", Some("deleted"))
+      }
+    }
+    // nothing committed: no CURRENT pointer exists
+    assert(graft.streaming.CdcApply
+      .currentVersion(spark, root).isEmpty)
+    // DataAdmin holds the write grant and the apply goes through whole
+    Governance.withPrincipal(spark, DataAdmin) {
+      assert(graft.streaming.CdcApply.applyBatch(b0, 0L, root,
+        Seq("k"), "version", Some("deleted")))
+    }
+    assert(graft.streaming.CdcApply
+      .currentVersion(spark, root).contains(0L))
+  }
+
+  test("DataAdmin writeStream into governed storage is allowed") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val loc = java.nio.file.Files
+      .createTempDirectory("gov_ws_admin").toFile.getAbsolutePath
+    GovernanceCatalog.registerLocation(loc, "wsgov_db", "admin_target")
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("gov_ws_admin_ck").toFile.getAbsolutePath
+    Governance.withPrincipal(spark, DataAdmin) {
+      val q = stream.toDF().toDF("id").writeStream.format("parquet")
+        .option("path", loc)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        stream.addData(1L, 2L, 3L)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    // read back as DataAdmin too — the location is governed, so an
+    // unprincipaled read would hit the read-path rule, not the sink
+    assert(Governance.withPrincipal(spark, DataAdmin)(
+      spark.read.parquet(loc)).count() == 3,
+      "admin stream write did not land")
+  }
+
   test("ungoverned tables stay writable by any principal") {
     import spark.implicits._
     Governance.withPrincipal(spark, Analyst) {
