@@ -572,21 +572,34 @@ object TierC {
     // C2n — per-group deterministic sample: the first 50 docs of each
     // language in scrambled-id order (eval-set construction: a fixed,
     // reproducible per-stratum draw; a seeded sampleBy is neither
-    // stable across engines nor exactly sized). ONE shuffle on lang —
-    // and at 100 TB the rank window never materializes a language
-    // globally sorted: row_number over (lang, scrambled id) streams
-    // each group's partition.
-    "q_group_sample" -> ((s, d) =>
-      Tables.documents(s, d)
+    // stable across engines nor exactly sized). A naive
+    // `row_number over (partition by lang)` funnels the WHOLE corpus
+    // through one reducer per language — 5 tasks for 100 TB — so the
+    // global rank runs after a LOCAL prune: every input partition keeps
+    // its own top-50 per language first (parallelism = partitions ×
+    // languages), and the lang-partitioned window then ranks at most
+    // 50 × partitions survivors per language. Global top-50 ⊆ union of
+    // per-partition top-50s, so the result is exact.
+    "q_group_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           trainShuffleKey(col("doc_id")).as("sk"))
+        .withColumn("_pid", spark_partition_id())
+      val pruned = scored
+        .withColumn("_lrk", row_number().over(
+          Window.partitionBy(col("_pid"), col("lang"))
+            .orderBy(col("sk"), col("doc_id"))))
+        .filter(col("_lrk") <= 50)
+      pruned
         .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          Window.partitionBy(col("lang"))
             .orderBy(col("sk"), col("doc_id"))))
         .filter(col("rk") <= 50)
         .select(col("lang"), col("doc_id"), col("rk").cast(LongType)
           .as("rk"))
-        .orderBy(col("lang"), col("rk"))),
+        .orderBy(col("lang"), col("rk"))
+    }),
 
     // C1+C2 composite — the cleaning-pipeline yield metric: exact-dedup
     // keepers that pass the quality gate, and how many tokens survive.
