@@ -21,6 +21,32 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_ann_kmeans",        // 1-row query-vector crossJoin
     "q_subquery_scalar")   // 1-row broadcast scalar-threshold aggregate
 
+  /** Queries whose plan legitimately contains an UNPARTITIONED window:
+    * the window's input is already metadata-sized (never the data).
+    */
+  private val globalWindowAllowed = Set(
+    "q_pack_sequences")    // offsets window: one row per partition
+
+  test("no declared query runs an unpartitioned window over data") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !globalWindowAllowed(name) =>
+        val plan =
+          try fn(spark, sfDir).queryExecution.sparkPlan
+          catch { case e: Throwable =>
+            fail(s"$name failed to plan: ${e.getMessage}")
+          }
+        plan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty =>
+            s"$name: single-partition window"
+        }.headOption
+      case _ => None
+    }
+    assert(offenders.isEmpty,
+      s"every row funnels through ONE reducer in:\n" +
+        offenders.mkString("\n"))
+  }
+
   test("no declared query plans a cartesian product or a stray NL join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
