@@ -40,6 +40,19 @@ object AuditLog {
 
   def events: Seq[AuditEvent] = synchronized { ring.asScala.toSeq }
   def clear(): Unit = synchronized { ring.clear() }
+
+  /** The audit trail as a queryable DataFrame — the reference's "query
+    * the CloudTrail from the warehouse" story (reference `README.md:12`)
+    * without leaving the session: who touched which governed table, what
+    * was denied, row counts, durations. Served from the in-memory ring;
+    * a durable deployment queries whatever sink [[record]] ships to.
+    */
+  def toDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    val s = spark
+    import s.implicits._
+    events.toDF()
+  }
 }
 
 /** Register with `.config("spark.sql.queryExecutionListeners",

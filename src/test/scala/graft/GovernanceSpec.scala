@@ -694,6 +694,25 @@ class GovernanceSpec extends AnyFunSuite with SparkTestBase {
       "admin stream write did not land")
   }
 
+  test("the audit trail is queryable as a DataFrame, denials included") {
+    import spark.implicits._
+    val t = writeTable
+    AuditLog.clear()
+    intercept[AccessDeniedException] {
+      Governance.withPrincipal(spark, Analyst)(
+        spark.sql(s"INSERT INTO $t VALUES (101, 'audit')"))
+    }
+    val denials = AuditLog.toDF(spark)
+      .filter($"funcName" === "write-denied" &&
+        $"principal" === Analyst.name)
+      .collect()
+    assert(denials.nonEmpty, "denied write left no audit record")
+    // and the trail composes with ordinary SQL like any other table
+    AuditLog.toDF(spark).createOrReplaceTempView("audit_trail")
+    assert(spark.sql("SELECT COUNT(*) FROM audit_trail " +
+      "WHERE funcName = 'write-denied'").head().getLong(0) >= 1)
+  }
+
   test("ungoverned tables stay writable by any principal") {
     import spark.implicits._
     Governance.withPrincipal(spark, Analyst) {
