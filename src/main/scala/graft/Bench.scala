@@ -59,9 +59,18 @@ object Bench {
     // three back-to-back timed passes: per-query harness noise on a
     // shared box is 2-4x, so the headline total is the MEDIAN of the
     // run totals and all three are reported — round-over-round
-    // regressions become attributable to code, not scheduling
+    // regressions become attributable to code, not scheduling.
+    // Totals sum only queries that succeeded in EVERY pass: a query
+    // failing in one pass but not another would otherwise make the
+    // per-run totals sums over different query sets, and the median
+    // could pick the artificially small one. (Any failure still sets
+    // n_failed and a nonzero exit below.)
     val passes = Seq.fill(3)(timedPass())
-    val runTotals = passes.map(_.map(_._2).filter(_ >= 0).sum)
+    val everywhereOk: Set[String] = passes
+      .map(_.collect { case (n, t) if t >= 0 => n }.toSet)
+      .reduce(_ intersect _)
+    val runTotals = passes.map(
+      _.collect { case (n, t) if everywhereOk(n) => t }.sum)
     val results = passes.last
     def esc(s: String): String =
       s.flatMap {

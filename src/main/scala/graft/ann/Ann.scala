@@ -160,7 +160,15 @@ object Ann {
     val priorCheckpointDir = sc.getCheckpointDir
     checkpointDir.foreach(sc.setCheckpointDir(_))
     try kmeansImpl(emb, idCol, vecCol, k, iters, checkpointDir.isDefined)
-    finally priorCheckpointDir.foreach(sc.setCheckpointDir(_))
+    finally priorCheckpointDir match {
+      case Some(d) => sc.setCheckpointDir(d)
+      // restore "unset" too — leaving the caller's (soon-deleted) dir
+      // installed context-wide would break the session's next unrelated
+      // checkpoint. Option(null) short-circuits the setter to None
+      // without touching the filesystem.
+      case None if checkpointDir.isDefined => sc.setCheckpointDir(null)
+      case None => ()
+    }
   }
 
   /** Fault tolerance: by default each iteration cuts lineage with

@@ -204,6 +204,14 @@ object GovernanceCatalog {
       case (_, db, t) => db == database && t == table
     } || locations.valuesIterator.contains((database, table))
 
+  /** Some governed table living in `database`, if any — the write
+    * check's reason to refuse dropping the database itself.
+    */
+  def governedTableInDb(database: String): Option[(String, String)] =
+    registry.keysIterator.collectFirst {
+      case (_, db, t) if db == database => (db, t)
+    }.orElse(locations.valuesIterator.find(_._1 == database))
+
   /** Register (or replace) a data-cells filter for principal+db+table. */
   def register(principal: Principal, database: String,
       filter: DataCellsFilter): Unit =

@@ -108,6 +108,20 @@ case class GovernanceWriteCheck(spark: SparkSession)
               Some(ri.identifier.namespace().last)))
           case _ => None
         }
+      // DROP DATABASE [CASCADE] destroys every table in the namespace —
+      // denying DROP TABLE while allowing the enclosing drop would be a
+      // side door. Denied whenever the database HOLDS a governed table
+      // (cascade or not: the non-cascade form still signals intent
+      // against governed storage and fails closed).
+      case d: org.apache.spark.sql.catalyst.plans.logical.DropNamespace =>
+        d.namespace match {
+          case rn: org.apache.spark.sql.catalyst.analysis.ResolvedNamespace
+              if rn.namespace.nonEmpty =>
+            GovernanceCatalog.governedTableInDb(rn.namespace.last)
+          case _ => None
+        }
+      case d: org.apache.spark.sql.execution.command.DropDatabaseCommand =>
+        GovernanceCatalog.governedTableInDb(d.databaseName)
       case _ => None
     }
 

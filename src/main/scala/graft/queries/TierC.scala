@@ -77,6 +77,14 @@ object TierC {
     pmod(hi + a * lit(31153L), m)
   }
 
+  /** DuckDB SQL twin of [[trainShuffleKey]], built ONCE so the five
+    * oracle queries that scramble cannot drift from the Spark form (or
+    * from each other) when the formula changes.
+    */
+  private def scrambleSql(e: String): String =
+    s"((($e % 4294967296) * 40503 % 65536) * 65536 + " +
+      s"($e % 4294967296) * 31153) % 4294967296"
+
   /** Per-dataset persisted MinHash signature index (k=32); the path
     * embeds the source fingerprint so regenerated data rebuilds it.
     */
@@ -963,16 +971,13 @@ object TierC {
         "CASE WHEN lang = 'en' THEN 60 WHEN lang = 'zh' THEN 40 " +
         "ELSE 20 END GROUP BY lang ORDER BY lang"),
     "q_train_shuffle" ->
-      ("SELECT doc_id, (((doc_id % 4294967296) * 40503 % 65536) * 65536 " +
-        "+ (doc_id % 4294967296) * 31153) % 4294967296 " +
+      (s"SELECT doc_id, ${scrambleSql("doc_id")} " +
         "AS shuffle_key FROM documents " +
         "ORDER BY shuffle_key, doc_id LIMIT 100"),
     "q_train_split" ->
-      ("WITH t AS (SELECT lang, CASE WHEN ((((doc_id % 4294967296) " +
-        "* 40503 % 65536) * 65536 + (doc_id % 4294967296) * 31153) " +
-        "% 4294967296) % 100 < 80 THEN 'train' WHEN ((((doc_id " +
-        "% 4294967296) * 40503 % 65536) * 65536 + (doc_id " +
-        "% 4294967296) * 31153) % 4294967296) % 100 < 90 THEN 'val' " +
+      (s"WITH t AS (SELECT lang, CASE " +
+        s"WHEN (${scrambleSql("doc_id")}) % 100 < 80 THEN 'train' " +
+        s"WHEN (${scrambleSql("doc_id")}) % 100 < 90 THEN 'val' " +
         "ELSE 'test' END AS split, " +
         "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), " +
         "x -> x <> '')) AS tok FROM documents) " +
@@ -980,17 +985,14 @@ object TierC {
         "CAST(SUM(tok) AS BIGINT) AS tokens FROM t " +
         "GROUP BY lang, split ORDER BY lang, split"),
     "q_group_sample" ->
-      ("WITH t AS (SELECT lang, doc_id, (((doc_id % 4294967296) " +
-        "* 40503 % 65536) * 65536 + (doc_id % 4294967296) * 31153) " +
-        "% 4294967296 AS sk FROM documents), " +
+      (s"WITH t AS (SELECT lang, doc_id, " +
+        s"${scrambleSql("doc_id")} AS sk FROM documents), " +
         "r AS (SELECT lang, doc_id, ROW_NUMBER() OVER " +
         "(PARTITION BY lang ORDER BY sk, doc_id) AS rk FROM t) " +
         "SELECT lang, doc_id, rk FROM r WHERE rk <= 50 " +
         "ORDER BY lang, rk"),
     "q_pack_sequences" ->
-      ("WITH t AS (SELECT doc_id, (((doc_id % 4294967296) * 40503 " +
-        "% 65536) * 65536 + (doc_id % 4294967296) * 31153) " +
-        "% 4294967296 AS sk, " +
+      (s"WITH t AS (SELECT doc_id, ${scrambleSql("doc_id")} AS sk, " +
         "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), " +
         "x -> x <> '')) AS tok FROM documents WHERE doc_id < 2000), " +
         "c AS (SELECT tok, COALESCE(SUM(tok) OVER (ORDER BY sk, doc_id " +

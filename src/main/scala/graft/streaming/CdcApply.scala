@@ -180,6 +180,14 @@ object CdcApply {
     (b.toLong, g.stripPrefix(".").toInt)
   }
 
+  /** Committed manifest names under `manifests/` — only names that parse
+    * as `v<batch>.<gen>`, which excludes the dot-prefixed rename temps a
+    * crash mid-[[commitManifest]] can leave behind.
+    */
+  private def listManifests(fs: FileSystem, mdir: Path): Seq[String] =
+    fs.listStatus(mdir).map(_.getPath.getName).toSeq
+      .filter(n => scala.util.Try(parseManifestName(n)).isSuccess)
+
   private def serializeManifest(m: Manifest): String = {
     val c = m.conf
     val header = s"graft-cdc v4 buckets=${c.numBuckets} " +
@@ -270,9 +278,8 @@ object CdcApply {
     val fs = fsFor(spark, root)
     val dir = new Path(root, "manifests")
     if (!fs.exists(dir)) None
-    else fs.listStatus(dir).map(_.getPath.getName)
-      .filter(n => scala.util.Try(parseManifestName(n)._1 == batchId)
-        .getOrElse(false))
+    else listManifests(fs, dir)
+      .filter(n => parseManifestName(n)._1 == batchId)
       .sortBy(parseManifestName(_)._2).lastOption
       .map { name =>
         val m = readManifest(spark, root, name)
@@ -297,7 +304,7 @@ object CdcApply {
     val cur = currentManifestName(spark, root)
     val rows =
       if (!fs.exists(mdir)) Seq.empty
-      else fs.listStatus(mdir).map(_.getPath.getName).toSeq
+      else listManifests(fs, mdir)
         .sortBy { n => val (b, g) = parseManifestName(n); (b, g) }
         .map { n =>
           val (b, g) = parseManifestName(n)
@@ -339,7 +346,7 @@ object CdcApply {
 
     val curName = currentManifestName(spark, root).get
     val mdir = new Path(root, "manifests")
-    val all = fs.listStatus(mdir).map(_.getPath.getName)
+    val all = listManifests(fs, mdir)
       .sortBy { n => val (b, g) = parseManifestName(n); (b, g) }
     // retention counts BATCHES, not manifest files: a tombstone-expiry
     // generation adds a manifest for an existing batch and must not
@@ -347,13 +354,22 @@ object CdcApply {
     // HIGHEST generation survives — logical content is identical and a
     // superseded generation still references the pre-expiry data dirs,
     // which would otherwise stay live (and keep "expired" tombstone
-    // bytes on disk) forever on a quiesced table.
+    // bytes on disk) forever on a quiesced table. EXCEPTION: the CURRENT
+    // batch keeps its top TWO generations — an expiry flip may have just
+    // happened in this very run, and a reader that resolved CURRENT
+    // moments before must not have its data dirs deleted out from under
+    // it (the "keep >= 2 leaves in-flight readers unbroken" contract).
+    // The superseded generation collapses on the NEXT vacuum after the
+    // stream moves CURRENT to a newer batch; on a quiesced table the
+    // leftover is one generation of one batch — bounded.
+    val curBatchId = parseManifestName(curName)._1
     val keptBatches = all.map(parseManifestName(_)._1).distinct
       .sorted.takeRight(keep).toSet
-    val kept = (all.groupBy(parseManifestName(_)._1).collect {
+    val kept = (all.groupBy(parseManifestName(_)._1).toSeq.collect {
       case (b, names) if keptBatches.contains(b) =>
-        names.maxBy(parseManifestName(_)._2)
-    }.toSeq :+ curName).distinct
+        val byGen = names.sortBy(parseManifestName(_)._2)
+        if (b == curBatchId) byGen.takeRight(2) else byGen.takeRight(1)
+    }.flatten :+ curName).distinct
     val doomedManifests = all.filterNot(kept.contains)
     val live: Set[String] = kept
       .map(readManifest(spark, root, _))
@@ -364,7 +380,6 @@ object CdcApply {
     // version dirs, so sweep at bucket-dir granularity. Dirs tagged with
     // a batch id BEYOND the current watermark belong to an apply that is
     // mid-write (its manifest is not committed yet) — never touch them
-    val curBatch = parseManifestName(curName)._1
     def dirBatch(tag: String): Long =
       tag.stripPrefix("v").takeWhile(_.isDigit).toLong
     val ddir = new Path(root, "data")
@@ -372,7 +387,7 @@ object CdcApply {
       if (!fs.exists(ddir)) Seq.empty[String]
       else fs.listStatus(ddir)
         .filter(v => scala.util.Try(dirBatch(v.getPath.getName))
-          .toOption.exists(_ <= curBatch))
+          .toOption.exists(_ <= curBatchId))
         .flatMap { ver =>
           fs.listStatus(ver.getPath)
             .filter(_.getPath.getName.startsWith(s"$BucketCol="))
@@ -384,7 +399,7 @@ object CdcApply {
     // guard: a mid-write dir holds only _temporary and must survive)
     if (fs.exists(ddir)) fs.listStatus(ddir)
       .filter(v => scala.util.Try(dirBatch(v.getPath.getName))
-        .toOption.exists(_ <= curBatch))
+        .toOption.exists(_ <= curBatchId))
       .filter(v => fs.listStatus(v.getPath)
         .forall(!_.getPath.getName.startsWith(s"$BucketCol=")))
       .foreach(v => fs.delete(v.getPath, true))
@@ -470,20 +485,28 @@ object CdcApply {
     }
   }
 
-  /** Write the manifest file, then atomically flip `CURRENT` to it:
-    * write-temp + rename(OVERWRITE), so a concurrent reader sees the old
-    * or the new pointer, never a torn write.
+  /** Write the manifest file, then atomically flip `CURRENT` to it.
+    * BOTH writes are write-temp + rename: CURRENT so a reader sees the
+    * old or the new pointer, and the manifest itself because
+    * listing-based readers ([[readSnapshotAt]], [[history]], vacuum's
+    * kept-set) discover manifests by name, not through CURRENT — a
+    * plain create would let them observe a mid-write file (a torn line
+    * crashes the parser; a line-boundary tear parses as a silently
+    * incomplete snapshot). The dot-prefixed temp name keeps the
+    * in-flight file out of those listings.
     */
   private def commitManifest(spark: SparkSession, root: String,
       name: String, m: Manifest, batchId: Long): Unit = {
     val fs = fsFor(spark, root)
     fs.mkdirs(new Path(root, "manifests"))
-    writeSmallFile(fs, new Path(root, s"manifests/$name"),
-      serializeManifest(m))
-    val tmp = new Path(root, s".CURRENT.$batchId.tmp")
-    writeSmallFile(fs, tmp, name)
     val fc = FileContext.getFileContext(new Path(root).toUri,
       spark.sparkContext.hadoopConfiguration)
+    val mTmp = new Path(root, s"manifests/.$name.tmp")
+    writeSmallFile(fs, mTmp, serializeManifest(m))
+    fc.rename(mTmp, new Path(root, s"manifests/$name"),
+      Options.Rename.OVERWRITE)
+    val tmp = new Path(root, s".CURRENT.$batchId.tmp")
+    writeSmallFile(fs, tmp, name)
     fc.rename(tmp, new Path(root, "CURRENT"), Options.Rename.OVERWRITE)
   }
 

@@ -190,6 +190,14 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     // the prior context-global checkpoint location was restored
     assert(spark.sparkContext.getCheckpointDir.exists(_.contains(
       new java.io.File(prior).getName)))
+    // and an UNSET prior location is restored to unset — not left
+    // pointing at the caller's (deletable) kmeans dir
+    spark.sparkContext.setCheckpointDir(null)
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    Ann.kmeans(df, "vec_id", "embedding", k = 4, iters = 2,
+      checkpointDir = Some(ckpt))
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      s"leaked checkpoint dir: ${spark.sparkContext.getCheckpointDir}")
   }
 
   test("kmeans keeps k centroids when a list captures no vectors") {

@@ -713,6 +713,23 @@ class GovernanceSpec extends AnyFunSuite with SparkTestBase {
       "WHERE funcName = 'write-denied'").head().getLong(0) >= 1)
   }
 
+  test("analyst DROP DATABASE on a db holding a governed table is denied") {
+    val t = writeTable // ensures gov_w exists inside its database
+    val db = t.split('.').head
+    intercept[AccessDeniedException] {
+      Governance.withPrincipal(spark, Analyst)(
+        spark.sql(s"DROP DATABASE $db CASCADE"))
+    }
+    // the enclosing drop would have been the side door around the
+    // (already denied) DROP TABLE — table and data must still be there
+    assert(Governance.withPrincipal(spark, DataAdmin)(
+      spark.table(t)).count() >= 1)
+    // DataAdmin can still drop databases without governed content
+    spark.sql("CREATE DATABASE IF NOT EXISTS scratch_db")
+    Governance.withPrincipal(spark, DataAdmin)(
+      spark.sql("DROP DATABASE scratch_db"))
+  }
+
   test("ungoverned tables stay writable by any principal") {
     import spark.implicits._
     Governance.withPrincipal(spark, Analyst) {
