@@ -69,7 +69,12 @@ object Plans {
       "totals in a partition-id window, the per-partition grand totals " +
       "(one row each) offset-summed on a single tiny partition and " +
       "broadcast back — no single-partition window over data ever " +
-      "forms."))
+      "forms."),
+    "q_group_sample" -> ("Per-group top-k in two stages: a local " +
+      "(partition, lang) rank prunes to 50 rows per language per " +
+      "partition BEFORE the lang-partitioned global rank, so no " +
+      "language ever funnels the full corpus through one reducer — " +
+      "the five-language window sees at most 50 x partitions rows."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
