@@ -609,6 +609,27 @@ object TierC {
         .orderBy(col("lang"), col("rk"))
     }),
 
+    // (sink) — small-file compaction under the correctness gate: the
+    // fact table rewritten through Sinks.compactParquet (size-derived
+    // file count, write-new-directory) and aggregated FROM THE COMPACTED
+    // COPY; the oracle aggregates the original, so any row lost or
+    // duplicated in the rewrite hash-mismatches. Artifact-idempotent
+    // like every other one-time layout build.
+    "q_compacted" -> ((s, d) => {
+      import graft.sources.{Artifacts, Sinks}
+      val out = new java.io.File("target/graft-data/events_compacted/" +
+        Artifacts.datasetKey(d, s"$d/events.parquet"))
+      val compacted =
+        if (new java.io.File(out, "_SUCCESS").exists())
+          s.read.parquet(out.getAbsolutePath)
+        else Sinks.compactParquet(s, s"$d/events.parquet",
+          out.getAbsolutePath, targetBytes = 4L << 20)
+      compacted
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // C1+C2 composite — the cleaning-pipeline yield metric: exact-dedup
     // keepers that pass the quality gate, and how many tokens survive.
     "q_pipeline_tokens" -> ((s, d) => {
@@ -984,6 +1005,11 @@ object TierC {
         "SELECT lang, split, COUNT(*) AS n_docs, " +
         "CAST(SUM(tok) AS BIGINT) AS tokens FROM t " +
         "GROUP BY lang, split ORDER BY lang, split"),
+    "q_compacted" ->
+      ("SELECT event_type, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS total_value FROM events " +
+        "GROUP BY event_type ORDER BY event_type"),
     "q_group_sample" ->
       (s"WITH t AS (SELECT lang, doc_id, " +
         s"${scrambleSql("doc_id")} AS sk FROM documents), " +
