@@ -88,6 +88,27 @@ object TextFunctions {
         (shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)))
           .bitwiseXOR(h))
 
+  /** Free-text PII redaction for corpus egress. The reference masks its
+    * PII COLUMNS at query time (`outputs.tf:48-49` — email local-part and
+    * SSN digit masks); a training-data pipeline must also redact PII
+    * EMBEDDED IN UNSTRUCTURED TEXT before a corpus leaves the governed
+    * zone. Email addresses and SSN-shaped ids become stable placeholder
+    * tokens (not deletions — downstream token counts and dedup stay
+    * deterministic, and the placeholders are countable for audit). Both
+    * rewrites are codegen'd `regexp_replace` — pure map-side, no shuffle,
+    * linear in input splits. Patterns stay inside the RE2-compatible
+    * subset (no backrefs/lookaround) so the identical regex runs in any
+    * engine's scrubber.
+    */
+  val emailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ssnPattern: String = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      ssnPattern, "<ID>")
+
   /** `n`-word shingles, the unit for MinHash/Jaccard near-dup detection —
     * the codegen'd [[Shingles]] kernel (the higher-order formulation is
     * interpreted and re-evaluates the token split per branch, ~50×

@@ -150,6 +150,39 @@ object TierC {
           T.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
+    // C2 + governance composite — free-text PII redaction at corpus
+    // scale. The reference masks PII COLUMNS at query time
+    // (outputs.tf:48-49); a training pipeline must also scrub PII
+    // embedded in the text itself before the corpus leaves the governed
+    // zone. The synthetic corpus is word soup, so deterministic PII is
+    // planted per row — with the identical construction in the oracle —
+    // and the per-language char/placeholder sums hash-prove the scrub
+    // byte-for-byte. Pure map-side regexp_replace + one aggregation.
+    "q_pii_scrub" -> ((s, d) => {
+      val ssn = concat(
+        lpad(pmod(col("doc_id") * 7, lit(1000)).cast("string"), 3, "0"),
+        lit("-"),
+        lpad(pmod(col("doc_id") * 13, lit(100)).cast("string"), 2, "0"),
+        lit("-"),
+        lpad(pmod(col("doc_id") * 31, lit(10000)).cast("string"), 4, "0"))
+      val planted = concat(substring(col("text"), 1, 40),
+        lit(" reach user"), col("doc_id").cast("string"),
+        lit("@example.com id "), ssn, lit(" end"))
+      def marks(c: Column, tok: String): Column =
+        sum(length(c) - length(regexp_replace(c, tok, "")))
+          .cast(LongType)
+      Tables.documents(s, d)
+        .select(col("lang"), planted.as("planted"),
+          T.scrubPii(planted).as("scrubbed"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("planted"))).cast(LongType).as("raw_chars"),
+          sum(length(col("scrubbed"))).cast(LongType).as("scrubbed_chars"),
+          marks(col("scrubbed"), "<EMAIL>").as("email_mark_chars"),
+          marks(col("scrubbed"), "<ID>").as("id_mark_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // C3 — exact cosine top-k similarity search (brute-force baseline;
     // integer-quantized dot → bit-identical ranking across engines).
     "q_embed_topk" -> ((s, d) =>
@@ -932,6 +965,29 @@ object TierC {
         "CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) " +
         "AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE)) END AS quality " +
         "FROM documents WHERE doc_id < 500 ORDER BY doc_id"),
+    // the regex patterns interpolate from TextFunctions so the oracle can
+    // never drift from the engine's scrubber (SQL string literals pass
+    // backslashes through untouched; both engines speak the RE2 subset)
+    "q_pii_scrub" ->
+      ("WITH t AS (SELECT lang, " +
+        "substr(text, 1, 40) || ' reach user' || " +
+        "CAST(doc_id AS VARCHAR) || '@example.com id ' || " +
+        "lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0') || '-' || " +
+        "lpad(CAST(doc_id * 13 % 100 AS VARCHAR), 2, '0') || '-' || " +
+        "lpad(CAST(doc_id * 31 % 10000 AS VARCHAR), 4, '0') || ' end' " +
+        "AS planted FROM documents), " +
+        "u AS (SELECT lang, planted, " +
+        s"regexp_replace(regexp_replace(planted, '${T.emailPattern}', " +
+        s"'<EMAIL>', 'g'), '${T.ssnPattern}', '<ID>', 'g') AS scrubbed " +
+        "FROM t) " +
+        "SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(LENGTH(planted)) AS BIGINT) AS raw_chars, " +
+        "CAST(SUM(LENGTH(scrubbed)) AS BIGINT) AS scrubbed_chars, " +
+        "CAST(SUM(LENGTH(scrubbed) - LENGTH(regexp_replace(scrubbed, " +
+        "'<EMAIL>', '', 'g'))) AS BIGINT) AS email_mark_chars, " +
+        "CAST(SUM(LENGTH(scrubbed) - LENGTH(regexp_replace(scrubbed, " +
+        "'<ID>', '', 'g'))) AS BIGINT) AS id_mark_chars " +
+        "FROM u GROUP BY lang ORDER BY lang"),
     "q_embed_topk" ->
       ("WITH q AS (SELECT " + quantSql + " AS qv FROM embeddings " +
         "WHERE vec_id = 0), " +
