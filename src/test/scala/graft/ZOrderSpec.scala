@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Tables, ZOrder}
+
+class ZOrderSpec extends AnyFunSuite with SparkTestBase {
+
+  test("z-value interleaves quantized bits (known vectors)") {
+    import spark.implicits._
+    val df = Seq((0xFFFFL, 0L), (0L, 0xFFFFL), (3L, 3L), (0L, 0L))
+      .toDF("a", "b")
+      .select(ZOrder.zValue(col("a"), col("b")).as("z"))
+    val zs = df.collect().map(_.getLong(0)).toSeq
+    // a fills even bit positions, b odd; 3,3 -> low nibble 1111
+    assert(zs == Seq(0x55555555L, 0xAAAAAAAAL, 15L, 0L), zs.toString)
+  }
+
+  test("z-order layout prunes files on the second dimension; " +
+    "single-column sort does not") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("zorder_test").toFile.getAbsolutePath
+    val src = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "value")
+
+    // the contrast layout: range-sorted on user_id alone — perfect
+    // pruning on user_id, none on value
+    src.repartitionByRange(16, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.parquet(s"$tmp/linear")
+    src.write.parquet(s"$tmp/src")
+    ZOrder.cluster(spark, s"$tmp/src", s"$tmp/zorder",
+      "user_id", "value", numFiles = 16)
+
+    // per-file envelopes from the data itself — exactly the min/max a
+    // parquet footer (or a file-index layer) stores for each file
+    def envelopes(path: String): Seq[(Double, Double)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+        .collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+
+    // a value-only box: ~10% of the range, orthogonal to user_id
+    val (qlo, qhi) = (0.0, 30.0)
+    def overlapping(env: Seq[(Double, Double)]): Int =
+      env.count { case (lo, hi) => hi >= qlo && lo <= qhi }
+
+    val linEnv = envelopes(s"$tmp/linear")
+    val zEnv = envelopes(s"$tmp/zorder")
+    assert(linEnv.size >= 10, s"setup: only ${linEnv.size} linear files")
+    assert(zEnv.size >= 10, s"setup: only ${zEnv.size} z-ordered files")
+    val (linHit, zHit) = (overlapping(linEnv), overlapping(zEnv))
+    // every user_id-sorted file spans the full value range; the curve
+    // confines the box to the files of its value cells
+    assert(linHit >= linEnv.size - 1,
+      s"expected user_id sort to overlap ~all files, hit $linHit/${linEnv.size}")
+    assert(zHit * 2 <= zEnv.size,
+      s"z-order should skip at least half the files: $zHit/${zEnv.size}")
+    assert(zHit < linHit, s"z-order ($zHit) must beat linear ($linHit)")
+
+    // layout change only: content identical to the source
+    val z = spark.read.parquet(s"$tmp/zorder")
+    assert(z.count() == src.count())
+    assert(z.agg(sum(col("event_id"))).head.getLong(0) ==
+      src.agg(sum(col("event_id"))).head.getLong(0))
+    assert(z.columns.sorted.toSeq == src.columns.sorted.toSeq,
+      "curve column must not leak into the output schema")
+  }
+
+  test("quantize clamps, handles NULL and degenerate spans") {
+    import spark.implicits._
+    val df = Seq(Some(-5.0), Some(0.0), Some(50.0), Some(100.0),
+      Some(200.0), None).toDF("x")
+    val q = df.select(ZOrder.quantize(col("x"), 0.0, 100.0).as("q"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(q(0) == 0L && q(1) == 0L && q(3) == 65535L, q.toString)
+    assert(q(2) == math.floor(0.5 * 65535.0).toLong, q.toString)
+    assert(q(4) == 65535L, "above-max must clamp")
+    assert(q(5) == 0L, "NULL quantizes to the origin cell")
+    val degenerate = df.select(ZOrder.quantize(col("x"), 7.0, 7.0).as("q"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(degenerate.forall(_ == 0L), "zero span collapses to one cell")
+  }
+}
