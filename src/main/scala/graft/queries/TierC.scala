@@ -663,6 +663,32 @@ object TierC {
         .orderBy(col("event_type"))
     }),
 
+    // (sink) — Z-order layout under the correctness gate: the fact table
+    // rewritten through ZOrder.cluster (rank-quantized Morton curve on
+    // (user_id, value), one range shuffle) and aggregated FROM THE
+    // CLUSTERED COPY with a predicate on the SECOND curve dimension —
+    // the one a single-column sort cannot prune. The oracle runs the
+    // same aggregate on the original table, so any row lost, duplicated,
+    // or mutated by the layout rewrite hash-mismatches. The pruning
+    // claim itself (file envelopes skip on either dimension) is
+    // machine-checked in ZOrderSpec against per-file min/max envelopes.
+    "q_zorder" -> ((s, d) => {
+      import graft.sources.{Artifacts, ZOrder}
+      val out = new java.io.File("target/graft-data/events_zorder/" +
+        Artifacts.datasetKey(d, s"$d/events.parquet"))
+      val clustered =
+        if (new java.io.File(out, "_SUCCESS").exists())
+          s.read.parquet(out.getAbsolutePath)
+        else ZOrder.cluster(s, s"$d/events.parquet", out.getAbsolutePath,
+          "user_id", "value", numFiles = 16)
+      clustered
+        .filter(col("value") >= 0 && col("value") <= 30)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // C1+C2 composite — the cleaning-pipeline yield metric: exact-dedup
     // keepers that pass the quality gate, and how many tokens survive.
     "q_pipeline_tokens" -> ((s, d) => {
@@ -1065,6 +1091,12 @@ object TierC {
       ("SELECT event_type, COUNT(*) AS cnt, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) " +
         "AS total_value FROM events " +
+        "GROUP BY event_type ORDER BY event_type"),
+    "q_zorder" ->
+      ("SELECT event_type, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS total_value, COUNT(DISTINCT user_id) AS n_users " +
+        "FROM events WHERE value >= 0 AND value <= 30 " +
         "GROUP BY event_type ORDER BY event_type"),
     "q_group_sample" ->
       (s"WITH t AS (SELECT lang, doc_id, " +

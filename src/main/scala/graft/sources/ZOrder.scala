@@ -13,15 +13,19 @@ import org.apache.spark.sql.functions._
   * would get from a table format's `OPTIMIZE ZORDER BY`; here it is pure
   * dataflow over plain parquet.
   *
-  * Scale shape: one 4-scalar aggregate for the dimension bounds (index
-  * metadata — the same driver-hop class as an IVF probe list), then ONE
-  * range shuffle of the data on the z-value. The z-value itself is a
-  * fixed tree of codegen'd bitwise builtins (mask-shift bit spread) — no
-  * UDF, no interpreted expression on the hot path. Linear 16-bit
-  * quantization keeps the demo exact and engine-reproducible; production
-  * systems quantize on SAMPLED RANGE BOUNDARIES instead so heavy skew
-  * cannot collapse the curve into few cells — the swap is local to
-  * [[quantize]].
+  * Scale shape: ONE sampling pass for the per-dimension quantile
+  * boundaries (`approxQuantile`, both columns in a single job — the same
+  * driver-hop class as an IVF probe list), then ONE range shuffle of the
+  * data on the z-value. Quantization is RANK-BASED on the sampled
+  * boundaries: each dimension is cut into cells of ~equal row mass, so a
+  * skewed distribution (most of `events.value` piles into the low tenth
+  * of its span) still spreads across the full curve — linear [min,max]
+  * scaling would collapse it into a few cells and every file's envelope
+  * would span the hot range. Cell lookup is a balanced comparison tree
+  * of codegen'd `when`/`otherwise` nodes (O(log cells) compares per
+  * row); the bit interleave is a fixed tree of codegen'd bitwise
+  * builtins (mask-shift bit spread) — no UDF, no interpreted expression
+  * on the hot path.
   */
 object ZOrder {
 
@@ -41,10 +45,13 @@ object ZOrder {
   def zValue(qa: Column, qb: Column): Column =
     spread16(qa).bitwiseOR(shiftleft(spread16(qb), 1))
 
-  /** Linear quantization of `c` into [0, 65535] over [min, max]. NULL
-    * ordinates quantize to 0 (they sort to the curve's origin corner —
-    * a single cell, so NULL-heavy data degrades pruning for the NULL
-    * cell only, never for the rest of the curve).
+  /** Linear quantization of `c` into [0, 65535] over [min, max]. Exact
+    * and engine-reproducible when the bounds are known a priori; use
+    * [[quantizeByBounds]] for data-driven layouts, where skew would
+    * collapse the linear scale. NULL ordinates quantize to 0 (they sort
+    * to the curve's origin corner — a single cell, so NULL-heavy data
+    * degrades pruning for the NULL cell only, never for the rest of the
+    * curve).
     */
   def quantize(c: Column, min: Double, max: Double): Column =
     if (max - min <= 0) lit(0L)
@@ -53,24 +60,64 @@ object ZOrder {
         lit(max - min) * lit(65535.0)).cast("long"),
       lit(0L)), lit(65535L))
 
+  /** Sampled per-dimension cell boundaries: the (1/cells … (cells-1)/
+    * cells) quantiles of each column, deduplicated — heavy point masses
+    * produce repeated quantiles, and each distinct value is one cell
+    * edge. One job for all columns. All-NULL columns (no sampleable
+    * mass) are rejected loudly rather than silently mapped to one cell.
+    */
+  def rankBounds(df: DataFrame, cols: Seq[String], cells: Int = 256)
+      : Seq[Array[Double]] = {
+    require(cells >= 2 && cells <= 65536, s"cells out of range: $cells")
+    val probs = (1 until cells).map(_.toDouble / cells).toArray
+    val qs = df.stat.approxQuantile(cols.toArray, probs, 1.0 / (4 * cells))
+    cols.zip(qs).map { case (name, b) =>
+      require(b.nonEmpty, s"cannot z-order on all-NULL column $name")
+      b.distinct.sorted
+    }
+  }
+
+  /** Rank quantization of `c` against sorted `bounds`: the cell index is
+    * the number of boundaries <= value, found by a BALANCED comparison
+    * tree (O(log bounds) codegen'd compares per row, never a linear
+    * scan), then scaled onto [0, 65535] so both dimensions carry equal
+    * bit significance in the interleave no matter how many distinct
+    * boundaries survived deduplication. NULLs take cell 0 (the curve's
+    * origin corner), matching [[quantize]]'s NULL policy.
+    */
+  def quantizeByBounds(c: Column, bounds: Array[Double]): Column = {
+    require(bounds.nonEmpty, "quantizeByBounds needs at least one boundary")
+    val v = coalesce(c.cast("double"), lit(Double.NegativeInfinity))
+    def search(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo.toLong)
+      else {
+        val mid = (lo + hi) / 2
+        when(v >= lit(bounds(mid)), search(mid + 1, hi))
+          .otherwise(search(lo, mid))
+      }
+    val cells = bounds.length
+    (search(0, cells) * lit(65535L) / lit(cells.toLong)).cast("long")
+  }
+
   /** Rewrite the parquet dataset at `inPath` clustered on the Morton
     * curve of (`colA`, `colB`) into `numFiles` range partitions at
     * `outPath`, and return the rewritten dataset. Content-identical to
     * the input — only the file layout changes (the curve column is
     * dropped before the write; the per-file min/max of the REAL columns
-    * is what carries the clustering).
+    * is what carries the clustering). `cells` bounds the per-dimension
+    * quantization resolution; the default (256 ~equal-mass cells) is
+    * plenty for thousands of output files, since a file's envelope is
+    * set by the curve prefix, not the cell count.
     */
   def cluster(spark: SparkSession, inPath: String, outPath: String,
-      colA: String, colB: String, numFiles: Int): DataFrame = {
+      colA: String, colB: String, numFiles: Int,
+      cells: Int = 256): DataFrame = {
     require(numFiles >= 1, "numFiles must be >= 1")
     val df = spark.read.parquet(inPath)
-    val r = df.agg(
-      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
-    require(!r.anyNull, s"cannot z-order on all-NULL column ($colA, $colB)")
+    val Seq(boundsA, boundsB) = rankBounds(df, Seq(colA, colB), cells)
     val z = zValue(
-      quantize(col(colA), r.getDouble(0), r.getDouble(1)),
-      quantize(col(colB), r.getDouble(2), r.getDouble(3)))
+      quantizeByBounds(col(colA), boundsA),
+      quantizeByBounds(col(colB), boundsB))
     df.withColumn("_z", z)
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")

@@ -68,6 +68,33 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
       "curve column must not leak into the output schema")
   }
 
+  test("rank quantization equalizes cell mass under skew; NULL -> origin") {
+    import spark.implicits._
+    // 90% of the mass in [0, 10), a thin tail to 1000 — the shape that
+    // collapses linear quantization into the bottom cells
+    val skewed = ((0 until 900).map(_ / 90.0) ++
+      (0 until 100).map(i => 10.0 + i * 9.9)).map(Option(_))
+    val df = (skewed :+ None).toDF("x")
+    val bounds = ZOrder.rankBounds(df, Seq("x"), cells = 16).head
+    assert(bounds.length >= 8, s"skew ate the boundaries: ${bounds.toSeq}")
+    // boundaries are rank-based: most cut inside the hot [0,10) range
+    assert(bounds.count(_ < 10.0) >= bounds.length / 2, bounds.toSeq.toString)
+    val q = df.select(ZOrder.quantizeByBounds(col("x"), bounds).as("q"))
+    // cells carry ~equal mass: no quantized value owns >20% of rows
+    val maxShare = q.groupBy("q").count()
+      .agg(max(col("count"))).head.getLong(0)
+    assert(maxShare <= skewed.size / 5, s"a cell owns $maxShare rows")
+    val nullQ = Seq(Option.empty[Double]).toDF("x")
+      .select(ZOrder.quantizeByBounds(col("x"), bounds))
+      .head.getLong(0)
+    assert(nullQ == 0L, "NULL must map to the origin cell")
+    // monotone: quantized order preserves value order
+    val pairs = df.na.drop
+      .select(col("x"), ZOrder.quantizeByBounds(col("x"), bounds).as("q"))
+      .orderBy("x").collect().map(r => r.getLong(1))
+    assert(pairs.sameElements(pairs.sorted), "rank cells must be monotone")
+  }
+
   test("quantize clamps, handles NULL and degenerate spans") {
     import spark.implicits._
     val df = Seq(Some(-5.0), Some(0.0), Some(50.0), Some(100.0),
