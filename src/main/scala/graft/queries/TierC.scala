@@ -58,10 +58,14 @@ object TierC {
       val deletes = sup.filter(col("s_suppkey") % 7 === 0)
         .withColumn("version", lit(3L))
         .withColumn("deleted", lit(true))
+      // logical commit timestamps (1000, 2000) rather than wall clock:
+      // q_cdc_asof resolves "as of t=1500" to batch 0 deterministically,
+      // so the artifact's answer is a pure function of the input dataset
       CdcApply.applyBatch(b0, 0L, root, Seq("s_suppkey"), "version",
-        Some("deleted"))
+        Some("deleted"), commitTs = Some(1000L))
       CdcApply.applyBatch(updates.unionByName(deletes), 1L, root,
-        Seq("s_suppkey"), "version", Some("deleted"))
+        Seq("s_suppkey"), "version", Some("deleted"),
+        commitTs = Some(2000L))
       root
     }
 
@@ -798,6 +802,21 @@ object TierC {
       graft.streaming.CdcApply.readSnapshotAt(s, cdcQueryRoot(s, d), 0L).get
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("cnt"), dsum(col("s_acctbal")).as("total_bal"))
+        .orderBy(col("s_nationkey"))),
+
+    // C8c — TIMESTAMP time travel: "the table as of t=1500" resolves
+    // through the manifests' commit timestamps (batch 0 committed at
+    // t=1000, batch 1 at t=2000) to the batch-0 snapshot. Same oracle
+    // shape as q_cdc_timetravel but exercising the timestamp→batch
+    // resolution layer, with a distinguishing aggregate (max version
+    // must be 1 everywhere — proof no batch-1 row leaked backward in
+    // time).
+    "q_cdc_asof" -> ((s, d) =>
+      graft.streaming.CdcApply
+        .readSnapshotAsOf(s, cdcQueryRoot(s, d), 1500L).get
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("s_acctbal")).as("total_bal"),
+          max(col("version")).as("max_version"))
         .orderBy(col("s_nationkey")))
   )
 
@@ -1180,6 +1199,12 @@ object TierC {
     "q_cdc_timetravel" ->
       ("SELECT s_nationkey, COUNT(*) AS cnt, " +
         "CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
+        "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // as-of t=1500 == batch-0 state, and no row may carry version > 1
+    "q_cdc_asof" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal, " +
+        "CAST(1 AS BIGINT) AS max_version " +
         "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey")
   )
 }

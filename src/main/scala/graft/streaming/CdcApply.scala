@@ -126,9 +126,17 @@ object CdcApply {
     * None only on manifests written before the schema line existed —
     * those fall back to a footer-merged read.
     */
+  /** `ts` is the batch's COMMIT TIMESTAMP (epoch millis) — wall clock by
+    * default, or a caller-supplied logical clock (event time, a test's
+    * fixed instant). Maintenance generations carry the ORIGINAL batch
+    * timestamp forward: they rewrite layout, not content, so "the table
+    * as of 14:00" must resolve identically before and after an expiry
+    * rewrite. None only on manifests written before the field existed.
+    */
   private final case class Manifest(conf: TableConf,
       buckets: Map[Int, BucketEntry],
-      schema: Option[org.apache.spark.sql.types.StructType]) {
+      schema: Option[org.apache.spark.sql.types.StructType],
+      ts: Option[Long]) {
     def dataPaths(root: String): Seq[String] =
       buckets.valuesIterator.map(e => s"$root/data/${e.rel}").toSeq.sorted
   }
@@ -190,9 +198,10 @@ object CdcApply {
 
   private def serializeManifest(m: Manifest): String = {
     val c = m.conf
-    val header = s"graft-cdc v4 buckets=${c.numBuckets} " +
+    val header = s"graft-cdc v5 buckets=${c.numBuckets} " +
       s"keys=${c.keys.mkString(",")} version=${c.versionCol} " +
-      s"deleted=${c.deletedCol.getOrElse("-")} retention=${c.retention}"
+      s"deleted=${c.deletedCol.getOrElse("-")} retention=${c.retention}" +
+      m.ts.map(t => s" ts=$t").getOrElse("")
     // schema JSON is one line (JSON escapes control chars), tagged so a
     // bucket line (which starts with an int) can never shadow it
     val schemaLine = m.schema.map(s => s"schema\t${s.json}").toSeq
@@ -222,7 +231,7 @@ object CdcApply {
         val Array(b, rel, ts) = l.split('\t')
         (b.toInt, BucketEntry(rel, Some(ts).filter(_ != "-").map(_.toLong)))
       }.toMap
-    Manifest(conf, buckets, schema)
+    Manifest(conf, buckets, schema, kv.get("ts").map(_.toLong))
   }
 
   private def readManifest(spark: SparkSession, root: String,
@@ -289,6 +298,39 @@ object CdcApply {
       }
   }
 
+  /** Resolve a point in time to a batch id: the latest retained batch
+    * whose commit timestamp is <= `ts` (epoch millis). This is the
+    * resolution step behind "the table as of yesterday 14:00" — the form
+    * time travel is actually asked for. Driver-side manifest-header
+    * reads only, no data files. None when no retained batch had
+    * committed by `ts` (or the manifests predate commit timestamps).
+    * Commit timestamps are taken at commit time in commit order, so
+    * under a sane clock they are monotone; if an operator's clock ever
+    * regressed, the LATEST qualifying batch id still wins — never an
+    * older batch that happens to carry a larger timestamp.
+    */
+  def resolveAsOf(spark: SparkSession, root: String, ts: Long)
+      : Option[Long] = {
+    val fs = fsFor(spark, root)
+    val mdir = new Path(root, "manifests")
+    if (!fs.exists(mdir)) None
+    else listManifests(fs, mdir)
+      .groupBy(parseManifestName(_)._1).toSeq
+      .map { case (b, names) =>
+        val top = names.sortBy(parseManifestName(_)._2).last
+        (b, readManifest(spark, root, top).ts)
+      }
+      .collect { case (b, Some(t)) if t <= ts => b }
+      .sorted.lastOption
+  }
+
+  /** Time travel by timestamp: [[resolveAsOf]] then [[readSnapshotAt]].
+    * None when no batch had committed by `ts`.
+    */
+  def readSnapshotAsOf(spark: SparkSession, root: String, ts: Long)
+      : Option[DataFrame] =
+    resolveAsOf(spark, root, ts).flatMap(readSnapshotAt(spark, root, _))
+
   /** Commit history of the table — one row per retained manifest:
     * batch id, maintenance generation, whether it is the CURRENT
     * pointer target, bucket count, and the committed column names.
@@ -311,11 +353,11 @@ object CdcApply {
           val m = readManifest(spark, root, n)
           (b, g, cur.contains(n), m.buckets.size,
             m.schema.map(_.fieldNames.filterNot(_ == TsBatchCol).toSeq)
-              .getOrElse(Seq.empty))
+              .getOrElse(Seq.empty), m.ts)
         }
     spark.createDataFrame(rows)
       .toDF("batch_id", "generation", "is_current", "n_buckets",
-        "columns")
+        "columns", "commit_ts")
   }
 
   /** Retention sweep + tombstone expiry, the maintenance half of the
@@ -445,8 +487,11 @@ object CdcApply {
         // window; one maintenance process per table remains the
         // operating assumption, as for any table format's vacuum.
         if (currentManifestName(spark, root).contains(name)) {
+          // carry the ORIGINAL commit timestamp: a maintenance
+          // generation rewrites layout, not logical content
           commitManifest(spark, root, s"v$batchId.${gen + 1}",
-            Manifest(conf, (m.buckets -- dirty) ++ written, m.schema),
+            Manifest(conf, (m.buckets -- dirty) ++ written, m.schema,
+              m.ts),
             batchId)
         }
       }
@@ -521,11 +566,17 @@ object CdcApply {
     * `numBuckets` and `tombstoneRetention` take effect at FIRST apply
     * and are then fixed in the manifest; later calls must pass matching
     * values (a silent mismatch would re-key rows across buckets).
+    *
+    * `commitTs` is the commit timestamp recorded in the manifest —
+    * wall clock when None, or a caller-supplied logical clock (event
+    * time, a reproducible test instant) for deterministic
+    * [[resolveAsOf]] behavior.
     */
   def applyBatch(rawBatch: DataFrame, batchId: Long, root: String,
       keys: Seq[String], versionCol: String,
       deletedCol: Option[String], numBuckets: Int = 16,
-      tombstoneRetention: Int = 100): Boolean = {
+      tombstoneRetention: Int = 100,
+      commitTs: Option[Long] = None): Boolean = {
     require(numBuckets >= 1, "numBuckets must be >= 1")
     require(tombstoneRetention >= 0, "tombstoneRetention must be >= 0")
     require(keys.nonEmpty, "at least one key column is required")
@@ -584,13 +635,14 @@ object CdcApply {
         case None => lit(null).cast("long")
       })
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try applyPersistedBatch(batch, batchId, root, conf, existing)
+    try applyPersistedBatch(batch, batchId, root, conf, existing,
+      commitTs.getOrElse(System.currentTimeMillis()))
     finally batch.unpersist()
   }
 
   private def applyPersistedBatch(batch: DataFrame, batchId: Long,
       root: String, conf: TableConf,
-      existing: Option[Manifest]): Boolean = {
+      existing: Option[Manifest], commitTs: Long): Boolean = {
     val spark = batch.sparkSession
     // touched-bucket set: at most numBuckets ints — manifest-sized
     // metadata, the same class of driver hop as an index probe list.
@@ -694,7 +746,8 @@ object CdcApply {
       conf.deletedCol.isDefined)
     val prior = existing.map(_.buckets).getOrElse(Map.empty)
     commitManifest(spark, root, s"v$batchId.0",
-      Manifest(conf, (prior -- touched) ++ written, Some(evolved)),
+      Manifest(conf, (prior -- touched) ++ written, Some(evolved),
+        Some(commitTs)),
       batchId)
     true
   }

@@ -561,6 +561,54 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(h(1).getSeq[String](colIdx).contains("score"))
   }
 
+  test("timestamp time travel: resolveAsOf picks the latest covered " +
+    "batch; maintenance generations keep the original instant") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_asof").toFile.getAbsolutePath
+    val C = graft.streaming.CdcApply
+    val b0 = Seq((1L, 1L, "a", false), (2L, 1L, "b", false))
+      .toDF("k", "version", "v", "deleted")
+    assert(C.applyBatch(b0, 0L, root, Seq("k"), "version",
+      Some("deleted"), tombstoneRetention = 1, commitTs = Some(1000L)))
+    val b1 = Seq((2L, 2L, "b2", false), (1L, 2L, "x", true))
+      .toDF("k", "version", "v", "deleted")
+    assert(C.applyBatch(b1, 1L, root, Seq("k"), "version",
+      Some("deleted"), tombstoneRetention = 1, commitTs = Some(2000L)))
+    // before the first commit / between commits / at and after the last
+    assert(C.resolveAsOf(spark, root, 999L).isEmpty)
+    assert(C.resolveAsOf(spark, root, 1000L).contains(0L))
+    assert(C.resolveAsOf(spark, root, 1999L).contains(0L))
+    assert(C.resolveAsOf(spark, root, 2000L).contains(1L))
+    assert(C.resolveAsOf(spark, root, Long.MaxValue).contains(1L))
+    val asOf = C.readSnapshotAsOf(spark, root, 1500L).get
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(asOf == Set(1L -> "a", 2L -> "b"), asOf.toString)
+    // history carries the commit instant for every retained batch
+    val hist = C.history(spark, root)
+      .select("batch_id", "commit_ts").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(0L -> 1000L, 1L -> 2000L), hist.toString)
+    // a dead-key batch then a tombstone-expiry vacuum: the rewrite adds
+    // a new GENERATION of the current batch carrying the ORIGINAL
+    // commit instant, so timestamp resolution answers identically
+    // before and after the maintenance — layout moved, time did not
+    val b2 = Seq((2L, 3L, "dead", true))
+      .toDF("k", "version", "v", "deleted")
+    assert(C.applyBatch(b2, 2L, root, Seq("k"), "version",
+      Some("deleted"), tombstoneRetention = 1, commitTs = Some(3000L)))
+    val b3 = Seq((9L, 1L, "z", false))
+      .toDF("k", "version", "v", "deleted")
+    assert(C.applyBatch(b3, 3L, root, Seq("k"), "version",
+      Some("deleted"), tombstoneRetention = 1, commitTs = Some(4000L)))
+    C.vacuum(spark, root, keep = 4, expireTombstones = true)
+    assert(C.resolveAsOf(spark, root, 3500L).contains(2L))
+    val after = C.readSnapshotAsOf(spark, root, 3500L).get
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(after == Set.empty, s"dead key leaked: $after")
+    assert(C.resolveAsOf(spark, root, 4500L).contains(3L))
+  }
+
   test("empty micro-batch is skipped: no write, no pointer flip") {
     import spark.implicits._
     val root = java.nio.file.Files
