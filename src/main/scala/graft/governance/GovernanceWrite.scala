@@ -47,14 +47,46 @@ case class GovernanceWriteCheck(spark: SparkSession)
   private def governedPath(path: String): Option[(String, String)] =
     GovernanceCatalog.tableForLocation(path)
 
+  /** True when the sink is a file-based streaming sink: the v1
+    * `FileStreamSink` class (the only file sink `DataStreamWriter`
+    * constructs), matched by class name, with its `FileSink[<path>]`
+    * debug form as a second signal so a relocated class is still
+    * recognized.
+    */
+  private[graft] def isFileSink(sink: AnyRef): Boolean =
+    sink.getClass.getName.endsWith(".FileStreamSink") ||
+      String.valueOf(sink).startsWith("FileSink[")
+
+  /** Output path of a file-based streaming sink, recovered
+    * STRUCTURALLY: the sink's `path` field read reflectively (it is
+    * construction-private), falling back to parsing the `FileSink[
+    * <path>]` debug form. None when neither works.
+    */
+  private[graft] def fileSinkPath(sink: AnyRef): Option[String] =
+    (try {
+      val f = sink.getClass.getDeclaredField("path")
+      f.setAccessible(true)
+      Option(f.get(sink)).map(_.toString)
+    } catch {
+      case _: ReflectiveOperationException | _: SecurityException => None
+    }).orElse {
+      val s = String.valueOf(sink)
+      if (s.startsWith("FileSink[") && s.endsWith("]"))
+        Some(s.stripPrefix("FileSink[").stripSuffix("]"))
+      else None
+    }
+
   /** Governed identity a streaming sink writes into: a governed catalog
     * table (`writeStream.toTable`) or a file sink whose path falls
     * under a governed location (`writeStream.format("parquet")
-    * .option("path", ...)`). The file-sink path is recovered from the
-    * sink's stable debug form `FileSink[<path>]` — the field itself is
-    * construction-private.
+    * .option("path", ...)`). A sink that is recognizably a FILE sink
+    * but whose path cannot be recovered — say a Spark upgrade renamed
+    * the field AND changed the debug form — fails CLOSED: a synthetic
+    * identity is returned so non-admin writes are denied rather than
+    * silently allowed past the registry (an unextractable path might be
+    * governed; only the DataAdmin may find out by writing).
     */
-  private def streamingSinkTarget(
+  private[graft] def streamingSinkTarget(
       sink: org.apache.spark.sql.connector.catalog.Table,
       catalogTable: Option[CatalogTable],
       ident: Option[Identifier]): Option[(String, String)] =
@@ -63,10 +95,12 @@ case class GovernanceWriteCheck(spark: SparkSession)
         governedIdent(TableIdentifier(id.name(),
           Some(id.namespace().last)))))
       .orElse {
-        val s = String.valueOf(sink)
-        if (s.startsWith("FileSink[") && s.endsWith("]"))
-          governedPath(s.stripPrefix("FileSink[").stripSuffix("]"))
-        else None
+        if (!isFileSink(sink)) None
+        else fileSinkPath(sink) match {
+          case Some(p) => governedPath(p)
+          case None =>
+            Some(("(unresolved file-sink path)", sink.getClass.getName))
+        }
       }
 
   /** The governed identity this write targets, if any. */

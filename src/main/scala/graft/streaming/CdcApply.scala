@@ -89,6 +89,18 @@ import graft.operators.Upsert
   * The snapshot persists `versionCol`, so ordering is true cross-batch
   * latest-wins: a late, lower-versioned update loses whichever
   * micro-batch carried it.
+  *
+  * Governance: a snapshot root is plain parquet, so by default
+  * [[readSnapshot]] is an ungoverned read — the egress boundary of the
+  * merge pipeline. To keep governed rows governed AFTER they are merged,
+  * register the root as a governed location
+  * (`GovernanceCatalog.registerLocation(root, db, table)` plus the
+  * principal's cells filter): every bucket-directory read prefix-matches
+  * the root and takes the row filter + column allowlist, time travel
+  * included, and non-admin writes anywhere under the root are denied —
+  * zero CDC-specific wiring (proven in CdcGovernanceSpec). One
+  * requirement: the allowlist must include the table's `deletedCol`,
+  * because tombstone filtering runs ABOVE the injected projection.
   */
 object CdcApply {
 
