@@ -71,7 +71,17 @@ object Bench {
       .reduce(_ intersect _)
     val runTotals = passes.map(
       _.collect { case (n, t) if everywhereOk(n) => t }.sum)
-    val results = passes.last
+    // per-query MEDIANS over the same three passes, so the breakdown is
+    // the same statistic as the headline (a last-pass-verbatim map would
+    // neither sum to the median total nor exclude dropped queries);
+    // a query that failed any pass reports -1, matching everywhereOk
+    val results = passes.head.map { case (name, _) =>
+      name -> (if (!everywhereOk(name)) -1.0
+               else {
+                 val ts = passes.map(_.toMap.apply(name)).sorted
+                 ts(ts.size / 2)
+               })
+    }
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""

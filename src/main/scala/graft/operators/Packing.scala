@@ -37,8 +37,12 @@ object Packing {
     * reads a column-pruned (`_pid`, `_tok`) projection of the staged
     * parquet instead of re-running scan + tokenize + range exchange —
     * the same one-time-materialization idiom as the dedup signature
-    * index. Leave it None for small inputs where a second pass is
-    * cheaper than a full write.
+    * index. A staging dir that already holds a committed write (a
+    * `_SUCCESS` marker) is TRUSTED and reused without re-scanning the
+    * source at all — the caller owns invalidation by keying the path on
+    * an input fingerprint (`Artifacts.datasetKey`), exactly like the
+    * other derived-artifact caches. Leave it None for small inputs
+    * where a second pass is cheaper than a full write.
     */
   def packBins(docs: DataFrame, orderCols: Seq[Column], tokens: Column,
       budget: Long, partitions: Option[Int] = None,
@@ -48,18 +52,24 @@ object Packing {
       "bin_id").filter(docs.columns.contains)
     require(reserved.isEmpty,
       s"reserved column names in use: ${reserved.mkString(",")}")
-    val withTok = docs.withColumn("_tok", tokens.cast("long"))
-    // explicit count pins the range exchange (AQE coalesces the default
-    // — right in production, wrong when a test must prove boundaries)
-    val prepared = partitions
-      .fold(withTok.repartitionByRange(orderCols: _*))(n =>
-        withTok.repartitionByRange(n, orderCols: _*))
-      .withColumn("_pid", spark_partition_id())
+    def prepared = {
+      val withTok = docs.withColumn("_tok", tokens.cast("long"))
+      // explicit count pins the range exchange (AQE coalesces the
+      // default — right in production, wrong when a test must prove
+      // boundaries)
+      partitions
+        .fold(withTok.repartitionByRange(orderCols: _*))(n =>
+          withTok.repartitionByRange(n, orderCols: _*))
+        .withColumn("_pid", spark_partition_id())
+    }
     // once staged, `_pid` is an ordinary stored column — the window's
     // hash exchange on it below re-establishes co-location, so losing
     // the physical range partitioning in the round trip is harmless
     val base = stagingDir.fold(prepared) { dir =>
-      prepared.write.mode("overwrite").parquet(dir)
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        docs.sparkSession.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+        prepared.write.mode("overwrite").parquet(dir)
       docs.sparkSession.read.parquet(dir)
     }
     // local running total, EXCLUSIVE of the current row (a document

@@ -42,9 +42,14 @@ import graft.operators.Upsert
   * rewrites only the few bucket directories its keys hash into; the
   * other buckets' directories are carried forward by manifest reference,
   * zero bytes moved. `numBuckets` bounds the blast radius of one key
-  * (snapshot_size / numBuckets rewritten per touched bucket) and is
-  * fixed at table creation (stored in the manifest; changing it would
-  * re-key every row).
+  * (snapshot_size / numBuckets rewritten per touched bucket). It is set
+  * at first apply and stored in the manifest, which is authoritative
+  * thereafter — changing it re-keys every row, so it evolves only
+  * through [[rebucket]], a full-rewrite maintenance generation for
+  * tables that outgrow their layout (a table 100× its creation size
+  * wants 100× the buckets, or every trickle batch rewrites 100 GB
+  * buckets). The merge stream keeps running across a rebucket: the
+  * next apply picks the new layout up from the manifest.
   *
   * Tombstones: winning deletes are RETAINED as flagged rows for
   * `tombstoneRetention` batches before being aged out, so a late update
@@ -510,6 +515,69 @@ object CdcApply {
     }
   }
 
+  /** Bucket-count evolution: rewrite the CURRENT snapshot into a new
+    * maintenance generation laid out over `newNumBuckets` key-derived
+    * buckets, and record the new count in the manifest — the maintenance
+    * op for a table that has outgrown (or over-provisioned) its
+    * creation-time layout. Everything else about the maintenance
+    * contract matches tombstone expiry:
+    *
+    *  - the rewrite goes to a new GENERATION of the current batch id
+    *    (`data/v<batch>g<gen+1>`), so the replay-guard watermark never
+    *    moves and an in-flight merge stream is never skipped or
+    *    double-applied;
+    *  - logical content is untouched — rows, tombstones, and the
+    *    per-bucket oldest-tombstone metadata are carried into the new
+    *    layout (recomputed per new bucket), and the ORIGINAL commit
+    *    timestamp is carried forward so as-of-timestamp reads resolve
+    *    identically before and after;
+    *  - the commit guard aborts (returning false) if the stream
+    *    advanced `CURRENT` during the rewrite — the orphaned directory
+    *    is swept by a later [[vacuum]]; one maintenance process per
+    *    table root remains the operating assumption;
+    *  - the superseded generation's directories stay live for in-flight
+    *    readers and collapse under the normal [[vacuum]] generation
+    *    rules.
+    *
+    * The NEXT apply reads `numBuckets` from the manifest (the caller's
+    * creation-time value is ignored once a manifest exists), so a
+    * running [[start]] stream continues across a rebucket with no
+    * restart. Unlike a merge this is O(snapshot) — a deliberate,
+    * scheduled full rewrite (one read + one rebalanced write), the same
+    * cost class as a table format's rewrite-data-files maintenance.
+    *
+    * Returns true when a new generation committed; false when there is
+    * no snapshot yet, the count is unchanged, or the commit guard
+    * aborted.
+    */
+  def rebucket(spark: SparkSession, root: String,
+      newNumBuckets: Int): Boolean = {
+    require(newNumBuckets >= 1, "newNumBuckets must be >= 1")
+    currentManifestName(spark, root) match {
+      case None => false
+      case Some(name) =>
+        val (batchId, gen) = parseManifestName(name)
+        val m = readManifest(spark, root, name)
+        if (m.conf.numBuckets == newNumBuckets) return false
+        val conf = m.conf.copy(numBuckets = newNumBuckets)
+        val dirTag = s"v${batchId}g${gen + 1}"
+        if (m.buckets.nonEmpty) {
+          readRaw(spark, m.dataPaths(root), m.schema)
+            .withColumn(BucketCol, bucketCol(conf.keys, newNumBuckets))
+            .hint("rebalance", BucketCol)
+            .write.partitionBy(BucketCol).mode("overwrite")
+            .parquet(new Path(root, s"data/$dirTag").toString)
+        }
+        val written = writtenEntries(spark, root, dirTag,
+          hasTombstones = conf.deletedCol.isDefined)
+        if (currentManifestName(spark, root).contains(name)) {
+          commitManifest(spark, root, s"v$batchId.${gen + 1}",
+            Manifest(conf, written, m.schema, m.ts), batchId)
+          true
+        } else false
+    }
+  }
+
   /** Manifest entries for the buckets that actually produced files under
     * `data/<dirTag>` — a touched bucket whose merge output is EMPTY
     * (every key deleted and aged out) writes no partition dir and drops
@@ -576,8 +644,12 @@ object CdcApply {
     * semantics never depend on contiguous batch ids).
     *
     * `numBuckets` and `tombstoneRetention` take effect at FIRST apply
-    * and are then fixed in the manifest; later calls must pass matching
-    * values (a silent mismatch would re-key rows across buckets).
+    * and are recorded in the manifest. Retention (and keys/version/
+    * deleted) must match on every later call — a silent mismatch would
+    * corrupt merge semantics. The BUCKET COUNT is manifest-authoritative
+    * thereafter: later calls use the manifest's layout regardless of the
+    * value passed, because [[rebucket]] can legitimately have changed it
+    * since table creation.
     *
     * `commitTs` is the commit timestamp recorded in the manifest —
     * wall clock when None, or a caller-supplied logical clock (event
@@ -618,10 +690,16 @@ object CdcApply {
       tombstoneRetention)
     val existing = currentManifest(spark, root)
     existing.foreach { m =>
-      require(m.conf == conf0,
+      // numBuckets is exempt from the match: the manifest is
+      // authoritative for the bucket layout (it legitimately diverges
+      // from the caller's first-apply value after a `rebucket`), so the
+      // caller's value is only a creation-time parameter. Everything
+      // else is still fixed at first apply — a silent keys/version/
+      // retention change would corrupt merge semantics.
+      require(m.conf.copy(numBuckets = conf0.numBuckets) == conf0,
         s"table config mismatch: manifest has ${m.conf}, caller passed " +
-          s"$conf0 — bucket layout and tombstone clock are fixed at " +
-          "first apply")
+          s"$conf0 — keys, version column, deleted column, and " +
+          "tombstone retention are fixed at first apply")
     }
     val conf = existing.map(_.conf).getOrElse(conf0)
 

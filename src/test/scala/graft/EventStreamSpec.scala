@@ -609,6 +609,85 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(C.resolveAsOf(spark, root, 4500L).contains(3L))
   }
 
+  test("rebucket: content survives, the merge stream continues under " +
+    "the new layout, history shows the generation, vacuum sweeps the " +
+    "old one") {
+    import spark.implicits._
+    val C = graft.streaming.CdcApply
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_rebucket").toFile.getAbsolutePath
+    def apply(rows: Seq[(Long, Long, String, Boolean)], id: Long,
+        ts: Long) =
+      C.applyBatch(rows.toDF("k", "version", "v", "deleted"), id, root,
+        Seq("k"), "version", Some("deleted"), numBuckets = 4,
+        commitTs = Some(ts))
+    assert(apply((1L to 40L).map(k => (k, 1L, s"v$k", false)), 0L, 1000L))
+    // batch 1 carries an update and a DELETE, so the rebucket rewrite
+    // must carry a live tombstone into the new layout
+    assert(apply(Seq((7L, 2L, "v7b", false), (9L, 2L, "", true)),
+      1L, 2000L))
+    val before = C.readSnapshot(spark, root).get
+      .select("k", "v").as[(Long, String)].collect().toSet
+
+    // no-op guards: same count, and no snapshot at all
+    assert(!C.rebucket(spark, root, 4))
+    assert(!C.rebucket(spark,
+      java.nio.file.Files.createTempDirectory("cdc_rb_empty")
+        .toFile.getAbsolutePath, 8))
+
+    assert(C.rebucket(spark, root, 16))
+    // logical content is byte-identical across the layout change
+    val after = C.readSnapshot(spark, root).get
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(after == before, "rebucket changed table content")
+    // the new generation's manifest records the new layout and the
+    // ORIGINAL commit instant (maintenance moves layout, not time)
+    val mf = scala.io.Source.fromFile(
+      new java.io.File(root, "manifests/v1.1")).mkString
+    assert(mf.linesIterator.next().contains("buckets=16"), mf)
+    assert(mf.linesIterator.next().contains("ts=2000"), mf)
+    assert(mf.linesIterator.exists(_.contains("v1g1/_b=")), mf)
+    assert(C.resolveAsOf(spark, root, 2500L).contains(1L))
+    val h = C.history(spark, root).collect()
+    val cur = h.filter(_.getAs[Boolean]("is_current"))
+    assert(cur.length == 1 &&
+      cur.head.getAs[Long]("batch_id") == 1L &&
+      cur.head.getAs[Int]("generation") == 1, h.mkString("\n"))
+
+    // the merge stream continues: the next apply reads the bucket
+    // count from the manifest (the caller's creation-time 4 is stale
+    // and ignored) and lands its rows in 16-bucket directories
+    assert(apply(Seq((7L, 3L, "v7c", false), (41L, 1L, "v41", false)),
+      2L, 3000L))
+    val v2Buckets = new java.io.File(root, "data/v2").listFiles
+      .map(_.getName).filter(_.startsWith("_b=")).toSet
+    assert(v2Buckets == Set(7L, 41L).map(k => s"_b=${bucketOf(k, 16)}"),
+      s"post-rebucket batch wrote $v2Buckets")
+    val s2 = C.readSnapshot(spark, root).get
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(s2 == before - (7L -> "v7b") + (7L -> "v7c") + (41L -> "v41"))
+    // the tombstone survived the layout rewrite: a late update
+    // versioned OLDER than the applied delete still loses
+    assert(apply(Seq((9L, 1L, "stale", false)), 3L, 4000L))
+    val s3 = C.readSnapshot(spark, root).get
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(!s3.exists(_._1 == 9L), s"deleted key resurrected: $s3")
+
+    // vacuum sweeps the pre-rebucket layout once retention passes it:
+    // batches 0/1 fall out, data/v0 and the old v1 bucket dirs go, and
+    // the post-rebucket generation stays live via carried references
+    C.vacuum(spark, root, keep = 2, expireTombstones = false)
+    assert(!new java.io.File(root, "data/v0").exists,
+      "old-layout v0 survived vacuum")
+    assert(!new java.io.File(root, "data/v1").exists,
+      "pre-rebucket v1 bucket dirs survived vacuum")
+    assert(new java.io.File(root, "data/v1g1").exists,
+      "post-rebucket generation swept while still referenced")
+    val s4 = C.readSnapshot(spark, root).get
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(s4 == s3, "vacuum broke the current snapshot")
+  }
+
   test("empty micro-batch is skipped: no write, no pointer flip") {
     import spark.implicits._
     val root = java.nio.file.Files

@@ -225,6 +225,47 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       _.getName.endsWith(".parquet")))
   }
 
+  test("packBins with a committed staging dir reads ONLY the staged " +
+      "parquet — the declared-query scale path scans the source once") {
+    import spark.implicits._
+    val src = java.nio.file.Files
+      .createTempDirectory("pack_src").toFile.getAbsolutePath
+    (0L until 200L).map(i => (i, (i * 7 % 40 + 1).toInt))
+      .toDF("id", "tok").write.mode("overwrite").parquet(src)
+    val docs = spark.read.parquet(src)
+    val dir = java.nio.file.Files
+      .createTempDirectory("pack_stage2").toFile.getAbsolutePath
+    def build() = graft.operators.Packing
+      .packBins(docs, Seq($"id"), $"tok", budget = 64L,
+        partitions = Some(4), stagingDir = Some(dir))
+    build().write.format("noop").mode("overwrite").save() // materialize
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    val staged = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    val mtimes = staged.map(f => f.getName -> f.lastModified).toMap
+    // second build: _SUCCESS is trusted, nothing is rewritten...
+    val reused = build()
+    assert(new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+      .forall(f => mtimes.get(f.getName).contains(f.lastModified)),
+      "staged files were rewritten on reuse")
+    // ...and every file source in the whole plan (running total AND
+    // offsets side) is the staged parquet — the original source path
+    // appears nowhere, so the source was scanned exactly once, at
+    // staging time
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    val roots = reused.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation
+    }.collect { case r: HadoopFsRelation =>
+      r.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(roots.nonEmpty)
+    assert(roots.forall(_.contains(new java.io.File(dir).getName)),
+      s"plan reads outside the staging dir: $roots")
+    assert(!roots.exists(_.contains(new java.io.File(src).getName)))
+  }
+
   test("train-shuffle scramble matches BigInt beyond the 64-bit wrap") {
     import spark.implicits._
     // ids where doc_id * 2654435761 overflows a signed 64-bit product —
