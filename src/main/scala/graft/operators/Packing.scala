@@ -39,10 +39,21 @@ object Packing {
     * the same one-time-materialization idiom as the dedup signature
     * index. A staging dir that already holds a committed write (a
     * `_SUCCESS` marker) is TRUSTED and reused without re-scanning the
-    * source at all — the caller owns invalidation by keying the path on
-    * an input fingerprint (`Artifacts.datasetKey`), exactly like the
-    * other derived-artifact caches. Leave it None for small inputs
-    * where a second pass is cheaper than a full write.
+    * source at all. Invalidation is shared: the caller keys the path on
+    * an input fingerprint (`Artifacts.datasetKey`) for the DATA, and
+    * packBins itself suffixes the path with a hash of the preparation
+    * RECIPE (the input's canonicalized plan — filters included — the
+    * order columns, the token expression, and the partition count), so
+    * a query-code change with unchanged source data rebuilds the stage
+    * instead of silently reusing stale rows. The budget is deliberately
+    * NOT in the key — staged rows are budget-independent, so re-cutting
+    * the same corpus at a new context length reuses the stage. The
+    * staged write commits via write-to-temp + atomic directory rename:
+    * a dir either exists complete (with `_SUCCESS`) or not at all, two
+    * racing writers resolve to one winner (the loser discards its temp
+    * and reads the winner's commit), and a reader can never observe a
+    * half-written stage. Leave it None for small inputs where a second
+    * pass is cheaper than a full write.
     */
   def packBins(docs: DataFrame, orderCols: Seq[Column], tokens: Column,
       budget: Long, partitions: Option[Int] = None,
@@ -65,11 +76,39 @@ object Packing {
     // once staged, `_pid` is an ordinary stored column — the window's
     // hash exchange on it below re-establishes co-location, so losing
     // the physical range partitioning in the round trip is harmless
-    val base = stagingDir.fold(prepared) { dir =>
-      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
-        docs.sparkSession.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
-        prepared.write.mode("overwrite").parquet(dir)
+    val base = stagingDir.fold(prepared) { dir0 =>
+      import org.apache.hadoop.fs.{FileContext, Path}
+      // recipe hash: canonicalized plan normalizes expression ids, so
+      // the key is stable across sessions for the same source + params
+      val recipe = docs.queryExecution.logical.canonicalized.toString +
+        "|" + orderCols.mkString(",") +
+        "|" + tokens.toString + "|" + partitions.getOrElse(-1)
+      val dir = f"$dir0-${
+        scala.util.hashing.MurmurHash3.stringHash(recipe)}%08x"
+      val conf = docs.sparkSession.sparkContext.hadoopConfiguration
+      val target = new Path(dir)
+      val fs = target.getFileSystem(conf)
+      if (!fs.exists(new Path(dir, "_SUCCESS"))) {
+        // a dir without _SUCCESS can only be a torn pre-rename-commit
+        // leftover (the rename below publishes complete-or-nothing);
+        // re-check the marker right before deleting so a dir that just
+        // committed is never swept
+        if (fs.exists(target) &&
+            !fs.exists(new Path(dir, "_SUCCESS"))) fs.delete(target, true)
+        val tmp = new Path(
+          dir + s".inprogress-${java.util.UUID.randomUUID}")
+        prepared.write.mode("overwrite").parquet(tmp.toString)
+        val fc = FileContext.getFileContext(target.toUri, conf)
+        // commit = atomic dir rename; if a racing writer committed
+        // first the rename fails, this writer's temp is discarded, and
+        // the read below serves the winner's (identical) stage
+        try fc.rename(tmp, target)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+              _: org.apache.hadoop.fs.ParentNotDirectoryException =>
+            fs.delete(tmp, true)
+        }
+      }
       docs.sparkSession.read.parquet(dir)
     }
     // local running total, EXCLUSIVE of the current row (a document

@@ -23,7 +23,8 @@ import graft.operators.Upsert
   * root/CURRENT                 # pointer: name of the current manifest
   * root/manifests/v<batch>.<gen>  # immutable manifest (text)
   * root/data/v<batch>/_b=<k>/   # bucket k as rewritten by batch <batch>
-  * root/data/v<batch>g<gen>/_b=<k>/  # maintenance rewrite (tombstone expiry)
+  * root/data/v<batch>g<gen>e/_b=<k>/ # maintenance rewrite (tombstone expiry)
+ * root/data/v<batch>g<gen>r/_b=<k>/ # maintenance rewrite (rebucket)
   * }}}
   *
   * A manifest maps every live bucket to the data directory holding its
@@ -129,9 +130,13 @@ object CdcApply {
     * any — manifest-level metadata that lets [[vacuum]] find buckets
     * with expired tombstones without scanning a single data file (the
     * same move table formats make with file-level stats in their
-    * manifests).
+    * manifests). `bytes` / `rows` are the bucket's on-disk size and
+    * stored row count (tombstones included), recorded at write time so
+    * [[buckets]] can answer "is any bucket over N GB → rebucket" from
+    * the manifest alone; None on entries written by pre-v6 manifests.
     */
-  private final case class BucketEntry(rel: String, minTs: Option[Long])
+  private final case class BucketEntry(rel: String, minTs: Option[Long],
+      bytes: Option[Long] = None, rows: Option[Long] = None)
 
   /** `schema` is the STORED row schema (user columns + `TsBatchCol`,
     * never `BucketCol` — that is the partition directory). It is the
@@ -215,16 +220,17 @@ object CdcApply {
 
   private def serializeManifest(m: Manifest): String = {
     val c = m.conf
-    val header = s"graft-cdc v5 buckets=${c.numBuckets} " +
+    val header = s"graft-cdc v6 buckets=${c.numBuckets} " +
       s"keys=${c.keys.mkString(",")} version=${c.versionCol} " +
       s"deleted=${c.deletedCol.getOrElse("-")} retention=${c.retention}" +
       m.ts.map(t => s" ts=$t").getOrElse("")
     // schema JSON is one line (JSON escapes control chars), tagged so a
     // bucket line (which starts with an int) can never shadow it
     val schemaLine = m.schema.map(s => s"schema\t${s.json}").toSeq
+    def o(v: Option[Long]): String = v.map(_.toString).getOrElse("-")
     ((header +: schemaLine) ++ m.buckets.toSeq.sortBy(_._1).map {
       case (b, e) =>
-        s"$b\t${e.rel}\t${e.minTs.map(_.toString).getOrElse("-")}"
+        s"$b\t${e.rel}\t${o(e.minTs)}\t${o(e.bytes)}\t${o(e.rows)}"
     }).mkString("\n")
   }
 
@@ -245,8 +251,13 @@ object CdcApply {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     val buckets = lines.tail
       .filter(l => l.nonEmpty && !l.startsWith("schema\t")).map { l =>
-        val Array(b, rel, ts) = l.split('\t')
-        (b.toInt, BucketEntry(rel, Some(ts).filter(_ != "-").map(_.toLong)))
+        // 3-field lines are pre-v6 manifests (no bytes/rows stats) —
+        // live tables written by older builds keep parsing
+        val parts = l.split('\t')
+        def opt(i: Int): Option[Long] =
+          parts.lift(i).filter(_ != "-").map(_.toLong)
+        (parts(0).toInt,
+          BucketEntry(parts(1), opt(2), opt(3), opt(4)))
       }.toMap
     Manifest(conf, buckets, schema, kv.get("ts").map(_.toLong))
   }
@@ -377,6 +388,54 @@ object CdcApply {
         "columns", "commit_ts")
   }
 
+  /** Per-bucket layout metadata of the CURRENT snapshot — one row per
+    * live bucket: id, data directory (relative to `root/data/`), bytes
+    * on disk, stored row count (tombstones included), and the oldest
+    * tombstone batch. Everything is served from the manifest, where it
+    * was recorded at write time — no data files are listed or read — so
+    * "is any bucket past N GB / N rows → [[rebucket]]" is a driver-side
+    * metadata decision, the DESCRIBE DETAIL a rebucket schedule polls.
+    * `bytes`/`rows` are NULL on buckets last written by a pre-v6 build.
+    */
+  def buckets(spark: SparkSession, root: String): DataFrame = {
+    val rows: Seq[(Int, String, Option[Long], Option[Long], Option[Long])] =
+      currentManifest(spark, root).toSeq.flatMap(m =>
+        m.buckets.toSeq.sortBy(_._1).map { case (b, e) =>
+          (b, e.rel, e.bytes, e.rows, e.minTs)
+        })
+    spark.createDataFrame(rows)
+      .toDF("bucket_id", "data_dir", "bytes", "rows",
+        "oldest_tombstone_batch")
+  }
+
+  /** The CURRENT layout's bucket count — manifest-authoritative (it
+    * diverges from the creation-time parameter after a [[rebucket]]);
+    * None before the first apply. The denominator of the rebucket
+    * decision [[buckets]] informs.
+    */
+  def numBuckets(spark: SparkSession, root: String): Option[Int] =
+    currentManifest(spark, root).map(_.conf.numBuckets)
+
+  /** Unified read entry — the "as of" user story without knowing the
+    * internal function pair: `read(spark, root)` is the current
+    * snapshot, `read(spark, root, asOfBatch = Some(3))` time-travels by
+    * batch id ([[readSnapshotAt]]), and
+    * `read(spark, root, asOfTs = Some(t))` by commit timestamp
+    * ("the table as of yesterday 14:00" — [[readSnapshotAsOf]]).
+    * Passing both is refused: they could name different batches.
+    */
+  def read(spark: SparkSession, root: String,
+      asOfBatch: Option[Long] = None,
+      asOfTs: Option[Long] = None): Option[DataFrame] = {
+    require(asOfBatch.isEmpty || asOfTs.isEmpty,
+      "pass at most one of asOfBatch / asOfTs")
+    (asOfBatch, asOfTs) match {
+      case (Some(b), _) => readSnapshotAt(spark, root, b)
+      case (_, Some(t)) => readSnapshotAsOf(spark, root, t)
+      case _            => readSnapshot(spark, root)
+    }
+  }
+
   /** Retention sweep + tombstone expiry, the maintenance half of the
     * contract. Keeps the `keep` most recent manifests (never fewer —
     * `keep >= 2` leaves in-flight readers of the previous snapshot
@@ -485,7 +544,12 @@ object CdcApply {
           batchId - ts >= conf.retention.toLong) => b
       }.toSeq.sorted
       if (dirty.nonEmpty) {
-        val dirTag = s"v${batchId}g${gen + 1}"
+        // per-op dir suffix ('e'): a concurrently-misused rebucket
+        // writes under its OWN tag ('r'), so the loser of the race can
+        // never clobber the winner's committed bucket dirs — the misuse
+        // surfaces as a loud manifest-commit failure, not corruption
+        val dirTag = s"v${batchId}g${gen + 1}e"
+        claimMaintenanceTarget(spark, root, name, batchId, gen + 1)
         val dirtyPaths = dirty.map(b => s"$root/data/${m.buckets(b).rel}")
         readRaw(spark, dirtyPaths, m.schema)
           .filter(!(coalesce(col(d), lit(false)) && expired))
@@ -509,7 +573,7 @@ object CdcApply {
           commitManifest(spark, root, s"v$batchId.${gen + 1}",
             Manifest(conf, (m.buckets -- dirty) ++ written, m.schema,
               m.ts),
-            batchId)
+            batchId, overwrite = false)
         }
       }
     }
@@ -560,7 +624,11 @@ object CdcApply {
         val m = readManifest(spark, root, name)
         if (m.conf.numBuckets == newNumBuckets) return false
         val conf = m.conf.copy(numBuckets = newNumBuckets)
-        val dirTag = s"v${batchId}g${gen + 1}"
+        // 'r' suffix: see the expiry-side note — distinct per-op data
+        // dirs make a concurrent expiry/rebucket misuse unable to
+        // overwrite each other's files
+        val dirTag = s"v${batchId}g${gen + 1}r"
+        claimMaintenanceTarget(spark, root, name, batchId, gen + 1)
         if (m.buckets.nonEmpty) {
           readRaw(spark, m.dataPaths(root), m.schema)
             .withColumn(BucketCol, bucketCol(conf.keys, newNumBuckets))
@@ -572,41 +640,73 @@ object CdcApply {
           hasTombstones = conf.deletedCol.isDefined)
         if (currentManifestName(spark, root).contains(name)) {
           commitManifest(spark, root, s"v$batchId.${gen + 1}",
-            Manifest(conf, written, m.schema, m.ts), batchId)
+            Manifest(conf, written, m.schema, m.ts), batchId,
+            overwrite = false)
           true
         } else false
     }
   }
 
+  /** Crash recovery for a maintenance op targeting generation `gen` of
+    * `batchId` while `CURRENT` still points at `curName`: a manifest
+    * named `v<batchId>.<gen>` can already exist ONLY if a prior
+    * maintenance run crashed between its manifest rename and the
+    * pointer flip — that manifest was never CURRENT (the flip follows
+    * the rename immediately), so deleting it is safe (readers could
+    * have discovered it only through listings, the same narrow exposure
+    * vacuum's generation collapse already carries) and unblocks the
+    * retry, which recommits the same logical content. A LIVE concurrent
+    * maintenance process, by contrast, is caught at commit time: the
+    * no-overwrite manifest rename in [[commitManifest]] fails loudly
+    * instead of silently clobbering the other op's generation.
+    */
+  private def claimMaintenanceTarget(spark: SparkSession, root: String,
+      curName: String, batchId: Long, gen: Int): Unit = {
+    val fs = fsFor(spark, root)
+    val orphan = new Path(root, s"manifests/v$batchId.$gen")
+    if (fs.exists(orphan) &&
+        currentManifestName(spark, root).contains(curName))
+      fs.delete(orphan, false)
+  }
+
   /** Manifest entries for the buckets that actually produced files under
     * `data/<dirTag>` — a touched bucket whose merge output is EMPTY
     * (every key deleted and aged out) writes no partition dir and drops
-    * out of the manifest. When the table models deletes, each entry's
-    * oldest-tombstone batch is computed from the just-written files (a
-    * single-column pruned scan of touched data only, read WITH partition
-    * discovery so the bucket id comes back as a column).
+    * out of the manifest. Each entry carries the per-bucket stats the
+    * manifest serves later without touching data again: on-disk bytes
+    * (from the same file listing that discovers the bucket dirs — FS
+    * metadata, zero data reads), stored row count, and — when the table
+    * models deletes — the oldest-tombstone batch. Rows and min-ts come
+    * from ONE scan of the just-written files projecting only the
+    * partition directory and the `TsBatchCol` long (row counts resolve
+    * from row-group metadata; no payload column is ever read), read
+    * WITH partition discovery so the bucket id comes back as a column.
     */
   private def writtenEntries(spark: SparkSession, root: String,
       dirTag: String, hasTombstones: Boolean): Map[Int, BucketEntry] = {
     val fs = fsFor(spark, root)
     val out = new Path(root, s"data/$dirTag")
     if (!fs.exists(out)) return Map.empty
-    val bucketIds = fs.listStatus(out).map(_.getPath.getName)
-      .filter(_.startsWith(s"$BucketCol="))
-      .map(_.stripPrefix(s"$BucketCol=").toInt).toSeq
-    if (bucketIds.isEmpty) Map.empty
+    val bucketDirs = fs.listStatus(out)
+      .filter(_.getPath.getName.startsWith(s"$BucketCol="))
+    if (bucketDirs.isEmpty) Map.empty
     else {
-      val minTs: Map[Int, Long] =
-        if (!hasTombstones) Map.empty
-        else spark.read.parquet(out.toString)
+      val bytes: Map[Int, Long] = bucketDirs.map { d =>
+        d.getPath.getName.stripPrefix(s"$BucketCol=").toInt ->
+          fs.listStatus(d.getPath).filter(_.isFile).map(_.getLen).sum
+      }.toMap
+      val stats: Map[Int, (Option[Long], Long)] =
+        spark.read.parquet(out.toString)
           .groupBy(col(BucketCol))
-          .agg(min(col(TsBatchCol)).as("m"))
-          .collect().flatMap { r =>
-            if (r.isNullAt(1)) None
-            else Some(r.getInt(0) -> r.getLong(1))
+          .agg(min(col(TsBatchCol)).as("m"), count(lit(1)).as("n"))
+          .collect().map { r =>
+            r.getInt(0) -> ((if (r.isNullAt(1)) None
+                             else Some(r.getLong(1))), r.getLong(2))
           }.toMap
-      bucketIds.map(b =>
-        b -> BucketEntry(s"$dirTag/$BucketCol=$b", minTs.get(b))).toMap
+      bytes.keysIterator.map(b =>
+        b -> BucketEntry(s"$dirTag/$BucketCol=$b",
+          if (hasTombstones) stats.get(b).flatMap(_._1) else None,
+          Some(bytes(b)), stats.get(b).map(_._2))).toMap
     }
   }
 
@@ -621,15 +721,32 @@ object CdcApply {
     * in-flight file out of those listings.
     */
   private def commitManifest(spark: SparkSession, root: String,
-      name: String, m: Manifest, batchId: Long): Unit = {
+      name: String, m: Manifest, batchId: Long,
+      overwrite: Boolean = true): Unit = {
     val fs = fsFor(spark, root)
     fs.mkdirs(new Path(root, "manifests"))
     val fc = FileContext.getFileContext(new Path(root).toUri,
       spark.sparkContext.hadoopConfiguration)
     val mTmp = new Path(root, s"manifests/.$name.tmp")
     writeSmallFile(fs, mTmp, serializeManifest(m))
-    fc.rename(mTmp, new Path(root, s"manifests/$name"),
-      Options.Rename.OVERWRITE)
+    // applies keep OVERWRITE (a crash between manifest rename and
+    // pointer flip re-runs the SAME batch under the replay guard and
+    // must be able to recommit); maintenance ops pass overwrite=false so
+    // two racing maintenance processes fail loudly at the rename instead
+    // of silently replacing each other's committed generation
+    if (overwrite)
+      fc.rename(mTmp, new Path(root, s"manifests/$name"),
+        Options.Rename.OVERWRITE)
+    else
+      try fc.rename(mTmp, new Path(root, s"manifests/$name"))
+      catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          fs.delete(mTmp, false)
+          throw new IllegalStateException(
+            s"concurrent maintenance detected: manifest $name already " +
+              "exists — one maintenance process per table root is the " +
+              "operating contract", e)
+      }
     val tmp = new Path(root, s".CURRENT.$batchId.tmp")
     writeSmallFile(fs, tmp, name)
     fc.rename(tmp, new Path(root, "CURRENT"), Options.Rename.OVERWRITE)

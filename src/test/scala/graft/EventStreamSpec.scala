@@ -646,7 +646,7 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       new java.io.File(root, "manifests/v1.1")).mkString
     assert(mf.linesIterator.next().contains("buckets=16"), mf)
     assert(mf.linesIterator.next().contains("ts=2000"), mf)
-    assert(mf.linesIterator.exists(_.contains("v1g1/_b=")), mf)
+    assert(mf.linesIterator.exists(_.contains("v1g1r/_b=")), mf)
     assert(C.resolveAsOf(spark, root, 2500L).contains(1L))
     val h = C.history(spark, root).collect()
     val cur = h.filter(_.getAs[Boolean]("is_current"))
@@ -681,7 +681,7 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       "old-layout v0 survived vacuum")
     assert(!new java.io.File(root, "data/v1").exists,
       "pre-rebucket v1 bucket dirs survived vacuum")
-    assert(new java.io.File(root, "data/v1g1").exists,
+    assert(new java.io.File(root, "data/v1g1r").exists,
       "post-rebucket generation swept while still referenced")
     val s4 = C.readSnapshot(spark, root).get
       .select("k", "v").as[(Long, String)].collect().toSet
@@ -755,6 +755,125 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     // the replay-guard watermark did not move (gen bumped, batch id not)
     assert(graft.streaming.CdcApply
       .currentVersion(spark, root).contains(3L))
+  }
+
+  test("buckets() serves per-bucket bytes/rows/oldest-tombstone from " +
+    "the manifest, and numBuckets tracks rebucket") {
+    import spark.implicits._
+    val C = graft.streaming.CdcApply
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_buckets").toFile.getAbsolutePath
+    def apply(rows: Seq[(Long, Long, String, Boolean)], id: Long) =
+      C.applyBatch(rows.toDF("k", "version", "v", "deleted"), id, root,
+        Seq("k"), "version", Some("deleted"), numBuckets = 4)
+    assert(C.numBuckets(spark, root).isEmpty)
+    assert(C.buckets(spark, root).isEmpty)
+    assert(apply((1L to 30L).map(k => (k, 1L, s"v$k", false)), 0L))
+    assert(apply(Seq((5L, 2L, "", true)), 1L))
+    assert(C.numBuckets(spark, root).contains(4))
+    val b = C.buckets(spark, root).collect()
+    // every live bucket has write-time stats; the row total counts
+    // stored rows INCLUDING the retained tombstone
+    assert(b.nonEmpty && b.forall(r => r.getAs[Long]("bytes") > 0L))
+    assert(b.map(_.getAs[Long]("rows")).sum == 30L)
+    val tombBuckets = b.filter(!_.isNullAt(4))
+    assert(tombBuckets.map(r => (r.getAs[Int]("bucket_id"),
+      r.getAs[Long]("oldest_tombstone_batch"))).toSeq ==
+      Seq((bucketOf(5L, 4), 1L)))
+    // the decision loop the metadata exists for: rebucket, then both
+    // the count and the per-bucket view follow the new layout — with
+    // zero data files read on the query side (manifest-only)
+    assert(C.rebucket(spark, root, 8))
+    assert(C.numBuckets(spark, root).contains(8))
+    val b2 = C.buckets(spark, root).collect()
+    assert(b2.map(_.getAs[Long]("rows")).sum == 30L)
+    assert(b2.forall(_.getAs[String]("data_dir").startsWith("v1g1r/")))
+    assert(b2.filter(!_.isNullAt(4)).map(_.getAs[Int]("bucket_id"))
+      .toSeq == Seq(bucketOf(5L, 8)))
+  }
+
+  test("read() is the unified as-of entry: current, by batch, by " +
+    "timestamp — and refuses both at once") {
+    import spark.implicits._
+    val C = graft.streaming.CdcApply
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_read").toFile.getAbsolutePath
+    def apply(rows: Seq[(Long, Long, String)], id: Long, ts: Long) =
+      C.applyBatch(rows.toDF("k", "version", "v"), id, root,
+        Seq("k"), "version", None, commitTs = Some(ts))
+    assert(apply(Seq((1L, 1L, "a"), (2L, 1L, "b")), 0L, 1000L))
+    assert(apply(Seq((1L, 2L, "a2")), 1L, 2000L))
+    def vals(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.select("k", "v").as[(Long, String)].collect().toSet
+    assert(vals(C.read(spark, root).get) ==
+      vals(C.readSnapshot(spark, root).get))
+    assert(vals(C.read(spark, root, asOfBatch = Some(0L)).get) ==
+      Set(1L -> "a", 2L -> "b"))
+    assert(vals(C.read(spark, root, asOfTs = Some(1500L)).get) ==
+      Set(1L -> "a", 2L -> "b"))
+    assert(C.read(spark, root, asOfTs = Some(500L)).isEmpty)
+    intercept[IllegalArgumentException] {
+      C.read(spark, root, asOfBatch = Some(0L), asOfTs = Some(1500L))
+    }
+  }
+
+  test("maintenance crash recovery: an orphaned never-current manifest " +
+    "is reclaimed, and maintenance data dirs are per-op") {
+    import spark.implicits._
+    val C = graft.streaming.CdcApply
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_orphan").toFile.getAbsolutePath
+    def apply(rows: Seq[(Long, Long, String, Boolean)], id: Long) =
+      C.applyBatch(rows.toDF("k", "version", "v", "deleted"), id, root,
+        Seq("k"), "version", Some("deleted"), numBuckets = 4)
+    assert(apply((1L to 20L).map(k => (k, 1L, s"v$k", false)), 0L))
+    assert(apply(Seq((3L, 2L, "v3b", false)), 1L))
+    val before = C.readSnapshot(spark, root).get
+      .select("k", "v").as[(Long, String)].collect().toSet
+    // plant the crash leftover: a manifest at the next generation that
+    // never became CURRENT (copy of the current one — content is
+    // irrelevant, existence is what blocks the no-overwrite commit)
+    val cur = C.currentManifestName(spark, root).get
+    val mdir = new java.io.File(root, "manifests")
+    java.nio.file.Files.copy(
+      new java.io.File(mdir, cur).toPath,
+      new java.io.File(mdir, "v1.1").toPath)
+    // the retry claims the target: orphan deleted, commit succeeds
+    assert(C.rebucket(spark, root, 8))
+    assert(C.readSnapshot(spark, root).get
+      .select("k", "v").as[(Long, String)].collect().toSet == before)
+    assert(C.numBuckets(spark, root).contains(8))
+    // and the rewrite landed in the rebucket-tagged dir, disjoint from
+    // any expiry rewrite's target
+    assert(new java.io.File(root, "data/v1g1r").exists)
+    assert(!new java.io.File(root, "data/v1g1e").exists)
+  }
+
+  test("pre-v6 manifests (no per-bucket stats) still parse and read") {
+    import spark.implicits._
+    val C = graft.streaming.CdcApply
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_prev6").toFile.getAbsolutePath
+    assert(C.applyBatch(
+      (1L to 10L).map(k => (k, 1L, s"v$k")).toDF("k", "version", "v"),
+      0L, root, Seq("k"), "version", None))
+    // rewrite the committed manifest in the v5 shape: 3-field bucket
+    // lines, no bytes/rows
+    val cur = C.currentManifestName(spark, root).get
+    val f = new java.io.File(root, s"manifests/$cur")
+    val stripped = scala.io.Source.fromFile(f).mkString.linesIterator
+      .map { l =>
+        if (l.startsWith("graft-cdc") || l.startsWith("schema\t")) l
+        else l.split('\t').take(3).mkString("\t")
+      }.mkString("\n")
+    java.nio.file.Files.writeString(f.toPath, stripped)
+    // drop the local-FS checksum sidecar the out-of-band rewrite broke
+    new java.io.File(f.getParentFile, s".$cur.crc").delete()
+    assert(C.readSnapshot(spark, root).get.count() == 10L)
+    val b = C.buckets(spark, root).collect()
+    assert(b.nonEmpty && b.forall(r =>
+      r.isNullAt(r.fieldIndex("bytes")) &&
+        r.isNullAt(r.fieldIndex("rows"))))
   }
 
   test("batch q_stream_window equals a direct SQL aggregation") {

@@ -220,9 +220,66 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSet
     assert(run(Some(dir)) == run(None))
-    // the staged copy landed where asked
-    assert(new java.io.File(dir).listFiles.exists(
-      _.getName.endsWith(".parquet")))
+    // the staged copy landed under the asked-for prefix (packBins
+    // suffixes the path with its preparation-recipe hash)
+    val staged = stagedDirsUnder(dir)
+    assert(staged.nonEmpty, s"no staged dir committed under $dir-*")
+    assert(staged.exists(_.listFiles.exists(
+      _.getName.endsWith(".parquet"))))
+  }
+
+  /** Committed staging dirs packBins created for base path `base` —
+    * `base`-prefixed siblings carrying the recipe-hash suffix.
+    */
+  private def stagedDirsUnder(base: String): Seq[java.io.File] = {
+    val f = new java.io.File(base)
+    Option(f.getParentFile.listFiles).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith(f.getName + "-"))
+  }
+
+  test("packBins staging key tracks the preparation recipe: same " +
+      "source, changed transform -> a fresh stage, not stale reuse; " +
+      "changed budget -> the stage is reused") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, (i % 9 + 1).toInt))
+      .toDF("id", "tok")
+    val dir = java.nio.file.Files
+      .createTempDirectory("pack_key").toFile.getAbsolutePath
+    def run(tok: org.apache.spark.sql.Column, budget: Long) =
+      graft.operators.Packing.packBins(docs, Seq($"id"), tok, budget,
+        partitions = Some(4), stagingDir = Some(dir))
+        .write.format("noop").mode("overwrite").save()
+    run($"tok", 64L)
+    assert(stagedDirsUnder(dir).size == 1)
+    // budget is not part of the staged rows: same stage serves both
+    run($"tok", 32L)
+    assert(stagedDirsUnder(dir).size == 1,
+      "budget change must reuse the stage")
+    // a different token expression is a different recipe: the old stage
+    // must NOT be trusted (this was the stale-cache bug)
+    run($"tok" * 2, 64L)
+    assert(stagedDirsUnder(dir).size == 2,
+      "transform change silently reused a stale stage")
+  }
+
+  test("packBins staging commit is atomic: a torn (uncommitted) dir is " +
+      "rebuilt, not trusted") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, 1)).toDF("id", "tok")
+    val dir = java.nio.file.Files
+      .createTempDirectory("pack_torn").toFile.getAbsolutePath
+    def run() = graft.operators.Packing
+      .packBins(docs, Seq($"id"), $"tok", 16L, partitions = Some(2),
+        stagingDir = Some(dir))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1))).collect()(0).getLong(0)
+    assert(run() == 50L)
+    val staged = stagedDirsUnder(dir).head
+    // simulate a pre-rename-commit crash: dir present, no _SUCCESS
+    assert(new java.io.File(staged, "_SUCCESS").delete())
+    assert(run() == 50L, "torn stage corrupted the result")
+    assert(new java.io.File(staged, "_SUCCESS").exists(),
+      "stage was not recommitted")
   }
 
   test("packBins with a committed staging dir reads ONLY the staged " +
@@ -239,13 +296,14 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .packBins(docs, Seq($"id"), $"tok", budget = 64L,
         partitions = Some(4), stagingDir = Some(dir))
     build().write.format("noop").mode("overwrite").save() // materialize
-    assert(new java.io.File(dir, "_SUCCESS").exists())
-    val staged = new java.io.File(dir).listFiles
+    val stageDir = stagedDirsUnder(dir).head
+    assert(new java.io.File(stageDir, "_SUCCESS").exists())
+    val staged = stageDir.listFiles
       .filter(_.getName.endsWith(".parquet"))
     val mtimes = staged.map(f => f.getName -> f.lastModified).toMap
     // second build: _SUCCESS is trusted, nothing is rewritten...
     val reused = build()
-    assert(new java.io.File(dir).listFiles
+    assert(stageDir.listFiles
       .filter(_.getName.endsWith(".parquet"))
       .forall(f => mtimes.get(f.getName).contains(f.lastModified)),
       "staged files were rewritten on reuse")
