@@ -69,7 +69,35 @@ object Plans {
       "totals in a partition-id window, the per-partition grand totals " +
       "(one row each) offset-summed on a single tiny partition and " +
       "broadcast back — no single-partition window over data ever " +
-      "forms."),
+      "forms. STAGED path (round 10): every file scan in the plan reads " +
+      "the staged parquet — the offsets side is a column-pruned " +
+      "(_pid, _tok) projection of the stage, NOT a second source scan " +
+      "(single-scan claim machine-checked in OperatorsSpec)."),
+    "q_zorder" -> ("Z-order layout under the gate: the declared " +
+      "aggregate is a plain scan of the CLUSTERED copy with the " +
+      "second-dimension predicate pushed to parquet (PushedFilters on " +
+      "value) and a two-phase hash aggregate. The rewrite itself was " +
+      "one approxQuantile sample job + one range exchange; file-" +
+      "envelope pruning on either curve dimension is machine-checked " +
+      "in ZOrderSpec."),
+    "q_cdc_asof" -> ("Timestamp time travel: t=1500 resolves to batch " +
+      "0 through manifest HEADERS only (driver-side metadata reads, " +
+      "bounded by vacuum retention — no data files listed or read to " +
+      "resolve). The physical plan is then just the multi-path bucket-" +
+      "dir parquet scan of the batch-0 manifest's directories plus a " +
+      "two-phase hash aggregate."),
+    "q_cdc_governed" -> ("Governed CDC snapshot: the location-" +
+      "registered governance rule injects the analyst row filter + " +
+      "column allowlist UNDER the tombstone strip — the row predicate " +
+      "reaches the bucket-dir parquet scans (PushedFilters on " +
+      "s_nationkey) and the read schema carries only allowlisted " +
+      "columns, so governance costs a pushed filter, not a " +
+      "post-scan pass."),
+    "q_rebucket" -> ("Bucket-count evolution read back: the aggregate " +
+      "is a plain multi-path scan of the 5-bucket maintenance " +
+      "generation's directories (manifest-resolved) + two-phase hash " +
+      "aggregate — identical plan shape to q_cdc_merge, proof the " +
+      "layout rewrite left the read path ordinary parquet."),
     "q_group_sample" -> ("Per-group top-k in two stages: a local " +
       "(partition, lang) rank prunes to 50 rows per language per " +
       "partition BEFORE the lang-partitioned global rank, so no " +

@@ -44,28 +44,68 @@ object TierC {
     */
   private def cdcQueryRoot(s: SparkSession, d: String): String =
     synchronized {
-      import graft.sources.Artifacts
-      import graft.streaming.CdcApply
       val root = new java.io.File("target/graft-data/cdc_merge_q/" +
-        Artifacts.datasetKey(d, s"$d/supplier.parquet")).getAbsolutePath
-      val sup = Tables.supplier(s, d)
-      val b0 = sup.withColumn("version", lit(1L))
-        .withColumn("deleted", lit(false))
-      val updates = sup.filter(col("s_suppkey") % 5 === 0)
-        .withColumn("s_acctbal", col("s_acctbal") + lit(100.0))
-        .withColumn("version", lit(2L))
-        .withColumn("deleted", lit(false))
-      val deletes = sup.filter(col("s_suppkey") % 7 === 0)
-        .withColumn("version", lit(3L))
-        .withColumn("deleted", lit(true))
-      // logical commit timestamps (1000, 2000) rather than wall clock:
-      // q_cdc_asof resolves "as of t=1500" to batch 0 deterministically,
-      // so the artifact's answer is a pure function of the input dataset
-      CdcApply.applyBatch(b0, 0L, root, Seq("s_suppkey"), "version",
-        Some("deleted"), commitTs = Some(1000L))
-      CdcApply.applyBatch(updates.unionByName(deletes), 1L, root,
-        Seq("s_suppkey"), "version", Some("deleted"),
-        commitTs = Some(2000L))
+        graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet"))
+        .getAbsolutePath
+      applySupplierCdc(s, d, root)
+      root
+    }
+
+  /** The deterministic supplier change stream behind every declared CDC
+    * query: full insert load (batch 0), then updates + delete-wins
+    * (batch 1). Shared so the governed / rebucketed snapshot roots are
+    * provably the SAME logical table as `cdcQueryRoot` and reuse the
+    * q_cdc_merge net-state oracle.
+    */
+  private def applySupplierCdc(s: SparkSession, d: String,
+      root: String): Unit = {
+    import graft.streaming.CdcApply
+    val sup = Tables.supplier(s, d)
+    val b0 = sup.withColumn("version", lit(1L))
+      .withColumn("deleted", lit(false))
+    val updates = sup.filter(col("s_suppkey") % 5 === 0)
+      .withColumn("s_acctbal", col("s_acctbal") + lit(100.0))
+      .withColumn("version", lit(2L))
+      .withColumn("deleted", lit(false))
+    val deletes = sup.filter(col("s_suppkey") % 7 === 0)
+      .withColumn("version", lit(3L))
+      .withColumn("deleted", lit(true))
+    // logical commit timestamps (1000, 2000) rather than wall clock:
+    // q_cdc_asof resolves "as of t=1500" to batch 0 deterministically,
+    // so the artifact's answer is a pure function of the input dataset
+    CdcApply.applyBatch(b0, 0L, root, Seq("s_suppkey"), "version",
+      Some("deleted"), commitTs = Some(1000L))
+    CdcApply.applyBatch(updates.unionByName(deletes), 1L, root,
+      Seq("s_suppkey"), "version", Some("deleted"),
+      commitTs = Some(2000L))
+  }
+
+  /** Snapshot root for `q_cdc_governed` — its own artifact dir (NOT
+    * `cdcQueryRoot`): registering a location governs it for the whole
+    * session, and the ungoverned CDC queries must keep reading their
+    * root under the open default.
+    */
+  private def cdcGovRoot(s: SparkSession, d: String): String =
+    synchronized {
+      val root = new java.io.File("target/graft-data/cdc_gov_q/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet"))
+        .getAbsolutePath
+      applySupplierCdc(s, d, root)
+      root
+    }
+
+  /** Snapshot root for `q_rebucket`: the same two-batch change stream,
+    * then a bucket-count evolution (creation-time 16 → 5). Idempotent
+    * like every artifact build — the replay guard no-ops the re-applies
+    * and `rebucket` no-ops once the manifest already records 5.
+    */
+  private def cdcRebucketRoot(s: SparkSession, d: String): String =
+    synchronized {
+      val root = new java.io.File("target/graft-data/cdc_rebucket_q/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet"))
+        .getAbsolutePath
+      applySupplierCdc(s, d, root)
+      graft.streaming.CdcApply.rebucket(s, root, 5)
       root
     }
 
@@ -828,7 +868,57 @@ object TierC {
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("cnt"), dsum(col("s_acctbal")).as("total_bal"),
           max(col("version")).as("max_version"))
-        .orderBy(col("s_nationkey")))
+        .orderBy(col("s_nationkey"))),
+
+    // C8d — the flagship COMPOSITION under the hash gate: row/column
+    // security over a continuously-merged CDC snapshot (reference
+    // semantics: the data-cells filter IS the product,
+    // main.tf:432-457). The snapshot root is registered as a governed
+    // location and the Analyst gets a cells filter (row predicate
+    // s_nationkey < 13, column allowlist INCLUDING the deleted column —
+    // tombstone filtering runs above the injected projection, the
+    // subtlety this query pins forever). The Analyst aggregate sees
+    // only filtered rows, and `n_cols` witnesses the projection: the
+    // 4-column allowlist minus the stripped deleted column = 3 visible
+    // columns — an ungoverned read would surface all 8 and
+    // hash-mismatch. Behavioral edges (admin full view, anonymous
+    // denied, write denial) stay in CdcGovernanceSpec.
+    "q_cdc_governed" -> ((s, d) => {
+      import graft.governance.{Analyst, DataCellsFilter, Governance,
+        GovernanceCatalog}
+      val root = cdcGovRoot(s, d)
+      GovernanceCatalog.registerLocation(root, "graft_cdc",
+        "supplier_snap")
+      GovernanceCatalog.register(Analyst, "graft_cdc", DataCellsFilter(
+        "analyst-cdc-supplier", "supplier_snap", "s_nationkey < 13",
+        Seq("s_suppkey", "s_nationkey", "s_acctbal", "deleted")))
+      Governance.withPrincipal(s, Analyst) {
+        val snap = graft.streaming.CdcApply.readSnapshot(s, root).get
+        snap.groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("cnt"),
+            dsum(col("s_acctbal")).as("total_bal"))
+          .withColumn("n_cols", lit(snap.columns.length.toLong))
+          .orderBy(col("s_nationkey"))
+      }
+    }),
+
+    // C8e — bucket-count evolution under the hash gate: the same
+    // two-batch change stream rebucketed 16 → 5, then aggregated FROM
+    // THE REBUCKETED snapshot against the q_cdc_merge net-state oracle —
+    // a row lost, duplicated, or mutated by the layout rewrite
+    // hash-mismatches, and `n_buckets` (manifest-authoritative conf)
+    // witnesses that the rewrite actually committed. Stream
+    // continuation across the rewrite stays in EventStreamSpec.
+    "q_rebucket" -> ((s, d) => {
+      val root = cdcRebucketRoot(s, d)
+      val nb = graft.streaming.CdcApply.numBuckets(s, root).get
+      graft.streaming.CdcApply.readSnapshot(s, root).get
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("s_acctbal")).as("total_bal"))
+        .withColumn("n_buckets", lit(nb.toLong))
+        .orderBy(col("s_nationkey"))
+    })
   )
 
   private val quantSql =
@@ -1216,6 +1306,25 @@ object TierC {
       ("SELECT s_nationkey, COUNT(*) AS cnt, " +
         "CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal, " +
         "CAST(1 AS BIGINT) AS max_version " +
-        "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey")
+        "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // the analyst's view of the net state: row filter applied, and
+    // exactly 3 columns visible (4-col allowlist minus the stripped
+    // deleted column)
+    "q_cdc_governed" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal, " +
+        "CAST(3 AS BIGINT) AS n_cols " +
+        "FROM supplier WHERE s_suppkey % 7 <> 0 AND s_nationkey < 13 " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // net state identical to q_cdc_merge — the layout rewrite moved
+    // every row and lost none — under the evolved 5-bucket conf
+    "q_rebucket" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal, " +
+        "CAST(5 AS BIGINT) AS n_buckets " +
+        "FROM supplier WHERE s_suppkey % 7 <> 0 " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey")
   )
 }
