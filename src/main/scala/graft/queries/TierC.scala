@@ -94,6 +94,31 @@ object TierC {
       root
     }
 
+  /** Snapshot root for `q_cdc_schema_evo`: batch 0 delivers three
+    * columns, batch 1 delivers a FOURTH (`s_bonus`, exact-integer
+    * valued so the oracle is arithmetic-hazard-free) on a subset of
+    * keys — additive schema evolution mid-stream. The merged snapshot
+    * must surface NULL bonus on every pre-evolution row.
+    */
+  private def cdcSchemaEvoRoot(s: SparkSession, d: String): String =
+    synchronized {
+      import graft.streaming.CdcApply
+      val root = new java.io.File("target/graft-data/cdc_evo_q/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet"))
+        .getAbsolutePath
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      CdcApply.applyBatch(sup.withColumn("version", lit(1L)), 0L, root,
+        Seq("s_suppkey"), "version", None, commitTs = Some(1000L))
+      CdcApply.applyBatch(
+        sup.filter(col("s_suppkey") % 3 === 0)
+          .withColumn("s_bonus", col("s_suppkey") % 10)
+          .withColumn("version", lit(2L)),
+        1L, root, Seq("s_suppkey"), "version", None,
+        commitTs = Some(2000L))
+      root
+    }
+
   /** Snapshot root for `q_rebucket`: the same two-batch change stream,
     * then a bucket-count evolution (creation-time 16 → 5). Idempotent
     * like every artifact build — the replay guard no-ops the re-applies
@@ -902,6 +927,23 @@ object TierC {
       }
     }),
 
+    // C8f — ADDITIVE SCHEMA EVOLUTION under the hash gate (spec-proven
+    // since round 9, now oracle-pinned): batch 1 introduces `s_bonus`
+    // mid-stream on keys ≡0 (mod 3); the merged read declares the
+    // evolved manifest schema, so every pre-evolution row surfaces
+    // NULL bonus — summed through coalesce, any row that wrongly
+    // carries (or drops) the evolved column hash-mismatches. The bonus
+    // is exact-integer valued, so the oracle has no floating-point
+    // rounding hazard.
+    "q_cdc_schema_evo" -> ((s, d) =>
+      graft.streaming.CdcApply
+        .readSnapshot(s, cdcSchemaEvoRoot(s, d)).get
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("s_acctbal")).as("total_bal"),
+          sum(coalesce(col("s_bonus"), lit(0L))).as("total_bonus"))
+        .orderBy(col("s_nationkey"))),
+
     // C8e — bucket-count evolution under the hash gate: the same
     // two-batch change stream rebucketed 16 → 5, then aggregated FROM
     // THE REBUCKETED snapshot against the q_cdc_merge net-state oracle —
@@ -1317,6 +1359,15 @@ object TierC {
         "CAST(3 AS BIGINT) AS n_cols " +
         "FROM supplier WHERE s_suppkey % 7 <> 0 AND s_nationkey < 13 " +
         "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // whole-row upsert: batch-1 rows replace their batch-0 versions
+    // (same s_acctbal), carrying the evolved column; everyone else
+    // keeps NULL bonus
+    "q_cdc_schema_evo" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal, " +
+        "CAST(SUM(CASE WHEN s_suppkey % 3 = 0 THEN s_suppkey % 10 " +
+        "ELSE 0 END) AS BIGINT) AS total_bonus " +
+        "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"),
     // net state identical to q_cdc_merge — the layout rewrite moved
     // every row and lost none — under the evolved 5-bucket conf
     "q_rebucket" ->

@@ -669,6 +669,34 @@ object CdcApply {
       fs.delete(orphan, false)
   }
 
+  /** The scheduled half of the bucket-evolution story: rebucket when
+    * the layout has outgrown its creation-time count. If any live
+    * bucket's RECORDED size exceeds `maxBucketBytes`, the snapshot is
+    * rewritten to `ceil(total_bytes / targetBucketBytes)` buckets
+    * (never fewer than current+1 — this helper only grows; shrinking an
+    * over-provisioned layout is a deliberate manual [[rebucket]]). The
+    * decision reads ONLY the manifest's write-time per-bucket stats
+    * ([[buckets]]) — zero data files listed or read on a "still
+    * healthy" poll, so running it after every vacuum is free. Returns
+    * the new count when a rewrite committed; None when the layout is
+    * healthy, stats are absent (pre-v6 manifests — decide manually),
+    * or the commit guard aborted.
+    */
+  def rebucketIfNeeded(spark: SparkSession, root: String,
+      maxBucketBytes: Long, targetBucketBytes: Long): Option[Int] = {
+    require(maxBucketBytes >= 1, "maxBucketBytes must be >= 1")
+    require(targetBucketBytes >= 1, "targetBucketBytes must be >= 1")
+    currentManifest(spark, root).flatMap { m =>
+      val sizes = m.buckets.valuesIterator.flatMap(_.bytes).toSeq
+      if (sizes.isEmpty || sizes.max <= maxBucketBytes) None
+      else {
+        val want = math.max(m.conf.numBuckets + 1,
+          math.ceil(sizes.sum.toDouble / targetBucketBytes).toInt)
+        if (rebucket(spark, root, want)) Some(want) else None
+      }
+    }
+  }
+
   /** Manifest entries for the buckets that actually produced files under
     * `data/<dirTag>` — a touched bucket whose merge output is EMPTY
     * (every key deleted and aged out) writes no partition dir and drops

@@ -792,6 +792,33 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       .toSeq == Seq(bucketOf(5L, 8)))
   }
 
+  test("rebucketIfNeeded: manifest-only decision — healthy layout " +
+    "no-ops, oversized bucket triggers a growth rewrite") {
+    import spark.implicits._
+    val C = graft.streaming.CdcApply
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_auto_rb").toFile.getAbsolutePath
+    assert(C.applyBatch(
+      (1L to 40L).map(k => (k, 1L, s"v$k")).toDF("k", "version", "v"),
+      0L, root, Seq("k"), "version", None, numBuckets = 4))
+    // thresholds far above any real bucket: healthy, nothing rewritten
+    assert(C.rebucketIfNeeded(spark, root,
+      maxBucketBytes = 1L << 40, targetBucketBytes = 1L << 40).isEmpty)
+    assert(C.numBuckets(spark, root).contains(4))
+    // 1-byte threshold: every bucket is "oversized"; target sizing
+    // grows the layout to ceil(total/target) and commits
+    val total = C.buckets(spark, root).collect()
+      .map(_.getAs[Long]("bytes")).sum
+    val grown = C.rebucketIfNeeded(spark, root,
+      maxBucketBytes = 1L, targetBucketBytes = total / 8)
+    assert(grown.isDefined && grown.get > 4, s"grew to $grown")
+    assert(C.numBuckets(spark, root) == grown)
+    assert(C.readSnapshot(spark, root).get.count() == 40L)
+    // idempotent poll after the rewrite with sane thresholds: healthy
+    assert(C.rebucketIfNeeded(spark, root,
+      maxBucketBytes = 1L << 40, targetBucketBytes = 1L << 40).isEmpty)
+  }
+
   test("read() is the unified as-of entry: current, by batch, by " +
     "timestamp — and refuses both at once") {
     import spark.implicits._
