@@ -93,6 +93,13 @@ object Plans {
       "s_nationkey) and the read schema carries only allowlisted " +
       "columns, so governance costs a pushed filter, not a " +
       "post-scan pass."),
+    "q_cdc_changes" -> ("Incremental change feed: the scan's file " +
+      "listing holds ONLY bucket dirs written after the since-batch " +
+      "(manifest-level pruning — untouched buckets never listed), and " +
+      "the stamp filter inside the surviving mixed-age buckets is a " +
+      "pushed long-column predicate (PushedFilters on _ab). Changes " +
+      "since an hour ago on a trickle-merged 100 TB table scan only " +
+      "the buckets touched since then."),
     "q_rebucket" -> ("Bucket-count evolution read back: the aggregate " +
       "is a plain multi-path scan of the 5-bucket maintenance " +
       "generation's directories (manifest-resolved) + two-phase hash " +

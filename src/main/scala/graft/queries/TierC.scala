@@ -94,6 +94,20 @@ object TierC {
       root
     }
 
+  /** Snapshot root for `q_cdc_changes` — its own artifact dir rather
+    * than `cdcQueryRoot`: the change-feed stamp is stored at WRITE
+    * time, so the feed query must build its snapshot with the current
+    * build (a cached pre-stamp root would feed back empty).
+    */
+  private def cdcChangesRoot(s: SparkSession, d: String): String =
+    synchronized {
+      val root = new java.io.File("target/graft-data/cdc_changes_q/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet"))
+        .getAbsolutePath
+      applySupplierCdc(s, d, root)
+      root
+    }
+
   /** Snapshot root for `q_cdc_schema_evo`: batch 0 delivers three
     * columns, batch 1 delivers a FOURTH (`s_bonus`, exact-integer
     * valued so the oracle is arithmetic-hazard-free) on a subset of
@@ -927,6 +941,24 @@ object TierC {
       }
     }),
 
+    // C8g — INCREMENTAL CHANGE FEED under the hash gate: "every row
+    // changed since batch 0" — the downstream-sync primitive — served
+    // from stored batch stamps with manifest-level pruning of buckets
+    // untouched since then (no snapshot diff, no log replay). The
+    // oracle derives the same change set from first principles: %5
+    // keys upserted with +100 (version 2), %7 keys tombstoned at
+    // their original balance (version 3, delete-wins over the %35
+    // overlap), everything stamped by the batch that applied it.
+    // Tombstones are IN the feed (a sync consumer must see deletes) —
+    // the one declared query where flagged deletes surface as rows.
+    "q_cdc_changes" -> ((s, d) =>
+      graft.streaming.CdcApply
+        .changesSince(s, cdcChangesRoot(s, d), 0L).get
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
+          col("version"), col("deleted"),
+          col("_change_batch").as("change_batch"))
+        .orderBy(col("s_suppkey"))),
+
     // C8f — ADDITIVE SCHEMA EVOLUTION under the hash gate (spec-proven
     // since round 9, now oracle-pinned): batch 1 introduces `s_bonus`
     // mid-stream on keys ≡0 (mod 3); the merged read declares the
@@ -1359,6 +1391,19 @@ object TierC {
         "CAST(3 AS BIGINT) AS n_cols " +
         "FROM supplier WHERE s_suppkey % 7 <> 0 AND s_nationkey < 13 " +
         "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // the batch-1 change set from first principles: upserts +100 on %5
+    // keys, tombstones at original balance on %7 keys (delete wins the
+    // %35 overlap), all stamped batch 1
+    "q_cdc_changes" ->
+      ("SELECT s_suppkey, s_nationkey, " +
+        "CASE WHEN s_suppkey % 7 = 0 THEN s_acctbal " +
+        "ELSE s_acctbal + 100 END AS s_acctbal, " +
+        "CASE WHEN s_suppkey % 7 = 0 THEN CAST(3 AS BIGINT) " +
+        "ELSE CAST(2 AS BIGINT) END AS version, " +
+        "(s_suppkey % 7 = 0) AS deleted, " +
+        "CAST(1 AS BIGINT) AS change_batch " +
+        "FROM supplier WHERE s_suppkey % 5 = 0 OR s_suppkey % 7 = 0 " +
+        "ORDER BY s_suppkey"),
     // whole-row upsert: batch-1 rows replace their batch-0 versions
     // (same s_acctbal), carrying the evolved column; everyone else
     // keeps NULL bonus

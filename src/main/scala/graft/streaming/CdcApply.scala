@@ -113,10 +113,14 @@ object CdcApply {
   /** Internal columns added to stored rows. `BucketCol` is the hash
     * bucket (also the physical partition directory); `TsBatchCol` is the
     * batch id at which a tombstone row was applied (null on live rows),
-    * the clock tombstone aging runs on.
+    * the clock tombstone aging runs on; `AppliedBatchCol` is the batch
+    * that delivered the row's CURRENT version (carried forward verbatim
+    * through merges and maintenance rewrites), the stamp behind the
+    * [[changesSince]] incremental change feed.
     */
   val BucketCol = "_b"
   val TsBatchCol = "_ts_batch"
+  val AppliedBatchCol = "_ab"
 
   /** Table configuration, fixed at first apply and carried in every
     * manifest header so later applies, readers, and maintenance agree on
@@ -138,8 +142,9 @@ object CdcApply {
   private final case class BucketEntry(rel: String, minTs: Option[Long],
       bytes: Option[Long] = None, rows: Option[Long] = None)
 
-  /** `schema` is the STORED row schema (user columns + `TsBatchCol`,
-    * never `BucketCol` — that is the partition directory). It is the
+  /** `schema` is the STORED row schema (user columns + `TsBatchCol` +
+    * `AppliedBatchCol`, never `BucketCol` — that is the partition
+    * directory). It is the
     * single source of truth for every multi-directory read: buckets
     * written before an additive schema evolution are read with the
     * CURRENT schema and their missing columns come back NULL, with no
@@ -290,7 +295,7 @@ object CdcApply {
       spark.read.schema(_)).parquet(paths: _*)
 
   private def stripInternal(df: DataFrame, conf: TableConf): DataFrame = {
-    val noTs = df.drop(TsBatchCol)
+    val noTs = df.drop(TsBatchCol, AppliedBatchCol)
     conf.deletedCol.fold(noTs)(d =>
       noTs.filter(!coalesce(col(d), lit(false))).drop(d))
   }
@@ -380,7 +385,9 @@ object CdcApply {
           val (b, g) = parseManifestName(n)
           val m = readManifest(spark, root, n)
           (b, g, cur.contains(n), m.buckets.size,
-            m.schema.map(_.fieldNames.filterNot(_ == TsBatchCol).toSeq)
+            m.schema.map(_.fieldNames
+              .filterNot(n => n == TsBatchCol || n == AppliedBatchCol)
+              .toSeq)
               .getOrElse(Seq.empty), m.ts)
         }
     spark.createDataFrame(rows)
@@ -433,6 +440,52 @@ object CdcApply {
       case (Some(b), _) => readSnapshotAt(spark, root, b)
       case (_, Some(t)) => readSnapshotAsOf(spark, root, t)
       case _            => readSnapshot(spark, root)
+    }
+  }
+
+  /** Incremental change feed: every row whose CURRENT version was
+    * applied by a batch LATER than `sinceBatch` — upserts and (when the
+    * table models deletes) tombstones, each with a `_change_batch`
+    * stamp — without replaying the change log or diffing snapshots.
+    * This is the downstream-sync primitive: a consumer that processed
+    * through batch N calls `changesSince(root, N)` and gets exactly the
+    * keys to re-sync, deletes included (`deletedCol` rides along as the
+    * delete marker; `readSnapshot`'s tombstone filter deliberately does
+    * NOT apply here).
+    *
+    * Scale shape, two layers. First, MANIFEST-LEVEL pruning: a bucket
+    * directory's tag records the batch that wrote it, and a bucket last
+    * written at batch <= `sinceBatch` cannot hold a newer stamp, so its
+    * directory is skipped without listing a file — a trickle-merged
+    * 100 TB table serves "changes since an hour ago" by scanning only
+    * the buckets touched since then. Second, the stamp filter inside
+    * the surviving (rewritten, so mixed-age) buckets pushes to the
+    * parquet scan as an ordinary long-column predicate.
+    *
+    * Completeness bounds, both documented-by-construction: tombstones
+    * age out after `tombstoneRetention` batches, so a consumer lagging
+    * further than retention must fall back to a full re-sync (the same
+    * contract as a table format's CDF retention); rows written by
+    * pre-change-feed builds carry no stamp and are excluded — the feed
+    * is complete from the first post-upgrade batch onward. None before
+    * the first apply (or when the snapshot holds zero live buckets,
+    * matching [[readSnapshot]]).
+    */
+  def changesSince(spark: SparkSession, root: String,
+      sinceBatch: Long): Option[DataFrame] = {
+    def relBatch(rel: String): Long =
+      rel.stripPrefix("v").takeWhile(_.isDigit).toLong
+    currentManifest(spark, root).filter(_.buckets.nonEmpty).map { m =>
+      val hot = m.buckets.valuesIterator
+        .filter(e => relBatch(e.rel) > sinceBatch)
+        .map(e => s"$root/data/${e.rel}").toSeq.sorted
+      val base =
+        if (hot.isEmpty)
+          readRaw(spark, m.dataPaths(root), m.schema).limit(0)
+        else readRaw(spark, hot, m.schema)
+      base.filter(col(AppliedBatchCol) > sinceBatch)
+        .withColumnRenamed(AppliedBatchCol, "_change_batch")
+        .drop(TsBatchCol)
     }
   }
 
@@ -810,7 +863,7 @@ object CdcApply {
     require(tombstoneRetention >= 0, "tombstoneRetention must be >= 0")
     require(keys.nonEmpty, "at least one key column is required")
     val spark = rawBatch.sparkSession
-    val internal = Seq(BucketCol, TsBatchCol)
+    val internal = Seq(BucketCol, TsBatchCol, AppliedBatchCol)
       .filter(rawBatch.columns.contains)
     require(internal.isEmpty,
       s"reserved column names in use: ${internal.mkString(",")}")
@@ -869,6 +922,12 @@ object CdcApply {
             lit(null).cast("long"))
         case None => lit(null).cast("long")
       })
+      // change-feed stamp: this batch delivered these row versions. A
+      // stored row keeps the stamp of the batch that last upserted it —
+      // merges copy untouched rows forward verbatim, maintenance
+      // rewrites preserve all stored columns — so "rows changed since
+      // batch N" is a stored-column filter, not a snapshot diff
+      .withColumn(AppliedBatchCol, lit(batchId))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try applyPersistedBatch(batch, batchId, root, conf, existing,
       commitTs.getOrElse(System.currentTimeMillis()))

@@ -792,6 +792,50 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       .toSeq == Seq(bucketOf(5L, 8)))
   }
 
+  test("changesSince: upserts + tombstones since a batch, with " +
+    "manifest-level pruning of untouched buckets") {
+    import spark.implicits._
+    val C = graft.streaming.CdcApply
+    val n = 4
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_changes").toFile.getAbsolutePath
+    def apply(rows: Seq[(Long, Long, String, Boolean)], id: Long) =
+      C.applyBatch(rows.toDF("k", "version", "v", "deleted"), id, root,
+        Seq("k"), "version", Some("deleted"), numBuckets = n)
+    assert(C.changesSince(spark, root, 0L).isEmpty)
+    assert(apply((1L to 20L).map(k => (k, 1L, s"v$k", false)), 0L))
+    // touch keys from ONE bucket so later feeds can prove pruning
+    val b0 = (1L to 20L).filter(k => bucketOf(k, n) == 0)
+    assert(apply(Seq((b0(0), 2L, "upd", false),
+      (b0(1), 2L, "", true)), 1L))
+
+    // since batch 0: exactly the two batch-1 changes, delete included,
+    // each stamped with the batch that applied it
+    val since0 = C.changesSince(spark, root, 0L).get
+    val got = since0.select("k", "v", "deleted", "_change_batch")
+      .as[(Long, String, Boolean, Long)].collect().toSet
+    assert(got == Set((b0(0), "upd", false, 1L), (b0(1), "", true, 1L)),
+      got.toString)
+    // manifest-level pruning: only the touched bucket's dir is scanned —
+    // every input file lives under the batch-1 rewrite, none under v0
+    val files = since0.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/v1/")),
+      files.mkString("\n"))
+
+    // a consumer current through batch 1 sees nothing
+    assert(C.changesSince(spark, root, 1L).get.count() == 0L)
+    // full-sync consumer (since -1) sees every live version once:
+    // batch-0 rows carried forward keep their original stamp
+    val all = C.changesSince(spark, root, -1L).get
+    assert(all.count() == 20L) // 18 untouched + upsert + tombstone
+    assert(all.filter($"_change_batch" === 0L).count() == 18L)
+    // the current-snapshot read is unaffected by the stamp column
+    val snap = C.readSnapshot(spark, root).get
+    assert(!snap.columns.contains("_ab") &&
+      !snap.columns.contains("_change_batch"))
+    assert(snap.count() == 19L) // tombstoned key filtered
+  }
+
   test("rebucketIfNeeded: manifest-only decision — healthy layout " +
     "no-ops, oversized bucket triggers a growth rewrite") {
     import spark.implicits._
