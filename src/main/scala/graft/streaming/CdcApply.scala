@@ -470,22 +470,46 @@ object CdcApply {
     * is complete from the first post-upgrade batch onward. None before
     * the first apply (or when the snapshot holds zero live buckets,
     * matching [[readSnapshot]]).
+    *
+    * Governed roots: the feed composes with location governance the
+    * same way [[readSnapshot]] does, with the same allowlist rule one
+    * column further — the principal's column allowlist must include
+    * `AppliedBatchCol` (and the table's `deletedCol`). The analyzer's
+    * missing-reference rescue lets the stamp FILTER evaluate beneath an
+    * allowlist that omits the stamp (rows still correctly governed and
+    * selected), but the stamp column itself would be projected away —
+    * a feed with no batch attribution — so that case is refused loudly
+    * here instead of returned silently degraded (CdcGovernanceSpec).
     */
   def changesSince(spark: SparkSession, root: String,
       sinceBatch: Long): Option[DataFrame] = {
     def relBatch(rel: String): Long =
       rel.stripPrefix("v").takeWhile(_.isDigit).toLong
     currentManifest(spark, root).filter(_.buckets.nonEmpty).map { m =>
-      val hot = m.buckets.valuesIterator
-        .filter(e => relBatch(e.rel) > sinceBatch)
-        .map(e => s"$root/data/${e.rel}").toSeq.sorted
-      val base =
-        if (hot.isEmpty)
-          readRaw(spark, m.dataPaths(root), m.schema).limit(0)
-        else readRaw(spark, hot, m.schema)
-      base.filter(col(AppliedBatchCol) > sinceBatch)
-        .withColumnRenamed(AppliedBatchCol, "_change_batch")
-        .drop(TsBatchCol)
+      // a table whose every batch predates the change-feed stamp has no
+      // stamped rows: an empty feed with the declared shape, not an
+      // unresolvable-column error
+      if (!m.schema.forall(_.fieldNames.contains(AppliedBatchCol)))
+        readRaw(spark, m.dataPaths(root), m.schema).limit(0)
+          .withColumn("_change_batch", lit(null).cast("long"))
+          .drop(TsBatchCol)
+      else {
+        val hot = m.buckets.valuesIterator
+          .filter(e => relBatch(e.rel) > sinceBatch)
+          .map(e => s"$root/data/${e.rel}").toSeq.sorted
+        val base =
+          if (hot.isEmpty)
+            readRaw(spark, m.dataPaths(root), m.schema).limit(0)
+          else readRaw(spark, hot, m.schema)
+        val out = base.filter(col(AppliedBatchCol) > sinceBatch)
+          .withColumnRenamed(AppliedBatchCol, "_change_batch")
+          .drop(TsBatchCol)
+        if (!out.columns.contains("_change_batch"))
+          throw new IllegalStateException(
+            "change feed lost its batch stamp — on a governed root the " +
+              s"principal's column allowlist must include $AppliedBatchCol")
+        out
+      }
     }
   }
 

@@ -109,4 +109,38 @@ class CdcGovernanceSpec extends AnyFunSuite with SparkTestBase {
       CdcApply.vacuum(spark, root, keep = 2)
     }
   }
+
+  test("governance composes with the change feed: the stamp column " +
+    "must be granted (like deleted), and the feed is then filtered") {
+    val root = buildSnapshot()
+    GovernanceCatalog.registerLocation(root, db, tbl)
+    // grant WITHOUT the stamp column: the analyzer's missing-reference
+    // rescue would evaluate the stamp filter but project the stamp
+    // away — a feed with no batch attribution — so changesSince
+    // refuses loudly instead of returning silently degraded
+    GovernanceCatalog.register(Analyst, db, DataCellsFilter(
+      "analyst-cdc", tbl, "region = 'APAC'",
+      Seq("k", "version", "region", "amount", "deleted")))
+    val e = intercept[IllegalStateException] {
+      Governance.withPrincipal(spark, Analyst) {
+        CdcApply.changesSince(spark, root, 0L).get.collect()
+      }
+    }
+    assert(e.getMessage.contains(CdcApply.AppliedBatchCol))
+    // grant including the stamp: the analyst's feed carries exactly the
+    // APAC changes of batch 1 — the k=1 update AND the k=3 tombstone
+    // (a sync consumer must see deletes), never the EMEA row
+    GovernanceCatalog.register(Analyst, db, DataCellsFilter(
+      "analyst-cdc", tbl, "region = 'APAC'",
+      Seq("k", "version", "region", "amount", "deleted",
+        CdcApply.AppliedBatchCol)))
+    val feed = Governance.withPrincipal(spark, Analyst) {
+      CdcApply.changesSince(spark, root, 0L).get.collect()
+    }
+    assert(feed.map(r => (r.getAs[Long]("k"),
+      r.getAs[Boolean]("deleted"),
+      r.getAs[Long]("_change_batch"))).toSet ==
+      Set((1L, false, 1L), (3L, true, 1L)), feed.toSeq.toString)
+    assert(!feed.head.schema.fieldNames.contains("secret"))
+  }
 }
