@@ -122,4 +122,48 @@ class CdcApplyPropSpec extends AnyFunSuite with SparkTestBase {
     }
     check(p)
   }
+
+  test("property: sync theorem — mirror at any batch + changesSince " +
+      "reproduces the current snapshot, rebucket included") {
+    import spark.implicits._
+    val C = graft.streaming.CdcApply
+    val p = Prop.forAll(historyGen, Gen.chooseNum(2, 4),
+      Gen.prob(0.5)) { (history, nBatches, doRebucket) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("cdc_prop_sync").toFile.getAbsolutePath
+      val size = math.max(1, history.size / nBatches)
+      val applied = history.grouped(size).toList.zipWithIndex.filter {
+        case (rows, id) =>
+          C.applyBatch(rows.toDF("k", "version", "payload", "deleted"),
+            id.toLong, root, Seq("k"), "version", Some("deleted"),
+            numBuckets = 4, tombstoneRetention = 100)
+      }.map(_._2)
+      // a layout rewrite must carry every stamp forward verbatim
+      if (doRebucket && applied.nonEmpty) C.rebucket(spark, root, 7)
+      def live(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        df.collect()
+          .map(r => r.getAs[Long]("k") -> r.getAs[Long]("payload")).toMap
+      val current = C.readSnapshot(spark, root)
+        .map(live).getOrElse(Map.empty)
+      // the theorem, for EVERY retained batch: a consumer that mirrored
+      // the live state as of batch k and then applies the feed (upserts
+      // replace, deletes remove) lands exactly on the current state
+      val ok = applied.forall { k =>
+        val mirror = C.readSnapshotAt(spark, root, k.toLong)
+          .map(live).getOrElse(Map.empty)
+        val synced = C.changesSince(spark, root, k.toLong).get
+          .collect().foldLeft(mirror) { (m, r) =>
+            if (r.getAs[Boolean]("deleted")) m - r.getAs[Long]("k")
+            else m + (r.getAs[Long]("k") -> r.getAs[Long]("payload"))
+          }
+        val pass = synced == current
+        if (!pass) println(s"[cdc-prop-sync] k=$k history=$history " +
+          s"rebucket=$doRebucket mirror=$mirror synced=$synced " +
+          s"current=$current")
+        pass
+      }
+      ok
+    }
+    check(p)
+  }
 }
