@@ -724,6 +724,43 @@ object CdcApply {
     }
   }
 
+  /** Incremental replication, the composition [[changesSince]] exists
+    * for: bring the CDC table at `mirrorRoot` up to the snapshot at
+    * `root`, moving only the rows whose current version changed since
+    * the last sync. The mirror is itself a full CdcApply table (same
+    * keys / version / deleted conf, read from the source manifest), so
+    * it serves [[readSnapshot]], time travel, governance, and even its
+    * own [[changesSince]] — replication chains.
+    *
+    * Exactly-once with no extra state: the mirror's own replay-guard
+    * watermark IS the consumer position. Each sync applies the feed as
+    * one batch stamped with the SOURCE's current batch id; a replayed
+    * or crashed-and-retried sync re-lands on the same id and the guard
+    * drops it. Deletes propagate as tombstones (the feed carries them
+    * as flagged rows). Cost per sync: O(changed keys) read from the
+    * source (manifest-pruned) + O(touched buckets) rewritten in the
+    * mirror — a trickle of changes against a 100 TB pair moves
+    * megabytes. A consumer lagging past the source's tombstone
+    * retention must re-seed instead (the feed's documented
+    * completeness bound). Returns true when the mirror advanced.
+    */
+  def syncMirror(spark: SparkSession, root: String, mirrorRoot: String,
+      numBuckets: Int = 16): Boolean =
+    currentManifest(spark, root) match {
+      case None => false
+      case Some(src) =>
+        val cur = currentVersion(spark, root).get
+        val wm = currentVersion(spark, mirrorRoot).getOrElse(-1L)
+        if (wm >= cur) false
+        else changesSince(spark, root, wm).exists { ch =>
+          val c = src.conf
+          applyBatch(ch.drop("_change_batch"), cur, mirrorRoot,
+            c.keys, c.versionCol, c.deletedCol,
+            numBuckets = numBuckets,
+            tombstoneRetention = c.retention)
+        }
+    }
+
   /** Crash recovery for a maintenance op targeting generation `gen` of
     * `batchId` while `CURRENT` still points at `curName`: a manifest
     * named `v<batchId>.<gen>` can already exist ONLY if a prior

@@ -836,6 +836,47 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(snap.count() == 19L) // tombstoned key filtered
   }
 
+  test("syncMirror: exactly-once incremental replication — seed, " +
+    "trickle, delete propagation, replayed sync dropped") {
+    import spark.implicits._
+    val C = graft.streaming.CdcApply
+    val src = java.nio.file.Files
+      .createTempDirectory("cdc_repl_src").toFile.getAbsolutePath
+    val mir = java.nio.file.Files
+      .createTempDirectory("cdc_repl_mir").toFile.getAbsolutePath
+    def apply(rows: Seq[(Long, Long, String, Boolean)], id: Long) =
+      C.applyBatch(rows.toDF("k", "version", "v", "deleted"), id, src,
+        Seq("k"), "version", Some("deleted"), numBuckets = 4)
+    def liveOf(root: String): Map[Long, String] =
+      C.readSnapshot(spark, root).map(_.select("k", "v")
+        .as[(Long, String)].collect().toMap).getOrElse(Map.empty)
+
+    // nothing to sync yet
+    assert(!C.syncMirror(spark, src, mir))
+    assert(apply((1L to 30L).map(k => (k, 1L, s"v$k", false)), 0L))
+    assert(apply(Seq((2L, 2L, "v2b", false)), 1L))
+    // seed sync: the mirror lands on the source's live state
+    assert(C.syncMirror(spark, src, mir, numBuckets = 2))
+    assert(liveOf(mir) == liveOf(src))
+    // the mirror is a real CDC table: watermark = source batch id
+    assert(C.currentVersion(spark, mir).contains(1L))
+
+    // trickle: an update and a delete; the incremental sync moves them
+    assert(apply(Seq((3L, 2L, "v3b", false), (4L, 2L, "", true)), 2L))
+    assert(C.syncMirror(spark, src, mir, numBuckets = 2))
+    assert(liveOf(mir) == liveOf(src))
+    assert(!liveOf(mir).contains(4L), "delete did not propagate")
+    // the sync wrote ONE mirror batch holding only the touched keys:
+    // its data dir covers at most 2 of the mirror's 2 buckets but the
+    // feed it applied was 2 rows, not a re-seed
+    val changes = C.changesSince(spark, mir, 1L).get
+    assert(changes.count() == 2L, "sync re-copied untouched rows")
+
+    // replayed / no-new-data sync is dropped by the replay guard
+    assert(!C.syncMirror(spark, src, mir, numBuckets = 2))
+    assert(liveOf(mir) == liveOf(src))
+  }
+
   test("rebucketIfNeeded: manifest-only decision — healthy layout " +
     "no-ops, oversized bucket triggers a growth rewrite") {
     import spark.implicits._
