@@ -724,6 +724,17 @@ object CdcApply {
     }
   }
 
+  /** Timestamp form of [[changesSince]]: "every row changed since
+    * yesterday 14:00" — the batch current at `ts` resolves through
+    * manifest headers ([[resolveAsOf]]), then the stamp feed runs from
+    * it. None when no batch had committed by `ts` (a consumer with no
+    * position yet seeds with `changesSince(root, -1)` instead).
+    */
+  def changesSinceTs(spark: SparkSession, root: String,
+      ts: Long): Option[DataFrame] =
+    resolveAsOf(spark, root, ts)
+      .flatMap(changesSince(spark, root, _))
+
   /** Incremental replication, the composition [[changesSince]] exists
     * for: bring the CDC table at `mirrorRoot` up to the snapshot at
     * `root`, moving only the rows whose current version changed since
@@ -743,6 +754,12 @@ object CdcApply {
     * megabytes. A consumer lagging past the source's tombstone
     * retention must re-seed instead (the feed's documented
     * completeness bound). Returns true when the mirror advanced.
+    *
+    * Governed sources: run the sync under a principal with full access,
+    * or accept that the mirror materializes exactly the principal's
+    * governed view — a row-filtered replica if rows are filtered, and a
+    * loud failure (never silent corruption) if the allowlist omits a
+    * structural column (keys / version / deleted / the stamp).
     */
   def syncMirror(spark: SparkSession, root: String, mirrorRoot: String,
       numBuckets: Int = 16): Boolean =

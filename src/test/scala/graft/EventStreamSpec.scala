@@ -801,7 +801,8 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
       .createTempDirectory("cdc_changes").toFile.getAbsolutePath
     def apply(rows: Seq[(Long, Long, String, Boolean)], id: Long) =
       C.applyBatch(rows.toDF("k", "version", "v", "deleted"), id, root,
-        Seq("k"), "version", Some("deleted"), numBuckets = n)
+        Seq("k"), "version", Some("deleted"), numBuckets = n,
+        commitTs = Some((id + 1) * 1000L))
     assert(C.changesSince(spark, root, 0L).isEmpty)
     assert(apply((1L to 20L).map(k => (k, 1L, s"v$k", false)), 0L))
     // touch keys from ONE bucket so later feeds can prove pruning
@@ -824,6 +825,11 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
 
     // a consumer current through batch 1 sees nothing
     assert(C.changesSince(spark, root, 1L).get.count() == 0L)
+    // timestamp form: since "while batch 0 was current" = the batch-1
+    // changes; before any commit = no position to resolve
+    assert(C.changesSinceTs(spark, root, 1500L).get
+      .select("k").as[Long].collect().toSet == Set(b0(0), b0(1)))
+    assert(C.changesSinceTs(spark, root, 500L).isEmpty)
     // full-sync consumer (since -1) sees every live version once:
     // batch-0 rows carried forward keep their original stamp
     val all = C.changesSince(spark, root, -1L).get
