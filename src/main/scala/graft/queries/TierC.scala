@@ -108,6 +108,22 @@ object TierC {
       root
     }
 
+  /** Mirror root for `q_cdc_mirror`: an incremental replica of
+    * [[cdcChangesRoot]] built through `syncMirror` (the change feed
+    * applied under the mirror's replay-guard watermark). Idempotent:
+    * once the mirror watermark reaches the source's current batch,
+    * re-syncs are no-ops.
+    */
+  private def cdcMirrorRoot(s: SparkSession, d: String): String =
+    synchronized {
+      val src = cdcChangesRoot(s, d)
+      val root = new java.io.File("target/graft-data/cdc_mirror_q/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet"))
+        .getAbsolutePath
+      graft.streaming.CdcApply.syncMirror(s, src, root, numBuckets = 4)
+      root
+    }
+
   /** Snapshot root for `q_cdc_schema_evo`: batch 0 delivers three
     * columns, batch 1 delivers a FOURTH (`s_bonus`, exact-integer
     * valued so the oracle is arithmetic-hazard-free) on a subset of
@@ -959,6 +975,23 @@ object TierC {
           col("_change_batch").as("change_batch"))
         .orderBy(col("s_suppkey"))),
 
+    // C8h — REPLICATION under the hash gate: the aggregate runs on a
+    // MIRROR built purely from the change feed (seed sync = changes
+    // since -1 applied as one batch), against the same net-state
+    // oracle as q_cdc_merge — any key the sync dropped, duplicated, or
+    // failed to delete hash-mismatches, and `wm` witnesses that the
+    // mirror's replay-guard watermark reached the source's head.
+    "q_cdc_mirror" -> ((s, d) => {
+      val root = cdcMirrorRoot(s, d)
+      val wm = graft.streaming.CdcApply.currentVersion(s, root).get
+      graft.streaming.CdcApply.readSnapshot(s, root).get
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("s_acctbal")).as("total_bal"))
+        .withColumn("wm", lit(wm))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // C8f — ADDITIVE SCHEMA EVOLUTION under the hash gate (spec-proven
     // since round 9, now oracle-pinned): batch 1 introduces `s_bonus`
     // mid-stream on keys ≡0 (mod 3); the merged read declares the
@@ -1390,6 +1423,15 @@ object TierC {
         "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal, " +
         "CAST(3 AS BIGINT) AS n_cols " +
         "FROM supplier WHERE s_suppkey % 7 <> 0 AND s_nationkey < 13 " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // the mirror's live state == the source's net state, watermark at
+    // the source's head batch (1)
+    "q_cdc_mirror" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal, " +
+        "CAST(1 AS BIGINT) AS wm " +
+        "FROM supplier WHERE s_suppkey % 7 <> 0 " +
         "GROUP BY s_nationkey ORDER BY s_nationkey"),
     // the batch-1 change set from first principles: upserts +100 on %5
     // keys, tombstones at original balance on %7 keys (delete wins the
