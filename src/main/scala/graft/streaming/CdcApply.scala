@@ -778,6 +778,32 @@ object CdcApply {
         }
     }
 
+  /** Continuous replication: a streaming query that [[syncMirror]]s on
+    * every trigger — the mirror follows the source as it merges, a few
+    * seconds behind, with the same exactly-once guarantee (the mirror
+    * watermark, not the stream checkpoint, is the position — restarts
+    * and replays drop at the replay guard; ticks that find no new
+    * source batch no-op without touching data). `ticker` is the
+    * trigger stream: any streaming DataFrame whose rows are ignored —
+    * defaults to a 1 Hz rate source; tests inject a MemoryStream so
+    * progress is deterministic. This is deliberately poll-driven
+    * composition over the existing primitives, not a bespoke
+    * connector: the feed + replay guard already carry all the
+    * correctness, so the stream only supplies cadence.
+    */
+  def startMirror(spark: SparkSession, root: String, mirrorRoot: String,
+      numBuckets: Int = 16, queryName: String = "cdc_mirror",
+      ticker: Option[DataFrame] = None): StreamingQuery =
+    ticker.getOrElse(
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load())
+      .writeStream
+      .queryName(queryName)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        syncMirror(spark, root, mirrorRoot, numBuckets)
+        ()
+      }
+      .start()
+
   /** Crash recovery for a maintenance op targeting generation `gen` of
     * `batchId` while `CURRENT` still points at `curName`: a manifest
     * named `v<batchId>.<gen>` can already exist ONLY if a prior

@@ -883,6 +883,43 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(liveOf(mir) == liveOf(src))
   }
 
+  test("startMirror: the mirror follows the merging source across " +
+    "ticks, idle ticks no-op") {
+    import spark.implicits._
+    val C = graft.streaming.CdcApply
+    val src = java.nio.file.Files
+      .createTempDirectory("cdc_smir_src").toFile.getAbsolutePath
+    val mir = java.nio.file.Files
+      .createTempDirectory("cdc_smir_mir").toFile.getAbsolutePath
+    def apply(rows: Seq[(Long, Long, String, Boolean)], id: Long) =
+      C.applyBatch(rows.toDF("k", "version", "v", "deleted"), id, src,
+        Seq("k"), "version", Some("deleted"), numBuckets = 4)
+    def liveOf(root: String): Map[Long, String] =
+      C.readSnapshot(spark, root).map(_.select("k", "v")
+        .as[(Long, String)].collect().toMap).getOrElse(Map.empty)
+    assert(apply((1L to 10L).map(k => (k, 1L, s"v$k", false)), 0L))
+
+    val ticks = MemoryStream[Long](spark)
+    val q = C.startMirror(spark, src, mir, numBuckets = 2,
+      ticker = Some(ticks.toDF()))
+    try {
+      ticks.addData(1L); q.processAllAvailable()
+      assert(liveOf(mir) == liveOf(src), "seed tick did not sync")
+      // idle tick: watermark already at head, nothing rewritten
+      val head = C.currentManifestName(spark, mir)
+      ticks.addData(2L); q.processAllAvailable()
+      assert(C.currentManifestName(spark, mir) == head,
+        "idle tick touched the mirror")
+      // source merges on; the next tick carries the delta (one update,
+      // one delete)
+      assert(apply(Seq((2L, 2L, "v2b", false), (5L, 2L, "", true)), 1L))
+      ticks.addData(3L); q.processAllAvailable()
+      assert(liveOf(mir) == liveOf(src))
+      assert(!liveOf(mir).contains(5L), "delete did not follow")
+      assert(C.currentVersion(spark, mir).contains(1L))
+    } finally q.stop()
+  }
+
   test("rebucketIfNeeded: manifest-only decision — healthy layout " +
     "no-ops, oversized bucket triggers a growth rewrite") {
     import spark.implicits._
