@@ -79,10 +79,15 @@ object Packing {
     val base = stagingDir.fold(prepared) { dir0 =>
       import org.apache.hadoop.fs.{FileContext, Path}
       // recipe hash: canonicalized plan normalizes expression ids, so
-      // the key is stable across sessions for the same source + params
-      val recipe = docs.queryExecution.logical.canonicalized.toString +
+      // the key is stable across sessions for the same source + params.
+      // Lambda variables (higher-order functions in the token
+      // expression) print with a session-global counter suffix
+      // (`x_37 ->`) that depends on how many lambdas the JVM created
+      // before this call — normalize them or every session re-stages
+      val recipe = (docs.queryExecution.logical.canonicalized.toString +
         "|" + orderCols.mkString(",") +
-        "|" + tokens.toString + "|" + partitions.getOrElse(-1)
+        "|" + tokens.toString + "|" + partitions.getOrElse(-1))
+        .replaceAll("\\bx_\\d+\\b", "x_")
       val dir = f"$dir0-${
         scala.util.hashing.MurmurHash3.stringHash(recipe)}%08x"
       val conf = docs.sparkSession.sparkContext.hadoopConfiguration
