@@ -105,6 +105,16 @@ object Plans {
       "generation's directories (manifest-resolved) + two-phase hash " +
       "aggregate — identical plan shape to q_cdc_merge, proof the " +
       "layout rewrite left the read path ordinary parquet."),
+    "q_cdc_schema_evo" -> ("Additive schema evolution read: ONE " +
+      "declared-schema scan over mixed-generation bucket dirs — " +
+      "pre-evolution files surface the evolved column as NULL with no " +
+      "per-file footer merge (no mergeSchema, O(1) metadata) — then a " +
+      "plain two-phase aggregate over the coalesced column."),
+    "q_cdc_mirror" -> ("Replication read-back: the mirror built from " +
+      "the change feed is ordinary bucketed parquet — the aggregate is " +
+      "the same multi-path scan + two-phase agg as q_cdc_merge, on " +
+      "mirror-side directories; nothing in the plan references the " +
+      "source table."),
     "q_group_sample" -> ("Per-group top-k in two stages: a local " +
       "(partition, lang) rank prunes to 50 rows per language per " +
       "partition BEFORE the lang-partitioned global rank, so no " +
