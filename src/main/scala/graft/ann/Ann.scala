@@ -103,10 +103,10 @@ object Ann {
     // key, so an index built over different columns — or with a previous
     // formula (m2 = quantized mean) — is never silently reused
     val dir = new java.io.File(s"${path}_${listCol}_${vecCol}_m2")
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+    graft.sources.Artifacts.commitOnce(emb.sparkSession,
+      dir.getAbsolutePath)(tmp =>
       centroids(emb, listCol, vecCol)
-        .write.mode("overwrite").parquet(dir.getAbsolutePath)
-    }
+        .write.mode("overwrite").parquet(tmp))
     emb.sparkSession.read.parquet(dir.getAbsolutePath)
   }
 
@@ -230,10 +230,10 @@ object Ann {
     // is spec-asserted), so an index built either way is interchangeable
     val dir = new java.io.File(
       s"${path}_${idCol}_${vecCol}_k${k}_i${iters}_km2")
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+    graft.sources.Artifacts.commitOnce(emb.sparkSession,
+      dir.getAbsolutePath)(tmp =>
       kmeans(emb, idCol, vecCol, k, iters, checkpointDir)
-        .write.mode("overwrite").parquet(dir.getAbsolutePath)
-    }
+        .write.mode("overwrite").parquet(tmp))
     emb.sparkSession.read.parquet(dir.getAbsolutePath)
   }
 

@@ -170,11 +170,11 @@ object Dedup {
     // candidates (same bug class as the centroid-index key)
     val dir = new java.io.File(
       s"${path}_${idCol}_${textCol}_s${ShingleSize}_k$k")
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+    graft.sources.Artifacts.commitOnce(docs.sparkSession,
+      dir.getAbsolutePath)(tmp =>
       docs.select(col(idCol).as("doc_id"),
           minhashSignature(col(textCol), k).as("sig"))
-        .write.mode("overwrite").parquet(dir.getAbsolutePath)
-    }
+        .write.mode("overwrite").parquet(tmp))
     docs.sparkSession.read.parquet(dir.getAbsolutePath)
   }
 
@@ -277,7 +277,8 @@ object Dedup {
     val dir = new java.io.File(
       s"${path}_${idCol}_${textCol}_s${ShingleSize}_k${k}_b${bands}" +
         s"_t${math.round(threshold * 1000)}_c$bucketCap")
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+    graft.sources.Artifacts.commitOnce(docs.sparkSession,
+      dir.getAbsolutePath) { tmp =>
       if (assertUncapped) {
         val m = maxBandBucketSize(sigs, k, bands)
         require(m <= bucketCap,
@@ -289,7 +290,7 @@ object Dedup {
         minhashCandidatesFromSigs(sigs, k, bands, bucketCap)
           .select("id_a", "id_b"))
         .filter(col("jaccard") >= threshold)
-        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+        .write.mode("overwrite").parquet(tmp)
     }
     docs.sparkSession.read.parquet(dir.getAbsolutePath)
   }

@@ -77,7 +77,6 @@ object Packing {
     // hash exchange on it below re-establishes co-location, so losing
     // the physical range partitioning in the round trip is harmless
     val base = stagingDir.fold(prepared) { dir0 =>
-      import org.apache.hadoop.fs.{FileContext, Path}
       // recipe hash: canonicalized plan normalizes expression ids, so
       // the key is stable across sessions for the same source + params.
       // Lambda variables (higher-order functions in the token
@@ -90,30 +89,8 @@ object Packing {
         .replaceAll("\\bx_\\d+\\b", "x_")
       val dir = f"$dir0-${
         scala.util.hashing.MurmurHash3.stringHash(recipe)}%08x"
-      val conf = docs.sparkSession.sparkContext.hadoopConfiguration
-      val target = new Path(dir)
-      val fs = target.getFileSystem(conf)
-      if (!fs.exists(new Path(dir, "_SUCCESS"))) {
-        // a dir without _SUCCESS can only be a torn pre-rename-commit
-        // leftover (the rename below publishes complete-or-nothing);
-        // re-check the marker right before deleting so a dir that just
-        // committed is never swept
-        if (fs.exists(target) &&
-            !fs.exists(new Path(dir, "_SUCCESS"))) fs.delete(target, true)
-        val tmp = new Path(
-          dir + s".inprogress-${java.util.UUID.randomUUID}")
-        prepared.write.mode("overwrite").parquet(tmp.toString)
-        val fc = FileContext.getFileContext(target.toUri, conf)
-        // commit = atomic dir rename; if a racing writer committed
-        // first the rename fails, this writer's temp is discarded, and
-        // the read below serves the winner's (identical) stage
-        try fc.rename(tmp, target)
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-              _: org.apache.hadoop.fs.ParentNotDirectoryException =>
-            fs.delete(tmp, true)
-        }
-      }
+      graft.sources.Artifacts.commitOnce(docs.sparkSession, dir)(tmp =>
+        prepared.write.mode("overwrite").parquet(tmp))
       docs.sparkSession.read.parquet(dir)
     }
     // local running total, EXCLUSIVE of the current row (a document

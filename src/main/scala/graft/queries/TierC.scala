@@ -762,11 +762,10 @@ object TierC {
       import graft.sources.{Artifacts, Sinks}
       val out = new java.io.File("target/graft-data/events_compacted/" +
         Artifacts.datasetKey(d, s"$d/events.parquet"))
-      val compacted =
-        if (new java.io.File(out, "_SUCCESS").exists())
-          s.read.parquet(out.getAbsolutePath)
-        else Sinks.compactParquet(s, s"$d/events.parquet",
-          out.getAbsolutePath, targetBytes = 4L << 20)
+      Artifacts.commitOnce(s, out.getAbsolutePath)(tmp =>
+        Sinks.compactParquet(s, s"$d/events.parquet", tmp,
+          targetBytes = 4L << 20))
+      val compacted = s.read.parquet(out.getAbsolutePath)
       compacted
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total_value"))
@@ -786,11 +785,10 @@ object TierC {
       import graft.sources.{Artifacts, ZOrder}
       val out = new java.io.File("target/graft-data/events_zorder/" +
         Artifacts.datasetKey(d, s"$d/events.parquet"))
-      val clustered =
-        if (new java.io.File(out, "_SUCCESS").exists())
-          s.read.parquet(out.getAbsolutePath)
-        else ZOrder.cluster(s, s"$d/events.parquet", out.getAbsolutePath,
-          "user_id", "value", numFiles = 16)
+      Artifacts.commitOnce(s, out.getAbsolutePath)(tmp =>
+        ZOrder.cluster(s, s"$d/events.parquet", tmp,
+          "user_id", "value", numFiles = 16))
+      val clustered = s.read.parquet(out.getAbsolutePath)
       clustered
         .filter(col("value") >= 0 && col("value") <= 30)
         .groupBy(col("event_type"))

@@ -30,4 +30,38 @@ object Artifacts {
   def datasetKey(dir: String, inputs: String*): String =
     dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
       fingerprint((if (inputs.isEmpty) Seq(dir) else inputs.toSeq): _*)
+
+  /** Build-once commit shared by every derived-artifact cache: when
+    * `dir` holds no committed write (`_SUCCESS`), run `build` against a
+    * temp sibling and publish it with ONE atomic directory rename. A
+    * reader can therefore never observe a half-written artifact — the
+    * dir exists complete or not at all; two racing builders resolve to
+    * one winner (the loser's rename fails, its temp is discarded, and
+    * it reads the winner's identical commit); and a dir WITHOUT the
+    * marker can only be a crashed pre-rename leftover, deleted and
+    * rebuilt (the marker is re-checked immediately before the delete so
+    * a just-committed dir is never swept). `build` must write the
+    * standard Spark `_SUCCESS` marker into the path it is given — every
+    * Spark file sink does.
+    */
+  def commitOnce(spark: org.apache.spark.sql.SparkSession, dir: String)(
+      build: String => Unit): Unit = {
+    import org.apache.hadoop.fs.{FileContext, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(new java.io.File(dir).getAbsolutePath)
+    val fs = target.getFileSystem(conf)
+    def committed = fs.exists(new Path(target, "_SUCCESS"))
+    if (committed) return
+    if (fs.exists(target) && !committed) fs.delete(target, true)
+    val tmp = new Path(
+      target.toString + s".inprogress-${java.util.UUID.randomUUID}")
+    build(tmp.toString)
+    val fc = FileContext.getFileContext(target.toUri, conf)
+    try fc.rename(tmp, target)
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+          _: org.apache.hadoop.fs.ParentNotDirectoryException =>
+        fs.delete(tmp, true)
+    }
+  }
 }

@@ -153,13 +153,12 @@ object Tables {
   def eventsByDate(s: SparkSession, d: String): DataFrame = synchronized {
     val path = new java.io.File("target/graft-data/events_by_date/" +
       Artifacts.datasetKey(d, s"$d/events.parquet"))
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
+    Artifacts.commitOnce(s, path.getAbsolutePath)(tmp =>
       events(s, d)
         .withColumn("event_date", org.apache.spark.sql.functions.to_date(
           org.apache.spark.sql.functions.col("ts")))
         .write.mode("overwrite").partitionBy("event_date")
-        .parquet(path.getAbsolutePath)
-    }
+        .parquet(tmp))
     s.read.parquet(path.getAbsolutePath)
   }
 
@@ -182,7 +181,7 @@ object Tables {
     // bump the path or stale cached artifacts would be read back
     val path = new java.io.File("target/graft-data/date_dim_v2/" +
       Artifacts.datasetKey(d, s"$d/events.parquet"))
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
+    Artifacts.commitOnce(s, path.getAbsolutePath)(tmp =>
       events(s, d)
         .select(to_date(col("ts")).as("d"))
         .distinct()
@@ -194,8 +193,7 @@ object Tables {
           (((dayofmonth(col("d")) - 1) / 7).cast("int") + 1)
             .as("week_of_month"))
         .coalesce(1)
-        .write.mode("overwrite").parquet(path.getAbsolutePath)
-    }
+        .write.mode("overwrite").parquet(tmp))
     s.read.parquet(path.getAbsolutePath)
   }
 
@@ -211,11 +209,10 @@ object Tables {
   def embeddingsByList(s: SparkSession, d: String): DataFrame = synchronized {
     val path = new java.io.File("target/graft-data/embeddings_by_list/" +
       Artifacts.datasetKey(d, s"$d/embeddings.parquet"))
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
+    Artifacts.commitOnce(s, path.getAbsolutePath)(tmp =>
       embeddings(s, d)
         .write.mode("overwrite").partitionBy("label")
-        .parquet(path.getAbsolutePath)
-    }
+        .parquet(tmp))
     s.read.parquet(path.getAbsolutePath)
   }
 
