@@ -423,6 +423,38 @@ object CdcApply {
   def numBuckets(spark: SparkSession, root: String): Option[Int] =
     currentManifest(spark, root).map(_.conf.numBuckets)
 
+  /** One-row table summary — DESCRIBE DETAIL from manifest metadata
+    * only (no data files listed or read): current batch id and
+    * generation, commit timestamp, configured vs live bucket count,
+    * total bytes / stored rows (from the per-bucket write-time stats;
+    * NULL when any live bucket predates them), retained batch count,
+    * and the visible columns. The one call an operator makes before
+    * deciding on vacuum / rebucket / re-seed.
+    */
+  def describe(spark: SparkSession, root: String): DataFrame = {
+    val rows = currentManifestName(spark, root).toSeq.map { name =>
+      val (batch, gen) = parseManifestName(name)
+      val m = readManifest(spark, root, name)
+      val sizes = m.buckets.valuesIterator.map(_.bytes).toSeq
+      val counts = m.buckets.valuesIterator.map(_.rows).toSeq
+      def total(xs: Seq[Option[Long]]): Option[Long] =
+        if (xs.nonEmpty && xs.forall(_.isDefined)) Some(xs.flatten.sum)
+        else None
+      val fs = fsFor(spark, root)
+      val retained = listManifests(fs, new Path(root, "manifests"))
+        .map(parseManifestName(_)._1).distinct.size
+      (batch, gen, m.ts, m.conf.numBuckets, m.buckets.size,
+        total(sizes), total(counts), retained,
+        m.schema.map(_.fieldNames
+          .filterNot(n => n == TsBatchCol || n == AppliedBatchCol)
+          .toSeq).getOrElse(Seq.empty))
+    }
+    spark.createDataFrame(rows)
+      .toDF("batch_id", "generation", "commit_ts", "num_buckets",
+        "live_buckets", "total_bytes", "total_rows", "batches_retained",
+        "columns")
+  }
+
   /** Unified read entry — the "as of" user story without knowing the
     * internal function pair: `read(spark, root)` is the current
     * snapshot, `read(spark, root, asOfBatch = Some(3))` time-travels by

@@ -780,6 +780,19 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(tombBuckets.map(r => (r.getAs[Int]("bucket_id"),
       r.getAs[Long]("oldest_tombstone_batch"))).toSeq ==
       Seq((bucketOf(5L, 4), 1L)))
+    // describe: the one-row manifest-only summary agrees with the
+    // per-bucket view
+    val desc = C.describe(spark, root).collect()
+    assert(desc.length == 1)
+    assert(desc.head.getAs[Long]("batch_id") == 1L &&
+      desc.head.getAs[Int]("num_buckets") == 4 &&
+      desc.head.getAs[Long]("total_rows") == 30L &&
+      desc.head.getAs[Long]("total_bytes") ==
+        b.map(_.getAs[Long]("bytes")).sum &&
+      desc.head.getAs[Int]("batches_retained") == 2, desc.head.toString)
+    assert(C.describe(spark,
+      java.nio.file.Files.createTempDirectory("cdc_desc_none")
+        .toFile.getAbsolutePath).isEmpty)
     // the decision loop the metadata exists for: rebucket, then both
     // the count and the per-bucket view follow the new layout — with
     // zero data files read on the query side (manifest-only)
