@@ -403,6 +403,13 @@ object CdcApply {
     * "is any bucket past N GB / N rows → [[rebucket]]" is a driver-side
     * metadata decision, the DESCRIBE DETAIL a rebucket schedule polls.
     * `bytes`/`rows` are NULL on buckets last written by a pre-v6 build.
+    *
+    * Like [[history]] and [[describe]], this is an OPERATOR-facing
+    * metadata API: it reads manifest files directly (no Spark plan), so
+    * location governance does not apply — sizes, counts, and column
+    * names are visible to whoever can reach the root's manifest files,
+    * cell data is not. Gate the filesystem, not the API, for metadata
+    * secrecy — the same posture as a table format's metadata files.
     */
   def buckets(spark: SparkSession, root: String): DataFrame = {
     val rows: Seq[(Int, String, Option[Long], Option[Long], Option[Long])] =
