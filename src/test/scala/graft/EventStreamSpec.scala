@@ -855,6 +855,36 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(snap.count() == 19L) // tombstoned key filtered
   }
 
+  test("change-feed completeness bound: a consumer lagging past " +
+    "tombstone retention misses the aged-out delete — the documented " +
+    "re-seed case") {
+    import spark.implicits._
+    val C = graft.streaming.CdcApply
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_feed_bound").toFile.getAbsolutePath
+    def apply(rows: Seq[(Long, Long, String, Boolean)], id: Long) =
+      C.applyBatch(rows.toDF("k", "version", "v", "deleted"), id, root,
+        Seq("k"), "version", Some("deleted"), numBuckets = 1,
+        tombstoneRetention = 1)
+    assert(apply(Seq((1L, 1L, "a", false), (2L, 1L, "b", false)), 0L))
+    assert(apply(Seq((2L, 2L, "", true)), 1L))
+    // within retention the delete IS in the feed
+    assert(C.changesSince(spark, root, 0L).get
+      .filter($"deleted").count() == 1L)
+    // two more merges over the single bucket age the tombstone out
+    assert(apply(Seq((1L, 2L, "a2", false)), 2L))
+    assert(apply(Seq((1L, 3L, "a3", false)), 3L))
+    val feed = C.changesSince(spark, root, 0L).get
+    assert(feed.filter($"deleted").count() == 0L,
+      "aged-out tombstone unexpectedly still in the feed")
+    // the lagging consumer would keep k=2 forever — retention is the
+    // feed's completeness horizon, re-seed (changesSince(-1) == full
+    // live state) is the documented recovery
+    val reseed = C.changesSince(spark, root, -1L).get
+      .select("k").as[Long].collect().toSet
+    assert(reseed == Set(1L))
+  }
+
   test("syncMirror: exactly-once incremental replication — seed, " +
     "trickle, delete propagation, replayed sync dropped") {
     import spark.implicits._
