@@ -194,7 +194,7 @@ object Dedup {
       .groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("n"))
       .agg(max(col("n")))
-      .head.get(0)
+      .head().get(0)
     if (m == null) 0L else m.asInstanceOf[Long]
   }
 

@@ -71,7 +71,7 @@ object AsOfJoin {
     val rNonNull = right.filter(on.map(col(_).isNotNull).reduce(_ && _))
     val rNorm = rNonNull.select(
       on.map(col) ++ Seq(col(rightTs).as("_ts"), lit(0).as("_side"),
-        struct(rFields.map(col): _*).as("_r")) ++
+        struct(rFields.toIndexedSeq.map(col): _*).as("_r")) ++
         leftOther.map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(on.map(col): _*)
