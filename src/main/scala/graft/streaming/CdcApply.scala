@@ -122,6 +122,11 @@ object CdcApply {
   val TsBatchCol = "_ts_batch"
   val AppliedBatchCol = "_ab"
 
+  /** Column name the change feed surfaces the applying batch under —
+    * in [[changesSince]] results and in changelog files alike.
+    */
+  val ChangeBatchCol = "_change_batch"
+
   /** Table configuration, fixed at first apply and carried in every
     * manifest header so later applies, readers, and maintenance agree on
     * the layout without re-supplying it correctly.
@@ -530,7 +535,7 @@ object CdcApply {
       // unresolvable-column error
       if (!m.schema.forall(_.fieldNames.contains(AppliedBatchCol)))
         readRaw(spark, m.dataPaths(root), m.schema).limit(0)
-          .withColumn("_change_batch", lit(null).cast("long"))
+          .withColumn(ChangeBatchCol, lit(null).cast("long"))
           .drop(TsBatchCol)
       else {
         val hot = m.buckets.valuesIterator
@@ -541,9 +546,9 @@ object CdcApply {
             readRaw(spark, m.dataPaths(root), m.schema).limit(0)
           else readRaw(spark, hot, m.schema)
         val out = base.filter(col(AppliedBatchCol) > sinceBatch)
-          .withColumnRenamed(AppliedBatchCol, "_change_batch")
+          .withColumnRenamed(AppliedBatchCol, ChangeBatchCol)
           .drop(TsBatchCol)
-        if (!out.columns.contains("_change_batch"))
+        if (!out.columns.contains(ChangeBatchCol))
           throw new IllegalStateException(
             "change feed lost its batch stamp — on a governed root the " +
               s"principal's column allowlist must include $AppliedBatchCol")
@@ -637,7 +642,18 @@ object CdcApply {
       .filter(v => fs.listStatus(v.getPath)
         .forall(!_.getPath.getName.startsWith(s"$BucketCol=")))
       .foreach(v => fs.delete(v.getPath, true))
-    (doomedManifests ++ doomedData).toSeq
+    // changelog retention follows manifest retention: events of batches
+    // no longer time-travelable are swept (same in-flight guard for a
+    // mid-write log beyond the watermark)
+    val cldir = new Path(root, "changelog")
+    val doomedCl =
+      if (!fs.exists(cldir)) Seq.empty[String]
+      else fs.listStatus(cldir).map(_.getPath.getName).toSeq
+        .filter(n => scala.util.Try(n.stripPrefix("b").toLong).toOption
+          .exists(b => b <= curBatchId && !keptBatches.contains(b)))
+    doomedCl.foreach(n => fs.delete(new Path(cldir, n), true))
+    (doomedManifests ++ doomedData ++ doomedCl.map(n => s"changelog/$n"))
+      .toSeq
   }
 
   /** Rewrite buckets holding expired tombstones (see [[vacuum]]). The
@@ -810,7 +826,7 @@ object CdcApply {
         if (wm >= cur) false
         else changesSince(spark, root, wm).exists { ch =>
           val c = src.conf
-          applyBatch(ch.drop("_change_batch"), cur, mirrorRoot,
+          applyBatch(ch.drop(ChangeBatchCol), cur, mirrorRoot,
             c.keys, c.versionCol, c.deletedCol,
             numBuckets = numBuckets,
             tombstoneRetention = c.retention)
@@ -1001,7 +1017,8 @@ object CdcApply {
       keys: Seq[String], versionCol: String,
       deletedCol: Option[String], numBuckets: Int = 16,
       tombstoneRetention: Int = 100,
-      commitTs: Option[Long] = None): Boolean = {
+      commitTs: Option[Long] = None,
+      changelog: Boolean = false): Boolean = {
     require(numBuckets >= 1, "numBuckets must be >= 1")
     require(tombstoneRetention >= 0, "tombstoneRetention must be >= 0")
     require(keys.nonEmpty, "at least one key column is required")
@@ -1073,13 +1090,14 @@ object CdcApply {
       .withColumn(AppliedBatchCol, lit(batchId))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try applyPersistedBatch(batch, batchId, root, conf, existing,
-      commitTs.getOrElse(System.currentTimeMillis()))
+      commitTs.getOrElse(System.currentTimeMillis()), changelog)
     finally batch.unpersist()
   }
 
   private def applyPersistedBatch(batch: DataFrame, batchId: Long,
       root: String, conf: TableConf,
-      existing: Option[Manifest], commitTs: Long): Boolean = {
+      existing: Option[Manifest], commitTs: Long,
+      changelog: Boolean): Boolean = {
     val spark = batch.sparkSession
     // touched-bucket set: at most numBuckets ints — manifest-sized
     // metadata, the same class of driver hop as an index probe list.
@@ -1130,14 +1148,14 @@ object CdcApply {
         else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq
         :+ col(BucketCol): _*)
 
-    val merged = existing match {
+    val (merged, freshEvents) = existing match {
       case Some(m) =>
         val basePaths = touched.flatMap(m.buckets.get)
           .map(e => s"$root/data/${e.rel}")
         if (basePaths.isEmpty) {
           val b = align(batch)
-          Upsert.latestWins(b.limit(0), b, conf.keys,
-            conf.versionCol, deletedCol = None)
+          (Upsert.latestWins(b.limit(0), b, conf.keys,
+            conf.versionCol, deletedCol = None), b)
         } else {
           // the partition column is not stored in the data files (and
           // leaf-dir reads do not recover it), so recompute the bucket —
@@ -1153,14 +1171,28 @@ object CdcApply {
             conf.keys :+ conf.versionCol, "left_anti")
           // deletedCol = None: tombstones are retained as rows; aging
           // and read-time filtering are this object's concern
-          Upsert.latestWins(base, fresh, conf.keys, conf.versionCol,
-            deletedCol = None)
+          (Upsert.latestWins(base, fresh, conf.keys, conf.versionCol,
+            deletedCol = None), fresh)
         }
       case None =>
         val b = align(batch)
-        Upsert.latestWins(b.limit(0), b, conf.keys,
-          conf.versionCol, deletedCol = None)
+        (Upsert.latestWins(b.limit(0), b, conf.keys,
+          conf.versionCol, deletedCol = None), b)
     }
+    // CHANGELOG (opt-in): the batch's accepted change events appended
+    // under changelog/b<batch> — the files a streaming consumer
+    // ([[readChangesStream]]) tails. "Accepted" = survived dedup and
+    // the re-delivery anti-join; a late LOWER-versioned event is still
+    // an event (it appears here, loses latest-wins downstream exactly
+    // as it lost here — versioned consumers converge). Written before
+    // the manifest commit: a crashed apply leaves an orphan log the
+    // retry overwrites, so delivery is at-least-once with identical
+    // content, the same contract as the data dirs.
+    if (changelog)
+      freshEvents.drop(BucketCol, TsBatchCol)
+        .withColumnRenamed(AppliedBatchCol, ChangeBatchCol)
+        .write.mode("overwrite")
+        .parquet(new Path(root, s"changelog/b$batchId").toString)
     // age expired tombstones out of the buckets being rewritten anyway;
     // vacuum handles buckets no batch touches again
     val aged = conf.deletedCol.fold(merged)(d =>
@@ -1196,13 +1228,46 @@ object CdcApply {
   def start(updates: DataFrame, root: String, keys: Seq[String],
       versionCol: String, deletedCol: Option[String] = None,
       queryName: String = "cdc_apply", numBuckets: Int = 16,
-      tombstoneRetention: Int = 100): StreamingQuery =
+      tombstoneRetention: Int = 100,
+      changelog: Boolean = false): StreamingQuery =
     updates.writeStream
       .queryName(queryName)
       .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
         applyBatch(rawBatch, batchId, root, keys, versionCol, deletedCol,
-          numBuckets, tombstoneRetention)
+          numBuckets, tombstoneRetention, changelog = changelog)
         ()
       }
       .start()
+
+  /** STREAMING change feed over a changelog-enabled table: a standard
+    * file-stream source tailing `root/changelog/b*` — each apply lands
+    * its accepted events as new files, the source discovers them per
+    * micro-batch, and the consumer's own checkpoint tracks position.
+    * Rows carry the delivered columns plus [[ChangeBatchCol]]; deletes
+    * arrive as `deletedCol`-flagged rows. Semantics: at-least-once
+    * event delivery of EVERY accepted event (including late
+    * lower-versioned ones that lose latest-wins — versioned consumers
+    * converge regardless), versus [[changesSince]]'s exactly-the-net-
+    * change batch view. The schema is DECLARED from the current
+    * manifest (file streams cannot infer), so a stream started before
+    * an additive evolution must restart to surface new columns; older
+    * log files read NULL there, as everywhere else. Changelog dirs of
+    * batches the manifest retention has dropped are swept by [[vacuum]]
+    * — size retention to the slowest consumer, as with any CDF. None
+    * until a first changelog-enabled apply has committed.
+    */
+  def readChangesStream(spark: SparkSession, root: String)
+      : Option[DataFrame] = {
+    val fs = fsFor(spark, root)
+    if (!fs.exists(new Path(root, "changelog"))) None
+    else currentManifest(spark, root).flatMap(_.schema).map { stored =>
+      val fields = stored.fields
+        .filterNot(_.name == TsBatchCol)
+        .map(f => if (f.name == AppliedBatchCol)
+          f.copy(name = ChangeBatchCol) else f)
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(fields))
+        .parquet(new Path(root, "changelog/b*").toString)
+    }
+  }
 }

@@ -885,6 +885,52 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(reseed == Set(1L))
   }
 
+  test("readChangesStream: a file stream tails the changelog — events " +
+    "arrive per applied batch, deletes flagged, vacuum sweeps dropped " +
+    "batches' logs") {
+    import spark.implicits._
+    val C = graft.streaming.CdcApply
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_stream_feed").toFile.getAbsolutePath
+    def apply(rows: Seq[(Long, Long, String, Boolean)], id: Long) =
+      C.applyBatch(rows.toDF("k", "version", "v", "deleted"), id, root,
+        Seq("k"), "version", Some("deleted"), numBuckets = 2,
+        changelog = true)
+    assert(C.readChangesStream(spark, root).isEmpty)
+    assert(apply(Seq((1L, 1L, "a", false), (2L, 1L, "b", false)), 0L))
+    assert(apply(Seq((2L, 2L, "b2", false), (3L, 1L, "", true)), 1L))
+
+    val feed = C.readChangesStream(spark, root).get
+    val q = feed.writeStream.format("memory")
+      .queryName("cdc_feed_sink").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def got() = spark.table("cdc_feed_sink")
+        .select("k", "version", "v", "deleted", "_change_batch")
+        .as[(Long, Long, String, Boolean, Long)].collect().toSet
+      assert(got() == Set(
+        (1L, 1L, "a", false, 0L), (2L, 1L, "b", false, 0L),
+        (2L, 2L, "b2", false, 1L), (3L, 1L, "", true, 1L)), got().toString)
+      // a later apply lands as NEW files; the running stream picks the
+      // events up — including a late lower-versioned loser, which is
+      // still an event (downstream latest-wins converges)
+      assert(apply(Seq((1L, 3L, "a3", false), (2L, 0L, "stale", false)),
+        2L))
+      q.processAllAvailable()
+      assert(got().contains((1L, 3L, "a3", false, 2L)))
+      assert(got().contains((2L, 0L, "stale", false, 2L)))
+      assert(got().size == 6)
+    } finally q.stop()
+
+    // retention: batches 0/1 fall out of the manifest window -> their
+    // changelog dirs are swept, the retained batch's log stays
+    val removed = C.vacuum(spark, root, keep = 1,
+      expireTombstones = false)
+    assert(removed.contains("changelog/b0") &&
+      removed.contains("changelog/b1"), removed.toString)
+    assert(new java.io.File(root, "changelog/b2").exists)
+  }
+
   test("syncMirror: exactly-once incremental replication — seed, " +
     "trickle, delete propagation, replayed sync dropped") {
     import spark.implicits._
