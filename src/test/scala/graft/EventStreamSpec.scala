@@ -931,6 +931,46 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(new java.io.File(root, "changelog/b2").exists)
   }
 
+  test("stream-chained replication: a live merge stream's changelog " +
+    "feeds a second CdcApply — the downstream table converges") {
+    import spark.implicits._
+    val C = graft.streaming.CdcApply
+    val src = java.nio.file.Files
+      .createTempDirectory("cdc_chain_src").toFile.getAbsolutePath
+    val dst = java.nio.file.Files
+      .createTempDirectory("cdc_chain_dst").toFile.getAbsolutePath
+    val in = MemoryStream[(Long, Long, String, Boolean)](spark)
+    val upstream = C.start(
+      in.toDF().toDF("k", "version", "v", "deleted"), src,
+      Seq("k"), "version", Some("deleted"), queryName = "chain_src",
+      numBuckets = 2, changelog = true)
+    try {
+      in.addData((1L, 1L, "a", false), (2L, 1L, "b", false))
+      upstream.processAllAvailable()
+      // the downstream table consumes the STREAMING feed — a second
+      // CdcApply whose input is the changelog file stream; its own
+      // batch ids and checkpoints are independent of the source's
+      val feed = C.readChangesStream(spark, src).get
+      val downstream = C.start(
+        feed.drop(C.ChangeBatchCol), dst,
+        Seq("k"), "version", Some("deleted"), queryName = "chain_dst",
+        numBuckets = 4)
+      try {
+        downstream.processAllAvailable()
+        def liveOf(root: String): Map[Long, String] =
+          C.readSnapshot(spark, root).map(_.select("k", "v")
+            .as[(Long, String)].collect().toMap).getOrElse(Map.empty)
+        assert(liveOf(dst) == liveOf(src), "seed did not converge")
+        // live updates + a delete flow through both hops
+        in.addData((1L, 2L, "a2", false), (2L, 2L, "", true))
+        upstream.processAllAvailable()
+        downstream.processAllAvailable()
+        assert(liveOf(dst) == liveOf(src))
+        assert(liveOf(dst) == Map(1L -> "a2"), liveOf(dst).toString)
+      } finally downstream.stop()
+    } finally upstream.stop()
+  }
+
   test("syncMirror: exactly-once incremental replication — seed, " +
     "trickle, delete propagation, replayed sync dropped") {
     import spark.implicits._
