@@ -123,6 +123,44 @@ class CdcApplyPropSpec extends AnyFunSuite with SparkTestBase {
     check(p)
   }
 
+  test("property: changelog replay — the emitted event stream alone " +
+      "reconstructs the table's final state") {
+    import spark.implicits._
+    val C = graft.streaming.CdcApply
+    val p = Prop.forAll(historyGen, Gen.chooseNum(1, 4)) {
+      (history, nBatches) =>
+        val root = java.nio.file.Files
+          .createTempDirectory("cdc_prop_log").toFile.getAbsolutePath
+        val size = math.max(1, history.size / nBatches)
+        history.grouped(size).toList.zipWithIndex.foreach {
+          case (rows, id) =>
+            C.applyBatch(
+              rows.toDF("k", "version", "payload", "deleted"),
+              id.toLong, root, Seq("k"), "version", Some("deleted"),
+              numBuckets = 4, changelog = true)
+        }
+        // a consumer that saw ONLY the events (no snapshot access) and
+        // applies latest-wins lands on the table's state
+        val events = spark.read
+          .parquet(s"$root/changelog/b*")
+          .select("k", "version", "payload", "deleted")
+          .as[(Long, Long, Long, Boolean)].collect()
+        val replayed = events.groupBy(_._1).flatMap { case (k, es) =>
+          val w = es.maxBy(_._2)
+          if (w._4) None else Some(k -> w._3)
+        }
+        val table = C.readSnapshot(spark, root)
+          .map(_.collect().map(r =>
+            r.getAs[Long]("k") -> r.getAs[Long]("payload")).toMap)
+          .getOrElse(Map.empty)
+        val ok = replayed == table
+        if (!ok) println(s"[cdc-prop-log] history=$history " +
+          s"replayed=$replayed table=$table")
+        ok
+    }
+    check(p)
+  }
+
   test("property: sync theorem — mirror at any batch + changesSince " +
       "reproduces the current snapshot, rebucket included") {
     import spark.implicits._
