@@ -779,6 +779,46 @@ object CdcApply {
     }
   }
 
+  /** Point lookup: the live row(s) for one key, reading ONE bucket
+    * directory. A key's bucket is deterministic (the same hash the
+    * writer used), so the lookup computes it from the key literals —
+    * cast to the table's key types first, because the hash is
+    * type-sensitive — and scans only `snapshot/numBuckets` bytes: the
+    * primary-key GET on a 100 TB snapshot touches one directory, not
+    * the table. A bucket absent from the manifest means no row of that
+    * key ever survived — the scan is skipped entirely and an empty
+    * typed frame returns. Tombstoned keys read back empty, like every
+    * snapshot read. `key` is positional against the table's key
+    * columns. None before the first apply (or zero live buckets).
+    */
+  def lookup(spark: SparkSession, root: String,
+      key: Seq[Any]): Option[DataFrame] =
+    currentManifest(spark, root).filter(_.buckets.nonEmpty).map { m =>
+      val conf = m.conf
+      require(key.size == conf.keys.size,
+        s"expected ${conf.keys.size} key value(s) for ${conf.keys}")
+      val schema = m.schema.getOrElse(org.apache.spark.sql.types
+        .StructType(Seq.empty))
+      def typedLit(k: String, v: Any): Column =
+        schema.fields.find(_.name == k)
+          .fold(lit(v))(f => lit(v).cast(f.dataType)).as(k)
+      val keyed = conf.keys.zip(key)
+      val b = spark.range(1)
+        .select(keyed.map { case (k, v) => typedLit(k, v) }: _*)
+        .select(bucketCol(conf.keys, conf.numBuckets).as("b"))
+        .head().getInt(0)
+      val pred = keyed.map { case (k, v) =>
+        col(k) === typedLit(k, v) }.reduce(_ && _)
+      m.buckets.get(b) match {
+        case Some(e) =>
+          stripInternal(readRaw(spark,
+            Seq(s"$root/data/${e.rel}"), m.schema), conf).filter(pred)
+        case None =>
+          stripInternal(readRaw(spark, m.dataPaths(root).take(1),
+            m.schema), conf).filter(pred).limit(0)
+      }
+    }
+
   /** Timestamp form of [[changesSince]]: "every row changed since
     * yesterday 14:00" — the batch current at `ts` resolves through
     * manifest headers ([[resolveAsOf]]), then the stamp feed runs from

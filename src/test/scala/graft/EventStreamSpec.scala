@@ -885,6 +885,34 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(reseed == Set(1L))
   }
 
+  test("lookup: a point read scans exactly one bucket directory") {
+    import spark.implicits._
+    val C = graft.streaming.CdcApply
+    val n = 8
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_lookup").toFile.getAbsolutePath
+    def apply(rows: Seq[(Long, Long, String, Boolean)], id: Long) =
+      C.applyBatch(rows.toDF("k", "version", "v", "deleted"), id, root,
+        Seq("k"), "version", Some("deleted"), numBuckets = n)
+    assert(C.lookup(spark, root, Seq(1L)).isEmpty)
+    assert(apply((1L to 50L).map(k => (k, 1L, s"v$k", false)), 0L))
+    assert(apply(Seq((7L, 2L, "v7b", false), (9L, 2L, "", true)), 1L))
+
+    val hit = C.lookup(spark, root, Seq(7L)).get
+    assert(hit.select("k", "v").as[(Long, String)].collect().toSeq ==
+      Seq(7L -> "v7b"))
+    // the plan's file listing covers ONLY the key's bucket dir
+    val dirs = hit.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct
+    assert(dirs.length == 1 &&
+      dirs.head.endsWith(s"_b=${bucketOf(7L, n)}"), dirs.mkString(","))
+    // key types matter to the hash: an Int literal must still find the
+    // Long-keyed row (lookup casts to the table's key types)
+    assert(C.lookup(spark, root, Seq(7)).get.count() == 1L)
+    // absent and tombstoned keys read back empty
+    assert(C.lookup(spark, root, Seq(9999L)).get.count() == 0L)
+    assert(C.lookup(spark, root, Seq(9L)).get.count() == 0L)
+  }
+
   test("readChangesStream: a file stream tails the changelog — events " +
     "arrive per applied batch, deletes flagged, vacuum sweeps dropped " +
     "batches' logs") {
