@@ -529,30 +529,48 @@ object CdcApply {
       sinceBatch: Long): Option[DataFrame] = {
     def relBatch(rel: String): Long =
       rel.stripPrefix("v").takeWhile(_.isDigit).toLong
+    // the feed's declared shape with no rows — built from the manifest
+    // schema with ZERO filesystem access: the caught-up steady-state
+    // poll ("no changes") on a thousand-bucket table must not pay an
+    // O(buckets) directory listing just to say so
+    def emptyFeed(stored: org.apache.spark.sql.types.StructType)
+        : DataFrame = {
+      val fields = stored.fields
+        .filterNot(_.name == TsBatchCol)
+        .map(f => if (f.name == AppliedBatchCol)
+          f.copy(name = ChangeBatchCol) else f) :+
+        org.apache.spark.sql.types.StructField(ChangeBatchCol,
+          org.apache.spark.sql.types.LongType)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          fields.distinctBy(_.name)))
+    }
     currentManifest(spark, root).filter(_.buckets.nonEmpty).map { m =>
-      // a table whose every batch predates the change-feed stamp has no
-      // stamped rows: an empty feed with the declared shape, not an
+      // a table whose stored schema predates the change-feed stamp (or
+      // never recorded a schema at all — pre-v4) has no stamped rows:
+      // an empty feed with the declared shape, not an
       // unresolvable-column error
-      if (!m.schema.forall(_.fieldNames.contains(AppliedBatchCol)))
-        readRaw(spark, m.dataPaths(root), m.schema).limit(0)
-          .withColumn(ChangeBatchCol, lit(null).cast("long"))
-          .drop(TsBatchCol)
+      if (!m.schema.exists(_.fieldNames.contains(AppliedBatchCol)))
+        emptyFeed(m.schema.getOrElse(
+          org.apache.spark.sql.types.StructType(Seq.empty)))
       else {
         val hot = m.buckets.valuesIterator
           .filter(e => relBatch(e.rel) > sinceBatch)
           .map(e => s"$root/data/${e.rel}").toSeq.sorted
-        val base =
-          if (hot.isEmpty)
-            readRaw(spark, m.dataPaths(root), m.schema).limit(0)
-          else readRaw(spark, hot, m.schema)
-        val out = base.filter(col(AppliedBatchCol) > sinceBatch)
-          .withColumnRenamed(AppliedBatchCol, ChangeBatchCol)
-          .drop(TsBatchCol)
-        if (!out.columns.contains(ChangeBatchCol))
-          throw new IllegalStateException(
-            "change feed lost its batch stamp — on a governed root the " +
-              s"principal's column allowlist must include $AppliedBatchCol")
-        out
+        if (hot.isEmpty) emptyFeed(m.schema.get)
+        else {
+          val out = readRaw(spark, hot, m.schema)
+            .filter(col(AppliedBatchCol) > sinceBatch)
+            .withColumnRenamed(AppliedBatchCol, ChangeBatchCol)
+            .drop(TsBatchCol)
+          if (!out.columns.contains(ChangeBatchCol))
+            throw new IllegalStateException(
+              "change feed lost its batch stamp — on a governed root " +
+                "the principal's column allowlist must include " +
+                AppliedBatchCol)
+          out
+        }
       }
     }
   }
@@ -652,6 +670,16 @@ object CdcApply {
         .filter(n => scala.util.Try(n.stripPrefix("b").toLong).toOption
           .exists(b => b <= curBatchId && !keptBatches.contains(b)))
     doomedCl.foreach(n => fs.delete(new Path(cldir, n), true))
+    // crash-orphaned pointer temps (.CURRENT.<batch>.tmp left between
+    // the temp write and the rename) accumulate forever otherwise; only
+    // temps at or below the committed watermark can be leftovers — a
+    // temp beyond it may belong to an apply mid-commit right now
+    fs.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(_.startsWith(".CURRENT."))
+      .filter(n => scala.util.Try(
+        n.stripPrefix(".CURRENT.").stripSuffix(".tmp").toLong)
+        .toOption.exists(_ <= curBatchId))
+      .foreach(n => fs.delete(new Path(root, n), false))
     (doomedManifests ++ doomedData ++ doomedCl.map(n => s"changelog/$n"))
       .toSeq
   }
@@ -797,25 +825,37 @@ object CdcApply {
       val conf = m.conf
       require(key.size == conf.keys.size,
         s"expected ${conf.keys.size} key value(s) for ${conf.keys}")
-      val schema = m.schema.getOrElse(org.apache.spark.sql.types
-        .StructType(Seq.empty))
-      def typedLit(k: String, v: Any): Column =
-        schema.fields.find(_.name == k)
-          .fold(lit(v))(f => lit(v).cast(f.dataType)).as(k)
       val keyed = conf.keys.zip(key)
-      val b = spark.range(1)
-        .select(keyed.map { case (k, v) => typedLit(k, v) }: _*)
-        .select(bucketCol(conf.keys, conf.numBuckets).as("b"))
-        .head().getInt(0)
-      val pred = keyed.map { case (k, v) =>
-        col(k) === typedLit(k, v) }.reduce(_ && _)
-      m.buckets.get(b) match {
-        case Some(e) =>
-          stripInternal(readRaw(spark,
-            Seq(s"$root/data/${e.rel}"), m.schema), conf).filter(pred)
+      m.schema match {
         case None =>
-          stripInternal(readRaw(spark, m.dataPaths(root).take(1),
-            m.schema), conf).filter(pred).limit(0)
+          // pre-v4 manifest: the key TYPES are unknown, and the bucket
+          // hash is type-sensitive — an untyped-literal hash could name
+          // the wrong bucket and silently miss an existing row. Fall
+          // back to a correct (merely unpruned) filter over the
+          // snapshot; one commit under a v4+ build restores pruning.
+          val pred = keyed.map { case (k, v) => col(k) === lit(v) }
+            .reduce(_ && _)
+          stripInternal(readRaw(spark, m.dataPaths(root), None), conf)
+            .filter(pred)
+        case Some(schema) =>
+          def typedLit(k: String, v: Any): Column =
+            schema.fields.find(_.name == k)
+              .fold(lit(v))(f => lit(v).cast(f.dataType)).as(k)
+          val b = spark.range(1)
+            .select(keyed.map { case (k, v) => typedLit(k, v) }: _*)
+            .select(bucketCol(conf.keys, conf.numBuckets).as("b"))
+            .head().getInt(0)
+          val pred = keyed.map { case (k, v) =>
+            col(k) === typedLit(k, v) }.reduce(_ && _)
+          m.buckets.get(b) match {
+            case Some(e) =>
+              stripInternal(readRaw(spark,
+                Seq(s"$root/data/${e.rel}"), m.schema), conf)
+                .filter(pred)
+            case None =>
+              stripInternal(readRaw(spark, m.dataPaths(root).take(1),
+                m.schema), conf).filter(pred).limit(0)
+          }
       }
     }
 
@@ -866,10 +906,29 @@ object CdcApply {
         if (wm >= cur) false
         else changesSince(spark, root, wm).exists { ch =>
           val c = src.conf
-          applyBatch(ch.drop(ChangeBatchCol), cur, mirrorRoot,
-            c.keys, c.versionCol, c.deletedCol,
+          val applied = applyBatch(ch.drop(ChangeBatchCol), cur,
+            mirrorRoot, c.keys, c.versionCol, c.deletedCol,
             numBuckets = numBuckets,
             tombstoneRetention = c.retention)
+          // an EMPTY feed between wm and head (every changed row aged
+          // out or filtered away) is skipped by applyBatch — advance
+          // the watermark with a carried-forward manifest commit
+          // anyway, or every later poll re-resolves and re-scans the
+          // same ever-growing batch range just to learn "nothing"
+          if (!applied) {
+            currentManifest(spark, mirrorRoot) match {
+              case Some(mm) =>
+                commitManifest(spark, mirrorRoot, s"v$cur.0",
+                  mm.copy(ts = Some(System.currentTimeMillis())), cur)
+              case None =>
+                // first-ever sync over an empty feed: an empty mirror
+                // table at the source's watermark
+                commitManifest(spark, mirrorRoot, s"v$cur.0",
+                  Manifest(c.copy(numBuckets = numBuckets), Map.empty,
+                    None, Some(System.currentTimeMillis())), cur)
+            }
+          }
+          true
         }
     }
 
@@ -939,11 +998,17 @@ object CdcApply {
     require(maxBucketBytes >= 1, "maxBucketBytes must be >= 1")
     require(targetBucketBytes >= 1, "targetBucketBytes must be >= 1")
     currentManifest(spark, root).flatMap { m =>
-      val sizes = m.buckets.valuesIterator.flatMap(_.bytes).toSeq
-      if (sizes.isEmpty || sizes.max <= maxBucketBytes) None
+      // ALL live buckets must carry stats: a partially pre-v6 layout
+      // would under-count total bytes and commit an O(snapshot) rewrite
+      // to a still-oversized target — refuse and leave it to the
+      // documented manual decision instead
+      val sizes = m.buckets.valuesIterator.map(_.bytes).toSeq
+      if (sizes.isEmpty || sizes.exists(_.isEmpty) ||
+          sizes.flatten.max <= maxBucketBytes) None
       else {
         val want = math.max(m.conf.numBuckets + 1,
-          math.ceil(sizes.sum.toDouble / targetBucketBytes).toInt)
+          math.ceil(sizes.flatten.sum.toDouble / targetBucketBytes)
+            .toInt)
         if (rebucket(spark, root, want)) Some(want) else None
       }
     }
@@ -1063,8 +1128,13 @@ object CdcApply {
     require(tombstoneRetention >= 0, "tombstoneRetention must be >= 0")
     require(keys.nonEmpty, "at least one key column is required")
     val spark = rawBatch.sparkSession
-    val internal = Seq(BucketCol, TsBatchCol, AppliedBatchCol)
-      .filter(rawBatch.columns.contains)
+    // ChangeBatchCol is reserved too even though it is never stored: a
+    // payload column of that name would collide with the feed's stamp
+    // rename (duplicate column in changelog writes, ambiguous reference
+    // in changesSince results)
+    val internal =
+      Seq(BucketCol, TsBatchCol, AppliedBatchCol, ChangeBatchCol)
+        .filter(rawBatch.columns.contains)
     require(internal.isEmpty,
       s"reserved column names in use: ${internal.mkString(",")}")
     // payload columns may come and go across batches (additive schema
@@ -1188,15 +1258,19 @@ object CdcApply {
         else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq
         :+ col(BucketCol): _*)
 
+    // a batch merging into nothing (fresh table, or no touched bucket
+    // has prior data): the batch IS the merge input on both branches
+    def seedMerge(): (DataFrame, DataFrame) = {
+      val b = align(batch)
+      (Upsert.latestWins(b.limit(0), b, conf.keys,
+        conf.versionCol, deletedCol = None), b)
+    }
     val (merged, freshEvents) = existing match {
       case Some(m) =>
         val basePaths = touched.flatMap(m.buckets.get)
           .map(e => s"$root/data/${e.rel}")
-        if (basePaths.isEmpty) {
-          val b = align(batch)
-          (Upsert.latestWins(b.limit(0), b, conf.keys,
-            conf.versionCol, deletedCol = None), b)
-        } else {
+        if (basePaths.isEmpty) seedMerge()
+        else {
           // the partition column is not stored in the data files (and
           // leaf-dir reads do not recover it), so recompute the bucket —
           // deterministic from the keys. The EVOLVED schema drives the
@@ -1214,51 +1288,59 @@ object CdcApply {
           (Upsert.latestWins(base, fresh, conf.keys, conf.versionCol,
             deletedCol = None), fresh)
         }
-      case None =>
-        val b = align(batch)
-        (Upsert.latestWins(b.limit(0), b, conf.keys,
-          conf.versionCol, deletedCol = None), b)
+      case None => seedMerge()
     }
-    // CHANGELOG (opt-in): the batch's accepted change events appended
-    // under changelog/b<batch> — the files a streaming consumer
-    // ([[readChangesStream]]) tails. "Accepted" = survived dedup and
-    // the re-delivery anti-join; a late LOWER-versioned event is still
-    // an event (it appears here, loses latest-wins downstream exactly
-    // as it lost here — versioned consumers converge). Written before
-    // the manifest commit: a crashed apply leaves an orphan log the
-    // retry overwrites, so delivery is at-least-once with identical
-    // content, the same contract as the data dirs.
-    if (changelog)
-      freshEvents.drop(BucketCol, TsBatchCol)
-        .withColumnRenamed(AppliedBatchCol, ChangeBatchCol)
-        .write.mode("overwrite")
-        .parquet(new Path(root, s"changelog/b$batchId").toString)
-    // age expired tombstones out of the buckets being rewritten anyway;
-    // vacuum handles buckets no batch touches again
-    val aged = conf.deletedCol.fold(merged)(d =>
-      merged.filter(!(coalesce(col(d), lit(false)) &&
-        lit(batchId) - coalesce(col(TsBatchCol), lit(batchId)) >=
-          lit(conf.retention.toLong))))
+    // with the changelog on, freshEvents feeds TWO actions (the log
+    // write, and the merge inside the snapshot write) — persist it so
+    // the touched-bucket read + anti-join run once per trigger, not
+    // twice on the hot path
+    val logged =
+      if (changelog)
+        Some(freshEvents.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else None
+    try {
+      // CHANGELOG (opt-in): the batch's accepted change events appended
+      // under changelog/b<batch> — the files a streaming consumer
+      // ([[readChangesStream]]) tails. "Accepted" = survived dedup and
+      // the re-delivery anti-join; a late LOWER-versioned event is
+      // still an event (it appears here, loses latest-wins downstream
+      // exactly as it lost here — versioned consumers converge).
+      // Written before the manifest commit: a crashed apply leaves an
+      // orphan log the retry overwrites, so delivery is at-least-once
+      // with identical content, the same contract as the data dirs.
+      logged.foreach(
+        _.drop(BucketCol, TsBatchCol)
+          .withColumnRenamed(AppliedBatchCol, ChangeBatchCol)
+          .write.mode("overwrite")
+          .parquet(new Path(root, s"changelog/b$batchId").toString))
+      // age expired tombstones out of the buckets being rewritten
+      // anyway; vacuum handles buckets no batch touches again
+      val aged = conf.deletedCol.fold(merged)(d =>
+        merged.filter(!(coalesce(col(d), lit(false)) &&
+          lit(batchId) - coalesce(col(TsBatchCol), lit(batchId)) >=
+            lit(conf.retention.toLong))))
 
-    val dirTag = s"v$batchId"
-    // one extra shuffle of TOUCHED data only, organizing files per
-    // bucket dir. REBALANCE (not repartition): a plain hash repartition
-    // maps each bucket to exactly ONE task, so one oversized bucket —
-    // snapshot_size/numBuckets can be 100 GB at scale — would write
-    // single-threaded; AQE rebalancing splits oversized buckets across
-    // tasks and coalesces tiny ones, keeping the write parallel AND the
-    // file counts sane
-    aged.hint("rebalance", BucketCol)
-      .write.partitionBy(BucketCol).mode("overwrite")
-      .parquet(new Path(root, s"data/$dirTag").toString)
-    val written = writtenEntries(spark, root, dirTag,
-      conf.deletedCol.isDefined)
-    val prior = existing.map(_.buckets).getOrElse(Map.empty)
-    commitManifest(spark, root, s"v$batchId.0",
-      Manifest(conf, (prior -- touched) ++ written, Some(evolved),
-        Some(commitTs)),
-      batchId)
-    true
+      val dirTag = s"v$batchId"
+      // one extra shuffle of TOUCHED data only, organizing files per
+      // bucket dir. REBALANCE (not repartition): a plain hash
+      // repartition maps each bucket to exactly ONE task, so one
+      // oversized bucket — snapshot_size/numBuckets can be 100 GB at
+      // scale — would write single-threaded; AQE rebalancing splits
+      // oversized buckets across tasks and coalesces tiny ones, keeping
+      // the write parallel AND the file counts sane
+      aged.hint("rebalance", BucketCol)
+        .write.partitionBy(BucketCol).mode("overwrite")
+        .parquet(new Path(root, s"data/$dirTag").toString)
+      val written = writtenEntries(spark, root, dirTag,
+        conf.deletedCol.isDefined)
+      val prior = existing.map(_.buckets).getOrElse(Map.empty)
+      commitManifest(spark, root, s"v$batchId.0",
+        Manifest(conf, (prior -- touched) ++ written, Some(evolved),
+          Some(commitTs)),
+        batchId)
+      true
+    } finally logged.foreach(_.unpersist())
   }
 
   /** Start applying `updates` (a streaming DataFrame with `keys`,

@@ -885,6 +885,73 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(reseed == Set(1L))
   }
 
+  test("review regressions: reserved feed column, schema-less-manifest " +
+    "feed/lookup fallbacks, partial-stats rebucket refusal, empty-feed " +
+    "watermark advance") {
+    import spark.implicits._
+    val C = graft.streaming.CdcApply
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_regress").toFile.getAbsolutePath
+    // 1) _change_batch is reserved: a payload column of that name would
+    // collide with the feed's stamp rename
+    val clash = Seq((1L, 1L, 2L)).toDF("k", "version", "_change_batch")
+    val e = intercept[IllegalArgumentException] {
+      C.applyBatch(clash, 0L, root, Seq("k"), "version", None)
+    }
+    assert(e.getMessage.contains("_change_batch"))
+
+    assert(C.applyBatch(
+      (1L to 12L).map(k => (k, 1L, s"v$k")).toDF("k", "version", "v"),
+      0L, root, Seq("k"), "version", None, numBuckets = 4))
+    // 2+5) strip the schema line (pre-v4 manifest shape): the feed must
+    // return an EMPTY TYPED frame, and lookup must fall back to a
+    // correct unpruned scan — never a wrong-bucket miss
+    val cur = C.currentManifestName(spark, root).get
+    val mf = new java.io.File(root, s"manifests/$cur")
+    val noSchema = scala.io.Source.fromFile(mf).mkString.linesIterator
+      .filterNot(_.startsWith("schema\t")).mkString("\n")
+    java.nio.file.Files.writeString(mf.toPath, noSchema)
+    new java.io.File(mf.getParentFile, s".$cur.crc").delete()
+    assert(C.changesSince(spark, root, -1L).get.count() == 0L)
+    assert(C.lookup(spark, root, Seq(7L)).get
+      .select("v").as[String].collect().toSeq == Seq("v7"))
+
+    // 4) partial per-bucket stats: auto-rebucket must refuse rather
+    // than size the rewrite from an undercounted total
+    val dashed = scala.io.Source.fromFile(mf).mkString.linesIterator
+      .zipWithIndex.map { case (l, i) =>
+        if (i == 1 && l.split('\t').length >= 5) {
+          val p = l.split('\t'); (p.take(3) :+ "-" :+ p(4)).mkString("\t")
+        } else l
+      }.mkString("\n")
+    java.nio.file.Files.writeString(mf.toPath, dashed)
+    new java.io.File(mf.getParentFile, s".$cur.crc").delete()
+    assert(C.rebucketIfNeeded(spark, root, 1L, 1L).isEmpty,
+      "partial stats must refuse the auto-rebucket")
+
+    // 3) empty feed between watermark and head: the mirror's watermark
+    // still advances (no eternal rescan), and the next poll no-ops
+    val src = java.nio.file.Files
+      .createTempDirectory("cdc_regress_src").toFile.getAbsolutePath
+    val mir = java.nio.file.Files
+      .createTempDirectory("cdc_regress_mir").toFile.getAbsolutePath
+    def applySrc(rows: Seq[(Long, Long, String, Boolean)], id: Long) =
+      C.applyBatch(rows.toDF("k", "version", "v", "deleted"), id, src,
+        Seq("k"), "version", Some("deleted"), numBuckets = 4,
+        tombstoneRetention = 0)
+    val k1 = 1L
+    val k2 = (2L to 40L).find(k => bucketOf(k, 4) != bucketOf(k1, 4)).get
+    assert(applySrc(Seq((k1, 1L, "a", false), (k2, 1L, "b", false)), 0L))
+    assert(C.syncMirror(spark, src, mir))
+    // retention 0: the delete's bucket empties — the feed since 0 has
+    // zero observable events, but the watermark must still move
+    assert(applySrc(Seq((k2, 2L, "", true)), 1L))
+    assert(C.syncMirror(spark, src, mir),
+      "empty feed wedged the mirror watermark")
+    assert(C.currentVersion(spark, mir).contains(1L))
+    assert(!C.syncMirror(spark, src, mir), "post-advance poll not a no-op")
+  }
+
   test("lookup: a point read scans exactly one bucket directory") {
     import spark.implicits._
     val C = graft.streaming.CdcApply
