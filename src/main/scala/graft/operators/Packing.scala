@@ -79,14 +79,24 @@ object Packing {
     val base = stagingDir.fold(prepared) { dir0 =>
       // recipe hash: canonicalized plan normalizes expression ids, so
       // the key is stable across sessions for the same source + params.
-      // Lambda variables (higher-order functions in the token
-      // expression) print with a session-global counter suffix
-      // (`x_37 ->`) that depends on how many lambdas the JVM created
-      // before this call — normalize them or every session re-stages
-      val recipe = (docs.queryExecution.logical.canonicalized.toString +
-        "|" + orderCols.mkString(",") +
-        "|" + tokens.toString + "|" + partitions.getOrElse(-1))
-        .replaceAll("\\bx_\\d+\\b", "x_")
+      // Two hardenings: (a) the full schema JSON rides along, because
+      // plan toString TRUNCATES wide field lists ("... 10 more fields")
+      // — without it, two preparations differing only in truncated
+      // fields would share a key and silently reuse a stale stage;
+      // (b) lambda variables (higher-order functions) print with a
+      // session-global counter suffix (`x_37 ->`, `y_38` on two-arg
+      // lambdas) that depends on how many lambdas the JVM created
+      // before this call — normalize them or every session re-stages.
+      // A REAL column named like a lambda variable stays disambiguated
+      // by its un-normalized appearance in the schema JSON.
+      val normalized =
+        (docs.queryExecution.logical.canonicalized.toString +
+          "|" + orderCols.mkString(",") +
+          "|" + tokens.toString + "|" + partitions.getOrElse(-1))
+          .replaceAll("\\b[xyz]_\\d+\\b", "v_")
+      // schema json OUTSIDE the normalization, so a real x_1 column
+      // stays distinguishable there
+      val recipe = docs.schema.json + "|" + normalized
       val dir = f"$dir0-${
         scala.util.hashing.MurmurHash3.stringHash(recipe)}%08x"
       graft.sources.Artifacts.commitOnce(docs.sparkSession, dir)(tmp =>

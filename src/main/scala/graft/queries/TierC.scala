@@ -42,14 +42,31 @@ object TierC {
     * turns every later invocation's re-applies into no-op manifest
     * reads.
     */
+  /** Recipe/format version token folded into every CDC artifact root's
+    * path — the repo-wide cache-key convention (Packing hashes its
+    * preparation recipe, Dedup embeds every index parameter): a change
+    * to the change-stream recipe in [[applySupplierCdc]] OR to
+    * CdcApply's stored format must bump this, or the replay guard would
+    * no-op the re-applies and every CDC query would silently read the
+    * stale old snapshot. rev2 = the change-feed stamp column.
+    */
+  private val CdcRecipeRev = "rev2"
+
+  /** Shared path construction + build for the supplier CDC roots: one
+    * place to key them, so a keying change cannot silently diverge
+    * across the six roots.
+    */
+  private def supplierCdcRoot(s: SparkSession, d: String,
+      subdir: String): String = {
+    val root = new java.io.File(s"target/graft-data/$subdir/" +
+      graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet") +
+      s"_$CdcRecipeRev").getAbsolutePath
+    applySupplierCdc(s, d, root)
+    root
+  }
+
   private def cdcQueryRoot(s: SparkSession, d: String): String =
-    synchronized {
-      val root = new java.io.File("target/graft-data/cdc_merge_q/" +
-        graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet"))
-        .getAbsolutePath
-      applySupplierCdc(s, d, root)
-      root
-    }
+    synchronized { supplierCdcRoot(s, d, "cdc_merge_q") }
 
   /** The deterministic supplier change stream behind every declared CDC
     * query: full insert load (batch 0), then updates + delete-wins
@@ -86,13 +103,7 @@ object TierC {
     * root under the open default.
     */
   private def cdcGovRoot(s: SparkSession, d: String): String =
-    synchronized {
-      val root = new java.io.File("target/graft-data/cdc_gov_q/" +
-        graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet"))
-        .getAbsolutePath
-      applySupplierCdc(s, d, root)
-      root
-    }
+    synchronized { supplierCdcRoot(s, d, "cdc_gov_q") }
 
   /** Snapshot root for `q_cdc_changes` — its own artifact dir rather
     * than `cdcQueryRoot`: the change-feed stamp is stored at WRITE
@@ -100,13 +111,7 @@ object TierC {
     * build (a cached pre-stamp root would feed back empty).
     */
   private def cdcChangesRoot(s: SparkSession, d: String): String =
-    synchronized {
-      val root = new java.io.File("target/graft-data/cdc_changes_q/" +
-        graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet"))
-        .getAbsolutePath
-      applySupplierCdc(s, d, root)
-      root
-    }
+    synchronized { supplierCdcRoot(s, d, "cdc_changes_q") }
 
   /** Mirror root for `q_cdc_mirror`: an incremental replica of
     * [[cdcChangesRoot]] built through `syncMirror` (the change feed
@@ -118,8 +123,8 @@ object TierC {
     synchronized {
       val src = cdcChangesRoot(s, d)
       val root = new java.io.File("target/graft-data/cdc_mirror_q/" +
-        graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet"))
-        .getAbsolutePath
+        graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet") +
+        s"_$CdcRecipeRev").getAbsolutePath
       graft.streaming.CdcApply.syncMirror(s, src, root, numBuckets = 4)
       root
     }
@@ -134,8 +139,8 @@ object TierC {
     synchronized {
       import graft.streaming.CdcApply
       val root = new java.io.File("target/graft-data/cdc_evo_q/" +
-        graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet"))
-        .getAbsolutePath
+        graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet") +
+        s"_$CdcRecipeRev").getAbsolutePath
       val sup = Tables.supplier(s, d)
         .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
       CdcApply.applyBatch(sup.withColumn("version", lit(1L)), 0L, root,
@@ -156,10 +161,7 @@ object TierC {
     */
   private def cdcRebucketRoot(s: SparkSession, d: String): String =
     synchronized {
-      val root = new java.io.File("target/graft-data/cdc_rebucket_q/" +
-        graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet"))
-        .getAbsolutePath
-      applySupplierCdc(s, d, root)
+      val root = supplierCdcRoot(s, d, "cdc_rebucket_q")
       graft.streaming.CdcApply.rebucket(s, root, 5)
       root
     }
@@ -818,15 +820,18 @@ object TierC {
     "q_jsonl_sink" -> ((s, d) => {
       import org.apache.spark.sql.types.{LongType => LT, StringType => ST,
         StructField => SF, StructType => STt}
-      // keyed by dataset like every other persisted artifact: a fixed
-      // path would interleave concurrent runs across datasets
+      // keyed by dataset like every other persisted artifact (a fixed
+      // path would interleave concurrent runs across datasets) and
+      // commitOnce-guarded like them too: an unconditional overwrite
+      // would let run B's rewrite race run A's read of the same dir
       val path = new java.io.File("target/graft-data/jsonl/docs_head_" +
         graft.sources.Artifacts.datasetKey(d, s"$d/documents.parquet"))
         .getAbsolutePath
       val subset = Tables.documents(s, d)
         .filter(col("doc_id") < 100)
         .select(col("doc_id"), col("lang"), col("n_chars"))
-      graft.sources.Sinks.writeJsonl(subset, path)
+      graft.sources.Artifacts.commitOnce(s, path)(tmp =>
+        graft.sources.Sinks.writeJsonl(subset, tmp))
       graft.sources.Sinks.readJsonl(s, path, STt(Seq(
           SF("doc_id", LT), SF("lang", ST), SF("n_chars", LT))))
         .groupBy(col("lang"))
@@ -848,7 +853,8 @@ object TierC {
       val subset = Tables.documents(s, d)
         .filter(col("doc_id") < 100)
         .select(col("doc_id"), col("lang"), col("n_chars"))
-      graft.sources.Sinks.writeOrc(subset, path)
+      graft.sources.Artifacts.commitOnce(s, path)(tmp =>
+        graft.sources.Sinks.writeOrc(subset, tmp))
       graft.sources.Sinks.readOrc(s, path, STt(Seq(
           SF("doc_id", LT), SF("lang", ST), SF("n_chars", LT))))
         .groupBy(col("lang"))

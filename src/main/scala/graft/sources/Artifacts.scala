@@ -15,6 +15,11 @@ object Artifacts {
     * cost a full scan — but any regeneration changes length or mtime.
     */
   def fingerprint(paths: String*): String = {
+    // a typo'd input would otherwise contribute a stable "path:0:0"
+    // descriptor — a key that never invalidates when the REAL input
+    // regenerates, silently voiding the self-invalidation guarantee
+    paths.foreach(p => require(new java.io.File(p).exists(),
+      s"fingerprint input does not exist: $p"))
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
@@ -37,12 +42,18 @@ object Artifacts {
     * reader can therefore never observe a half-written artifact — the
     * dir exists complete or not at all; two racing builders resolve to
     * one winner (the loser's rename fails, its temp is discarded, and
-    * it reads the winner's identical commit); and a dir WITHOUT the
-    * marker can only be a crashed pre-rename leftover, deleted and
-    * rebuilt (the marker is re-checked immediately before the delete so
-    * a just-committed dir is never swept). `build` must write the
-    * standard Spark `_SUCCESS` marker into the path it is given — every
-    * Spark file sink does.
+    * it reads the winner's identical commit — artifacts are
+    * deterministic functions of their key, so losers and winners wrote
+    * the same bytes); a dir WITHOUT the marker is a crashed pre-rename
+    * leftover, deleted and rebuilt. One window is narrowed, not closed:
+    * the marker is re-checked immediately before that delete, but a
+    * commit landing between the re-check and the delete is swept and
+    * then rebuilt identically — a transient absence, never wrong
+    * content. A failed build cleans its temp up; a rename failure that
+    * is NOT a lost race (no committed winner present) is rethrown
+    * rather than swallowed, so the caller never reads a phantom path.
+    * `build` must write the standard Spark `_SUCCESS` marker into the
+    * path it is given — every Spark file sink does.
     */
   def commitOnce(spark: org.apache.spark.sql.SparkSession, dir: String)(
       build: String => Unit): Unit = {
@@ -55,13 +66,23 @@ object Artifacts {
     if (fs.exists(target) && !committed) fs.delete(target, true)
     val tmp = new Path(
       target.toString + s".inprogress-${java.util.UUID.randomUUID}")
-    build(tmp.toString)
+    try build(tmp.toString)
+    catch {
+      case e: Throwable =>
+        fs.delete(tmp, true) // no orphaned temp accumulation on retries
+        throw e
+    }
     val fc = FileContext.getFileContext(target.toUri, conf)
     try fc.rename(tmp, target)
     catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-          _: org.apache.hadoop.fs.ParentNotDirectoryException =>
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+          _: org.apache.hadoop.fs.ParentNotDirectoryException) =>
         fs.delete(tmp, true)
+        // only a lost race is ignorable — anything else (e.g. a path
+        // component that is a regular file) must surface here, not as a
+        // baffling read failure at the caller
+        if (!committed) throw new IllegalStateException(
+          s"artifact commit failed and no winner is present: $target", e)
     }
   }
 }
