@@ -97,8 +97,14 @@ object Packing {
       // schema json OUTSIDE the normalization, so a real x_1 column
       // stays distinguishable there
       val recipe = docs.schema.json + "|" + normalized
-      val dir = f"$dir0-${
-        scala.util.hashing.MurmurHash3.stringHash(recipe)}%08x"
+      // SHA-256 truncated to 64 bits: a 32-bit hash makes a silent
+      // stale-stage reuse merely unlikely; 64 bits of a cryptographic
+      // digest makes it implausible (collision = wrong cached data)
+      val dir = s"$dir0-${
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(recipe.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          .take(8).map(b => f"$b%02x").mkString}"
       graft.sources.Artifacts.commitOnce(docs.sparkSession, dir)(tmp =>
         prepared.write.mode("overwrite").parquet(tmp))
       docs.sparkSession.read.parquet(dir)

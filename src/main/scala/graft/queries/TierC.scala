@@ -1029,6 +1029,27 @@ object TierC {
           dsum(col("s_acctbal")).as("total_bal"))
         .withColumn("n_buckets", lit(nb.toLong))
         .orderBy(col("s_nationkey"))
+    }),
+
+    // C8i — POINT LOOKUP under the hash gate: primary-key GETs against
+    // the merged snapshot — an untouched key (1, version 1), an
+    // updated key (5: +100 at version 2), a tombstoned key (7: reads
+    // back empty, like every snapshot read), and a never-present key
+    // (whose bucket may be absent: a zero-filesystem typed empty
+    // frame) — unioned into one deterministic result against the
+    // q_cdc_merge net-state oracle restricted to those keys. Each
+    // lookup scans at most ONE bucket directory (plan-asserted in
+    // EventStreamSpec); this row pins the VALUES the pruned read
+    // returns, closing the one r11 read path without a CORRECTNESS
+    // entry.
+    "q_lookup" -> ((s, d) => {
+      val root = cdcQueryRoot(s, d)
+      Seq(1L, 5L, 7L, 999999999L)
+        .map(k => graft.streaming.CdcApply.lookup(s, root, Seq(k)).get
+          .select(col("s_suppkey"), col("s_nationkey"),
+            col("s_acctbal"), col("version")))
+        .reduce(_.unionByName(_))
+        .orderBy(col("s_suppkey"))
     })
   )
 
@@ -1467,6 +1488,15 @@ object TierC {
         "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal, " +
         "CAST(5 AS BIGINT) AS n_buckets " +
         "FROM supplier WHERE s_suppkey % 7 <> 0 " +
-        "GROUP BY s_nationkey ORDER BY s_nationkey")
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // point lookups of keys 1 (untouched), 5 (updated +100, version
+    // 2), 7 (tombstoned — absent), 999999999 (never present — absent)
+    "q_lookup" ->
+      ("SELECT s_suppkey, s_nationkey, " +
+        "CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END AS s_acctbal, " +
+        "CASE WHEN s_suppkey % 5 = 0 THEN CAST(2 AS BIGINT) " +
+        "ELSE CAST(1 AS BIGINT) END AS version " +
+        "FROM supplier WHERE s_suppkey IN (1, 5) ORDER BY s_suppkey")
   )
 }

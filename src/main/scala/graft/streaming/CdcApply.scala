@@ -853,8 +853,17 @@ object CdcApply {
                 Seq(s"$root/data/${e.rel}"), m.schema), conf)
                 .filter(pred)
             case None =>
-              stripInternal(readRaw(spark, m.dataPaths(root).take(1),
-                m.schema), conf).filter(pred).limit(0)
+              // no row of this key ever survived: the snapshot's
+              // visible shape with zero rows, built from the manifest
+              // schema with ZERO filesystem access — an absent-bucket
+              // GET must not pay a directory listing just to say "not
+              // found" (same pattern as changesSince's emptyFeed)
+              val visible = schema.fields.filterNot(f =>
+                f.name == TsBatchCol || f.name == AppliedBatchCol ||
+                  conf.deletedCol.contains(f.name))
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                org.apache.spark.sql.types.StructType(visible))
           }
       }
     }
@@ -886,9 +895,33 @@ object CdcApply {
     * as flagged rows). Cost per sync: O(changed keys) read from the
     * source (manifest-pruned) + O(touched buckets) rewritten in the
     * mirror — a trickle of changes against a 100 TB pair moves
-    * megabytes. A consumer lagging past the source's tombstone
-    * retention must re-seed instead (the feed's documented
-    * completeness bound). Returns true when the mirror advanced.
+    * megabytes. Returns true when the mirror advanced.
+    *
+    * RETENTION COMPLETENESS BOUND, enforced fail-closed: tombstones
+    * age out of the feed after `tombstoneRetention` batches, so a
+    * mirror whose watermark trails the source head by MORE than
+    * retention may be missing aged-out deletes — the one composition
+    * where the feed's documented bound would otherwise become silent
+    * replica corruption (stale keys the mirror never learns died).
+    * The check is manifest-metadata-only (head batch − watermark vs
+    * the retention recorded in the source manifest) and EXACT at that
+    * granularity: a tombstone applied at batch t can only have expired
+    * under some rewrite at batch b with b − t >= retention, which
+    * forces t <= head − retention — so any delete SINCE a watermark
+    * within retention is provably still in the feed. Past the bound
+    * this throws with a re-seed instruction ([[reseedMirror]]) instead
+    * of converging to a corrupt state; metadata cannot prove the
+    * absence of an aged-out delete (an expired tombstone leaves no
+    * trace), so the refusal is deliberately conservative — the same
+    * fail-closed posture as the governance gate. Corollary: a table
+    * with retention 0 and modeled deletes cannot be trickle-mirrored
+    * at all (its delete events never survive into the feed) — every
+    * lagging sync refuses and the recovery is a re-seed.
+    *
+    * `commitTs` stamps the mirror commit this sync lands (the applied
+    * batch or the carried-forward watermark advance) — wall clock when
+    * None, or a caller-supplied logical clock so as-of-timestamp time
+    * travel on the MIRROR is as reproducible as on the source.
     *
     * Governed sources: run the sync under a principal with full access,
     * or accept that the mirror materializes exactly the principal's
@@ -897,21 +930,41 @@ object CdcApply {
     * structural column (keys / version / deleted / the stamp).
     */
   def syncMirror(spark: SparkSession, root: String, mirrorRoot: String,
-      numBuckets: Int = 16): Boolean =
+      numBuckets: Int = 16, commitTs: Option[Long] = None): Boolean =
     currentManifest(spark, root) match {
       case None => false
       case Some(src) =>
         val cur = currentVersion(spark, root).get
         val wm = currentVersion(spark, mirrorRoot).getOrElse(-1L)
         if (wm >= cur) false
-        else changesSince(spark, root, wm).exists { ch =>
+        else {
           val c = src.conf
-          val applied = applyBatch(ch.drop(ChangeBatchCol), cur,
-            mirrorRoot, c.keys, c.versionCol, c.deletedCol,
-            numBuckets = numBuckets,
-            tombstoneRetention = c.retention)
-          // an EMPTY feed between wm and head (every changed row aged
-          // out or filtered away) is skipped by applyBatch — advance
+          // the bound does not apply to a FIRST sync (wm = -1): with
+          // no prior mirror state there is nothing stale to miss — the
+          // seed lands exactly the live rows the feed still carries
+          if (c.deletedCol.isDefined && wm >= 0 &&
+              cur - wm > c.retention.toLong)
+            throw new IllegalStateException(
+              s"mirror at batch $wm lags source head $cur past " +
+                s"tombstoneRetention=${c.retention}: deletes may have " +
+                "aged out of the change feed and the mirror would " +
+                "silently keep dead keys — re-seed with reseedMirror")
+          val ts = commitTs.getOrElse(System.currentTimeMillis())
+          // changesSince is None for a fully-emptied source (zero live
+          // buckets, manifest committed) — treated like an empty feed:
+          // within the bound every delete the mirror needs was already
+          // synced (an unexpired tombstone is a stored row, so a table
+          // with deletes newer than the watermark cannot be
+          // bucket-empty without tripping the bound above)
+          val applied = changesSince(spark, root, wm).exists { ch =>
+            applyBatch(ch.drop(ChangeBatchCol), cur,
+              mirrorRoot, c.keys, c.versionCol, c.deletedCol,
+              numBuckets = numBuckets,
+              tombstoneRetention = c.retention,
+              commitTs = Some(ts))
+          }
+          // an EMPTY feed between wm and head (no stamped rows, or the
+          // empty-table case above) is skipped by applyBatch — advance
           // the watermark with a carried-forward manifest commit
           // anyway, or every later poll re-resolves and re-scans the
           // same ever-growing batch range just to learn "nothing"
@@ -919,17 +972,55 @@ object CdcApply {
             currentManifest(spark, mirrorRoot) match {
               case Some(mm) =>
                 commitManifest(spark, mirrorRoot, s"v$cur.0",
-                  mm.copy(ts = Some(System.currentTimeMillis())), cur)
+                  mm.copy(ts = Some(ts)), cur)
               case None =>
                 // first-ever sync over an empty feed: an empty mirror
                 // table at the source's watermark
                 commitManifest(spark, mirrorRoot, s"v$cur.0",
                   Manifest(c.copy(numBuckets = numBuckets), Map.empty,
-                    None, Some(System.currentTimeMillis())), cur)
+                    None, Some(ts)), cur)
             }
           }
           true
         }
+    }
+
+  /** Full re-seed for a mirror that fell behind the source's tombstone
+    * retention ([[syncMirror]] refuses in that state): DROP the mirror
+    * and rebuild it as ONE batch from the source's CURRENT snapshot —
+    * live rows plus still-unexpired tombstones, so post-seed syncs
+    * inherit the same late-event protection the source has. The seeded
+    * batch lands at the source's head batch id, so the mirror's
+    * replay-guard watermark is immediately current and the next
+    * [[syncMirror]] trickles again. O(snapshot) by design — the same
+    * cost class as any bootstrap, and the documented recovery for
+    * every past-retention consumer. Destroys the mirror's own history
+    * (time-travel manifests included); a replica that must keep its
+    * history is re-pointed at a fresh root instead. Returns false when
+    * the source has no table yet.
+    */
+  def reseedMirror(spark: SparkSession, root: String, mirrorRoot: String,
+      numBuckets: Int = 16, commitTs: Option[Long] = None): Boolean =
+    currentManifest(spark, root) match {
+      case None => false
+      case Some(src) =>
+        val cur = currentVersion(spark, root).get
+        val c = src.conf
+        val ts = commitTs.getOrElse(System.currentTimeMillis())
+        fsFor(spark, mirrorRoot).delete(new Path(mirrorRoot), true)
+        val applied = src.buckets.nonEmpty && applyBatch(
+          readRaw(spark, src.dataPaths(root), src.schema)
+            .drop(TsBatchCol, AppliedBatchCol),
+          cur, mirrorRoot, c.keys, c.versionCol, c.deletedCol,
+          numBuckets = numBuckets, tombstoneRetention = c.retention,
+          commitTs = Some(ts))
+        // fully-emptied source: the re-seeded mirror is an empty table
+        // at the source's watermark
+        if (!applied)
+          commitManifest(spark, mirrorRoot, s"v$cur.0",
+            Manifest(c.copy(numBuckets = numBuckets), Map.empty, None,
+              Some(ts)), cur)
+        true
     }
 
   /** Continuous replication: a streaming query that [[syncMirror]]s on
@@ -943,17 +1034,25 @@ object CdcApply {
     * progress is deterministic. This is deliberately poll-driven
     * composition over the existing primitives, not a bespoke
     * connector: the feed + replay guard already carry all the
-    * correctness, so the stream only supplies cadence.
+    * correctness, so the stream only supplies cadence. `clock`
+    * (evaluated once per tick) is the logical commit clock
+    * threaded to [[syncMirror]]'s `commitTs` — tests pin it so
+    * as-of-timestamp reads on the mirror are deterministic; None
+    * stamps wall clock. A sync that trips the retention bound
+    * surfaces as the STREAM's failure (loud, like any foreachBatch
+    * error) — recovery is [[reseedMirror]] then restart.
     */
   def startMirror(spark: SparkSession, root: String, mirrorRoot: String,
       numBuckets: Int = 16, queryName: String = "cdc_mirror",
-      ticker: Option[DataFrame] = None): StreamingQuery =
+      ticker: Option[DataFrame] = None,
+      clock: Option[() => Long] = None): StreamingQuery =
     ticker.getOrElse(
         spark.readStream.format("rate").option("rowsPerSecond", 1).load())
       .writeStream
       .queryName(queryName)
       .foreachBatch { (_: DataFrame, _: Long) =>
-        syncMirror(spark, root, mirrorRoot, numBuckets)
+        syncMirror(spark, root, mirrorRoot, numBuckets,
+          commitTs = clock.map(_.apply()))
         ()
       }
       .start()
@@ -967,9 +1066,19 @@ object CdcApply {
     * have discovered it only through listings, the same narrow exposure
     * vacuum's generation collapse already carries) and unblocks the
     * retry, which recommits the same logical content. A LIVE concurrent
-    * maintenance process, by contrast, is caught at commit time: the
-    * no-overwrite manifest rename in [[commitManifest]] fails loudly
-    * instead of silently clobbering the other op's generation.
+    * maintenance process — already a violation of the one-maintenance-
+    * process-per-table contract — is USUALLY caught loudly: the
+    * no-overwrite manifest rename in [[commitManifest]] fails when both
+    * processes reach commit. One narrow window remains: if op B's claim
+    * check lands between op A's manifest rename and A's pointer flip, B
+    * sees CURRENT unmoved, deletes A's just-renamed manifest as an
+    * orphan, and A's flip leaves CURRENT pointing at a deleted manifest
+    * until B recommits — readers crash in that interval rather than
+    * fail at commit time. The CURRENT re-check immediately before the
+    * delete below narrows the window to the check→delete gap; only the
+    * documented single-process contract closes it (the same residual
+    * any rename-based table-format commit carries without a lock
+    * service).
     */
   private def claimMaintenanceTarget(spark: SparkSession, root: String,
       curName: String, batchId: Long, gen: Int): Unit = {

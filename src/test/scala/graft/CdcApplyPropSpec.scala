@@ -204,4 +204,56 @@ class CdcApplyPropSpec extends AnyFunSuite with SparkTestBase {
     }
     check(p)
   }
+
+  test("property: trickle mirror straddling the retention bound — " +
+      "every sync replicates exactly or refuses loudly; reseed " +
+      "recovers and the final states agree") {
+    import spark.implicits._
+    val C = graft.streaming.CdcApply
+    // small retentions (0..2) so histories routinely age tombstones
+    // out of the feed: retention 0 refuses on EVERY lagging sync (its
+    // delete events never survive into the feed), larger retentions
+    // mix the trickle path and the refusal path across generated runs
+    val p = Prop.forAll(historyGen, Gen.chooseNum(2, 4),
+      Gen.chooseNum(0, 2), Gen.chooseNum(1, 2)) {
+      (history, nBatches, retention, syncEvery) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("cdc_prop_mir_src").toFile.getAbsolutePath
+      val mroot = java.nio.file.Files
+        .createTempDirectory("cdc_prop_mir_dst").toFile.getAbsolutePath
+      val size = math.max(1, history.size / nBatches)
+      val chunks = history.grouped(size).toList
+      chunks.zipWithIndex.foreach {
+        case (rows, id) =>
+          if (C.applyBatch(
+              rows.toDF("k", "version", "payload", "deleted"),
+              id.toLong, root, Seq("k"), "version", Some("deleted"),
+              numBuckets = 4, tombstoneRetention = retention)) {
+            // syncEvery=2 makes the mirror routinely lag TWO batches:
+            // with retention 0-1 that crosses the bound (refusal +
+            // reseed), with retention 2 it trickles — both paths must
+            // land the mirror back in lockstep
+            if (id % syncEvery == 0 || id == chunks.size - 1) {
+              try C.syncMirror(spark, root, mroot, numBuckets = 4)
+              catch {
+                case _: IllegalStateException =>
+                  C.reseedMirror(spark, root, mroot, numBuckets = 4)
+              }
+            }
+          }
+      }
+      def live(r: String): Map[Long, Long] =
+        C.readSnapshot(spark, r).map(_.collect()
+          .map(x => x.getAs[Long]("k") -> x.getAs[Long]("payload"))
+          .toMap).getOrElse(Map.empty)
+      val (src, mir) = (live(root), live(mroot))
+      val wmOk = C.currentVersion(spark, mroot) ==
+        C.currentVersion(spark, root)
+      val ok = src == mir && wmOk
+      if (!ok) println(s"[cdc-prop-mirror] retention=$retention " +
+        s"history=$history src=$src mir=$mir wmOk=$wmOk")
+      ok
+    }
+    check(p)
+  }
 }

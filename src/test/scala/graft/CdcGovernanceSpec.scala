@@ -27,8 +27,10 @@ class CdcGovernanceSpec extends AnyFunSuite with SparkTestBase {
       (2L, 1L, "EMEA", 20.0, "s2", false),
       (3L, 1L, "APAC", 30.0, "s3", false))
       .toDF("k", "version", "region", "amount", "secret", "deleted")
+    // logical commit clock so the timestamp-addressed reads below
+    // (changesSinceTs) resolve deterministically
     assert(CdcApply.applyBatch(b0, 0L, root, Seq("k"), "version",
-      Some("deleted")))
+      Some("deleted"), commitTs = Some(1000L)))
     // update k=1, tombstone k=3 — both APAC, so the analyst's view of
     // "current" vs "as of batch 0" must differ in exactly these keys
     val b1 = Seq(
@@ -36,7 +38,7 @@ class CdcGovernanceSpec extends AnyFunSuite with SparkTestBase {
       (3L, 2L, "APAC", 30.0, "s3", true))
       .toDF("k", "version", "region", "amount", "secret", "deleted")
     assert(CdcApply.applyBatch(b1, 1L, root, Seq("k"), "version",
-      Some("deleted")))
+      Some("deleted"), commitTs = Some(2000L)))
     root
   }
 
@@ -141,6 +143,46 @@ class CdcGovernanceSpec extends AnyFunSuite with SparkTestBase {
       r.getAs[Boolean]("deleted"),
       r.getAs[Long]("_change_batch"))).toSet ==
       Set((1L, false, 1L), (3L, true, 1L)), feed.toSeq.toString)
+    assert(!feed.head.schema.fieldNames.contains("secret"))
+  }
+
+  test("governance composes with point lookup and the timestamp change " +
+    "feed: out-of-grant keys read back empty, in-grant keys filtered") {
+    val root = buildSnapshot()
+    register(root)
+    // analyst looks up k=2 (EMEA — outside the row filter): the
+    // single-bucket read is governed like any other and comes back
+    // EMPTY, never the row
+    val miss = Governance.withPrincipal(spark, Analyst) {
+      CdcApply.lookup(spark, root, Seq(2L)).get.collect()
+    }
+    assert(miss.isEmpty, miss.toSeq.toString)
+    // in-grant key: current version, allowlisted columns only
+    val hit = Governance.withPrincipal(spark, Analyst) {
+      CdcApply.lookup(spark, root, Seq(1L)).get.collect()
+    }
+    assert(hit.map(r => (r.getAs[Long]("k"),
+      r.getAs[Double]("amount"))).toSeq == Seq(1L -> 11.0))
+    assert(!hit.head.schema.fieldNames.contains("secret"))
+    // admin keeps the full view through the same path
+    val adm = Governance.withPrincipal(spark, DataAdmin) {
+      CdcApply.lookup(spark, root, Seq(2L)).get.collect()
+    }
+    assert(adm.map(_.getAs[Long]("k")).toSeq == Seq(2L))
+    assert(adm.head.schema.fieldNames.contains("secret"))
+    // timestamp-addressed feed: t=1500 resolves to batch 0, and under a
+    // stamp-granted allowlist the analyst gets exactly the APAC changes
+    // of batch 1 — the k=1 update and the k=3 tombstone, never EMEA
+    GovernanceCatalog.register(Analyst, db, DataCellsFilter(
+      "analyst-cdc", tbl, "region = 'APAC'",
+      Seq("k", "version", "region", "amount", "deleted",
+        CdcApply.AppliedBatchCol)))
+    val feed = Governance.withPrincipal(spark, Analyst) {
+      CdcApply.changesSinceTs(spark, root, 1500L).get.collect()
+    }
+    assert(feed.map(r => (r.getAs[Long]("k"),
+      r.getAs[Boolean]("deleted"))).toSet ==
+      Set(1L -> false, 3L -> true), feed.toSeq.toString)
     assert(!feed.head.schema.fieldNames.contains("secret"))
   }
 }

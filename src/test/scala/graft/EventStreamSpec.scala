@@ -929,8 +929,11 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(C.rebucketIfNeeded(spark, root, 1L, 1L).isEmpty,
       "partial stats must refuse the auto-rebucket")
 
-    // 3) empty feed between watermark and head: the mirror's watermark
-    // still advances (no eternal rescan), and the next poll no-ops
+    // 3) retention completeness bound, fail-closed: retention 0 ages
+    // the delete's tombstone out at its own apply — the feed since 0
+    // cannot carry it, so a lagging sync must REFUSE loudly (the old
+    // behavior advanced the watermark and silently kept the dead key
+    // in the mirror forever). reseedMirror is the documented recovery.
     val src = java.nio.file.Files
       .createTempDirectory("cdc_regress_src").toFile.getAbsolutePath
     val mir = java.nio.file.Files
@@ -943,13 +946,34 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     val k2 = (2L to 40L).find(k => bucketOf(k, 4) != bucketOf(k1, 4)).get
     assert(applySrc(Seq((k1, 1L, "a", false), (k2, 1L, "b", false)), 0L))
     assert(C.syncMirror(spark, src, mir))
-    // retention 0: the delete's bucket empties — the feed since 0 has
-    // zero observable events, but the watermark must still move
     assert(applySrc(Seq((k2, 2L, "", true)), 1L))
-    assert(C.syncMirror(spark, src, mir),
-      "empty feed wedged the mirror watermark")
+    val lag = intercept[IllegalStateException] {
+      C.syncMirror(spark, src, mir)
+    }
+    assert(lag.getMessage.contains("re-seed"), lag.getMessage)
+    // the refused sync moved nothing: watermark still at the seed
+    assert(C.currentVersion(spark, mir).contains(0L))
+    // re-seed: the mirror lands on the source's live state (k2 gone —
+    // the dead key a watermark-advancing sync would have kept) at the
+    // source's head watermark, and the next poll is a no-op again
+    assert(C.reseedMirror(spark, src, mir))
+    assert(C.readSnapshot(spark, mir).get
+      .select("k").as[Long].collect().toSeq == Seq(k1))
     assert(C.currentVersion(spark, mir).contains(1L))
-    assert(!C.syncMirror(spark, src, mir), "post-advance poll not a no-op")
+    assert(!C.syncMirror(spark, src, mir), "post-reseed poll not a no-op")
+
+    // 3b) fully-emptied source, FIRST sync (nothing stale to miss):
+    // changesSince is None on a zero-live-bucket manifest — the sync
+    // must seed an empty mirror at the source watermark, not wedge
+    // returning false forever
+    val mir2 = java.nio.file.Files
+      .createTempDirectory("cdc_regress_mir2").toFile.getAbsolutePath
+    assert(applySrc(Seq((k1, 2L, "", true)), 2L)) // source now empty
+    assert(C.readSnapshot(spark, src).isEmpty)
+    assert(C.syncMirror(spark, src, mir2),
+      "empty-table first sync wedged instead of seeding")
+    assert(C.currentVersion(spark, mir2).contains(2L))
+    assert(!C.syncMirror(spark, src, mir2))
   }
 
   test("lookup: a point read scans exactly one bucket directory") {
@@ -978,6 +1002,24 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     // absent and tombstoned keys read back empty
     assert(C.lookup(spark, root, Seq(9999L)).get.count() == 0L)
     assert(C.lookup(spark, root, Seq(9L)).get.count() == 0L)
+
+    // absent-BUCKET GET: the typed empty frame is built from the
+    // manifest schema with zero filesystem access — no file source in
+    // the plan at all (a not-found on a thousand-bucket table must not
+    // pay a directory listing)
+    val root2 = java.nio.file.Files
+      .createTempDirectory("cdc_lookup_absent").toFile.getAbsolutePath
+    assert(C.applyBatch(
+      Seq((1L, 1L, "a", false)).toDF("k", "version", "v", "deleted"),
+      0L, root2, Seq("k"), "version", Some("deleted"), numBuckets = 8))
+    val absentKey =
+      (2L to 200L).find(k => bucketOf(k, 8) != bucketOf(1L, 8)).get
+    val miss = C.lookup(spark, root2, Seq(absentKey)).get
+    assert(miss.inputFiles.isEmpty,
+      "absent-bucket lookup touched the filesystem")
+    assert(miss.count() == 0L)
+    // the empty frame still declares the snapshot's visible shape
+    assert(miss.columns.toSeq == Seq("k", "version", "v"))
   }
 
   test("readChangesStream: a file stream tails the changelog — events " +
@@ -1107,6 +1149,56 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(liveOf(mir) == liveOf(src))
   }
 
+  test("mirror time travel is deterministic under a caller-supplied " +
+    "commit clock") {
+    import spark.implicits._
+    val C = graft.streaming.CdcApply
+    val src = java.nio.file.Files
+      .createTempDirectory("cdc_mirts_src").toFile.getAbsolutePath
+    val mir = java.nio.file.Files
+      .createTempDirectory("cdc_mirts_mir").toFile.getAbsolutePath
+    def apply(rows: Seq[(Long, Long, String, Boolean)], id: Long,
+        ts: Long) =
+      C.applyBatch(rows.toDF("k", "version", "v", "deleted"), id, src,
+        Seq("k"), "version", Some("deleted"), numBuckets = 2,
+        commitTs = Some(ts))
+    assert(apply(Seq((1L, 1L, "a", false), (2L, 1L, "b", false)),
+      0L, 1000L))
+    assert(C.syncMirror(spark, src, mir, numBuckets = 2,
+      commitTs = Some(1100L)))
+    assert(apply(Seq((2L, 2L, "b2", false)), 1L, 2000L))
+    assert(C.syncMirror(spark, src, mir, numBuckets = 2,
+      commitTs = Some(2100L)))
+    def stateAsOf(ts: Long): Option[Map[Long, String]] =
+      C.readSnapshotAsOf(spark, mir, ts).map(_.select("k", "v")
+        .as[(Long, String)].collect().toMap)
+    // before the first mirror commit there is no mirror state
+    assert(stateAsOf(1000L).isEmpty)
+    // t=1500 resolves to the seed sync's logical instant (1100)
+    assert(stateAsOf(1500L).contains(Map(1L -> "a", 2L -> "b")))
+    assert(stateAsOf(2100L).contains(Map(1L -> "a", 2L -> "b2")))
+    // the carried-forward commit of an empty-source FIRST sync stamps
+    // the logical clock too (the None-manifest branch)
+    val esrc = java.nio.file.Files
+      .createTempDirectory("cdc_mirts_esrc").toFile.getAbsolutePath
+    val emir = java.nio.file.Files
+      .createTempDirectory("cdc_mirts_emir").toFile.getAbsolutePath
+    assert(C.applyBatch(
+      Seq((1L, 1L, "a", false)).toDF("k", "version", "v", "deleted"),
+      0L, esrc, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+      tombstoneRetention = 0, commitTs = Some(1000L)))
+    assert(C.applyBatch(
+      Seq((1L, 2L, "", true)).toDF("k", "version", "v", "deleted"),
+      1L, esrc, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+      tombstoneRetention = 0, commitTs = Some(2000L)))
+    assert(C.readSnapshot(spark, esrc).isEmpty)
+    assert(C.syncMirror(spark, esrc, emir, commitTs = Some(3000L)))
+    val hist = C.history(spark, emir).collect()
+    assert(hist.map(r => (r.getAs[Long]("batch_id"),
+      r.getAs[Long]("commit_ts"))).toSeq == Seq(1L -> 3000L),
+      hist.toSeq.toString)
+  }
+
   test("startMirror: the mirror follows the merging source across " +
     "ticks, idle ticks no-op") {
     import spark.implicits._
@@ -1124,11 +1216,17 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(apply((1L to 10L).map(k => (k, 1L, s"v$k", false)), 0L))
 
     val ticks = MemoryStream[Long](spark)
+    // deterministic logical clock for the mirror's commit timestamps
+    val tickTs = new java.util.concurrent.atomic.AtomicLong(5000L)
     val q = C.startMirror(spark, src, mir, numBuckets = 2,
-      ticker = Some(ticks.toDF()))
+      ticker = Some(ticks.toDF()),
+      clock = Some(() => tickTs.getAndAdd(1000L)))
     try {
       ticks.addData(1L); q.processAllAvailable()
       assert(liveOf(mir) == liveOf(src), "seed tick did not sync")
+      // the seed commit carries the injected clock, not wall time
+      assert(C.history(spark, mir).collect()
+        .map(_.getAs[Long]("commit_ts")).toSeq == Seq(5000L))
       // idle tick: watermark already at head, nothing rewritten
       val head = C.currentManifestName(spark, mir)
       ticks.addData(2L); q.processAllAvailable()
