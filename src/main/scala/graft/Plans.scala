@@ -119,7 +119,13 @@ object Plans {
       "(partition, lang) rank prunes to 50 rows per language per " +
       "partition BEFORE the lang-partitioned global rank, so no " +
       "language ever funnels the full corpus through one reducer — " +
-      "the five-language window sees at most 50 x partitions rows."))
+      "the five-language window sees at most 50 x partitions rows."),
+    "q_lookup" -> ("Point lookups: each branch of the union scans AT " +
+      "MOST one bucket directory (the key's bucket, recomputed from " +
+      "typed literals via the writer's own hash — snapshot/numBuckets " +
+      "bytes per GET); a key whose bucket is absent from the manifest " +
+      "contributes a zero-file-source LocalTableScan/EmptyRelation, " +
+      "never a directory listing."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
