@@ -125,7 +125,18 @@ object Plans {
       "typed literals via the writer's own hash — snapshot/numBuckets " +
       "bytes per GET); a key whose bucket is absent from the manifest " +
       "contributes a zero-file-source LocalTableScan/EmptyRelation, " +
-      "never a directory listing."))
+      "never a directory listing."),
+    "q_cdc_rollup" -> ("Materialized-aggregate serve: the scan reads " +
+      "ONLY the rollup table's partial rows (buckets × groups — " +
+      "megabytes against a 100 TB source; no source-table path " +
+      "appears anywhere in the plan), then one thin two-phase " +
+      "combine re-aggregates partials by group. The expensive half — " +
+      "recomputing touched source buckets — happened at SYNC time, " +
+      "O(changed data), not at query time."),
+    "q_cdc_chain" -> ("Second replication hop read-back: the chain " +
+      "mirror is ordinary bucketed parquet like any CDC snapshot — " +
+      "multi-path scan + two-phase aggregate, no reference to the " +
+      "first mirror or the original source in the plan."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",

@@ -74,9 +74,12 @@ object TierC {
     * provably the SAME logical table as `cdcQueryRoot` and reuse the
     * q_cdc_merge net-state oracle.
     */
-  private def applySupplierCdc(s: SparkSession, d: String,
-      root: String): Unit = {
-    import graft.streaming.CdcApply
+  /** The two batches of [[applySupplierCdc]], exposed so the rollup
+    * artifact can INTERLEAVE them with its syncs (apply → sync →
+    * apply → sync) and genuinely exercise the trickle path.
+    */
+  private def supplierCdcBatches(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val sup = Tables.supplier(s, d)
     val b0 = sup.withColumn("version", lit(1L))
       .withColumn("deleted", lit(false))
@@ -87,12 +90,19 @@ object TierC {
     val deletes = sup.filter(col("s_suppkey") % 7 === 0)
       .withColumn("version", lit(3L))
       .withColumn("deleted", lit(true))
+    (b0, updates.unionByName(deletes))
+  }
+
+  private def applySupplierCdc(s: SparkSession, d: String,
+      root: String): Unit = {
+    import graft.streaming.CdcApply
+    val (b0, b1) = supplierCdcBatches(s, d)
     // logical commit timestamps (1000, 2000) rather than wall clock:
     // q_cdc_asof resolves "as of t=1500" to batch 0 deterministically,
     // so the artifact's answer is a pure function of the input dataset
     CdcApply.applyBatch(b0, 0L, root, Seq("s_suppkey"), "version",
       Some("deleted"), commitTs = Some(1000L))
-    CdcApply.applyBatch(updates.unionByName(deletes), 1L, root,
+    CdcApply.applyBatch(b1, 1L, root,
       Seq("s_suppkey"), "version", Some("deleted"),
       commitTs = Some(2000L))
   }
@@ -163,6 +173,61 @@ object TierC {
     synchronized {
       val root = supplierCdcRoot(s, d, "cdc_rebucket_q")
       graft.streaming.CdcApply.rebucket(s, root, 5)
+      root
+    }
+
+  /** The aggregate list behind `q_cdc_rollup` — dsum so the partial-
+    * then-combine total is decimal-exact (FP order never bleeds into
+    * the hash), max to exercise a non-decremental aggregate that only
+    * stays exact because the sync RECOMPUTES touched buckets.
+    */
+  private def rollupAggs = Seq(
+    graft.streaming.Rollup.Agg("cnt", "count"),
+    graft.streaming.Rollup.Agg("total_bal", "dsum", "s_acctbal"),
+    graft.streaming.Rollup.Agg("max_bal", "max", "s_acctbal"))
+
+  /** Rollup root for `q_cdc_rollup`: the supplier change stream applied
+    * INTERLEAVED with rollup syncs (batch 0 → sync → batch 1 → sync),
+    * so the artifact's second sync is a genuine trickle refresh — only
+    * the buckets batch 1 rewrote are recomputed, every other partial
+    * is carried forward by the rollup table's own manifest. Idempotent
+    * like every CDC artifact: replay guards no-op the re-applies and
+    * re-syncs on rebuild.
+    */
+  private def cdcRollupRoot(s: SparkSession, d: String): String =
+    synchronized {
+      import graft.streaming.{CdcApply, Rollup}
+      val key = graft.sources.Artifacts.datasetKey(d,
+        s"$d/supplier.parquet") + s"_$CdcRecipeRev"
+      val src = new java.io.File(
+        s"target/graft-data/cdc_rollup_src/$key").getAbsolutePath
+      val roll = new java.io.File(
+        s"target/graft-data/cdc_rollup_q/$key").getAbsolutePath
+      val (b0, b1) = supplierCdcBatches(s, d)
+      CdcApply.applyBatch(b0, 0L, src, Seq("s_suppkey"), "version",
+        Some("deleted"), commitTs = Some(1000L))
+      Rollup.syncRollup(s, src, roll, Seq("s_nationkey"), rollupAggs,
+        numBuckets = 4, commitTs = Some(1100L))
+      CdcApply.applyBatch(b1, 1L, src, Seq("s_suppkey"), "version",
+        Some("deleted"), commitTs = Some(2000L))
+      Rollup.syncRollup(s, src, roll, Seq("s_nationkey"), rollupAggs,
+        numBuckets = 4, commitTs = Some(2100L))
+      roll
+    }
+
+  /** Chain root for `q_cdc_chain`: a mirror OF THE MIRROR — the
+    * replication-chain claim made concrete. The chain syncs from
+    * [[cdcMirrorRoot]]'s own change feed (the mirror is a full CDC
+    * table), so the second hop exercises stamps written by a sync, not
+    * by an original apply.
+    */
+  private def cdcChainRoot(s: SparkSession, d: String): String =
+    synchronized {
+      val mir = cdcMirrorRoot(s, d)
+      val root = new java.io.File("target/graft-data/cdc_chain_q/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet") +
+        s"_$CdcRecipeRev").getAbsolutePath
+      graft.streaming.CdcApply.syncMirror(s, mir, root, numBuckets = 4)
       root
     }
 
@@ -1031,6 +1096,45 @@ object TierC {
         .orderBy(col("s_nationkey"))
     }),
 
+    // C8j — INCREMENTAL MATERIALIZED AGGREGATE under the hash gate:
+    // the rollup table holds one partial-aggregate row per (source
+    // bucket, nation), maintained by two syncs interleaved with the
+    // two source batches — the second sync recomputed ONLY the buckets
+    // batch 1 rewrote, every other partial carried forward by the
+    // rollup's manifest. The query re-aggregates the partials; the
+    // oracle computes the same aggregate directly from the net state,
+    // so a stale carried partial, an undeleted vanished group, or a
+    // wrong partial-combine hash-mismatches. `wm` witnesses the rollup
+    // watermark reached the source head. max_bal exercises an
+    // aggregate that is only exact under deletes BECAUSE touched
+    // buckets recompute (no decrement exists for max).
+    "q_cdc_rollup" -> ((s, d) => {
+      val roll = cdcRollupRoot(s, d)
+      val wm = graft.streaming.CdcApply.currentVersion(s, roll).get
+      graft.streaming.Rollup
+        .readRollup(s, roll, Seq("s_nationkey"), rollupAggs).get
+        .withColumn("total_bal", col("total_bal").cast("double"))
+        .withColumn("wm", lit(wm))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // C8k — REPLICATION CHAIN under the hash gate: a mirror of the
+    // mirror, synced from the first mirror's OWN change feed (stamps
+    // written by a sync, not an original apply) — the "the mirror is a
+    // full CDC table" claim as a checked result rather than prose.
+    // Same net-state oracle as q_cdc_merge; `wm` witnesses the chain
+    // watermark reached the head through both hops.
+    "q_cdc_chain" -> ((s, d) => {
+      val root = cdcChainRoot(s, d)
+      val wm = graft.streaming.CdcApply.currentVersion(s, root).get
+      graft.streaming.CdcApply.readSnapshot(s, root).get
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("s_acctbal")).as("total_bal"))
+        .withColumn("wm", lit(wm))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // C8i — POINT LOOKUP under the hash gate: primary-key GETs against
     // the merged snapshot — an untouched key (1, version 1), an
     // updated key (5: +100 at version 2), a tombstoned key (7: reads
@@ -1487,6 +1591,27 @@ object TierC {
         "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
         "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal, " +
         "CAST(5 AS BIGINT) AS n_buckets " +
+        "FROM supplier WHERE s_suppkey % 7 <> 0 " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // the materialized rollup must equal the direct aggregate over the
+    // net state (updates applied, deleted keys absent), watermark at
+    // the source head (1)
+    "q_cdc_rollup" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal, " +
+        "MAX(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END) AS max_bal, " +
+        "CAST(1 AS BIGINT) AS wm " +
+        "FROM supplier WHERE s_suppkey % 7 <> 0 " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // two replication hops land on the same net state, chain watermark
+    // at the source head (1)
+    "q_cdc_chain" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal, " +
+        "CAST(1 AS BIGINT) AS wm " +
         "FROM supplier WHERE s_suppkey % 7 <> 0 " +
         "GROUP BY s_nationkey ORDER BY s_nationkey"),
     // point lookups of keys 1 (untouched), 5 (updated +100, version

@@ -131,7 +131,7 @@ object CdcApply {
     * manifest header so later applies, readers, and maintenance agree on
     * the layout without re-supplying it correctly.
     */
-  private final case class TableConf(numBuckets: Int, keys: Seq[String],
+  private[streaming] final case class TableConf(numBuckets: Int, keys: Seq[String],
       versionCol: String, deletedCol: Option[String], retention: Int)
 
   /** One bucket's manifest entry: its current data directory (relative
@@ -144,7 +144,7 @@ object CdcApply {
     * [[buckets]] can answer "is any bucket over N GB → rebucket" from
     * the manifest alone; None on entries written by pre-v6 manifests.
     */
-  private final case class BucketEntry(rel: String, minTs: Option[Long],
+  private[streaming] final case class BucketEntry(rel: String, minTs: Option[Long],
       bytes: Option[Long] = None, rows: Option[Long] = None)
 
   /** `schema` is the STORED row schema (user columns + `TsBatchCol` +
@@ -165,7 +165,7 @@ object CdcApply {
     * as of 14:00" must resolve identically before and after an expiry
     * rewrite. None only on manifests written before the field existed.
     */
-  private final case class Manifest(conf: TableConf,
+  private[streaming] final case class Manifest(conf: TableConf,
       buckets: Map[Int, BucketEntry],
       schema: Option[org.apache.spark.sql.types.StructType],
       ts: Option[Long]) {
@@ -277,7 +277,7 @@ object CdcApply {
     parseManifest(readSmallFile(fsFor(spark, root),
       new Path(root, s"manifests/$name")))
 
-  private def currentManifest(spark: SparkSession,
+  private[streaming] def currentManifest(spark: SparkSession,
       root: String): Option[Manifest] =
     currentManifestName(spark, root).map(readManifest(spark, root, _))
 
@@ -285,7 +285,7 @@ object CdcApply {
     * every row of one key lands in one bucket forever and a batch's
     * touched-bucket set is exactly the buckets its keys live in.
     */
-  private def bucketCol(keys: Seq[String], numBuckets: Int): Column =
+  private[streaming] def bucketCol(keys: Seq[String], numBuckets: Int): Column =
     pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int")
 
   /** Raw stored rows of the given bucket paths — tombstones and internal
@@ -294,7 +294,7 @@ object CdcApply {
     * yield NULL for the columns they lack; without one (pre-v4
     * manifests) the read footer-merges so no column silently vanishes.
     */
-  private def readRaw(spark: SparkSession, paths: Seq[String],
+  private[streaming] def readRaw(spark: SparkSession, paths: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
     schema.fold(spark.read.option("mergeSchema", "true"))(
       spark.read.schema(_)).parquet(paths: _*)
@@ -1174,7 +1174,7 @@ object CdcApply {
     * incomplete snapshot). The dot-prefixed temp name keeps the
     * in-flight file out of those listings.
     */
-  private def commitManifest(spark: SparkSession, root: String,
+  private[streaming] def commitManifest(spark: SparkSession, root: String,
       name: String, m: Manifest, batchId: Long,
       overwrite: Boolean = true): Unit = {
     val fs = fsFor(spark, root)
@@ -1339,9 +1339,15 @@ object CdcApply {
       batch.schema.fields.filterNot(_.name == BucketCol))
     val priorStored: Option[StructType] = existing.map(m =>
       m.schema.getOrElse {
+        // zero-live-bucket manifest without a schema line (the
+        // carried-forward watermark commits of syncMirror/syncRollup
+        // over an empty source): there are no files to recover a
+        // schema from and no stored rows to clash with — the batch's
+        // own schema seeds the table
+        if (m.buckets.isEmpty) StructType(Seq.empty)
         // pre-v4 manifest: recover the stored schema from file footers
         // once; the commit below persists it so this never repeats
-        StructType(readRaw(spark, m.dataPaths(root), None)
+        else StructType(readRaw(spark, m.dataPaths(root), None)
           .schema.fields.filterNot(_.name == BucketCol))
       })
     priorStored.foreach { prior =>
