@@ -173,13 +173,13 @@ object CdcApply {
       buckets.valuesIterator.map(e => s"$root/data/${e.rel}").toSeq.sorted
   }
 
-  private def fsFor(spark: SparkSession, root: String): FileSystem =
+  private[streaming] def fsFor(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Open ONCE and read to EOF: a stat-then-read pair could tear across
     * a concurrent pointer flip (old length, new content).
     */
-  private def readSmallFile(fs: FileSystem, p: Path): String = {
+  private[streaming] def readSmallFile(fs: FileSystem, p: Path): String = {
     val out = new java.io.ByteArrayOutputStream()
     val in = fs.open(p)
     try {
@@ -190,7 +190,7 @@ object CdcApply {
     out.toString(StandardCharsets.UTF_8.name)
   }
 
-  private def writeSmallFile(fs: FileSystem, p: Path, s: String): Unit = {
+  private[streaming] def writeSmallFile(fs: FileSystem, p: Path, s: String): Unit = {
     val out = fs.create(p, true)
     try out.write(s.getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -280,6 +280,37 @@ object CdcApply {
   private[streaming] def currentManifest(spark: SparkSession,
       root: String): Option[Manifest] =
     currentManifestName(spark, root).map(readManifest(spark, root, _))
+
+  /** CURRENT manifest together with the batch id its NAME carries —
+    * ONE pointer read, so a caller needing (manifest, version) as an
+    * atomic pair (Rollup's touched-bucket pruning stamps its watermark
+    * with the version) cannot tear across a concurrent commit: a
+    * separate `currentVersion` re-read could return a NEWER batch than
+    * the manifest in hand, and pruning against stale directory tags
+    * while advancing to the newer watermark would skip that batch's
+    * rewrites forever. Manifest files are immutable, so name → file is
+    * safe.
+    */
+  private[streaming] def currentManifestAndVersion(spark: SparkSession,
+      root: String): Option[(Manifest, Long)] =
+    currentManifestName(spark, root).map(n =>
+      (readManifest(spark, root, n), parseManifestName(n)._1))
+
+  /** Batch id carried by a data-directory tag (`v<batch>` or a
+    * maintenance generation's `v<batch>g<gen><op>`) — the single
+    * parser behind change-feed pruning, vacuum's in-flight guard, and
+    * the rollup's touched-bucket detection.
+    */
+  private[streaming] def dirTagBatch(tag: String): Long =
+    tag.stripPrefix("v").takeWhile(_.isDigit).toLong
+
+  /** Default tombstone retention (batches) — shared so the seeded
+    * empty-table manifests syncMirror/syncRollup commit agree with the
+    * conf a later data-bearing [[applyBatch]] derives from ITS default
+    * (a mismatch would trip the config gate with a value the caller
+    * never chose).
+    */
+  private[streaming] val DefaultTombstoneRetention = 100
 
   /** Key-derived bucket column: deterministic from the key columns, so
     * every row of one key lands in one bucket forever and a batch's
@@ -527,8 +558,7 @@ object CdcApply {
     */
   def changesSince(spark: SparkSession, root: String,
       sinceBatch: Long): Option[DataFrame] = {
-    def relBatch(rel: String): Long =
-      rel.stripPrefix("v").takeWhile(_.isDigit).toLong
+    def relBatch(rel: String): Long = dirTagBatch(rel)
     // the feed's declared shape with no rows — built from the manifest
     // schema with ZERO filesystem access: the caught-up steady-state
     // poll ("no changes") on a thousand-bucket table must not pay an
@@ -637,8 +667,7 @@ object CdcApply {
     // version dirs, so sweep at bucket-dir granularity. Dirs tagged with
     // a batch id BEYOND the current watermark belong to an apply that is
     // mid-write (its manifest is not committed yet) — never touch them
-    def dirBatch(tag: String): Long =
-      tag.stripPrefix("v").takeWhile(_.isDigit).toLong
+    def dirBatch(tag: String): Long = dirTagBatch(tag)
     val ddir = new Path(root, "data")
     val doomedData =
       if (!fs.exists(ddir)) Seq.empty[String]
@@ -1230,7 +1259,7 @@ object CdcApply {
   def applyBatch(rawBatch: DataFrame, batchId: Long, root: String,
       keys: Seq[String], versionCol: String,
       deletedCol: Option[String], numBuckets: Int = 16,
-      tombstoneRetention: Int = 100,
+      tombstoneRetention: Int = DefaultTombstoneRetention,
       commitTs: Option[Long] = None,
       changelog: Boolean = false): Boolean = {
     require(numBuckets >= 1, "numBuckets must be >= 1")
@@ -1465,7 +1494,7 @@ object CdcApply {
   def start(updates: DataFrame, root: String, keys: Seq[String],
       versionCol: String, deletedCol: Option[String] = None,
       queryName: String = "cdc_apply", numBuckets: Int = 16,
-      tombstoneRetention: Int = 100,
+      tombstoneRetention: Int = DefaultTombstoneRetention,
       changelog: Boolean = false): StreamingQuery =
     updates.writeStream
       .queryName(queryName)

@@ -96,12 +96,44 @@ object Rollup {
     case "max"                    => max(col(a.out))
   }).as(a.out)
 
+  /** The persisted sync-spec sentinel: `groupCols` and `aggs` must be
+    * passed identically on every sync and read of one rollup, and the
+    * underlying CDC schema gate cannot see every drift (it refuses
+    * changed group KEYS and same-name TYPE clashes, but an added agg
+    * would be welcomed as additive evolution with NULL partials on
+    * untouched buckets, and a same-typed fn swap — sum→max on a
+    * double — would silently miscombine). So the first sync writes the
+    * spec next to the table and every later sync or read REFUSES
+    * loudly on mismatch. Tables created before the sentinel existed
+    * are read leniently.
+    */
+  private def specString(groupCols: Seq[String], aggs: Seq[Agg]): String =
+    "groups=" + groupCols.mkString(",") + " aggs=" +
+      aggs.map(a => s"${a.out}:${a.fn}:${a.src}").mkString(",")
+
+  private def checkOrWriteSpec(spark: SparkSession, rollupRoot: String,
+      groupCols: Seq[String], aggs: Seq[Agg], write: Boolean): Unit = {
+    val fs = CdcApply.fsFor(spark, rollupRoot)
+    val p = new org.apache.hadoop.fs.Path(rollupRoot, "ROLLUP_SPEC")
+    val want = specString(groupCols, aggs)
+    if (fs.exists(p)) {
+      val have = CdcApply.readSmallFile(fs, p).trim
+      if (have != want)
+        throw new IllegalStateException(
+          s"rollup spec mismatch: table at $rollupRoot was built with " +
+            s"[$have], caller passed [$want] — group columns and " +
+            "aggregates are fixed at first sync (a drifted list would " +
+            "silently serve wrong aggregates); build a new rollup root " +
+            "for a new spec")
+    } else if (write) CdcApply.writeSmallFile(fs, p, want)
+  }
+
   /** Bring the rollup at `rollupRoot` up to the source head. Returns
     * true when the rollup advanced (including a carried-forward
     * watermark commit when nothing it covers changed). `groupCols` and
-    * `aggs` must be passed identically on every sync of one rollup —
-    * the key columns are fixed at first apply by the underlying CDC
-    * table and a drifted agg list is refused by its schema gate.
+    * `aggs` are fixed at first sync: the persisted spec sentinel (and,
+    * independently, the CDC key/type gates) refuse a drifted call
+    * loudly instead of serving silently wrong aggregates.
     */
   def syncRollup(spark: SparkSession, root: String, rollupRoot: String,
       groupCols: Seq[String], aggs: Seq[Agg], numBuckets: Int = 16,
@@ -114,10 +146,15 @@ object Rollup {
       s"reserved rollup column names in use: ${clashes.mkString(",")}")
     require(aggs.map(_.out).distinct.size == aggs.size,
       "duplicate aggregate output names")
-    CdcApply.currentManifest(spark, root) match {
+    checkOrWriteSpec(spark, rollupRoot, groupCols, aggs, write = true)
+    // ONE pointer read for (manifest, head version): a separate
+    // currentVersion re-read could see a batch newer than the manifest
+    // in hand (concurrent apply), and pruning against the stale tags
+    // while stamping the newer watermark would skip that batch's
+    // rewrites on every later sync
+    CdcApply.currentManifestAndVersion(spark, root) match {
       case None => false
-      case Some(src) =>
-        val cur = CdcApply.currentVersion(spark, root).get
+      case Some((src, cur)) =>
         val wm = CdcApply.currentVersion(spark, rollupRoot)
           .getOrElse(-1L)
         if (wm >= cur) false
@@ -125,8 +162,7 @@ object Rollup {
           val nb = src.conf.numBuckets
           val keys = SrcBucketCol +: groupCols
           val ts = commitTs.getOrElse(System.currentTimeMillis())
-          def relBatch(rel: String): Long =
-            rel.stripPrefix("v").takeWhile(_.isDigit).toLong
+          def relBatch(rel: String): Long = CdcApply.dirTagBatch(rel)
           val prior = CdcApply.readSnapshot(spark, rollupRoot)
           // one small driver hop over the PARTIALS (buckets × groups
           // rows, never source data): the recorded layout epoch and
@@ -204,7 +240,8 @@ object Rollup {
                 CdcApply.commitManifest(spark, rollupRoot, s"v$cur.0",
                   CdcApply.Manifest(
                     CdcApply.TableConf(numBuckets, keys, VersionCol,
-                      Some(DeletedCol), 100),
+                      Some(DeletedCol),
+                      CdcApply.DefaultTombstoneRetention),
                     Map.empty, None, Some(ts)), cur)
             }
           }
@@ -216,13 +253,19 @@ object Rollup {
   /** Serve the materialized aggregate: re-aggregate the stored
     * partials by the group columns — sums of sums/counts, min of mins,
     * max of maxes. O(buckets × groups) input rows regardless of source
-    * size. None before the first sync (or when every group is gone).
+    * size. None before the first sync; a rollup whose every group was
+    * tombstoned serves Some(empty frame) — the table exists, it is
+    * just empty, matching snapshot-read semantics. Refuses a
+    * `groupCols`/`aggs` list that differs from the persisted sync spec
+    * (a drifted combine would be silently wrong).
     */
   def readRollup(spark: SparkSession, rollupRoot: String,
-      groupCols: Seq[String], aggs: Seq[Agg]): Option[DataFrame] =
+      groupCols: Seq[String], aggs: Seq[Agg]): Option[DataFrame] = {
+    checkOrWriteSpec(spark, rollupRoot, groupCols, aggs, write = false)
     CdcApply.readSnapshot(spark, rollupRoot).map(
       _.groupBy(groupCols.map(col): _*)
         .agg(combine(aggs.head), aggs.tail.map(combine): _*))
+  }
 
   /** Continuous refresh: [[syncRollup]] on every trigger — the
     * materialized view follows the merging source a few seconds

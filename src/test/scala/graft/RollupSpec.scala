@@ -174,6 +174,34 @@ class RollupSpec extends AnyFunSuite with SparkTestBase {
     assert(served(roll2)("z") == ((1L, 70L, 70L)))
   }
 
+  test("spec drift is refused loudly: an added aggregate or a swapped " +
+    "fn cannot silently miscombine") {
+    val src = tmp("rollup_spec_src")
+    val roll = tmp("rollup_spec_dst")
+    assert(applySrc(src, Seq((1L, 1L, "a", 10L, false)), 0L))
+    assert(R.syncRollup(spark, src, roll, Seq("g"), aggs))
+    // added aggregate: the CDC schema gate would welcome it as
+    // additive evolution (NULL partials on untouched buckets — a
+    // silent undercount); the spec sentinel refuses instead
+    assert(applySrc(src, Seq((2L, 1L, "a", 20L, false)), 1L))
+    val widened = aggs :+ R.Agg("lo", "min", "amount")
+    val e1 = intercept[IllegalStateException] {
+      R.syncRollup(spark, src, roll, Seq("g"), widened)
+    }
+    assert(e1.getMessage.contains("rollup spec mismatch"), e1.getMessage)
+    // same-typed fn swap (sum → max): types match, so only the
+    // sentinel can catch it — at read time too
+    val swapped = Seq(R.Agg("cnt", "count"),
+      R.Agg("total", "max", "amount"), R.Agg("hi", "max", "amount"))
+    val e2 = intercept[IllegalStateException] {
+      R.readRollup(spark, roll, Seq("g"), swapped)
+    }
+    assert(e2.getMessage.contains("rollup spec mismatch"), e2.getMessage)
+    // the faithful caller still syncs and serves
+    assert(R.syncRollup(spark, src, roll, Seq("g"), aggs))
+    assert(served(roll) == direct(src))
+  }
+
   test("governance composes with the rollup: a location-registered " +
     "rollup serves only the principal's groups") {
     import graft.governance._
