@@ -68,13 +68,9 @@ object TierC {
   private def cdcQueryRoot(s: SparkSession, d: String): String =
     synchronized { supplierCdcRoot(s, d, "cdc_merge_q") }
 
-  /** The deterministic supplier change stream behind every declared CDC
-    * query: full insert load (batch 0), then updates + delete-wins
-    * (batch 1). Shared so the governed / rebucketed snapshot roots are
-    * provably the SAME logical table as `cdcQueryRoot` and reuse the
-    * q_cdc_merge net-state oracle.
-    */
-  /** The two batches of [[applySupplierCdc]], exposed so the rollup
+  /** The two batches of the deterministic supplier change stream:
+    * full insert load (batch 0), then updates + delete-wins (batch 1).
+    * Exposed separately from [[applySupplierCdc]] so the rollup
     * artifact can INTERLEAVE them with its syncs (apply → sync →
     * apply → sync) and genuinely exercise the trickle path.
     */
@@ -93,6 +89,11 @@ object TierC {
     (b0, updates.unionByName(deletes))
   }
 
+  /** Apply the deterministic supplier change stream behind every
+    * declared CDC query. Shared so the governed / rebucketed snapshot
+    * roots are provably the SAME logical table as `cdcQueryRoot` and
+    * reuse the q_cdc_merge net-state oracle.
+    */
   private def applySupplierCdc(s: SparkSession, d: String,
       root: String): Unit = {
     import graft.streaming.CdcApply

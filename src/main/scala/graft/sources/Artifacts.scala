@@ -27,8 +27,15 @@ object Artifacts {
     val desc = paths.flatMap(p => walk(new java.io.File(p)))
       .map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
       .mkString("|")
-    val h = scala.util.hashing.MurmurHash3.stringHash(desc)
-    java.lang.Integer.toHexString(h)
+    // SHA-256 truncated to 64 bits, same rationale as the packBins
+    // staging key: a 32-bit key makes silently serving a STALE cached
+    // artifact (after a dataset regeneration that collides) merely
+    // unlikely; 64 cryptographic bits make it implausible. Changing
+    // the key format invalidates every cached artifact once — a
+    // rebuild, never a wrong answer.
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(desc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
   }
 
   /** Sanitized cache key for a dataset dir + its fingerprint. */

@@ -312,6 +312,32 @@ object CdcApply {
     */
   private[streaming] val DefaultTombstoneRetention = 100
 
+  /** Restrict a ZERO-FILESYSTEM constructed frame's schema to the
+    * columns the current principal may see when `root` is a governed
+    * location. The plan-time governance rule fires on FILE SCANS, so a
+    * frame built purely from manifest metadata (the change feed's
+    * caught-up empty result, the point lookup's absent-bucket result)
+    * must apply the column allowlist itself — otherwise it leaks
+    * ungranted column NAMES and returns a shape inconsistent with the
+    * governed scan branches it unions with (an empty-vs-hit lookup
+    * union would throw on mismatched schemas). The one deliberate
+    * piece of governance wiring in this file; every data-bearing path
+    * stays zero-wiring through the injected rule.
+    */
+  private def governedVisible(spark: SparkSession, root: String,
+      fields: Seq[org.apache.spark.sql.types.StructField])
+      : Seq[org.apache.spark.sql.types.StructField] =
+    graft.governance.GovernanceCatalog.tableForLocation(root) match {
+      case None => fields
+      case Some((db, table)) =>
+        val p = graft.governance.Principal.fromName(spark.conf.get(
+          graft.governance.GovernanceRule.PrincipalConf,
+          graft.governance.Anonymous.name))
+        val vis = graft.governance.GovernanceCatalog
+          .visibleColumns(p, db, table, fields.map(_.name))
+        fields.filter(f => vis.contains(f.name))
+    }
+
   /** Key-derived bucket column: deterministic from the key columns, so
     * every row of one key lands in one bucket forever and a batch's
     * touched-bucket set is exactly the buckets its keys live in.
@@ -565,8 +591,20 @@ object CdcApply {
     // O(buckets) directory listing just to say so
     def emptyFeed(stored: org.apache.spark.sql.types.StructType)
         : DataFrame = {
-      val fields = stored.fields
-        .filterNot(_.name == TsBatchCol)
+      // the column allowlist applies under the STORED names, exactly
+      // as it would on a real scan — a metadata-only empty frame must
+      // not leak ungranted column names; and a stamp-stripping
+      // allowlist refuses HERE too, so a governed consumer sees the
+      // same loud failure whether it polls caught-up or behind
+      val visible = governedVisible(spark, root,
+        stored.fields.toSeq.filterNot(_.name == TsBatchCol))
+      if (stored.fieldNames.contains(AppliedBatchCol) &&
+          !visible.exists(_.name == AppliedBatchCol))
+        throw new IllegalStateException(
+          "change feed lost its batch stamp — on a governed root " +
+            "the principal's column allowlist must include " +
+            AppliedBatchCol)
+      val fields = visible
         .map(f => if (f.name == AppliedBatchCol)
           f.copy(name = ChangeBatchCol) else f) :+
         org.apache.spark.sql.types.StructField(ChangeBatchCol,
@@ -886,10 +924,14 @@ object CdcApply {
               // visible shape with zero rows, built from the manifest
               // schema with ZERO filesystem access — an absent-bucket
               // GET must not pay a directory listing just to say "not
-              // found" (same pattern as changesSince's emptyFeed)
-              val visible = schema.fields.filterNot(f =>
-                f.name == TsBatchCol || f.name == AppliedBatchCol ||
-                  conf.deletedCol.contains(f.name))
+              // found" (same pattern as changesSince's emptyFeed). On
+              // a governed root the column allowlist applies here too:
+              // same shape as a present-bucket read, no ungranted
+              // column names leaked
+              val visible = governedVisible(spark, root,
+                schema.fields.toSeq.filterNot(f =>
+                  f.name == TsBatchCol || f.name == AppliedBatchCol ||
+                    conf.deletedCol.contains(f.name)))
               spark.createDataFrame(
                 spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                 org.apache.spark.sql.types.StructType(visible))

@@ -236,7 +236,11 @@ class CdcApplyPropSpec extends AnyFunSuite with SparkTestBase {
             if (id % syncEvery == 0 || id == chunks.size - 1) {
               try C.syncMirror(spark, root, mroot, numBuckets = 4)
               catch {
-                case _: IllegalStateException =>
+                // ONLY the documented retention refusal may trigger a
+                // reseed — any other IllegalStateException must fail
+                // the property, not be silently converted into a pass
+                case e: IllegalStateException
+                    if e.getMessage.contains("re-seed") =>
                   C.reseedMirror(spark, root, mroot, numBuckets = 4)
               }
             }

@@ -129,6 +129,15 @@ class CdcGovernanceSpec extends AnyFunSuite with SparkTestBase {
       }
     }
     assert(e.getMessage.contains(CdcApply.AppliedBatchCol))
+    // the CAUGHT-UP poll (zero-filesystem empty feed) refuses
+    // identically — a governed consumer must see the same loud
+    // failure whether it polls behind or at the head
+    val eCaughtUp = intercept[IllegalStateException] {
+      Governance.withPrincipal(spark, Analyst) {
+        CdcApply.changesSince(spark, root, 1L)
+      }
+    }
+    assert(eCaughtUp.getMessage.contains(CdcApply.AppliedBatchCol))
     // grant including the stamp: the analyst's feed carries exactly the
     // APAC changes of batch 1 — the k=1 update AND the k=3 tombstone
     // (a sync consumer must see deletes), never the EMEA row
@@ -170,6 +179,29 @@ class CdcGovernanceSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(adm.map(_.getAs[Long]("k")).toSeq == Seq(2L))
     assert(adm.head.schema.fieldNames.contains("secret"))
+    // absent-BUCKET lookup: the zero-filesystem empty frame applies
+    // the SAME allowlist — no ungranted column names leak, and the
+    // shape stays union-compatible with a present-bucket hit
+    def bucketOf(k: Long): Int = {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+      Seq(k).toDF("k")
+        .select(pmod(xxhash64($"k"), lit(16L)).cast("int"))
+        .head().getInt(0)
+    }
+    val live = Seq(1L, 2L, 3L).map(bucketOf).toSet
+    val absentKey = (4L to 400L).find(k => !live.contains(bucketOf(k))).get
+    val absent = Governance.withPrincipal(spark, Analyst) {
+      CdcApply.lookup(spark, root, Seq(absentKey)).get
+    }
+    assert(absent.columns.toSeq == Seq("k", "version", "region", "amount"),
+      absent.columns.mkString(","))
+    assert(absent.count() == 0L)
+    // and the ungoverned default still serves the full visible shape
+    val absentAdmin = Governance.withPrincipal(spark, DataAdmin) {
+      CdcApply.lookup(spark, root, Seq(absentKey)).get
+    }
+    assert(absentAdmin.columns.contains("secret"))
     // timestamp-addressed feed: t=1500 resolves to batch 0, and under a
     // stamp-granted allowlist the analyst gets exactly the APAC changes
     // of batch 1 — the k=1 update and the k=3 tombstone, never EMEA

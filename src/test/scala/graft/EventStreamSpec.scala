@@ -886,8 +886,8 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("review regressions: reserved feed column, schema-less-manifest " +
-    "feed/lookup fallbacks, partial-stats rebucket refusal, empty-feed " +
-    "watermark advance") {
+    "feed/lookup fallbacks, partial-stats rebucket refusal, " +
+    "past-retention mirror refusal + reseed, empty-source seed") {
     import spark.implicits._
     val C = graft.streaming.CdcApply
     val root = java.nio.file.Files
