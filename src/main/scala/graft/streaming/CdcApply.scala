@@ -129,23 +129,54 @@ object CdcApply {
 
   /** Table configuration, fixed at first apply and carried in every
     * manifest header so later applies, readers, and maintenance agree on
-    * the layout without re-supplying it correctly.
+    * the layout without re-supplying it correctly. `maxDeltas` selects
+    * the write mode: 0 is copy-on-write (a batch rewrites every bucket
+    * it touches — today's default), N > 0 is MERGE-ON-READ (a batch
+    * appends one DELTA directory per touched bucket and readers resolve
+    * latest-wins across base + deltas; a bucket accumulating its N-th
+    * pending delta is merged inline, bounding every reader's merge
+    * width). Like `numBuckets` it is a LAYOUT knob, manifest-
+    * authoritative after first apply — it never changes merge
+    * semantics, only where the merge cost is paid: COW pays
+    * O(bucket) per touched bucket at WRITE time, MOR pays O(batch) at
+    * write time and a per-key resolution at READ time until
+    * compaction. A 100 TB table fed by trickle batches wants MOR: a
+    * 100-key batch under COW rewrites 100 × (snapshot/numBuckets)
+    * bytes for kilobytes of change.
     */
   private[streaming] final case class TableConf(numBuckets: Int, keys: Seq[String],
-      versionCol: String, deletedCol: Option[String], retention: Int)
+      versionCol: String, deletedCol: Option[String], retention: Int,
+      maxDeltas: Int = 0)
 
-  /** One bucket's manifest entry: its current data directory (relative
-    * to `root/data/`) plus the OLDEST tombstone batch id it holds, if
-    * any — manifest-level metadata that lets [[vacuum]] find buckets
-    * with expired tombstones without scanning a single data file (the
-    * same move table formats make with file-level stats in their
-    * manifests). `bytes` / `rows` are the bucket's on-disk size and
-    * stored row count (tombstones included), recorded at write time so
-    * [[buckets]] can answer "is any bucket over N GB → rebucket" from
-    * the manifest alone; None on entries written by pre-v6 manifests.
+  /** One bucket's manifest entry: its current BASE data directory
+    * (relative to `root/data/`) plus the OLDEST tombstone batch id it
+    * holds, if any — manifest-level metadata that lets [[vacuum]] find
+    * buckets with expired tombstones without scanning a single data
+    * file (the same move table formats make with file-level stats in
+    * their manifests). `bytes` / `rows` are the bucket's on-disk size
+    * and stored row count (tombstones included), recorded at write time
+    * so [[buckets]] can answer "is any bucket over N GB → rebucket"
+    * from the manifest alone; None on entries written by pre-v6
+    * manifests. `deltas` are the bucket's PENDING merge-on-read delta
+    * directories in apply order (empty on copy-on-write tables and
+    * freshly compacted buckets), each carrying the same write-time
+    * stats; readers of a delta-bearing bucket resolve latest-wins
+    * across `rel +: deltas`.
     */
   private[streaming] final case class BucketEntry(rel: String, minTs: Option[Long],
-      bytes: Option[Long] = None, rows: Option[Long] = None)
+      bytes: Option[Long] = None, rows: Option[Long] = None,
+      deltas: Seq[BucketEntry] = Seq.empty) {
+    /** Every live data directory of this bucket, base first. */
+    def allRels: Seq[String] = rel +: deltas.map(_.rel)
+    /** Oldest tombstone batch across base AND deltas — the vacuum
+      * dirty-set signal must see a tombstone wherever it physically
+      * sits.
+      */
+    def allMinTs: Option[Long] = {
+      val all = (minTs +: deltas.map(_.minTs)).flatten
+      if (all.isEmpty) None else Some(all.min)
+    }
+  }
 
   /** `schema` is the STORED row schema (user columns + `TsBatchCol` +
     * `AppliedBatchCol`, never `BucketCol` — that is the partition
@@ -169,8 +200,19 @@ object CdcApply {
       buckets: Map[Int, BucketEntry],
       schema: Option[org.apache.spark.sql.types.StructType],
       ts: Option[Long]) {
+    /** Every live data directory — bases AND pending deltas. Callers
+      * that read these paths raw must resolve latest-wins when
+      * [[hasDeltas]]; vacuum's live-set and the footer-recovery path
+      * want exactly the full physical set.
+      */
     def dataPaths(root: String): Seq[String] =
-      buckets.valuesIterator.map(e => s"$root/data/${e.rel}").toSeq.sorted
+      buckets.valuesIterator.flatMap(_.allRels)
+        .map(rel => s"$root/data/$rel").toSeq.sorted
+    /** True when any bucket has a pending merge-on-read delta — the
+      * cheap gate readers use to skip the resolution window entirely
+      * on copy-on-write (and compacted-steady-state) snapshots.
+      */
+    def hasDeltas: Boolean = buckets.valuesIterator.exists(_.deltas.nonEmpty)
   }
 
   private[streaming] def fsFor(spark: SparkSession, root: String): FileSystem =
@@ -230,17 +272,24 @@ object CdcApply {
 
   private def serializeManifest(m: Manifest): String = {
     val c = m.conf
-    val header = s"graft-cdc v6 buckets=${c.numBuckets} " +
+    val header = s"graft-cdc v7 buckets=${c.numBuckets} " +
       s"keys=${c.keys.mkString(",")} version=${c.versionCol} " +
       s"deleted=${c.deletedCol.getOrElse("-")} retention=${c.retention}" +
+      s" maxdeltas=${c.maxDeltas}" +
       m.ts.map(t => s" ts=$t").getOrElse("")
     // schema JSON is one line (JSON escapes control chars), tagged so a
     // bucket line (which starts with an int) can never shadow it
     val schemaLine = m.schema.map(s => s"schema\t${s.json}").toSeq
     def o(v: Option[Long]): String = v.map(_.toString).getOrElse("-")
+    // pending deltas ride as a sixth tab field: `rel:minTs:bytes:rows`
+    // items ';'-joined ('-' when none). Rel paths are `v<tag>/_b=<k>` —
+    // no ':' or ';' can appear in them
+    def d(e: BucketEntry): String =
+      s"${e.rel}:${o(e.minTs)}:${o(e.bytes)}:${o(e.rows)}"
     ((header +: schemaLine) ++ m.buckets.toSeq.sortBy(_._1).map {
       case (b, e) =>
-        s"$b\t${e.rel}\t${o(e.minTs)}\t${o(e.bytes)}\t${o(e.rows)}"
+        val ds = if (e.deltas.isEmpty) "-" else e.deltas.map(d).mkString(";")
+        s"$b\t${e.rel}\t${o(e.minTs)}\t${o(e.bytes)}\t${o(e.rows)}\t$ds"
     }).mkString("\n")
   }
 
@@ -254,20 +303,30 @@ object CdcApply {
       keys = kv("keys").split(',').toSeq,
       versionCol = kv("version"),
       deletedCol = Some(kv("deleted")).filter(_ != "-"),
-      retention = kv("retention").toInt)
+      retention = kv("retention").toInt,
+      // absent on pre-v7 manifests: those tables are copy-on-write
+      maxDeltas = kv.get("maxdeltas").map(_.toInt).getOrElse(0))
     val schema = lines.tail.find(_.startsWith("schema\t")).map(l =>
       org.apache.spark.sql.types.DataType.fromJson(
         l.stripPrefix("schema\t"))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     val buckets = lines.tail
       .filter(l => l.nonEmpty && !l.startsWith("schema\t")).map { l =>
-        // 3-field lines are pre-v6 manifests (no bytes/rows stats) —
-        // live tables written by older builds keep parsing
+        // 3-field lines are pre-v6 manifests (no bytes/rows stats),
+        // 5-field pre-v7 (no delta list) — live tables written by
+        // older builds keep parsing
         val parts = l.split('\t')
         def opt(i: Int): Option[Long] =
           parts.lift(i).filter(_ != "-").map(_.toLong)
+        def lopt(s: String): Option[Long] =
+          Some(s).filter(_ != "-").map(_.toLong)
+        val deltas = parts.lift(5).filter(_ != "-").toSeq
+          .flatMap(_.split(';').toSeq).map { item =>
+            val f = item.split(':')
+            BucketEntry(f(0), lopt(f(1)), lopt(f(2)), lopt(f(3)))
+          }
         (parts(0).toInt,
-          BucketEntry(parts(1), opt(2), opt(3), opt(4)))
+          BucketEntry(parts(1), opt(2), opt(3), opt(4), deltas))
       }.toMap
     Manifest(conf, buckets, schema, kv.get("ts").map(_.toLong))
   }
@@ -362,13 +421,62 @@ object CdcApply {
       noTs.filter(!coalesce(col(d), lit(false))).drop(d))
   }
 
+  /** Latest-wins resolution across merge-on-read base + delta rows:
+    * per key, the row with the highest version wins; a cross-batch
+    * version TIE resolves to the FIRST-applied row (lowest change-feed
+    * stamp) — exactly the outcome the copy-on-write path produces via
+    * its re-delivery anti-join, where the later duplicate never enters
+    * the merge. Within one batch a version tie raised loudly at apply
+    * time, so (key, version, stamp) is unique here. Tombstones resolve
+    * like any row (a winning delete must shadow older versions);
+    * callers filter or age them afterwards.
+    */
+  private[streaming] def resolveLatest(df: DataFrame,
+      conf: TableConf): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(conf.keys.map(col): _*)
+      .orderBy(col(conf.versionCol).desc, col(AppliedBatchCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Raw stored rows of the given buckets with merge-on-read deltas
+    * RESOLVED — tombstones and internal columns still included (the
+    * merge/maintenance view). Buckets without pending deltas stream
+    * straight through with no window; only delta-bearing buckets pay
+    * the per-key resolution shuffle, so a compacted-steady-state read
+    * costs exactly what a copy-on-write read costs. None when `ids`
+    * selects no live bucket.
+    */
+  private[streaming] def readBucketsResolved(spark: SparkSession,
+      root: String, m: Manifest,
+      ids: Option[Seq[Int]] = None): Option[DataFrame] = {
+    val entries = ids.fold(m.buckets.values.toSeq)(sel =>
+      sel.flatMap(m.buckets.get))
+    if (entries.isEmpty) return None
+    val (mor, plain) = entries.partition(_.deltas.nonEmpty)
+    def paths(es: Seq[BucketEntry]): Seq[String] =
+      es.flatMap(_.allRels).map(rel => s"$root/data/$rel").sorted
+    val plainDf =
+      if (plain.isEmpty) None
+      else Some(readRaw(spark, paths(plain), m.schema))
+    val morDf =
+      if (mor.isEmpty) None
+      else Some(resolveLatest(
+        readRaw(spark, paths(mor), m.schema), m.conf))
+    Some((plainDf, morDf) match {
+      case (Some(p), Some(r)) => p.unionByName(r)
+      case (p, r) => p.orElse(r).get
+    })
+  }
+
   /** Read the current snapshot as a DataFrame — tombstones filtered,
     * internal columns dropped. None before the first apply (or when the
     * snapshot holds zero live buckets).
     */
   def readSnapshot(spark: SparkSession, root: String): Option[DataFrame] =
-    currentManifest(spark, root).filter(_.buckets.nonEmpty).map(m =>
-      stripInternal(readRaw(spark, m.dataPaths(root), m.schema), m.conf))
+    currentManifest(spark, root).flatMap(m =>
+      readBucketsResolved(spark, root, m).map(stripInternal(_, m.conf)))
 
   /** Time travel: read the snapshot as of `batchId` — every applied
     * batch commits an immutable manifest, so any batch whose manifest
@@ -385,11 +493,13 @@ object CdcApply {
     else listManifests(fs, dir)
       .filter(n => parseManifestName(n)._1 == batchId)
       .sortBy(parseManifestName(_)._2).lastOption
-      .map { name =>
+      .flatMap { name =>
         val m = readManifest(spark, root, name)
         // that manifest's OWN schema: time travel to before an additive
         // evolution sees the table as it was, without the later columns
-        stripInternal(readRaw(spark, m.dataPaths(root), m.schema), m.conf)
+        // (and ITS delta set: resolution reproduces the state as of the
+        // batch, pending deltas included)
+        readBucketsResolved(spark, root, m).map(stripInternal(_, m.conf))
       }
   }
 
@@ -474,14 +584,20 @@ object CdcApply {
     * secrecy — the same posture as a table format's metadata files.
     */
   def buckets(spark: SparkSession, root: String): DataFrame = {
-    val rows: Seq[(Int, String, Option[Long], Option[Long], Option[Long])] =
+    val rows: Seq[(Int, String, Option[Long], Option[Long], Option[Long],
+        Int, Option[Long])] =
       currentManifest(spark, root).toSeq.flatMap(m =>
         m.buckets.toSeq.sortBy(_._1).map { case (b, e) =>
-          (b, e.rel, e.bytes, e.rows, e.minTs)
+          // bytes/rows/oldest-tombstone cover the BASE directory;
+          // pending merge-on-read deltas report their count and total
+          // bytes separately — the compaction-health signal
+          (b, e.rel, e.bytes, e.rows, e.allMinTs, e.deltas.size,
+            if (e.deltas.isEmpty) None
+            else Some(e.deltas.flatMap(_.bytes).sum))
         })
     spark.createDataFrame(rows)
       .toDF("bucket_id", "data_dir", "bytes", "rows",
-        "oldest_tombstone_batch")
+        "oldest_tombstone_batch", "pending_deltas", "delta_bytes")
   }
 
   /** The CURRENT layout's bucket count — manifest-authoritative (it
@@ -504,8 +620,14 @@ object CdcApply {
     val rows = currentManifestName(spark, root).toSeq.map { name =>
       val (batch, gen) = parseManifestName(name)
       val m = readManifest(spark, root, name)
-      val sizes = m.buckets.valuesIterator.map(_.bytes).toSeq
-      val counts = m.buckets.valuesIterator.map(_.rows).toSeq
+      // totals cover base AND pending merge-on-read delta directories
+      // (physical footprint, the operator's capacity signal); stored
+      // delta rows double-count superseded versions by design — they
+      // ARE on disk until compaction
+      val sizes = m.buckets.valuesIterator
+        .flatMap(e => e.bytes +: e.deltas.map(_.bytes)).toSeq
+      val counts = m.buckets.valuesIterator
+        .flatMap(e => e.rows +: e.deltas.map(_.rows)).toSeq
       def total(xs: Seq[Option[Long]]): Option[Long] =
         if (xs.nonEmpty && xs.forall(_.isDefined)) Some(xs.flatten.sum)
         else None
@@ -514,6 +636,7 @@ object CdcApply {
         .map(parseManifestName(_)._1).distinct.size
       (batch, gen, m.ts, m.conf.numBuckets, m.buckets.size,
         total(sizes), total(counts), retained,
+        m.buckets.valuesIterator.map(_.deltas.size).sum,
         m.schema.map(_.fieldNames
           .filterNot(n => n == TsBatchCol || n == AppliedBatchCol)
           .toSeq).getOrElse(Seq.empty))
@@ -521,7 +644,7 @@ object CdcApply {
     spark.createDataFrame(rows)
       .toDF("batch_id", "generation", "commit_ts", "num_buckets",
         "live_buckets", "total_bytes", "total_rows", "batches_retained",
-        "columns")
+        "pending_deltas", "columns")
   }
 
   /** Unified read entry — the "as of" user story without knowing the
@@ -623,12 +746,19 @@ object CdcApply {
         emptyFeed(m.schema.getOrElse(
           org.apache.spark.sql.types.StructType(Seq.empty)))
       else {
-        val hot = m.buckets.valuesIterator
-          .filter(e => relBatch(e.rel) > sinceBatch)
-          .map(e => s"$root/data/${e.rel}").toSeq.sorted
+        // hot = buckets ANY of whose live directories (base or pending
+        // merge-on-read delta) was written after the consumer's
+        // position; untouched bucket dirs are never even listed. The
+        // read resolves per-key latest-wins across a hot bucket's full
+        // directory family FIRST — a late lower-versioned delta row
+        // must lose to the base row it never superseded, so filtering
+        // the stamp before resolving would fabricate a change
+        val hot = m.buckets.collect {
+          case (b, e) if e.allRels.map(relBatch).max > sinceBatch => b
+        }.toSeq.sorted
         if (hot.isEmpty) emptyFeed(m.schema.get)
         else {
-          val out = readRaw(spark, hot, m.schema)
+          val out = readBucketsResolved(spark, root, m, Some(hot)).get
             .filter(col(AppliedBatchCol) > sinceBatch)
             .withColumnRenamed(AppliedBatchCol, ChangeBatchCol)
             .drop(TsBatchCol)
@@ -698,7 +828,7 @@ object CdcApply {
     val doomedManifests = all.filterNot(kept.contains)
     val live: Set[String] = kept
       .map(readManifest(spark, root, _))
-      .flatMap(_.buckets.valuesIterator.map(_.rel)).toSet
+      .flatMap(_.buckets.valuesIterator.flatMap(_.allRels)).toSet
     doomedManifests.foreach(n => fs.delete(new Path(mdir, n), false))
     // a data dir is removable only when NO kept manifest references any
     // bucket under it; bucket-level deletes would leave half-empty
@@ -767,7 +897,7 @@ object CdcApply {
       val expired = col(TsBatchCol).isNotNull &&
         lit(batchId) - col(TsBatchCol) >= lit(conf.retention.toLong)
       val dirty = m.buckets.collect {
-        case (b, e) if e.minTs.exists(ts =>
+        case (b, e) if e.allMinTs.exists(ts =>
           batchId - ts >= conf.retention.toLong) => b
       }.toSeq.sorted
       if (dirty.nonEmpty) {
@@ -777,8 +907,10 @@ object CdcApply {
         // surfaces as a loud manifest-commit failure, not corruption
         val dirTag = s"v${batchId}g${gen + 1}e"
         claimMaintenanceTarget(spark, root, name, batchId, gen + 1)
-        val dirtyPaths = dirty.map(b => s"$root/data/${m.buckets(b).rel}")
-        readRaw(spark, dirtyPaths, m.schema)
+        // resolved read: a merge-on-read bucket's superseded delta rows
+        // must not survive into the rewrite (the rewrite doubles as
+        // that bucket's compaction — its pending deltas clear)
+        readBucketsResolved(spark, root, m, Some(dirty)).get
           .filter(!(coalesce(col(d), lit(false)) && expired))
           .withColumn(BucketCol, bucketCol(conf.keys, conf.numBuckets))
           .hint("rebalance", BucketCol)
@@ -857,7 +989,10 @@ object CdcApply {
         val dirTag = s"v${batchId}g${gen + 1}r"
         claimMaintenanceTarget(spark, root, name, batchId, gen + 1)
         if (m.buckets.nonEmpty) {
-          readRaw(spark, m.dataPaths(root), m.schema)
+          // resolved read: re-keying must not carry superseded
+          // merge-on-read delta rows into the new layout (a rebucket
+          // therefore also compacts — every pending delta clears)
+          readBucketsResolved(spark, root, m).get
             .withColumn(BucketCol, bucketCol(conf.keys, newNumBuckets))
             .hint("rebalance", BucketCol)
             .write.partitionBy(BucketCol).mode("overwrite")
@@ -873,6 +1008,69 @@ object CdcApply {
         } else false
     }
   }
+
+  /** Scheduled compaction for merge-on-read tables: fold the pending
+    * delta directories of the chosen buckets (default: every bucket
+    * holding any) back into single base directories, as a new
+    * maintenance GENERATION of the current batch id — the replay-guard
+    * watermark never moves, logical content is untouched (superseded
+    * rows drop, expired tombstones age — both invisible to readers
+    * already), and the ORIGINAL commit timestamp is carried forward so
+    * as-of reads resolve identically before and after. The inline
+    * compaction [[applyBatch]] performs at the `maxDeltas` bound keeps
+    * readers bounded without this call; run it out-of-band (off-peak,
+    * before a heavy scan window) to return hot buckets to the
+    * zero-resolution fast path early. Cost: O(selected buckets'
+    * data) — one resolved read + one rebalanced write, the same class
+    * as tombstone expiry. Same maintenance contract as [[rebucket]]:
+    * commit-guard abort on a concurrent apply (orphan swept by
+    * [[vacuum]]), loud manifest-rename failure on concurrent
+    * maintenance, superseded directories collapse under vacuum's
+    * generation rules. Returns true when a new generation committed;
+    * false when no selected bucket holds a pending delta or the guard
+    * aborted.
+    */
+  def compactBuckets(spark: SparkSession, root: String,
+      bucketIds: Option[Seq[Int]] = None): Boolean =
+    currentManifestName(spark, root) match {
+      case None => false
+      case Some(name) =>
+        val (batchId, gen) = parseManifestName(name)
+        val m = readManifest(spark, root, name)
+        val conf = m.conf
+        val targets = bucketIds.fold(m.buckets.keys.toSeq)(identity)
+          .filter(b => m.buckets.get(b).exists(_.deltas.nonEmpty))
+          .sorted
+        if (targets.isEmpty) false
+        else {
+          // 'c' suffix: distinct per-op directories, as for expiry 'e'
+          // and rebucket 'r' (and distinct from an inline-compact
+          // apply's `v<batch>c`, which never coexists with gen > 0)
+          val dirTag = s"v${batchId}g${gen + 1}c"
+          claimMaintenanceTarget(spark, root, name, batchId, gen + 1)
+          val resolved = readBucketsResolved(spark, root, m,
+            Some(targets)).get
+          // a rewrite is when tombstones age (same clock as a merge)
+          val aged = conf.deletedCol.fold(resolved)(d =>
+            resolved.filter(!(coalesce(col(d), lit(false)) &&
+              lit(batchId) - coalesce(col(TsBatchCol), lit(batchId)) >=
+                lit(conf.retention.toLong))))
+          aged
+            .withColumn(BucketCol, bucketCol(conf.keys, conf.numBuckets))
+            .hint("rebalance", BucketCol)
+            .write.partitionBy(BucketCol).mode("overwrite")
+            .parquet(new Path(root, s"data/$dirTag").toString)
+          val written = writtenEntries(spark, root, dirTag,
+            hasTombstones = conf.deletedCol.isDefined)
+          if (currentManifestName(spark, root).contains(name)) {
+            commitManifest(spark, root, s"v$batchId.${gen + 1}",
+              Manifest(conf, (m.buckets -- targets) ++ written,
+                m.schema, m.ts),
+              batchId, overwrite = false)
+            true
+          } else false
+        }
+    }
 
   /** Point lookup: the live row(s) for one key, reading ONE bucket
     * directory. A key's bucket is deterministic (the same hash the
@@ -915,9 +1113,13 @@ object CdcApply {
           val pred = keyed.map { case (k, v) =>
             col(k) === typedLit(k, v) }.reduce(_ && _)
           m.buckets.get(b) match {
-            case Some(e) =>
-              stripInternal(readRaw(spark,
-                Seq(s"$root/data/${e.rel}"), m.schema), conf)
+            case Some(_) =>
+              // readBucketsResolved keeps the single-bucket-dir scan
+              // for delta-free buckets and latest-wins-resolves base +
+              // pending deltas for merge-on-read ones — still one
+              // bucket FAMILY of directories either way
+              stripInternal(readBucketsResolved(spark, root, m,
+                Some(Seq(b))).get, conf)
                 .filter(pred)
             case None =>
               // no row of this key ever survived: the snapshot's
@@ -1303,9 +1505,11 @@ object CdcApply {
       deletedCol: Option[String], numBuckets: Int = 16,
       tombstoneRetention: Int = DefaultTombstoneRetention,
       commitTs: Option[Long] = None,
-      changelog: Boolean = false): Boolean = {
+      changelog: Boolean = false,
+      maxDeltas: Int = 0): Boolean = {
     require(numBuckets >= 1, "numBuckets must be >= 1")
     require(tombstoneRetention >= 0, "tombstoneRetention must be >= 0")
+    require(maxDeltas >= 0, "maxDeltas must be >= 0")
     require(keys.nonEmpty, "at least one key column is required")
     val spark = rawBatch.sparkSession
     // ChangeBatchCol is reserved too even though it is never stored: a
@@ -1335,16 +1539,19 @@ object CdcApply {
     if (currentVersion(spark, root).exists(_ >= batchId)) return false
 
     val conf0 = TableConf(numBuckets, keys, versionCol, deletedCol,
-      tombstoneRetention)
+      tombstoneRetention, maxDeltas)
     val existing = currentManifest(spark, root)
     existing.foreach { m =>
-      // numBuckets is exempt from the match: the manifest is
-      // authoritative for the bucket layout (it legitimately diverges
-      // from the caller's first-apply value after a `rebucket`), so the
-      // caller's value is only a creation-time parameter. Everything
-      // else is still fixed at first apply — a silent keys/version/
-      // retention change would corrupt merge semantics.
-      require(m.conf.copy(numBuckets = conf0.numBuckets) == conf0,
+      // numBuckets and maxDeltas are exempt from the match: the
+      // manifest is authoritative for LAYOUT knobs (numBuckets
+      // legitimately diverges from the caller's first-apply value
+      // after a `rebucket`; maxDeltas only moves where the merge cost
+      // is paid, never what the merge computes), so the caller's
+      // values are creation-time parameters. Everything else is still
+      // fixed at first apply — a silent keys/version/retention change
+      // would corrupt merge semantics.
+      require(m.conf.copy(numBuckets = conf0.numBuckets,
+          maxDeltas = conf0.maxDeltas) == conf0,
         s"table config mismatch: manifest has ${m.conf}, caller passed " +
           s"$conf0 — keys, version column, deleted column, and " +
           "tombstone retention are fixed at first apply")
@@ -1444,6 +1651,13 @@ object CdcApply {
         else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq
         :+ col(BucketCol): _*)
 
+    // MERGE-ON-READ: no base read, no merge — the batch lands as one
+    // pending delta directory and readers resolve. Buckets already at
+    // their delta limit take the merge inline (bounding reader width)
+    if (conf.maxDeltas > 0)
+      return applyMorBatch(align(batch), touched, batchId, root, conf,
+        existing, evolved, commitTs, changelog)
+
     // a batch merging into nothing (fresh table, or no touched bucket
     // has prior data): the batch IS the merge input on both branches
     def seedMerge(): (DataFrame, DataFrame) = {
@@ -1529,6 +1743,95 @@ object CdcApply {
     } finally logged.foreach(_.unpersist())
   }
 
+  /** The merge-on-read half of [[applyPersistedBatch]]: `aligned` is
+    * the deduped batch under the evolved schema (bucket column riding
+    * along). Per touched bucket, either APPEND the batch's rows as a
+    * pending delta (`data/v<batch>`) or — when the bucket already
+    * holds `maxDeltas` pending deltas — merge base + deltas + batch
+    * inline into `data/v<batch>c` ('c' keeps the two writes of one
+    * batch in distinct directories). The apply never reads buckets it
+    * only delta-appends to: a trickle batch against a 100 TB snapshot
+    * writes O(batch) bytes, and the inline compaction bounds every
+    * reader's resolution width to `maxDeltas` directories per bucket.
+    *
+    * Within-batch version ties still fail loudly (the
+    * [[graft.operators.Upsert.latestWins]] guard over the batch
+    * alone); CROSS-batch re-delivery of an applied (key, version) is
+    * not detectable without the base read this mode exists to skip —
+    * [[resolveLatest]] resolves it to the first-applied row, the same
+    * outcome copy-on-write produces via its anti-join. The changelog
+    * consequently logs every within-batch-deduped event (at-least-once
+    * of delivered events; versioned consumers converge), where
+    * copy-on-write's log excludes cross-batch re-deliveries.
+    */
+  private def applyMorBatch(aligned: DataFrame, touched: Seq[Int],
+      batchId: Long, root: String, conf: TableConf,
+      existing: Option[Manifest],
+      evolved: org.apache.spark.sql.types.StructType,
+      commitTs: Long, changelog: Boolean): Boolean = {
+    val spark = aligned.sparkSession
+    // one row per key per batch: the within-batch winner (tombstones
+    // retained as rows), with the latestWins ambiguity guard riding
+    // the plan — the loud-failure contract COW gets from its merge
+    val slim = Upsert.latestWins(aligned.limit(0), aligned, conf.keys,
+      conf.versionCol, deletedCol = None)
+    val prior = existing.map(_.buckets).getOrElse(Map.empty)
+    val (toCompact, toDelta) = touched.partition(b =>
+      prior.get(b).exists(_.deltas.size >= conf.maxDeltas))
+    if (changelog)
+      aligned.drop(BucketCol, TsBatchCol)
+        .withColumnRenamed(AppliedBatchCol, ChangeBatchCol)
+        .write.mode("overwrite")
+        .parquet(new Path(root, s"changelog/b$batchId").toString)
+    val dirTag = s"v$batchId"
+    val deltaEntries: Map[Int, BucketEntry] =
+      if (toDelta.isEmpty) Map.empty
+      else {
+        slim.filter(col(BucketCol).isin(toDelta.map(Integer.valueOf): _*))
+          .hint("rebalance", BucketCol)
+          .write.partitionBy(BucketCol).mode("overwrite")
+          .parquet(new Path(root, s"data/$dirTag").toString)
+        writtenEntries(spark, root, dirTag,
+          hasTombstones = conf.deletedCol.isDefined).map {
+          case (b, de) => prior.get(b) match {
+            // base stats stay the base's; allMinTs folds the delta's
+            // oldest tombstone into the vacuum dirty signal
+            case Some(e) => b -> e.copy(deltas = e.deltas :+ de)
+            // first rows of a fresh bucket: the "delta" IS the base
+            case None => b -> de
+          }
+        }
+      }
+    val compactTag = s"v${batchId}c"
+    val compactEntries: Map[Int, BucketEntry] =
+      if (toCompact.isEmpty) Map.empty
+      else {
+        val storedPaths = toCompact.flatMap(prior.get).flatMap(_.allRels)
+          .map(rel => s"$root/data/$rel").sorted
+        val stored = readRaw(spark, storedPaths, Some(evolved))
+          .withColumn(BucketCol, bucketCol(conf.keys, conf.numBuckets))
+        val fresh = slim.filter(
+          col(BucketCol).isin(toCompact.map(Integer.valueOf): _*))
+        val merged = resolveLatest(stored.unionByName(fresh), conf)
+        // inline compaction is the moment tombstones age, exactly as a
+        // copy-on-write merge ages the buckets it rewrites
+        val aged = conf.deletedCol.fold(merged)(d =>
+          merged.filter(!(coalesce(col(d), lit(false)) &&
+            lit(batchId) - coalesce(col(TsBatchCol), lit(batchId)) >=
+              lit(conf.retention.toLong))))
+        aged.hint("rebalance", BucketCol)
+          .write.partitionBy(BucketCol).mode("overwrite")
+          .parquet(new Path(root, s"data/$compactTag").toString)
+        writtenEntries(spark, root, compactTag,
+          hasTombstones = conf.deletedCol.isDefined)
+      }
+    commitManifest(spark, root, s"v$batchId.0",
+      Manifest(conf, (prior -- touched) ++ deltaEntries ++ compactEntries,
+        Some(evolved), Some(commitTs)),
+      batchId)
+    true
+  }
+
   /** Start applying `updates` (a streaming DataFrame with `keys`,
     * `versionCol`, and optionally `deletedCol`) to the snapshot under
     * `root`.
@@ -1537,12 +1840,13 @@ object CdcApply {
       versionCol: String, deletedCol: Option[String] = None,
       queryName: String = "cdc_apply", numBuckets: Int = 16,
       tombstoneRetention: Int = DefaultTombstoneRetention,
-      changelog: Boolean = false): StreamingQuery =
+      changelog: Boolean = false, maxDeltas: Int = 0): StreamingQuery =
     updates.writeStream
       .queryName(queryName)
       .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
         applyBatch(rawBatch, batchId, root, keys, versionCol, deletedCol,
-          numBuckets, tombstoneRetention, changelog = changelog)
+          numBuckets, tombstoneRetention, changelog = changelog,
+          maxDeltas = maxDeltas)
         ()
       }
       .start()

@@ -178,22 +178,24 @@ object Rollup {
           // a rebucket re-keys rows across source buckets: partials
           // recorded under another layout are stale EVERYWHERE
           val layoutChanged = priorNb.exists(_ != nb)
+          // a merge-on-read source's pending delta dirs count as
+          // rewrites too: ANY live directory of the bucket newer than
+          // the watermark marks it touched
           val touchedIds: Set[Int] =
             if (layoutChanged) src.buckets.keySet.toSet
             else src.buckets.collect {
-              case (b, e) if relBatch(e.rel) > wm => b
+              case (b, e) if e.allRels.map(relBatch).max > wm => b
             }.toSet
           val vanished = priorBuckets -- src.buckets.keySet
           val staleIds =
             if (layoutChanged) priorBuckets
             else (touchedIds & priorBuckets) ++ vanished
-          val touchedPaths = touchedIds.toSeq.sorted
-            .flatMap(src.buckets.get)
-            .map(e => s"$root/data/${e.rel}")
-          val recomputed: Option[DataFrame] =
-            if (touchedPaths.isEmpty) None
-            else Some {
-              val raw = CdcApply.readRaw(spark, touchedPaths, src.schema)
+          // resolved read: a merge-on-read bucket's superseded delta
+          // rows must not inflate the recomputed partials
+          val recomputed: Option[DataFrame] = CdcApply
+            .readBucketsResolved(spark, root, src,
+              Some(touchedIds.toSeq.sorted))
+            .map { raw =>
               val live = src.conf.deletedCol.fold(raw)(d =>
                 raw.filter(!coalesce(col(d), lit(false))))
               live

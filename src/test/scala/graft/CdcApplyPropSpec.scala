@@ -36,16 +36,20 @@ class CdcApplyPropSpec extends AnyFunSuite with SparkTestBase {
   } yield keys.lazyZip(perm).lazyZip(payloads).lazyZip(deleted).toList
     .map { case (k, v, pay, d) => (k, v, pay, d) }
 
-  test("property: batched bucketed apply equals global latest-wins") {
+  test("property: batched bucketed apply equals global latest-wins, " +
+      "copy-on-write and merge-on-read alike") {
     import spark.implicits._
     val p = Prop.forAll(historyGen, Gen.chooseNum(1, 4),
-      Gen.prob(0.5)) { (history, nBatches, redeliver) =>
+      Gen.prob(0.5), Gen.oneOf(0, 1, 2),
+      Gen.prob(0.5)) { (history, nBatches, redeliver, maxDeltas,
+        doCompact) =>
       val root = java.nio.file.Files
         .createTempDirectory("cdc_prop").toFile.getAbsolutePath
       // split the history into nBatches contiguous chunks (some may be
       // empty); optionally re-deliver batch 0's first row in the last
       // batch verbatim — it must be dropped by the (key, version)
-      // anti-join, not merged twice or flagged ambiguous
+      // anti-join (copy-on-write) or resolved to the first-applied row
+      // (merge-on-read), not merged twice or flagged ambiguous
       val size = math.max(1, history.size / nBatches)
       val batches0 = history.grouped(size).toList.padTo(nBatches, Nil)
       val batches =
@@ -56,8 +60,11 @@ class CdcApplyPropSpec extends AnyFunSuite with SparkTestBase {
         graft.streaming.CdcApply.applyBatch(
           rows.toDF("k", "version", "payload", "deleted"),
           id.toLong, root, Seq("k"), "version", Some("deleted"),
-          numBuckets = 4, tombstoneRetention = 100)
+          numBuckets = 4, tombstoneRetention = 100,
+          maxDeltas = maxDeltas)
       }
+      // a maintenance compaction is content-neutral by contract
+      if (doCompact) graft.streaming.CdcApply.compactBuckets(spark, root)
       val got = graft.streaming.CdcApply.readSnapshot(spark, root)
         .map(_.collect()
           .map(r => r.getAs[Long]("k") -> r.getAs[Long]("payload")).toMap)
@@ -68,7 +75,7 @@ class CdcApplyPropSpec extends AnyFunSuite with SparkTestBase {
       }
       val ok = got == expect
       if (!ok) println(s"[cdc-prop] history=$history batches=$batches " +
-        s"got=$got expect=$expect")
+        s"maxDeltas=$maxDeltas got=$got expect=$expect")
       ok
     }
     check(p)
@@ -162,11 +169,13 @@ class CdcApplyPropSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("property: sync theorem — mirror at any batch + changesSince " +
-      "reproduces the current snapshot, rebucket included") {
+      "reproduces the current snapshot, rebucket and merge-on-read " +
+      "included") {
     import spark.implicits._
     val C = graft.streaming.CdcApply
     val p = Prop.forAll(historyGen, Gen.chooseNum(2, 4),
-      Gen.prob(0.5)) { (history, nBatches, doRebucket) =>
+      Gen.prob(0.5), Gen.oneOf(0, 2)) {
+      (history, nBatches, doRebucket, maxDeltas) =>
       val root = java.nio.file.Files
         .createTempDirectory("cdc_prop_sync").toFile.getAbsolutePath
       val size = math.max(1, history.size / nBatches)
@@ -174,7 +183,8 @@ class CdcApplyPropSpec extends AnyFunSuite with SparkTestBase {
         case (rows, id) =>
           C.applyBatch(rows.toDF("k", "version", "payload", "deleted"),
             id.toLong, root, Seq("k"), "version", Some("deleted"),
-            numBuckets = 4, tombstoneRetention = 100)
+            numBuckets = 4, tombstoneRetention = 100,
+            maxDeltas = maxDeltas)
       }.map(_._2)
       // a layout rewrite must carry every stamp forward verbatim
       if (doRebucket && applied.nonEmpty) C.rebucket(spark, root, 7)
@@ -215,8 +225,8 @@ class CdcApplyPropSpec extends AnyFunSuite with SparkTestBase {
     // delete events never survive into the feed), larger retentions
     // mix the trickle path and the refusal path across generated runs
     val p = Prop.forAll(historyGen, Gen.chooseNum(2, 4),
-      Gen.chooseNum(0, 2), Gen.chooseNum(1, 2)) {
-      (history, nBatches, retention, syncEvery) =>
+      Gen.chooseNum(0, 2), Gen.chooseNum(1, 2), Gen.oneOf(0, 2)) {
+      (history, nBatches, retention, syncEvery, maxDeltas) =>
       val root = java.nio.file.Files
         .createTempDirectory("cdc_prop_mir_src").toFile.getAbsolutePath
       val mroot = java.nio.file.Files
@@ -228,7 +238,8 @@ class CdcApplyPropSpec extends AnyFunSuite with SparkTestBase {
           if (C.applyBatch(
               rows.toDF("k", "version", "payload", "deleted"),
               id.toLong, root, Seq("k"), "version", Some("deleted"),
-              numBuckets = 4, tombstoneRetention = retention)) {
+              numBuckets = 4, tombstoneRetention = retention,
+              maxDeltas = maxDeltas)) {
             // syncEvery=2 makes the mirror routinely lag TWO batches:
             // with retention 0-1 that crosses the bound (refusal +
             // reseed), with retention 2 it trickles — both paths must
