@@ -136,7 +136,21 @@ object Plans {
     "q_cdc_chain" -> ("Second replication hop read-back: the chain " +
       "mirror is ordinary bucketed parquet like any CDC snapshot — " +
       "multi-path scan + two-phase aggregate, no reference to the " +
-      "first mirror or the original source in the plan."))
+      "first mirror or the original source in the plan."),
+    "q_cdc_mor" -> ("Merge-on-read resolved snapshot: the batch-1 " +
+      "deltas are still pending, so delta-bearing buckets pay exactly " +
+      "ONE per-key ranking window (one Exchange on the key + " +
+      "row_number over base + delta directories, width bounded by " +
+      "maxDeltas) while delta-free buckets union in as a plain scan " +
+      "with no window at all. The write side appended O(batch) bytes " +
+      "instead of rewriting whole touched buckets — the read pays the " +
+      "bounded resolution until compaction reclaims it."),
+    "q_cdc_compact" -> ("Post-compaction read: compactBuckets folded " +
+      "every pending delta back into single base directories as a " +
+      "maintenance generation, so the plan is back to the zero-" +
+      "resolution shape of q_cdc_merge — multi-path scan + two-phase " +
+      "aggregate, NO ranking window anywhere — proof the merge-on-" +
+      "read resolution cost is fully reclaimable out-of-band."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",

@@ -57,11 +57,11 @@ object TierC {
     * across the six roots.
     */
   private def supplierCdcRoot(s: SparkSession, d: String,
-      subdir: String): String = {
+      subdir: String, maxDeltas: Int = 0): String = {
     val root = new java.io.File(s"target/graft-data/$subdir/" +
       graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet") +
       s"_$CdcRecipeRev").getAbsolutePath
-    applySupplierCdc(s, d, root)
+    applySupplierCdc(s, d, root, maxDeltas)
     root
   }
 
@@ -95,18 +95,41 @@ object TierC {
     * reuse the q_cdc_merge net-state oracle.
     */
   private def applySupplierCdc(s: SparkSession, d: String,
-      root: String): Unit = {
+      root: String, maxDeltas: Int = 0): Unit = {
     import graft.streaming.CdcApply
     val (b0, b1) = supplierCdcBatches(s, d)
     // logical commit timestamps (1000, 2000) rather than wall clock:
     // q_cdc_asof resolves "as of t=1500" to batch 0 deterministically,
     // so the artifact's answer is a pure function of the input dataset
     CdcApply.applyBatch(b0, 0L, root, Seq("s_suppkey"), "version",
-      Some("deleted"), commitTs = Some(1000L))
+      Some("deleted"), commitTs = Some(1000L), maxDeltas = maxDeltas)
     CdcApply.applyBatch(b1, 1L, root,
       Seq("s_suppkey"), "version", Some("deleted"),
-      commitTs = Some(2000L))
+      commitTs = Some(2000L), maxDeltas = maxDeltas)
   }
+
+  /** Snapshot root for `q_cdc_mor`: the same two-batch change stream
+    * under the MERGE-ON-READ layout (`maxDeltas = 4`), so batch 1 lands
+    * as pending delta directories and the declared read genuinely pays
+    * the per-key latest-wins resolution across base + deltas. Its own
+    * artifact dir: the copy-on-write roots must keep proving the
+    * rewrite path.
+    */
+  private def cdcMorRoot(s: SparkSession, d: String): String =
+    synchronized { supplierCdcRoot(s, d, "cdc_mor_q", maxDeltas = 4) }
+
+  /** Snapshot root for `q_cdc_compact`: the merge-on-read stream of
+    * [[cdcMorRoot]] in its own dir, then [[CdcApply.compactBuckets]]
+    * folds every pending delta back into single bases. Idempotent:
+    * replayed applies no-op on the guard and a re-compaction finds no
+    * pending delta and returns false.
+    */
+  private def cdcCompactRoot(s: SparkSession, d: String): String =
+    synchronized {
+      val root = supplierCdcRoot(s, d, "cdc_compact_q", maxDeltas = 4)
+      graft.streaming.CdcApply.compactBuckets(s, root)
+      root
+    }
 
   /** Snapshot root for `q_cdc_governed` — its own artifact dir (NOT
     * `cdcQueryRoot`): registering a location governs it for the whole
@@ -1155,6 +1178,45 @@ object TierC {
             col("s_acctbal"), col("version")))
         .reduce(_.unionByName(_))
         .orderBy(col("s_suppkey"))
+    }),
+
+    // C8l — MERGE-ON-READ under the hash gate: the same two-batch
+    // change stream under the delta layout (maxDeltas = 4), read while
+    // batch 1's deltas are still PENDING — the snapshot resolves
+    // per-key latest-wins across base + delta directories at read
+    // time. Same net-state oracle as q_cdc_merge: a resolution that
+    // kept a superseded row, dropped a winner, or leaked a tombstone
+    // hash-mismatches. `has_deltas` witnesses (from manifest metadata
+    // alone) that the read really crossed pending deltas rather than
+    // an eagerly-merged table.
+    "q_cdc_mor" -> ((s, d) => {
+      val root = cdcMorRoot(s, d)
+      val pend = graft.streaming.CdcApply.buckets(s, root)
+        .agg(sum(col("pending_deltas"))).head().getLong(0)
+      graft.streaming.CdcApply.readSnapshot(s, root).get
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("s_acctbal")).as("total_bal"))
+        .withColumn("has_deltas", lit(if (pend > 0) 1L else 0L))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // C8m — COMPACTION under the hash gate: the same merge-on-read
+    // stream, then compactBuckets folds every pending delta back into
+    // single base directories as a maintenance generation. The content
+    // must be byte-identical to the resolved read (same oracle), and
+    // `pending` witnesses from the manifest that zero deltas remain —
+    // the compacted table is back on the zero-resolution fast path.
+    "q_cdc_compact" -> ((s, d) => {
+      val root = cdcCompactRoot(s, d)
+      val pend = graft.streaming.CdcApply.buckets(s, root)
+        .agg(sum(col("pending_deltas"))).head().getLong(0)
+      graft.streaming.CdcApply.readSnapshot(s, root).get
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("s_acctbal")).as("total_bal"))
+        .withColumn("pending", lit(pend))
+        .orderBy(col("s_nationkey"))
     })
   )
 
@@ -1623,6 +1685,24 @@ object TierC {
         "ELSE s_acctbal END AS s_acctbal, " +
         "CASE WHEN s_suppkey % 5 = 0 THEN CAST(2 AS BIGINT) " +
         "ELSE CAST(1 AS BIGINT) END AS version " +
-        "FROM supplier WHERE s_suppkey IN (1, 5) ORDER BY s_suppkey")
+        "FROM supplier WHERE s_suppkey IN (1, 5) ORDER BY s_suppkey"),
+    // merge-on-read resolved state must equal the copy-on-write net
+    // state; has_deltas = 1 witnesses the read crossed pending deltas
+    "q_cdc_mor" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal, " +
+        "CAST(1 AS BIGINT) AS has_deltas " +
+        "FROM supplier WHERE s_suppkey % 7 <> 0 " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // compaction preserves content exactly; pending = 0 witnesses every
+    // delta folded back into a single base directory
+    "q_cdc_compact" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal, " +
+        "CAST(0 AS BIGINT) AS pending " +
+        "FROM supplier WHERE s_suppkey % 7 <> 0 " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey")
   )
 }
