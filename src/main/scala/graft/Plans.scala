@@ -150,7 +150,15 @@ object Plans {
       "maintenance generation, so the plan is back to the zero-" +
       "resolution shape of q_cdc_merge — multi-path scan + two-phase " +
       "aggregate, NO ranking window anywhere — proof the merge-on-" +
-      "read resolution cost is fully reclaimable out-of-band."))
+      "read resolution cost is fully reclaimable out-of-band."),
+    "q_dedup_incremental" -> ("Incremental corpus dedup survivor read: " +
+      "the declared result is the index's CHANGE FEED restricted to " +
+      "batch 1's stamp — the scan lists only the directories batch 1 " +
+      "wrote (manifest pruning), resolution fires only in delta-" +
+      "bearing buckets, and NO full-corpus path appears anywhere: the " +
+      "corpus was consulted upstream through the O(batch) index " +
+      "apply, never rescanned. The plan carries 64-hex hashes and " +
+      "ids, never document text."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",

@@ -52,6 +52,50 @@ object Dedup {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Incremental exact dedup against a PERSISTED corpus index — the
+    * continuous-ingest form of [[exact]]: each arriving batch is deduped
+    * against every batch seen before it without rescanning the corpus,
+    * and the index of seen hashes updates atomically with the answer.
+    *
+    * The index is a [[graft.streaming.CdcApply]] table keyed on the
+    * content hash with a CONSTANT version — first-wins falls out of the
+    * CDC machinery with no special casing: copy-on-write drops a
+    * re-delivered (hash, version) via its anti-join, merge-on-read
+    * resolves the tie to the first-applied row, so in both modes a hash
+    * keeps its original batch stamp forever. Survivors are then READ
+    * BACK from the index's own change feed (`changesSince(batchId - 1)`
+    * restricted to this batch's stamp) rather than computed before the
+    * commit — which makes the whole operation idempotent: a crashed or
+    * replayed batch no-ops the apply (replay guard) and the feed still
+    * serves exactly the rows that batch admitted.
+    *
+    * Returns one row per ADMITTED (first-ever-seen) hash:
+    * (content_hash, idCol) with idCol = the smallest id carrying that
+    * hash within the batch. At 100 TB: the batch shuffles 64-hex-char
+    * hashes (never text), the index apply is O(touched buckets) — or
+    * O(batch) with `maxDeltas > 0`, the right mode for a large index
+    * fed by trickle batches — and the survivor read is manifest-pruned
+    * to the directories this batch wrote.
+    */
+  def incrementalExact(batch: DataFrame, indexRoot: String, idCol: String,
+      textCol: String, batchId: Long, numBuckets: Int = 16,
+      maxDeltas: Int = 0): DataFrame = {
+    import graft.streaming.CdcApply
+    val spark = batch.sparkSession
+    val hashes = batch
+      .select(sha2(col(textCol), 256).as("content_hash"), col(idCol))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+      .withColumn("first_seen", lit(1L))
+    CdcApply.applyBatch(hashes, batchId, indexRoot, Seq("content_hash"),
+      "first_seen", None, numBuckets = numBuckets, maxDeltas = maxDeltas)
+    CdcApply.changesSince(spark, indexRoot, batchId - 1)
+      .getOrElse(throw new IllegalStateException(
+        s"dedup index missing after apply: $indexRoot"))
+      .filter(col(CdcApply.ChangeBatchCol) === batchId)
+      .select(col("content_hash"), col(idCol))
+  }
+
   // ---- shared: capped-bucket pair generation ------------------------------
 
   /** Cap on all-pairs expansion per LSH bucket. Buckets at or under the

@@ -1217,8 +1217,52 @@ object TierC {
           dsum(col("s_acctbal")).as("total_bal"))
         .withColumn("pending", lit(pend))
         .orderBy(col("s_nationkey"))
+    }),
+
+    // C1c — INCREMENTAL CORPUS DEDUP under the hash gate: batch 1
+    // (verbatim re-ingests + edited copies, both reconstructible in
+    // SQL) deduped against a PERSISTED index built from batch 0 —
+    // the continuous-ingest form of exact dedup, no corpus rescan. The
+    // index is a merge-on-read CDC table (O(batch) writes — the right
+    // mode for a trickle-fed 100 TB index); survivors are read back
+    // from the index's own change feed, so the declared result is the
+    // index's testimony of what batch 1 admitted: every re-ingested
+    // hash dropped (first-wins across batches via the CDC tie rules),
+    // every edited doc admitted under its smallest batch id. The
+    // oracle recomputes the survivor set with an anti-semi-join over
+    // the reconstructed batches.
+    "q_dedup_incremental" -> ((s, d) => {
+      val root = new java.io.File("target/graft-data/dedup_incr_q/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/documents.parquet") +
+        "_rev1").getAbsolutePath
+      synchronized {
+        val (b0, b1) = incrDedupBatches(s, d)
+        Dedup.incrementalExact(b0, root, "doc_id", "text", 0L,
+          maxDeltas = 4)
+        Dedup.incrementalExact(b1, root, "doc_id", "text", 1L,
+          maxDeltas = 4)
+          .orderBy(col("doc_id"))
+      }
     })
   )
+
+  /** The two document batches behind `q_dedup_incremental`, both pure
+    * functions of the `documents` table so DuckDB reconstructs them
+    * exactly: batch 0 is the corpus as-is; batch 1 re-ingests every
+    * doc_id % 5 == 0 document VERBATIM under a new id (must be dropped
+    * by the index) and ships an EDITED copy (` v2` suffix) of every
+    * doc_id % 5 == 1 document (genuinely new content — must survive).
+    */
+  private def incrDedupBatches(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val reingested = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val edited = docs.filter(col("doc_id") % 5 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" v2")).as("text"))
+    (docs, reingested.unionByName(edited))
+  }
 
   private val quantSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
@@ -1703,6 +1747,20 @@ object TierC {
         "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal, " +
         "CAST(0 AS BIGINT) AS pending " +
         "FROM supplier WHERE s_suppkey % 7 <> 0 " +
-        "GROUP BY s_nationkey ORDER BY s_nationkey")
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // batch-1 survivors of the incremental index: hashes never seen in
+    // batch 0, keeping the smallest batch-1 id per hash — re-ingested
+    // texts drop, edited (" v2") texts survive
+    "q_dedup_incremental" ->
+      ("WITH b1 AS (" +
+        "SELECT doc_id + 1000000 AS doc_id, text FROM documents " +
+        "WHERE doc_id % 5 = 0 " +
+        "UNION ALL " +
+        "SELECT doc_id + 1000000 AS doc_id, text || ' v2' AS text " +
+        "FROM documents WHERE doc_id % 5 = 1) " +
+        "SELECT sha256(text) AS content_hash, MIN(doc_id) AS doc_id " +
+        "FROM b1 WHERE sha256(text) NOT IN " +
+        "(SELECT sha256(text) FROM documents) " +
+        "GROUP BY sha256(text) ORDER BY doc_id")
   )
 }

@@ -27,6 +27,42 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     ).toDF("doc_id", "text")
   }
 
+  test("incremental exact dedup: first-wins across batches, replay " +
+    "idempotent, copy-on-write and merge-on-read index modes agree") {
+    import spark.implicits._
+    for (maxDeltas <- Seq(0, 4)) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"dedup_incr_$maxDeltas").toString
+      val b0 = Seq((10L, "alpha text"), (11L, "beta text"),
+        (12L, "alpha text")).toDF("doc_id", "text")
+      // batch 0: within-batch first-wins keeps id 10 for "alpha text"
+      val s0 = Dedup.incrementalExact(b0, root, "doc_id", "text", 0L,
+        numBuckets = 4, maxDeltas = maxDeltas)
+      assert(s0.columns.toSeq == Seq("content_hash", "doc_id"))
+      assert(s0.select("doc_id").as[Long].collect().sorted.toSeq ==
+        Seq(10L, 11L))
+      // batch 1: a re-ingest of "beta text" drops (cross-batch
+      // first-wins), "gamma text" is admitted
+      val b1 = Seq((20L, "beta text"), (21L, "gamma text"))
+        .toDF("doc_id", "text")
+      val s1 = Dedup.incrementalExact(b1, root, "doc_id", "text", 1L,
+        numBuckets = 4, maxDeltas = maxDeltas)
+      assert(s1.select("doc_id").as[Long].collect().toSeq == Seq(21L))
+      // replayed batch: the apply no-ops on the guard, and the feed
+      // still serves exactly what the batch admitted
+      val s1r = Dedup.incrementalExact(b1, root, "doc_id", "text", 1L,
+        numBuckets = 4, maxDeltas = maxDeltas)
+      assert(s1r.select("doc_id").as[Long].collect().toSeq == Seq(21L))
+      // the survivor read of the EARLIER batch is still serveable too:
+      // batch stamps never moved under the re-delivered hashes
+      val s0r = graft.streaming.CdcApply.changesSince(spark, root, -1L)
+        .get.filter(org.apache.spark.sql.functions
+          .col(graft.streaming.CdcApply.ChangeBatchCol) === 0L)
+      assert(s0r.select("doc_id").as[Long].collect().sorted.toSeq ==
+        Seq(10L, 11L))
+    }
+  }
+
   test("exact dedup groups identical content, keeps min id") {
     val out = Dedup.exact(corpus(), "doc_id", "text")
       .orderBy("doc_id").collect()
