@@ -158,7 +158,17 @@ object Plans {
       "bearing buckets, and NO full-corpus path appears anywhere: the " +
       "corpus was consulted upstream through the O(batch) index " +
       "apply, never rescanned. The plan carries 64-hex hashes and " +
-      "ids, never document text."))
+      "ids, never document text."),
+    "q_neardup_incremental" -> ("Incremental near-dup admitted-id " +
+      "read: the declared plan is the signature index's CHANGE FEED " +
+      "restricted to batch 1's stamp — manifest-pruned to the " +
+      "directories the batch wrote, resolution only in delta-bearing " +
+      "buckets, no text column anywhere. The probe itself (band-key " +
+      "join of batch signatures against index signatures — ~0.3% of " +
+      "corpus bytes, never text — then exact Jaccard verification " +
+      "semi-join-pruned to candidate pairs) ran ONCE upstream at " +
+      "index-build time under the replay guard; the full-corpus " +
+      "all-pairs comparison the oracle runs exists in no plan at all."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",

@@ -96,6 +96,92 @@ object Dedup {
       .select(col("content_hash"), col(idCol))
   }
 
+  /** Incremental NEAR-dup dedup against a persisted MinHash signature
+    * index — the fuzzy sibling of [[incrementalExact]]: each arriving
+    * batch is deduped against every doc ADMITTED before it (exact
+    * shingle-Jaccard at or above `threshold` to any prior keeper drops
+    * the newcomer), and the survivors' signatures join the index.
+    * Within-batch near-dups are deliberately NOT resolved here — all
+    * non-corpus-duplicate rows are admitted, and the caller composes
+    * the batch-level pipeline ([[persistedVerifiedPairs]] →
+    * [[clusters]] → [[keepers]]) when within-batch resolution is
+    * wanted; that keeps these semantics order-free and SQL-checkable.
+    *
+    * Index = a [[graft.streaming.CdcApply]] table of (id, sig) keyed on
+    * the id (constant version; `maxDeltas > 0` for O(batch) index
+    * writes). The probe explodes band keys on BOTH sides and joins —
+    * one shuffle of the batch's band keys against the index's, then
+    * exact verification only for candidate pairs, with the corpus text
+    * read semi-join-pruned to candidate ids. At 100 TB the index
+    * carries k longs per doc (~0.3% of corpus bytes) and the per-batch
+    * probe cost is O(index signatures + candidate texts), never
+    * O(corpus text).
+    *
+    * Ids must be globally unique across batches (the standard ingest
+    * contract): replay safety comes from excluding the batch's own ids
+    * from the prior-keeper side, so a crashed/replayed batch recomputes
+    * the same survivor set and the index apply no-ops on the guard.
+    * Returns the admitted ids (one column, `idCol`).
+    */
+  def incrementalNearDup(batch: DataFrame, corpus: DataFrame,
+      indexRoot: String, idCol: String, textCol: String, batchId: Long,
+      k: Int = 32, bands: Int = 16, threshold: Double = 0.5,
+      numBuckets: Int = 16, maxDeltas: Int = 0): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    import graft.streaming.CdcApply
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val rowsPerBand = k / bands
+    val newSigs = batch.select(col(idCol),
+      minhashSignature(col(textCol), k).as("sig"))
+    // prior keepers = the index minus this batch's own ids — the
+    // exclusion is what makes a replayed batch see the same world it
+    // saw the first time
+    val prior = CdcApply.readSnapshot(spark, indexRoot)
+      .map(_.join(batch.select(col(idCol)), Seq(idCol), "left_anti"))
+    val droppedIds = prior.map { idx =>
+      def explodeBands(sigs: DataFrame, out: String): DataFrame =
+        sigs.select(col(idCol).as(out),
+          explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      val cand = explodeBands(newSigs, "id_a")
+        .join(explodeBands(idx, "id_b"), "bk")
+        .select(col("id_a"), col("id_b")).distinct()
+      // fail-closed on the corpus contract: a candidate prior-keeper
+      // id with no text in `corpus` would silently vanish from the
+      // verification join — an under-drop that admits a near-dup.
+      // One tiny job bounded by the CANDIDATE id count, not the corpus
+      val missing = cand.select(col("id_b")).distinct()
+        .join(corpus.select(col(idCol).as("id_b")), Seq("id_b"),
+          "left_anti").limit(1).count()
+      require(missing == 0L,
+        "corpus is missing text for candidate prior-keeper ids — " +
+          "pass a corpus covering every previously admitted id, or " +
+          "the near-dup check silently under-drops")
+      val docsAll = batch.select(col(idCol), col(textCol))
+        .unionByName(corpus.select(col(idCol), col(textCol)))
+      verifyJaccard(docsAll, idCol, textCol, cand)
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a").as(idCol)).distinct()
+    }
+    val survivors = droppedIds.fold(batch)(dr =>
+      batch.join(dr, Seq(idCol), "left_anti"))
+    val sigRows = newSigs
+      .join(survivors.select(col(idCol)), Seq(idCol))
+      .withColumn("first_seen", lit(1L))
+    CdcApply.applyBatch(sigRows, batchId, indexRoot, Seq(idCol),
+      "first_seen", None, numBuckets = numBuckets, maxDeltas = maxDeltas)
+    // admitted ids read BACK from the index's change feed, exactly as
+    // [[incrementalExact]] does: the index is the record of what each
+    // batch admitted, the read is manifest-pruned to this batch's own
+    // directories, and a replayed batch (apply no-ops on the guard)
+    // serves the identical answer without re-running the probe plan
+    CdcApply.changesSince(spark, indexRoot, batchId - 1)
+      .getOrElse(throw new IllegalStateException(
+        s"near-dup index missing after apply: $indexRoot"))
+      .filter(col(CdcApply.ChangeBatchCol) === batchId)
+      .select(col(idCol))
+  }
+
   // ---- shared: capped-bucket pair generation ------------------------------
 
   /** Cap on all-pairs expansion per LSH bucket. Buckets at or under the

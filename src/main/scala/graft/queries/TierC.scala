@@ -1219,6 +1219,31 @@ object TierC {
         .orderBy(col("s_nationkey"))
     }),
 
+    // C1d — INCREMENTAL NEAR-DUP DEDUP under the hash gate: batch 1
+    // deduped against a persisted MinHash signature index of the
+    // corpus — verbatim re-ingests AND lightly-edited (" v2") copies
+    // both drop (exact shingle-Jaccard >= 0.5 to a prior keeper,
+    // verified only for banding candidates), while genuinely fresh
+    // synthetic docs survive. The " v2" arm is what distinguishes this
+    // from q_dedup_incremental: the exact index admits an edit, the
+    // near-dup index catches it. Oracle: exhaustive NOT EXISTS
+    // anti-join over exact Jaccard between the reconstructed batch and
+    // the full corpus — hash-matching it proves the banded probe
+    // missed no true pair at this scale.
+    "q_neardup_incremental" -> ((s, d) => {
+      val root = new java.io.File("target/graft-data/neardup_incr_q/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/documents.parquet") +
+        "_rev1").getAbsolutePath
+      synchronized {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        Dedup.incrementalNearDup(docs, docs, root, "doc_id", "text", 0L,
+          maxDeltas = 4)
+        Dedup.incrementalNearDup(nearDupBatch1(s, d), docs, root,
+          "doc_id", "text", 1L, maxDeltas = 4)
+          .orderBy(col("doc_id"))
+      }
+    }),
+
     // C1c — INCREMENTAL CORPUS DEDUP under the hash gate: batch 1
     // (verbatim re-ingests + edited copies, both reconstructible in
     // SQL) deduped against a PERSISTED index built from batch 0 —
@@ -1264,6 +1289,28 @@ object TierC {
     (docs, reingested.unionByName(edited))
   }
 
+  /** Batch 1 behind `q_neardup_incremental` — a pure function of the
+    * `documents` table (DuckDB reconstructs it): verbatim re-ingests
+    * (% 5 == 0, J = 1 to their source → drop), edited copies
+    * (% 5 == 1, ` v2` suffix, J ≈ 0.95+ → drop: the case exact dedup
+    * misses), and synthetic fresh docs (% 5 == 2, no shingle overlap
+    * with any corpus doc → survive).
+    */
+  private def nearDupBatch1(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val reingested = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val edited = docs.filter(col("doc_id") % 5 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" v2")).as("text"))
+    val fresh = docs.filter(col("doc_id") % 5 === 2)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("fresh synthetic doc "), col("doc_id").cast("string"),
+          lit(" alpha beta gamma delta epsilon zeta")).as("text"))
+    reingested.unionByName(edited).unionByName(fresh)
+  }
+
   private val quantSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
 
@@ -1294,13 +1341,20 @@ object TierC {
     * whitespace tokens → 3-gram shingles (whole text when under 3 tokens),
     * deduplicated. Used by the exhaustive all-pairs Jaccard oracles.
     */
-  private val shingleCte: String =
-    "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 " +
+  /** Shingle CTE over an arbitrary (doc_id, text) relation — the SQL
+    * twin of `array_distinct(shingles(text, 3))`, parameterized so the
+    * incremental oracle can shingle a CONSTRUCTED batch exactly like
+    * the corpus.
+    */
+  private def shingleCteFor(name: String, rel: String): String =
+    s"$name AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 " +
       "THEN [array_to_string(toks, ' ')] " +
       "ELSE list_transform(range(1, len(toks)-1), " +
       "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s " +
       "FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), " +
-      "'\\s+'), t -> t <> '') AS toks FROM documents))"
+      s"'\\s+'), t -> t <> '') AS toks FROM $rel))"
+
+  private val shingleCte: String = shingleCteFor("sh", "documents")
 
   private val jaccardExpr: String =
     "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
@@ -1761,6 +1815,26 @@ object TierC {
         "SELECT sha256(text) AS content_hash, MIN(doc_id) AS doc_id " +
         "FROM b1 WHERE sha256(text) NOT IN " +
         "(SELECT sha256(text) FROM documents) " +
-        "GROUP BY sha256(text) ORDER BY doc_id")
+        "GROUP BY sha256(text) ORDER BY doc_id"),
+    // batch-1 survivors of the near-dup index: docs with exact
+    // shingle-Jaccard >= 0.5 to ANY corpus doc drop (re-ingests and
+    // " v2" edits alike); fresh synthetic docs survive
+    "q_neardup_incremental" ->
+      ("WITH b1 AS (" +
+        "SELECT doc_id + 1000000 AS doc_id, text FROM documents " +
+        "WHERE doc_id % 5 = 0 " +
+        "UNION ALL " +
+        "SELECT doc_id + 1000000 AS doc_id, text || ' v2' AS text " +
+        "FROM documents WHERE doc_id % 5 = 1 " +
+        "UNION ALL " +
+        "SELECT doc_id + 1000000 AS doc_id, 'fresh synthetic doc ' || " +
+        "doc_id || ' alpha beta gamma delta epsilon zeta' AS text " +
+        "FROM documents WHERE doc_id % 5 = 2), " +
+        shingleCteFor("shb", "b1") + ", " + shingleCte + " " +
+        "SELECT doc_id FROM shb WHERE doc_id NOT IN (" +
+        "SELECT b.doc_id FROM shb b JOIN sh a ON " +
+        "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+        "len(list_distinct(a.s || b.s)) >= 0.5) " +
+        "ORDER BY doc_id")
   )
 }

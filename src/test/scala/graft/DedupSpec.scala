@@ -63,6 +63,56 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("incremental near-dup dedup: edits drop against the signature " +
+    "index, fresh docs survive, replay idempotent in both index modes") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cat watches from the warm windowsill in the morning sun"
+    for (maxDeltas <- Seq(0, 4)) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"neardup_incr_$maxDeltas").toString
+      val corpus = Seq((1L, base),
+        (2L, (1 to 25).map(i => s"filler$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      // batch 0 seeds the index: empty prior, everything admitted
+      val s0 = Dedup.incrementalNearDup(corpus, corpus, root,
+        "doc_id", "text", 0L, numBuckets = 4, maxDeltas = maxDeltas)
+      assert(s0.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+      // batch 1: a one-word edit of doc 1 drops (near-dup of a prior
+      // keeper), an unrelated doc survives
+      val b1 = Seq((10L, base.replace("morning", "evening")),
+        (11L, (1 to 25).map(i => s"unrelated$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val s1 = Dedup.incrementalNearDup(b1, corpus, root,
+        "doc_id", "text", 1L, numBuckets = 4, maxDeltas = maxDeltas)
+      assert(s1.as[Long].collect().toSeq == Seq(11L))
+      // replay: same survivors (the batch's own index rows are
+      // excluded from the prior-keeper side), apply no-ops
+      val s1r = Dedup.incrementalNearDup(b1, corpus, root,
+        "doc_id", "text", 1L, numBuckets = 4, maxDeltas = maxDeltas)
+      assert(s1r.as[Long].collect().toSeq == Seq(11L))
+      // batch 2 is deduped against ADMITTED docs only: a near-copy of
+      // the DROPPED doc 10 still drops (both match keeper 1), and a
+      // near-copy of admitted 11 drops against it
+      val b2 = Seq((20L, base.replace("morning", "evening")
+          .replace("cat", "bird")),
+        (21L, ((1 to 24).map(i => s"unrelated$i") :+ "tail")
+          .mkString(" ")))
+        .toDF("doc_id", "text")
+      // the corpus for batch 2 must cover ALL previously admitted
+      // texts (1, 2, 11) — passing a stale corpus missing keeper 11
+      // fails LOUDLY instead of silently admitting 21
+      val e = intercept[IllegalArgumentException] {
+        Dedup.incrementalNearDup(b2, corpus, root,
+          "doc_id", "text", 2L, numBuckets = 4, maxDeltas = maxDeltas)
+      }
+      assert(e.getMessage.contains("corpus is missing"))
+      val s2 = Dedup.incrementalNearDup(b2, corpus.unionByName(b1), root,
+        "doc_id", "text", 2L, numBuckets = 4, maxDeltas = maxDeltas)
+      assert(s2.as[Long].collect().isEmpty)
+    }
+  }
+
   test("exact dedup groups identical content, keeps min id") {
     val out = Dedup.exact(corpus(), "doc_id", "text")
       .orderBy("doc_id").collect()
