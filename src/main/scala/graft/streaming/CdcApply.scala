@@ -176,6 +176,16 @@ object CdcApply {
       val all = (minTs +: deltas.map(_.minTs)).flatten
       if (all.isEmpty) None else Some(all.min)
     }
+    /** Physical on-disk bytes across base AND pending deltas — the
+      * layout-health size signal. Superseded delta rows double-count
+      * by design: physical bytes are what a reader of this bucket
+      * pays, which is exactly what the size caps protect. None when
+      * any constituent predates per-bucket stats (pre-v6).
+      */
+    def allBytes: Option[Long] = {
+      val parts = bytes +: deltas.map(_.bytes)
+      if (parts.exists(_.isEmpty)) None else Some(parts.flatten.sum)
+    }
   }
 
   /** `schema` is the STORED row schema (user columns + `TsBatchCol` +
@@ -1072,6 +1082,34 @@ object CdcApply {
         }
     }
 
+  /** Scheduled compaction poll, the merge-on-read sibling of
+    * [[rebucketIfNeeded]]: a ZERO-I/O manifest read decides whether any
+    * bucket's pending deltas crossed either bound — `maxPendingDeltas`
+    * (reader resolution width: directories a read of that bucket must
+    * merge) or `maxDeltaBytes` (physical delta footprint) — and
+    * compacts exactly the buckets over a bound. The inline compaction
+    * at the `maxDeltas` layout bound already caps width unconditionally;
+    * this poll is for reclaiming read cost EARLY on a schedule (run it
+    * off-peak with bounds tighter than the layout knob). The healthy
+    * path costs one manifest read — poll as often as you like. Returns
+    * the compacted bucket ids (empty: nothing over a bound, no table,
+    * or the maintenance guard aborted).
+    */
+  def compactIfNeeded(spark: SparkSession, root: String,
+      maxPendingDeltas: Int = Int.MaxValue,
+      maxDeltaBytes: Long = Long.MaxValue): Seq[Int] = {
+    require(maxPendingDeltas >= 1, "maxPendingDeltas must be >= 1")
+    require(maxDeltaBytes >= 1, "maxDeltaBytes must be >= 1")
+    currentManifest(spark, root).toSeq.flatMap { m =>
+      val over = m.buckets.collect {
+        case (b, e) if e.deltas.size > maxPendingDeltas ||
+          e.deltas.flatMap(_.bytes).sum > maxDeltaBytes => b
+      }.toSeq.sorted
+      if (over.nonEmpty && compactBuckets(spark, root, Some(over))) over
+      else Seq.empty
+    }
+  }
+
   /** Point lookup: the live row(s) for one key, reading ONE bucket
     * directory. A key's bucket is deterministic (the same hash the
     * writer used), so the lookup computes it from the key literals —
@@ -1383,8 +1421,13 @@ object CdcApply {
       // ALL live buckets must carry stats: a partially pre-v6 layout
       // would under-count total bytes and commit an O(snapshot) rewrite
       // to a still-oversized target — refuse and leave it to the
-      // documented manual decision instead
-      val sizes = m.buckets.valuesIterator.map(_.bytes).toSeq
+      // documented manual decision instead. Sizes are PHYSICAL bytes,
+      // pending merge-on-read deltas included (a delta-bloated bucket
+      // costs its readers base + deltas; the rebucket both re-keys and
+      // compacts, so post-rewrite stats reset to the resolved truth —
+      // run compactIfNeeded first when compaction alone would bring
+      // the layout back under the cap without an O(snapshot) rewrite)
+      val sizes = m.buckets.valuesIterator.map(_.allBytes).toSeq
       if (sizes.isEmpty || sizes.exists(_.isEmpty) ||
           sizes.flatten.max <= maxBucketBytes) None
       else {

@@ -159,6 +159,43 @@ class CdcMorSpec extends AnyFunSuite with SparkTestBase {
     assert(live(C.readSnapshot(spark, mor).get) == beforeSnap)
   }
 
+  test("layout health polls are delta-aware: compactIfNeeded folds " +
+    "only buckets over a bound, rebucketIfNeeded sizes on base + " +
+    "delta bytes — both manifest-only on the healthy path") {
+    val (_, mor) = buildTwin(maxDeltas = 8)
+    val net0 = live(C.readSnapshot(spark, mor).get)
+    assert(pendingDeltas(mor) > 0L)
+    // loose bounds: healthy, nothing compacts
+    assert(C.compactIfNeeded(spark, mor,
+      maxPendingDeltas = 100).isEmpty)
+    assert(pendingDeltas(mor) > 0L)
+    // a 1-byte delta-bytes bound: every delta-bearing bucket folds,
+    // delta-free buckets untouched, content preserved
+    val compacted = C.compactIfNeeded(spark, mor, maxDeltaBytes = 1L)
+    assert(compacted.nonEmpty)
+    assert(pendingDeltas(mor) == 0L)
+    assert(live(C.readSnapshot(spark, mor).get) == net0)
+    assert(C.compactIfNeeded(spark, mor, maxDeltaBytes = 1L).isEmpty,
+      "second poll is a healthy no-op")
+    // rebucket trigger counts PHYSICAL bytes incl. pending deltas: a
+    // fresh delta-bearing twin triggers under a cap its compacted
+    // bases alone would satisfy
+    val (_, mor2) = buildTwin(maxDeltas = 8)
+    val baseMax = C.buckets(spark, mor2).collect()
+      .map(r => r.getAs[Long]("bytes") +
+        (if (r.isNullAt(r.fieldIndex("delta_bytes"))) 0L
+         else r.getAs[Long]("delta_bytes")))
+    val biggestBase = C.buckets(spark, mor2).collect()
+      .map(_.getAs[Long]("bytes")).max
+    val cap = biggestBase + 1 // over every base, under base+deltas max
+    assert(baseMax.max > cap, "a delta-bearing bucket exceeds the cap")
+    val grew = C.rebucketIfNeeded(spark, mor2,
+      maxBucketBytes = cap, targetBucketBytes = cap)
+    assert(grew.exists(_ > 4), s"expected growth, got $grew")
+    assert(live(C.readSnapshot(spark, mor2).get) == net0)
+    assert(pendingDeltas(mor2) == 0L, "rebucket compacts as it re-keys")
+  }
+
   test("within-batch version ties still fail loudly in merge-on-read " +
     "(the ambiguity guard does not need the merge)") {
     import spark.implicits._
