@@ -215,6 +215,58 @@ class CdcApplyPropSpec extends AnyFunSuite with SparkTestBase {
     check(p)
   }
 
+  test("property: metadata-driven maintenance polls under any cadence " +
+      "are content-neutral and keep trickle replication exact") {
+    import spark.implicits._
+    val C = graft.streaming.CdcApply
+    // maint step per batch: 0 = none, 1 = compactIfNeeded with a
+    // 1-byte delta bound (folds every delta-bearing bucket), 2 =
+    // rebucketIfNeeded with a 1-byte size cap and a huge target (always
+    // over the cap, grows the layout by exactly one bucket) — the polls
+    // interleave with applies and mirror syncs in random order, and
+    // none of it may change content or break replication
+    val p = Prop.forAll(historyGen, Gen.chooseNum(2, 4),
+      Gen.oneOf(0, 2), Gen.listOfN(4, Gen.chooseNum(0, 2))) {
+      (history, nBatches, maxDeltas, maint) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("cdc_prop_mnt_src").toFile.getAbsolutePath
+      val mroot = java.nio.file.Files
+        .createTempDirectory("cdc_prop_mnt_dst").toFile.getAbsolutePath
+      val size = math.max(1, history.size / nBatches)
+      history.grouped(size).toList.zipWithIndex.foreach {
+        case (rows, id) =>
+          if (C.applyBatch(
+              rows.toDF("k", "version", "payload", "deleted"),
+              id.toLong, root, Seq("k"), "version", Some("deleted"),
+              numBuckets = 4, tombstoneRetention = 100,
+              maxDeltas = maxDeltas)) {
+            maint(id % maint.size) match {
+              case 1 => C.compactIfNeeded(spark, root, maxDeltaBytes = 1L)
+              case 2 => C.rebucketIfNeeded(spark, root,
+                maxBucketBytes = 1L, targetBucketBytes = Long.MaxValue)
+              case _ => ()
+            }
+            C.syncMirror(spark, root, mroot, numBuckets = 4)
+          }
+      }
+      def live(r: String): Map[Long, Long] =
+        C.readSnapshot(spark, r).map(_.collect()
+          .map(x => x.getAs[Long]("k") -> x.getAs[Long]("payload"))
+          .toMap).getOrElse(Map.empty)
+      val expect = history.groupBy(_._1).flatMap { case (k, rows) =>
+        val w = rows.maxBy(_._2)
+        if (w._4) None else Some(k -> w._3)
+      }
+      val (src, mir) = (live(root), live(mroot))
+      val ok = src == expect && mir == expect
+      if (!ok) println(s"[cdc-prop-maint] history=$history " +
+        s"maint=$maint maxDeltas=$maxDeltas src=$src mir=$mir " +
+        s"expect=$expect")
+      ok
+    }
+    check(p)
+  }
+
   test("property: trickle mirror straddling the retention bound — " +
       "every sync replicates exactly or refuses loudly; reseed " +
       "recovers and the final states agree") {
