@@ -82,10 +82,12 @@ class CdcApplyPropSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("property: additive evolution mid-stream still equals global " +
-      "latest-wins, with NULLs exactly on pre-evolution winners") {
+      "latest-wins, with NULLs exactly on pre-evolution winners — " +
+      "copy-on-write and merge-on-read alike") {
     import spark.implicits._
     val p = Prop.forAll(historyGen, Gen.chooseNum(1, 4),
-      Gen.chooseNum(0, 5)) { (history, nBatches, evolveAt) =>
+      Gen.chooseNum(0, 5), Gen.oneOf(0, 2)) {
+      (history, nBatches, evolveAt, maxDeltas) =>
       val root = java.nio.file.Files
         .createTempDirectory("cdc_prop_ev").toFile.getAbsolutePath
       val size = math.max(1, history.size / nBatches)
@@ -100,7 +102,8 @@ class CdcApplyPropSpec extends AnyFunSuite with SparkTestBase {
           else rows.toDF("k", "version", "payload", "deleted")
         graft.streaming.CdcApply.applyBatch(df, id.toLong, root,
           Seq("k"), "version", Some("deleted"),
-          numBuckets = 4, tombstoneRetention = 100)
+          numBuckets = 4, tombstoneRetention = 100,
+          maxDeltas = maxDeltas)
       }
       val snap = graft.streaming.CdcApply.readSnapshot(spark, root)
       val hasExtra = snap.exists(_.columns.contains("extra"))
@@ -123,8 +126,8 @@ class CdcApplyPropSpec extends AnyFunSuite with SparkTestBase {
         .exists { case (rows, id) => id >= evolveAt && rows.nonEmpty }
       val ok = got == expect && hasExtra == expectExtra
       if (!ok) println(s"[cdc-prop-ev] history=$history " +
-        s"evolveAt=$evolveAt got=$got expect=$expect " +
-        s"hasExtra=$hasExtra expectExtra=$expectExtra")
+        s"evolveAt=$evolveAt maxDeltas=$maxDeltas got=$got " +
+        s"expect=$expect hasExtra=$hasExtra expectExtra=$expectExtra")
       ok
     }
     check(p)
