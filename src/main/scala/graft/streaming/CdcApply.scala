@@ -1229,6 +1229,19 @@ object CdcApply {
     * at all (its delete events never survive into the feed) — every
     * lagging sync refuses and the recovery is a re-seed.
     *
+    * Exactness scope: the sync theorem (mirror state = source state at
+    * the synced watermark) holds for well-formed streams whose late
+    * events arrive WITHIN the source's tombstone retention — the same
+    * window inside which the source itself honors them. A late event
+    * OLDER than an expired tombstone is already outside the source's
+    * own latest-wins contract (the source admits it once its tombstone
+    * ages); the mirror re-stamps replicated tombstones with its sync
+    * batch, so it can retain delete protection up to one sync lag
+    * LONGER than the source and refuse such an event the source
+    * admitted. The divergence direction is deliberately conservative
+    * (the mirror errs toward keeping a delete), and recovery — as for
+    * every beyond-retention condition — is [[reseedMirror]].
+    *
     * `commitTs` stamps the mirror commit this sync lands (the applied
     * batch or the carried-forward watermark advance) — wall clock when
     * None, or a caller-supplied logical clock so as-of-timestamp time
@@ -1718,11 +1731,23 @@ object CdcApply {
           // leaf-dir reads do not recover it), so recompute the bucket —
           // deterministic from the keys. The EVOLVED schema drives the
           // read: pre-evolution files surface NULL for the new columns
-          val base = readRaw(spark, basePaths, Some(evolved))
+          val read = readRaw(spark, basePaths, Some(evolved))
             .withColumn(BucketCol, bucketCol(conf.keys, conf.numBuckets))
+          // LOGICAL tombstone expiry: a tombstone past retention is
+          // authoritative for nothing — excluded from the merge's view
+          // of the base BEFORE the re-delivery anti-join, so the merge
+          // outcome is a pure function of (stored logical rows,
+          // batchId, retention) and never of WHEN a sweep or an earlier
+          // merge happened to physically rewrite this bucket (a
+          // vacuumed and an unvacuumed copy of the same logical table
+          // must merge identically; sweep cadence is a layout detail)
+          val base = conf.deletedCol.fold(read)(dcol =>
+            read.filter(!(coalesce(col(dcol), lit(false)) &&
+              lit(batchId) - coalesce(col(TsBatchCol), lit(batchId)) >=
+                lit(conf.retention.toLong))))
           // rows re-delivered from an ALREADY-APPLIED batch — the base
-          // side includes tombstones, so re-delivered deletes are
-          // recognized as applied too
+          // side includes (unexpired) tombstones, so re-delivered
+          // deletes are recognized as applied too
           val fresh = align(batch).join(
             base.select((conf.keys :+ conf.versionCol).map(col): _*),
             conf.keys :+ conf.versionCol, "left_anti")

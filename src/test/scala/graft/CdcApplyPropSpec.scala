@@ -36,6 +36,29 @@ class CdcApplyPropSpec extends AnyFunSuite with SparkTestBase {
   } yield keys.lazyZip(perm).lazyZip(payloads).lazyZip(deleted).toList
     .map { case (k, v, pay, d) => (k, v, pay, d) }
 
+  // historyGen with each key's versions REASSIGNED into delivery order
+  // (still globally unique): no late lower-versioned events. The mirror
+  // sync theorem is exact only for late events WITHIN the source's
+  // tombstone retention — a later event older than an EXPIRED tombstone
+  // is outside the source's own latest-wins contract (the source
+  // admits it once its tombstone ages; the mirror, whose replicated
+  // tombstone clock is its sync batch, may still hold the delete — the
+  // documented conservative divergence in the syncMirror scaladoc). The
+  // small retentions the mirror property needs to exercise the refusal
+  // path would otherwise make such out-of-contract lates routine; late
+  // events under a retention nothing ages out of are covered by the
+  // apply/maintenance properties above.
+  private val orderedHistoryGen: Gen[List[(Long, Long, Long, Boolean)]] =
+    historyGen.map { h =>
+      val versionAt: Map[Int, Long] = h.zipWithIndex
+        .groupBy(_._1._1).valuesIterator.flatMap { rows =>
+          rows.map(_._2).zip(rows.map(_._1._2).sorted)
+        }.toMap
+      h.zipWithIndex.map { case ((k, _, pay, d), i) =>
+        (k, versionAt(i), pay, d)
+      }
+    }
+
   test("property: batched bucketed apply equals global latest-wins, " +
       "copy-on-write and merge-on-read alike") {
     import spark.implicits._
@@ -278,8 +301,11 @@ class CdcApplyPropSpec extends AnyFunSuite with SparkTestBase {
     // small retentions (0..2) so histories routinely age tombstones
     // out of the feed: retention 0 refuses on EVERY lagging sync (its
     // delete events never survive into the feed), larger retentions
-    // mix the trickle path and the refusal path across generated runs
-    val p = Prop.forAll(historyGen, Gen.chooseNum(2, 4),
+    // mix the trickle path and the refusal path across generated runs.
+    // orderedHistoryGen (no late lower-versioned events): under these
+    // retentions a beyond-retention late event is out of the exactness
+    // contract — see the generator comment
+    val p = Prop.forAll(orderedHistoryGen, Gen.chooseNum(2, 4),
       Gen.chooseNum(0, 2), Gen.chooseNum(1, 2), Gen.oneOf(0, 2)) {
       (history, nBatches, retention, syncEvery, maxDeltas) =>
       val root = java.nio.file.Files
