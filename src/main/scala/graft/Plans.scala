@@ -126,6 +126,15 @@ object Plans {
       "bytes per GET); a key whose bucket is absent from the manifest " +
       "contributes a zero-file-source LocalTableScan/EmptyRelation, " +
       "never a directory listing."),
+    "q_lookup_by" -> ("Secondary-index equality probe: each branch " +
+      "scans ONE index bucket family (the probed value's bucket under " +
+      "the bucketCols layout — index_size/index_buckets bytes), then " +
+      "ONLY the source bucket directories the matching keys hash to " +
+      "(recomputed at probe time, so a source rebucket needs no index " +
+      "resync), semi-joined on the primary key with the indexed " +
+      "predicate re-checked on the source row. No full-table path on " +
+      "either side: a selective probe against a 100 TB source reads " +
+      "two bucket families."),
     "q_cdc_rollup" -> ("Materialized-aggregate serve: the scan reads " +
       "ONLY the rollup table's partial rows (buckets × groups — " +
       "megabytes against a 100 TB source; no source-table path " +

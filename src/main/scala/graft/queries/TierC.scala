@@ -239,6 +239,37 @@ object TierC {
       roll
     }
 
+  /** (source, index) roots for `q_lookup_by`: the supplier change
+    * stream applied INTERLEAVED with secondary-index syncs (batch 0 →
+    * sync → batch 1 → sync) on `s_nationkey`, so the second sync is a
+    * genuine incremental refresh — only the source buckets batch 1
+    * rewrote are recomputed, every other index entry carried forward,
+    * and batch 1's deletes must TOMBSTONE their index pairs (a %7
+    * supplier that stayed indexed would surface in the lookup and
+    * hash-mismatch). Idempotent via the replay guards, as every CDC
+    * artifact.
+    */
+  private def cdcIndexRoots(s: SparkSession, d: String): (String, String) =
+    synchronized {
+      import graft.streaming.{CdcApply, SecondaryIndex}
+      val key = graft.sources.Artifacts.datasetKey(d,
+        s"$d/supplier.parquet") + s"_$CdcRecipeRev"
+      val src = new java.io.File(
+        s"target/graft-data/cdc_index_src/$key").getAbsolutePath
+      val idx = new java.io.File(
+        s"target/graft-data/cdc_index_q/$key").getAbsolutePath
+      val (b0, b1) = supplierCdcBatches(s, d)
+      CdcApply.applyBatch(b0, 0L, src, Seq("s_suppkey"), "version",
+        Some("deleted"), commitTs = Some(1000L))
+      SecondaryIndex.syncIndex(s, src, idx, Seq("s_nationkey"),
+        numBuckets = 4, commitTs = Some(1100L))
+      CdcApply.applyBatch(b1, 1L, src, Seq("s_suppkey"), "version",
+        Some("deleted"), commitTs = Some(2000L))
+      SecondaryIndex.syncIndex(s, src, idx, Seq("s_nationkey"),
+        numBuckets = 4, commitTs = Some(2100L))
+      (src, idx)
+    }
+
   /** Chain root for `q_cdc_chain`: a mirror OF THE MIRROR — the
     * replication-chain claim made concrete. The chain syncs from
     * [[cdcMirrorRoot]]'s own change feed (the mirror is a full CDC
@@ -1180,6 +1211,28 @@ object TierC {
         .orderBy(col("s_suppkey"))
     }),
 
+    // C8n — SECONDARY-INDEX LOOKUP under the hash gate: "every live
+    // supplier of nations 1 and 3" answered through the incrementally-
+    // synced s_nationkey index — one index bucket probe per nation,
+    // then only the source buckets holding matches, semi-joined on the
+    // primary key (plan-asserted in SecondaryIndexSpec). The oracle
+    // recomputes the same rows from the net state, so an index entry
+    // the second sync failed to tombstone (a deleted %7 supplier) or
+    // a missed batch-1 update hash-mismatches. `wm` witnesses the
+    // index watermark reached the source head.
+    "q_lookup_by" -> ((s, d) => {
+      val (src, idx) = cdcIndexRoots(s, d)
+      val wm = graft.streaming.CdcApply.currentVersion(s, idx).get
+      Seq(1, 3)
+        .map(n => graft.streaming.SecondaryIndex
+          .lookupBy(s, src, idx, Seq(n)).get
+          .select(col("s_suppkey"), col("s_nationkey"),
+            col("s_acctbal"), col("version")))
+        .reduce(_.unionByName(_))
+        .withColumn("wm", lit(wm))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // C8l — MERGE-ON-READ under the hash gate: the same two-batch
     // change stream under the delta layout (maxDeltas = 4), read while
     // batch 1's deltas are still PENDING — the snapshot resolves
@@ -1784,6 +1837,18 @@ object TierC {
         "CASE WHEN s_suppkey % 5 = 0 THEN CAST(2 AS BIGINT) " +
         "ELSE CAST(1 AS BIGINT) END AS version " +
         "FROM supplier WHERE s_suppkey IN (1, 5) ORDER BY s_suppkey"),
+    // the index-served rows for nations 1 and 3 from first principles:
+    // live net-state rows (deletes absent, %5 updates applied), index
+    // watermark at the source head (1)
+    "q_lookup_by" ->
+      ("SELECT s_suppkey, s_nationkey, " +
+        "CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END AS s_acctbal, " +
+        "CASE WHEN s_suppkey % 5 = 0 THEN CAST(2 AS BIGINT) " +
+        "ELSE CAST(1 AS BIGINT) END AS version, " +
+        "CAST(1 AS BIGINT) AS wm " +
+        "FROM supplier WHERE s_suppkey % 7 <> 0 " +
+        "AND s_nationkey IN (1, 3) ORDER BY s_suppkey"),
     // merge-on-read resolved state must equal the copy-on-write net
     // state; has_deltas = 1 witnesses the read crossed pending deltas
     "q_cdc_mor" ->

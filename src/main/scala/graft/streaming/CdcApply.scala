@@ -146,7 +146,24 @@ object CdcApply {
     */
   private[streaming] final case class TableConf(numBuckets: Int, keys: Seq[String],
       versionCol: String, deletedCol: Option[String], retention: Int,
-      maxDeltas: Int = 0)
+      maxDeltas: Int = 0, bucketKeys: Option[Seq[String]] = None) {
+    /** The columns the bucket hash runs over — a declared subset of
+      * the key columns (default: all of them). Every row of one key
+      * still lands in one bucket (the subset is a function of the
+      * key), but rows SHARING the subset co-locate, so a reader
+      * holding only those columns' values — a secondary-index probe by
+      * indexed value, a tenant-scoped scan — prunes to one bucket
+      * without the full key. Like `numBuckets` it is a LAYOUT knob
+      * fixed at first apply and manifest-authoritative thereafter;
+      * unlike `numBuckets` it never evolves (a different subset
+      * re-keys every row, and no maintenance op migrates it —
+      * [[rebucket]] keeps the declared subset). The trade-off a
+      * caller accepts: key skew protection degrades to subset skew
+      * protection (every key sharing one subset value rides one
+      * bucket), which is exactly what the co-location is FOR.
+      */
+    def bucketCols: Seq[String] = bucketKeys.getOrElse(keys)
+  }
 
   /** One bucket's manifest entry: its current BASE data directory
     * (relative to `root/data/`) plus the OLDEST tombstone batch id it
@@ -286,6 +303,10 @@ object CdcApply {
       s"keys=${c.keys.mkString(",")} version=${c.versionCol} " +
       s"deleted=${c.deletedCol.getOrElse("-")} retention=${c.retention}" +
       s" maxdeltas=${c.maxDeltas}" +
+      // only written when a subset was declared — absent means "all
+      // keys", so pre-knob manifests parse to identical behavior
+      c.bucketKeys.map(bk => s" bucketcols=${bk.mkString(",")}")
+        .getOrElse("") +
       m.ts.map(t => s" ts=$t").getOrElse("")
     // schema JSON is one line (JSON escapes control chars), tagged so a
     // bucket line (which starts with an int) can never shadow it
@@ -315,7 +336,9 @@ object CdcApply {
       deletedCol = Some(kv("deleted")).filter(_ != "-"),
       retention = kv("retention").toInt,
       // absent on pre-v7 manifests: those tables are copy-on-write
-      maxDeltas = kv.get("maxdeltas").map(_.toInt).getOrElse(0))
+      maxDeltas = kv.get("maxdeltas").map(_.toInt).getOrElse(0),
+      // absent = bucket hash over all keys (every pre-knob table)
+      bucketKeys = kv.get("bucketcols").map(_.split(',').toSeq))
     val schema = lines.tail.find(_.startsWith("schema\t")).map(l =>
       org.apache.spark.sql.types.DataType.fromJson(
         l.stripPrefix("schema\t"))
@@ -393,7 +416,7 @@ object CdcApply {
     * piece of governance wiring in this file; every data-bearing path
     * stays zero-wiring through the injected rule.
     */
-  private def governedVisible(spark: SparkSession, root: String,
+  private[streaming] def governedVisible(spark: SparkSession, root: String,
       fields: Seq[org.apache.spark.sql.types.StructField])
       : Seq[org.apache.spark.sql.types.StructField] =
     graft.governance.GovernanceCatalog.tableForLocation(root) match {
@@ -922,7 +945,7 @@ object CdcApply {
         // that bucket's compaction — its pending deltas clear)
         readBucketsResolved(spark, root, m, Some(dirty)).get
           .filter(!(coalesce(col(d), lit(false)) && expired))
-          .withColumn(BucketCol, bucketCol(conf.keys, conf.numBuckets))
+          .withColumn(BucketCol, bucketCol(conf.bucketCols, conf.numBuckets))
           .hint("rebalance", BucketCol)
           .write.partitionBy(BucketCol).mode("overwrite")
           .parquet(new Path(root, s"data/$dirTag").toString)
@@ -1003,7 +1026,7 @@ object CdcApply {
           // merge-on-read delta rows into the new layout (a rebucket
           // therefore also compacts — every pending delta clears)
           readBucketsResolved(spark, root, m).get
-            .withColumn(BucketCol, bucketCol(conf.keys, newNumBuckets))
+            .withColumn(BucketCol, bucketCol(conf.bucketCols, newNumBuckets))
             .hint("rebalance", BucketCol)
             .write.partitionBy(BucketCol).mode("overwrite")
             .parquet(new Path(root, s"data/$dirTag").toString)
@@ -1066,7 +1089,7 @@ object CdcApply {
               lit(batchId) - coalesce(col(TsBatchCol), lit(batchId)) >=
                 lit(conf.retention.toLong))))
           aged
-            .withColumn(BucketCol, bucketCol(conf.keys, conf.numBuckets))
+            .withColumn(BucketCol, bucketCol(conf.bucketCols, conf.numBuckets))
             .hint("rebalance", BucketCol)
             .write.partitionBy(BucketCol).mode("overwrite")
             .parquet(new Path(root, s"data/$dirTag").toString)
@@ -1146,7 +1169,7 @@ object CdcApply {
               .fold(lit(v))(f => lit(v).cast(f.dataType)).as(k)
           val b = spark.range(1)
             .select(keyed.map { case (k, v) => typedLit(k, v) }: _*)
-            .select(bucketCol(conf.keys, conf.numBuckets).as("b"))
+            .select(bucketCol(conf.bucketCols, conf.numBuckets).as("b"))
             .head().getInt(0)
           val pred = keyed.map { case (k, v) =>
             col(k) === typedLit(k, v) }.reduce(_ && _)
@@ -1285,7 +1308,11 @@ object CdcApply {
               mirrorRoot, c.keys, c.versionCol, c.deletedCol,
               numBuckets = numBuckets,
               tombstoneRetention = c.retention,
-              commitTs = Some(ts))
+              commitTs = Some(ts),
+              // the replica inherits the source's bucket-column
+              // subset (pruned lookups work identically on either);
+              // only the bucket COUNT is a mirror-local choice
+              bucketCols = Some(c.bucketCols))
           }
           // an EMPTY feed between wm and head (no stamped rows, or the
           // empty-table case above) is skipped by applyBatch — advance
@@ -1337,7 +1364,7 @@ object CdcApply {
             .drop(TsBatchCol, AppliedBatchCol),
           cur, mirrorRoot, c.keys, c.versionCol, c.deletedCol,
           numBuckets = numBuckets, tombstoneRetention = c.retention,
-          commitTs = Some(ts))
+          commitTs = Some(ts), bucketCols = Some(c.bucketCols))
         // fully-emptied source: the re-seeded mirror is an empty table
         // at the source's watermark
         if (!applied)
@@ -1562,11 +1589,17 @@ object CdcApply {
       tombstoneRetention: Int = DefaultTombstoneRetention,
       commitTs: Option[Long] = None,
       changelog: Boolean = false,
-      maxDeltas: Int = 0): Boolean = {
+      maxDeltas: Int = 0,
+      bucketCols: Option[Seq[String]] = None): Boolean = {
     require(numBuckets >= 1, "numBuckets must be >= 1")
     require(tombstoneRetention >= 0, "tombstoneRetention must be >= 0")
     require(maxDeltas >= 0, "maxDeltas must be >= 0")
     require(keys.nonEmpty, "at least one key column is required")
+    bucketCols.foreach { bc =>
+      require(bc.nonEmpty && bc.forall(keys.contains),
+        s"bucketCols must be a non-empty subset of the key columns " +
+          s"$keys, got $bc")
+    }
     val spark = rawBatch.sparkSession
     // ChangeBatchCol is reserved too even though it is never stored: a
     // payload column of that name would collide with the feed's stamp
@@ -1595,19 +1628,26 @@ object CdcApply {
     if (currentVersion(spark, root).exists(_ >= batchId)) return false
 
     val conf0 = TableConf(numBuckets, keys, versionCol, deletedCol,
-      tombstoneRetention, maxDeltas)
+      tombstoneRetention, maxDeltas,
+      // a declared subset equal to the full key list IS the default
+      // layout — normalize so the two spellings never look like a
+      // config drift
+      bucketCols.filter(_ != keys))
     val existing = currentManifest(spark, root)
     existing.foreach { m =>
-      // numBuckets and maxDeltas are exempt from the match: the
-      // manifest is authoritative for LAYOUT knobs (numBuckets
-      // legitimately diverges from the caller's first-apply value
-      // after a `rebucket`; maxDeltas only moves where the merge cost
-      // is paid, never what the merge computes), so the caller's
-      // values are creation-time parameters. Everything else is still
-      // fixed at first apply — a silent keys/version/retention change
-      // would corrupt merge semantics.
+      // numBuckets, maxDeltas, and bucketKeys are exempt from the
+      // match: the manifest is authoritative for LAYOUT knobs
+      // (numBuckets legitimately diverges from the caller's
+      // first-apply value after a `rebucket`; maxDeltas only moves
+      // where the merge cost is paid; bucketKeys is fixed at first
+      // apply with no migration op, so re-supplying it is
+      // meaningless), and the caller's values are creation-time
+      // parameters. Everything else is still fixed at first apply — a
+      // silent keys/version/retention change would corrupt merge
+      // semantics.
       require(m.conf.copy(numBuckets = conf0.numBuckets,
-          maxDeltas = conf0.maxDeltas) == conf0,
+          maxDeltas = conf0.maxDeltas,
+          bucketKeys = conf0.bucketKeys) == conf0,
         s"table config mismatch: manifest has ${m.conf}, caller passed " +
           s"$conf0 — keys, version column, deleted column, and " +
           "tombstone retention are fixed at first apply")
@@ -1628,7 +1668,7 @@ object CdcApply {
     // read, final write): without it each action re-reads the source
     // and redoes the dedup shuffle — per trigger, on the hot path
     val batch = deduped
-      .withColumn(BucketCol, bucketCol(conf.keys, conf.numBuckets))
+      .withColumn(BucketCol, bucketCol(conf.bucketCols, conf.numBuckets))
       .withColumn(TsBatchCol, conf.deletedCol match {
         case Some(d) =>
           when(coalesce(col(d), lit(false)), lit(batchId)).otherwise(
@@ -1732,7 +1772,7 @@ object CdcApply {
           // deterministic from the keys. The EVOLVED schema drives the
           // read: pre-evolution files surface NULL for the new columns
           val read = readRaw(spark, basePaths, Some(evolved))
-            .withColumn(BucketCol, bucketCol(conf.keys, conf.numBuckets))
+            .withColumn(BucketCol, bucketCol(conf.bucketCols, conf.numBuckets))
           // LOGICAL tombstone expiry: a tombstone past retention is
           // authoritative for nothing — excluded from the merge's view
           // of the base BEFORE the re-delivery anti-join, so the merge
@@ -1877,7 +1917,7 @@ object CdcApply {
         val storedPaths = toCompact.flatMap(prior.get).flatMap(_.allRels)
           .map(rel => s"$root/data/$rel").sorted
         val stored = readRaw(spark, storedPaths, Some(evolved))
-          .withColumn(BucketCol, bucketCol(conf.keys, conf.numBuckets))
+          .withColumn(BucketCol, bucketCol(conf.bucketCols, conf.numBuckets))
         val fresh = slim.filter(
           col(BucketCol).isin(toCompact.map(Integer.valueOf): _*))
         val merged = resolveLatest(stored.unionByName(fresh), conf)
@@ -1908,13 +1948,14 @@ object CdcApply {
       versionCol: String, deletedCol: Option[String] = None,
       queryName: String = "cdc_apply", numBuckets: Int = 16,
       tombstoneRetention: Int = DefaultTombstoneRetention,
-      changelog: Boolean = false, maxDeltas: Int = 0): StreamingQuery =
+      changelog: Boolean = false, maxDeltas: Int = 0,
+      bucketCols: Option[Seq[String]] = None): StreamingQuery =
     updates.writeStream
       .queryName(queryName)
       .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
         applyBatch(rawBatch, batchId, root, keys, versionCol, deletedCol,
           numBuckets, tombstoneRetention, changelog = changelog,
-          maxDeltas = maxDeltas)
+          maxDeltas = maxDeltas, bucketCols = bucketCols)
         ()
       }
       .start()

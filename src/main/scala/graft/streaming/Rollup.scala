@@ -200,7 +200,7 @@ object Rollup {
                 raw.filter(!coalesce(col(d), lit(false))))
               live
                 .withColumn(SrcBucketCol,
-                  CdcApply.bucketCol(src.conf.keys, nb))
+                  CdcApply.bucketCol(src.conf.bucketCols, nb))
                 .groupBy(keys.map(col): _*)
                 .agg(partial(aggs.head), aggs.tail.map(partial): _*)
                 .withColumn(SrcLayoutCol, lit(nb))
