@@ -126,6 +126,13 @@ object Plans {
       "bytes per GET); a key whose bucket is absent from the manifest " +
       "contributes a zero-file-source LocalTableScan/EmptyRelation, " +
       "never a directory listing."),
+    "q_cdc_diff" -> ("Bounded historical diff: changesBetween(-1, 0) " +
+      "resolves batch 0's RETAINED manifest, so the scan lists only " +
+      "the v0 directories that manifest references — no batch-1 path " +
+      "appears even though the head has moved on — with the same " +
+      "manifest bucket skip + pushed stamp predicate as the live " +
+      "feed. Answering 'what changed between Monday and Wednesday' " +
+      "reads the buckets touched in that window, not the table."),
     "q_lookup_by" -> ("Secondary-index equality probe: each branch " +
       "scans ONE index bucket family (the probed value's bucket under " +
       "the bucketCols layout — index_size/index_buckets bytes), then " +

@@ -1099,6 +1099,21 @@ object TierC {
           col("_change_batch").as("change_batch"))
         .orderBy(col("s_suppkey"))),
 
+    // C8o — BOUNDED DIFF under the hash gate: changesBetween(-1, 0) on
+    // the SAME table whose head is already at batch 1 — the feed runs
+    // against batch 0's RETAINED manifest, so the result is exactly
+    // the batch-0 insert load (every supplier at version 1, stamped 0)
+    // with none of batch 1's updates or tombstones bleeding in. A feed
+    // that consulted the current manifest instead of the historical
+    // one would carry batch-1 stamps and hash-mismatch.
+    "q_cdc_diff" -> ((s, d) =>
+      graft.streaming.CdcApply
+        .changesBetween(s, cdcChangesRoot(s, d), -1L, 0L).get
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
+          col("version"), col("deleted"),
+          col("_change_batch").as("change_batch"))
+        .orderBy(col("s_suppkey"))),
+
     // C8h — REPLICATION under the hash gate: the aggregate runs on a
     // MIRROR built purely from the change feed (seed sync = changes
     // since -1 applied as one batch), against the same net-state
@@ -1789,6 +1804,14 @@ object TierC {
         "CAST(1 AS BIGINT) AS change_batch " +
         "FROM supplier WHERE s_suppkey % 5 = 0 OR s_suppkey % 7 = 0 " +
         "ORDER BY s_suppkey"),
+    // the batch-0 insert load from first principles: every supplier at
+    // version 1, live, stamped batch 0 — batch 1's changes excluded by
+    // the historical-manifest bound
+    "q_cdc_diff" ->
+      ("SELECT s_suppkey, s_nationkey, s_acctbal, " +
+        "CAST(1 AS BIGINT) AS version, FALSE AS deleted, " +
+        "CAST(0 AS BIGINT) AS change_batch " +
+        "FROM supplier ORDER BY s_suppkey"),
     // whole-row upsert: batch-1 rows replace their batch-0 versions
     // (same s_acctbal), carrying the evolved column; everyone else
     // keeps NULL bonus

@@ -739,7 +739,16 @@ object CdcApply {
     * here instead of returned silently degraded (CdcGovernanceSpec).
     */
   def changesSince(spark: SparkSession, root: String,
-      sinceBatch: Long): Option[DataFrame] = {
+      sinceBatch: Long): Option[DataFrame] =
+    currentManifest(spark, root)
+      .flatMap(changesInManifest(spark, root, _, sinceBatch))
+
+  /** The feed body shared by [[changesSince]] (CURRENT manifest) and
+    * [[changesBetween]] (a retained historical manifest): rows of `m`
+    * stamped after `sinceBatch`. None when `m` holds zero live buckets.
+    */
+  private def changesInManifest(spark: SparkSession, root: String,
+      manifest: Manifest, sinceBatch: Long): Option[DataFrame] = {
     def relBatch(rel: String): Long = dirTagBatch(rel)
     // the feed's declared shape with no rows — built from the manifest
     // schema with ZERO filesystem access: the caught-up steady-state
@@ -770,7 +779,7 @@ object CdcApply {
         org.apache.spark.sql.types.StructType(
           fields.distinctBy(_.name)))
     }
-    currentManifest(spark, root).filter(_.buckets.nonEmpty).map { m =>
+    Some(manifest).filter(_.buckets.nonEmpty).map { m =>
       // a table whose stored schema predates the change-feed stamp (or
       // never recorded a schema at all — pre-v4) has no stamped rows:
       // an empty feed with the declared shape, not an
@@ -1201,6 +1210,36 @@ object CdcApply {
           }
       }
     }
+
+  /** Bounded change feed: every row whose CURRENT-as-of-`toBatch`
+    * version was applied by a batch in (`fromBatch`, `toBatch`] — the
+    * table_changes(from, to) form, answering "what changed between
+    * Monday's snapshot and Wednesday's" long after the head moved on.
+    * Runs against the RETAINED manifest of `toBatch` (the same
+    * resolution as [[readSnapshotAt]], maintenance generations
+    * included), so the upper bound needs no filtering: a stamp in that
+    * manifest cannot exceed `toBatch`. Same two-layer pruning as
+    * [[changesSince]] (manifest bucket skip below the lower bound,
+    * pushed stamp predicate inside survivors), same completeness
+    * bounds (tombstone retention, pre-stamp rows), and the same
+    * governance rules (allowlist must keep the stamp). None when
+    * `toBatch` is not a retained batch (vacuumed away, or never
+    * committed). `changesBetween(root, from, head)` equals
+    * `changesSince(root, from)`.
+    */
+  def changesBetween(spark: SparkSession, root: String,
+      fromBatch: Long, toBatch: Long): Option[DataFrame] = {
+    require(fromBatch <= toBatch,
+      s"fromBatch $fromBatch must be <= toBatch $toBatch")
+    val fs = fsFor(spark, root)
+    val mdir = new Path(root, "manifests")
+    if (!fs.exists(mdir)) return None
+    listManifests(fs, mdir)
+      .filter(n => parseManifestName(n)._1 == toBatch)
+      .sortBy(parseManifestName(_)._2).lastOption
+      .flatMap(name => changesInManifest(spark, root,
+        readManifest(spark, root, name), fromBatch))
+  }
 
   /** Timestamp form of [[changesSince]]: "every row changed since
     * yesterday 14:00" — the batch current at `ts` resolves through

@@ -855,6 +855,52 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(snap.count() == 19L) // tombstoned key filtered
   }
 
+  test("changesBetween: a bounded diff runs against the retained " +
+    "historical manifest, not the head") {
+    import spark.implicits._
+    val C = graft.streaming.CdcApply
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_between").toFile.getAbsolutePath
+    def apply(rows: Seq[(Long, Long, String, Boolean)], id: Long) =
+      C.applyBatch(rows.toDF("k", "version", "v", "deleted"), id, root,
+        Seq("k"), "version", Some("deleted"), numBuckets = 4,
+        commitTs = Some((id + 1) * 1000L))
+    assert(C.changesBetween(spark, root, -1L, 0L).isEmpty)
+    assert(apply(Seq((1L, 1L, "a", false), (2L, 1L, "b", false)), 0L))
+    assert(apply(Seq((1L, 2L, "a2", false), (3L, 1L, "c", false)), 1L))
+    assert(apply(Seq((2L, 2L, "", true)), 2L))
+
+    // (-1, 0]: the batch-0 inserts exactly — none of the later
+    // updates, inserts, or tombstones bleed in even though the head
+    // is at 2 (k=1 comes back at version 1, not its current 2)
+    val initial = C.changesBetween(spark, root, -1L, 0L).get
+      .select("k", "v", "_change_batch")
+      .as[(Long, String, Long)].collect().toSet
+    assert(initial == Set((1L, "a", 0L), (2L, "b", 0L)), initial)
+    // (0, 1]: batch 1's changes as they stood at batch 1
+    val mid = C.changesBetween(spark, root, 0L, 1L).get
+      .select("k", "v", "_change_batch")
+      .as[(Long, String, Long)].collect().toSet
+    assert(mid == Set((1L, "a2", 1L), (3L, "c", 1L)), mid)
+    // (from, head] degenerates to changesSince(from)
+    val toHead = C.changesBetween(spark, root, 0L, 2L).get
+      .select("k", "_change_batch").as[(Long, Long)].collect().toSet
+    val since = C.changesSince(spark, root, 0L).get
+      .select("k", "_change_batch").as[(Long, Long)].collect().toSet
+    assert(toHead == since && toHead ==
+      Set((1L, 1L), (3L, 1L), (2L, 2L)), toHead)
+    // an unretained toBatch is None, an inverted range refuses
+    assert(C.changesBetween(spark, root, 0L, 9L).isEmpty)
+    intercept[IllegalArgumentException] {
+      C.changesBetween(spark, root, 2L, 1L)
+    }
+    // vacuum sweeping batch 0's manifest takes the historical diff
+    // with it — None, never a silently wrong answer from newer dirs
+    C.vacuum(spark, root, keep = 2, expireTombstones = false)
+    assert(C.changesBetween(spark, root, -1L, 0L).isEmpty)
+    assert(C.changesBetween(spark, root, 0L, 2L).get.count() == 3L)
+  }
+
   test("change-feed completeness bound: a consumer lagging past " +
     "tombstone retention misses the aged-out delete — the documented " +
     "re-seed case") {
