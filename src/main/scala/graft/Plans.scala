@@ -175,6 +175,22 @@ object Plans {
       "corpus was consulted upstream through the O(batch) index " +
       "apply, never rescanned. The plan carries 64-hex hashes and " +
       "ids, never document text."),
+    "q_quality_gate" -> ("Gated table read-back: the snapshot holds " +
+      "only the versions that PASSED the write-time gate, so the " +
+      "declared plan is the ordinary q_cdc_merge shape — multi-path " +
+      "bucketed scan + two-phase aggregate, with NO trace of the " +
+      "expectations: the gate ran ONCE at apply time as a map-side " +
+      "when-chain over the arriving batch (no extra shuffle, no " +
+      "table scan), so readers pay zero for it forever after. The " +
+      "alternative — a read-time quality filter — would re-evaluate " +
+      "on every query and could never express 'keep serving the " +
+      "prior clean version'."),
+    "q_quarantine" -> ("Quarantine read-back: the rejection audit " +
+      "trail is itself an ordinary CDC snapshot (bucketed parquet, " +
+      "latest-rejected-per-key resolved by the same machinery), " +
+      "projecting key, version, and the stored _violated reasons — " +
+      "a plain pruned scan, no join back to the main table and no " +
+      "re-evaluation of any predicate."),
     "q_neardup_incremental" -> ("Incremental near-dup admitted-id " +
       "read: the declared plan is the signature index's CHANGE FEED " +
       "restricted to batch 1's stamp — manifest-pruned to the " +

@@ -270,6 +270,58 @@ object TierC {
       (src, idx)
     }
 
+  /** Roots for the quality-gate queries (`q_quality_gate`,
+    * `q_quarantine`): the supplier stream routed through
+    * [[graft.streaming.Quality.applyChecked]] under two expectations —
+    * `acctbal_nonneg` (s_acctbal >= 0; the raw data violates it
+    * naturally at sf >= 0.01) and `name_present` (non-empty s_name;
+    * batch 1 deterministically corrupts the name of every
+    * s_suppkey % 4 == 0 update to NULL, so the gate provably fires at
+    * EVERY scale factor and the NULL-fails-closed rule is in the
+    * declared artifact, not just the spec). Batch 1 updates every
+    * s_suppkey % 2 == 0 supplier (s_acctbal - 500, pushing some
+    * balances negative) and deletes every % 7 == 0 key — deletes
+    * bypass the gate by contract. The main snapshot therefore serves
+    * "the latest ADMITTED version per key" and the quarantine table
+    * "the latest REJECTED version per key with its reasons" — both
+    * closed-form over the supplier table, so both are hash-checked.
+    * Idempotent via both tables' replay guards.
+    */
+  private def cdcGateRoots(s: SparkSession, d: String): (String, String) =
+    synchronized {
+      import graft.streaming.Quality
+      val key = graft.sources.Artifacts.datasetKey(d,
+        s"$d/supplier.parquet") + s"_$CdcRecipeRev"
+      val main = new java.io.File(
+        s"target/graft-data/cdc_gate_q/$key").getAbsolutePath
+      val quar = new java.io.File(
+        s"target/graft-data/cdc_gate_quar/$key").getAbsolutePath
+      val exps = Seq(
+        Quality.Expectation("acctbal_nonneg", col("s_acctbal") >= 0),
+        Quality.Expectation("name_present",
+          col("s_name").isNotNull && length(col("s_name")) > 0))
+      val sup = Tables.supplier(s, d)
+      val b0 = sup.withColumn("version", lit(1L))
+        .withColumn("deleted", lit(false))
+      val updates = sup.filter(col("s_suppkey") % 2 === 0)
+        .withColumn("s_acctbal", col("s_acctbal") - lit(500.0))
+        .withColumn("s_name",
+          when(col("s_suppkey") % 4 === 0, lit(null).cast("string"))
+            .otherwise(col("s_name")))
+        .withColumn("version", lit(2L))
+        .withColumn("deleted", lit(false))
+      val deletes = sup.filter(col("s_suppkey") % 7 === 0)
+        .withColumn("version", lit(3L))
+        .withColumn("deleted", lit(true))
+      def gate(b: org.apache.spark.sql.DataFrame, id: Long, ts: Long) =
+        Quality.applyChecked(b, id, main, quar, Seq("s_suppkey"),
+          "version", Some("deleted"), exps, numBuckets = 4,
+          commitTs = Some(ts))
+      gate(b0, 0L, 1000L)
+      gate(updates.unionByName(deletes), 1L, 2000L)
+      (main, quar)
+    }
+
   /** Chain root for `q_cdc_chain`: a mirror OF THE MIRROR — the
     * replication-chain claim made concrete. The chain syncs from
     * [[cdcMirrorRoot]]'s own change feed (the mirror is a full CDC
@@ -1287,6 +1339,39 @@ object TierC {
         .orderBy(col("s_nationkey"))
     }),
 
+    // C8m — WRITE-TIME QUALITY GATE under the hash gate: the supplier
+    // stream routed through Quality.applyChecked (acctbal_nonneg +
+    // name_present, NULL fails closed, deletes bypass). The snapshot
+    // is "the latest ADMITTED version per key" — a key whose update
+    // was quarantined KEEPS serving its older clean version, the
+    // subtlety that distinguishes a write-time gate from a read-time
+    // filter, and exactly what the oracle's latest-admitted window
+    // reconstructs. Deletes (which bypass the gate) must still land.
+    "q_quality_gate" -> ((s, d) => {
+      val (main, _) = cdcGateRoots(s, d)
+      graft.streaming.CdcApply.readSnapshot(s, main).get
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("s_acctbal")).as("total_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // C8n — the gate's other half: the QUARANTINE table is a full CDC
+    // table whose snapshot is "the latest REJECTED version per key",
+    // each row carrying the comma-joined name-sorted reasons it
+    // failed. Hash-checking reasons + versions proves the gate
+    // quarantined exactly the violating row versions with exactly the
+    // right attribution (a NULL-name corruption must read
+    // 'name_present', a negative post-update balance
+    // 'acctbal_nonneg', a row failing both must list both).
+    "q_quarantine" -> ((s, d) => {
+      val (_, quar) = cdcGateRoots(s, d)
+      graft.streaming.CdcApply.readSnapshot(s, quar).get
+        .select(col("s_suppkey"), col("version"),
+          col(graft.streaming.Quality.ViolatedCol).as("violated"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // C1d — INCREMENTAL NEAR-DUP DEDUP under the hash gate: batch 1
     // deduped against a persisted MinHash signature index of the
     // corpus — verbatim re-ingests AND lightly-edited (" v2") copies
@@ -1890,6 +1975,50 @@ object TierC {
         "CAST(0 AS BIGINT) AS pending " +
         "FROM supplier WHERE s_suppkey % 7 <> 0 " +
         "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // the gated table's net state: per key, the latest version that
+    // PASSED the gate wins (v2 candidates carry bal-500 and the %4
+    // NULL-name corruption; v1 candidates the raw row), then the %7
+    // deletes — which bypass the gate — remove their keys
+    "q_quality_gate" ->
+      ("WITH cand AS (" +
+        "SELECT s_suppkey, s_nationkey, s_name, s_acctbal, 1 AS version " +
+        "FROM supplier " +
+        "UNION ALL " +
+        "SELECT s_suppkey, s_nationkey, " +
+        "CASE WHEN s_suppkey % 4 = 0 THEN NULL ELSE s_name END AS s_name, " +
+        "s_acctbal - 500.0 AS s_acctbal, 2 AS version " +
+        "FROM supplier WHERE s_suppkey % 2 = 0), " +
+        "adm AS (SELECT *, row_number() OVER (PARTITION BY s_suppkey " +
+        "ORDER BY version DESC) AS rn FROM cand " +
+        "WHERE s_acctbal >= 0 AND s_name IS NOT NULL " +
+        "AND length(s_name) > 0) " +
+        "SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS total_bal " +
+        "FROM adm WHERE rn = 1 AND s_suppkey % 7 <> 0 " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // the quarantine's net state: per key, the latest version that
+    // FAILED the gate, with its comma-joined name-sorted reasons
+    "q_quarantine" ->
+      ("WITH cand AS (" +
+        "SELECT s_suppkey, s_name, s_acctbal, 1 AS version " +
+        "FROM supplier " +
+        "UNION ALL " +
+        "SELECT s_suppkey, " +
+        "CASE WHEN s_suppkey % 4 = 0 THEN NULL ELSE s_name END AS s_name, " +
+        "s_acctbal - 500.0 AS s_acctbal, 2 AS version " +
+        "FROM supplier WHERE s_suppkey % 2 = 0), " +
+        "rej AS (SELECT s_suppkey, version, " +
+        "concat_ws(',', " +
+        "CASE WHEN NOT(s_acctbal >= 0) THEN 'acctbal_nonneg' END, " +
+        "CASE WHEN s_name IS NULL OR length(s_name) = 0 " +
+        "THEN 'name_present' END) AS violated, " +
+        "row_number() OVER (PARTITION BY s_suppkey " +
+        "ORDER BY version DESC) AS rn FROM cand " +
+        "WHERE NOT(s_acctbal >= 0 AND s_name IS NOT NULL " +
+        "AND length(s_name) > 0)) " +
+        "SELECT s_suppkey, CAST(version AS BIGINT) AS version, violated " +
+        "FROM rej WHERE rn = 1 ORDER BY s_suppkey"),
     // batch-1 survivors of the incremental index: hashes never seen in
     // batch 0, keeping the smallest batch-1 id per hash — re-ingested
     // texts drop, edited (" v2") texts survive
