@@ -37,6 +37,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.GraftFunctions.register(session)
       GovernanceRule(session)
     }
+    // SQL-name surface for CDC tables: registered names expand to the
+    // live snapshot plan at analysis time (graft.streaming.CdcSql).
+    // Catalog resolution runs in the same fixpoint and wins, so real
+    // tables always shadow registered CDC names.
+    ext.injectResolutionRule(session =>
+      graft.streaming.CdcTableResolution(session))
     // write-path enforcement: reads are REWRITTEN (filter + allowlist),
     // writes by non-admin principals are REJECTED at analysis
     ext.injectCheckRule(session => GovernanceWriteCheck(session))

@@ -1133,6 +1133,53 @@ object TierC {
       }
     }),
 
+    // C8p — the SQL-NAME surface under the hash gate: the identical net
+    // state as q_cdc_merge, read back through `spark.sql` over a
+    // REGISTERED identifier rather than the Scala API (reference
+    // posture: every query is a SQL string handed to an engine,
+    // validate.sh:74-80, outputs.tf:57-97). The CdcTableResolution rule
+    // expands the name to the CURRENT snapshot at analysis time — a
+    // stale captured view (registration-time manifest) would miss
+    // batch 1 and hash-mismatch against the net-state oracle.
+    "q_sql_cdc" -> ((s, d) => {
+      val root = cdcQueryRoot(s, d)
+      graft.streaming.CdcSql.registerTable(s, root, "supplier_cdc")
+      s.sql("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS total_bal " +
+        "FROM supplier_cdc GROUP BY s_nationkey ORDER BY s_nationkey")
+    }),
+
+    // C8q — SQL TIME TRAVEL via the standard syntax: `VERSION AS OF 0`
+    // over the registered name resolves through the retained batch-0
+    // manifest (readSnapshotAt), so the result is the pre-update insert
+    // load — batch 1's +100 upserts or tombstones bleeding in would
+    // hash-mismatch the plain-supplier oracle.
+    "q_sql_cdc_timetravel" -> ((s, d) => {
+      val root = cdcQueryRoot(s, d)
+      graft.streaming.CdcSql.registerTable(s, root, "supplier_cdc")
+      s.sql("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS total_bal " +
+        "FROM supplier_cdc VERSION AS OF 0 " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey")
+    }),
+
+    // C8r — the change feed from SQL: the registered feed materialized
+    // as a temp view (CdcSql.changesView — the one SQL entry point that
+    // captures at creation rather than re-resolving; streaming
+    // consumers tail readChangesStream) and re-read through spark.sql
+    // against the same first-principles oracle as q_cdc_changes.
+    "q_sql_cdc_changes" -> ((s, d) => {
+      val root = cdcChangesRoot(s, d)
+      graft.streaming.CdcSql.registerTable(s, root, "supplier_cdc_feed")
+      val v = graft.streaming.CdcSql
+        .changesView(s, "supplier_cdc_feed", 0L)
+      s.sql(s"SELECT s_suppkey, s_nationkey, s_acctbal, version, " +
+        s"deleted, `_change_batch` AS change_batch FROM $v " +
+        "ORDER BY s_suppkey")
+    }),
+
     // C8g — INCREMENTAL CHANGE FEED under the hash gate: "every row
     // changed since batch 0" — the downstream-sync primitive — served
     // from stored batch stamps with manifest-level pruning of buckets
@@ -1846,6 +1893,30 @@ object TierC {
         "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
         "FROM supplier WHERE s_suppkey % 7 <> 0 " +
         "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // SQL-name read of the same snapshot: identical net state
+    "q_sql_cdc" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
+        "FROM supplier WHERE s_suppkey % 7 <> 0 " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // VERSION AS OF 0 == the batch-0 insert load, balances untouched
+    "q_sql_cdc_timetravel" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
+        "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // the batch-1 change set through the SQL view — same first
+    // principles as q_cdc_changes
+    "q_sql_cdc_changes" ->
+      ("SELECT s_suppkey, s_nationkey, " +
+        "CASE WHEN s_suppkey % 7 = 0 THEN s_acctbal " +
+        "ELSE s_acctbal + 100 END AS s_acctbal, " +
+        "CASE WHEN s_suppkey % 7 = 0 THEN CAST(3 AS BIGINT) " +
+        "ELSE CAST(2 AS BIGINT) END AS version, " +
+        "(s_suppkey % 7 = 0) AS deleted, " +
+        "CAST(1 AS BIGINT) AS change_batch " +
+        "FROM supplier WHERE s_suppkey % 5 = 0 OR s_suppkey % 7 = 0 " +
+        "ORDER BY s_suppkey"),
     // batch-0 state: every supplier present, balances untouched
     "q_cdc_timetravel" ->
       ("SELECT s_nationkey, COUNT(*) AS cnt, " +

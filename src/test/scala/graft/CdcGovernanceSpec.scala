@@ -155,6 +155,48 @@ class CdcGovernanceSpec extends AnyFunSuite with SparkTestBase {
     assert(!feed.head.schema.fieldNames.contains("secret"))
   }
 
+  test("the SQL-name surface is governed identically: an Analyst " +
+    "spark.sql over a registered CDC name is row-filtered and " +
+    "column-pruned, Anonymous denied, writes refused") {
+    val root = buildSnapshot()
+    register(root)
+    graft.streaming.CdcSql.registerTable(spark, root, "gov_sql_t")
+    try {
+      // the name expands to a governed parquet scan: the Analyst's SQL
+      // sees exactly what the Scala readSnapshot path serves — the row
+      // filter beneath, the allowlist projected, `secret` unresolvable
+      val analyst = Governance.withPrincipal(spark, Analyst) {
+        spark.sql("SELECT * FROM gov_sql_t").collect()
+      }
+      assert(analyst.map(_.schema.fieldNames.toSeq).distinct.toSeq ==
+        Seq(Seq("k", "version", "region", "amount")),
+        analyst.toSeq.toString)
+      assert(analyst.map(r => (r.getAs[Long]("k"),
+        r.getAs[Double]("amount"))).toSet == Set(1L -> 11.0))
+      // selecting an ungranted column by name fails analysis
+      val denied = intercept[Exception] {
+        Governance.withPrincipal(spark, Analyst) {
+          spark.sql("SELECT secret FROM gov_sql_t").collect()
+        }
+      }
+      assert(denied.getMessage.contains("secret"), denied.getMessage)
+      val admin = Governance.withPrincipal(spark, DataAdmin) {
+        spark.sql("SELECT * FROM gov_sql_t").collect()
+      }
+      assert(admin.map(_.getAs[Long]("k")).toSet == Set(1L, 2L))
+      assert(admin.head.schema.fieldNames.contains("secret"))
+      val anon = spark.sql("SELECT * FROM gov_sql_t").collect()
+      assert(anon.isEmpty, anon.toSeq.toString)
+      // SQL DML stays refused regardless of principal
+      val w = intercept[UnsupportedOperationException] {
+        Governance.withPrincipal(spark, DataAdmin) {
+          spark.sql("DELETE FROM gov_sql_t WHERE k = 1")
+        }
+      }
+      assert(w.getMessage.contains("applyBatch"), w.getMessage)
+    } finally graft.streaming.CdcSql.unregisterTable("gov_sql_t")
+  }
+
   test("governance composes with point lookup and the timestamp change " +
     "feed: out-of-grant keys read back empty, in-grant keys filtered") {
     val root = buildSnapshot()

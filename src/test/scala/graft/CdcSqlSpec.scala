@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{CdcApply, CdcSql}
+
+/** The SQL-name surface over CDC tables (CdcSql + CdcTableResolution):
+  * registered names resolve to the LIVE snapshot at analysis time, time
+  * travel rides the standard `VERSION AS OF` / `TIMESTAMP AS OF`
+  * syntax, SQL DML is refused, and real catalog objects shadow
+  * registered names.
+  */
+class CdcSqlSpec extends AnyFunSuite with SparkTestBase {
+
+  private def newRoot(): String = java.nio.file.Files
+    .createTempDirectory("cdc_sql").toFile.getAbsolutePath
+
+  private def applyB0(root: String): Unit = {
+    import spark.implicits._
+    val b0 = Seq((1L, 1L, 10.0, false), (2L, 1L, 20.0, false),
+      (3L, 1L, 30.0, false))
+      .toDF("k", "version", "amount", "deleted")
+    assert(CdcApply.applyBatch(b0, 0L, root, Seq("k"), "version",
+      Some("deleted"), commitTs = Some(1000L)))
+  }
+
+  private def applyB1(root: String): Unit = {
+    import spark.implicits._
+    val b1 = Seq((1L, 2L, 11.0, false), (3L, 2L, 30.0, true))
+      .toDF("k", "version", "amount", "deleted")
+    assert(CdcApply.applyBatch(b1, 1L, root, Seq("k"), "version",
+      Some("deleted"), commitTs = Some(2000L)))
+  }
+
+  test("a registered name resolves to the LIVE snapshot: a later apply " +
+    "is visible to the same SQL string with no re-registration") {
+    val root = newRoot()
+    applyB0(root)
+    CdcSql.registerTable(spark, root, "live_t")
+    try {
+      def state(): Set[(Long, Double)] =
+        spark.sql("SELECT k, amount FROM live_t").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(state() == Set(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+      applyB1(root)
+      // same name, no re-registration: k=1 updated, k=3 tombstoned
+      assert(state() == Set(1L -> 11.0, 2L -> 20.0))
+    } finally CdcSql.unregisterTable("live_t")
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF resolve through the retained " +
+    "manifests") {
+    val root = newRoot()
+    applyB0(root); applyB1(root)
+    CdcSql.registerTable(spark, root, "tt_t")
+    try {
+      val v0 = spark.sql(
+        "SELECT k, amount FROM tt_t VERSION AS OF 0").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(v0 == Set(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+      // logical commit clock: batch 0 at t=1000, batch 1 at t=2000 —
+      // "as of 1500" is the batch-0 state
+      val t1500 = spark.sql(
+        "SELECT k, amount FROM tt_t TIMESTAMP AS OF 1500").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(t1500 == Set(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+      val head = spark.sql(
+        "SELECT k, amount FROM tt_t TIMESTAMP AS OF 2000").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(head == Set(1L -> 11.0, 2L -> 20.0))
+    } finally CdcSql.unregisterTable("tt_t")
+  }
+
+  test("SQL DML against a registered CDC name is refused loudly") {
+    val root = newRoot()
+    applyB0(root)
+    CdcSql.registerTable(spark, root, "dml_t")
+    try {
+      val e = intercept[UnsupportedOperationException] {
+        spark.sql(
+          "INSERT INTO dml_t VALUES (9, 1, 90.0, false)")
+      }
+      assert(e.getMessage.contains("applyBatch"), e.getMessage)
+      val e2 = intercept[UnsupportedOperationException] {
+        spark.sql("DELETE FROM dml_t WHERE k = 1")
+      }
+      assert(e2.getMessage.contains("applyBatch"), e2.getMessage)
+    } finally CdcSql.unregisterTable("dml_t")
+  }
+
+  test("a real catalog object shadows a registered CDC name") {
+    val root = newRoot()
+    applyB0(root)
+    CdcSql.registerTable(spark, root, "shadow_t")
+    try {
+      import spark.implicits._
+      Seq((100L, 999.0)).toDF("k", "amount")
+        .createOrReplaceTempView("shadow_t")
+      try {
+        val rows = spark.sql("SELECT k, amount FROM shadow_t").collect()
+        assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+          Set(100L -> 999.0),
+          "the temp view must win over the registered CDC name")
+      } finally spark.catalog.dropTempView("shadow_t")
+      // with the view gone, the CDC name resolves again
+      assert(spark.sql("SELECT count(*) AS n FROM shadow_t")
+        .collect().head.getLong(0) == 3L)
+    } finally CdcSql.unregisterTable("shadow_t")
+  }
+
+  test("the declared SQL queries equal their Scala-API twins on the " +
+    "same roots (q_sql_cdc / _timetravel / _changes)") {
+    val q = SparkEntry.queries
+    def rows(name: String): Seq[Seq[Any]] =
+      q(name)(spark, sfDir).collect().map(_.toSeq.toSeq).toSeq
+    assert(rows("q_sql_cdc") == rows("q_cdc_merge"))
+    assert(rows("q_sql_cdc_timetravel") == rows("q_cdc_timetravel"))
+    assert(rows("q_sql_cdc_changes") == rows("q_cdc_changes"))
+  }
+
+  test("changesView materializes the feed for SQL; an unregistered or " +
+    "empty table raises a clear error") {
+    val root = newRoot()
+    applyB0(root); applyB1(root)
+    CdcSql.registerTable(spark, root, "feed_t")
+    try {
+      val v = CdcSql.changesView(spark, "feed_t", 0L)
+      assert(v == "feed_t_changes")
+      val feed = spark.sql(
+        s"SELECT k, version, deleted FROM $v ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      assert(feed == Seq((1L, 2L, false), (3L, 2L, true)))
+    } finally CdcSql.unregisterTable("feed_t")
+    val e = intercept[IllegalStateException] {
+      CdcSql.changesView(spark, "feed_t", 0L)
+    }
+    assert(e.getMessage.contains("not a registered"), e.getMessage)
+    val fresh = newRoot()
+    CdcSql.registerTable(spark, fresh, "empty_t")
+    try {
+      val e2 = intercept[IllegalStateException] {
+        spark.sql("SELECT * FROM empty_t").collect()
+      }
+      assert(e2.getMessage.contains("no readable snapshot"),
+        e2.getMessage)
+    } finally CdcSql.unregisterTable("empty_t")
+  }
+}
