@@ -1569,9 +1569,18 @@ object CdcApply {
     * incomplete snapshot). The dot-prefixed temp name keeps the
     * in-flight file out of those listings.
     */
+  /** Test seam for the apply-race fence: a one-shot callback consumed
+    * inside the fenced commit, between the manifest rename and the
+    * CURRENT-pointer check — exactly the window a concurrent applier's
+    * commit lands in. Production value is null (no-op).
+    */
+  private[graft] val raceWindowHook =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](null)
+
   private[streaming] def commitManifest(spark: SparkSession, root: String,
       name: String, m: Manifest, batchId: Long,
-      overwrite: Boolean = true): Unit = {
+      overwrite: Boolean = true,
+      expectCurrent: Option[Option[String]] = None): Unit = {
     val fs = fsFor(spark, root)
     fs.mkdirs(new Path(root, "manifests"))
     val fc = FileContext.getFileContext(new Path(root).toUri,
@@ -1596,6 +1605,29 @@ object CdcApply {
               "exists — one maintenance process per table root is the " +
               "operating contract", e)
       }
+    // APPLY-RACE FENCE: the merge in hand was computed against the
+    // manifest CURRENT named when the apply started (`expectCurrent`).
+    // If the pointer moved since, a concurrent applier committed a
+    // batch this merge never read — publishing would silently drop
+    // that batch's buckets (and this batch's retry would no-op on the
+    // `>=` replay guard, losing it forever). Refuse LOUDLY instead,
+    // mirroring the maintenance fence above. Crash-retry recommit is
+    // unaffected: the retry re-reads CURRENT at applyBatch entry, so
+    // its expectation matches unless someone else really moved it.
+    // The check-then-flip pair is not a true CAS (the FS has none) —
+    // it narrows the silent window to the rename itself and makes the
+    // operating contract (one merge stream per table) fail loudly.
+    expectCurrent.foreach { pred =>
+      Option(raceWindowHook.getAndSet(null)).foreach(_.apply())
+      val now = currentManifestName(spark, root)
+      if (now != pred)
+        throw new java.util.ConcurrentModificationException(
+          s"lost apply race on $root: CURRENT moved from " +
+            s"${pred.getOrElse("<none>")} to ${now.getOrElse("<none>")} " +
+            s"while batch $batchId merged — this merge read a stale " +
+            "base and must not be published; re-apply the batch " +
+            "against the new head")
+    }
     val tmp = new Path(root, s".CURRENT.$batchId.tmp")
     writeSmallFile(fs, tmp, name)
     fc.rename(tmp, new Path(root, "CURRENT"), Options.Rename.OVERWRITE)
@@ -1661,10 +1693,17 @@ object CdcApply {
     require(unserializable.forall(c => !c.exists(" ,\t\n".contains(_))),
       "key/version/deleted column names must not contain spaces, " +
         "commas, or tabs (they are serialized into the manifest header)")
-    // replay guard: if the pointer already covers this batch, the
+    // ONE pointer read serves the replay guard AND the commit fence:
+    // the manifest this merge reads is exactly the one CURRENT named
+    // here, so commitManifest can detect a concurrent applier by
+    // checking the pointer still names it (a separate re-read could
+    // tear across a concurrent commit).
+    // Replay guard: if the pointer already covers this batch, the
     // apply committed before the crash — re-merging would read and
     // overwrite the batch's own output
-    if (currentVersion(spark, root).exists(_ >= batchId)) return false
+    val predecessor = currentManifestName(spark, root)
+    if (predecessor.exists(n => parseManifestName(n)._1 >= batchId))
+      return false
 
     val conf0 = TableConf(numBuckets, keys, versionCol, deletedCol,
       tombstoneRetention, maxDeltas,
@@ -1672,7 +1711,7 @@ object CdcApply {
       // layout — normalize so the two spellings never look like a
       // config drift
       bucketCols.filter(_ != keys))
-    val existing = currentManifest(spark, root)
+    val existing = predecessor.map(readManifest(spark, root, _))
     existing.foreach { m =>
       // numBuckets, maxDeltas, and bucketKeys are exempt from the
       // match: the manifest is authoritative for LAYOUT knobs
@@ -1722,14 +1761,15 @@ object CdcApply {
       .withColumn(AppliedBatchCol, lit(batchId))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try applyPersistedBatch(batch, batchId, root, conf, existing,
-      commitTs.getOrElse(System.currentTimeMillis()), changelog)
+      commitTs.getOrElse(System.currentTimeMillis()), changelog,
+      predecessor)
     finally batch.unpersist()
   }
 
   private def applyPersistedBatch(batch: DataFrame, batchId: Long,
       root: String, conf: TableConf,
       existing: Option[Manifest], commitTs: Long,
-      changelog: Boolean): Boolean = {
+      changelog: Boolean, predecessor: Option[String]): Boolean = {
     val spark = batch.sparkSession
     // touched-bucket set: at most numBuckets ints — manifest-sized
     // metadata, the same class of driver hop as an index probe list.
@@ -1791,7 +1831,7 @@ object CdcApply {
     // their delta limit take the merge inline (bounding reader width)
     if (conf.maxDeltas > 0)
       return applyMorBatch(align(batch), touched, batchId, root, conf,
-        existing, evolved, commitTs, changelog)
+        existing, evolved, commitTs, changelog, predecessor)
 
     // a batch merging into nothing (fresh table, or no touched bucket
     // has prior data): the batch IS the merge input on both branches
@@ -1885,7 +1925,7 @@ object CdcApply {
       commitManifest(spark, root, s"v$batchId.0",
         Manifest(conf, (prior -- touched) ++ written, Some(evolved),
           Some(commitTs)),
-        batchId)
+        batchId, expectCurrent = Some(predecessor))
       true
     } finally logged.foreach(_.unpersist())
   }
@@ -1915,7 +1955,8 @@ object CdcApply {
       batchId: Long, root: String, conf: TableConf,
       existing: Option[Manifest],
       evolved: org.apache.spark.sql.types.StructType,
-      commitTs: Long, changelog: Boolean): Boolean = {
+      commitTs: Long, changelog: Boolean,
+      predecessor: Option[String]): Boolean = {
     val spark = aligned.sparkSession
     // one row per key per batch: the within-batch winner (tombstones
     // retained as rows), with the latestWins ambiguity guard riding
@@ -1975,7 +2016,7 @@ object CdcApply {
     commitManifest(spark, root, s"v$batchId.0",
       Manifest(conf, (prior -- touched) ++ deltaEntries ++ compactEntries,
         Some(evolved), Some(commitTs)),
-      batchId)
+      batchId, expectCurrent = Some(predecessor))
     true
   }
 

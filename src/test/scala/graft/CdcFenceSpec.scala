@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.CdcApply
+
+/** The apply-path writer fence: two concurrent appliers of DIFFERENT
+  * batches are outside the single-merge-stream contract — the fence
+  * makes the loser throw instead of silently dropping its batch
+  * (whose retry would no-op on the `>=` replay guard, losing it
+  * forever). Crash-retry recommit of the SAME batch stays allowed.
+  */
+class CdcFenceSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def newRoot(): String = java.nio.file.Files
+    .createTempDirectory("cdc_fence").toFile.getAbsolutePath
+
+  private def b0 = Seq((1L, 1L, 10.0, false), (2L, 1L, 20.0, false))
+    .toDF("k", "version", "amount", "deleted")
+
+  test("a concurrent applier landing inside another apply's commit " +
+    "window makes the slower applier throw, and the winner's state " +
+    "stands") {
+    val root = newRoot()
+    assert(CdcApply.applyBatch(b0, 0L, root, Seq("k"), "version",
+      Some("deleted")))
+    val b2 = Seq((1L, 2L, 11.0, false)).toDF(
+      "k", "version", "amount", "deleted")
+    val b3 = Seq((2L, 2L, 22.0, false)).toDF(
+      "k", "version", "amount", "deleted")
+    // batch 3 commits INSIDE batch 2's fence window (after batch 2's
+    // merge read the batch-0 base, before its pointer check) — the
+    // one-shot hook fires exactly there
+    CdcApply.raceWindowHook.set(() =>
+      assert(CdcApply.applyBatch(b3, 3L, root, Seq("k"), "version",
+        Some("deleted"))))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      CdcApply.applyBatch(b2, 2L, root, Seq("k"), "version",
+        Some("deleted"))
+    }
+    assert(e.getMessage.contains("lost apply race"), e.getMessage)
+    // the winner's commit is intact: batch 3 applied over batch 0,
+    // batch 2's merge never published (k=1 still at version 1)
+    assert(CdcApply.currentVersion(spark, root).contains(3L))
+    val state = CdcApply.readSnapshot(spark, root).get.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Double]("amount"))).toSet
+    assert(state == Set(1L -> 10.0, 2L -> 22.0), state.toString)
+  }
+
+  test("the fence also guards the merge-on-read apply path") {
+    val root = newRoot()
+    assert(CdcApply.applyBatch(b0, 0L, root, Seq("k"), "version",
+      Some("deleted"), maxDeltas = 4))
+    val b2 = Seq((1L, 2L, 11.0, false)).toDF(
+      "k", "version", "amount", "deleted")
+    val b3 = Seq((2L, 2L, 22.0, false)).toDF(
+      "k", "version", "amount", "deleted")
+    CdcApply.raceWindowHook.set(() =>
+      assert(CdcApply.applyBatch(b3, 3L, root, Seq("k"), "version",
+        Some("deleted"), maxDeltas = 4)))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      CdcApply.applyBatch(b2, 2L, root, Seq("k"), "version",
+        Some("deleted"), maxDeltas = 4)
+    }
+    assert(e.getMessage.contains("lost apply race"), e.getMessage)
+    assert(CdcApply.currentVersion(spark, root).contains(3L))
+  }
+
+  test("sequential applies and same-batch replays still commit " +
+    "cleanly through the fence") {
+    val root = newRoot()
+    assert(CdcApply.applyBatch(b0, 0L, root, Seq("k"), "version",
+      Some("deleted")))
+    val b1 = Seq((1L, 2L, 11.0, false)).toDF(
+      "k", "version", "amount", "deleted")
+    assert(CdcApply.applyBatch(b1, 1L, root, Seq("k"), "version",
+      Some("deleted")))
+    // replayed batch: covered by the pointer, skipped before any fence
+    assert(!CdcApply.applyBatch(b1, 1L, root, Seq("k"), "version",
+      Some("deleted")))
+    val state = CdcApply.readSnapshot(spark, root).get.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Double]("amount"))).toSet
+    assert(state == Set(1L -> 11.0, 2L -> 20.0))
+  }
+}
