@@ -36,7 +36,17 @@ object Bench {
     // regardless of the target/graft-data cache state.
     Seq("q_count_by_region", "q_distinct", "q_join_bucketed",
         "q_minhash_dup", "q_ann_ivf", "q_partition_prune",
-        "q_ngram_jaccard", "q_dpp_join", "q_ann_kmeans").foreach { w =>
+        "q_ngram_jaccard", "q_dpp_join", "q_ann_kmeans",
+        // every query whose first run builds a persisted artifact
+        // (CDC snapshot roots, mirrors, rollup/index tables, the
+        // dedup/near-dup incremental indexes): warming them keeps
+        // pass 1 comparable to passes 2-3 regardless of the
+        // target/graft-data cache state (r13: 147.9 s cold pass 1 vs
+        // 58.4 s pass 3 came entirely from these builds)
+        "q_cdc_rollup", "q_cdc_chain", "q_cdc_mor", "q_cdc_compact",
+        "q_dedup_incremental", "q_neardup_incremental", "q_lookup_by",
+        "q_quality_gate", "q_quarantine", "q_cdc_diff",
+        "q_lookup").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -95,7 +105,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = runTotals.sorted.apply(runTotals.size / 2) // median
     val runsJson = runTotals.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runsJson,"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runsJson,"queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    println(line)
+    // also persist the line: the driver's stdout capture window has
+    // truncated the (now ~116-query) JSON twice (BENCH_r12/r13 both
+    // landed with parsed:null), losing the headline total — the file
+    // copy makes the artifact self-contained
+    val out = new java.io.File("target/bench.json")
+    out.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(out, "UTF-8")
+    try w.println(line) finally w.close()
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

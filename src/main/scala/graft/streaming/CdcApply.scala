@@ -2071,4 +2071,29 @@ object CdcApply {
         .parquet(new Path(root, "changelog/b*").toString)
     }
   }
+
+  /** One-shot bootstrap for a changelog consumer whose checkpoint fell
+    * outside retention ([[vacuum]] swept batches it had not seen — the
+    * file-stream source cannot tell a swept batch from one that never
+    * existed, so the consumer would silently never see those events):
+    * the documented recovery recipe promoted to a helper, mirroring
+    * [[reseedMirror]]. Returns the bootstrap frame — the table's full
+    * live state plus unexpired tombstones, each row stamped with its
+    * applying batch under [[ChangeBatchCol]], the stream's exact shape
+    * — together with the head batch id it covers (ONE pointer read, so
+    * frame and watermark cannot tear across a concurrent apply).
+    * Protocol: stop the consumer, process the frame as one batch,
+    * restart [[readChangesStream]] with a FRESH checkpoint dir. Events
+    * applied between this read and the restart re-deliver
+    * at-least-once, which versioned consumers already tolerate — the
+    * same bound every bootstrap in this file carries. Cost: one full
+    * snapshot read, the unavoidable price of a past-retention reseed.
+    * None before the first apply (or when the snapshot holds zero live
+    * buckets — nothing to bootstrap).
+    */
+  def reseedChangesConsumer(spark: SparkSession, root: String)
+      : Option[(DataFrame, Long)] =
+    currentManifestAndVersion(spark, root).flatMap { case (m, cur) =>
+      changesInManifest(spark, root, m, -1L).map(df => (df, cur))
+    }
 }

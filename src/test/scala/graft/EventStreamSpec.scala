@@ -1114,6 +1114,60 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     assert(new java.io.File(root, "changelog/b2").exists)
   }
 
+  test("reseedChangesConsumer: a consumer whose position was vacuumed " +
+    "out of the changelog bootstraps from the snapshot and converges " +
+    "with the restarted stream") {
+    import spark.implicits._
+    val C = graft.streaming.CdcApply
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_reseed_feed").toFile.getAbsolutePath
+    def apply(rows: Seq[(Long, Long, String, Boolean)], id: Long) =
+      C.applyBatch(rows.toDF("k", "version", "v", "deleted"), id, root,
+        Seq("k"), "version", Some("deleted"), numBuckets = 2,
+        changelog = true)
+    assert(C.reseedChangesConsumer(spark, root).isEmpty,
+      "no table yet must be None")
+    assert(apply(Seq((1L, 1L, "a", false), (2L, 1L, "b", false)), 0L))
+    assert(apply(Seq((2L, 2L, "b2", false), (3L, 1L, "", true)), 1L))
+    assert(apply(Seq((1L, 3L, "a3", false)), 2L))
+    // batches 0 and 1 leave retention: their changelog dirs are swept,
+    // so a consumer that had not read them can never see those events
+    // through the stream again
+    val removed = C.vacuum(spark, root, keep = 1,
+      expireTombstones = false)
+    assert(removed.contains("changelog/b0"), removed.toString)
+    // the bootstrap: full live state + unexpired tombstones, stamped
+    // with the applying batch in the stream's shape, watermark at head
+    val (boot, wm) = C.reseedChangesConsumer(spark, root).get
+    assert(wm == 2L)
+    val bootRows = boot
+      .select("k", "version", "v", "deleted", "_change_batch")
+      .as[(Long, Long, String, Boolean, Long)].collect().toSet
+    assert(bootRows == Set(
+      (1L, 3L, "a3", false, 2L), (2L, 2L, "b2", false, 1L),
+      (3L, 1L, "", true, 1L)), bootRows.toString)
+    // restart with a fresh checkpoint: the surviving changelog (b2)
+    // re-delivers at-least-once; latest-wins over bootstrap + stream
+    // converges to the live snapshot
+    val q = C.readChangesStream(spark, root).get
+      .writeStream.format("memory")
+      .queryName("cdc_reseed_sink").outputMode("append").start()
+    val streamed =
+      try { q.processAllAvailable()
+        spark.table("cdc_reseed_sink")
+          .select("k", "version", "v", "deleted", "_change_batch")
+          .as[(Long, Long, String, Boolean, Long)].collect().toSet
+      } finally q.stop()
+    assert(streamed == Set((1L, 3L, "a3", false, 2L)),
+      streamed.toString)
+    val converged = (bootRows ++ streamed).groupBy(_._1).map {
+      case (k, evs) => k -> evs.maxBy(_._2)
+    }.collect { case (k, (_, _, v, del, _)) if !del => k -> v }.toSet
+    val live = C.readSnapshot(spark, root).get
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(converged == live, s"converged $converged vs live $live")
+  }
+
   test("stream-chained replication: a live merge stream's changelog " +
     "feeds a second CdcApply — the downstream table converges") {
     import spark.implicits._

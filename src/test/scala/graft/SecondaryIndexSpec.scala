@@ -96,6 +96,60 @@ class SecondaryIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(lookupSet(root, idx, "DE") == Set(1L -> 11L, 2L -> 20L))
   }
 
+  test("property: under arbitrary sync lag, lookupBy never returns a " +
+      "non-matching row, and misses ONLY keys changed after the index " +
+      "watermark — the lost-update bound as a checked invariant") {
+    val rnd = new scala.util.Random(7)
+    val nations = Seq("FR", "DE", "JP")
+    // model: key -> (version, nation, bal, deleted, lastChangedBatch)
+    var model = Map.empty[Long, (Long, String, Long, Boolean, Long)]
+    val (root, idx) = (tmp("si_prop_src"), tmp("si_prop_idx"))
+    val numBatches = 6
+    val syncAt = 2L // index watermark frozen here; batches 3-5 unseen
+    (0L until numBatches).foreach { b =>
+      val touched = rnd.shuffle((1L to 30L).toList).take(8)
+      val rows = touched.map { k =>
+        val ver = model.get(k).map(_._1 + 1).getOrElse(1L)
+        val del = model.contains(k) && rnd.nextInt(4) == 0
+        val nat = nations(rnd.nextInt(nations.size))
+        val bal = rnd.nextInt(1000).toLong
+        model += k -> ((ver, nat, bal, del, b))
+        (k, ver, nat, bal, del)
+      }
+      assert(applySrc(root, rows, b))
+      if (b == syncAt)
+        assert(SI.syncIndex(spark, root, idx, Seq("nation"),
+          commitTs = Some(10L * (b + 1))))
+    }
+    nations.foreach { n =>
+      // current truth: live rows whose nation is n
+      val truth = model.collect {
+        case (k, (_, nat, bal, del, _)) if !del && nat == n => k -> bal
+      }.toSet
+      val got = lookupSet(root, idx, n)
+      // NO false positive, ever: every returned row matches right now
+      assert(got.subsetOf(truth),
+        s"nation $n returned non-matching rows: ${got -- truth}")
+      // false negatives are exactly bounded by sync lag: a missed key
+      // must have changed in a batch the index has not seen
+      val missed = truth.filterNot(got.contains)
+      missed.foreach { case (k, _) =>
+        assert(model(k)._5 > syncAt,
+          s"nation $n missed key $k last changed at batch " +
+            s"${model(k)._5} <= watermark $syncAt")
+      }
+    }
+    // one catch-up sync restores exactness everywhere
+    assert(SI.syncIndex(spark, root, idx, Seq("nation"),
+      commitTs = Some(1000L)))
+    nations.foreach { n =>
+      val truth = model.collect {
+        case (k, (_, nat, bal, del, _)) if !del && nat == n => k -> bal
+      }.toSet
+      assert(lookupSet(root, idx, n) == truth, s"nation $n after sync")
+    }
+  }
+
   test("lookupBy prunes: one index bucket family, only the source " +
       "buckets holding matches") {
     import spark.implicits._
