@@ -191,6 +191,23 @@ object Plans {
       "projecting key, version, and the stored _violated reasons — " +
       "a plain pruned scan, no join back to the main table and no " +
       "re-evaluation of any predicate."),
+    "q_sql_cdc" -> ("SQL-name read of the CDC snapshot: the registered " +
+      "identifier expands at ANALYSIS time to the same manifest-pruned " +
+      "bucketed scan + two-phase aggregate as q_cdc_merge — name " +
+      "resolution adds zero operators, and no registry artifact " +
+      "appears in the plan. Governance (when the root is registered) " +
+      "injects into the expanded scan exactly as on the Scala path."),
+    "q_sql_cdc_timetravel" -> ("VERSION AS OF through the SQL surface: " +
+      "the scan lists ONLY the batch-0 manifest's directories — no " +
+      "current-head path and no time-travel operator in the plan; the " +
+      "manifest selection happened at analysis time against metadata, " +
+      "so the executed read is indistinguishable from a current read " +
+      "of a table that stopped at batch 0."),
+    "q_sql_cdc_changes" -> ("Change feed through SQL: the view body is " +
+      "changesSince's plan — manifest-pruned to buckets written after " +
+      "the consumer position, stamp filter pushed to the scan — with " +
+      "the view adding only a column rename; no snapshot diff, no log " +
+      "replay, no full-table path."),
     "q_neardup_incremental" -> ("Incremental near-dup admitted-id " +
       "read: the declared plan is the signature index's CHANGE FEED " +
       "restricted to batch 1's stamp — manifest-pruned to the " +
