@@ -24,7 +24,9 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, T
   * registration. SQL time travel rides the standard syntax:
   * `VERSION AS OF <batch>` resolves through
   * [[CdcApply.readSnapshotAt]], `TIMESTAMP AS OF <ts>` through
-  * [[CdcApply.readSnapshotAsOf]].
+  * [[CdcApply.readSnapshotAsOf]]. Metadata rides the table-format
+  * suffix convention: `` `t$history` `` / `` `t$buckets` `` /
+  * `` `t$describe` `` name the operator metadata frames.
   *
   * Governance composes with zero CDC-specific wiring: the expansion
   * produces ordinary parquet relations under the table root, so when the
@@ -110,6 +112,31 @@ case class CdcTableResolution(spark: SparkSession)
         if CdcSql.rootFor(u.multipartIdentifier).isDefined =>
       Some(u.multipartIdentifier.mkString("."))
     case _ => None
+  }
+
+  /** Metadata tables, the table-format convention: `` `t$history` ``,
+    * `` `t$buckets` ``, `` `t$describe` `` resolve to the operator
+    * metadata frames of registered table `t`. Like the Scala APIs they
+    * name, these serve MANIFEST metadata (sizes, counts, column names,
+    * commit clocks) — location governance gates cell data, not
+    * metadata; gate the filesystem for metadata secrecy.
+    */
+  private val metaTables: Map[String,
+      (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "history" -> ((s, r) => CdcApply.history(s, r)),
+    "buckets" -> ((s, r) => CdcApply.buckets(s, r)),
+    "describe" -> ((s, r) => CdcApply.describe(s, r)))
+
+  private def metaTarget(u: UnresolvedRelation)
+      : Option[(String, org.apache.spark.sql.DataFrame)] = {
+    val last = u.multipartIdentifier.last
+    val cut = last.lastIndexOf('$')
+    if (cut <= 0) return None
+    val (base, suffix) = (last.substring(0, cut), last.substring(cut + 1))
+    for {
+      mk <- metaTables.get(suffix.toLowerCase(Locale.ROOT))
+      root <- CdcSql.rootFor(u.multipartIdentifier.init :+ base)
+    } yield (last, mk(spark, root))
   }
 
   /** The snapshot (or time-travel) frame, freshly resolved against the
@@ -200,6 +227,11 @@ case class CdcTableResolution(spark: SparkSession)
         val root = CdcSql.rootFor(u.multipartIdentifier).get
         expand(u.multipartIdentifier.last,
           CdcApply.readSnapshot(spark, root), "(empty)")
+
+      case u: UnresolvedRelation
+          if !u.isStreaming && metaTarget(u).isDefined =>
+        val (alias, df) = metaTarget(u).get
+        SubqueryAlias(alias, df.queryExecution.analyzed)
 
       case u: UnresolvedRelation
           if u.isStreaming &&

@@ -68,6 +68,12 @@ class CdcSqlSpec extends AnyFunSuite with SparkTestBase {
         "SELECT k, amount FROM tt_t TIMESTAMP AS OF 2000").collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSet
       assert(head == Set(1L -> 11.0, 2L -> 20.0))
+      // a real timestamp literal takes the cast path: epoch 1.5 s in
+      // the session zone (UTC) lands between the two commit instants
+      val cast = spark.sql("SELECT k, amount FROM tt_t TIMESTAMP AS OF " +
+        "'1970-01-01 00:00:01.5'").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(cast == Set(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
     } finally CdcSql.unregisterTable("tt_t")
   }
 
@@ -106,6 +112,51 @@ class CdcSqlSpec extends AnyFunSuite with SparkTestBase {
       assert(spark.sql("SELECT count(*) AS n FROM shadow_t")
         .collect().head.getLong(0) == 3L)
     } finally CdcSql.unregisterTable("shadow_t")
+  }
+
+  test("a self-join of a registered name resolves with independent " +
+    "attribute ids") {
+    val root = newRoot()
+    applyB0(root); applyB1(root)
+    CdcSql.registerTable(spark, root, "sj_t")
+    try {
+      // k=1 (11.0) and k=2 (20.0) live: pairs with a.amount < b.amount
+      val pairs = spark.sql(
+        "SELECT a.k AS ka, b.k AS kb FROM sj_t a JOIN sj_t b " +
+          "ON a.amount < b.amount").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set(1L -> 2L), pairs.toString)
+    } finally CdcSql.unregisterTable("sj_t")
+  }
+
+  test("metadata tables resolve via the $ suffix convention: history, " +
+    "buckets, describe") {
+    val root = newRoot()
+    applyB0(root); applyB1(root)
+    CdcSql.registerTable(spark, root, "meta_t")
+    try {
+      val hist = spark.sql(
+        "SELECT batch_id, is_current FROM `meta_t$history` " +
+          "ORDER BY batch_id").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+      assert(hist == Seq(0L -> false, 1L -> true), hist.toString)
+      val desc = spark.sql(
+        "SELECT batch_id, num_buckets FROM `meta_t$describe`").collect()
+      assert(desc.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+        Seq(1L -> 16), desc.toSeq.toString)
+      val nb = spark.sql(
+        "SELECT count(*) AS n FROM `meta_t$buckets`").collect()
+        .head.getLong(0)
+      assert(nb >= 1L, s"expected live buckets, got $nb")
+      // unknown suffix or unregistered base: ordinary resolution error,
+      // not a silent empty table
+      intercept[Exception] {
+        spark.sql("SELECT * FROM `meta_t$nope`").collect()
+      }
+      intercept[Exception] {
+        spark.sql("SELECT * FROM `ghost$history`").collect()
+      }
+    } finally CdcSql.unregisterTable("meta_t")
   }
 
   test("the declared SQL queries equal their Scala-API twins on the " +
