@@ -1617,6 +1617,13 @@ object CdcApply {
     // The check-then-flip pair is not a true CAS (the FS has none) —
     // it narrows the silent window to the rename itself and makes the
     // operating contract (one merge stream per table) fail loudly.
+    // A concurrent MAINTENANCE flip (a new generation of the same
+    // batch) trips the fence too, deliberately: this merge's manifest
+    // carries the pre-maintenance bucket map, so publishing it would
+    // silently revert a rebucket/expiry/compaction that just
+    // committed — the retry re-reads the new generation and merges
+    // against it. Syncs (mirror/rollup/index) apply through this same
+    // path, so racing sync processes fail loudly as well.
     expectCurrent.foreach { pred =>
       Option(raceWindowHook.getAndSet(null)).foreach(_.apply())
       val now = currentManifestName(spark, root)
