@@ -43,6 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // tables always shadow registered CDC names.
     ext.injectResolutionRule(session =>
       graft.streaming.CdcTableResolution(session))
+    // live change-feed table functions: cdc_changes('t', since) /
+    // cdc_changes_between('t', from, to) re-resolve on every query
+    graft.streaming.CdcSql.tableFunctions.foreach(ext.injectTableFunction)
     // write-path enforcement: reads are REWRITTEN (filter + allowlist),
     // writes by non-admin principals are REJECTED at analysis
     ext.injectCheckRule(session => GovernanceWriteCheck(session))

@@ -77,11 +77,89 @@ object CdcSql {
   private[streaming] def rootFor(parts: Seq[String]): Option[String] =
     tables.get(keyOf(parts))
 
+  /** Constant-folded argument helpers for the table functions. */
+  private def constArg(e: org.apache.spark.sql.catalyst.expressions
+      .Expression, what: String): Any =
+    if (e.foldable) e.eval()
+    else throw new UnsupportedOperationException(
+      s"$what must be a constant, got $e")
+
+  private def argString(e: org.apache.spark.sql.catalyst.expressions
+      .Expression, what: String): String =
+    constArg(e, what) match {
+      case null => throw new UnsupportedOperationException(
+        s"$what must not be NULL")
+      case v => v.toString
+    }
+
+  private def argLong(e: org.apache.spark.sql.catalyst.expressions
+      .Expression, what: String): Long =
+    constArg(e, what) match {
+      case n: java.lang.Number => n.longValue()
+      case v => throw new UnsupportedOperationException(
+        s"$what must be an integer, got '$v'")
+    }
+
+  private def activeSession: SparkSession =
+    SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException("no active SparkSession"))
+
+  private def feedPlan(name: String,
+      feed: (SparkSession, String) => Option[org.apache.spark.sql
+        .DataFrame]): org.apache.spark.sql.catalyst.plans.logical
+      .LogicalPlan = {
+    val spark = activeSession
+    val root = rootFor(split(name)).getOrElse(
+      throw new IllegalStateException(s"'$name' is not a registered " +
+        "CDC table — call CdcSql.registerTable first"))
+    feed(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"CDC table '$name' at $root has no committed snapshot yet"))
+      .queryExecution.analyzed
+  }
+
+  /** Table-valued SQL entry points, registered by `GraftExtensions`:
+    * `cdc_changes('t', since)` and `cdc_changes_between('t', from, to)`
+    * — the feed re-resolved on EVERY query (the live sibling of
+    * [[changesView]]'s capture-at-creation semantics).
+    */
+  private[graft] val tableFunctions: Seq[(
+      org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    Seq(
+      (FunctionIdentifier("cdc_changes"),
+        new ExpressionInfo("graft.streaming.CdcSql", "cdc_changes"),
+        args => {
+          if (args.size != 2) throw new UnsupportedOperationException(
+            "cdc_changes(name, sinceBatch) takes 2 arguments")
+          val name = argString(args(0), "cdc_changes name")
+          val since = argLong(args(1), "cdc_changes sinceBatch")
+          feedPlan(name, CdcApply.changesSince(_, _, since))
+        }),
+      (FunctionIdentifier("cdc_changes_between"),
+        new ExpressionInfo("graft.streaming.CdcSql",
+          "cdc_changes_between"),
+        args => {
+          if (args.size != 3) throw new UnsupportedOperationException(
+            "cdc_changes_between(name, fromBatch, toBatch) takes 3 " +
+              "arguments")
+          val name = argString(args(0), "cdc_changes_between name")
+          val from = argLong(args(1), "cdc_changes_between fromBatch")
+          val to = argLong(args(2), "cdc_changes_between toBatch")
+          feedPlan(name, CdcApply.changesBetween(_, _, from, to))
+        }))
+  }
+
   /** Materialize the change feed of registered table `name` since
     * `sinceBatch` as a temp view (default `<name>_changes`) and return
-    * the view name. Unlike the snapshot NAME (re-resolved every query),
-    * the view captures the feed as of THIS call — re-invoke to advance;
-    * streaming consumers use [[CdcApply.readChangesStream]].
+    * the view name. Unlike the snapshot NAME and the `cdc_changes`
+    * table function (both re-resolved every query), the view captures
+    * the feed as of THIS call — re-invoke to advance; streaming
+    * consumers use [[CdcApply.readChangesStream]].
     */
   def changesView(spark: SparkSession, name: String, sinceBatch: Long,
       viewName: Option[String] = None): String = {

@@ -159,6 +159,35 @@ class CdcSqlSpec extends AnyFunSuite with SparkTestBase {
     } finally CdcSql.unregisterTable("meta_t")
   }
 
+  test("cdc_changes table function is LIVE (re-resolved per query) " +
+    "and cdc_changes_between is bounded by the historical manifest") {
+    val root = newRoot()
+    applyB0(root)
+    CdcSql.registerTable(spark, root, "tvf_t")
+    try {
+      def feed(sql: String): Set[(Long, Long, Boolean)] =
+        spark.sql(sql).collect()
+          .map(r => (r.getAs[Long]("k"), r.getAs[Long]("version"),
+            r.getAs[Boolean]("deleted"))).toSet
+      // since batch 0: caught up, empty
+      assert(feed(
+        "SELECT * FROM cdc_changes('tvf_t', 0)") == Set.empty)
+      applyB1(root)
+      // SAME SQL string now sees batch 1's events — no re-registration,
+      // no view refresh (the temp-view factory would still be empty)
+      assert(feed("SELECT * FROM cdc_changes('tvf_t', 0)") ==
+        Set((1L, 2L, false), (3L, 2L, true)))
+      // bounded diff against the RETAINED batch-0 manifest: only the
+      // insert load, batch 1 excluded
+      assert(feed("SELECT * FROM cdc_changes_between('tvf_t', -1, 0)") ==
+        Set((1L, 1L, false), (2L, 1L, false), (3L, 1L, false)))
+      val e = intercept[Exception] {
+        spark.sql("SELECT * FROM cdc_changes('ghost', 0)").collect()
+      }
+      assert(e.getMessage.contains("not a registered"), e.getMessage)
+    } finally CdcSql.unregisterTable("tvf_t")
+  }
+
   test("the declared SQL queries equal their Scala-API twins on the " +
     "same roots (q_sql_cdc / _timetravel / _changes)") {
     val q = SparkEntry.queries
