@@ -388,6 +388,23 @@ object CdcApply {
     currentManifestName(spark, root).map(n =>
       (readManifest(spark, root, n), parseManifestName(n)._1))
 
+  /** CURRENT's (name, batch id) from ONE pointer read — what a sync's
+    * carried-forward watermark commit records as its fence expectation:
+    * the commit may only flip the pointer if it still names what the
+    * watermark was read from (see [[commitManifest]]'s `expectCurrent`).
+    */
+  private[streaming] def currentNameAndVersion(spark: SparkSession,
+      root: String): Option[(String, Long)] =
+    currentManifestName(spark, root).map(n =>
+      (n, parseManifestName(n)._1))
+
+  /** Manifest by NAME — immutable once committed, so a name-addressed
+    * read pairs atomically with the pointer read that produced it.
+    */
+  private[streaming] def manifestByName(spark: SparkSession,
+      root: String, name: String): Manifest =
+    readManifest(spark, root, name)
+
   /** Batch id carried by a data-directory tag (`v<batch>` or a
     * maintenance generation's `v<batch>g<gen><op>`) — the single
     * parser behind change-feed pruning, vacuum's in-flight guard, and
@@ -1321,7 +1338,10 @@ object CdcApply {
       case None => false
       case Some(src) =>
         val cur = currentVersion(spark, root).get
-        val wm = currentVersion(spark, mirrorRoot).getOrElse(-1L)
+        // ONE pointer read serves the watermark AND the fence
+        // expectation of the carried-forward commit below
+        val mirrorCur = currentManifestName(spark, mirrorRoot)
+        val wm = mirrorCur.map(parseManifestName(_)._1).getOrElse(-1L)
         if (wm >= cur) false
         else {
           val c = src.conf
@@ -1359,16 +1379,23 @@ object CdcApply {
           // anyway, or every later poll re-resolves and re-scans the
           // same ever-growing batch range just to learn "nothing"
           if (!applied) {
-            currentManifest(spark, mirrorRoot) match {
+            // fenced on the SAME pointer read the watermark came from:
+            // a concurrent sync process that applied a data-bearing
+            // batch in between must not have its commit overwritten by
+            // this stale carried-forward map (the pointer would move
+            // BACKWARD and drop its rows) — the loser throws instead
+            mirrorCur.map(manifestByName(spark, mirrorRoot, _)) match {
               case Some(mm) =>
                 commitManifest(spark, mirrorRoot, s"v$cur.0",
-                  mm.copy(ts = Some(ts)), cur)
+                  mm.copy(ts = Some(ts)), cur,
+                  expectCurrent = Some(mirrorCur))
               case None =>
                 // first-ever sync over an empty feed: an empty mirror
                 // table at the source's watermark
                 commitManifest(spark, mirrorRoot, s"v$cur.0",
                   Manifest(c.copy(numBuckets = numBuckets), Map.empty,
-                    None, Some(ts)), cur)
+                    None, Some(ts)), cur,
+                  expectCurrent = Some(mirrorCur))
             }
           }
           true

@@ -155,8 +155,10 @@ object Rollup {
     CdcApply.currentManifestAndVersion(spark, root) match {
       case None => false
       case Some((src, cur)) =>
-        val wm = CdcApply.currentVersion(spark, rollupRoot)
-          .getOrElse(-1L)
+        // the rollup's own pointer: watermark + the fence expectation
+        // of the carried-forward commit below, from one read
+        val rollCur = CdcApply.currentNameAndVersion(spark, rollupRoot)
+        val wm = rollCur.map(_._2).getOrElse(-1L)
         if (wm >= cur) false
         else {
           val nb = src.conf.numBuckets
@@ -234,17 +236,23 @@ object Rollup {
           // empty): advance the watermark with a carried-forward
           // commit, as syncMirror does, so polls stay O(metadata)
           if (!applied) {
-            CdcApply.currentManifest(spark, rollupRoot) match {
+            // fenced on the watermark's own pointer read: a concurrent
+            // sync's data commit must not be overwritten by this stale
+            // carried-forward map (see CdcApply.commitManifest)
+            rollCur.map(nv =>
+                CdcApply.manifestByName(spark, rollupRoot, nv._1)) match {
               case Some(mm) =>
                 CdcApply.commitManifest(spark, rollupRoot, s"v$cur.0",
-                  mm.copy(ts = Some(ts)), cur)
+                  mm.copy(ts = Some(ts)), cur,
+                  expectCurrent = Some(rollCur.map(_._1)))
               case None =>
                 CdcApply.commitManifest(spark, rollupRoot, s"v$cur.0",
                   CdcApply.Manifest(
                     CdcApply.TableConf(numBuckets, keys, VersionCol,
                       Some(DeletedCol),
                       CdcApply.DefaultTombstoneRetention),
-                    Map.empty, None, Some(ts)), cur)
+                    Map.empty, None, Some(ts)), cur,
+                  expectCurrent = Some(rollCur.map(_._1)))
             }
           }
           true

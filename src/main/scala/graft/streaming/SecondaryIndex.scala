@@ -121,8 +121,10 @@ object SecondaryIndex {
           s"indexing source key columns is meaningless (the primary " +
             s"key already prunes): $overlap")
         val idxKeys = indexCols ++ srcKeys
-        val wm = CdcApply.currentVersion(spark, indexRoot)
-          .getOrElse(-1L)
+        // the index's own pointer: watermark + the fence expectation
+        // of the carried-forward commit below, from one read
+        val idxCur = CdcApply.currentNameAndVersion(spark, indexRoot)
+        val wm = idxCur.map(_._2).getOrElse(-1L)
         if (wm >= cur) false
         else {
           val nb = src.conf.numBuckets
@@ -182,10 +184,15 @@ object SecondaryIndex {
           // the watermark with a carried-forward commit so polls stay
           // O(metadata), as syncMirror/syncRollup do
           if (!applied) {
-            CdcApply.currentManifest(spark, indexRoot) match {
+            // fenced on the watermark's own pointer read: a concurrent
+            // sync's data commit must not be overwritten by this stale
+            // carried-forward map (see CdcApply.commitManifest)
+            idxCur.map(nv =>
+                CdcApply.manifestByName(spark, indexRoot, nv._1)) match {
               case Some(mm) =>
                 CdcApply.commitManifest(spark, indexRoot, s"v$cur.0",
-                  mm.copy(ts = Some(ts)), cur)
+                  mm.copy(ts = Some(ts)), cur,
+                  expectCurrent = Some(idxCur.map(_._1)))
               case None =>
                 CdcApply.commitManifest(spark, indexRoot, s"v$cur.0",
                   CdcApply.Manifest(
@@ -193,7 +200,8 @@ object SecondaryIndex {
                       Some(DeletedCol),
                       CdcApply.DefaultTombstoneRetention,
                       bucketKeys = Some(indexCols)),
-                    Map.empty, None, Some(ts)), cur)
+                    Map.empty, None, Some(ts)), cur,
+                  expectCurrent = Some(idxCur.map(_._1)))
             }
           }
           true

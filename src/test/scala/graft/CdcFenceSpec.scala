@@ -68,6 +68,45 @@ class CdcFenceSpec extends AnyFunSuite with SparkTestBase {
     assert(CdcApply.currentVersion(spark, root).contains(3L))
   }
 
+  test("a carried-forward sync watermark commit loses loudly to a " +
+    "concurrent data-bearing sync instead of moving the pointer " +
+    "backward") {
+    val src = newRoot()
+    val mirror = newRoot()
+    // retention 0: batch 1's delete-all empties the table at merge
+    // time, so a first sync sees a committed manifest with ZERO live
+    // buckets — an empty feed — and takes the carried-forward path
+    assert(CdcApply.applyBatch(b0, 0L, src, Seq("k"), "version",
+      Some("deleted"), tombstoneRetention = 0))
+    val delAll = Seq((1L, 2L, 0.0, true), (2L, 2L, 0.0, true))
+      .toDF("k", "version", "amount", "deleted")
+    assert(CdcApply.applyBatch(delAll, 1L, src, Seq("k"), "version",
+      Some("deleted"), tombstoneRetention = 0))
+    assert(CdcApply.readSnapshot(spark, src).isEmpty,
+      "precondition: fully-emptied source")
+    // inside sync A's carried-forward commit window, the source
+    // revives and sync B lands a DATA commit on the mirror
+    val b2 = Seq((9L, 1L, 90.0, false)).toDF(
+      "k", "version", "amount", "deleted")
+    CdcApply.raceWindowHook.set { () =>
+      assert(CdcApply.applyBatch(b2, 2L, src, Seq("k"), "version",
+        Some("deleted"), tombstoneRetention = 0))
+      assert(CdcApply.syncMirror(spark, src, mirror))
+    }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      CdcApply.syncMirror(spark, src, mirror)
+    }
+    assert(e.getMessage.contains("lost apply race"), e.getMessage)
+    // B's data commit stands; A's stale empty-table map never
+    // published (a silent loss would leave an empty mirror at v1)
+    assert(CdcApply.currentVersion(spark, mirror).contains(2L))
+    val state = CdcApply.readSnapshot(spark, mirror).get.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Double]("amount"))).toSet
+    assert(state == Set(9L -> 90.0), state.toString)
+    // and the system is quiescent: a re-sync is a caught-up no-op
+    assert(!CdcApply.syncMirror(spark, src, mirror))
+  }
+
   test("sequential applies and same-batch replays still commit " +
     "cleanly through the fence") {
     val root = newRoot()
