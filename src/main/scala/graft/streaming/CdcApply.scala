@@ -1432,11 +1432,14 @@ object CdcApply {
           numBuckets = numBuckets, tombstoneRetention = c.retention,
           commitTs = Some(ts), bucketCols = Some(c.bucketCols))
         // fully-emptied source: the re-seeded mirror is an empty table
-        // at the source's watermark
+        // at the source's watermark. Fenced on the just-deleted state:
+        // a sync process racing the reseed (already outside the
+        // stop-the-consumer recovery protocol) fails loudly instead of
+        // being silently overwritten
         if (!applied)
           commitManifest(spark, mirrorRoot, s"v$cur.0",
             Manifest(c.copy(numBuckets = numBuckets), Map.empty, None,
-              Some(ts)), cur)
+              Some(ts)), cur, expectCurrent = Some(None))
         true
     }
 

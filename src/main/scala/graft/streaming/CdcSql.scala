@@ -151,6 +151,22 @@ object CdcSql {
           val from = argLong(args(1), "cdc_changes_between fromBatch")
           val to = argLong(args(2), "cdc_changes_between toBatch")
           feedPlan(name, CdcApply.changesBetween(_, _, from, to))
+        }),
+      // operator introspection: every registered name with its root
+      // and current watermark (NULL before the first apply) — the
+      // SHOW TABLES of the registered-name surface, metadata only
+      (FunctionIdentifier("cdc_tables"),
+        new ExpressionInfo("graft.streaming.CdcSql", "cdc_tables"),
+        args => {
+          if (args.nonEmpty) throw new UnsupportedOperationException(
+            "cdc_tables() takes no arguments")
+          val spark = activeSession
+          val rows = tables.toSeq.sortBy(_._1).map { case (n, r) =>
+            (n, r, CdcApply.currentVersion(spark, r))
+          }
+          spark.createDataFrame(rows)
+            .toDF("name", "root", "current_batch")
+            .queryExecution.analyzed
         }))
   }
 

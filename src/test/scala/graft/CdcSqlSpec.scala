@@ -185,6 +185,12 @@ class CdcSqlSpec extends AnyFunSuite with SparkTestBase {
         spark.sql("SELECT * FROM cdc_changes('ghost', 0)").collect()
       }
       assert(e.getMessage.contains("not a registered"), e.getMessage)
+      // introspection: the registered name appears with its watermark
+      val listed = spark.sql(
+        "SELECT name, current_batch FROM cdc_tables() " +
+          "WHERE name = 'tvf_t'").collect()
+      assert(listed.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq("tvf_t" -> 1L), listed.toSeq.toString)
     } finally CdcSql.unregisterTable("tvf_t")
   }
 
