@@ -194,6 +194,21 @@ class CdcGovernanceSpec extends AnyFunSuite with SparkTestBase {
         }
       }
       assert(w.getMessage.contains("applyBatch"), w.getMessage)
+      // the LIVE feed table function is governed identically: the
+      // stamp column must be granted (the changesSince contract), and
+      // the feed is then row-filtered + pruned for the Analyst
+      GovernanceCatalog.register(Analyst, db, DataCellsFilter(
+        "analyst-cdc", tbl, "region = 'APAC'",
+        Seq("k", "version", "region", "amount", "deleted",
+          CdcApply.AppliedBatchCol)))
+      val feed = Governance.withPrincipal(spark, Analyst) {
+        spark.sql(
+          "SELECT * FROM cdc_changes('gov_sql_t', 0)").collect()
+      }
+      assert(feed.map(r => (r.getAs[Long]("k"),
+        r.getAs[Boolean]("deleted"))).toSet ==
+        Set(1L -> false, 3L -> true), feed.toSeq.toString)
+      assert(!feed.head.schema.fieldNames.contains("secret"))
     } finally graft.streaming.CdcSql.unregisterTable("gov_sql_t")
   }
 
