@@ -341,6 +341,24 @@ object TierB {
           .select(col("s_nationkey").as("nationkey")))
         .orderBy(col("nationkey"))),
 
+    // B12b — MULTISET set ops (the ALL variants): per-row bag
+    // semantics — a nation with 60 customers and 4 suppliers keeps 56
+    // rows in the except and 4 in the intersect. Duplicate output rows
+    // are identical, so the nationkey sort is a total order for the
+    // hash gate. Spark plans these as aggregate+generate (sum of
+    // signed counts), never a join explosion.
+    "q_except_all" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .exceptAll(Tables.supplier(s, d)
+          .select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))),
+
+    "q_intersect_all" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersectAll(Tables.supplier(s, d)
+          .select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey"))),
+
     // B13 — string functions.
     "q_scalar_string" -> ((s, d) =>
       Tables.customer(s, d)
@@ -699,6 +717,14 @@ object TierB {
     "q_except" ->
       ("SELECT c_nationkey AS nationkey FROM customer EXCEPT " +
         "SELECT s_nationkey AS nationkey FROM supplier ORDER BY nationkey"),
+    "q_except_all" ->
+      ("SELECT c_nationkey AS nationkey FROM customer EXCEPT ALL " +
+        "SELECT s_nationkey AS nationkey FROM supplier " +
+        "ORDER BY nationkey"),
+    "q_intersect_all" ->
+      ("SELECT c_nationkey AS nationkey FROM customer INTERSECT ALL " +
+        "SELECT s_nationkey AS nationkey FROM supplier " +
+        "ORDER BY nationkey"),
     "q_scalar_string" ->
       ("SELECT c_custkey, UPPER(c_name) AS name_upper, " +
         "SUBSTRING(c_name, 1, 8) AS name_prefix, " +
