@@ -327,13 +327,24 @@ case class CdcTableResolution(spark: SparkSession)
         val (alias, df) = metaTarget(u).get
         SubqueryAlias(alias, df.queryExecution.analyzed)
 
+      // STREAMING read of a registered name tails the change feed:
+      // `spark.readStream.table("orders_cdc")` expands to
+      // readChangesStream's file-stream source over the changelog —
+      // at-least-once delivery of every accepted event, deletes as
+      // flagged rows, the consumer's checkpoint tracking position.
+      // Tables without a changelog refuse with the remedy.
       case u: UnresolvedRelation
           if u.isStreaming &&
             CdcSql.rootFor(u.multipartIdentifier).isDefined =>
-        throw new UnsupportedOperationException(
-          s"streaming read of CDC table " +
-            s"'${u.multipartIdentifier.mkString(".")}' — tail the " +
-            "change feed with CdcApply.readChangesStream instead")
+        val name = u.multipartIdentifier.mkString(".")
+        val root = CdcSql.rootFor(u.multipartIdentifier).get
+        CdcApply.readChangesStream(spark, root) match {
+          case Some(df) => SubqueryAlias(u.multipartIdentifier.last,
+            df.queryExecution.analyzed)
+          case None => throw new UnsupportedOperationException(
+            s"streaming read of CDC table '$name' needs its changelog: " +
+              "apply with changelog = true (readChangesStream contract)")
+        }
     }
 
   private def writeDenied(name: String): Throwable =

@@ -194,6 +194,48 @@ class CdcSqlSpec extends AnyFunSuite with SparkTestBase {
     } finally CdcSql.unregisterTable("tvf_t")
   }
 
+  test("spark.readStream on a registered name tails the changelog; " +
+    "a changelog-less table refuses with the remedy") {
+    import spark.implicits._
+    val root = newRoot()
+    val b0 = Seq((1L, 1L, 10.0, false), (2L, 1L, 20.0, false))
+      .toDF("k", "version", "amount", "deleted")
+    assert(CdcApply.applyBatch(b0, 0L, root, Seq("k"), "version",
+      Some("deleted"), changelog = true))
+    CdcSql.registerTable(spark, root, "stream_t")
+    try {
+      val q = spark.readStream.table("stream_t")
+        .writeStream.format("memory")
+        .queryName("cdc_sql_stream_sink").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        def got() = spark.table("cdc_sql_stream_sink")
+          .select("k", "version", "deleted")
+          .as[(Long, Long, Boolean)].collect().toSet
+        assert(got() == Set((1L, 1L, false), (2L, 1L, false)))
+        // a later changelog'd apply reaches the RUNNING stream
+        val b1 = Seq((1L, 2L, 11.0, false)).toDF(
+          "k", "version", "amount", "deleted")
+        assert(CdcApply.applyBatch(b1, 1L, root, Seq("k"), "version",
+          Some("deleted"), changelog = true))
+        q.processAllAvailable()
+        assert(got().contains((1L, 2L, false)))
+      } finally q.stop()
+    } finally CdcSql.unregisterTable("stream_t")
+    // changelog-less table: loud refusal naming the remedy
+    val plain = newRoot()
+    applyB0(plain)
+    CdcSql.registerTable(spark, plain, "nolog_t")
+    try {
+      val e = intercept[UnsupportedOperationException] {
+        spark.readStream.table("nolog_t")
+          .writeStream.format("memory").queryName("nolog_sink")
+          .outputMode("append").start()
+      }
+      assert(e.getMessage.contains("changelog = true"), e.getMessage)
+    } finally CdcSql.unregisterTable("nolog_t")
+  }
+
   test("the declared SQL queries equal their Scala-API twins on the " +
     "same roots (q_sql_cdc / _timetravel / _changes)") {
     val q = SparkEntry.queries
