@@ -191,6 +191,11 @@ object Plans {
       "projecting key, version, and the stored _violated reasons — " +
       "a plain pruned scan, no join back to the main table and no " +
       "re-evaluation of any predicate."),
+    "q_cms_freq" -> ("Count-min sketch probe: one corpus scan builds " +
+      "the depth×width cell table (map-side posexplode + two-phase " +
+      "aggregate with a bounded group count); the probe side joins " +
+      "TEN words × depth rows against it — at 100 TB the sketch stays " +
+      "a few thousand rows and the probe never touches corpus data."),
     "q_sql_cdc" -> ("SQL-name read of the CDC snapshot: the registered " +
       "identifier expands at ANALYSIS time to the same manifest-pruned " +
       "bucketed scan + two-phase aggregate as q_cdc_merge — name " +

@@ -567,6 +567,25 @@ object TierC {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
         .orderBy(col("event_type"))),
 
+    // C6b — count-min sketch token frequencies: the exact top-10 vocab
+    // words probed against a CMS whose size (4 × 4096 cells) is
+    // independent of the corpus — the frequency sibling of
+    // q_hll_distinct. est_cnt never undercounts; ToleranceSpec pins
+    // the CMS epsilon bound against the exact counts. Rows-only:
+    // xxhash64 cell placement is engine-specific.
+    "q_cms_freq" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(T.tokens(col("text"))).as("word"))
+      val top = toks.groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(10)
+        .select(col("word"))
+      val sk = graft.operators.CountMin.sketch(toks, "word", 4096, 4)
+      graft.operators.CountMin.estimate(sk, top, "word", 4096, 4)
+        .orderBy(col("est_cnt").desc, col("word"))
+    }),
+
     // C4 — MinHash+LSH near-dup candidates: top pairs by estimated Jaccard.
     // k=32, bands=8 (r=4) puts the banding S-curve threshold near
     // Jaccard 0.59 — the planted near-dups (J ≈ 0.98) always collide,

@@ -55,6 +55,42 @@ class ToleranceSpec extends AnyFunSuite with SparkTestBase {
     assert(err <= 0.06, s"HLL relative error $err exceeds 3x rsd(0.02)")
   }
 
+  test("count-min estimates never undercount and overcount within " +
+    "the epsilon bound; merged sketches equal the one-pass sketch") {
+    import graft.operators.CountMin
+    val (width, depth) = (4096, 4)
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+    val n = toks.count()
+    val exact = toks.groupBy(col("word"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    val sk = CountMin.sketch(toks, "word", width, depth)
+    // probe EVERY distinct token, not just the declared query's top-10
+    val est = CountMin.estimate(sk, exact.select(col("word")), "word",
+      width, depth)
+    val joined = est.join(exact, "word")
+      .select(col("word"), col("est_cnt"), col("exact_cnt")).collect()
+    val eps = math.E / width
+    joined.foreach { r =>
+      val (w, e, x) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(e >= x, s"'$w': CMS undercounted ($e < $x) — impossible " +
+        "by construction, the sketch or probe hashing diverged")
+      assert(e - x <= (eps * n).ceil.toLong,
+        s"'$w': overcount ${e - x} exceeds eps*N = ${(eps * n).ceil}")
+    }
+    // mergeability: two half-corpus sketches combined cell-wise must
+    // equal the one-pass sketch exactly
+    val docs = Tables.documents(spark, sfDir)
+    def half(pred: org.apache.spark.sql.Column) = CountMin.sketch(
+      docs.filter(pred)
+        .select(explode(TextFunctions.tokens(col("text"))).as("word")),
+      "word", width, depth)
+    val merged = CountMin.merge(
+      half(col("doc_id") % 2 === 0), half(col("doc_id") % 2 === 1))
+    assert(merged.exceptAll(sk).isEmpty && sk.exceptAll(merged).isEmpty,
+      "merged half-sketches diverge from the one-pass sketch")
+  }
+
   test("approx percentile lands between the exact p49 and p51") {
     // accuracy=10000 bounds the RANK error at n/10000 (< 1 row here), so
     // the sketch's answer must sit inside the exact [p49, p51] envelope
