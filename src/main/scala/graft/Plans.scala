@@ -191,6 +191,14 @@ object Plans {
       "projecting key, version, and the stored _violated reasons — " +
       "a plain pruned scan, no join back to the main table and no " +
       "re-evaluation of any predicate."),
+    "q_bloom_decontaminate" -> ("Bloom decontamination: the eval set " +
+      "collapses to a <= m-row bit table that BROADCASTS to the " +
+      "corpus-side probe join, so the plan is identical at any " +
+      "eval-set size (the exact twin's broadcast grows with eval " +
+      "bytes; this one is bounded by m). Corpus TEXT never shuffles: " +
+      "the k exploded bit rows of one shingle collapse map-side in " +
+      "the partial aggregate, so the Exchanges carry one boolean row " +
+      "per probe shingle, then one count per doc."),
     "q_cms_freq" -> ("Count-min sketch probe: one corpus scan builds " +
       "the depth×width cell table (map-side posexplode + two-phase " +
       "aggregate with a bounded group count); the probe side joins " +

@@ -779,6 +779,37 @@ object TierC {
         .orderBy(col("doc_id"))
     }),
 
+    // C2g-scale — the same decontamination through a distributed BLOOM
+    // filter: the eval set becomes a bounded bit table (<= m rows,
+    // broadcast) instead of a broadcast of the shingles themselves —
+    // the path for eval sets too large to broadcast (multi-benchmark
+    // unions, dedup-against-prior-corpus). No false negatives by
+    // construction (every truly contaminated doc flags); rows-only
+    // (xxhash64 bit placement; false positives possible by design),
+    // with the exact broadcast twin q_decontaminate oracle-checked and
+    // ToleranceSpec pinning the no-false-negative + FP-rate bounds.
+    "q_bloom_decontaminate" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val eval = docs.filter(col("doc_id") < 10)
+        .select(explode(array_distinct(T.shingles(col("text"), 3)))
+          .as("shingle"))
+      val bits = graft.operators.Bloom.build(eval, "shingle",
+        m = 1L << 16, k = 5)
+      val probes = docs.filter(col("doc_id") >= 10)
+        .select(col("doc_id"),
+          explode(array_distinct(T.shingles(col("text"), 3)))
+            .as("shingle"))
+      graft.operators.Bloom
+        .mightContain(bits, probes, "shingle", m = 1L << 16, k = 5)
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("might_contain"), 1L).otherwise(0L))
+          .as("n_maybe"))
+        .filter(col("n_maybe") >= 1)
+        .withColumn("contaminated", col("n_maybe") >= 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // C2h — repetition-based quality gate (the "fraction of duplicate
     // n-grams" family of pretraining filters): per document, the share
     // of bigram occurrences that are repeats. Pure map-side arithmetic

@@ -91,6 +91,51 @@ class ToleranceSpec extends AnyFunSuite with SparkTestBase {
       "merged half-sketches diverge from the one-pass sketch")
   }
 
+  test("bloom membership has no false negatives; false-positive rate " +
+    "within the theoretical bound; merged filters equal one build") {
+    import graft.operators.Bloom
+    val (m, k) = (1L << 16, 5)
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val evalSh = docs.filter(col("doc_id") < 10)
+      .select(explode(array_distinct(
+        TextFunctions.shingles(col("text"), 3))).as("shingle"))
+      .distinct()
+    val corpusSh = docs.filter(col("doc_id") >= 10)
+      .select(explode(array_distinct(
+        TextFunctions.shingles(col("text"), 3))).as("shingle"))
+      .distinct()
+    val bits = Bloom.build(evalSh, "shingle", m, k)
+    val flagged = Bloom.mightContain(bits, corpusSh, "shingle", m, k)
+    val joined = flagged
+      .join(evalSh.withColumn("_in_eval", lit(true)), Seq("shingle"),
+        "left")
+      .select(col("might_contain"),
+        coalesce(col("_in_eval"), lit(false)).as("in_eval"))
+      .collect()
+    // hard guarantee: a shingle actually in the eval set must flag
+    val falseNeg = joined.count(r => r.getBoolean(1) && !r.getBoolean(0))
+    assert(falseNeg == 0, s"$falseNeg bloom false negatives — " +
+      "impossible by construction, the build/probe hashing diverged")
+    // false positives bounded by theory: p = (1 - e^(-k n / m))^k,
+    // asserted at 3x to absorb the variance of one concrete hash draw
+    val n = evalSh.count()
+    val p = math.pow(1 - math.exp(-k.toDouble * n / m), k)
+    val neg = joined.count(r => !r.getBoolean(1))
+    val fp = joined.count(r => !r.getBoolean(1) && r.getBoolean(0))
+    assert(neg == 0 || fp.toDouble / neg <= 3 * p + 1e-6,
+      s"bloom FP rate ${fp.toDouble / neg} exceeds 3x theoretical $p")
+    // mergeability: half-set filters union into the full filter
+    val halves = Bloom.merge(
+      Bloom.build(evalSh.filter(xxhash64(col("shingle")) % 2 === 0),
+        "shingle", m, k),
+      Bloom.build(evalSh.filter(xxhash64(col("shingle")) % 2 =!= 0),
+        "shingle", m, k))
+    assert(halves.exceptAll(bits).isEmpty &&
+      bits.exceptAll(halves).isEmpty,
+      "merged half-filters diverge from the one-pass build")
+  }
+
   test("approx percentile lands between the exact p49 and p51") {
     // accuracy=10000 bounds the RANK error at n/10000 (< 1 row here), so
     // the sketch's answer must sit inside the exact [p49, p51] envelope
