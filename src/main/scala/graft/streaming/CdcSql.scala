@@ -104,6 +104,46 @@ object CdcSql {
     SparkSession.getActiveSession.getOrElse(
       throw new IllegalStateException("no active SparkSession"))
 
+  /** True when any CDC name is registered — the zero-cost guard that
+    * keeps the SHOW TABLES / DESCRIBE interception a pure pass-through
+    * for sessions that never touch the CDC surface.
+    */
+  private[streaming] def hasRegistered: Boolean = tables.nonEmpty
+
+  private[streaming] def registeredNames: Seq[(String, String)] =
+    tables.toSeq.sortBy(_._1)
+
+  private def resolveRoot(name: String): String =
+    rootFor(split(name)).getOrElse(
+      throw new IllegalStateException(s"'$name' is not a registered " +
+        "CDC table — call CdcSql.registerTable first"))
+
+  /** Maintenance guard for the SQL entry points: a governed root
+    * refuses every principal but the DataAdmin BEFORE any filesystem
+    * work, with an audit record — the same posture as
+    * [[graft.governance.GovernanceWriteCheck]] (maintenance rewrites
+    * data files and deletes history; it IS a write). Ungoverned roots
+    * are open, matching the Scala API they route to.
+    */
+  private def requireMaintainer(spark: SparkSession, name: String,
+      root: String, op: String): Unit =
+    graft.governance.GovernanceCatalog.tableForLocation(root).foreach {
+      case (db, t) =>
+        val p = graft.governance.Principal.fromName(spark.conf.get(
+          graft.governance.GovernanceRule.PrincipalConf,
+          graft.governance.Anonymous.name))
+        if (p != graft.governance.DataAdmin) {
+          graft.governance.AuditLog.record(graft.governance.AuditEvent(
+            "maintenance-denied", p.name, Seq(s"$db.$t"),
+            governed = true, rowsOut = None, durationNs = 0L,
+            error = Some(s"$op denied")))
+          throw new graft.governance.AccessDeniedException(
+            s"principal ${p.name} may not run $op on governed CDC " +
+              s"table '$name' ($db.$t) — maintenance rewrites data " +
+              "files; only DataAdmin holds write access")
+        }
+    }
+
   private def feedPlan(name: String,
       feed: (SparkSession, String) => Option[org.apache.spark.sql
         .DataFrame]): org.apache.spark.sql.catalyst.plans.logical
@@ -152,9 +192,11 @@ object CdcSql {
           val to = argLong(args(2), "cdc_changes_between toBatch")
           feedPlan(name, CdcApply.changesBetween(_, _, from, to))
         }),
-      // operator introspection: every registered name with its root
-      // and current watermark (NULL before the first apply) — the
-      // SHOW TABLES of the registered-name surface, metadata only
+      // operator introspection: every registered name with its root,
+      // current watermark, commit clock, and bucket count (all NULL
+      // before the first apply) — the metadata companion to the real
+      // SHOW TABLES listing ([[CdcTableResolution]] makes registered
+      // names visible there too)
       (FunctionIdentifier("cdc_tables"),
         new ExpressionInfo("graft.streaming.CdcSql", "cdc_tables"),
         args => {
@@ -162,10 +204,94 @@ object CdcSql {
             "cdc_tables() takes no arguments")
           val spark = activeSession
           val rows = tables.toSeq.sortBy(_._1).map { case (n, r) =>
-            (n, r, CdcApply.currentVersion(spark, r))
+            val m = CdcApply.currentManifestAndVersion(spark, r)
+            (n, r, m.map(_._2), m.flatMap(_._1.ts),
+              m.map(_._1.conf.numBuckets))
           }
           spark.createDataFrame(rows)
-            .toDF("name", "root", "current_batch")
+            .toDF("name", "root", "current_batch", "commit_ts",
+              "num_buckets")
+            .queryExecution.analyzed
+        }),
+
+      // ---- guarded maintenance entry points (CALL-style procedures).
+      // The reference's entire operational surface is SQL strings
+      // handed to an engine (`validate.sh:74-80`), so table
+      // maintenance must be reachable from SQL too: each function
+      // RUNS the maintenance when the statement analyzes (exactly
+      // once per spark.sql call) and returns a one-row status frame.
+      // All four route through the fenced Scala ops — a concurrent
+      // apply aborts at the commit guard, concurrent maintenance
+      // fails loudly at the manifest rename — and a governed root
+      // refuses any principal but the DataAdmin before touching
+      // anything (requireMaintainer). ----
+      (FunctionIdentifier("cdc_compact"),
+        new ExpressionInfo("graft.streaming.CdcSql", "cdc_compact"),
+        args => {
+          if (args.size != 1) throw new UnsupportedOperationException(
+            "cdc_compact(name) takes 1 argument")
+          val name = argString(args(0), "cdc_compact name")
+          val spark = activeSession
+          val root = resolveRoot(name)
+          requireMaintainer(spark, name, root, "cdc_compact")
+          val did = CdcApply.compactBuckets(spark, root)
+          spark.createDataFrame(Seq((name, did,
+              CdcApply.currentVersion(spark, root))))
+            .toDF("name", "compacted", "current_batch")
+            .queryExecution.analyzed
+        }),
+      (FunctionIdentifier("cdc_vacuum"),
+        new ExpressionInfo("graft.streaming.CdcSql", "cdc_vacuum"),
+        args => {
+          if (args.size != 2) throw new UnsupportedOperationException(
+            "cdc_vacuum(name, keep) takes 2 arguments")
+          val name = argString(args(0), "cdc_vacuum name")
+          val keep = argLong(args(1), "cdc_vacuum keep")
+          val spark = activeSession
+          val root = resolveRoot(name)
+          requireMaintainer(spark, name, root, "cdc_vacuum")
+          val removed = CdcApply.vacuum(spark, root, keep.toInt)
+          spark.createDataFrame(Seq((name, removed.size.toLong,
+              CdcApply.currentVersion(spark, root))))
+            .toDF("name", "n_removed", "current_batch")
+            .queryExecution.analyzed
+        }),
+      (FunctionIdentifier("cdc_rebucket"),
+        new ExpressionInfo("graft.streaming.CdcSql", "cdc_rebucket"),
+        args => {
+          if (args.size != 2) throw new UnsupportedOperationException(
+            "cdc_rebucket(name, numBuckets) takes 2 arguments")
+          val name = argString(args(0), "cdc_rebucket name")
+          val n = argLong(args(1), "cdc_rebucket numBuckets")
+          val spark = activeSession
+          val root = resolveRoot(name)
+          requireMaintainer(spark, name, root, "cdc_rebucket")
+          val did = CdcApply.rebucket(spark, root, n.toInt)
+          spark.createDataFrame(Seq((name, did, n.toInt)))
+            .toDF("name", "rebucketed", "num_buckets")
+            .queryExecution.analyzed
+        }),
+      (FunctionIdentifier("cdc_reseed_mirror"),
+        new ExpressionInfo("graft.streaming.CdcSql",
+          "cdc_reseed_mirror"),
+        args => {
+          if (args.size != 2) throw new UnsupportedOperationException(
+            "cdc_reseed_mirror(source, mirror) takes 2 arguments")
+          val srcName = argString(args(0), "cdc_reseed_mirror source")
+          val dstName = argString(args(1), "cdc_reseed_mirror mirror")
+          val spark = activeSession
+          val src = resolveRoot(srcName)
+          val dst = resolveRoot(dstName)
+          // BOTH roots guarded: the reseed reads every source row raw
+          // (a non-admin seeding an ungoverned mirror from a governed
+          // source would be an exfiltration side door) and DROPS the
+          // mirror's history before rewriting it
+          requireMaintainer(spark, srcName, src, "cdc_reseed_mirror")
+          requireMaintainer(spark, dstName, dst, "cdc_reseed_mirror")
+          val did = CdcApply.reseedMirror(spark, src, dst)
+          spark.createDataFrame(Seq((srcName, dstName, did,
+              CdcApply.currentVersion(spark, dst))))
+            .toDF("source", "mirror", "reseeded", "current_batch")
             .queryExecution.analyzed
         }))
   }
@@ -206,6 +332,40 @@ case class CdcTableResolution(spark: SparkSession)
         if CdcSql.rootFor(u.multipartIdentifier).isDefined =>
       Some(u.multipartIdentifier.mkString("."))
     case _ => None
+  }
+
+  /** Single-evaluation extractors: the guard-and-body pattern
+    * (`case x if f(x).isDefined => f(x).get`) would run the match
+    * function twice per node — for [[MetaTarget]] that means building
+    * the metadata DataFrame (filesystem listings) twice. A custom
+    * extractor binds the result once.
+    */
+  private object CdcWriteTarget {
+    def unapply(p: LogicalPlan): Option[String] = cdcIdent(p)
+  }
+
+  private object MetaTarget {
+    def unapply(p: LogicalPlan)
+        : Option[(String, org.apache.spark.sql.DataFrame)] = p match {
+      case u: UnresolvedRelation if !u.isStreaming => metaTarget(u)
+      case _ => None
+    }
+  }
+
+  private object DescribeCdcTarget {
+    def unapply(p: LogicalPlan): Option[(org.apache.spark.sql.catalyst
+        .plans.logical.DescribeRelation, String, String)] = p match {
+      case d: org.apache.spark.sql.catalyst.plans.logical
+          .DescribeRelation if d.partitionSpec.isEmpty =>
+        d.relation match {
+          case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedTableOrView =>
+            CdcSql.rootFor(u.multipartIdentifier).map(r =>
+              (d, u.multipartIdentifier.mkString("."), r))
+          case _ => None
+        }
+      case _ => None
+    }
   }
 
   /** Metadata tables, the table-format convention: `` `t$history` ``,
@@ -274,6 +434,104 @@ case class CdcTableResolution(spark: SparkSession)
     }
   }
 
+  /** `SHOW TABLES` over the SESSION catalog with a resolved plain
+    * namespace — the only form the CDC listing augments. Other
+    * catalogs, unresolved namespaces, and `SHOW TABLE EXTENDED` (a
+    * different node) pass through untouched.
+    */
+  private object ShowTablesOnSession {
+    def unapply(p: LogicalPlan): Option[(org.apache.spark.sql.catalyst
+        .plans.logical.ShowTables, String)] = p match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.ShowTables =>
+        s.namespace match {
+          case rn: org.apache.spark.sql.catalyst.analysis
+              .ResolvedNamespace
+              if rn.catalog.name == "spark_catalog" &&
+                rn.namespace.size == 1 =>
+            Some((s, rn.namespace.head))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** The `SHOW TABLES` listing — the stock rows (catalog tables with
+    * their namespace, temp views with an empty one) — plus the
+    * registered CDC names. 1-part names are session-global like temp
+    * views (resolvable from any database context), so they list with
+    * an empty namespace in every listing; `db.t` names list under
+    * their database only. A real catalog object with the same identity
+    * wins (it also shadows the name at resolution), and the pattern
+    * filter applies to CDC names exactly as to catalog names.
+    */
+  private def showTablesWithCdc(
+      s: org.apache.spark.sql.catalyst.plans.logical.ShowTables,
+      db: String): LogicalPlan = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val catalog = spark.sessionState.catalog
+    val base = s.pattern
+      .map(catalog.listTables(db, _)).getOrElse(catalog.listTables(db))
+      .map(ti =>
+        (ti.database.getOrElse(""), ti.table, catalog.isTempView(ti)))
+    val taken = base.map(r => (r._1, r._2)).toSet
+    val cdcRows = CdcSql.registeredNames.flatMap { case (key, _) =>
+      val parts = key.split('.')
+      val (ns, tbl) =
+        if (parts.length == 1) ("", parts(0)) else (parts(0), parts(1))
+      val inScope = parts.length == 1 ||
+        (parts.length == 2 && parts(0) == db)
+      val passes = s.pattern.forall(p =>
+        org.apache.spark.sql.catalyst.util.StringUtils
+          .filterPattern(Seq(tbl), p).nonEmpty)
+      if (inScope && passes && !taken.contains((ns, tbl)))
+        Some((ns, tbl, false))
+      else None
+    }
+    val rows = (base ++ cdcRows).map { case (ns, t, tmp) =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(ns), UTF8String.fromString(t), tmp)
+    }
+    org.apache.spark.sql.catalyst.plans.logical
+      .LocalRelation(s.output, rows)
+  }
+
+  /** `DESCRIBE [EXTENDED] <registered-name>` — the snapshot schema in
+    * the standard (col_name, data_type, comment) shape; EXTENDED
+    * appends a `# CDC Table Information` section (root, watermark,
+    * commit clock, bucket count) from ONE manifest read.
+    */
+  private def describeCdc(output: Seq[org.apache.spark.sql.catalyst
+      .expressions.Attribute], name: String, root: String,
+      extended: Boolean): LogicalPlan = {
+    import org.apache.spark.unsafe.types.UTF8String
+    def row(c: String, d: String, comment: String)
+        : org.apache.spark.sql.catalyst.InternalRow =
+      org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(c), UTF8String.fromString(d),
+        if (comment == null) null else UTF8String.fromString(comment))
+    val snap = CdcApply.readSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"CDC table '$name' at $root has no committed snapshot yet"))
+    val cols = snap.schema.fields.toSeq.map(f =>
+      row(f.name, f.dataType.simpleString, null))
+    val info =
+      if (!extended) Nil
+      else {
+        val mv = CdcApply.currentManifestAndVersion(spark, root)
+        Seq(row("", "", null),
+          row("# CDC Table Information", "", null),
+          row("Root", root, null),
+          row("Current Batch",
+            mv.map(_._2.toString).getOrElse(""), null),
+          row("Commit Ts",
+            mv.flatMap(_._1.ts).map(_.toString).getOrElse(""), null),
+          row("Num Buckets",
+            mv.map(_._1.conf.numBuckets.toString).getOrElse(""), null))
+      }
+    org.apache.spark.sql.catalyst.plans.logical
+      .LocalRelation(output, cols ++ info)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     // TOP-DOWN: the DML guards must fire on the statement node BEFORE
     // the generic relation case expands its child (bottom-up would
@@ -285,12 +543,30 @@ case class CdcTableResolution(spark: SparkSession)
       // replay guard, change feed), which SQL DML cannot express
       case i: InsertIntoStatement if cdcIdent(i.table).isDefined =>
         throw writeDenied(cdcIdent(i.table).get)
-      case d: DeleteFromTable if cdcIdent(d.table).isDefined =>
-        throw writeDenied(cdcIdent(d.table).get)
+      case DeleteFromTable(CdcWriteTarget(name), _) =>
+        throw writeDenied(name)
       case u: UpdateTable if cdcIdent(u.table).isDefined =>
         throw writeDenied(cdcIdent(u.table).get)
       case m: MergeIntoTable if cdcIdent(m.targetTable).isDefined =>
         throw writeDenied(cdcIdent(m.targetTable).get)
+
+      // CATALOG VISIBILITY (the Glue DB/table listing analog,
+      // reference main.tf:291-300): `SHOW TABLES` lists registered CDC
+      // names alongside real catalog tables, `DESCRIBE` serves their
+      // snapshot schema. Both intercept the command node in the same
+      // resolution fixpoint (`SHOW TABLES` stays the V2 ShowTables
+      // node in Spark 4; DESCRIBE arrives with its identifier still
+      // unresolved because registered names are not catalog entries)
+      // and replace it with the rows it would have produced plus the
+      // CDC entries — computed at analysis time, exactly when Spark
+      // executes these commands anyway (`spark.sql` runs commands
+      // eagerly). Guarded on a non-empty registry so sessions that
+      // never register a CDC name keep the stock command untouched.
+      case ShowTablesOnSession(s, db) if CdcSql.hasRegistered =>
+        showTablesWithCdc(s, db)
+
+      case DescribeCdcTarget(d, name, root) =>
+        describeCdc(d.output, name, root, d.isExtended)
 
       case RelationTimeTravel(u: UnresolvedRelation, ts, ver)
           if CdcSql.rootFor(u.multipartIdentifier).isDefined =>
@@ -322,9 +598,7 @@ case class CdcTableResolution(spark: SparkSession)
         expand(u.multipartIdentifier.last,
           CdcApply.readSnapshot(spark, root), "(empty)")
 
-      case u: UnresolvedRelation
-          if !u.isStreaming && metaTarget(u).isDefined =>
-        val (alias, df) = metaTarget(u).get
+      case MetaTarget(alias, df) =>
         SubqueryAlias(alias, df.queryExecution.analyzed)
 
       // STREAMING read of a registered name tails the change feed:

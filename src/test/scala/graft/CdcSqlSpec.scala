@@ -273,4 +273,186 @@ class CdcSqlSpec extends AnyFunSuite with SparkTestBase {
         e2.getMessage)
     } finally CdcSql.unregisterTable("empty_t")
   }
+
+  test("SHOW TABLES lists registered CDC names alongside catalog " +
+    "objects, honors patterns, and drops them on unregister") {
+    val root = newRoot()
+    applyB0(root)
+    CdcSql.registerTable(spark, root, "vis_cdc_t")
+    try {
+      import spark.implicits._
+      Seq((1, 2)).toDF("a", "b").createOrReplaceTempView("vis_view")
+      try {
+        def listed(): Set[(String, String, Boolean)] =
+          spark.sql("SHOW TABLES").collect()
+            .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+            .toSet
+        val all = listed()
+        // the CDC name appears, session-global like a temp view but
+        // NOT temporary; real catalog objects still listed
+        assert(all.contains(("", "vis_cdc_t", false)), all.toString)
+        assert(all.contains(("", "vis_view", true)), all.toString)
+        // pattern filtering applies to CDC names like catalog names
+        val pat = spark.sql("SHOW TABLES LIKE 'vis_cdc*'").collect()
+          .map(_.getString(1)).toSet
+        assert(pat == Set("vis_cdc_t"), pat.toString)
+        val none = spark.sql("SHOW TABLES LIKE 'zz_nope*'").collect()
+        assert(none.isEmpty, none.toSeq.toString)
+      } finally spark.catalog.dropTempView("vis_view")
+    } finally CdcSql.unregisterTable("vis_cdc_t")
+    // unregistered: gone from the listing
+    val after = spark.sql("SHOW TABLES").collect()
+      .map(_.getString(1)).toSet
+    assert(!after.contains("vis_cdc_t"), after.toString)
+  }
+
+  test("DESCRIBE serves the snapshot schema of a registered name; " +
+    "EXTENDED appends the CDC information section") {
+    val root = newRoot()
+    applyB0(root); applyB1(root)
+    CdcSql.registerTable(spark, root, "desc_cdc_t")
+    try {
+      // the snapshot schema: internal and tombstone-flag columns are
+      // already stripped by readSnapshot (dead rows are filtered, so
+      // the flag column carries no information for readers)
+      val cols = spark.sql("DESCRIBE desc_cdc_t").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(cols == Seq("k" -> "bigint", "version" -> "bigint",
+        "amount" -> "double"), cols.toString)
+      val ext = spark.sql("DESCRIBE EXTENDED desc_cdc_t").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(ext.take(3) == cols, ext.toString)
+      assert(ext.contains("Root" -> root), ext.toString)
+      assert(ext.contains("Current Batch" -> "1"), ext.toString)
+      assert(ext.contains("Commit Ts" -> "2000"), ext.toString)
+      assert(ext.contains("Num Buckets" -> "16"), ext.toString)
+    } finally CdcSql.unregisterTable("desc_cdc_t")
+  }
+
+  test("cdc_tables() carries schema-adjacent metadata: commit clock " +
+    "and bucket count") {
+    val root = newRoot()
+    applyB0(root)
+    CdcSql.registerTable(spark, root, "meta2_t")
+    try {
+      val row = spark.sql("SELECT current_batch, commit_ts, " +
+        "num_buckets FROM cdc_tables() WHERE name = 'meta2_t'")
+        .collect().head
+      assert((row.getLong(0), row.getLong(1), row.getInt(2)) ==
+        ((0L, 1000L, 16)), row.toString)
+    } finally CdcSql.unregisterTable("meta2_t")
+  }
+
+  test("cdc_compact('t') from SQL folds pending merge-on-read deltas " +
+    "under the maintenance fence; content is unchanged") {
+    val root = newRoot()
+    import spark.implicits._
+    val b0 = Seq((1L, 1L, 10.0, false), (2L, 1L, 20.0, false))
+      .toDF("k", "version", "amount", "deleted")
+    assert(CdcApply.applyBatch(b0, 0L, root, Seq("k"), "version",
+      Some("deleted"), maxDeltas = 8))
+    val b1 = Seq((1L, 2L, 11.0, false)).toDF(
+      "k", "version", "amount", "deleted")
+    assert(CdcApply.applyBatch(b1, 1L, root, Seq("k"), "version",
+      Some("deleted"), maxDeltas = 8))
+    CdcSql.registerTable(spark, root, "compact_t")
+    try {
+      def pending(): Int = spark.sql(
+        "SELECT pending_deltas FROM `compact_t$describe`")
+        .collect().head.getInt(0)
+      assert(pending() >= 1, "setup must leave a pending delta")
+      val st = spark.sql("SELECT * FROM cdc_compact('compact_t')")
+        .collect().head
+      assert(st.getString(0) == "compact_t" && st.getBoolean(1),
+        st.toString)
+      assert(pending() == 0L, "compaction must clear pending deltas")
+      // logical content untouched; watermark never moved
+      val state = spark.sql(
+        "SELECT k, amount FROM compact_t ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(state == Seq(1L -> 11.0, 2L -> 20.0), state.toString)
+      assert(CdcApply.currentVersion(spark, root).contains(1L))
+      // idempotent: nothing left to fold
+      assert(!spark.sql("SELECT * FROM cdc_compact('compact_t')")
+        .collect().head.getBoolean(1))
+    } finally CdcSql.unregisterTable("compact_t")
+  }
+
+  test("cdc_vacuum and cdc_rebucket from SQL: retention shrinks the " +
+    "time-travel window, rebucketing changes the live layout only") {
+    val root = newRoot()
+    applyB0(root); applyB1(root)
+    CdcSql.registerTable(spark, root, "vac_t")
+    try {
+      // rebucket 16 -> 4: layout changes, content does not
+      val rb = spark.sql("SELECT * FROM cdc_rebucket('vac_t', 4)")
+        .collect().head
+      assert(rb.getBoolean(1) && rb.getInt(2) == 4, rb.toString)
+      assert(CdcApply.numBuckets(spark, root).contains(4))
+      val state = spark.sql(
+        "SELECT k, amount FROM vac_t ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(state == Seq(1L -> 11.0, 2L -> 20.0), state.toString)
+      // vacuum keep=1: batch 0 manifests + data leave; VERSION AS OF 0
+      // stops resolving, the head stays intact
+      val vac = spark.sql("SELECT * FROM cdc_vacuum('vac_t', 1)")
+        .collect().head
+      assert(vac.getLong(1) >= 1L, vac.toString)
+      intercept[Exception] {
+        spark.sql("SELECT * FROM vac_t VERSION AS OF 0").collect()
+      }
+      assert(spark.sql("SELECT count(*) AS n FROM vac_t")
+        .collect().head.getLong(0) == 2L)
+    } finally CdcSql.unregisterTable("vac_t")
+  }
+
+  test("cdc_reseed_mirror from SQL rebuilds the mirror at the " +
+    "source's watermark") {
+    val src = newRoot(); val dst = newRoot()
+    applyB0(src); applyB1(src)
+    CdcSql.registerTable(spark, src, "rs_src")
+    CdcSql.registerTable(spark, dst, "rs_dst")
+    try {
+      val st = spark.sql(
+        "SELECT * FROM cdc_reseed_mirror('rs_src', 'rs_dst')")
+        .collect().head
+      assert(st.getBoolean(2), st.toString)
+      assert(CdcApply.currentVersion(spark, dst).contains(1L))
+      val mirror = spark.sql(
+        "SELECT k, amount FROM rs_dst ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(mirror == Seq(1L -> 11.0, 2L -> 20.0), mirror.toString)
+    } finally {
+      CdcSql.unregisterTable("rs_src")
+      CdcSql.unregisterTable("rs_dst")
+    }
+  }
+
+  test("SQL maintenance on a governed root refuses every principal " +
+    "but the DataAdmin, with an audit record") {
+    import graft.governance._
+    val root = newRoot()
+    applyB0(root)
+    GovernanceCatalog.registerLocation(root, "cdc_sql_db", "gov_maint_t")
+    CdcSql.registerTable(spark, root, "gov_maint_t")
+    try {
+      val e = intercept[AccessDeniedException] {
+        Governance.withPrincipal(spark, Analyst) {
+          spark.sql("SELECT * FROM cdc_compact('gov_maint_t')").collect()
+        }
+      }
+      assert(e.getMessage.contains("cdc_compact"), e.getMessage)
+      assert(AuditLog.events.exists(ev =>
+        ev.funcName == "maintenance-denied" && ev.principal == "Analyst"),
+        "denial must leave an audit record")
+      // unset principal = Anonymous: denied too (default-deny posture)
+      intercept[AccessDeniedException] {
+        spark.sql("SELECT * FROM cdc_vacuum('gov_maint_t', 2)").collect()
+      }
+      // the DataAdmin runs maintenance (a no-op compact here)
+      Governance.withPrincipal(spark, DataAdmin) {
+        spark.sql("SELECT * FROM cdc_compact('gov_maint_t')").collect()
+      }
+    } finally CdcSql.unregisterTable("gov_maint_t")
+  }
 }
