@@ -40,6 +40,15 @@ object GraftFunctions {
     call_function("shingles", tokens,
       org.apache.spark.sql.functions.lit(n))
 
+  /** Deterministic tiny PNG from a long seed (see [[PngEncode]]). */
+  def pngEncode(seed: Column): Column = call_function("png_encode", seed)
+
+  /** `(width, height, mean_luma)` of an image payload, NULL when the
+    * bytes are not a decodable image (see [[ImageDecode]]).
+    */
+  def imageDecode(payload: Column): Column =
+    call_function("image_decode", payload)
+
   /** Register all graft SQL functions on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     SimHash.register(spark)
@@ -47,5 +56,6 @@ object GraftFunctions {
     VectorExprs.register(spark)
     BinaryStride.register(spark)
     Shingles.register(spark)
+    ImageCodec.register(spark)
   }
 }

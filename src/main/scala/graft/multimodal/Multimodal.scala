@@ -10,33 +10,49 @@ import org.apache.spark.sql.types.LongType
   * predicate pushdown, and shuffle behavior are identical to any other
   * column at 100 TB (the payload bytes never become a special case).
   *
-  * The actual codec step (JPEG/PNG/audio decode) is STUBBED: this
-  * container ships no media libraries, so [[decodeStub]] derives a
-  * deterministic fake feature vector from the payload bytes. The
-  * Spark-side plumbing — schema, batch shape, partitioned layout,
-  * downstream joins — is real and tested; swapping the stub for a real
-  * decoder changes one expression, not the pipeline.
+  * The IMAGE codec path is REAL: payloads for image-typed rows are
+  * genuine PNG byte streams ([[graft.functions.PngEncode]], pure-JDK
+  * `javax.imageio`) and [[decodeImage]] decodes them back to
+  * dimensions + pixel stats. Audio/video decode stays STUBBED — this
+  * container ships no codec libraries for them — behind [[decodeStub]],
+  * which derives a deterministic fake feature vector from the payload
+  * bytes; swapping that stub for a real decoder changes one
+  * expression, not the pipeline.
   */
 object Multimodal {
 
   val MediaTypes: Seq[String] = Seq("image", "audio", "video")
 
-  /** Synthesize a media table from the documents corpus: payload bytes are
-    * the UTF-8 text (a deterministic stand-in for real media bytes), media
-    * type round-robins by id, and metadata is a typed struct — the shape a
-    * crawler's media sidecar table has.
+  /** Synthesize a media table from the documents corpus: image rows
+    * carry a REAL decodable PNG (seeded by `doc_id`, so dimensions and
+    * pixels are reproducible), audio/video rows carry the UTF-8 text
+    * bytes (the stand-in for codec formats the JDK lacks); media type
+    * round-robins by id, and metadata is a typed struct recording the
+    * SOURCE asset's content length — the shape a crawler's media
+    * sidecar table has.
     */
-  def mediaFromDocs(docs: DataFrame): DataFrame =
+  def mediaFromDocs(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(
       col("doc_id").as("media_id"),
       element_at(
         array(MediaTypes.map(lit): _*),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
-      col("text").cast("binary").as("payload"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+          graft.functions.GraftFunctions.pngEncode(col("doc_id")))
+        .otherwise(col("text").cast("binary")).as("payload"),
       struct(
         length(col("text").cast("binary")).cast(LongType).as("byte_len"),
         col("source").as("origin"),
         col("lang").as("lang_hint")).as("meta"))
+  }
+
+  /** REAL image decode: `(width, height, mean_luma)` of the payload,
+    * NULL when the bytes are not a decodable image — so a mixed media
+    * table decodes in one map-side pass with no media-type dispatch.
+    */
+  def decodeImage(payload: Column): Column =
+    graft.functions.GraftFunctions.imageDecode(payload)
 
   /** Payload size in bytes. */
   def payloadBytes(payload: Column): Column =

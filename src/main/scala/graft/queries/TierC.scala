@@ -1087,23 +1087,32 @@ object TierC {
 
     // ---- multimodal (binary payload columns; graft.multimodal) ----
 
-    // Per-media-type size stats over opaque binary payloads + typed meta.
+    // Per-media-type size stats over the typed sidecar metadata (the
+    // SOURCE asset's content length — image payloads themselves are
+    // real PNG bytes whose encoded size no SQL oracle can reproduce).
     "q_media_stats" -> ((s, d) =>
       M.mediaFromDocs(Tables.documents(s, d))
         .groupBy(col("media_type"))
         .agg(count(lit(1)).as("n_media"),
-          sum(M.payloadBytes(col("payload"))).as("total_bytes"),
+          sum(col("meta.byte_len")).as("total_bytes"),
           max(col("meta.byte_len")).as("max_bytes"))
         .orderBy(col("media_type"))),
 
-    // Frame sampling + stubbed decode: 4 byte-slices per payload, decoded
-    // (deterministic stub) to an 8-dim feature vector; output is the
-    // per-media frame count and first feature — exercises the binary
-    // plumbing end-to-end. Rows-only (hash functions differ per engine).
+    // REAL image decode + stubbed audio/video features in ONE map-side
+    // pass: image rows (genuine PNG payloads) decode to their true
+    // dimensions and mean luma via the pure-JDK codec expression;
+    // non-image rows decode NULL and carry the stub feature instead.
+    // Rows-only (PNG byte streams and xxhash features are
+    // engine-specific); MultimodalSpec pins the decode exactly —
+    // dimensions round-trip the encoder's seed formula bit-for-bit.
     "q_media_decode" -> ((s, d) =>
       M.mediaFromDocs(Tables.documents(s, d))
         .filter(col("media_id") < 200)
+        .withColumn("img", M.decodeImage(col("payload")))
         .select(col("media_id"), col("media_type"),
+          col("img.width").as("width"),
+          col("img.height").as("height"),
+          round(col("img.mean_luma"), 2).as("mean_luma"),
           size(M.frameSample(col("payload"), 4, 16)).as("n_frames"),
           element_at(M.decodeStub(col("payload"), 8), 1).as("feat0"),
           M.payloadFingerprint(col("payload")).as("payload_fp"))
