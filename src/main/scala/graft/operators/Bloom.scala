@@ -43,22 +43,63 @@ object Bloom {
   def merge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).distinct()
 
+  /** [[build]] computed once and persisted — the operator's whole
+    * story is REUSE against a growing probe stream (every new corpus
+    * batch decontaminates against the same eval union), so the bit
+    * table is a BUILD ARTIFACT, not per-query work. Every parameter
+    * that changes bit placement is part of the cache key (`path`
+    * carries the input fingerprint — the caller keys it like every
+    * other persisted artifact; a stale (m, k) would probe the wrong
+    * bit positions and silently void the no-false-negative guarantee).
+    */
+  def persistedBuild(items: DataFrame, itemCol: String, m: Long,
+      k: Int, path: String): DataFrame = {
+    val dir = new java.io.File(s"${path}_${itemCol}_m${m}_k$k")
+    graft.sources.Artifacts.commitOnce(items.sparkSession,
+      dir.getAbsolutePath)(tmp =>
+      build(items, itemCol, m, k)
+        // one file: the bit table is ≤ m ints — a broadcast-sized
+        // artifact has no business holding 32 shuffle-partition files
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp))
+    items.sparkSession.read.parquet(dir.getAbsolutePath)
+  }
+
+  // internal working columns of mightContain — uniquely prefixed so a
+  // probe frame's own columns cannot collide (withColumn over a name
+  // the probe already has would silently CORRUPT the probe), and
+  // require()d absent rather than trusted implausible
+  private val BitCol = "__graft_bloom_bit"
+  private val SetCol = "__graft_bloom_set"
+  private val RowCol = "__graft_bloom_probe_row"
+
   /** `probes` with a `might_contain` flag: true iff EVERY one of the
     * item's `k` bit positions is set. The bit table (≤ m rows) is the
     * broadcast side; the probe side streams map-side — no shuffle of
     * probe data. Distinct bit positions are checked (two hash rows
     * landing on one bit must not double-count a single match).
+    * Probe MULTIPLICITY is preserved: a per-row id carries duplicate
+    * probe rows through the regrouping, so the output is exactly the
+    * input rows plus the flag (order not preserved, like any shuffle).
     */
   def mightContain(filter: DataFrame, probes: DataFrame,
       itemCol: String, m: Long, k: Int): DataFrame = {
     require(m >= 1 && k >= 1, "m and k must be >= 1")
-    val marked = filter.withColumn("_set", lit(true))
+    Seq(BitCol, SetCol, RowCol).foreach(c =>
+      require(!probes.columns.contains(c),
+        s"probe frame must not carry the reserved column '$c'"))
+    require(!filter.columns.contains(SetCol),
+      s"filter frame must not carry the reserved column '$SetCol'")
+    val marked = filter.withColumnRenamed("bit", BitCol)
+      .withColumn(SetCol, lit(true))
     probes
-      .withColumn("bit",
+      .withColumn(RowCol, monotonically_increasing_id())
+      .withColumn(BitCol,
         explode(array_distinct(bitsOf(col(itemCol), m, k))))
-      .join(broadcast(marked), Seq("bit"), "left")
-      .groupBy(probes.columns.map(col).toIndexedSeq: _*)
-      .agg(min(coalesce(col("_set"), lit(false)))
+      .join(broadcast(marked), Seq(BitCol), "left")
+      .groupBy((RowCol +: probes.columns.toIndexedSeq).map(col): _*)
+      .agg(min(coalesce(col(SetCol), lit(false)))
         .as("might_contain"))
+      .drop(RowCol)
   }
 }

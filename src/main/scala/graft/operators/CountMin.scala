@@ -60,10 +60,21 @@ object CountMin {
     * item hashes to (absent cell = 0). The probe side is the small
     * side — `depth` rows per probe against a `depth × width`-row
     * sketch — so Spark broadcasts it; no corpus data is touched.
+    *
+    * Output is one row per DISTINCT item value (`itemCol`, `est_cnt`):
+    * the estimate is a function of the value, so duplicate probe rows
+    * would only repeat identical rows — callers needing the original
+    * row set join the result back on `itemCol`. Only `itemCol` is
+    * taken from `probes` (other probe columns never collide with the
+    * sketch's `row`/`bucket`/`cnt` schema), but `itemCol` itself must
+    * not shadow a sketch column.
     */
   def estimate(sk: DataFrame, probes: DataFrame, itemCol: String,
       width: Int, depth: Int): DataFrame = {
     require(width >= 1 && depth >= 1, "width and depth must be >= 1")
+    require(!Seq("row", "bucket", "cnt").contains(itemCol),
+      s"itemCol '$itemCol' shadows a sketch column — rename the probe " +
+        "column")
     probes
       .select(col(itemCol),
         posexplode(buckets(col(itemCol), width, depth))

@@ -794,8 +794,14 @@ object TierC {
       val eval = docs.filter(col("doc_id") < 10)
         .select(explode(array_distinct(T.shingles(col("text"), 3)))
           .as("shingle"))
-      val bits = graft.operators.Bloom.build(eval, "shingle",
-        m = 1L << 16, k = 5)
+      // the bit table is a persisted artifact keyed on the eval corpus
+      // fingerprint + (m, k): re-runs and later corpus batches probe
+      // the committed sketch instead of re-shingling the eval set
+      val bits = graft.operators.Bloom.persistedBuild(eval, "shingle",
+        m = 1L << 16, k = 5,
+        path = new java.io.File("target/graft-data/bloom/eval_" +
+          graft.sources.Artifacts.datasetKey(d,
+            s"$d/documents.parquet")).getAbsolutePath)
       val probes = docs.filter(col("doc_id") >= 10)
         .select(col("doc_id"),
           explode(array_distinct(T.shingles(col("text"), 3)))

@@ -75,9 +75,17 @@ class ToleranceSpec extends AnyFunSuite with SparkTestBase {
       val (w, e, x) = (r.getString(0), r.getLong(1), r.getLong(2))
       assert(e >= x, s"'$w': CMS undercounted ($e < $x) — impossible " +
         "by construction, the sketch or probe hashing diverged")
-      assert(e - x <= (eps * n).ceil.toLong,
-        s"'$w': overcount ${e - x} exceeds eps*N = ${(eps * n).ceil}")
     }
+    // the eps*N overcount bound is PER-PROBE with probability
+    // 1 - e^-depth (~98.2% at depth 4), not universal — assert it for
+    // all but a 2·e^-depth fraction of probes (double the expected
+    // failure mass, the same variance allowance as the Bloom FP test)
+    val overBound = joined.count(r =>
+      r.getLong(1) - r.getLong(2) > (eps * n).ceil.toLong)
+    val allowed = (2 * math.exp(-depth.toDouble) * joined.length).ceil
+    assert(overBound <= allowed,
+      s"$overBound of ${joined.length} probes exceed eps*N = " +
+        s"${(eps * n).ceil}; theory allows ~${allowed.toLong}")
     // mergeability: two half-corpus sketches combined cell-wise must
     // equal the one-pass sketch exactly
     val docs = Tables.documents(spark, sfDir)
@@ -134,6 +142,70 @@ class ToleranceSpec extends AnyFunSuite with SparkTestBase {
     assert(halves.exceptAll(bits).isEmpty &&
       bits.exceptAll(halves).isEmpty,
       "merged half-filters diverge from the one-pass build")
+  }
+
+  test("persisted bloom sketch commits once and re-serves the same " +
+    "bit table (the decontamination reuse path)") {
+    import graft.operators.Bloom
+    import spark.implicits._
+    val set = Seq("x", "y", "z").toDF("item")
+    val base = java.nio.file.Files.createTempDirectory("bloom_art")
+      .toFile.getAbsolutePath + "/bits"
+    val (m, k) = (1L << 10, 3)
+    def bits(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getLong(0)).sorted.toSeq
+    val first = bits(Bloom.persistedBuild(set, "item", m, k, base))
+    val dir = new java.io.File(s"${base}_item_m${m}_k$k")
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    val mtimes = dir.listFiles().map(f =>
+      f.getName -> f.lastModified).toMap
+    // second call: the committed artifact is trusted — no rewrite
+    val second = bits(Bloom.persistedBuild(set, "item", m, k, base))
+    assert(second == first)
+    assert(dir.listFiles().forall(f =>
+      mtimes.get(f.getName).contains(f.lastModified)),
+      "second build must not rewrite the committed sketch")
+    // and the persisted table IS the in-memory build, bit for bit
+    assert(first == bits(Bloom.build(set, "item", m, k)))
+    // a different (m, k) keys a different artifact, never a stale read
+    val other = bits(Bloom.persistedBuild(set, "item", m, 4, base))
+    assert(other != first || other == bits(
+      Bloom.build(set, "item", m, 4)))
+  }
+
+  test("bloom probe multiplicity is preserved: duplicate probe rows " +
+    "come back once each; reserved internal names are refused") {
+    import graft.operators.Bloom
+    import spark.implicits._
+    val (m, k) = (1L << 12, 3)
+    val set = Seq("a", "b").toDF("item")
+    val bits = Bloom.build(set, "item", m, k)
+    // duplicates AND a non-item payload column that differs per dup
+    val probes = Seq(("a", 1), ("a", 2), ("c", 3), ("c", 4), ("c", 5))
+      .toDF("item", "tag")
+    val out = Bloom.mightContain(bits, probes, "item", m, k)
+      .select(col("item"), col("tag"), col("might_contain"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    assert(out == Seq("a" -> 1, "a" -> 2, "c" -> 3, "c" -> 4, "c" -> 5),
+      s"probe rows must survive with multiplicity: $out")
+    // member rows all flag true (no false negatives, duplicated too)
+    val flags = Bloom.mightContain(bits, probes, "item", m, k)
+      .filter(col("item") === "a").select(col("might_contain"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(flags == Seq(true, true))
+    // a probe carrying a reserved internal name is refused loudly
+    val bad = Seq(("a", true)).toDF("item", "__graft_bloom_set")
+    val e = intercept[IllegalArgumentException] {
+      Bloom.mightContain(bits, bad, "item", m, k)
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    // CountMin: an itemCol shadowing a sketch column is refused
+    val eCms = intercept[IllegalArgumentException] {
+      graft.operators.CountMin.estimate(
+        graft.operators.CountMin.sketch(set, "item", 64, 2),
+        Seq("a").toDF("cnt"), "cnt", 64, 2)
+    }
+    assert(eCms.getMessage.contains("shadows"), eCms.getMessage)
   }
 
   test("approx percentile lands between the exact p49 and p51") {
