@@ -1556,10 +1556,14 @@ object CdcApply {
     * (from the same file listing that discovers the bucket dirs — FS
     * metadata, zero data reads), stored row count, and — when the table
     * models deletes — the oldest-tombstone batch. Rows and min-ts come
-    * from ONE scan of the just-written files projecting only the
-    * partition directory and the `TsBatchCol` long (row counts resolve
-    * from row-group metadata; no payload column is ever read), read
-    * WITH partition discovery so the bucket id comes back as a column.
+    * from the just-written files' parquet FOOTERS (row-group counts
+    * and the `TsBatchCol` column statistics every Spark parquet write
+    * records) — metadata-only reads, no Spark job, no data pages
+    * touched. The driver-side loop is bounded by the generation's file
+    * count (touched buckets × files per bucket, the same bound that
+    * sized the write itself). A footer with unusable `TsBatchCol`
+    * statistics (a foreign writer with stats disabled) falls back to
+    * ONE scan of the generation projecting only that column.
     */
   private def writtenEntries(spark: SparkSession, root: String,
       dirTag: String, hasTombstones: Boolean): Map[Int, BucketEntry] = {
@@ -1570,23 +1574,71 @@ object CdcApply {
       .filter(_.getPath.getName.startsWith(s"$BucketCol="))
     if (bucketDirs.isEmpty) Map.empty
     else {
-      val bytes: Map[Int, Long] = bucketDirs.map { d =>
-        d.getPath.getName.stripPrefix(s"$BucketCol=").toInt ->
-          fs.listStatus(d.getPath).filter(_.isFile).map(_.getLen).sum
-      }.toMap
+      val files: Map[Int, Array[org.apache.hadoop.fs.FileStatus]] =
+        bucketDirs.map(d =>
+          d.getPath.getName.stripPrefix(s"$BucketCol=").toInt ->
+            fs.listStatus(d.getPath).filter(_.isFile)).toMap
+      val bytes: Map[Int, Long] =
+        files.view.mapValues(_.map(_.getLen).sum).toMap
       val stats: Map[Int, (Option[Long], Long)] =
-        spark.read.parquet(out.toString)
-          .groupBy(col(BucketCol))
-          .agg(min(col(TsBatchCol)).as("m"), count(lit(1)).as("n"))
-          .collect().map { r =>
-            r.getInt(0) -> ((if (r.isNullAt(1)) None
-                             else Some(r.getLong(1))), r.getLong(2))
-          }.toMap
+        footerStats(spark, files, hasTombstones).getOrElse {
+          spark.read.parquet(out.toString)
+            .groupBy(col(BucketCol))
+            .agg(min(col(TsBatchCol)).as("m"), count(lit(1)).as("n"))
+            .collect().map { r =>
+              r.getInt(0) -> ((if (r.isNullAt(1)) None
+                               else Some(r.getLong(1))), r.getLong(2))
+            }.toMap
+        }
       bytes.keysIterator.map(b =>
         b -> BucketEntry(s"$dirTag/$BucketCol=$b",
           if (hasTombstones) stats.get(b).flatMap(_._1) else None,
           Some(bytes(b)), stats.get(b).map(_._2))).toMap
     }
+  }
+
+  /** Per-bucket (oldest tombstone batch, row count) from parquet
+    * footers only. None when any footer's `TsBatchCol` statistics are
+    * unusable while tombstone tracking needs them — the caller then
+    * pays the one-scan fallback (trusting an absent min without null
+    * accounting would silently age tombstones early).
+    */
+  private def footerStats(spark: SparkSession,
+      files: Map[Int, Array[org.apache.hadoop.fs.FileStatus]],
+      hasTombstones: Boolean)
+      : Option[Map[Int, (Option[Long], Long)]] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val acc = files.map { case (b, fsts) =>
+      var rows = 0L
+      var minTs: Option[Long] = None
+      for (f <- fsts if f.getPath.getName.endsWith(".parquet")) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(f, conf))
+        try {
+          for (blk <- reader.getFooter.getBlocks.asScala) {
+            rows += blk.getRowCount
+            if (hasTombstones) {
+              val st = blk.getColumns.asScala
+                .find(_.getPath.toDotString == TsBatchCol)
+                .map(_.getStatistics).orNull
+              if (st != null && st.hasNonNullValue)
+                st.genericGetMin match {
+                  case l: java.lang.Long => minTs = Some(
+                    minTs.fold(l.longValue)(math.min(_, l.longValue)))
+                  case _ => return None // unexpected stats type
+                }
+              else if (st == null || !st.isNumNullsSet ||
+                  st.getNumNulls < blk.getRowCount)
+                return None // absent stats, not a provably-null chunk
+            }
+          }
+        } finally reader.close()
+      }
+      b -> ((minTs, rows))
+    }
+    Some(acc)
   }
 
   /** Write the manifest file, then atomically flip `CURRENT` to it.
