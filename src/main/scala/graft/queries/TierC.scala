@@ -1208,11 +1208,16 @@ object TierC {
     // batch 1 and hash-mismatch against the net-state oracle.
     "q_sql_cdc" -> ((s, d) => {
       val root = cdcQueryRoot(s, d)
+      // registration lives only for the eager analysis of this one
+      // statement (the rule expands the name at analysis time);
+      // unregistering keeps the engine-global registry from leaking
+      // bench names into later sessions' SHOW TABLES
       graft.streaming.CdcSql.registerTable(s, root, "supplier_cdc")
-      s.sql("SELECT s_nationkey, COUNT(*) AS cnt, " +
+      try s.sql("SELECT s_nationkey, COUNT(*) AS cnt, " +
         "CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) " +
         "AS total_bal " +
         "FROM supplier_cdc GROUP BY s_nationkey ORDER BY s_nationkey")
+      finally graft.streaming.CdcSql.unregisterTable("supplier_cdc")
     }),
 
     // C8q — SQL TIME TRAVEL via the standard syntax: `VERSION AS OF 0`
@@ -1223,11 +1228,12 @@ object TierC {
     "q_sql_cdc_timetravel" -> ((s, d) => {
       val root = cdcQueryRoot(s, d)
       graft.streaming.CdcSql.registerTable(s, root, "supplier_cdc")
-      s.sql("SELECT s_nationkey, COUNT(*) AS cnt, " +
+      try s.sql("SELECT s_nationkey, COUNT(*) AS cnt, " +
         "CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) " +
         "AS total_bal " +
         "FROM supplier_cdc VERSION AS OF 0 " +
         "GROUP BY s_nationkey ORDER BY s_nationkey")
+      finally graft.streaming.CdcSql.unregisterTable("supplier_cdc")
     }),
 
     // C8r — the change feed from SQL: the registered feed materialized
@@ -1238,11 +1244,14 @@ object TierC {
     "q_sql_cdc_changes" -> ((s, d) => {
       val root = cdcChangesRoot(s, d)
       graft.streaming.CdcSql.registerTable(s, root, "supplier_cdc_feed")
-      val v = graft.streaming.CdcSql
-        .changesView(s, "supplier_cdc_feed", 0L)
-      s.sql(s"SELECT s_suppkey, s_nationkey, s_acctbal, version, " +
-        s"deleted, `_change_batch` AS change_batch FROM $v " +
-        "ORDER BY s_suppkey")
+      try {
+        val v = graft.streaming.CdcSql
+          .changesView(s, "supplier_cdc_feed", 0L)
+        s.sql(s"SELECT s_suppkey, s_nationkey, s_acctbal, version, " +
+          s"deleted, `_change_batch` AS change_batch FROM $v " +
+          "ORDER BY s_suppkey")
+      } finally graft.streaming.CdcSql
+        .unregisterTable("supplier_cdc_feed")
     }),
 
     // C8g — INCREMENTAL CHANGE FEED under the hash gate: "every row

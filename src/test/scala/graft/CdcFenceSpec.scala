@@ -10,9 +10,24 @@ import graft.streaming.CdcApply
   * (whose retry would no-op on the `>=` replay guard, losing it
   * forever). Crash-retry recommit of the SAME batch stays allowed.
   */
-class CdcFenceSpec extends AnyFunSuite with SparkTestBase {
+class CdcFenceSpec extends AnyFunSuite with SparkTestBase
+    with org.scalatest.BeforeAndAfterEach {
 
   import spark.implicits._
+
+  // the one-shot hook is consumed inside the fenced commit; a test
+  // that fails BEFORE reaching the window would otherwise leak its
+  // callback into an unrelated later apply — clear it both ways
+  override def beforeEach(): Unit = {
+    assert(CdcApply.raceWindowHook.get() == null,
+      "raceWindowHook leaked in from outside this suite")
+    super.beforeEach()
+  }
+
+  override def afterEach(): Unit = {
+    CdcApply.raceWindowHook.set(null)
+    super.afterEach()
+  }
 
   private def newRoot(): String = java.nio.file.Files
     .createTempDirectory("cdc_fence").toFile.getAbsolutePath
