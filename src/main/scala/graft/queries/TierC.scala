@@ -1139,6 +1139,18 @@ object TierC {
         .agg(count(lit(1)).as("cnt"), dsum(col("s_acctbal")).as("total_bal"))
         .orderBy(col("s_nationkey"))),
 
+    // C8s — the SAME net state through the THIRD entry point:
+    // `spark.read.format("cdc")` (the DataFrameReader protocol shim,
+    // graft.sources.CdcDataSource) — filters/pruning delegate into the
+    // engine's snapshot plan; hash-checked against the identical
+    // net-state oracle as q_cdc_merge, so the shim's row boundary is
+    // proven lossless, not just spec-tested.
+    "q_cdc_source" -> ((s, d) =>
+      s.read.format("cdc").option("path", cdcQueryRoot(s, d)).load()
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("s_acctbal")).as("total_bal"))
+        .orderBy(col("s_nationkey"))),
+
     // C8b — TIME TRAVEL through the same snapshot: the state as of batch
     // 0 (the full insert load, before any update or delete applied) read
     // back via that batch's immutable manifest. The oracle is the plain
@@ -1962,6 +1974,13 @@ object TierC {
         "CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes " +
         "FROM documents GROUP BY 1 ORDER BY media_type"),
     "q_cdc_merge" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
+        "FROM supplier WHERE s_suppkey % 7 <> 0 " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // format("cdc") read of the same snapshot: identical net state
+    "q_cdc_source" ->
       ("SELECT s_nationkey, COUNT(*) AS cnt, " +
         "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
         "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +

@@ -1,0 +1,124 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+import graft.streaming.CdcApply
+
+/** `spark.read.format("cdc")` — the third entry point to CDC tables
+  * beside the Scala API ([[graft.streaming.CdcApply.readSnapshot]])
+  * and the registered-name SQL surface ([[graft.streaming.CdcSql]]),
+  * for tools that speak only the DataFrameReader format/option
+  * protocol (the reference's consumers hand connection strings to an
+  * engine, `outputs.tf:41-55`; a format name is Spark's analog).
+  *
+  * Options: `path` (the table root, required), and at most one of
+  * `versionAsOf` (batch id) / `timestampAsOf` (commit-clock millis) —
+  * the same time-travel addressing as `VERSION AS OF` / `TIMESTAMP AS
+  * OF` over a registered name.
+  *
+  * The relation delegates to the engine's own snapshot plan and hands
+  * Spark its internal rows directly (`needConversion = false` — no
+  * row-format copy), with column pruning and the common filter shapes
+  * pushed into that plan, where they reach the parquet scans as usual.
+  * The seam is still a `RowDataSourceScanExec` boundary, which caps
+  * whole-stage codegen around the scan — perf-critical readers use the
+  * name surface or the Scala API, which plan the scan natively; this
+  * shim trades that last mile for protocol compatibility and says so.
+  *
+  * Writes are refused with the same contract as SQL DML: change
+  * batches enter through [[CdcApply.applyBatch]].
+  */
+class CdcDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "cdc"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "format(\"cdc\") requires option(\"path\", <table root>)"))
+    val version = parameters.get("versionAsOf").map(_.toLong)
+    val asOf = parameters.get("timestampAsOf").map(_.toLong)
+    require(version.isEmpty || asOf.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    val snap = ((version, asOf) match {
+      case (Some(v), _) => CdcApply.readSnapshotAt(spark, root, v)
+      case (_, Some(t)) => CdcApply.readSnapshotAsOf(spark, root, t)
+      case _ => CdcApply.readSnapshot(spark, root)
+    }).getOrElse(throw new IllegalStateException(
+      s"CDC table at $root has no readable snapshot " +
+        version.map(v => s"as of version $v")
+          .orElse(asOf.map(t => s"as of timestamp $t")).getOrElse("")))
+    CdcRelation(sqlContext, snap)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation =
+    throw new UnsupportedOperationException(
+      "CDC tables are written through CdcApply.applyBatch, not " +
+        "df.write — applies carry the merge/replay/change-feed " +
+        "semantics a raw save would bypass")
+}
+
+/** The snapshot as a pruned-filtered relation: pruning and the
+  * translatable filters are applied INSIDE the delegated snapshot
+  * DataFrame (reaching its parquet scans through the ordinary
+  * optimizer), untranslatable filters are reported unhandled so Spark
+  * re-applies them above the scan.
+  */
+private[sources] case class CdcRelation(sqlContext: SQLContext,
+    snap: DataFrame) extends BaseRelation with PrunedFilteredScan {
+
+  override def schema: StructType = snap.schema
+
+  // rows leave as InternalRow straight from the delegated plan — no
+  // Row conversion copy on the scan boundary
+  override def needConversion: Boolean = false
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filter(toColumn(_).isEmpty)
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val filtered = filters.flatMap(toColumn)
+      .foldLeft(snap)((df, c) => df.filter(c))
+    val pruned =
+      if (requiredColumns.isEmpty)
+        // COUNT(*)-style scans need row multiplicity, not columns
+        filtered.select(org.apache.spark.sql.functions.lit(1))
+      else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
+    pruned.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+
+  /** The filter shapes with exact Column equivalents; None marks the
+    * rest unhandled (Spark re-applies them above the scan, so a gap
+    * here costs performance, never correctness).
+    */
+  private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] =
+    f match {
+      case EqualTo(a, v) => Some(col(a) === v)
+      case EqualNullSafe(a, v) => Some(col(a) <=> v)
+      case GreaterThan(a, v) => Some(col(a) > v)
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+      case LessThan(a, v) => Some(col(a) < v)
+      case LessThanOrEqual(a, v) => Some(col(a) <= v)
+      case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+      case StringEndsWith(a, p) => Some(col(a).endsWith(p))
+      case StringContains(a, p) => Some(col(a).contains(p))
+      case Not(c) => toColumn(c).map(!_)
+      case And(l, r) =>
+        for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+      case Or(l, r) =>
+        for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+      case _ => None
+    }
+}
