@@ -1159,6 +1159,208 @@ object CdcApply {
     }
   }
 
+  /** RESTORE — roll the table's LOGICAL state back to what it was at
+    * retained batch `targetBatch`, committed as a NEW batch (head + 1),
+    * never by re-pointing at old manifests. Re-pointing would be
+    * cheaper but silently wrong twice over: rows carry their applying
+    * batch in [[AppliedBatchCol]], so a change-feed consumer positioned
+    * at the head would see NOTHING change while the snapshot jumped
+    * backwards; and the replay-guard watermark would move backwards,
+    * re-admitting already-applied batches. Instead restore computes the
+    * logical DIFF (restored snapshot vs current snapshot, keyed,
+    * null-safe over every user column) and publishes it like an apply:
+    *
+    *  - changed + resurrected keys → the target's row, stamped with the
+    *    new batch (the feed reports them);
+    *  - keys added since the target → a tombstone stamped with the new
+    *    batch (requires the table's `deletedCol`; refused loudly on
+    *    append-only tables);
+    *  - unchanged keys → the CURRENT stored row verbatim, old stamp
+    *    intact (the feed does NOT re-report them);
+    *  - tombstones dead in both states → carried verbatim (aging
+    *    clock undisturbed) unless expired, dropped when the target
+    *    resurrects their key.
+    *
+    * Scale: when no rebucket intervened, the diff prunes to buckets
+    * whose directory tags postdate `targetBatch` — manifest metadata
+    * only — so cost is one keyed join over the buckets TOUCHED since
+    * the target plus a rewrite of the buckets that actually differ,
+    * not O(table). The restored row keeps its original `versionCol`
+    * value verbatim (it is user data); a future batch bearing a higher
+    * version still wins latest-wins, which is exactly restore-then-
+    * continue semantics. Columns added by schema evolution since the
+    * target read back NULL in restored rows; the table keeps its
+    * CURRENT schema (restore rewinds content, not DDL).
+    *
+    * Contract mirrors the other single-writer ops: the commit carries
+    * the apply-race fence (a concurrent apply/maintenance flip fails
+    * loudly) and `overwrite = false`. The head ADVANCES — a streaming
+    * feed into this table must resume with batch ids above the new
+    * head or its next batches no-op on the replay guard, the same
+    * caveat as any out-of-band administrative write. When the table
+    * keeps a changelog, the diff batch is logged there too, so
+    * changelog tails converge with manifest-feed consumers. Returns
+    * the new batch id, or None when the state already equals the
+    * target (nothing committed).
+    */
+  def restore(spark: SparkSession, root: String, targetBatch: Long,
+      commitTs: Option[Long] = None): Option[Long] = {
+    val curName = currentManifestName(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no CDC table at $root"))
+    val (head, _) = parseManifestName(curName)
+    require(targetBatch <= head,
+      s"cannot restore $root to batch $targetBatch: head is $head")
+    if (targetBatch == head) return None
+    val fs = fsFor(spark, root)
+    val tgtName = listManifests(fs, new Path(root, "manifests"))
+      .filter(n => parseManifestName(n)._1 == targetBatch)
+      .sortBy(parseManifestName(_)._2).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"batch $targetBatch of $root is not retained (vacuumed?) — " +
+          "restorable batches are exactly history()'s rows"))
+    val mTgt = readManifest(spark, root, tgtName)
+    val mCur = readManifest(spark, root, curName)
+    val conf = mCur.conf
+    val newBatch = head + 1
+    val stored = mCur.schema.getOrElse(org.apache.spark.sql.types
+      .StructType(readRaw(spark, mCur.dataPaths(root), None)
+        .schema.fields.filterNot(_.name == BucketCol)))
+    val userCols = stored.fieldNames.toSeq
+      .filterNot(n => n == TsBatchCol || n == AppliedBatchCol)
+
+    // manifest-metadata pruning: a current bucket whose every live dir
+    // was written at or before the target is bit-identical in both
+    // states (dirs are immutable and never re-referenced once
+    // superseded) — skip it entirely. Valid only while both manifests
+    // share a layout; a rebucket in between retags every dir with its
+    // own (later) batch, so the prune naturally selects everything.
+    val sameLayout = mTgt.conf.numBuckets == conf.numBuckets &&
+      mTgt.conf.bucketCols == conf.bucketCols
+    val hot: Option[Seq[Int]] =
+      if (!sameLayout) None
+      else Some((mCur.buckets.collect {
+        case (b, e) if e.allRels.map(dirTagBatch).max > targetBatch => b
+      } ++
+        // a bucket the target held that the head dropped entirely
+        // (every key deleted + expired since) has no current entry to
+        // carry a postdating tag — it is hot by construction
+        (mTgt.buckets.keySet -- mCur.buckets.keySet)).toSeq.distinct
+        .sorted)
+    if (hot.exists(_.isEmpty)) return None // no dir postdates the target
+
+    def alignStored(df: DataFrame): DataFrame =
+      df.select(stored.fields.toIndexedSeq.map(f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+    def liveOnly(df: DataFrame): DataFrame =
+      conf.deletedCol.fold(df)(dc =>
+        df.filter(!coalesce(col(dc), lit(false))))
+
+    val curRaw = readBucketsResolved(spark, root, mCur, hot)
+      .map(alignStored)
+    val tgtRaw = readBucketsResolved(spark, root, mTgt,
+      if (sameLayout) hot else None).map(alignStored)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stored)
+    val curLive = liveOnly(curRaw.getOrElse(empty))
+      .withColumn("_c_ex", lit(true)).as("c")
+    val tgtLive = liveOnly(tgtRaw.getOrElse(empty))
+      .select(userCols.map(col): _*)
+      .withColumn("_t_ex", lit(true)).as("t")
+
+    val keyEq = conf.keys.map(k => col(s"t.$k") <=> col(s"c.$k"))
+      .reduce(_ && _)
+    val sameRow = userCols.map(u => col(s"t.$u") <=> col(s"c.$u"))
+      .reduce(_ && _)
+    // the _t_ex/_c_ex markers were attached BEFORE this join: post-join,
+    // every column of an unmatched side is NULL, so a marker added after
+    // could not distinguish "no match" from a matched NULL payload
+    val joined = tgtLive.join(curLive, keyEq, "full_outer")
+    val restored = joined
+      .filter(col("_t_ex") &&
+        (!coalesce(col("_c_ex"), lit(false)) || !sameRow))
+      .select(userCols.map(u => col(s"t.$u").as(u)) :+
+        lit(null).cast("long").as(TsBatchCol) :+
+        lit(newBatch).as(AppliedBatchCol): _*)
+    val removedKeys = joined
+      .filter(coalesce(col("_c_ex"), lit(false)) &&
+        !coalesce(col("_t_ex"), lit(false)))
+    val deletedRows = conf.deletedCol match {
+      case Some(dc) =>
+        removedKeys.select(userCols.map(u =>
+          (if (u == dc) lit(true).cast("boolean") else col(s"c.$u"))
+            .as(u)) :+
+          lit(newBatch).as(TsBatchCol) :+
+          lit(newBatch).as(AppliedBatchCol): _*)
+      case None =>
+        // append-only table: nothing can delete the rows added since
+        // the target — refuse rather than restore a superset state
+        require(removedKeys.isEmpty,
+          s"restore of $root to batch $targetBatch must delete rows " +
+            "added since, but the table declares no deleted column")
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stored)
+    }
+    val changed = restored.unionByName(deletedRows)
+      .withColumn(BucketCol, bucketCol(conf.bucketCols, conf.numBuckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // touched set: ≤ numBuckets ints, the standard manifest-sized hop
+      val touched = changed.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      if (touched.isEmpty) return None // states already identical
+      // carried tombstones: dead in both states, key not resurrected,
+      // not yet expired (same aging clock as a merge rewrite)
+      val tombs = conf.deletedCol.fold(empty.limit(0))(dc =>
+        curRaw.getOrElse(empty)
+          .filter(coalesce(col(dc), lit(false)))
+          .filter(lit(newBatch) -
+            coalesce(col(TsBatchCol), lit(newBatch)) <
+            lit(conf.retention.toLong))
+          .join(tgtLive.select(conf.keys.map(col): _*),
+            conf.keys, "left_anti"))
+      val unchanged = joined
+        .filter(col("_t_ex") && col("_c_ex") && sameRow)
+        .select(stored.fieldNames.toIndexedSeq.map(u =>
+          col(s"c.$u").as(u)): _*)
+      val out = unchanged.unionByName(tombs)
+        .withColumn(BucketCol,
+          bucketCol(conf.bucketCols, conf.numBuckets))
+        .unionByName(changed)
+        .filter(col(BucketCol).isin(touched: _*))
+      if (fs.exists(new Path(root, "changelog")))
+        changed.drop(BucketCol, TsBatchCol)
+          .withColumnRenamed(AppliedBatchCol, ChangeBatchCol)
+          .write.mode("overwrite")
+          .parquet(new Path(root, s"changelog/b$newBatch").toString)
+      val dirTag = s"v$newBatch"
+      out.hint("rebalance", BucketCol)
+        .write.partitionBy(BucketCol).mode("overwrite")
+        .parquet(new Path(root, s"data/$dirTag").toString)
+      val written = writtenEntries(spark, root, dirTag,
+        conf.deletedCol.isDefined)
+      commitManifest(spark, root, s"v$newBatch.0",
+        Manifest(conf, (mCur.buckets -- touched) ++ written,
+          Some(stored),
+          Some(commitTs.getOrElse(System.currentTimeMillis()))),
+        newBatch, overwrite = false,
+        expectCurrent = Some(Some(curName)))
+      Some(newBatch)
+    } finally changed.unpersist()
+  }
+
+  /** Timestamp form of [[restore]]: resolve `ts` to the latest batch
+    * committed at or before it ([[resolveAsOf]]) and restore to that.
+    * None when nothing committed (no-op), like the batch form.
+    */
+  def restoreAsOf(spark: SparkSession, root: String, ts: Long,
+      commitTs: Option[Long] = None): Option[Long] =
+    resolveAsOf(spark, root, ts) match {
+      case Some(b) => restore(spark, root, b, commitTs)
+      case None => throw new IllegalArgumentException(
+        s"no batch of $root had committed by ts $ts")
+    }
+
   /** Point lookup: the live row(s) for one key, reading ONE bucket
     * directory. A key's bucket is deterministic (the same hash the
     * writer used), so the lookup computes it from the key literals —

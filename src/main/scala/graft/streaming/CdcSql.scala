@@ -293,6 +293,26 @@ object CdcSql {
               CdcApply.currentVersion(spark, dst))))
             .toDF("source", "mirror", "reseeded", "current_batch")
             .queryExecution.analyzed
+        }),
+      (FunctionIdentifier("cdc_restore"),
+        new ExpressionInfo("graft.streaming.CdcSql", "cdc_restore"),
+        args => {
+          if (args.size != 2) throw new UnsupportedOperationException(
+            "cdc_restore(name, batch) takes 2 arguments")
+          val name = argString(args(0), "cdc_restore name")
+          val batch = argLong(args(1), "cdc_restore batch")
+          val spark = activeSession
+          val root = resolveRoot(name)
+          // content-changing like a write, not mere layout maintenance:
+          // the same principal gate applies (a non-admin rolling a
+          // governed table back would un-delete rows an admin removed)
+          requireMaintainer(spark, name, root, "cdc_restore")
+          val committed = CdcApply.restore(spark, root, batch)
+          spark.createDataFrame(Seq((name, batch, committed,
+              CdcApply.currentVersion(spark, root))))
+            .toDF("name", "restored_to", "committed_batch",
+              "current_batch")
+            .queryExecution.analyzed
         }))
   }
 
