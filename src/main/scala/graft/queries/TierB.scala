@@ -578,6 +578,67 @@ object TierB {
           percent_rank().over(w).as("pct_rank"),
           cume_dist().over(w).as("cume"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // B28 — full outer join: unmatched rows from BOTH sides survive with
+    // NULLs on the other. Full outer cannot broadcast (every row of both
+    // sides must be matched exactly once), so Spark plans a sort-merge
+    // join — one shuffle of each side on the key, the same cost shape as
+    // the inner join at 100 TB.
+    "q_join_full_outer" -> ((s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_custkey") <= 900)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 450000.0),
+          col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_custkey").isNotNull.as("has_cust"),
+          col("o_orderkey"))
+        .orderBy(col("custkey"), col("o_orderkey").asc_nulls_first)),
+
+    // B29 — unpivot (melt): wide per-line measures to long
+    // (measure, value) rows. A generator expand, no shuffle — scales
+    // linearly with input and keeps whole-stage codegen.
+    "q_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 400)
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast(LongType).as("l_linenumber"),
+          col("l_quantity").as("qty"), col("l_extendedprice").as("price"),
+          col("l_discount").as("disc"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("qty"), col("price"), col("disc")),
+          "measure", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))),
+
+    // B31 — correlation / covariance from exact integer moments. One
+    // partial-aggregated pass computes (n, Σx, Σy, Σx², Σy², Σxy) as
+    // exact BIGINTs — order-independent, so the result is deterministic
+    // under any partitioning, unlike a float-accumulating corr() whose
+    // low bits depend on merge order. The Pearson/covariance formulas
+    // then run on those exact sums as correctly-rounded double
+    // arithmetic, identical in any IEEE engine. This is the mergeable
+    // two-phase shape CentralMomentAgg uses internally, made exact; at
+    // 100 TB the shuffle carries 6 longs per group.
+    "q_corr_moments" -> ((s, d) => {
+      val toD = (c: String) => col(c).cast(DoubleType)
+      val cov = (toD("n") * toD("sxy") - toD("sx") * toD("sy"))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast(LongType).as("x"),
+          floor(col("l_extendedprice")).cast(LongType).as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          (cov / (sqrt(toD("n") * toD("sxx") - toD("sx") * toD("sx")) *
+            sqrt(toD("n") * toD("syy") - toD("sy") * toD("sy"))))
+            .as("corr_qty_price"),
+          (cov / (toD("n") * toD("n"))).as("covar_pop"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -829,6 +890,39 @@ object TierB {
         "CUME_DIST() OVER w AS cume " +
         "FROM orders WHERE o_orderkey <= 4000 " +
         "WINDOW w AS (PARTITION BY o_orderpriority " +
-        "ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey")
+        "ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey"),
+    "q_join_full_outer" ->
+      ("SELECT COALESCE(c_custkey, o_custkey) AS custkey, " +
+        "c_custkey IS NOT NULL AS has_cust, o_orderkey " +
+        "FROM (SELECT * FROM customer WHERE c_custkey <= 900) c " +
+        "FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 450000.0) o " +
+        "ON c_custkey = o_custkey " +
+        "ORDER BY custkey, o_orderkey NULLS FIRST"),
+    "q_unpivot" ->
+      ("WITH src AS (SELECT l_orderkey, " +
+        "CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
+        "l_quantity AS qty, l_extendedprice AS price, l_discount AS disc " +
+        "FROM lineitem WHERE l_orderkey <= 400) " +
+        "SELECT l_orderkey, l_linenumber, measure, val FROM src " +
+        "UNPIVOT (val FOR measure IN (qty, price, disc)) " +
+        "ORDER BY l_orderkey, l_linenumber, measure"),
+    "q_corr_moments" ->
+      ("WITH m AS (SELECT l_returnflag, COUNT(*) AS n, " +
+        "SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx, SUM(y*y) AS syy, " +
+        "SUM(x*y) AS sxy FROM (SELECT l_returnflag, " +
+        "CAST(l_quantity AS BIGINT) AS x, " +
+        "CAST(floor(l_extendedprice) AS BIGINT) AS y FROM lineitem) " +
+        "GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, n, " +
+        "(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / " +
+        "(sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * " +
+        "sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - " +
+        "CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr_qty_price, " +
+        "(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) AS covar_pop " +
+        "FROM m ORDER BY l_returnflag")
   )
 }

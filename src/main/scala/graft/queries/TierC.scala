@@ -8,6 +8,8 @@ import graft.ann.Ann
 import graft.dedup.Dedup
 import graft.functions.{TextFunctions => T}
 import graft.multimodal.{Multimodal => M}
+import graft.operators.Profile
+import graft.search.Bm25
 import graft.sources.Tables
 
 /** Tier C — the LLM-training-data-pipeline operators (BASELINE.json north
@@ -128,6 +130,21 @@ object TierC {
     synchronized {
       val root = supplierCdcRoot(s, d, "cdc_compact_q", maxDeltas = 4)
       graft.streaming.CdcApply.compactBuckets(s, root)
+      root
+    }
+
+  /** Snapshot root for `q_cdc_restore`: the two-batch stream applied,
+    * then [[graft.streaming.CdcApply.restore]] rolls the table back to
+    * batch 0 as a NEW commit (head 1 → 2) — reverted updates,
+    * resurrected deletes, monotone watermark. Idempotent: replayed
+    * applies no-op on the guard, and a repeat restore finds the state
+    * already equal to the target and commits nothing.
+    */
+  private def cdcRestoreRoot(s: SparkSession, d: String): String =
+    synchronized {
+      val root = supplierCdcRoot(s, d, "cdc_restore_q")
+      graft.streaming.CdcApply.restore(s, root, 0L,
+        commitTs = Some(3000L))
       root
     }
 
@@ -1139,6 +1156,20 @@ object TierC {
         .agg(count(lit(1)).as("cnt"), dsum(col("s_acctbal")).as("total_bal"))
         .orderBy(col("s_nationkey"))),
 
+    // C8r — RESTORE: the same stream rolled back to batch 0 as a NEW
+    // commit. The oracle is the pristine batch-0 load (every update
+    // reverted, every delete resurrected, versions verbatim), plus the
+    // witnessed head: `head_batch = 2` proves the rollback ADVANCED the
+    // watermark — a pointer rewind would read 1 and hash-mismatch.
+    "q_cdc_restore" -> ((s, d) => {
+      val root = cdcRestoreRoot(s, d)
+      val wm = graft.streaming.CdcApply.currentVersion(s, root).get
+      graft.streaming.CdcApply.readSnapshot(s, root).get
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
+          col("version"), lit(wm).as("head_batch"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // C8s — the SAME net state through the THIRD entry point:
     // `spark.read.format("cdc")` (the DataFrameReader protocol shim,
     // graft.sources.CdcDataSource) — filters/pruning delegate into the
@@ -1554,7 +1585,38 @@ object TierC {
           maxDeltas = 4)
           .orderBy(col("doc_id"))
       }
-    })
+    }),
+
+    // C13 — BM25 keyword search against the PERSISTED inverted index
+    // (postings partitioned by term → the scan prunes to the three query
+    // terms' directories; df + corpus stats broadcast; top-k is
+    // TakeOrdered). Rational-idf scoring (see [[Bm25]]) keeps every
+    // arithmetic op a correctly-rounded IEEE double op over exact
+    // integer inputs, so DuckDB reproduces the scores bit-for-bit —
+    // a fully oracle-checked retrieval pipeline. 'dup' is rare
+    // (df≈25/500) vs the common terms (df≈390), so the ranking
+    // genuinely exercises the idf weighting.
+    "q_bm25_topk" -> ((s, d) => {
+      val idxRoot = new java.io.File("target/graft-data/bm25_index/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/documents.parquet"))
+        .getAbsolutePath
+      val (post, stats) = Bm25.persistedIndex(
+        Tables.documents(s, d), "doc_id", "text", idxRoot)
+      Bm25.search(post, stats, Seq("vector", "join", "dup"), topK = 15)
+    }),
+
+    // C14 — column-level data profiling (the Glue-crawler/table-stats
+    // analog, reference main.tf:291-300): one aggregation pass emits
+    // per-column rows/nulls/exact-distinct/min/max in long format. The
+    // nullif() input derives a genuinely NULL-bearing column so the
+    // null accounting is exercised; min/max compare on the NATIVE type
+    // before the uniform string cast.
+    "q_profile" -> ((s, d) =>
+      Profile.profile(
+        Tables.customer(s, d).select(col("c_custkey"),
+          col("c_nationkey").cast(LongType).as("c_nationkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("segment")),
+        Seq("c_custkey", "c_nationkey", "segment")))
   )
 
   /** The two document batches behind `q_dedup_incremental`, both pure
@@ -2216,6 +2278,61 @@ object TierC {
         "SELECT b.doc_id FROM shb b JOIN sh a ON " +
         "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
         "len(list_distinct(a.s || b.s)) >= 0.5) " +
-        "ORDER BY doc_id")
+        "ORDER BY doc_id"),
+
+    "q_cdc_restore" ->
+      ("SELECT s_suppkey, s_nationkey, s_acctbal, " +
+        "CAST(1 AS BIGINT) AS version, CAST(2 AS BIGINT) AS head_batch " +
+        "FROM supplier ORDER BY s_suppkey"),
+
+    // Mirrors Bm25.search's expression tree op for op (same
+    // parenthesization → identical correctly-rounded doubles).
+    "q_bm25_topk" ->
+      ("WITH lens AS (SELECT doc_id, CAST(len(list_filter(" +
+        "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) " +
+        "AS BIGINT) AS len FROM documents), " +
+        "stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS sum_len " +
+        "FROM lens), " +
+        "tok AS (SELECT doc_id, unnest(list_filter(" +
+        "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) " +
+        "AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf " +
+        "FROM tok WHERE term IN ('vector', 'join', 'dup') " +
+        "GROUP BY doc_id, term), " +
+        "dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df " +
+        "FROM tf GROUP BY term), " +
+        "sc AS (SELECT t.doc_id, t.term, " +
+        "((CAST(st.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5)) * " +
+        "(t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * " +
+        "(CAST(l.len AS DOUBLE) / (CAST(st.sum_len AS DOUBLE) / " +
+        "CAST(st.n_docs AS DOUBLE))))) AS s " +
+        "FROM tf t JOIN dft d USING (term) JOIN lens l USING (doc_id) " +
+        "CROSS JOIN stats st), " +
+        "piv AS (SELECT doc_id, " +
+        "max(CASE WHEN term = 'vector' THEN s END) AS s0, " +
+        "max(CASE WHEN term = 'join' THEN s END) AS s1, " +
+        "max(CASE WHEN term = 'dup' THEN s END) AS s2 " +
+        "FROM sc GROUP BY doc_id) " +
+        "SELECT doc_id, ((COALESCE(s0, 0.0) + COALESCE(s1, 0.0)) + " +
+        "COALESCE(s2, 0.0)) AS score " +
+        "FROM piv ORDER BY score DESC, doc_id LIMIT 15"),
+
+    "q_profile" ->
+      ("WITH src AS (SELECT c_custkey, " +
+        "CAST(c_nationkey AS BIGINT) AS c_nationkey, " +
+        "nullif(c_mktsegment, 'BUILDING') AS segment FROM customer), " +
+        "p AS (SELECT 'c_custkey' AS col_name, COUNT(*) AS n_rows, " +
+        "COUNT(c_custkey) AS n_nonnull, " +
+        "COUNT(DISTINCT c_custkey) AS n_distinct, " +
+        "CAST(MIN(c_custkey) AS VARCHAR) AS min_val, " +
+        "CAST(MAX(c_custkey) AS VARCHAR) AS max_val FROM src " +
+        "UNION ALL SELECT 'c_nationkey', COUNT(*), COUNT(c_nationkey), " +
+        "COUNT(DISTINCT c_nationkey), CAST(MIN(c_nationkey) AS VARCHAR), " +
+        "CAST(MAX(c_nationkey) AS VARCHAR) FROM src " +
+        "UNION ALL SELECT 'segment', COUNT(*), COUNT(segment), " +
+        "COUNT(DISTINCT segment), CAST(MIN(segment) AS VARCHAR), " +
+        "CAST(MAX(segment) AS VARCHAR) FROM src) " +
+        "SELECT col_name, n_rows, n_nonnull, n_distinct, min_val, " +
+        "max_val FROM p ORDER BY col_name")
   )
 }

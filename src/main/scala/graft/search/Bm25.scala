@@ -1,0 +1,138 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.{TextFunctions => T}
+import graft.sources.Artifacts
+
+/** Keyword search over a document corpus: inverted-index build + BM25
+  * top-k ranking (reference analog: the corpus-curation retrieval step a
+  * lake user runs through Athena full scans — `outputs.tf:41-97` has no
+  * index at all, every keyword query rescans the table).
+  *
+  * Scoring spec — "rational-idf BM25": the classical BM25 term weight
+  * with the idf's log dropped, i.e.
+  *
+  *   idf(t)    = (N - df(t) + 0.5) / (df(t) + 0.5)
+  *   s(d, t)   = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * |d|/avgdl))
+  *   score(d)  = Σ_t s(d, t)   (fixed left-to-right term order)
+  *
+  * The log is monotone, so per-term ranking is unchanged; dropping it
+  * makes every operation a single correctly-rounded IEEE double op
+  * (+, *, /) over exact integer inputs (tf, df, N, |d|, Σ|d|), which
+  * means ANY engine reproduces the scores bit-for-bit — the whole
+  * pipeline is oracle-checkable, where a libm `ln` would differ in the
+  * last ulp across engines. Rare terms weigh more sharply than classical
+  * BM25 (odds vs log-odds) — acceptable for corpus curation, documented
+  * here as the engine's scoring contract.
+  *
+  * Scale: the index is postings partitioned BY TERM on disk, so a query
+  * reads only its own terms' partitions (partition pruning — the scan
+  * shows `PartitionFilters: term IN (...)`); df and the corpus stats are
+  * tiny and broadcast. Query cost is O(postings of the query terms), not
+  * O(corpus). The direct (index-free) path tokenizes and filters
+  * map-side, so the one shuffle carries ≤ |terms| rows per document, and
+  * top-k is TakeOrdered (no global sort).
+  */
+object Bm25 {
+
+  /** Per-(doc, term) postings with exact-integer stats:
+    * (term, doc_id, tf, len). `len` is the doc's total token count,
+    * carried on every posting so scoring never re-joins the corpus.
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+      terms: Option[Seq[String]] = None): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      T.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("len"),
+        explode(col("toks")).as("term"))
+    val hit = terms.fold(toks)(ts => toks.filter(col("term").isin(ts: _*)))
+    hit.groupBy(col("term"), col("doc_id"), col("len"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"), col("len"))
+  }
+
+  /** Corpus stats the BM25 denominator needs: one row,
+    * (n_docs, sum_len). Exact longs — avgdl is derived at scoring time
+    * as one double division, so it is identical in any IEEE engine.
+    */
+  def corpusStats(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(T.tokenCount(col(textCol)).as("len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+
+  /** Build (or reuse) the persisted inverted index for a corpus dir:
+    * postings parquet partitioned by `term` + a one-row stats parquet,
+    * both fingerprint-keyed on the source dataset ([[Artifacts]] —
+    * regenerated corpora can never serve a stale index). Returns
+    * (postings, stats) readers over the committed artifacts.
+    */
+  def persistedIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String): (DataFrame, DataFrame) = synchronized {
+    val s = docs.sparkSession
+    val pDir = new java.io.File(s"${path}_postings_${idCol}_$textCol")
+    Artifacts.commitOnce(s, pDir.getAbsolutePath)(tmp =>
+      postings(docs, idCol, textCol)
+        .write.mode("overwrite").partitionBy("term").parquet(tmp))
+    val sDir = new java.io.File(s"${path}_stats_${idCol}_$textCol")
+    Artifacts.commitOnce(s, sDir.getAbsolutePath)(tmp =>
+      corpusStats(docs, idCol, textCol)
+        .write.mode("overwrite").parquet(tmp))
+    (s.read.parquet(pDir.getAbsolutePath),
+      s.read.parquet(sDir.getAbsolutePath))
+  }
+
+  /** Rank documents for `terms` against a postings + stats pair. The
+    * postings frame is filtered to the query terms FIRST — against the
+    * persisted index that filter is partition pruning, so only the query
+    * terms' directories are read.
+    */
+  def search(postings: DataFrame, stats: DataFrame, terms: Seq[String],
+      topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.distinct == terms, "terms must be distinct")
+    val hits = postings.filter(col("term").isin(terms: _*))
+    // df per term: ≤ |terms| rows; corpus stats: 1 row — both broadcast,
+    // so per-posting scoring is map-side over the pruned postings scan
+    val dft = hits.groupBy(col("term"))
+      .agg(count(lit(1)).cast(DoubleType).as("df"))
+    val nD = col("n_docs").cast(DoubleType)
+    val scored = hits
+      .join(broadcast(dft), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        // every op below is one correctly-rounded IEEE double op over
+        // exact integer inputs — the oracle mirrors the exact same
+        // expression tree (parenthesization matters; see object doc)
+        (((nD - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf").cast(DoubleType) * lit(2.2)) /
+          (col("tf").cast(DoubleType) + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("len").cast(DoubleType) /
+              (col("sum_len").cast(DoubleType) /
+                col("n_docs").cast(DoubleType)))))).as("s"))
+    // fixed-order score sum: pivot the ≤|terms| per-doc rows to columns,
+    // then add left-to-right — a SUM() aggregate's merge order would be
+    // partition-dependent in the low bits
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("s"))).as(s"s$i")
+    }
+    val total = scored.groupBy(col("doc_id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col("doc_id"),
+        terms.indices.map(i => coalesce(col(s"s$i"), lit(0.0)))
+          .reduceLeft(_ + _).as("score"))
+    total.orderBy(col("score").desc, col("doc_id")).limit(topK)
+  }
+
+  /** Index-free ranking straight off the corpus — one tokenize pass,
+    * term-filtered before the shuffle. The verification twin of the
+    * indexed path (identical results by construction).
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], topK: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    search(postings(docs, idCol, textCol, Some(terms)),
+      corpusStats(docs, idCol, textCol), terms, topK, k1, b)
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profile
+import graft.search.Bm25
+import graft.sources.Tables
+
+class SearchSpec extends AnyFunSuite with SparkTestBase {
+
+  /** The scoring contract, computed independently: rational-idf BM25
+    * (see [[Bm25]] scaladoc) with k1=1.2, b=0.75.
+    */
+  private def expectedScore(n: Long, sumLen: Long,
+      hits: Seq[(Long, Double)], df: Double): Double = {
+    val avgdl = sumLen.toDouble / n.toDouble
+    val idf = (n.toDouble - df + 0.5) / (df + 0.5)
+    hits.map { case (len, tf) =>
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len / avgdl)))
+    }.sum
+  }
+
+  test("bm25: hand-computed scores and ranking on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c c c"))
+      .toDF("doc_id", "text")
+    val out = Bm25.score(docs, "doc_id", "text", Seq("a", "c"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // N=3, sum_len=9; df(a)=df(c)=2
+    val e1 = expectedScore(3, 9, Seq((3L, 2.0)), 2.0)           // d1: a×2
+    val e2 = expectedScore(3, 9, Seq((2L, 1.0), (2L, 1.0)), 2.0) // d2: a,c
+    val e3 = expectedScore(3, 9, Seq((4L, 4.0)), 2.0)           // d3: c×4
+    assert(out.map(_._1).toSeq == Seq(2L, 3L, 1L),
+      s"ranking mismatch: ${out.toSeq}")
+    val got = out.toMap
+    assert(math.abs(got(1L) - e1) < 1e-12)
+    assert(math.abs(got(2L) - e2) < 1e-12)
+    assert(math.abs(got(3L) - e3) < 1e-12)
+  }
+
+  test("bm25: a doc missing one query term still scores on the others") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
+    val out = Bm25.score(docs, "doc_id", "text", Seq("a", "b"), topK = 10)
+      .collect().map(r => r.getLong(0))
+    assert(out.toSet == Set(1L, 2L)) // both appear, neither dropped
+  }
+
+  test("bm25: persisted-index search == direct score, and the probe " +
+      "prunes to the query terms' partitions") {
+    val docs = Tables.documents(spark, sfDir)
+    val root = new java.io.File("target/test-bm25-idx/" +
+      graft.sources.Artifacts.datasetKey(sfDir,
+        s"$sfDir/documents.parquet")).getAbsolutePath
+    val (post, stats) = Bm25.persistedIndex(docs, "doc_id", "text", root)
+    val terms = Seq("vector", "join", "dup")
+    val viaIndex = Bm25.search(post, stats, terms, topK = 15)
+    val direct = Bm25.score(docs, "doc_id", "text", terms, topK = 15)
+    assert(viaIndex.collect().map(_.toSeq).toSeq ==
+      direct.collect().map(_.toSeq).toSeq)
+    // the term IN (...) filter must reach the postings scan as a
+    // partition filter — that is the whole point of the term layout
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("term"),
+      s"expected term partition pruning in:\n$plan")
+    // second call must reuse the committed artifact (same path, no
+    // rebuild): commitOnce short-circuits on _SUCCESS
+    val (post2, _) = Bm25.persistedIndex(docs, "doc_id", "text", root)
+    assert(post2.inputFiles.toSet == post.inputFiles.toSet)
+  }
+
+  test("bm25: guards reject empty and duplicate term lists") {
+    import spark.implicits._
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Bm25.score(docs, "doc_id", "text", Seq.empty, topK = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Bm25.score(docs, "doc_id", "text", Seq("a", "a"), topK = 5)
+    }
+  }
+
+  test("profile: nulls, exact distinct, native-type min/max") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "x"), (2L, null), (2L, "y"), (10L, "x"), (null, "z"))
+      .toDF("k", "s")
+    val rows = Profile.profile(df, Seq("k", "s")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toSeq
+    assert(rows == Seq(
+      // min/max of k compare numerically: 10 > 2 (lexicographic would
+      // say "10" < "2")
+      ("k", 5L, 4L, 3L, "1", "10"),
+      ("s", 5L, 4L, 3L, "x", "z")))
+  }
+}
