@@ -230,7 +230,27 @@ object Plans {
       "corpus bytes, never text — then exact Jaccard verification " +
       "semi-join-pruned to candidate pairs) ran ONCE upstream at " +
       "index-build time under the replay guard; the full-corpus " +
-      "all-pairs comparison the oracle runs exists in no plan at all."))
+      "all-pairs comparison the oracle runs exists in no plan at all."),
+    "q_bm25_topk" -> ("BM25 keyword search against the persisted " +
+      "inverted index: the postings scan must show PartitionFilters " +
+      "term IN (vector, join, dup) — only the three query terms' " +
+      "directories are listed, so query cost is O(their postings), " +
+      "not O(corpus). The df table (<= |terms| rows) and the one-row " +
+      "corpus stats broadcast; scoring is map-side over the pruned " +
+      "scan; the final top-k is TakeOrderedAndProject, never a " +
+      "global sort."),
+    "q_corr_moments" -> ("Correlation from exact integer moments: ONE " +
+      "scan, two-phase hash aggregate with map-side partials — the " +
+      "shuffle carries six longs per group, and the Pearson/covariance " +
+      "formulas run post-aggregate on those exact sums. No second " +
+      "pass, no float accumulation order-dependence."),
+    "q_cdc_restore" -> ("RESTORE read: the declared query reads the " +
+      "post-rollback snapshot — the same manifest-pruned bucketed " +
+      "parquet scan as q_cdc_merge, because restore committed a " +
+      "normal manifest (the diff batch) rather than installing any " +
+      "special read path. The restore itself (upstream, once per " +
+      "artifact) diffed only buckets whose dir tags postdate the " +
+      "target and rewrote only buckets that differ."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
