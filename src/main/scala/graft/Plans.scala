@@ -244,6 +244,15 @@ object Plans {
       "shuffle carries six longs per group, and the Pearson/covariance " +
       "formulas run post-aggregate on those exact sums. No second " +
       "pass, no float accumulation order-dependence."),
+    "q_semantic_dedup" -> ("SemDeDup semantic dedup: the pair " +
+      "generation is an EQUI-join on the cluster id — both sides " +
+      "shuffle once on the cluster key and the quadratic comparison " +
+      "is confined within clusters (k × O((n/k)²), the paper's " +
+      "bound), with the id inequality and the codegen'd quantized " +
+      "cosine threshold evaluated inside the join stage; dropped ids " +
+      "then anti-join the input. No cross-cluster pair is ever " +
+      "materialized — the all-pairs O(n²) comparison exists only in " +
+      "the DuckDB oracle."),
     "q_cdc_restore" -> ("RESTORE read: the declared query reads the " +
       "post-rollback snapshot — the same manifest-pruned bucketed " +
       "parquet scan as q_cdc_merge, because restore committed a " +

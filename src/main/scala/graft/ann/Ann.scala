@@ -253,6 +253,191 @@ object Ann {
       .agg(max(col("cand")).as("best"))
       .select(col("vid"), (-col("best.neg_list")).as("list"))
 
+  /** Product-quantization codebooks (Jégou et al. 2011, §the PQ stage
+    * [[ivfTopK]]'s scaladoc already cites for its coarse stage): the
+    * vector splits into `m` contiguous subspaces of `dims / m`
+    * components, and each subspace trains its OWN `ksub`-centroid
+    * quantizer with the deterministic integer-quantized [[kmeans]] —
+    * so the codebooks are bit-reproducible across runs and engines,
+    * like every index artifact here. Returns (sub, list, centroid),
+    * m × ksub rows — the whole "index" is a broadcastable table
+    * regardless of corpus size. Persisted via the standard
+    * fingerprint-keyed [[graft.sources.Artifacts.commitOnce]] cache.
+    *
+    * Subvector assignment uses the house metric (quantized cosine,
+    * ties to the lower list) rather than classical L2 — the ADC
+    * scorer below reconstructs dot AND norm from the codebook
+    * entries, so the decomposition stays consistent with the exact
+    * [[bruteForceTopK]] ranking it approximates.
+    */
+  def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, ksub: Int, iters: Int,
+      path: String): DataFrame = synchronized {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val subDims = dims / m
+    val dir = new java.io.File(
+      s"${path}_${idCol}_${vecCol}_d${dims}_m${m}_k${ksub}_i${iters}_pq1")
+    graft.sources.Artifacts.commitOnce(emb.sparkSession,
+      dir.getAbsolutePath)(tmp =>
+      (0 until m).map { j =>
+        kmeans(emb.select(col(idCol),
+            slice(col(vecCol), j * subDims + 1, subDims).as(vecCol)),
+          idCol, vecCol, ksub, iters)
+          .withColumn("sub", lit(j))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(tmp))
+    emb.sparkSession.read.parquet(dir.getAbsolutePath)
+  }
+
+  /** PQ-encode every vector against trained codebooks: (id, codes),
+    * where `codes(j)` is subspace j's nearest-centroid list id. The
+    * compressed table is m ints per vector — ~16 bytes against a
+    * 64-float embedding's 256, which is the memory story that makes
+    * PQ the RAM-resident candidate stage at 100 TB. Encoding is m
+    * map-side broadcast assignments (the codebook side is m × ksub
+    * rows) folded back with ONE key shuffle.
+    */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, books: DataFrame): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val subDims = dims / m
+    (0 until m).map { j =>
+      assignLists(
+        emb.select(col(idCol).as("vid"),
+          slice(col(vecCol), j * subDims + 1, subDims).as("v")),
+        books.filter(col("sub") === j).select(col("list"), col("centroid")))
+        .withColumn("sub", lit(j))
+    }.reduce(_ unionByName _)
+      .groupBy(col("vid").as(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("list")))),
+        s => s.getField("list")).as("codes"))
+  }
+
+  /** Persisted PQ index: trained codebooks + the encoded codes table,
+    * both committed once per (dataset, layout) key — at 100 TB the
+    * codes table IS the index (m ints per vector), built in one batch
+    * job and served to every query thereafter.
+    */
+  def persistedPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, ksub: Int, iters: Int,
+      path: String): (DataFrame, DataFrame) = synchronized {
+    val books = pqCodebooks(emb, idCol, vecCol, dims, m, ksub, iters,
+      path)
+    val dir = new java.io.File(
+      s"${path}_codes_${idCol}_${vecCol}_d${dims}_m${m}_k${ksub}" +
+        s"_i${iters}_pq1")
+    graft.sources.Artifacts.commitOnce(emb.sparkSession,
+      dir.getAbsolutePath)(tmp =>
+      pqEncode(emb, idCol, vecCol, dims, m, books)
+        .write.mode("overwrite").parquet(tmp))
+    (books, emb.sparkSession.read.parquet(dir.getAbsolutePath))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    * UNquantized; each subspace contributes a looked-up exact-integer
+    * (query-subvector · centroid) partial and the centroid's squared
+    * norm, and the approximate cosine is their sum normalized by the
+    * true query norm and the RECONSTRUCTED vector norm. The lookup
+    * table is m × ksub rows computed from the broadcast codebooks —
+    * never a driver hop — and scoring explodes each vector's m codes
+    * against the broadcast LUT: one shuffle of m partial rows per
+    * vector, then TakeOrdered. Approximate by construction (rows-only
+    * declared query); recall against [[bruteForceTopK]] is pinned in
+    * AnnSpec, the same contract as the kmeans IVF path.
+    */
+  def pqTopK(codes: DataFrame, books: DataFrame, queryVec: DataFrame,
+      idCol: String, dims: Int, m: Int, queryId: Long,
+      k: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    require(queryVec.columns.length == 1,
+      "queryVec must have exactly one (vector) column")
+    val subDims = dims / m
+    val lut = books.crossJoin(broadcast(queryVec.toDF("qv")))
+      .select(col("sub"), col("list"),
+        dotQ(quantize(col("centroid")),
+          quantize(slice(col("qv"), col("sub") * subDims + 1, lit(subDims))))
+          .as("dotq"),
+        normSqQ(quantize(col("centroid"))).as("n2"),
+        normSqQ(quantize(col("qv"))).as("qn2"))
+    codes.filter(col(idCol) =!= queryId)
+      .select(col(idCol), posexplode(col("codes")).as(Seq("sub", "list")))
+      .join(broadcast(lut), Seq("sub", "list"))
+      .groupBy(col(idCol))
+      .agg(sum(col("dotq")).as("sumd"), sum(col("n2")).as("sumn"),
+        first(col("qn2")).as("qn2"))
+      .select(col(idCol),
+        cosineFromQ(col("sumd"), col("qn2"), col("sumn")).as("sim_adc"))
+      .orderBy(col("sim_adc").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** PQ candidate generation + EXACT re-ranking — how PQ is actually
+    * deployed: the ADC pass ([[pqTopK]]) scans only the compressed
+    * codes to surface `nCandidates` ids, then the raw vectors of THOSE
+    * ids alone are fetched (semi-join pruned) and exact-cosine ranked.
+    * Final quality is the ADC stage's recall@nCandidates, not its
+    * recall@k — the refinement budget trades a bounded extra read
+    * (nCandidates raw vectors out of n) for near-exact results.
+    */
+  def pqRefinedTopK(emb: DataFrame, codes: DataFrame, books: DataFrame,
+      idCol: String, vecCol: String, dims: Int, m: Int, queryId: Long,
+      k: Int, nCandidates: Int): DataFrame = {
+    require(nCandidates >= k, "nCandidates must be >= k")
+    val qv = emb.filter(col(idCol) === queryId).select(col(vecCol))
+    val cand = pqTopK(codes, books, qv, idCol, dims, m, queryId,
+      nCandidates).select(col(idCol))
+    bruteForceTopK(emb.join(cand, Seq(idCol), "left_semi"), qv, idCol,
+      vecCol, queryId, k)
+  }
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): drop every vector that has a LOWER-id neighbor
+    * with cosine similarity >= `tau` INSIDE ITS OWN CLUSTER. The
+    * cluster assignment (`listCol`) comes from upstream — the stored
+    * label column, or [[kmeans]]+[[assignLists]] for a self-contained
+    * pipeline — which is exactly the paper's move: the quadratic
+    * comparison is confined to one cluster at a time, so a 100 TB
+    * corpus pays k × O((n/k)²) instead of O(n²), and the join
+    * co-partitions on the cluster id (ONE shuffle of (id, vector) per
+    * side, no driver hop). Cross-cluster near-dups are deliberately
+    * invisible — that recall trade IS the algorithm; raise k to shrink
+    * cluster radius, or run [[lshNearDupPairs]] when global recall
+    * matters.
+    *
+    * The keep rule is deterministic (lowest id in any >= tau pair wins)
+    * and NON-transitive by design: a vector is dropped when ANY
+    * lower-id in-cluster neighbor clears the threshold, even one that
+    * was itself dropped — chains collapse to their minimum element in
+    * one pass, with no iteration (spec-pinned). Similarity is the
+    * codegen'd integer-quantized [[graft.functions.CosineQuant]], so
+    * survivors are bit-reproducible across runs, partitionings and
+    * engines — the declared query is DuckDB hash-checked end to end.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      listCol: String, tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    Seq("_la", "_lb", "_ka", "_kb", "_va", "_vb").foreach(c =>
+      require(!emb.columns.contains(c),
+        s"input must not carry the reserved column '$c'"))
+    val a = emb.select(col(listCol).as("_la"), col(idCol).as("_ka"),
+      col(vecCol).as("_va"))
+    val b = emb.select(col(listCol).as("_lb"), col(idCol).as("_kb"),
+      col(vecCol).as("_vb"))
+    // equi-join on the cluster id; the id inequality and the similarity
+    // threshold evaluate inside the join stage, so only (cluster, id,
+    // vector) rows ride the two key-shuffles and only dropped ids
+    // survive into the anti-join
+    val dropped = a.join(b,
+        col("_la") === col("_lb") && col("_ka") < col("_kb") &&
+          graft.functions.GraftFunctions
+            .cosineQuant(col("_va"), col("_vb")) >= tau)
+      .select(col("_kb").as(idCol)).distinct()
+    emb.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Near-duplicate pairs via `bits`-bit hyperplane LSH buckets: pairs are
     * generated only within buckets (expected bucket size n / 2^bits), then
     * exact cosine-verified.

@@ -1616,7 +1616,42 @@ object TierC {
         Tables.customer(s, d).select(col("c_custkey"),
           col("c_nationkey").cast(LongType).as("c_nationkey"),
           nullif(col("c_mktsegment"), lit("BUILDING")).as("segment")),
-        Seq("c_custkey", "c_nationkey", "segment")))
+        Seq("c_custkey", "c_nationkey", "segment"))),
+
+    // rows-only: product-quantization ANN (Jégou et al. 2011), the
+    // candidate-stage-plus-refinement shape PQ is deployed in at
+    // 100 TB: the persisted index is m=16 codebook ids per vector
+    // (16 bytes at int8 width vs 256 for the raw floats) plus a
+    // 256-row codebook; the ADC pass scores codes against a broadcast
+    // lookup table touching NO raw vector, surfaces 64 candidates,
+    // and only those 64 raw vectors are fetched (semi-join pruned)
+    // for the exact re-rank. Approximate by construction → no oracle;
+    // refined recall vs bruteForceTopK pinned in AnnSpec (~0.9 here),
+    // like q_ann_kmeans.
+    "q_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val path = new java.io.File("target/graft-data/pq_index/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/embeddings.parquet"))
+        .getAbsolutePath
+      val (books, codes) = Ann.persistedPqIndex(emb, "vec_id",
+        "embedding", dims = 64, m = 16, ksub = 16, iters = 3, path)
+      Ann.pqRefinedTopK(emb, codes, books, "vec_id", "embedding",
+        dims = 64, m = 16, queryId = 0L, k = 10, nCandidates = 64)
+    }),
+
+    // C15 — SemDeDup semantic dedup: within-cluster (label) cosine
+    // >= 0.25 drops the higher id; survivors hash-checked. The
+    // quadratic comparison is confined per cluster (the paper's move),
+    // the similarity is the codegen'd integer-quantized CosineQuant
+    // (bit-identical in DuckDB — same contract as q_embed_topk), and
+    // the keep rule is the deterministic lowest-id witness, so the
+    // full dedup decision — clustering pruning included — is in the
+    // hash, not just the pair counts.
+    "q_semantic_dedup" -> ((s, d) =>
+      Ann.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", 0.25)
+        .select(col("vec_id"), col("label").cast(LongType).as("label"))
+        .orderBy(col("vec_id")))
   )
 
   /** The two document batches behind `q_dedup_incremental`, both pure
@@ -2333,6 +2368,21 @@ object TierC {
         "COUNT(DISTINCT segment), CAST(MIN(segment) AS VARCHAR), " +
         "CAST(MAX(segment) AS VARCHAR) FROM src) " +
         "SELECT col_name, n_rows, n_nonnull, n_distinct, min_val, " +
-        "max_val FROM p ORDER BY col_name")
+        "max_val FROM p ORDER BY col_name"),
+
+    // Same quantized-cosine formulation as the q_embed_topk oracle.
+    "q_semantic_dedup" ->
+      ("WITH e AS (SELECT vec_id, label, " + quantSql + " AS v " +
+        "FROM embeddings), " +
+        "d AS (SELECT DISTINCT b.vec_id FROM e a JOIN e b " +
+        "ON a.label = b.label AND a.vec_id < b.vec_id " +
+        "AND CAST(list_sum(list_transform(list_zip(a.v, b.v), " +
+        "p -> p[1] * p[2])) AS DOUBLE) / " +
+        "(sqrt(CAST(list_sum(list_transform(a.v, x -> x * x)) " +
+        "AS DOUBLE)) * " +
+        "sqrt(CAST(list_sum(list_transform(b.v, x -> x * x)) " +
+        "AS DOUBLE))) >= 0.25) " +
+        "SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings " +
+        "WHERE vec_id NOT IN (SELECT vec_id FROM d) ORDER BY vec_id")
   )
 }

@@ -315,4 +315,127 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(r.getAs[Double]("ac") + 1.0) < 1e-9)
     assert(math.abs(r.getAs[Double]("aa") - 1.0) < 1e-9)
   }
+
+  private def semIds(df: DataFrame): Set[Long] =
+    df.collect().map(_.getAs[Long]("vec_id")).toSet
+
+  test("semanticDedup: lowest-id wins within a cluster; identical " +
+      "vectors in DIFFERENT clusters both survive (the documented " +
+      "recall trade)") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),  // kept: lowest id of the 1~2 pair
+      (2L, Array(1.0f, 0.0f), 0),  // dropped: identical to 1, same cluster
+      (3L, Array(0.0f, 1.0f), 0),  // kept: orthogonal to 1
+      (4L, Array(1.0f, 0.0f), 1),  // kept: identical to 1 but cluster 1
+      (5L, Array(1.0f, 0.0f), 1)   // dropped: identical to 4
+    ).toDF("vec_id", "embedding", "label")
+    assert(semIds(Ann.semanticDedup(emb, "vec_id", "embedding", "label",
+      0.95)) == Set(1L, 3L, 4L))
+  }
+
+  test("semanticDedup: chains collapse to the minimum element in one " +
+      "pass — a dropped witness still drops its own neighbors") {
+    import spark.implicits._
+    // 1 ~ 2 (sim ~0.995) and 2 ~ 3, but 1 !~ 3 (sim ~0.98 < tau):
+    // 2 drops via 1; 3 must STILL drop via the (dropped) witness 2
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.1f), 0),
+      (3L, Array(1.0f, 0.2f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    assert(semIds(Ann.semanticDedup(emb, "vec_id", "embedding", "label",
+      0.99)) == Set(1L))
+  }
+
+  test("semanticDedup composes with self-trained kmeans clusters") {
+    import spark.implicits._
+    val emb = Seq(
+      (10L, Array(5.0f, 0.0f, 0.0f)), (11L, Array(5.0f, 0.0f, 0.0f)),
+      (20L, Array(0.0f, 5.0f, 0.0f)), (21L, Array(0.0f, 5.0f, 0.0f)),
+      (30L, Array(0.0f, 0.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Ann.kmeans(emb, "vec_id", "embedding", k = 3, iters = 3)
+    val assigned = emb.join(
+      Ann.assignLists(
+        emb.select(org.apache.spark.sql.functions.col("vec_id").as("vid"),
+          org.apache.spark.sql.functions.col("embedding").as("v")),
+        cents).withColumnRenamed("vid", "vec_id"),
+      "vec_id")
+    // identical vectors always share a kmeans cluster, so each twin
+    // pair collapses to its lower id; the singleton survives
+    assert(semIds(Ann.semanticDedup(assigned, "vec_id", "embedding",
+      "list", 0.95)) == Set(10L, 20L, 30L))
+  }
+
+  test("PQ: a planted identical twin is the ADC top-1, and codes are " +
+      "m entries in the codebook range") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array.tabulate(8)(i => (i + 1).toFloat)),       // query
+      (1L, Array.tabulate(8)(i => (i + 1).toFloat)),       // twin
+      (2L, Array.tabulate(8)(i => (8 - i).toFloat)),
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 1f else -1f)),
+      (4L, Array.tabulate(8)(i => -(i + 1).toFloat))
+    ).toDF("vec_id", "embedding")
+    val books = Ann.pqCodebooks(emb, "vec_id", "embedding", dims = 8,
+      m = 2, ksub = 3, iters = 3,
+      path = tmpPath("pq_books_planted"))
+    val codes = Ann.pqEncode(emb, "vec_id", "embedding", 8, 2, books)
+    codes.collect().foreach { r =>
+      val cs = r.getAs[scala.collection.Seq[Int]]("codes")
+      assert(cs.length == 2 && cs.forall(c => c >= 1 && c <= 3),
+        s"bad codes $cs")
+    }
+    val top = Ann.pqTopK(codes, books,
+      emb.filter($"vec_id" === 0L).select($"embedding"),
+      "vec_id", 8, 2, 0L, 2).collect()
+    assert(top.head.getAs[Long]("vec_id") == 1L,
+      s"twin not top-1: ${top.toSeq}")
+  }
+
+  test("PQ: refined recall on the real embeddings clears the pinned " +
+      "bound and the index is bit-reproducible") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    def run(path: String): (Seq[Long], Seq[Long]) = {
+      val (books, codes) = Ann.persistedPqIndex(emb, "vec_id",
+        "embedding", dims = 64, m = 16, ksub = 16, iters = 3, path)
+      val adc = Ann.pqTopK(codes, books,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+          .select(org.apache.spark.sql.functions.col("embedding")),
+        "vec_id", 64, 16, 0L, 10)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+      val refined = Ann.pqRefinedTopK(emb, codes, books, "vec_id",
+        "embedding", 64, 16, 0L, 10, 64)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+      (adc, refined)
+    }
+    val (adc, refined) = run(tmpPath("pq_idx_a"))
+    assert((adc, refined) == run(tmpPath("pq_idx_b")),
+      "two independent PQ index builds must rank identically")
+    val exact = Ann.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    // ADC alone is the coarse stage (measured ~0.5 here); the
+    // DEPLOYED shape — 64 ADC candidates, exact re-rank — measured
+    // ~0.9 across scale factors. Bounds pinned below measurement so
+    // a regression is loud but codebook-level jitter is not.
+    val adcRecall = adc.count(exact.contains).toDouble / exact.size
+    val refRecall = refined.count(exact.contains).toDouble / exact.size
+    assert(adcRecall >= 0.2, s"PQ ADC recall@10 $adcRecall below bound")
+    assert(refRecall >= 0.6,
+      s"PQ refined recall@10 $refRecall below bound")
+  }
+
+  private def tmpPath(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toFile
+      .getAbsolutePath + "/idx"
+
+  test("semanticDedup refuses reserved internal column names") {
+    import spark.implicits._
+    val emb = Seq((1L, Array(1.0f), 0, "x"))
+      .toDF("vec_id", "embedding", "label", "_ka")
+    intercept[IllegalArgumentException] {
+      Ann.semanticDedup(emb, "vec_id", "embedding", "label", 0.5)
+    }
+  }
 }

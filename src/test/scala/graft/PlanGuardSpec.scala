@@ -19,6 +19,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_embed_topk",        // 1-row query-vector crossJoin
     "q_ann_ivf",           // 1-row query-vector crossJoin
     "q_ann_kmeans",        // 1-row query-vector crossJoin
+    "q_ann_pq",            // 1-row query-vector crossJoin (LUT build)
+    "q_bm25_topk",         // 1-row corpus-stats crossJoin
     "q_subquery_scalar")   // 1-row broadcast scalar-threshold aggregate
 
   /** Queries whose plan legitimately contains an UNPARTITIONED window:
