@@ -88,4 +88,38 @@ class CdcDataSourceSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e2.getMessage.contains("no readable snapshot"), e2.getMessage)
   }
+
+  test("CREATE TABLE ... USING cdc registers a CATALOG-persistent " +
+      "entry point; refreshTable picks up later commits") {
+    import spark.implicits._
+    val root = build()
+    spark.sql("DROP TABLE IF EXISTS cdc_catalog_t")
+    spark.sql(s"CREATE TABLE cdc_catalog_t USING cdc " +
+      s"OPTIONS (path '$root')")
+    try {
+      assert(rows(spark.table("cdc_catalog_t")) ==
+        Set(1L -> 11.0, 2L -> 20.0))
+      // the catalog caches the resolved relation — unlike the
+      // registered-name surface (CdcSql expands per analysis), a
+      // catalog read after a new commit needs refreshTable; this
+      // pins the documented liveness contract of the catalog form
+      assert(CdcApply.applyBatch(
+        Seq((2L, 2L, 99.0, false)).toDF("k", "version", "amount",
+          "deleted"),
+        2L, root, Seq("k"), "version", Some("deleted"),
+        commitTs = Some(3000L)))
+      spark.catalog.refreshTable("cdc_catalog_t")
+      assert(rows(spark.table("cdc_catalog_t")) ==
+        Set(1L -> 11.0, 2L -> 99.0))
+      // INSERT through the catalog name refuses (the relation is not
+      // insertable — analyzer wording varies by Spark version; the
+      // contract is refusal + untouched content)
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("INSERT INTO cdc_catalog_t VALUES " +
+          "(9, 1, 9.0, false)")
+      }
+      assert(rows(spark.table("cdc_catalog_t")) ==
+        Set(1L -> 11.0, 2L -> 99.0), "refused INSERT must not write")
+    } finally spark.sql("DROP TABLE IF EXISTS cdc_catalog_t")
+  }
 }
