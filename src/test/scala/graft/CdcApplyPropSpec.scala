@@ -352,4 +352,80 @@ class CdcApplyPropSpec extends AnyFunSuite with SparkTestBase {
     }
     check(p)
   }
+
+  test("property: restore to any retained batch reproduces that " +
+      "batch's snapshot, advances the head, feeds exactly the diff, " +
+      "and preserves time travel") {
+    import spark.implicits._
+    val C = graft.streaming.CdcApply
+    val p = Prop.forAll(historyGen, Gen.chooseNum(2, 4),
+      Gen.oneOf(0, 2), Gen.chooseNum(0, 10)) {
+      (history, nBatches, maxDeltas, pick) =>
+        val root = java.nio.file.Files
+          .createTempDirectory("cdc_restore_prop").toFile.getAbsolutePath
+        val size = math.max(1, history.size / nBatches)
+        val batches = history.grouped(size).toList.padTo(nBatches, Nil)
+        batches.zipWithIndex.foreach { case (rows, id) =>
+          C.applyBatch(rows.toDF("k", "version", "payload", "deleted"),
+            id.toLong, root, Seq("k"), "version", Some("deleted"),
+            numBuckets = 4, tombstoneRetention = 100,
+            commitTs = Some(1000L * (id + 1)), maxDeltas = maxDeltas)
+        }
+        // rows keyed (version, payload): restore must reproduce BOTH
+        def live(df: Option[org.apache.spark.sql.DataFrame])
+            : Map[Long, (Long, Long)] =
+          df.map(_.collect().map(r => r.getAs[Long]("k") ->
+            ((r.getAs[Long]("version"), r.getAs[Long]("payload"))))
+            .toMap).getOrElse(Map.empty)
+        val retained = C.history(spark, root).collect()
+          .map(_.getAs[Long]("batch_id")).distinct.sorted
+        val head = C.currentVersion(spark, root).get
+        val target = retained(pick % retained.length)
+        val travelsBefore = retained
+          .map(b => b -> live(C.readSnapshotAt(spark, root, b))).toMap
+        val before = travelsBefore(target)
+        val atHead = live(C.readSnapshot(spark, root))
+        val res = C.restore(spark, root, target,
+          commitTs = Some(77777L))
+        val after = live(C.readSnapshot(spark, root))
+        val stateOk = after == before
+        val ok = res match {
+          case None =>
+            // no-op must mean the states really were identical, and
+            // the head must not have moved
+            stateOk && before == atHead &&
+              C.currentVersion(spark, root).contains(head)
+          case Some(nb) =>
+            val headOk = nb == head + 1 &&
+              C.currentVersion(spark, root).contains(nb)
+            // every pre-restore batch must time-travel unchanged
+            val travelOk = retained.forall(b =>
+              live(C.readSnapshotAt(spark, root, b)) == travelsBefore(b))
+            val headTravelOk =
+              live(C.readSnapshotAt(spark, root, head)) == atHead
+            // the feed past the old head is EXACTLY the logical diff
+            val feed = C.changesSince(spark, root, head).get.collect()
+              .map(r => (r.getAs[Long]("k"),
+                Option(r.getAs[java.lang.Long]("payload"))
+                  .map(_.longValue),
+                r.getAs[Boolean]("deleted"))).toSet
+            val expectUpserts = before.collect {
+              case (k, (v, pay)) if !atHead.get(k).contains((v, pay)) =>
+                (k, Some(pay), false)
+            }.toSet
+            val expectDeletes = (atHead.keySet -- before.keySet)
+              .map(k => (k, Some(atHead(k)._2), true))
+            val feedOk = feed == expectUpserts ++ expectDeletes
+            // a repeat restore to the same target is a no-op
+            val idemOk = C.restore(spark, root, target).isEmpty
+            stateOk && headOk && travelOk && headTravelOk && feedOk &&
+              idemOk
+        }
+        if (!ok) println(s"[restore-prop] history=$history " +
+          s"target=$target maxDeltas=$maxDeltas res=$res " +
+          s"before=$before atHead=$atHead after=$after")
+        ok
+    }
+    check(p)
+  }
 }
