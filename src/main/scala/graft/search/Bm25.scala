@@ -135,4 +135,69 @@ object Bm25 {
       b: Double = 0.75): DataFrame =
     search(postings(docs, idCol, textCol, Some(terms)),
       corpusStats(docs, idCol, textCol), terms, topK, k1, b)
+
+  // ---- incremental index: continuously-ingested corpora ----
+
+  import graft.streaming.{CdcApply, Rollup}
+
+  private val StatsAggs =
+    Seq(Rollup.Agg("n_docs", "count"), Rollup.Agg("sum_len", "sum", "len"))
+
+  /** Ingest one document batch into a PERSISTED incremental index —
+    * the continuously-fed form of [[persistedIndex]], composed from
+    * the engine's own table format instead of write-once artifacts:
+    *
+    *  - `root/postings`: a CDC table keyed (term, doc_id), BUCKETED ON
+    *    `term` alone (the `bucketCols` layout knob), merge-on-read —
+    *    a batch appends O(batch) postings, and a query's term probe
+    *    hashes straight to its terms' bucket families
+    *    ([[CdcApply.scanByBucketValues]]);
+    *  - `root/lens`: per-doc token counts, same MOR trickle shape;
+    *  - `root/stats`: an incrementally-maintained [[Rollup]] over the
+    *    lengths (n_docs, Σlen) — refreshed in O(changed buckets),
+    *    served from partials, so the BM25 denominator never rescans
+    *    the corpus.
+    *
+    * Constant version 1 per (term, doc_id): documents are immutable,
+    * so a replayed/re-delivered batch no-ops through the CDC replay
+    * guard and first-wins tie rules — ingest is idempotent, the same
+    * contract as [[graft.dedup.Dedup.incrementalExact]].
+    */
+  def incrementalIndex(docs: DataFrame, root: String, idCol: String,
+      textCol: String, batchId: Long): Unit = {
+    val s = docs.sparkSession
+    CdcApply.applyBatch(
+      postings(docs, idCol, textCol).withColumn("version", lit(1L)),
+      batchId, s"$root/postings", Seq("term", "doc_id"), "version",
+      None, numBuckets = 16, bucketCols = Some(Seq("term")),
+      maxDeltas = 4, commitTs = Some(batchId))
+    CdcApply.applyBatch(
+      docs.select(col(idCol).as("doc_id"),
+        T.tokenCount(col(textCol)).as("len"), lit(0).as("all"),
+        lit(1L).as("version")),
+      batchId, s"$root/lens", Seq("doc_id"), "version", None,
+      numBuckets = 8, maxDeltas = 4, commitTs = Some(batchId))
+    Rollup.syncRollup(s, s"$root/lens", s"$root/stats", Seq("all"),
+      StatsAggs, commitTs = Some(batchId))
+  }
+
+  /** Rank against the incremental index: the postings probe reads ONLY
+    * the query terms' bucket families (term-bucketed layout +
+    * [[CdcApply.scanByBucketValues]]), the stats serve from rollup
+    * partials — query cost is O(query-term postings), however many
+    * batches fed the index. Results are identical to [[score]] over
+    * the union of every ingested batch (spec + oracle-checked).
+    */
+  def searchIncremental(spark: org.apache.spark.sql.SparkSession,
+      root: String, terms: Seq[String], topK: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val post = CdcApply.scanByBucketValues(spark, s"$root/postings",
+      terms.map(Seq(_))).getOrElse(throw new IllegalStateException(
+      s"no postings table at $root/postings — ingest a batch first"))
+    val stats = Rollup.readRollup(spark, s"$root/stats", Seq("all"),
+      StatsAggs).getOrElse(throw new IllegalStateException(
+      s"no stats rollup at $root/stats — ingest a batch first"))
+      .select(col("n_docs"), col("sum_len"))
+    search(post, stats, terms, topK, k1, b)
+  }
 }

@@ -1159,6 +1159,62 @@ object CdcApply {
     }
   }
 
+  /** Bucket-pruned scan by BUCKET-COLUMN values — [[lookup]]
+    * generalized from one full key to a SET of bucket-column tuples:
+    * the live rows whose bucket columns take any of the given values,
+    * reading only the bucket families those values hash to. This is
+    * the tenant-scoped scan / inverted-index term probe: a table
+    * bucketed on `tenant` (or `term`) serves "these three tenants"
+    * from ≤ 3 bucket families out of numBuckets, not the table.
+    * `values` are positional against `TableConf.bucketCols` (the
+    * declared subset of the keys). The predicate re-checks the actual
+    * column values, so two tuples hashing to one bucket never leak
+    * each other's rows. Driver cost: |values| trivial hash jobs —
+    * bounded by the caller's probe set, the lookup pattern. Schema-less
+    * pre-v4 manifests fall back to a correct, merely unpruned filter.
+    * None before the first apply or with zero live buckets.
+    */
+  def scanByBucketValues(spark: SparkSession, root: String,
+      values: Seq[Seq[Any]]): Option[DataFrame] = {
+    require(values.nonEmpty, "at least one bucket-value tuple")
+    currentManifest(spark, root).filter(_.buckets.nonEmpty).map { m =>
+      val conf = m.conf
+      val bcols = conf.bucketCols
+      values.foreach(v => require(v.size == bcols.size,
+        s"expected ${bcols.size} bucket-column value(s) for $bcols"))
+      m.schema match {
+        case None =>
+          val pred = values.map(v => bcols.zip(v).map { case (k, x) =>
+            col(k) === lit(x) }.reduce(_ && _)).reduce(_ || _)
+          stripInternal(readRaw(spark, m.dataPaths(root), None), conf)
+            .filter(pred)
+        case Some(schema) =>
+          def typedLit(k: String, v: Any): Column =
+            schema.fields.find(_.name == k)
+              .fold(lit(v))(f => lit(v).cast(f.dataType)).as(k)
+          val ids = values.map { v =>
+            spark.range(1)
+              .select(bcols.zip(v).map { case (k, x) =>
+                typedLit(k, x) }: _*)
+              .select(bucketCol(bcols, conf.numBuckets).as("b"))
+              .head().getInt(0)
+          }.distinct.sorted.filter(m.buckets.contains)
+          val pred = values.map(v => bcols.zip(v).map { case (k, x) =>
+            col(k) === typedLit(k, x) }.reduce(_ && _)).reduce(_ || _)
+          if (ids.isEmpty)
+            // none of the probed buckets ever held a surviving row:
+            // the visible shape with zero rows from manifest schema
+            // alone, no filesystem access (the absent-bucket GET rule)
+            stripInternal(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              schema), conf)
+          else
+            stripInternal(readBucketsResolved(spark, root, m,
+              Some(ids)).get, conf).filter(pred)
+      }
+    }
+  }
+
   /** RESTORE — roll the table's LOGICAL state back to what it was at
     * retained batch `targetBatch`, committed as a NEW batch (head + 1),
     * never by re-pointing at old manifests. Re-pointing would be

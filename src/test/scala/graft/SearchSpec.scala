@@ -70,6 +70,75 @@ class SearchSpec extends AnyFunSuite with SparkTestBase {
     assert(post2.inputFiles.toSet == post.inputFiles.toSet)
   }
 
+  test("incremental index: two ingested batches rank exactly like the " +
+      "direct score over their union; replay no-ops; the term probe " +
+      "prunes to the query terms' bucket families") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("bm25_incr").toFile.getAbsolutePath
+    val b0 = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"),
+      (3L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val b1 = Seq((4L, "alpha gamma gamma"), (5L, "zeta alpha"))
+      .toDF("doc_id", "text")
+    Bm25.incrementalIndex(b0, root, "doc_id", "text", 0L)
+    Bm25.incrementalIndex(b1, root, "doc_id", "text", 1L)
+    val terms = Seq("alpha", "gamma")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaIndex = rows(Bm25.searchIncremental(spark, root, terms, 10))
+    val direct = rows(Bm25.score(b0.unionByName(b1), "doc_id", "text",
+      terms, 10))
+    assert(viaIndex == direct, s"index=$viaIndex direct=$direct")
+    // replayed ingest of an already-applied batch must change nothing
+    Bm25.incrementalIndex(b0, root, "doc_id", "text", 0L)
+    assert(rows(Bm25.searchIncremental(spark, root, terms, 10)) ==
+      direct)
+    // the probe reads only the query terms' bucket families: 'delta'
+    // (present) and the queried terms hash to specific buckets —
+    // scanning for one term must touch fewer dirs than the full set
+    val all = graft.streaming.CdcApply
+      .readSnapshot(spark, s"$root/postings").get.inputFiles.toSet
+    val one = graft.streaming.CdcApply
+      .scanByBucketValues(spark, s"$root/postings", Seq(Seq("alpha")))
+      .get.inputFiles.toSet
+    assert(one.subsetOf(all) && one.size < all.size,
+      s"probe read ${one.size}/${all.size} files — no pruning")
+    // and the pruned probe still returns exactly alpha's postings
+    val alphaDocs = graft.streaming.CdcApply
+      .scanByBucketValues(spark, s"$root/postings", Seq(Seq("alpha")))
+      .get.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(alphaDocs == Set(1L, 4L, 5L))
+  }
+
+  test("scanByBucketValues: collision safety (value re-check) and the " +
+      "absent-bucket empty shape") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("scanbv").toFile.getAbsolutePath
+    val rows = (1L to 40L).map(t => (s"t$t", t, t * 10))
+      .toDF("tenant", "k", "payload").withColumn("version",
+        org.apache.spark.sql.functions.lit(1L))
+    // 4 buckets over 40 tenants: collisions guaranteed — the probe
+    // must return ONLY the asked tenant, never a bucket-mate
+    graft.streaming.CdcApply.applyBatch(rows, 0L, root,
+      Seq("tenant", "k"), "version", None, numBuckets = 4,
+      bucketCols = Some(Seq("tenant")))
+    val got = graft.streaming.CdcApply
+      .scanByBucketValues(spark, root, Seq(Seq("t7"), Seq("t23")))
+      .get.select("tenant").collect().map(_.getString(0)).toSet
+    assert(got == Set("t7", "t23"))
+    // a value no row ever carried: empty, correct shape
+    val none = graft.streaming.CdcApply
+      .scanByBucketValues(spark, root, Seq(Seq("zz")))
+      .get
+    assert(none.count() == 0 &&
+      none.columns.toSet == Set("tenant", "k", "payload", "version"))
+    intercept[IllegalArgumentException] {
+      graft.streaming.CdcApply.scanByBucketValues(spark, root,
+        Seq(Seq("t1", "extra")))
+    }
+  }
+
   test("bm25: guards reject empty and duplicate term lists") {
     import spark.implicits._
     val docs = Seq((1L, "a")).toDF("doc_id", "text")
