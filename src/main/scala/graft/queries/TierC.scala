@@ -148,6 +148,20 @@ object TierC {
       root
     }
 
+  /** Snapshot root for `q_cdc_delete`: the two-batch stream applied,
+    * then [[graft.streaming.CdcApply.deleteWhere]] tombstones every
+    * `s_suppkey % 3 = 0` survivor in one administrative batch.
+    * Idempotent: the replayed delete finds no live matching row (all
+    * tombstoned) and commits nothing.
+    */
+  private def cdcDeleteRoot(s: SparkSession, d: String): String =
+    synchronized {
+      val root = supplierCdcRoot(s, d, "cdc_delete_q")
+      graft.streaming.CdcApply.deleteWhere(s, root,
+        col("s_suppkey") % 3 === 0, commitTs = Some(3000L))
+      root
+    }
+
   /** Snapshot root for `q_cdc_governed` — its own artifact dir (NOT
     * `cdcQueryRoot`): registering a location governs it for the whole
     * session, and the ungoverned CDC queries must keep reading their
@@ -1155,6 +1169,21 @@ object TierC {
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("cnt"), dsum(col("s_acctbal")).as("total_bal"))
         .orderBy(col("s_nationkey"))),
+
+    // C8d — predicate DELETE: every `% 3 = 0` survivor tombstoned in
+    // one administrative batch through the ordinary apply path. The
+    // oracle is the net state minus the erased keys, with the head
+    // witness proving the delete committed as batch 2 — an un-deleted
+    // row, a collaterally-deleted row, or a mutated survivor all
+    // hash-mismatch.
+    "q_cdc_delete" -> ((s, d) => {
+      val root = cdcDeleteRoot(s, d)
+      val wm = graft.streaming.CdcApply.currentVersion(s, root).get
+      graft.streaming.CdcApply.readSnapshot(s, root).get
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
+          lit(wm).as("head_batch"))
+        .orderBy(col("s_suppkey"))
+    }),
 
     // C8r — RESTORE: the same stream rolled back to batch 0 as a NEW
     // commit. The oracle is the pristine batch-0 load (every update
@@ -2346,6 +2375,16 @@ object TierC {
       ("SELECT s_suppkey, s_nationkey, s_acctbal, " +
         "CAST(1 AS BIGINT) AS version, CAST(2 AS BIGINT) AS head_batch " +
         "FROM supplier ORDER BY s_suppkey"),
+
+    // net state (batch-1 deletes %7, updates %5 +100) minus the
+    // administratively-erased %3 keys; head advanced to 2
+    "q_cdc_delete" ->
+      ("SELECT s_suppkey, s_nationkey, " +
+        "CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END AS s_acctbal, " +
+        "CAST(2 AS BIGINT) AS head_batch " +
+        "FROM supplier WHERE s_suppkey % 7 <> 0 AND s_suppkey % 3 <> 0 " +
+        "ORDER BY s_suppkey"),
 
     // q_bm25_topk's oracle over the UNION corpus the incremental
     // index ingested in two batches.

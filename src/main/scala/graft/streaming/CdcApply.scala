@@ -1405,6 +1405,51 @@ object CdcApply {
     } finally changed.unpersist()
   }
 
+  /** Predicate DELETE — the administrative erasure form (GDPR
+    * right-to-be-forgotten, bad-partition scrubbing): every live row
+    * matching `predicate` is tombstoned in ONE new batch through the
+    * ordinary apply path, so merge semantics, the change feed (each
+    * victim appears as a tombstone stamped with the new batch), the
+    * replay guard, the writer fence, and governance all hold without
+    * special cases. The tombstone carries the victim's own columns
+    * with `versionCol + 1` — it must supersede the row it deletes, and
+    * a later upsert bearing a still-higher version reclaims the key,
+    * the standard delete-then-reinsert ordering. Requires the table's
+    * `deletedCol` (append-only tables refuse) and a numeric version
+    * column (the +1). Cost: one predicate-filtered snapshot read +
+    * an apply touching only the victims' buckets. NOTE: like any
+    * tombstone delete, the erased VALUES survive physically until the
+    * touched buckets' tombstones age and [[vacuum]] sweeps old
+    * manifests/time travel — run retention maintenance to complete an
+    * erasure. Returns the committed batch id, or None when no live
+    * row matched (nothing committed).
+    */
+  def deleteWhere(spark: SparkSession, root: String,
+      predicate: Column, commitTs: Option[Long] = None): Option[Long] = {
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no CDC table at $root"))
+    val conf = m.conf
+    val dc = conf.deletedCol.getOrElse(throw new IllegalArgumentException(
+      s"deleteWhere on $root: the table declares no deleted column " +
+        "(append-only tables cannot delete)"))
+    val head = currentVersion(spark, root).get
+    val newBatch = head + 1
+    val victims = readSnapshot(spark, root) match {
+      case None => return None
+      case Some(s) => s.filter(predicate)
+    }
+    val batch = victims
+      .withColumn(conf.versionCol, col(conf.versionCol) + lit(1L))
+      .withColumn(dc, lit(true))
+    val logged = fsFor(spark, root).exists(new Path(root, "changelog"))
+    if (applyBatch(batch, newBatch, root, conf.keys, conf.versionCol,
+        conf.deletedCol, numBuckets = conf.numBuckets,
+        tombstoneRetention = conf.retention, commitTs = commitTs,
+        changelog = logged, maxDeltas = conf.maxDeltas,
+        bucketCols = conf.bucketKeys)) Some(newBatch)
+    else None
+  }
+
   /** Timestamp form of [[restore]]: resolve `ts` to the latest batch
     * committed at or before it ([[resolveAsOf]]) and restore to that.
     * None when nothing committed (no-op), like the batch form.

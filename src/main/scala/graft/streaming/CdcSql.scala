@@ -294,6 +294,26 @@ object CdcSql {
             .toDF("source", "mirror", "reseeded", "current_batch")
             .queryExecution.analyzed
         }),
+      (FunctionIdentifier("cdc_delete_where"),
+        new ExpressionInfo("graft.streaming.CdcSql",
+          "cdc_delete_where"),
+        args => {
+          if (args.size != 2) throw new UnsupportedOperationException(
+            "cdc_delete_where(name, predicate) takes 2 arguments")
+          val name = argString(args(0), "cdc_delete_where name")
+          val predSql = argString(args(1), "cdc_delete_where predicate")
+          val spark = activeSession
+          val root = resolveRoot(name)
+          // a delete is a WRITE: same principal gate as restore
+          requireMaintainer(spark, name, root, "cdc_delete_where")
+          val committed = CdcApply.deleteWhere(spark, root,
+            org.apache.spark.sql.functions.expr(predSql))
+          spark.createDataFrame(Seq((name, predSql, committed,
+              CdcApply.currentVersion(spark, root))))
+            .toDF("name", "predicate", "committed_batch",
+              "current_batch")
+            .queryExecution.analyzed
+        }),
       (FunctionIdentifier("cdc_restore"),
         new ExpressionInfo("graft.streaming.CdcSql", "cdc_restore"),
         args => {

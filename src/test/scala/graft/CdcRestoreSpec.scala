@@ -165,6 +165,48 @@ class CdcRestoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("deleteWhere tombstones exactly the matching live rows as one " +
+      "batch: feed reports them, head advances, repeat no-ops, a " +
+      "higher-versioned upsert reclaims the key") {
+    import spark.implicits._
+    val root = build() // state2: 1->updated(v20) 3..6->v_(v10,..) 9? no
+    assert(C.deleteWhere(spark, root, col("k") % 2 === 0,
+      commitTs = Some(9000L)).contains(3L))
+    assert(live(C.readSnapshot(spark, root).get) ==
+      state2.filter { case (k, _) => k % 2 != 0 })
+    // feed: one tombstone per even live key, stamped 3, version+1
+    val feed = C.changesSince(spark, root, 2L).get.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("version"),
+        r.getAs[Boolean]("deleted"))).toSet
+    assert(feed == Set((4L, 11L, true), (6L, 11L, true)))
+    // nothing matches anymore: None, head unchanged
+    assert(C.deleteWhere(spark, root, col("k") % 2 === 0).isEmpty)
+    assert(C.currentVersion(spark, root).contains(3L))
+    // delete-then-reinsert: higher version beats the v+1 tombstone
+    assert(apply(root, Seq((4L, 30L, "back", false)), 4L))
+    assert(live(C.readSnapshot(spark, root).get)
+      .get(4L).contains("back"))
+    // append-only tables refuse
+    val ao = tmp("del_ao")
+    C.applyBatch(Seq((1L, 10L, "a")).toDF("k", "version", "v"), 0L,
+      ao, Seq("k"), "version", None, numBuckets = 2)
+    intercept[IllegalArgumentException] {
+      C.deleteWhere(spark, ao, col("k") === 1L)
+    }
+  }
+
+  test("cdc_delete_where runs from SQL under the maintenance gate") {
+    val root = build()
+    CdcSql.registerTable(spark, root, "del_t")
+    try {
+      val row = spark.sql(
+        "SELECT * FROM cdc_delete_where('del_t', 'k > 4')").head()
+      assert(row.getAs[Long]("committed_batch") == 3L)
+      assert(live(spark.sql("SELECT k, v FROM del_t")) ==
+        state2.filter { case (k, _) => k <= 4 })
+    } finally CdcSql.unregisterTable("del_t")
+  }
+
   test("cdc_restore runs from SQL under the maintenance gate and the " +
       "snapshot SQL name serves the restored state") {
     val root = build()
