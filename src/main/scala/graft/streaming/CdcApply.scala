@@ -1450,6 +1450,52 @@ object CdcApply {
     else None
   }
 
+  /** Predicate UPDATE — [[deleteWhere]]'s sibling: every live row
+    * matching `predicate` is re-upserted with the `set` expressions
+    * applied (unlisted columns carry over verbatim) and `versionCol +
+    * 1`, as ONE batch through the ordinary apply path — feed, replay
+    * guard, fence, and governance all hold unchanged. `set` must not
+    * touch key columns (that is a delete + insert, two different
+    * rows), the version column (the supersede bump owns it), or the
+    * deleted flag ([[deleteWhere]] owns that). Returns the committed
+    * batch id, or None when no live row matched.
+    */
+  def updateWhere(spark: SparkSession, root: String, predicate: Column,
+      set: Map[String, Column],
+      commitTs: Option[Long] = None): Option[Long] = {
+    require(set.nonEmpty, "at least one SET column is required")
+    val m = currentManifest(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no CDC table at $root"))
+    val conf = m.conf
+    val illegal = set.keySet.filter(c => conf.keys.contains(c) ||
+      c == conf.versionCol || conf.deletedCol.contains(c))
+    require(illegal.isEmpty,
+      s"updateWhere must not set key/version/deleted columns: " +
+        s"${illegal.mkString(",")}")
+    val head = currentVersion(spark, root).get
+    val newBatch = head + 1
+    val victims = readSnapshot(spark, root) match {
+      case None => return None
+      case Some(s) => s.filter(predicate)
+    }
+    set.keySet.foreach(c => require(victims.columns.contains(c),
+      s"updateWhere SET names an unknown column '$c'"))
+    val updated = set.foldLeft(victims) { case (df, (c, e)) =>
+      df.withColumn(c, e) }
+      .withColumn(conf.versionCol, col(conf.versionCol) + lit(1L))
+    // the snapshot read strips the deleted flag — restore it as a live
+    // marker (victims are live by construction)
+    val batch = conf.deletedCol.fold(updated)(dc =>
+      updated.withColumn(dc, lit(false)))
+    val logged = fsFor(spark, root).exists(new Path(root, "changelog"))
+    if (applyBatch(batch, newBatch, root, conf.keys, conf.versionCol,
+        conf.deletedCol, numBuckets = conf.numBuckets,
+        tombstoneRetention = conf.retention, commitTs = commitTs,
+        changelog = logged, maxDeltas = conf.maxDeltas,
+        bucketCols = conf.bucketKeys)) Some(newBatch)
+    else None
+  }
+
   /** Timestamp form of [[restore]]: resolve `ts` to the latest batch
     * committed at or before it ([[resolveAsOf]]) and restore to that.
     * None when nothing committed (no-op), like the batch form.

@@ -314,6 +314,29 @@ object CdcSql {
               "current_batch")
             .queryExecution.analyzed
         }),
+      (FunctionIdentifier("cdc_update_where"),
+        new ExpressionInfo("graft.streaming.CdcSql",
+          "cdc_update_where"),
+        args => {
+          if (args.size != 4) throw new UnsupportedOperationException(
+            "cdc_update_where(name, predicate, column, expression) " +
+              "takes 4 arguments")
+          val name = argString(args(0), "cdc_update_where name")
+          val predSql = argString(args(1), "cdc_update_where predicate")
+          val colName = argString(args(2), "cdc_update_where column")
+          val valSql = argString(args(3), "cdc_update_where expression")
+          val spark = activeSession
+          val root = resolveRoot(name)
+          requireMaintainer(spark, name, root, "cdc_update_where")
+          val committed = CdcApply.updateWhere(spark, root,
+            org.apache.spark.sql.functions.expr(predSql),
+            Map(colName -> org.apache.spark.sql.functions.expr(valSql)))
+          spark.createDataFrame(Seq((name, predSql, colName, committed,
+              CdcApply.currentVersion(spark, root))))
+            .toDF("name", "predicate", "column", "committed_batch",
+              "current_batch")
+            .queryExecution.analyzed
+        }),
       (FunctionIdentifier("cdc_restore"),
         new ExpressionInfo("graft.streaming.CdcSql", "cdc_restore"),
         args => {

@@ -195,6 +195,48 @@ class CdcRestoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("updateWhere re-upserts matching rows with SET applied and " +
+      "version+1; key/version/deleted columns are refused") {
+    import spark.implicits._
+    val root = build()
+    assert(C.updateWhere(spark, root, col("k") <= 3L,
+      Map("v" -> concat(col("v"), lit("!"))),
+      commitTs = Some(9000L)).contains(3L))
+    assert(live(C.readSnapshot(spark, root).get) ==
+      state2 + (1L -> "updated!") + (3L -> "edited!"))
+    val feed = C.changesSince(spark, root, 2L).get.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("version"),
+        r.getAs[String]("v"))).toSet
+    assert(feed == Set((1L, 21L, "updated!"), (3L, 21L, "edited!")))
+    // no live match → None; illegal SET targets refuse
+    assert(C.updateWhere(spark, root, col("k") === 999L,
+      Map("v" -> lit("x"))).isEmpty)
+    intercept[IllegalArgumentException] {
+      C.updateWhere(spark, root, col("k") === 1L,
+        Map("version" -> lit(99L)))
+    }
+    intercept[IllegalArgumentException] {
+      C.updateWhere(spark, root, col("k") === 1L,
+        Map("k" -> lit(2L)))
+    }
+    intercept[IllegalArgumentException] {
+      C.updateWhere(spark, root, col("k") === 1L,
+        Map("nope" -> lit(1L)))
+    }
+  }
+
+  test("cdc_update_where runs from SQL under the maintenance gate") {
+    val root = build()
+    CdcSql.registerTable(spark, root, "upd_t")
+    try {
+      val row = spark.sql("SELECT * FROM cdc_update_where('upd_t', " +
+        "'k = 4', 'v', 'upper(v)')").head()
+      assert(row.getAs[Long]("committed_batch") == 3L)
+      assert(live(spark.sql("SELECT k, v FROM upd_t")) ==
+        state2 + (4L -> "V4"))
+    } finally CdcSql.unregisterTable("upd_t")
+  }
+
   test("cdc_delete_where runs from SQL under the maintenance gate") {
     val root = build()
     CdcSql.registerTable(spark, root, "del_t")
