@@ -239,6 +239,13 @@ object Plans {
       "corpus stats broadcast; scoring is map-side over the pruned " +
       "scan; the final top-k is TakeOrderedAndProject, never a " +
       "global sort."),
+    "q_bm25_incremental" -> ("Incremental BM25 probe: the postings " +
+      "side is scanByBucketValues over the term-bucketed CDC table — " +
+      "the scan lists only the query terms' bucket-family directories " +
+      "(three files out of the full postings layout), resolution only " +
+      "where merge-on-read deltas pend; corpus stats serve from " +
+      "rollup partials (a handful of rows), never a corpus rescan. " +
+      "Ingest cost lives upstream in O(batch) applies."),
     "q_corr_moments" -> ("Correlation from exact integer moments: ONE " +
       "scan, two-phase hash aggregate with map-side partials — the " +
       "shuffle carries six longs per group, and the Pearson/covariance " +
