@@ -609,7 +609,10 @@ object TierB {
         .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("qty"), col("price"), col("disc")),
           "measure", "val")
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))),
+        // (l_orderkey, l_linenumber) is NOT unique in lineitem — `val`
+        // completes the total order the hash compare needs
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"),
+          col("val"))),
 
     // B31 — correlation / covariance from exact integer moments. One
     // partial-aggregated pass computes (n, Σx, Σy, Σx², Σy², Σxy) as
@@ -905,7 +908,7 @@ object TierB {
         "FROM lineitem WHERE l_orderkey <= 400) " +
         "SELECT l_orderkey, l_linenumber, measure, val FROM src " +
         "UNPIVOT (val FOR measure IN (qty, price, disc)) " +
-        "ORDER BY l_orderkey, l_linenumber, measure"),
+        "ORDER BY l_orderkey, l_linenumber, measure, val"),
     "q_corr_moments" ->
       ("WITH m AS (SELECT l_returnflag, COUNT(*) AS n, " +
         "SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx, SUM(y*y) AS syy, " +

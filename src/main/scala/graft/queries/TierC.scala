@@ -162,6 +162,24 @@ object TierC {
       root
     }
 
+  /** Snapshot root for `q_cdc_update`: the two-batch stream applied,
+    * then [[graft.streaming.CdcApply.updateWhere]] posts a correction
+    * (+1000 balance for nation 3) as one administrative batch.
+    * Idempotent via a no-second-run guard: a re-run's updateWhere
+    * would re-match and bump again, so the root applies it only when
+    * the head is still 1 (the replay-guard pattern, driver-side).
+    */
+  private def cdcUpdateRoot(s: SparkSession, d: String): String =
+    synchronized {
+      val root = supplierCdcRoot(s, d, "cdc_update_q")
+      if (graft.streaming.CdcApply.currentVersion(s, root).contains(1L))
+        graft.streaming.CdcApply.updateWhere(s, root,
+          col("s_nationkey") === 3,
+          Map("s_acctbal" -> (col("s_acctbal") + lit(1000.0))),
+          commitTs = Some(3000L))
+      root
+    }
+
   /** Snapshot root for `q_cdc_governed` — its own artifact dir (NOT
     * `cdcQueryRoot`): registering a location governs it for the whole
     * session, and the ungoverned CDC queries must keep reading their
@@ -1178,6 +1196,20 @@ object TierC {
     // hash-mismatch.
     "q_cdc_delete" -> ((s, d) => {
       val root = cdcDeleteRoot(s, d)
+      val wm = graft.streaming.CdcApply.currentVersion(s, root).get
+      graft.streaming.CdcApply.readSnapshot(s, root).get
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
+          lit(wm).as("head_batch"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // C8u — predicate UPDATE: a +1000 correction for one nation posted
+    // through updateWhere. Oracle = net state with the correction
+    // composed over the batch-1 update — order matters (%5 rows in
+    // nation 3 get +100 then +1000) and both engines compose it the
+    // same way; head witness proves one administrative batch.
+    "q_cdc_update" -> ((s, d) => {
+      val root = cdcUpdateRoot(s, d)
       val wm = graft.streaming.CdcApply.currentVersion(s, root).get
       graft.streaming.CdcApply.readSnapshot(s, root).get
         .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
@@ -2375,6 +2407,18 @@ object TierC {
       ("SELECT s_suppkey, s_nationkey, s_acctbal, " +
         "CAST(1 AS BIGINT) AS version, CAST(2 AS BIGINT) AS head_batch " +
         "FROM supplier ORDER BY s_suppkey"),
+
+    // net state with the +1000 nation-3 correction composed over the
+    // batch-1 +100 update, same left-to-right order both engines
+    "q_cdc_update" ->
+      ("SELECT s_suppkey, s_nationkey, " +
+        "CASE WHEN s_nationkey = 3 THEN " +
+        "(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END) + 1000 " +
+        "ELSE (CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END) END AS s_acctbal, " +
+        "CAST(2 AS BIGINT) AS head_batch " +
+        "FROM supplier WHERE s_suppkey % 7 <> 0 ORDER BY s_suppkey"),
 
     // net state (batch-1 deletes %7, updates %5 +100) minus the
     // administratively-erased %3 keys; head advanced to 2

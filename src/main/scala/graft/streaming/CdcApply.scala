@@ -1424,8 +1424,38 @@ object CdcApply {
     * erasure. Returns the committed batch id, or None when no live
     * row matched (nothing committed).
     */
+  /** Up-front write guard for the predicate-DML entry points: a
+    * governed root refuses every principal but the DataAdmin BEFORE
+    * the embedded snapshot read runs. Without this, the fence would
+    * still hold (the apply's file write is check-ruled), but the
+    * denied principal's GOVERNED read would fire first — RLS/CLS
+    * would silently shrink the victim set and strip columns, turning
+    * the denial into a confusing analysis error (or worse, a
+    * partial-view mutation if the schema happened to survive).
+    * Writes derived from reads must be planned against the
+    * unmasked table, and only the DataAdmin may see it.
+    */
+  private def requireDmlWriter(spark: SparkSession, root: String,
+      op: String): Unit =
+    graft.governance.GovernanceCatalog.tableForLocation(root).foreach {
+      case (db, t) =>
+        val p = graft.governance.Principal.fromName(spark.conf.get(
+          graft.governance.GovernanceRule.PrincipalConf,
+          graft.governance.Anonymous.name))
+        if (p != graft.governance.DataAdmin) {
+          graft.governance.AuditLog.record(graft.governance.AuditEvent(
+            "write-denied", p.name, Seq(s"$db.$t"), governed = true,
+            rowsOut = None, durationNs = 0L,
+            error = Some(s"$op denied")))
+          throw new graft.governance.AccessDeniedException(
+            s"principal ${p.name} may not run $op on governed CDC " +
+              s"table $db.$t (only DataAdmin holds write access)")
+        }
+    }
+
   def deleteWhere(spark: SparkSession, root: String,
       predicate: Column, commitTs: Option[Long] = None): Option[Long] = {
+    requireDmlWriter(spark, root, "deleteWhere")
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no CDC table at $root"))
     val conf = m.conf
@@ -1463,6 +1493,7 @@ object CdcApply {
   def updateWhere(spark: SparkSession, root: String, predicate: Column,
       set: Map[String, Column],
       commitTs: Option[Long] = None): Option[Long] = {
+    requireDmlWriter(spark, root, "updateWhere")
     require(set.nonEmpty, "at least one SET column is required")
     val m = currentManifest(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no CDC table at $root"))

@@ -274,4 +274,34 @@ class CdcGovernanceSpec extends AnyFunSuite with SparkTestBase {
       Set(1L -> false, 3L -> true), feed.toSeq.toString)
     assert(!feed.head.schema.fieldNames.contains("secret"))
   }
+
+  test("governance composes with bucket-pruned value scans and gates " +
+      "the administrative predicate writes") {
+    val root = buildSnapshot()
+    register(root)
+    // analyst probes k=1 (APAC, in-grant) and k=2 (EMEA, filtered):
+    // the pruned scan returns only the granted row, allowlisted shape
+    val got = Governance.withPrincipal(spark, Analyst) {
+      CdcApply.scanByBucketValues(spark, root, Seq(Seq(1L), Seq(2L)))
+        .get.collect()
+    }
+    assert(got.map(r => (r.getAs[Long]("k"),
+      r.getAs[Double]("amount"))).toSeq == Seq(1L -> 11.0),
+      got.toSeq.toString)
+    assert(!got.head.schema.fieldNames.contains("secret"))
+    // deleteWhere under a non-admin principal is a WRITE: denied
+    // before anything commits, and the state is untouched
+    intercept[AccessDeniedException] {
+      Governance.withPrincipal(spark, Analyst) {
+        CdcApply.deleteWhere(spark, root,
+          org.apache.spark.sql.functions.col("k") === 1L)
+      }
+    }
+    val after = Governance.withPrincipal(spark, DataAdmin) {
+      CdcApply.lookup(spark, root, Seq(1L)).get.collect()
+    }
+    assert(after.length == 1, "denied delete must not remove the row")
+    assert(CdcApply.currentVersion(spark, root).contains(1L),
+      "denied delete must not commit a batch")
+  }
 }

@@ -21,6 +21,7 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_ann_kmeans",        // 1-row query-vector crossJoin
     "q_ann_pq",            // 1-row query-vector crossJoin (LUT build)
     "q_bm25_topk",         // 1-row corpus-stats crossJoin
+    "q_bm25_incremental",  // 1-row corpus-stats crossJoin (rollup)
     "q_subquery_scalar")   // 1-row broadcast scalar-threshold aggregate
 
   /** Queries whose plan legitimately contains an UNPARTITIONED window:
