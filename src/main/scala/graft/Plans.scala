@@ -266,7 +266,30 @@ object Plans {
       "normal manifest (the diff batch) rather than installing any " +
       "special read path. The restore itself (upstream, once per " +
       "artifact) diffed only buckets whose dir tags postdate the " +
-      "target and rewrote only buckets that differ."))
+      "target and rewrote only buckets that differ."),
+    "q_corpus_overlap" -> ("Cross-source contamination matrix: the " +
+      "intersection join is keyed on the SHINGLE (equi-join after " +
+      "per-group distinct), so a shared shingle costs O(sources²) " +
+      "rows for that shingle only — never an all-pairs document " +
+      "comparison; per-group set sizes are a handful of rows joined " +
+      "as broadcasts onto the pair counts. STAGED: the per-group " +
+      "shingle set feeds three plan subtrees, so it materializes " +
+      "once (every Location in the plan is the staged parquet) — " +
+      "the corpus is scanned and shingled exactly once, and text " +
+      "never enters the join plan at all."),
+    "q_hybrid_search" -> ("Hybrid retrieval fusion: both runs are " +
+      "index-pruned top-k (partition-pruned BM25 postings probe; " +
+      "broadcast 1-row query vector), so the RRF stage — global " +
+      "windows and a full-outer join — operates on ≤ k rows total. " +
+      "The single-partition window the plan shows is over the " +
+      "15-row run, not data; the expensive scans happened inside " +
+      "the runs."),
+    "q_leakage_split" -> ("Leakage-safe split census: cluster " +
+      "resolution is the O(log n) pointer-jumping fixpoint (each " +
+      "pass one equi-join shuffle over label rows, checkpointed); " +
+      "the split assignment itself is a MAP-SIDE projection on the " +
+      "cluster id — no shuffle is added over q_dedup_clusters " +
+      "beyond the census's own two-phase aggregate."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",

@@ -540,6 +540,35 @@ object Dedup {
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
       .withColumn("is_keeper", col(idCol) === col("cluster_id"))
 
+  /** Leakage-safe train/val/test split: assignment is a deterministic
+    * function of the CLUSTER id, not the document id, so every member
+    * of a near-dup cluster lands in the SAME split — a near-duplicate
+    * of a training document can never leak into the held-out sets
+    * (the standard eval-integrity requirement a per-document split
+    * silently violates). `membership` is [[keepers]]' output (or any
+    * frame with `idCol` + `cluster_id`); `scrambled` is the caller's
+    * deterministic scramble of `cluster_id` (id-derived, so the same
+    * corpus splits identically on every run and engine — a seeded
+    * randomSplit is neither). Percent bounds: `[0, trainPct)` train,
+    * `[trainPct, trainPct + valPct)` val, rest test, over the
+    * scramble mod 100.
+    *
+    * Scale: one map-side projection — assigning the split shuffles
+    * nothing; cluster resolution ([[clusters]]) already paid its
+    * O(log n) passes.
+    */
+  def splitByCluster(membership: DataFrame,
+      scrambled: org.apache.spark.sql.Column, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"invalid split percents ($trainPct, $valPct)")
+    val bucket = pmod(scrambled, lit(100L))
+    membership.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** Candidate near-dup pairs by SimHash, with Hamming distance attached.

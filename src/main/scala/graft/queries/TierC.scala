@@ -693,6 +693,25 @@ object TierC {
         Dedup.clusters(verifiedPairs(s, d).select("id_a", "id_b")))
         .orderBy(col("doc_id"))),
 
+    // C1c — leakage-safe train/val/test split: the split key is the
+    // near-dup CLUSTER id, so a near-duplicate of a training document
+    // can never land in val/test (the eval-integrity property a
+    // per-document split silently violates — Dedup.splitByCluster).
+    // Cluster resolution reuses the verified-pair index; the split
+    // itself is a map-side projection (shuffles nothing). Oracle:
+    // recursive-CTE transitive closure + the shared scramble formula,
+    // so a wrong cluster id or a drifted scramble both hash-mismatch
+    // the per-split census.
+    "q_leakage_split" -> ((s, d) =>
+      Dedup.splitByCluster(
+        Dedup.keepers(Tables.documents(s, d), "doc_id",
+          Dedup.clusters(verifiedPairs(s, d).select("id_a", "id_b"))),
+        trainShuffleKey(col("cluster_id")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .orderBy(col("split"))),
+
     // Embedding-cosine near-dup via hyperplane LSH buckets.
     "q_embed_neardup" -> ((s, d) =>
       Ann.lshNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -1706,6 +1725,56 @@ object TierC {
           nullif(col("c_mktsegment"), lit("BUILDING")).as("segment")),
         Seq("c_custkey", "c_nationkey", "segment"))),
 
+    // C15 — cross-source contamination matrix: pairwise distinct-shingle
+    // Jaccard between corpus sources (Ngrams.groupOverlap). The
+    // intersection join is keyed on the SHINGLE — a shared shingle
+    // costs O(sources²) rows for that shingle only, never an all-pairs
+    // document comparison; set sizes broadcast. All counts exact
+    // BIGINTs, the one division per output row — oracle-exact.
+    // STAGED path (the scale configuration): the per-source shingle
+    // set feeds three plan subtrees, so it materializes once.
+    "q_corpus_overlap" -> ((s, d) =>
+      graft.search.Ngrams.groupOverlap(
+        Tables.documents(s, d), "source", "text",
+        stagingDir = Some("target/graft-data/overlap_staging/" +
+          graft.sources.Artifacts.datasetKey(d, s"$d/documents.parquet")))
+        .orderBy(col("group_a"), col("group_b"))),
+
+    // C16 — n-gram commonness scoring (the exact-count flavor of
+    // n-gram-LM document scoring): each document's mean corpus
+    // document-frequency over its distinct shingles. High mean_df =
+    // boilerplate/stereotyped text; ~1 = novel. Exact integer sums
+    // (order-independent), one division per row. Two shingle-keyed
+    // shuffles; text never shuffles.
+    "q_ngram_commonness" -> ((s, d) =>
+      graft.search.Ngrams.commonness(
+        Tables.documents(s, d), "doc_id", "text",
+        stagingDir = Some("target/graft-data/ngram_staging/" +
+          graft.sources.Artifacts.datasetKey(d, s"$d/documents.parquet")))
+        .orderBy(col("doc_id"))),
+
+    // C17 — hybrid retrieval: BM25 keyword run + exact-cosine embedding
+    // run fused by Reciprocal Rank Fusion (Fusion.rrf; vec_id aligns
+    // with doc_id in the embeddings sidecar table). Both runs are
+    // index-pruned top-k (tiny); ranking and fusion touch ≤ k rows.
+    // Ranks are total-order integers and each reciprocal is one IEEE
+    // division, so the fused scores are bit-identical in the oracle's
+    // mirrored expression tree.
+    "q_hybrid_search" -> ((s, d) => {
+      val idxRoot = new java.io.File("target/graft-data/bm25_index/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/documents.parquet"))
+        .getAbsolutePath
+      val (post, stats) = Bm25.persistedIndex(
+        Tables.documents(s, d), "doc_id", "text", idxRoot)
+      val kw = Bm25.search(post, stats, Seq("vector", "join", "dup"),
+        topK = 15)
+      val vec = Ann.bruteForceTopK(Tables.embeddings(s, d), "vec_id",
+        "embedding", queryId = 0L, k = 10)
+        .select(col("vec_id").as("doc_id"), col("sim"))
+      graft.search.Fusion.rrf(
+        Seq(("kw", kw, "score"), ("vec", vec, "sim")), "doc_id")
+    }),
+
     // rows-only: product-quantization ANN (Jégou et al. 2011), the
     // candidate-stage-plus-refinement shape PQ is deployed in at
     // 100 TB: the persisted index is m=16 codebook ids per vector
@@ -1895,6 +1964,78 @@ object TierC {
       "SELECT vec_id, " + cosSql("dot", "na", "nb") + " AS sim FROM s " +
       "ORDER BY sim DESC, vec_id LIMIT 10"
 
+  /** BM25 CTE chain + final select, factored so the hybrid-search
+    * oracle composes the SAME text the q_bm25_topk oracle runs (one
+    * definition — the two can never drift). Mirrors Bm25.search's
+    * expression tree op for op (same parenthesization → identical
+    * correctly-rounded doubles).
+    */
+  private val bm25Ctes: String =
+    "lens AS (SELECT doc_id, CAST(len(list_filter(" +
+      "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) " +
+      "AS BIGINT) AS len FROM documents), " +
+      "stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS sum_len " +
+      "FROM lens), " +
+      "tok AS (SELECT doc_id, unnest(list_filter(" +
+      "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) " +
+      "AS term FROM documents), " +
+      "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf " +
+      "FROM tok WHERE term IN ('vector', 'join', 'dup') " +
+      "GROUP BY doc_id, term), " +
+      "dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df " +
+      "FROM tf GROUP BY term), " +
+      "sc AS (SELECT t.doc_id, t.term, " +
+      "((CAST(st.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5)) * " +
+      "(t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * " +
+      "(CAST(l.len AS DOUBLE) / (CAST(st.sum_len AS DOUBLE) / " +
+      "CAST(st.n_docs AS DOUBLE))))) AS s " +
+      "FROM tf t JOIN dft d USING (term) JOIN lens l USING (doc_id) " +
+      "CROSS JOIN stats st), " +
+      "piv AS (SELECT doc_id, " +
+      "max(CASE WHEN term = 'vector' THEN s END) AS s0, " +
+      "max(CASE WHEN term = 'join' THEN s END) AS s1, " +
+      "max(CASE WHEN term = 'dup' THEN s END) AS s2 " +
+      "FROM sc GROUP BY doc_id)"
+
+  private val bm25Select: String =
+    "SELECT doc_id, ((COALESCE(s0, 0.0) + COALESCE(s1, 0.0)) + " +
+      "COALESCE(s2, 0.0)) AS score " +
+      "FROM piv ORDER BY score DESC, doc_id LIMIT 15"
+
+  /** Exact-cosine top-k CTEs + final select, factored for the same
+    * reason (shared by q_embed_topk and the hybrid oracle).
+    */
+  private val embedCtes: String =
+    "q AS (SELECT " + quantSql + " AS qv FROM embeddings " +
+      "WHERE vec_id = 0), " +
+      "e AS (SELECT vec_id, " + quantSql + " AS ev FROM embeddings " +
+      "WHERE vec_id <> 0), " +
+      "s AS (SELECT vec_id, " +
+      "CAST(list_sum(list_transform(list_zip(ev, qv), " +
+      "p -> p[1] * p[2])) AS BIGINT) AS dotq, " +
+      "CAST(list_sum(list_transform(ev, x -> x * x)) AS BIGINT) AS na, " +
+      "CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nb " +
+      "FROM e, q)"
+
+  private val embedSelect: String =
+    "SELECT vec_id, CAST(dotq AS DOUBLE) / " +
+      "(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS sim " +
+      "FROM s ORDER BY sim DESC, vec_id LIMIT 10"
+
+  /** DuckDB twin of the per-group distinct shingle SET — `(g, sh)`
+    * rows over an arbitrary grouping column, for the overlap and
+    * commonness oracles.
+    */
+  private def groupShingleCte(groupCol: String): String =
+    s"gsh AS (SELECT DISTINCT $groupCol AS g, unnest(s) AS sh FROM " +
+      "(SELECT " + groupCol + ", CASE WHEN len(toks) < 3 " +
+      "THEN [array_to_string(toks, ' ')] " +
+      "ELSE list_transform(range(1, len(toks)-1), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS s " +
+      "FROM (SELECT " + groupCol + ", " +
+      "list_filter(regexp_split_to_array(trim(text), '\\s+'), " +
+      "t -> t <> '') AS toks FROM documents)))"
+
   val oracles: Map[String, String] = Map(
     "q_jsonl_sink" ->
       ("SELECT lang, COUNT(*) AS n_docs, " +
@@ -2002,20 +2143,7 @@ object TierC {
         "CAST(SUM(LENGTH(scrubbed) - LENGTH(regexp_replace(scrubbed, " +
         "'<ID>', '', 'g'))) AS BIGINT) AS id_mark_chars " +
         "FROM u GROUP BY lang ORDER BY lang"),
-    "q_embed_topk" ->
-      ("WITH q AS (SELECT " + quantSql + " AS qv FROM embeddings " +
-        "WHERE vec_id = 0), " +
-        "e AS (SELECT vec_id, " + quantSql + " AS ev FROM embeddings " +
-        "WHERE vec_id <> 0), " +
-        "s AS (SELECT vec_id, " +
-        "CAST(list_sum(list_transform(list_zip(ev, qv), " +
-        "p -> p[1] * p[2])) AS BIGINT) AS dotq, " +
-        "CAST(list_sum(list_transform(ev, x -> x * x)) AS BIGINT) AS na, " +
-        "CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nb " +
-        "FROM e, q) " +
-        "SELECT vec_id, CAST(dotq AS DOUBLE) / " +
-        "(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS sim " +
-        "FROM s ORDER BY sim DESC, vec_id LIMIT 10"),
+    "q_embed_topk" -> ("WITH " + embedCtes + " " + embedSelect),
     "q_stream_window" ->
       ("SELECT date_trunc('hour', ts) AS hour_ts, event_type, " +
         "COUNT(*) AS cnt, " +
@@ -2468,35 +2596,77 @@ object TierC {
 
     // Mirrors Bm25.search's expression tree op for op (same
     // parenthesization → identical correctly-rounded doubles).
-    "q_bm25_topk" ->
-      ("WITH lens AS (SELECT doc_id, CAST(len(list_filter(" +
-        "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) " +
-        "AS BIGINT) AS len FROM documents), " +
-        "stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS sum_len " +
-        "FROM lens), " +
-        "tok AS (SELECT doc_id, unnest(list_filter(" +
-        "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) " +
-        "AS term FROM documents), " +
-        "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf " +
-        "FROM tok WHERE term IN ('vector', 'join', 'dup') " +
-        "GROUP BY doc_id, term), " +
-        "dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df " +
-        "FROM tf GROUP BY term), " +
-        "sc AS (SELECT t.doc_id, t.term, " +
-        "((CAST(st.n_docs AS DOUBLE) - d.df + 0.5) / (d.df + 0.5)) * " +
-        "(t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * " +
-        "(CAST(l.len AS DOUBLE) / (CAST(st.sum_len AS DOUBLE) / " +
-        "CAST(st.n_docs AS DOUBLE))))) AS s " +
-        "FROM tf t JOIN dft d USING (term) JOIN lens l USING (doc_id) " +
-        "CROSS JOIN stats st), " +
-        "piv AS (SELECT doc_id, " +
-        "max(CASE WHEN term = 'vector' THEN s END) AS s0, " +
-        "max(CASE WHEN term = 'join' THEN s END) AS s1, " +
-        "max(CASE WHEN term = 'dup' THEN s END) AS s2 " +
-        "FROM sc GROUP BY doc_id) " +
-        "SELECT doc_id, ((COALESCE(s0, 0.0) + COALESCE(s1, 0.0)) + " +
-        "COALESCE(s2, 0.0)) AS score " +
-        "FROM piv ORDER BY score DESC, doc_id LIMIT 15"),
+    "q_bm25_topk" -> ("WITH " + bm25Ctes + " " + bm25Select),
+
+    // RRF over the two factored runs: dense total-order ranks
+    // (score desc, id), one reciprocal per retrieved rank, fixed
+    // kw-then-vec addition — the mirrored tree of Fusion.rrf.
+    "q_hybrid_search" ->
+      ("WITH " + bm25Ctes + ", " + embedCtes + ", " +
+        "kw AS (" + bm25Select + "), " +
+        "vec AS (" + embedSelect + "), " +
+        "rk AS (SELECT doc_id, CAST(ROW_NUMBER() OVER " +
+        "(ORDER BY score DESC, doc_id) AS BIGINT) AS rank_kw FROM kw), " +
+        "rv AS (SELECT vec_id AS doc_id, CAST(ROW_NUMBER() OVER " +
+        "(ORDER BY sim DESC, vec_id) AS BIGINT) AS rank_vec FROM vec), " +
+        "f AS (SELECT COALESCE(rk.doc_id, rv.doc_id) AS doc_id, " +
+        "rank_kw, rank_vec FROM rk FULL JOIN rv ON rk.doc_id = rv.doc_id) " +
+        "SELECT doc_id, rank_kw, rank_vec, " +
+        "((CASE WHEN rank_kw IS NOT NULL THEN " +
+        "1.0 / (60.0 + CAST(rank_kw AS DOUBLE)) ELSE 0.0 END) + " +
+        "(CASE WHEN rank_vec IS NOT NULL THEN " +
+        "1.0 / (60.0 + CAST(rank_vec AS DOUBLE)) ELSE 0.0 END)) " +
+        "AS rrf_score " +
+        "FROM f ORDER BY rrf_score DESC, doc_id"),
+
+    // per-source distinct shingle sets → shingle-keyed intersection
+    // counts + set sizes; exact BIGINTs into one division
+    "q_corpus_overlap" ->
+      ("WITH " + groupShingleCte("source") + ", " +
+        "sizes AS (SELECT g, COUNT(*) AS n FROM gsh GROUP BY g), " +
+        "inter AS (SELECT a.g AS group_a, b.g AS group_b, " +
+        "COUNT(*) AS n_common FROM gsh a JOIN gsh b " +
+        "ON a.sh = b.sh AND a.g < b.g GROUP BY a.g, b.g) " +
+        "SELECT group_a, group_b, n_common, " +
+        "CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b, " +
+        "CAST(n_common AS DOUBLE) / " +
+        "CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard " +
+        "FROM inter JOIN sizes sa ON sa.g = group_a " +
+        "JOIN sizes sb ON sb.g = group_b " +
+        "ORDER BY group_a, group_b"),
+
+    // per-doc distinct shingles joined to their corpus document
+    // frequencies; exact integer sums, one division per row
+    "q_ngram_commonness" ->
+      ("WITH " + groupShingleCte("doc_id") + ", " +
+        "dfq AS (SELECT sh, COUNT(*) AS df FROM gsh GROUP BY sh), " +
+        "per AS (SELECT g AS doc_id, COUNT(*) AS n_shingles, " +
+        "CAST(SUM(df) AS BIGINT) AS sum_df " +
+        "FROM gsh JOIN dfq USING (sh) GROUP BY g) " +
+        "SELECT doc_id, n_shingles, sum_df, " +
+        "CAST(sum_df AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS mean_df " +
+        "FROM per ORDER BY doc_id"),
+
+    // the q_dedup_clusters closure + the shared scramble on CLUSTER id:
+    // a per-split census (doc and cluster counts)
+    "q_leakage_split" ->
+      ("WITH RECURSIVE " + shingleCte + ", " +
+        "pairs AS (" + dupPairsSql + "), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION SELECT id_b, id_a FROM pairs), " +
+        "reach(src, dst) AS (SELECT src, dst FROM edges UNION " +
+        "SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+        "comp AS (SELECT src AS doc_id, least(src, MIN(dst)) " +
+        "AS cluster_id FROM reach GROUP BY src), " +
+        "m AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) " +
+        "AS cluster_id FROM documents d LEFT JOIN comp c USING (doc_id)), " +
+        s"sp AS (SELECT doc_id, cluster_id, CASE " +
+        s"WHEN (${scrambleSql("cluster_id")}) % 100 < 80 THEN 'train' " +
+        s"WHEN (${scrambleSql("cluster_id")}) % 100 < 90 THEN 'val' " +
+        "ELSE 'test' END AS split FROM m) " +
+        "SELECT split, COUNT(*) AS n_docs, " +
+        "COUNT(DISTINCT cluster_id) AS n_clusters " +
+        "FROM sp GROUP BY split ORDER BY split"),
 
     "q_profile" ->
       ("WITH src AS (SELECT c_custkey, " +

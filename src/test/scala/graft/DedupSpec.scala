@@ -253,4 +253,31 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       k = 32, bands = 8, bucketCap = 1000)
     assert(uncapped.count() == 30L * 29L / 2L)
   }
+
+  test("splitByCluster: co-clustered docs share a split; boundaries at " +
+      "trainPct and trainPct+valPct; bad percents rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // identity scramble makes the boundaries directly visible: the
+    // bucket IS the cluster id mod 100
+    val membership = Seq(
+      (1L, 79L), (2L, 79L),   // one near-dup cluster at bucket 79
+      (3L, 80L), (4L, 89L),   // val edges
+      (5L, 90L), (6L, 99L),   // test edges
+      (7L, 0L)                // train low edge
+    ).toDF("doc_id", "cluster_id")
+    val out = Dedup.splitByCluster(membership, col("cluster_id"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+      .toMap
+    assert(out == Map(1L -> "train", 2L -> "train", 3L -> "val",
+      4L -> "val", 5L -> "test", 6L -> "test", 7L -> "train"))
+    // the leakage guarantee: same cluster → same split, whatever the
+    // scramble (1 and 2 share cluster 79)
+    assert(out(1L) == out(2L))
+    intercept[IllegalArgumentException] {
+      Dedup.splitByCluster(membership, col("cluster_id"),
+        trainPct = 90, valPct = 10)
+    }
+  }
 }

@@ -22,13 +22,15 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_ann_pq",            // 1-row query-vector crossJoin (LUT build)
     "q_bm25_topk",         // 1-row corpus-stats crossJoin
     "q_bm25_incremental",  // 1-row corpus-stats crossJoin (rollup)
+    "q_hybrid_search",     // inherits both runs' 1-row crossJoins
     "q_subquery_scalar")   // 1-row broadcast scalar-threshold aggregate
 
   /** Queries whose plan legitimately contains an UNPARTITIONED window:
     * the window's input is already metadata-sized (never the data).
     */
   private val globalWindowAllowed = Set(
-    "q_pack_sequences")    // offsets window: one row per partition
+    "q_pack_sequences",    // offsets window: one row per partition
+    "q_hybrid_search")     // run ranking: window over <= k top-k rows
 
   test("no declared query runs an unpartitioned window over data") {
     import org.apache.spark.sql.execution.window.WindowExec

@@ -150,6 +150,79 @@ class SearchSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("rrf: hand-computed fusion of two partially-overlapping runs") {
+    import spark.implicits._
+    val kw = Seq((1L, 9.0), (2L, 5.0), (3L, 1.0)).toDF("id", "score")
+    val vec = Seq((2L, 0.9), (4L, 0.8)).toDF("id", "sim")
+    val out = graft.search.Fusion.rrf(
+      Seq(("kw", kw, "score"), ("vec", vec, "sim")), "id").collect()
+    // ranks: kw 1→1, 2→2, 3→3; vec 2→1, 4→2
+    val expected = Map(
+      1L -> 1.0 / 61.0,
+      2L -> (1.0 / 62.0 + 1.0 / 61.0),
+      3L -> 1.0 / 63.0,
+      4L -> 1.0 / 62.0)
+    assert(out.length == 4)
+    out.foreach { r =>
+      val id = r.getAs[Long]("id")
+      assert(r.getAs[Double]("rrf_score") == expected(id),
+        s"doc $id: ${r.getAs[Double]("rrf_score")}")
+    }
+    // retrieved by both runs → fused above every single-run doc
+    assert(out.head.getAs[Long]("id") == 2L)
+    // a run that missed the doc contributes a NULL rank (and 0 score)
+    val r4 = out.find(_.getAs[Long]("id") == 4L).get
+    assert(r4.isNullAt(r4.fieldIndex("rank_kw")))
+    assert(r4.getAs[Long]("rank_vec") == 2L)
+  }
+
+  test("rrf: score ties rank by id; duplicate tags rejected") {
+    import spark.implicits._
+    val run = Seq((5L, 1.0), (3L, 1.0)).toDF("id", "score")
+    val out = graft.search.Fusion.rrf(Seq(("a", run, "score")), "id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("rank_a")))
+    assert(out.toSeq == Seq(3L -> 1L, 5L -> 2L))
+    intercept[IllegalArgumentException] {
+      graft.search.Fusion.rrf(
+        Seq(("a", run, "score"), ("a", run, "score")), "id")
+    }
+  }
+
+  test("ngrams: document frequency and commonness on a hand corpus") {
+    import spark.implicits._
+    // docs 1,2 share their single 3-shingle; doc 3 is under 3 tokens
+    // (whole text becomes the shingle)
+    val docs = Seq((1L, "x y z"), (2L, "x y z"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val df = graft.search.Ngrams.shingleDf(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(df == Map("x y z" -> 2L, "a b" -> 1L))
+    val c = graft.search.Ngrams.commonness(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("sum_df"),
+          r.getAs[Double]("mean_df")))).toMap
+    assert(c(1L) == ((1L, 2L, 2.0)))
+    assert(c(2L) == ((1L, 2L, 2.0)))
+    assert(c(3L) == ((1L, 1L, 1.0)))
+  }
+
+  test("ngrams: pairwise group overlap is exact; disjoint pairs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      ("g1", "x y z w"), // shingles {x y z, y z w}
+      ("g2", "x y z"),   // {x y z}
+      ("g3", "p q r")    // {p q r}
+    ).toDF("source", "text")
+    val out = graft.search.Ngrams.groupOverlap(docs, "source", "text")
+      .collect().map(r => ((r.getAs[String]("group_a"),
+        r.getAs[String]("group_b")),
+        (r.getAs[Long]("n_common"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b"), r.getAs[Double]("jaccard")))).toMap
+    // only g1-g2 share anything: |∩|=1, |g1|=2, |g2|=1 → J = 1/2
+    assert(out.keySet == Set("g1" -> "g2"))
+    assert(out("g1" -> "g2") == ((1L, 2L, 1L, 0.5)))
+  }
+
   test("profile: nulls, exact distinct, native-type min/max") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, String)](
