@@ -284,6 +284,19 @@ object Plans {
       "The single-partition window the plan shows is over the " +
       "15-row run, not data; the expensive scans happened inside " +
       "the runs."),
+    "q_quality_regression" -> ("Closed-form learned scorer: ONE " +
+      "two-phase hash aggregate computes the ten exact normal-equation " +
+      "moments per group (partial map-side combine before the single " +
+      "shuffle — ten longs per group cross the wire); the Cramer solve " +
+      "and R² are a map-side projection over the aggregate's handful " +
+      "of rows. No iteration, no driver-side math."),
+    "q_repeated_spans" -> ("Repeated-span scan: the count aggregate's " +
+      "input is (doc_id, xxhash64(span)) — 16 bytes per window on the " +
+      "shuffle, with map-side partial combine; span TEXT appears only " +
+      "in the second subtree, where the surviving fingerprints join " +
+      "back (threshold-filtered, so the distinct + TakeOrdered over " +
+      "text touches survivors only, never the corpus's full window " +
+      "set)."),
     "q_leakage_split" -> ("Leakage-safe split census: cluster " +
       "resolution is the O(log n) pointer-jumping fixpoint (each " +
       "pass one equi-join shuffle over label rows, checkpointed); " +

@@ -1753,6 +1753,28 @@ object TierC {
           graft.sources.Artifacts.datasetKey(d, s"$d/documents.parquet")))
         .orderBy(col("doc_id"))),
 
+    // C16c — learned linear quality scorer, closed-form: per-language
+    // fit of token count ~ char length + alpha-char count from exact
+    // integer moments (Regression.fitTwoFeature — one pass, ten longs
+    // per group on the shuffle, Cramer solve as a shared-SQL fixed
+    // expression tree, R² included). The trainable flavor of
+    // q_quality_score's hand weights.
+    "q_quality_regression" -> ((s, d) =>
+      graft.operators.Regression.fitTwoFeature(
+        Tables.documents(s, d), Seq("lang"),
+        length(col("text")),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")),
+        T.tokenCount(col("text")))
+        .orderBy(col("lang"))),
+
+    // C16b — cross-document repeated spans (Lee et al. 2022): 10-token
+    // windows appearing in ≥2 distinct docs, most-repeated first. The
+    // count pass shuffles 16-byte fingerprints, never text; only
+    // survivors' text materializes (Ngrams.repeatedSpans).
+    "q_repeated_spans" -> ((s, d) =>
+      graft.search.Ngrams.repeatedSpans(
+        Tables.documents(s, d), "doc_id", "text")),
+
     // C17 — hybrid retrieval: BM25 keyword run + exact-cosine embedding
     // run fused by Reciprocal Rank Fusion (Fusion.rrf; vec_id aligns
     // with doc_id in the embeddings sidecar table). Both runs are
@@ -2646,6 +2668,32 @@ object TierC {
         "SELECT doc_id, n_shingles, sum_df, " +
         "CAST(sum_df AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS mean_df " +
         "FROM per ORDER BY doc_id"),
+
+    // the coefficient expressions come verbatim from
+    // Regression.coefExprs — the SAME strings Spark's expr() parses
+    "q_quality_regression" ->
+      (graft.operators.Regression.oracleSql(
+        "SELECT lang, CAST(LENGTH(text) AS BIGINT) AS x1, " +
+          "CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) " +
+          "AS BIGINT) AS x2, " +
+          "CAST(len(list_filter(regexp_split_to_array(trim(text), " +
+          "'\\s+'), t -> t <> '')) AS BIGINT) AS y FROM documents",
+        Seq("lang")) + " ORDER BY lang"),
+
+    // stride-1 10-token windows, per-doc distinct, cross-doc counts;
+    // the fingerprint pass is invisible to the oracle (text-keyed here)
+    "q_repeated_spans" ->
+      ("WITH t AS (SELECT doc_id, list_filter(" +
+        "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "sp AS (SELECT DISTINCT doc_id, span FROM " +
+        "(SELECT doc_id, unnest(list_transform(range(1, len(toks)-8), " +
+        "i -> array_to_string(toks[i:i+9], ' '))) AS span " +
+        "FROM t WHERE len(toks) >= 10)), " +
+        "cnt AS (SELECT span, COUNT(*) AS n_docs FROM sp " +
+        "GROUP BY span HAVING COUNT(*) >= 2) " +
+        "SELECT span, n_docs FROM cnt " +
+        "ORDER BY n_docs DESC, span LIMIT 25"),
 
     // the q_dedup_clusters closure + the shared scramble on CLUSTER id:
     // a per-split census (doc and cluster counts)

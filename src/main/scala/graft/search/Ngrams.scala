@@ -86,6 +86,53 @@ object Ngrams {
           col("n_shingles").cast(DoubleType)).as("mean_df"))
   }
 
+  /** Cross-document repeated spans — the repetition-analysis stage of
+    * corpus curation (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": verbatim multi-document spans are
+    * the memorization hazard): every `spanTokens`-token window
+    * (stride 1) that appears in at least `minDocs` DISTINCT documents,
+    * with its document count — ranked most-repeated first, `span`
+    * tiebreak, top `topK`.
+    *
+    * Two-pass scale shape: pass 1 counts DISTINCT documents per span
+    * FINGERPRINT (xxhash64) — the shuffle carries 16 bytes per window,
+    * never span text; pass 2 re-derives spans map-side and joins the
+    * surviving fingerprints (n_docs ≥ minDocs) to attach text, so only
+    * survivors' text ever shuffles (the count-on-hashes /
+    * materialize-only-survivors pattern the MinHash verify stage
+    * uses). A 64-bit fingerprint collision would merge two spans'
+    * counts — probability ~n²/2⁶⁵, the same accepted contract as
+    * [[graft.dedup.Dedup]]'s content fingerprints.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 10, minDocs: Int = 2,
+      topK: Int = 25): DataFrame = {
+    require(spanTokens >= 2 && minDocs >= 2 && topK >= 1,
+      s"invalid repeatedSpans params ($spanTokens, $minDocs, $topK)")
+    val toks = TextFunctions.tokens(col(textCol))
+    // per-doc distinct span windows; docs under spanTokens contribute
+    // nothing (filtered up front so the window sequence is well-formed)
+    def docSpans = docs
+      .filter(size(toks) >= spanTokens)
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(toks) - spanTokens),
+          i => concat_ws(" ", slice(toks, i + 1, lit(spanTokens))))))
+          .as("span"))
+    val counts = docSpans
+      .select(xxhash64(col("span")).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    docSpans
+      .withColumn("h", xxhash64(col("span")))
+      .join(counts, "h")
+      .select(col("span"), col("n_docs"))
+      .distinct()
+      .orderBy(col("n_docs").desc, col("span"))
+      .limit(topK)
+  }
+
   /** Pairwise shingle-set overlap between corpus slices — the
     * cross-source contamination matrix (how much of source A's content
     * also appears in source B): for each group pair `a < b`,

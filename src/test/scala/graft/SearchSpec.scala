@@ -206,6 +206,27 @@ class SearchSpec extends AnyFunSuite with SparkTestBase {
     assert(c(3L) == ((1L, 1L, 1.0)))
   }
 
+  test("repeatedSpans: cross-doc windows counted once per doc, " +
+      "short docs skipped, threshold and ranking applied") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // spans: "a b c", "b c d"
+      (2L, "a b c"),     // span:  "a b c"
+      (3L, "a b c a b c a b c"), // internal repetition counts ONCE
+      (4L, "z q")        // under spanTokens → contributes nothing
+    ).toDF("doc_id", "text")
+    val out = graft.search.Ngrams.repeatedSpans(docs, "doc_id", "text",
+      spanTokens = 3, minDocs = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // "a b c" in docs 1,2,3; every other span below threshold
+    // (doc 3's other windows: "b c a", "c a b" — only within doc 3)
+    assert(out.toSeq == Seq("a b c" -> 3L), out.toSeq.toString)
+    intercept[IllegalArgumentException] {
+      graft.search.Ngrams.repeatedSpans(docs, "doc_id", "text",
+        spanTokens = 1)
+    }
+  }
+
   test("ngrams: pairwise group overlap is exact; disjoint pairs absent") {
     import spark.implicits._
     val docs = Seq(
@@ -221,6 +242,23 @@ class SearchSpec extends AnyFunSuite with SparkTestBase {
     // only g1-g2 share anything: |∩|=1, |g1|=2, |g2|=1 → J = 1/2
     assert(out.keySet == Set("g1" -> "g2"))
     assert(out("g1" -> "g2") == ((1L, 2L, 1L, 0.5)))
+  }
+
+  test("regression: exact fit recovered (y = 2 + 3·x1), R² = 1, and a " +
+      "redundant feature gets weight 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pts = Seq((1L, 1L, 5L), (2L, 3L, 8L), (3L, 2L, 11L),
+      (4L, 5L, 14L)).toDF("x1", "x2", "y") // y = 2 + 3·x1 exactly
+      .withColumn("g", org.apache.spark.sql.functions.lit("a"))
+    val row = graft.operators.Regression.fitTwoFeature(
+      pts, Seq("g"), col("x1"), col("x2"), col("y")).collect().head
+    assert(row.getAs[Long]("n") == 4L)
+    // small integer moments → every Cramer det is exact in doubles
+    assert(row.getAs[Double]("b0") == 2.0, row.toString)
+    assert(row.getAs[Double]("b1") == 3.0, row.toString)
+    assert(row.getAs[Double]("b2") == 0.0, row.toString)
+    assert(row.getAs[Double]("r2") == 1.0, row.toString)
   }
 
   test("profile: nulls, exact distinct, native-type min/max") {
