@@ -46,6 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // live change-feed table functions: cdc_changes('t', since) /
     // cdc_changes_between('t', from, to) re-resolve on every query
     graft.streaming.CdcSql.tableFunctions.foreach(ext.injectTableFunction)
+    // the audit trail from SQL — admin-scoped, like CloudTrail
+    GovernanceSql.tableFunctions.foreach(ext.injectTableFunction)
     // write-path enforcement: reads are REWRITTEN (filter + allowlist),
     // writes by non-admin principals are REJECTED at analysis
     ext.injectCheckRule(session => GovernanceWriteCheck(session))

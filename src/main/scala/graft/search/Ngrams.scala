@@ -36,10 +36,14 @@ object Ngrams {
     * document but carries only the shingle string and the id.
     */
   def docShingles(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame =
+      n: Int = 3): DataFrame = {
+    // defensive registration for extension-less sessions (the Dedup
+    // convention; shingles resolves through the function registry)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(TextFunctions.shingles(col(textCol), n)))
         .as("shingle"))
+  }
 
   /** Document frequency per shingle: in how many documents does each
     * distinct shingle appear. One two-phase count over [[docShingles]];
@@ -109,16 +113,18 @@ object Ngrams {
       topK: Int = 25): DataFrame = {
     require(spanTokens >= 2 && minDocs >= 2 && topK >= 1,
       s"invalid repeatedSpans params ($spanTokens, $minDocs, $topK)")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val toks = TextFunctions.tokens(col(textCol))
-    // per-doc distinct span windows; docs under spanTokens contribute
-    // nothing (filtered up front so the window sequence is well-formed)
+    // per-doc distinct span windows via the codegen'd [[Shingles]]
+    // kernel (the interpreted transform/slice/concat_ws form costs
+    // seconds per corpus scan — see Shingles' scaladoc); docs under
+    // spanTokens are filtered up front, so its under-n whole-text
+    // fallback never fires
     def docSpans = docs
       .filter(size(toks) >= spanTokens)
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(0), size(toks) - spanTokens),
-          i => concat_ws(" ", slice(toks, i + 1, lit(spanTokens))))))
-          .as("span"))
+        explode(array_distinct(
+          TextFunctions.shingles(col(textCol), spanTokens))).as("span"))
     val counts = docSpans
       .select(xxhash64(col("span")).as("h"))
       .groupBy(col("h"))
@@ -150,6 +156,7 @@ object Ngrams {
     */
   def groupOverlap(docs: DataFrame, groupCol: String, textCol: String,
       n: Int = 3, stagingDir: Option[String] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     // distinct (group, shingle): the per-group shingle SET. The frame
     // feeds THREE plan subtrees (both sides of the intersection join +
     // the set sizes) and Spark does not share subtrees, so without

@@ -772,6 +772,28 @@ class GovernanceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("audit_events() serves the trail to the DataAdmin only; the " +
+      "denial itself lands in the trail") {
+    SalesFixture.ensureRegistered(spark)
+    // a governed access to guarantee at least one governed event exists
+    Governance.withPrincipal(spark, Analyst)(
+      spark.sql(s"SELECT COUNT(*) FROM " +
+        s"${SalesFixture.dbName}.${SalesFixture.tableName}")).collect()
+    intercept[AccessDeniedException] {
+      Governance.withPrincipal(spark, Analyst)(
+        spark.sql("SELECT * FROM audit_events()"))
+    }
+    val rows = Governance.withPrincipal(spark, DataAdmin)(
+      spark.sql("SELECT * FROM audit_events()")).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("funcName"))
+      .contains("audit-read-denied"),
+      "the analyst's denied audit read must itself be audited")
+    assert(rows.exists(r => r.getAs[Boolean]("governed") &&
+      r.getAs[String]("principal") == Analyst.name),
+      "governed analyst access missing from the trail")
+  }
+
   test("anonymous streaming read is default-deny (zero rows)") {
     SalesFixture.ensureRegistered(spark)
     val sdf = spark.readStream.table(
