@@ -324,6 +324,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(!roots.exists(_.contains(new java.io.File(src).getName)))
   }
 
+  test("staged groupOverlap reads only the staged parquet and matches " +
+      "the unstaged result") {
+    import spark.implicits._
+    val docs = Seq(("g1", "x y z w"), ("g2", "x y z"), ("g3", "p q r"),
+      ("g3", "x y z p q")).toDF("source", "text")
+    val dir = new java.io.File(
+      "target/test-overlap-staging/" + System.nanoTime()).getAbsolutePath
+    val staged = graft.search.Ngrams.groupOverlap(docs, "source", "text",
+      stagingDir = Some(dir))
+    val fresh = graft.search.Ngrams.groupOverlap(docs, "source", "text")
+    assert(staged.orderBy($"group_a", $"group_b").collect().toSeq ==
+      fresh.orderBy($"group_a", $"group_b").collect().toSeq)
+    // every file source in the staged plan is the staged parquet — the
+    // corpus was scanned and shingled exactly once, at staging time
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    val roots = staged.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation
+    }.collect { case r: HadoopFsRelation =>
+      r.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(roots.nonEmpty)
+    assert(roots.forall(_.contains(new java.io.File(dir).getName)),
+      s"plan reads outside the staging dir: $roots")
+  }
+
   test("train-shuffle scramble matches BigInt beyond the 64-bit wrap") {
     import spark.implicits._
     // ids where doc_id * 2654435761 overflows a signed 64-bit product —
