@@ -284,6 +284,14 @@ object Plans {
       "The single-partition window the plan shows is over the " +
       "15-row run, not data; the expensive scans happened inside " +
       "the runs."),
+    "q_ann_incremental" -> ("Incremental IVF probe: the declared read " +
+      "is a manifest-pruned parquet scan of ONLY the probed labels' " +
+      "bucket families (scanByBucketValues — the value predicate " +
+      "re-checks labels so bucket-hash collisions never leak a " +
+      "foreign list), then the codegen'd quantized-cosine top-k via " +
+      "TakeOrdered. Probe selection upstream touched nlists centroid " +
+      "rows (the documented driver hop); ingest upstream wrote " +
+      "O(batch) rows into only the touched buckets."),
     "q_quality_regression" -> ("Closed-form learned scorer: ONE " +
       "two-phase hash aggregate computes the ten exact normal-equation " +
       "moments per group (partial map-side combine before the single " +

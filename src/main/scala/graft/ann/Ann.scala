@@ -138,6 +138,65 @@ object Ann {
       queryId, k)
   }
 
+  // ---- incremental IVF: the continuously-fed vector index ----
+
+  /** Ingest one embedding batch into a PERSISTED incremental IVF
+    * index — the continuously-fed form of the [[persistedCentroids]] +
+    * [[ivfTopK]] pair, composed from the engine's own table format
+    * (the same design as [[graft.search.Bm25.incrementalIndex]]): the
+    * vectors live in a CDC table keyed on the id, BUCKETED ON THE LIST
+    * LABEL (the `bucketCols` layout knob), merge-on-read — a batch
+    * appends O(batch) rows into only the buckets its labels hash to,
+    * and a query probe reads only the probed labels' bucket families
+    * ([[graft.streaming.CdcApply.scanByBucketValues]]). Constant
+    * version 1 per id: vectors are immutable, so a replayed or
+    * re-delivered batch no-ops through the CDC replay guard — ingest
+    * is idempotent (the incremental-dedup contract).
+    *
+    * The coarse quantizer stays FIXED (standard IVF practice —
+    * centroids retrain offline, not per batch): callers keep serving
+    * the persisted centroid index built over the base corpus, and
+    * newly ingested vectors are searchable immediately under it.
+    */
+  def incrementalIngest(emb: DataFrame, root: String, idCol: String,
+      listCol: String, vecCol: String, batchId: Long): Unit =
+    graft.streaming.CdcApply.applyBatch(
+      emb.select(col(listCol).as("label"), col(idCol).as("vec_id"),
+        col(vecCol).as("embedding"), lit(1L).as("version")),
+      // composite (label, vec_id) key: bucketCols must be key columns
+      // (the Bm25 postings contract) — which also encodes the IVF
+      // invariant that a vector's list assignment is immutable (a
+      // relabel would be a different key, not an update)
+      batchId, root, Seq("label", "vec_id"), "version", None,
+      numBuckets = 16, bucketCols = Some(Seq("label")), maxDeltas = 4,
+      commitTs = Some(batchId))
+
+  /** IVF top-k against the incremental index: probe lists selected
+    * from the FIXED centroid index (nlists rows — the one documented
+    * driver hop, as in [[ivfTopK]]), then the scan reads ONLY the
+    * probed labels' bucket families, however many batches fed the
+    * index (bucket values are re-checked inside scanByBucketValues, so
+    * a hash collision never leaks a foreign list). `queryVec` is the
+    * explicit one-row query frame ([[bruteForceTopK]]'s contract —
+    * captured by the caller from wherever the query vector lives; the
+    * index itself need not contain it).
+    */
+  def ivfTopKIncremental(spark: SparkSession, root: String,
+      cents: DataFrame, listCol: String, queryVec: DataFrame,
+      queryId: Long, k: Int, nprobe: Int): DataFrame = {
+    val probeLists: Seq[Any] = cents
+      .crossJoin(broadcast(queryVec.toDF("q_vec")))
+      .select(col(listCol),
+        cosine(col("centroid"), col("q_vec")).as("sim"))
+      .orderBy(col("sim").desc, col(listCol))
+      .limit(nprobe)
+      .select(listCol).collect().toSeq.map(_.get(0))
+    val lists = graft.streaming.CdcApply.scanByBucketValues(spark, root,
+      probeLists.map(Seq(_))).getOrElse(throw new IllegalStateException(
+      s"no incremental ANN index at $root — ingest a batch first"))
+    bruteForceTopK(lists, queryVec, "vec_id", "embedding", queryId, k)
+  }
+
   /** Deterministic Lloyd's k-means over the embedding column — the
     * coarse-quantizer TRAINING stage that makes the IVF index
     * self-contained (without it, [[ivfTopK]] leans on a pre-assigned

@@ -732,6 +732,42 @@ object TierC {
         queryId = 0L, k = 10, nprobe = 3)
     }),
 
+    // C3c — INCREMENTAL vector index under the hash gate: the base
+    // embeddings then a SQL-reconstructible second batch (shifted-id
+    // copies of every %7 vector) ingested into a label-bucketed CDC
+    // table (Ann.incrementalIngest); the probe reads ONLY the probed
+    // labels' bucket families via scanByBucketValues, centroids stay
+    // the fixed persisted base index (offline-retrain posture). The
+    // oracle runs exhaustive IVF over the UNION corpus, so a vector
+    // lost or duplicated across batches, a stale bucket, or a broken
+    // label probe all hash-mismatch. Idempotent: replayed ingests
+    // no-op on the CDC replay guard.
+    "q_ann_incremental" -> ((s, d) => {
+      val root = new java.io.File("target/graft-data/ann_incr/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/embeddings.parquet") +
+        "_rev1").getAbsolutePath
+      synchronized {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"))
+        val extra = emb
+          .filter(col("vec_id") % 7 === 0 && col("vec_id") =!= 0)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            col("label"), col("embedding"))
+        Ann.incrementalIngest(emb, root, "vec_id", "label",
+          "embedding", 0L)
+        Ann.incrementalIngest(extra, root, "vec_id", "label",
+          "embedding", 1L)
+        val cents = Ann.persistedCentroids(Tables.embeddingsByList(s, d),
+          "label", "embedding", "target/graft-data/ivf_centroids/" +
+            graft.sources.Artifacts.datasetKey(d,
+              s"$d/embeddings.parquet"))
+        val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+          .select(col("embedding"))
+        Ann.ivfTopKIncremental(s, root, cents, "label", qv,
+          queryId = 0L, k = 10, nprobe = 3)
+      }
+    }),
+
     // Self-contained IVF: the coarse quantizer is TRAINED (deterministic
     // integer-quantized k-means, Ann.kmeans) instead of taken from the
     // data's label column — the full index-build + probe path a user
@@ -1956,7 +1992,15 @@ object TierC {
     s"list_transform($v, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) " +
       "AS BIGINT))"
 
-  private val ivfOracle: String =
+  /** The IVF oracle parameterized over the SEARCHED relation: the
+    * centroid/probe CTEs always run over the BASE `embeddings` table
+    * (the coarse quantizer is fixed — retrained offline, the standard
+    * IVF posture the incremental index mirrors), while `searchRel`
+    * is the corpus actually scanned within the probed lists —
+    * `embeddings` for `q_ann_ivf`, the ingested union for
+    * `q_ann_incremental`.
+    */
+  private def ivfOracleOver(searchRel: String): String =
     "WITH ce AS (SELECT label, u.i AS dim, " +
       "CAST(CAST(SUM(CAST(round(CAST(u.x AS DOUBLE) * 1000000) AS BIGINT))" +
       " AS DOUBLE) / (1000000.0 * COUNT(*)) AS REAL) AS cx " +
@@ -1977,7 +2021,7 @@ object TierC {
       cosSql("dot", "na", "nb") + " AS sim FROM cq) " +
       "ORDER BY sim DESC, label LIMIT 3), " +
       "e AS (SELECT vec_id, " + quantOf("embedding") + " AS ev " +
-      "FROM embeddings WHERE vec_id <> 0 " +
+      s"FROM $searchRel WHERE vec_id <> 0 " +
       "AND label IN (SELECT label FROM probe)), " +
       "s AS (SELECT vec_id, " +
       "list_sum(list_transform(list_zip(ev, qv), p -> p[1] * p[2])) " +
@@ -1985,6 +2029,18 @@ object TierC {
       "list_sum(list_transform(qv, x -> x*x)) AS nb FROM e, q) " +
       "SELECT vec_id, " + cosSql("dot", "na", "nb") + " AS sim FROM s " +
       "ORDER BY sim DESC, vec_id LIMIT 10"
+
+  private val ivfOracle: String = ivfOracleOver("embeddings")
+
+  /** SQL-reconstructible second embedding batch for the incremental
+    * index oracle: every vec_id % 7 == 0 vector re-ingested at a
+    * shifted id (same list label, same components — the duplicate
+    * ranks identically and the id tiebreak orders original first).
+    */
+  private val annIncrUnionRel: String =
+    "(SELECT vec_id, label, embedding FROM embeddings " +
+      "UNION ALL SELECT vec_id + 1000000 AS vec_id, label, embedding " +
+      "FROM embeddings WHERE vec_id % 7 = 0 AND vec_id <> 0)"
 
   /** BM25 CTE chain + final select, factored so the hybrid-search
     * oracle composes the SAME text the q_bm25_topk oracle runs (one
@@ -2097,6 +2153,8 @@ object TierC {
         "SELECT lang, pred_lang, COUNT(*) AS cnt FROM p " +
         "GROUP BY lang, pred_lang ORDER BY lang, pred_lang"),
     "q_ann_ivf" -> ivfOracle,
+    // exhaustive IVF over the union corpus; centroids/probe from base
+    "q_ann_incremental" -> ivfOracleOver(annIncrUnionRel),
     "q_ngram_jaccard" ->
       ("WITH " + shingleCte + " " + dupPairsSql + " ORDER BY id_a, id_b"),
     "q_dedup_clusters" ->

@@ -430,6 +430,44 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
     java.nio.file.Files.createTempDirectory(prefix).toFile
       .getAbsolutePath + "/idx"
 
+  test("incremental IVF: two ingested batches rank exactly like a " +
+      "direct scan of their union; replay no-ops; the label probe " +
+      "prunes to the probed lists' bucket families") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Tables
+    val root = tmpPath("ann_incr")
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val extra = emb.filter(col("vec_id") % 5 === 1)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("label"),
+        col("embedding"))
+    Ann.incrementalIngest(emb, root, "vec_id", "label", "embedding", 0L)
+    Ann.incrementalIngest(extra, root, "vec_id", "label", "embedding", 1L)
+    val cents = Ann.centroids(emb, "label", "embedding")
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaIndex = rows(Ann.ivfTopKIncremental(spark, root, cents,
+      "label", qv, 0L, k = 10, nprobe = 3))
+    // direct twin: same fixed centroids, same probe, exhaustive union
+    val direct = rows(Ann.ivfTopK(emb.unionByName(extra), cents,
+      "vec_id", "label", "embedding", 0L, k = 10, nprobe = 3))
+    assert(viaIndex == direct, s"index=$viaIndex direct=$direct")
+    // replayed ingest must change nothing (CDC replay guard)
+    Ann.incrementalIngest(emb, root, "vec_id", "label", "embedding", 0L)
+    assert(rows(Ann.ivfTopKIncremental(spark, root, cents, "label", qv,
+      0L, 10, 3)) == direct)
+    // the probe reads only the probed labels' bucket families
+    val all = graft.streaming.CdcApply
+      .readSnapshot(spark, root).get.inputFiles.toSet
+    val one = graft.streaming.CdcApply
+      .scanByBucketValues(spark, root, Seq(Seq(0))).get
+      .inputFiles.toSet
+    assert(one.subsetOf(all) && one.size < all.size,
+      s"probe read ${one.size}/${all.size} files — no pruning")
+  }
+
   test("semanticDedup refuses reserved internal column names") {
     import spark.implicits._
     val emb = Seq((1L, Array(1.0f), 0, "x"))

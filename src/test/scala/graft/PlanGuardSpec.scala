@@ -18,6 +18,7 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_join_theta_range",  // non-equi range join, tiny broadcast side
     "q_embed_topk",        // 1-row query-vector crossJoin
     "q_ann_ivf",           // 1-row query-vector crossJoin
+    "q_ann_incremental",   // 1-row query-vector crossJoin
     "q_ann_kmeans",        // 1-row query-vector crossJoin
     "q_ann_pq",            // 1-row query-vector crossJoin (LUT build)
     "q_bm25_topk",         // 1-row corpus-stats crossJoin
