@@ -306,11 +306,12 @@ object Plans {
       "text touches survivors only, never the corpus's full window " +
       "set)."),
     "q_leakage_split" -> ("Leakage-safe split census: cluster " +
-      "resolution is the O(log n) pointer-jumping fixpoint (each " +
-      "pass one equi-join shuffle over label rows, checkpointed); " +
-      "the split assignment itself is a MAP-SIDE projection on the " +
-      "cluster id — no shuffle is added over q_dedup_clusters " +
-      "beyond the census's own two-phase aggregate."))
+      "membership reads the PERSISTED resolution artifact (the " +
+      "O(log n) pointer-jumping fixpoint ran once, at build time — " +
+      "the signature/verified-pair index posture); the split " +
+      "assignment is a MAP-SIDE projection on the cluster id, so the " +
+      "whole declared plan is one tiny parquet scan plus the " +
+      "census's two-phase aggregate."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",

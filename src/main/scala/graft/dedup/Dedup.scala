@@ -540,6 +540,26 @@ object Dedup {
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
       .withColumn("is_keeper", col(idCol) === col("cluster_id"))
 
+  /** Persisted cluster MEMBERSHIP — [[keepers]] over [[clusters]],
+    * committed once per corpus ([[graft.sources.Artifacts]] dir
+    * convention: key the path on the source fingerprint): the
+    * O(log n) pointer-jumping passes are a one-time resolution build,
+    * and every consumer (cluster listing, keeper filtering, the
+    * leakage-safe split) reads the tiny (id, cluster_id, is_keeper)
+    * parquet instead of re-running the fixpoint — the same
+    * build-once/read-many posture as the signature and verified-pair
+    * indexes upstream of it.
+    */
+  def persistedMembership(docs: DataFrame, idCol: String,
+      pairs: DataFrame, path: String): DataFrame = synchronized {
+    val s = docs.sparkSession
+    val dir = new java.io.File(s"${path}_membership_$idCol")
+    graft.sources.Artifacts.commitOnce(s, dir.getAbsolutePath)(tmp =>
+      keepers(docs, idCol, clusters(pairs))
+        .write.mode("overwrite").parquet(tmp))
+    s.read.parquet(dir.getAbsolutePath)
+  }
+
   /** Leakage-safe train/val/test split: assignment is a deterministic
     * function of the CLUSTER id, not the document id, so every member
     * of a near-dup cluster lands in the SAME split — a near-duplicate
