@@ -337,6 +337,42 @@ object CdcSql {
               "current_batch")
             .queryExecution.analyzed
         }),
+      // name lifecycle from SQL — with register/unregister the WHOLE
+      // CDC surface (registration, reads, time travel, metadata,
+      // maintenance, predicate DML, restore) is drivable by SQL
+      // strings alone, the reference's operational posture. No
+      // principal gate: registration creates a read NAME, and reads
+      // through it stay governed by the location registry exactly as
+      // path reads do (CdcGovernanceSpec); it grants nothing.
+      (FunctionIdentifier("cdc_register"),
+        new ExpressionInfo("graft.streaming.CdcSql", "cdc_register"),
+        args => {
+          if (args.size != 2) throw new UnsupportedOperationException(
+            "cdc_register(name, root) takes 2 arguments")
+          val name = argString(args(0), "cdc_register name")
+          val root = argString(args(1), "cdc_register root")
+          val spark = activeSession
+          require(CdcApply.currentVersion(spark, root).isDefined,
+            s"cdc_register: no committed CDC table at $root")
+          registerTable(spark, root, name)
+          spark.createDataFrame(Seq((name, root,
+              CdcApply.currentVersion(spark, root))))
+            .toDF("name", "root", "current_batch")
+            .queryExecution.analyzed
+        }),
+      (FunctionIdentifier("cdc_unregister"),
+        new ExpressionInfo("graft.streaming.CdcSql", "cdc_unregister"),
+        args => {
+          if (args.size != 1) throw new UnsupportedOperationException(
+            "cdc_unregister(name) takes 1 argument")
+          val name = argString(args(0), "cdc_unregister name")
+          val spark = activeSession
+          val known = rootFor(split(name)).isDefined
+          unregisterTable(name)
+          spark.createDataFrame(Seq((name, known)))
+            .toDF("name", "was_registered")
+            .queryExecution.analyzed
+        }),
       (FunctionIdentifier("cdc_restore"),
         new ExpressionInfo("graft.streaming.CdcSql", "cdc_restore"),
         args => {

@@ -455,4 +455,35 @@ class CdcSqlSpec extends AnyFunSuite with SparkTestBase {
       }
     } finally CdcSql.unregisterTable("gov_maint_t")
   }
+
+  test("cdc_register / cdc_unregister drive the name lifecycle from " +
+      "SQL; registering a root with no committed table refuses") {
+    val root = newRoot()
+    applyB0(root)
+    try {
+      val row = spark.sql(
+        s"SELECT * FROM cdc_register('sql_reg_t', '$root')").head()
+      assert(row.getAs[String]("name") == "sql_reg_t")
+      assert(row.getAs[Long]("current_batch") == 0L)
+      // the name reads immediately — the full SQL-only lifecycle
+      assert(spark.sql("SELECT COUNT(*) AS n FROM sql_reg_t")
+        .head().getAs[Long]("n") == 3L)
+      val gone = spark.sql(
+        "SELECT * FROM cdc_unregister('sql_reg_t')").head()
+      assert(gone.getAs[Boolean]("was_registered"))
+      intercept[Exception] {
+        spark.sql("SELECT COUNT(*) FROM sql_reg_t").collect()
+      }
+      // idempotent unregister reports the absence
+      assert(!spark.sql("SELECT * FROM cdc_unregister('sql_reg_t')")
+        .head().getAs[Boolean]("was_registered"))
+      // an empty dir is not a CDC table: refuse at registration, not
+      // at first confusing read
+      val empty = newRoot()
+      intercept[IllegalArgumentException] {
+        spark.sql(
+          s"SELECT * FROM cdc_register('sql_reg_bad', '$empty')")
+      }
+    } finally CdcSql.unregisterTable("sql_reg_t")
+  }
 }

@@ -88,6 +88,66 @@ class OperatorPropSpec extends AnyFunSuite with SparkTestBase {
     check(p)
   }
 
+  test("property: fingerprint-counted repeated spans equal the " +
+      "text-keyed reference") {
+    import spark.implicits._
+    // tiny vocabulary + short docs force heavy span sharing — the
+    // regime where a fingerprint merge bug or a per-doc dedup miss
+    // would surface
+    val docGen: Gen[String] = Gen.chooseNum(3, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" ")))
+    val p = Prop.forAll(Gen.listOfN(12, docGen)) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.search.Ngrams.repeatedSpans(docs, "doc_id",
+        "text", spanTokens = 3, minDocs = 2, topK = 1000)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // reference: plain Scala over the same tokenization
+      val expect = texts.zipWithIndex
+        .flatMap { case (t, i) =>
+          val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+          toks.sliding(3).filter(_.length == 3).map(_.mkString(" "))
+            .toSeq.distinct.map(s => (s, i))
+        }
+        .groupBy(_._1).view.mapValues(_.size.toLong)
+        .filter(_._2 >= 2L).toSeq
+        .sortBy { case (s, n) => (-n, s) }
+      got == expect
+    }
+    check(p)
+  }
+
+  test("property: rrf fusion equals the per-id reciprocal-rank model") {
+    import spark.implicits._
+    val runGen: Gen[List[(Long, Double)]] = Gen.listOfN(8, for {
+      id <- Gen.chooseNum(0L, 5L)
+      s <- Gen.chooseNum(0, 9).map(_ / 10.0) // coarse scores force ties
+    } yield (id, s)).map(_.groupBy(_._1).map(_._2.head).toList)
+    // listOfN(8, ·) keyed to ≤6 ids always leaves ≥1 row per run, so
+    // no emptiness implication is needed
+    val p = Prop.forAll(runGen, runGen) { (ra, rb) =>
+      {
+        val fused = graft.search.Fusion.rrf(
+          Seq(("a", ra.toDF("id", "s"), "s"),
+            ("b", rb.toDF("id", "s"), "s")), "id")
+          .collect()
+          .map(r => r.getAs[Long]("id") -> r.getAs[Double]("rrf_score"))
+        def ranks(run: List[(Long, Double)]): Map[Long, Long] =
+          run.sortBy { case (id, s) => (-s, id) }.zipWithIndex
+            .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+        val (rka, rkb) = (ranks(ra), ranks(rb))
+        val model = (rka.keySet ++ rkb.keySet).map { id =>
+          id -> (rka.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+            rkb.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0))
+        }.toMap
+        fused.toMap == model &&
+          // best-first with id tiebreak, total order
+          fused.toSeq == fused.toSeq.sortBy { case (id, s) => (-s, id) }
+      }
+    }
+    check(p)
+  }
+
   test("merge plan is one ranking window, never a join") {
     import spark.implicits._
     val b = Seq((1L, 1L, 10L)).toDF("k", "version", "v")
