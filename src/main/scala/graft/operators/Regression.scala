@@ -75,8 +75,18 @@ object Regression {
     * would make them partition-order-dependent). Returns one row per
     * group: the group columns, `n`, `b0`, `b1`, `b2`, `r2`.
     */
+  /** Internal column names of the moment/coefficient pipeline — a
+    * group column with one of these names would silently collide with
+    * the aggregate aliases (the Bloom/CountMin probe-contract lesson:
+    * refuse reserved names loudly).
+    */
+  private val Reserved = Set("x1", "x2", "y", "n", "s1", "s2", "sy",
+    "s11", "s12", "s22", "s1y", "s2y", "syy", "b0", "b1", "b2", "r2")
+
   def fitTwoFeature(df: DataFrame, groupCols: Seq[String], x1: Column,
       x2: Column, y: Column): DataFrame = {
+    groupCols.foreach(g => require(!Reserved(g),
+      s"group column '$g' collides with an internal moment name"))
     val base = df.select(groupCols.map(col) ++ Seq(
       x1.cast(LongType).as("x1"), x2.cast(LongType).as("x2"),
       y.cast(LongType).as("y")): _*)

@@ -259,6 +259,12 @@ class SearchSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getAs[Double]("b1") == 3.0, row.toString)
     assert(row.getAs[Double]("b2") == 0.0, row.toString)
     assert(row.getAs[Double]("r2") == 1.0, row.toString)
+    // a group column named like an internal moment is refused loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Regression.fitTwoFeature(
+        pts.withColumnRenamed("g", "s1"), Seq("s1"),
+        col("x1"), col("x2"), col("y"))
+    }
   }
 
   test("profile: nulls, exact distinct, native-type min/max") {
