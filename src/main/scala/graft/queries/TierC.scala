@@ -1394,6 +1394,27 @@ object TierC {
     // manifest (readSnapshotAt), so the result is the pre-update insert
     // load — batch 1's +100 upserts or tombstones bleeding in would
     // hash-mismatch the plain-supplier oracle.
+    // C8t — NAMED TAG time travel from SQL (Iceberg-style read ref):
+    // batch 0 tagged 'stable' through the gated cdc_tag procedure,
+    // then read via VERSION AS OF 'stable' — resolving through the
+    // tag file, against the same batch-0 oracle as q_cdc_timetravel.
+    // Tag creation is guarded for idempotent re-runs (the tag
+    // persists in the artifact root; a blind re-create refuses).
+    "q_sql_cdc_tagged" -> ((s, d) => {
+      val root = synchronized { supplierCdcRoot(s, d, "cdc_tag_q") }
+      graft.streaming.CdcSql.registerTable(s, root, "supplier_tagged")
+      try {
+        if (graft.streaming.CdcApply.resolveTag(s, root, "stable").isEmpty)
+          s.sql("SELECT * FROM cdc_tag('supplier_tagged', 'stable', 0)")
+            .collect()
+        s.sql("SELECT s_nationkey, COUNT(*) AS cnt, " +
+          "CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) " +
+          "AS total_bal " +
+          "FROM supplier_tagged VERSION AS OF 'stable' " +
+          "GROUP BY s_nationkey ORDER BY s_nationkey")
+      } finally graft.streaming.CdcSql.unregisterTable("supplier_tagged")
+    }),
+
     "q_sql_cdc_timetravel" -> ((s, d) => {
       val root = cdcQueryRoot(s, d)
       graft.streaming.CdcSql.registerTable(s, root, "supplier_cdc")
@@ -2415,6 +2436,11 @@ object TierC {
         "ORDER BY s_suppkey"),
     // batch-0 state: every supplier present, balances untouched
     "q_cdc_timetravel" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
+        "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // the tag resolves to batch 0 = the pristine full supplier load
+    "q_sql_cdc_tagged" ->
       ("SELECT s_nationkey, COUNT(*) AS cnt, " +
         "CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
         "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"),

@@ -586,6 +586,102 @@ object CdcApply {
       : Option[DataFrame] =
     resolveAsOf(spark, root, ts).flatMap(readSnapshotAt(spark, root, _))
 
+  // ---- named tags: Iceberg-style read refs over committed batches ----
+
+  /** Tag names must start with a letter, so a tag can never parse as a
+    * batch id — `VERSION AS OF <x>` stays unambiguous (a number is a
+    * batch, anything else resolves as a tag).
+    */
+  private val TagNameRe = "[A-Za-z][A-Za-z0-9._-]*".r
+
+  private def tagsDir(root: String): Path = new Path(root, "tags")
+
+  private def requireTagName(name: String): Unit =
+    require(TagNameRe.pattern.matcher(name).matches(),
+      s"invalid tag name '$name' — [A-Za-z][A-Za-z0-9._-]* (a leading " +
+        "letter keeps tags distinct from VERSION AS OF batch ids)")
+
+  /** Create the named tag pointing at a retained committed batch — the
+    * Iceberg-style read ref: `VERSION AS OF '<name>'` resolves through
+    * it, and [[vacuum]] PINS tagged batches (a tagged snapshot stays
+    * time-travelable past the retention window until untagged, the
+    * real-table-format contract). Write-temp + rename without
+    * overwrite: a duplicate create fails loudly (pass `replace = true`
+    * to move an existing tag). Tagging is lifecycle metadata, not a
+    * data write — but it extends storage retention, so the SQL entry
+    * point gates it like maintenance.
+    */
+  def tag(spark: SparkSession, root: String, name: String, batch: Long,
+      replace: Boolean = false): Unit = {
+    requireTagName(name)
+    val fs = fsFor(spark, root)
+    require(listManifests(fs, new Path(root, "manifests"))
+      .exists(n => parseManifestName(n)._1 == batch),
+      s"tag '$name': batch $batch is not a retained committed batch " +
+        s"of $root")
+    fs.mkdirs(tagsDir(root))
+    val fc = FileContext.getFileContext(new Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(tagsDir(root), s".$name.tmp")
+    writeSmallFile(fs, tmp, s"$batch ${System.currentTimeMillis()}")
+    val target = new Path(tagsDir(root), name)
+    if (replace) fc.rename(tmp, target, Options.Rename.OVERWRITE)
+    else
+      try fc.rename(tmp, target)
+      catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+          throw new IllegalStateException(
+            s"tag '$name' already exists on $root — pass replace = " +
+              "true to move it", e)
+      }
+  }
+
+  /** Drop the named tag; returns whether it existed. The batch it
+    * pinned becomes vacuumable again once outside the retention
+    * window.
+    */
+  def untag(spark: SparkSession, root: String, name: String): Boolean = {
+    requireTagName(name)
+    fsFor(spark, root).delete(new Path(tagsDir(root), name), false)
+  }
+
+  /** All tags of the table: (tag, batch, created_ts). Driver-side
+    * listing of the tiny tag files — the `t$tags` metadata frame.
+    */
+  def tagEntries(spark: SparkSession, root: String)
+      : Seq[(String, Long, Long)] = {
+    val fs = fsFor(spark, root)
+    val dir = tagsDir(root)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath)
+      .filterNot(_.getName.startsWith("."))
+      .map { p =>
+        val Array(b, ts) = readSmallFile(fs, p).trim.split(' ')
+        (p.getName, b.toLong, ts.toLong)
+      }.toSeq.sortBy(_._1)
+  }
+
+  /** [[tagEntries]] as a DataFrame (the `t$tags` metadata table). */
+  def tags(spark: SparkSession, root: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    tagEntries(spark, root).toDF("tag", "batch", "created_ts")
+  }
+
+  /** Resolve a tag to its batch id; None when no such tag. */
+  def resolveTag(spark: SparkSession, root: String,
+      name: String): Option[Long] = {
+    val fs = fsFor(spark, root)
+    val p = new Path(tagsDir(root), name)
+    if (!fs.exists(p)) None
+    else Some(readSmallFile(fs, p).trim.split(' ')(0).toLong)
+  }
+
+  /** Batch ids pinned by tags — excluded from [[vacuum]]'s sweep. */
+  private def taggedBatches(spark: SparkSession, root: String): Set[Long] =
+    tagEntries(spark, root).map(_._2).toSet
+
   /** Commit history of the table — one row per retained manifest:
     * batch id, maintenance generation, whether it is the CURRENT
     * pointer target, bucket count, and the committed column names.
@@ -835,8 +931,9 @@ object CdcApply {
   /** Retention sweep + tombstone expiry, the maintenance half of the
     * contract. Keeps the `keep` most recent manifests (never fewer —
     * `keep >= 2` leaves in-flight readers of the previous snapshot
-    * unbroken), deletes manifests older than that, then deletes every
-    * `data/` bucket directory no retained manifest references.
+    * unbroken) plus every [[tag]]-pinned batch, deletes manifests
+    * older than that, then deletes every `data/` bucket directory no
+    * retained manifest references.
     *
     * Tombstone expiry: merges age tombstones out of the buckets they
     * rewrite, but a bucket no batch touches again would hold its
@@ -877,8 +974,11 @@ object CdcApply {
     // stream moves CURRENT to a newer batch; on a quiesced table the
     // leftover is one generation of one batch — bounded.
     val curBatchId = parseManifestName(curName)._1
+    // tagged batches are PINNED: a tag is a promise that the snapshot
+    // stays time-travelable, so retention never sweeps it (manifest,
+    // data dirs via the live set, and changelog all key off this set)
     val keptBatches = all.map(parseManifestName(_)._1).distinct
-      .sorted.takeRight(keep).toSet
+      .sorted.takeRight(keep).toSet ++ taggedBatches(spark, root)
     val kept = (all.groupBy(parseManifestName(_)._1).toSeq.collect {
       case (b, names) if keptBatches.contains(b) =>
         val byGen = names.sortBy(parseManifestName(_)._2)

@@ -337,6 +337,42 @@ object CdcSql {
               "current_batch")
             .queryExecution.analyzed
         }),
+      // ---- named tags (Iceberg-style read refs) from SQL. Creating
+      // or dropping a tag changes what vacuum may sweep — storage
+      // lifecycle — so both are gated like maintenance on governed
+      // roots; listing rides the `t$tags` metadata suffix instead. ----
+      (FunctionIdentifier("cdc_tag"),
+        new ExpressionInfo("graft.streaming.CdcSql", "cdc_tag"),
+        args => {
+          if (args.size != 3) throw new UnsupportedOperationException(
+            "cdc_tag(name, tag, batch) takes 3 arguments")
+          val name = argString(args(0), "cdc_tag name")
+          val tagName = argString(args(1), "cdc_tag tag")
+          val batch = argLong(args(2), "cdc_tag batch")
+          val spark = activeSession
+          val root = resolveRoot(name)
+          requireMaintainer(spark, name, root, "cdc_tag")
+          CdcApply.tag(spark, root, tagName, batch)
+          spark.createDataFrame(Seq((name, tagName, batch)))
+            .toDF("name", "tag", "batch")
+            .queryExecution.analyzed
+        }),
+      (FunctionIdentifier("cdc_untag"),
+        new ExpressionInfo("graft.streaming.CdcSql", "cdc_untag"),
+        args => {
+          if (args.size != 2) throw new UnsupportedOperationException(
+            "cdc_untag(name, tag) takes 2 arguments")
+          val name = argString(args(0), "cdc_untag name")
+          val tagName = argString(args(1), "cdc_untag tag")
+          val spark = activeSession
+          val root = resolveRoot(name)
+          requireMaintainer(spark, name, root, "cdc_untag")
+          val existed = CdcApply.untag(spark, root, tagName)
+          spark.createDataFrame(Seq((name, tagName, existed)))
+            .toDF("name", "tag", "existed")
+            .queryExecution.analyzed
+        }),
+
       // name lifecycle from SQL — with register/unregister the WHOLE
       // CDC surface (registration, reads, time travel, metadata,
       // maintenance, predicate DML, restore) is drivable by SQL
@@ -478,7 +514,8 @@ case class CdcTableResolution(spark: SparkSession)
       (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
     "history" -> ((s, r) => CdcApply.history(s, r)),
     "buckets" -> ((s, r) => CdcApply.buckets(s, r)),
-    "describe" -> ((s, r) => CdcApply.describe(s, r)))
+    "describe" -> ((s, r) => CdcApply.describe(s, r)),
+    "tags" -> ((s, r) => CdcApply.tags(s, r)))
 
   private def metaTarget(u: UnresolvedRelation)
       : Option[(String, org.apache.spark.sql.DataFrame)] = {
@@ -673,15 +710,20 @@ case class CdcTableResolution(spark: SparkSession)
         val alias = u.multipartIdentifier.last
         (ver, ts) match {
           case (Some(v), _) =>
+            // a number is a batch id; anything else resolves as a
+            // NAMED TAG (tag names must start with a letter, so the
+            // two can never collide)
             val batch =
               try v.toLong
               catch { case _: NumberFormatException =>
-                throw new UnsupportedOperationException(
-                  s"VERSION AS OF over CDC table '$alias' takes a " +
-                    s"batch id, got '$v'")
+                CdcApply.resolveTag(spark, root, v).getOrElse(
+                  throw new UnsupportedOperationException(
+                    s"VERSION AS OF over CDC table '$alias' takes a " +
+                      s"batch id or a tag name; no tag '$v' exists " +
+                      "(see cdc_tag / `t$tags`)"))
               }
             expand(alias, CdcApply.readSnapshotAt(spark, root, batch),
-              s"as of version $batch")
+              s"as of version $batch ('$v')")
           case (None, Some(t)) =>
             val millis = asOfMillis(t)
             expand(alias, CdcApply.readSnapshotAsOf(spark, root, millis),

@@ -456,6 +456,53 @@ class CdcSqlSpec extends AnyFunSuite with SparkTestBase {
     } finally CdcSql.unregisterTable("gov_maint_t")
   }
 
+  test("named tags: SQL lifecycle, VERSION AS OF '<tag>', metadata " +
+      "listing, vacuum pinning, and loud failure modes") {
+    val root = newRoot()
+    applyB0(root)
+    applyB1(root)
+    CdcSql.registerTable(spark, root, "tag_t")
+    try {
+      spark.sql("SELECT * FROM cdc_tag('tag_t', 'stable', 0)").collect()
+      // the tag resolves exactly like the numeric form
+      def rows(sql: String) = spark.sql(sql).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val viaTag = rows(
+        "SELECT k, amount FROM tag_t VERSION AS OF 'stable' ORDER BY k")
+      assert(viaTag == rows(
+        "SELECT k, amount FROM tag_t VERSION AS OF 0 ORDER BY k"))
+      assert(viaTag.map(_._1) == Seq(1L, 2L, 3L))
+      // `t$tags` metadata listing
+      val listed = spark.sql("SELECT tag, batch FROM `tag_t$tags`")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(listed == Seq("stable" -> 0L))
+      // duplicate create and numeric-shaped names refuse loudly
+      intercept[IllegalStateException] {
+        spark.sql("SELECT * FROM cdc_tag('tag_t', 'stable', 1)")
+      }
+      intercept[IllegalArgumentException] {
+        CdcApply.tag(spark, root, "0", 0L)
+      }
+      intercept[IllegalArgumentException] {
+        CdcApply.tag(spark, root, "nosuch", 99L)
+      }
+      // vacuum PINS the tagged batch: keep=1 alone would sweep batch 0
+      CdcApply.vacuum(spark, root, keep = 1)
+      assert(CdcApply.readSnapshotAt(spark, root, 0L).isDefined,
+        "vacuum swept a tagged batch")
+      // untag releases the pin; the next vacuum sweeps it
+      spark.sql("SELECT * FROM cdc_untag('tag_t', 'stable')").collect()
+      CdcApply.vacuum(spark, root, keep = 1)
+      assert(CdcApply.readSnapshotAt(spark, root, 0L).isEmpty,
+        "untagged batch survived retention")
+      // a dangling tag read names the remedy
+      val e = intercept[UnsupportedOperationException] {
+        spark.sql("SELECT * FROM tag_t VERSION AS OF 'stable'")
+      }
+      assert(e.getMessage.contains("cdc_tag"))
+    } finally CdcSql.unregisterTable("tag_t")
+  }
+
   test("cdc_register / cdc_unregister drive the name lifecycle from " +
       "SQL; registering a root with no committed table refuses") {
     val root = newRoot()
