@@ -1168,6 +1168,76 @@ object CdcApply {
     }
   }
 
+  /** OPTIMIZE ... ZORDER for the CDC format (the Delta layout
+    * maintenance analog): rewrite every bucket's CURRENT content with
+    * rows CLUSTERED on the Morton curve of two numeric columns, as a
+    * new maintenance generation — logical content untouched (pending
+    * deltas fold in, expired tombstones age, exactly like
+    * [[compactBuckets]]), replay watermark unmoved, original commit
+    * timestamp carried. The win is row-group locality: within each
+    * bucket file, rows near on the (zColA, zColB) curve sit together,
+    * so parquet min/max row-group pruning works on BOTH columns for
+    * range predicates — the standard reason OPTIMIZE ZORDER exists.
+    * The bucket layout itself (key-hash directories) is untouched:
+    * z-ordering is WITHIN buckets, composing with — not replacing —
+    * the key-pruned lookup path. Quantization is LINEAR over the
+    * exact global min/max of each column (one cheap aggregate):
+    * unlike the sampled rank bounds the standalone
+    * [[graft.sources.ZOrder.cluster]] uses, exact min/max is
+    * partition-order independent, so the committed layout is
+    * bit-reproducible (and spec-checkable) — the engine's
+    * determinism contract; heavily skewed dimensions waste curve
+    * resolution, the documented trade. The curve column is dropped
+    * before write (per-file/row-group min-max of the REAL columns
+    * carries the clustering). Same maintenance contract as
+    * [[compactBuckets]]; returns true when a generation committed.
+    */
+  def zorderBuckets(spark: SparkSession, root: String, zColA: String,
+      zColB: String): Boolean =
+    currentManifestName(spark, root) match {
+      case None => false
+      case Some(name) =>
+        import graft.sources.ZOrder
+        val (batchId, gen) = parseManifestName(name)
+        val m = readManifest(spark, root, name)
+        val conf = m.conf
+        if (m.buckets.isEmpty) return false
+        Seq(zColA, zColB).foreach(c => require(
+          m.schema.forall(_.fieldNames.contains(c)),
+          s"zorderBuckets: no column '$c' in the table schema"))
+        val dirTag = s"v${batchId}g${gen + 1}z"
+        claimMaintenanceTarget(spark, root, name, batchId, gen + 1)
+        val resolved = readBucketsResolved(spark, root, m, None).get
+        val aged = conf.deletedCol.fold(resolved)(d =>
+          resolved.filter(!(coalesce(col(d), lit(false)) &&
+            lit(batchId) - coalesce(col(TsBatchCol), lit(batchId)) >=
+              lit(conf.retention.toLong))))
+        val mm = aged.agg(
+          min(col(zColA).cast("double")), max(col(zColA).cast("double")),
+          min(col(zColB).cast("double")), max(col(zColB).cast("double")))
+          .head()
+        require(!mm.anyNull,
+          s"zorderBuckets: '$zColA'/'$zColB' must hold non-NULL values")
+        aged
+          .withColumn(BucketCol, bucketCol(conf.bucketCols, conf.numBuckets))
+          .withColumn("__graft_z", ZOrder.zValue(
+            ZOrder.quantize(col(zColA), mm.getDouble(0), mm.getDouble(1)),
+            ZOrder.quantize(col(zColB), mm.getDouble(2), mm.getDouble(3))))
+          .repartition(col(BucketCol))
+          .sortWithinPartitions(col(BucketCol), col("__graft_z"))
+          .drop("__graft_z")
+          .write.partitionBy(BucketCol).mode("overwrite")
+          .parquet(new Path(root, s"data/$dirTag").toString)
+        val written = writtenEntries(spark, root, dirTag,
+          hasTombstones = conf.deletedCol.isDefined)
+        if (currentManifestName(spark, root).contains(name)) {
+          commitManifest(spark, root, s"v$batchId.${gen + 1}",
+            Manifest(conf, written, m.schema, m.ts),
+            batchId, overwrite = false)
+          true
+        } else false
+    }
+
   /** Scheduled compaction for merge-on-read tables: fold the pending
     * delta directories of the chosen buckets (default: every bucket
     * holding any) back into single base directories, as a new

@@ -271,6 +271,22 @@ object CdcSql {
             .toDF("name", "rebucketed", "num_buckets")
             .queryExecution.analyzed
         }),
+      (FunctionIdentifier("cdc_zorder"),
+        new ExpressionInfo("graft.streaming.CdcSql", "cdc_zorder"),
+        args => {
+          if (args.size != 3) throw new UnsupportedOperationException(
+            "cdc_zorder(name, colA, colB) takes 3 arguments")
+          val name = argString(args(0), "cdc_zorder name")
+          val ca = argString(args(1), "cdc_zorder colA")
+          val cb = argString(args(2), "cdc_zorder colB")
+          val spark = activeSession
+          val root = resolveRoot(name)
+          requireMaintainer(spark, name, root, "cdc_zorder")
+          val did = CdcApply.zorderBuckets(spark, root, ca, cb)
+          spark.createDataFrame(Seq((name, ca, cb, did)))
+            .toDF("name", "col_a", "col_b", "clustered")
+            .queryExecution.analyzed
+        }),
       (FunctionIdentifier("cdc_reseed_mirror"),
         new ExpressionInfo("graft.streaming.CdcSql",
           "cdc_reseed_mirror"),

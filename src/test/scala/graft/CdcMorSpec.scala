@@ -279,4 +279,57 @@ class CdcMorSpec extends AnyFunSuite with SparkTestBase {
     assert(C.currentVersion(spark, mroot) ==
       C.currentVersion(spark, mor))
   }
+
+  test("zorderBuckets: content-neutral layout maintenance — rows " +
+      "cluster on the curve within every bucket file, snapshot and " +
+      "time travel unchanged, generation committed") {
+    import spark.implicits._
+    import graft.sources.ZOrder
+    val root = tmp("mor_zorder")
+    // 400 keys over two correlated numeric dims, some MOR deltas left
+    val b0 = (1L to 400L).map(k => (k, 1L, k % 20, k / 20, false))
+      .toDF("k", "version", "a", "b", "deleted")
+    assert(C.applyBatch(b0, 0L, root, Seq("k"), "version",
+      Some("deleted"), numBuckets = 4, commitTs = Some(1000L),
+      maxDeltas = 8))
+    val b1 = (1L to 40L).map(k => (k * 10, 2L, k % 20, k / 2, false))
+      .toDF("k", "version", "a", "b", "deleted")
+    assert(C.applyBatch(b1, 1L, root, Seq("k"), "version",
+      Some("deleted"), numBuckets = 4, commitTs = Some(2000L),
+      maxDeltas = 8))
+    def state() = C.readSnapshot(spark, root).get.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("version"),
+        r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val before = state()
+    assert(C.zorderBuckets(spark, root, "a", "b"))
+    assert(state() == before, "z-order changed logical content")
+    // as-of reads resolve identically (ts carried, watermark unmoved)
+    assert(C.currentVersion(spark, root).contains(1L))
+    assert(C.resolveAsOf(spark, root, 1500L).contains(0L))
+    // layout property: within every rewritten bucket file, rows are
+    // non-decreasing on the curve. The op quantizes linearly over the
+    // EXACT global min/max — partition-order independent, so the test
+    // recomputes the identical curve from content alone.
+    val snap = C.readSnapshot(spark, root).get
+    val mm = snap.agg(min(col("a").cast("double")),
+      max(col("a").cast("double")), min(col("b").cast("double")),
+      max(col("b").cast("double"))).head()
+    val files = snap.inputFiles
+    assert(files.nonEmpty &&
+      files.forall(_.contains("g1z")), files.take(3).mkString(","))
+    files.foreach { f =>
+      val zs = spark.read.parquet(f).coalesce(1)
+        .select(ZOrder.zValue(
+          ZOrder.quantize(col("a"), mm.getDouble(0), mm.getDouble(1)),
+          ZOrder.quantize(col("b"), mm.getDouble(2), mm.getDouble(3)))
+          .as("z"))
+        .collect().map(_.getLong(0))
+      assert(zs.sameElements(zs.sorted),
+        s"file $f is not curve-clustered")
+    }
+    // maintenance is re-runnable: a second z-order commits gen 2 with
+    // the same logical content
+    assert(C.zorderBuckets(spark, root, "a", "b"))
+    assert(state() == before)
+  }
 }

@@ -393,6 +393,13 @@ class CdcSqlSpec extends AnyFunSuite with SparkTestBase {
         "SELECT k, amount FROM vac_t ORDER BY k").collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(state == Seq(1L -> 11.0, 2L -> 20.0), state.toString)
+      // cdc_zorder: a content-neutral layout generation commits
+      val zo = spark.sql("SELECT * FROM cdc_zorder('vac_t', 'k', " +
+        "'amount')").collect().head
+      assert(zo.getAs[Boolean]("clustered"), zo.toString)
+      assert(spark.sql("SELECT k, amount FROM vac_t ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+        state)
       // vacuum keep=1: batch 0 manifests + data leave; VERSION AS OF 0
       // stops resolving, the head stays intact
       val vac = spark.sql("SELECT * FROM cdc_vacuum('vac_t', 1)")
