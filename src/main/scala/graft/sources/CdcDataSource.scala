@@ -29,8 +29,18 @@ import graft.streaming.CdcApply
   * name surface or the Scala API, which plan the scan natively; this
   * shim trades that last mile for protocol compatibility and says so.
   *
-  * Writes are refused with the same contract as SQL DML: change
-  * batches enter through [[CdcApply.applyBatch]].
+  * WRITES route through the engine's own apply path, never around it:
+  * `df.write.format("cdc").mode("append")` with `option("keys", ...)`
+  * + `option("versionCol", ...)` IS [[CdcApply.applyBatch]] — merge
+  * semantics, bucket layout, replay guard, writer fence, and
+  * governance all hold, because the save is the apply. Optional
+  * options mirror the Scala parameters: `batchId` (omit = next batch;
+  * EXPLICIT ids are what make retried writes idempotent through the
+  * replay guard — an omitted id re-applies a retry as a new batch),
+  * `deletedCol`, `numBuckets`, `maxDeltas`, `bucketCols` (csv),
+  * `changelog`, `commitTs`. Every other SaveMode is refused loudly:
+  * Overwrite would erase history (use restore/vacuum), and
+  * ErrorIfExists/Ignore have no merge meaning.
   */
 class CdcDataSource extends RelationProvider
     with CreatableRelationProvider with DataSourceRegister {
@@ -59,11 +69,38 @@ class CdcDataSource extends RelationProvider
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
-      parameters: Map[String, String], data: DataFrame): BaseRelation =
-    throw new UnsupportedOperationException(
-      "CDC tables are written through CdcApply.applyBatch, not " +
-        "df.write — applies carry the merge/replay/change-feed " +
-        "semantics a raw save would bypass")
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "format(\"cdc\") requires option(\"path\", <table root>)"))
+    if (mode != SaveMode.Append)
+      throw new UnsupportedOperationException(
+        s"format(\"cdc\") supports mode(\"append\") only (a save IS a " +
+          "CdcApply.applyBatch — merge semantics have no " +
+          s"$mode meaning; history rewrites go through " +
+          "restore/vacuum)")
+    val keys = parameters.get("keys")
+      .map(_.split(',').map(_.trim).toSeq.filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        "format(\"cdc\") append requires option(\"keys\", \"k1[,k2]\")"))
+    val versionCol = parameters.getOrElse("versionCol",
+      throw new IllegalArgumentException(
+        "format(\"cdc\") append requires option(\"versionCol\", <col>)"))
+    val batchId = parameters.get("batchId").map(_.toLong).getOrElse(
+      CdcApply.currentVersion(spark, root).map(_ + 1L).getOrElse(0L))
+    CdcApply.applyBatch(data, batchId, root, keys, versionCol,
+      parameters.get("deletedCol"),
+      numBuckets = parameters.get("numBuckets").map(_.toInt)
+        .getOrElse(16),
+      commitTs = parameters.get("commitTs").map(_.toLong),
+      changelog = parameters.get("changelog").exists(_.toBoolean),
+      maxDeltas = parameters.get("maxDeltas").map(_.toInt).getOrElse(0),
+      bucketCols = parameters.get("bucketCols")
+        .map(_.split(',').map(_.trim).toSeq.filter(_.nonEmpty)))
+    createRelation(sqlContext, Map("path" -> root))
+  }
 }
 
 /** The snapshot as a pruned-filtered relation: pruning and the

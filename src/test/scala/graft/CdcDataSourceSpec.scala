@@ -65,15 +65,52 @@ class CdcDataSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(df.select("amount").columns.toSeq == Seq("amount"))
   }
 
-  test("writes are refused; bad options fail loudly") {
+  test("df.write.format(\"cdc\").mode(\"append\") IS an applyBatch: " +
+      "merge semantics, auto/explicit batch ids, replay idempotence") {
+    import spark.implicits._
+    val root = newRoot()
+    def write(df: org.apache.spark.sql.DataFrame,
+        batch: Option[Long]): Unit = {
+      val w = df.write.format("cdc").mode("append")
+        .option("path", root).option("keys", "k")
+        .option("versionCol", "version").option("deletedCol", "deleted")
+      batch.fold(w)(b => w.option("batchId", b.toString)).save()
+    }
+    write(Seq((1L, 1L, 10.0, false), (2L, 1L, 20.0, false))
+      .toDF("k", "version", "amount", "deleted"), None) // auto batch 0
+    write(Seq((1L, 2L, 11.0, false), (2L, 2L, 20.0, true))
+      .toDF("k", "version", "amount", "deleted"), Some(1L))
+    val got = rows(spark.read.format("cdc").option("path", root).load())
+    assert(got == Set(1L -> 11.0), got.toString)
+    assert(CdcApply.currentVersion(spark, root).contains(1L))
+    // explicit batch id replays through the guard: content unchanged
+    write(Seq((1L, 9L, 99.0, false))
+      .toDF("k", "version", "amount", "deleted"), Some(1L))
+    assert(rows(spark.read.format("cdc").option("path", root).load()) ==
+      Set(1L -> 11.0), "replayed batch must no-op")
+    // append without the merge contract options refuses
+    intercept[IllegalArgumentException] {
+      Seq((1L, 1L, 1.0, false)).toDF("k", "version", "amount", "deleted")
+        .write.format("cdc").mode("append").option("path", root).save()
+    }
+  }
+
+  test("non-append writes are refused; bad options fail loudly") {
     import spark.implicits._
     val root = build()
     val e = intercept[UnsupportedOperationException] {
       Seq((9L, 9L, 90.0, false))
         .toDF("k", "version", "amount", "deleted")
-        .write.format("cdc").option("path", root).save()
+        .write.format("cdc").option("path", root).save() // ErrorIfExists
     }
-    assert(e.getMessage.contains("applyBatch"), e.getMessage)
+    assert(e.getMessage.contains("append"), e.getMessage)
+    val eo = intercept[UnsupportedOperationException] {
+      Seq((9L, 9L, 90.0, false))
+        .toDF("k", "version", "amount", "deleted")
+        .write.format("cdc").mode("overwrite")
+        .option("path", root).save()
+    }
+    assert(eo.getMessage.contains("restore/vacuum"), eo.getMessage)
     intercept[IllegalArgumentException] {
       spark.read.format("cdc").load()
     }
