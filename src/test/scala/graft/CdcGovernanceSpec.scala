@@ -106,6 +106,21 @@ class CdcGovernanceSpec extends AnyFunSuite with SparkTestBase {
       }
     }
     assert(e.getMessage.contains(s"$db.$tbl"), e.getMessage)
+    // the format("cdc") append routes through applyBatch, whose file
+    // write hits the same fence — denied before any commit
+    intercept[AccessDeniedException] {
+      Governance.withPrincipal(spark, Analyst) {
+        Seq((9L, 9L, 9.0, false, "x"))
+          .toDF("k", "version", "amount", "deleted", "secret")
+          .write.format("cdc").mode("append")
+          .option("path", root).option("keys", "k")
+          .option("versionCol", "version")
+          .option("deletedCol", "deleted")
+          .option("batchId", "99").save()
+      }
+    }
+    assert(CdcApply.currentVersion(spark, root).contains(1L),
+      "denied format(\"cdc\") append must not commit a batch")
     // DataAdmin retains write access (the maintenance path keeps working)
     Governance.withPrincipal(spark, DataAdmin) {
       CdcApply.vacuum(spark, root, keep = 2)
