@@ -428,4 +428,49 @@ class CdcApplyPropSpec extends AnyFunSuite with SparkTestBase {
     }
     check(p)
   }
+
+  test("property: a tag pins any batch through vacuum under any " +
+      "history; untagging releases exactly that pin") {
+    import spark.implicits._
+    val C = graft.streaming.CdcApply
+    val p = Prop.forAll(historyGen, Gen.chooseNum(3, 4),
+      Gen.chooseNum(0, 10)) { (history, nBatches, pick) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("cdc_tag_prop").toFile.getAbsolutePath
+      val size = math.max(1, history.size / nBatches)
+      val batches = history.grouped(size).toList.padTo(nBatches, Nil)
+      batches.zipWithIndex.foreach { case (rows, id) =>
+        C.applyBatch(rows.toDF("k", "version", "payload", "deleted"),
+          id.toLong, root, Seq("k"), "version", Some("deleted"),
+          numBuckets = 4, tombstoneRetention = 100,
+          commitTs = Some(1000L * (id + 1)))
+      }
+      val retained = C.history(spark, root).collect()
+        .map(_.getAs[Long]("batch_id")).distinct.sorted
+      val head = retained.last
+      val target = retained(pick % retained.length)
+      def snap(b: Long): Option[Map[Long, Long]] =
+        C.readSnapshotAt(spark, root, b).map(_.collect()
+          .map(r => r.getAs[Long]("k") -> r.getAs[Long]("version"))
+          .toMap)
+      val before = snap(target)
+      C.tag(spark, root, "pin", target)
+      C.vacuum(spark, root, keep = 1, expireTombstones = false)
+      // the pinned batch reads identically after a keep=1 sweep
+      val pinnedOk = snap(target) == before &&
+        C.currentVersion(spark, root).contains(head)
+      // every untagged non-head batch is gone
+      val sweptOk = retained.filterNot(b => b == head || b == target)
+        .forall(b => snap(b).isEmpty)
+      assert(C.untag(spark, root, "pin"))
+      C.vacuum(spark, root, keep = 1, expireTombstones = false)
+      // released: only the head remains readable
+      val releasedOk = (target == head) || snap(target).isEmpty
+      assert(pinnedOk && sweptOk && releasedOk,
+        s"target=$target head=$head retained=${retained.toSeq} " +
+          s"pinned=$pinnedOk swept=$sweptOk released=$releasedOk")
+      true
+    }
+    check(p)
+  }
 }
