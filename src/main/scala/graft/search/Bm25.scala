@@ -105,11 +105,13 @@ object Bm25 {
       .select(col("doc_id"), col("term"),
         // every op below is one correctly-rounded IEEE double op over
         // exact integer inputs — the oracle mirrors the exact same
-        // expression tree (parenthesization matters; see object doc)
+        // expression tree (parenthesization matters; see object doc).
+        // At the defaults k1+1 == 2.2 and 1-b == 0.25 bit-for-bit, so
+        // the derived literals match the oracle's hardcoded constants.
         (((nD - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          (col("tf").cast(DoubleType) * lit(2.2)) /
-          (col("tf").cast(DoubleType) + lit(1.2) *
-            (lit(0.25) + lit(0.75) * (col("len").cast(DoubleType) /
+          (col("tf").cast(DoubleType) * lit(k1 + 1)) /
+          (col("tf").cast(DoubleType) + lit(k1) *
+            (lit(1 - b) + lit(b) * (col("len").cast(DoubleType) /
               (col("sum_len").cast(DoubleType) /
                 col("n_docs").cast(DoubleType)))))).as("s"))
     // fixed-order score sum: pivot the ≤|terms| per-doc rows to columns,

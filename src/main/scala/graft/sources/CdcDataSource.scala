@@ -80,25 +80,44 @@ class CdcDataSource extends RelationProvider
           "CdcApply.applyBatch — merge semantics have no " +
           s"$mode meaning; history rewrites go through " +
           "restore/vacuum)")
+    // Appends to an EXISTING table default every layout/config knob
+    // from the current manifest (the deleteWhere/updateWhere pattern):
+    // applyBatch's config gate compares all of them, so a bare
+    // df.write append must present the table's own values, not the
+    // Scala-API defaults. Explicit options still override (and then
+    // the gate rejects a genuine mismatch loudly).
+    val conf = CdcApply.tableConfOf(spark, root)
     val keys = parameters.get("keys")
       .map(_.split(',').map(_.trim).toSeq.filter(_.nonEmpty))
       .filter(_.nonEmpty)
+      .orElse(conf.map(_.keys))
       .getOrElse(throw new IllegalArgumentException(
         "format(\"cdc\") append requires option(\"keys\", \"k1[,k2]\")"))
-    val versionCol = parameters.getOrElse("versionCol",
-      throw new IllegalArgumentException(
+    val versionCol = parameters.get("versionCol")
+      .orElse(conf.map(_.versionCol))
+      .getOrElse(throw new IllegalArgumentException(
         "format(\"cdc\") append requires option(\"versionCol\", <col>)"))
     val batchId = parameters.get("batchId").map(_.toLong).getOrElse(
       CdcApply.currentVersion(spark, root).map(_ + 1L).getOrElse(0L))
+    // changelog-enabled tables keep their changelog fed on a bare
+    // append (streaming tails must not silently diverge from the
+    // manifest feed) — same detection as deleteWhere/updateWhere
+    val logged = parameters.get("changelog").map(_.toBoolean).getOrElse(
+      CdcApply.hasChangelog(spark, root))
     CdcApply.applyBatch(data, batchId, root, keys, versionCol,
-      parameters.get("deletedCol"),
+      parameters.get("deletedCol").orElse(conf.flatMap(_.deletedCol)),
       numBuckets = parameters.get("numBuckets").map(_.toInt)
-        .getOrElse(16),
+        .orElse(conf.map(_.numBuckets)).getOrElse(16),
+      tombstoneRetention = parameters.get("retention").map(_.toInt)
+        .orElse(conf.map(_.retention))
+        .getOrElse(CdcApply.DefaultTombstoneRetention),
       commitTs = parameters.get("commitTs").map(_.toLong),
-      changelog = parameters.get("changelog").exists(_.toBoolean),
-      maxDeltas = parameters.get("maxDeltas").map(_.toInt).getOrElse(0),
+      changelog = logged,
+      maxDeltas = parameters.get("maxDeltas").map(_.toInt)
+        .orElse(conf.map(_.maxDeltas)).getOrElse(0),
       bucketCols = parameters.get("bucketCols")
-        .map(_.split(',').map(_.trim).toSeq.filter(_.nonEmpty)))
+        .map(_.split(',').map(_.trim).toSeq.filter(_.nonEmpty))
+        .orElse(conf.flatMap(_.bucketKeys)))
     createRelation(sqlContext, Map("path" -> root))
   }
 }

@@ -144,7 +144,7 @@ object CdcApply {
     * 100-key batch under COW rewrites 100 × (snapshot/numBuckets)
     * bytes for kilobytes of change.
     */
-  private[streaming] final case class TableConf(numBuckets: Int, keys: Seq[String],
+  private[graft] final case class TableConf(numBuckets: Int, keys: Seq[String],
       versionCol: String, deletedCol: Option[String], retention: Int,
       maxDeltas: Int = 0, bucketKeys: Option[Seq[String]] = None) {
     /** The columns the bucket hash runs over — a declared subset of
@@ -419,7 +419,7 @@ object CdcApply {
     * (a mismatch would trip the config gate with a value the caller
     * never chose).
     */
-  private[streaming] val DefaultTombstoneRetention = 100
+  private[graft] val DefaultTombstoneRetention = 100
 
   /** Restrict a ZERO-FILESYSTEM constructed frame's schema to the
     * columns the current principal may see when `root` is a governed
@@ -669,9 +669,14 @@ object CdcApply {
     tagEntries(spark, root).toDF("tag", "batch", "created_ts")
   }
 
-  /** Resolve a tag to its batch id; None when no such tag. */
+  /** Resolve a tag to its batch id; None when no such tag. Names that
+    * [[tag]] could never have created (the `TagNameRe` contract) are
+    * None WITHOUT touching the filesystem — an arbitrary SQL string
+    * containing `/` or `..` must not build a Path outside `tags/`.
+    */
   def resolveTag(spark: SparkSession, root: String,
       name: String): Option[Long] = {
+    if (!TagNameRe.pattern.matcher(name).matches()) return None
     val fs = fsFor(spark, root)
     val p = new Path(tagsDir(root), name)
     if (!fs.exists(p)) None
@@ -753,6 +758,23 @@ object CdcApply {
     */
   def numBuckets(spark: SparkSession, root: String): Option[Int] =
     currentManifest(spark, root).map(_.conf.numBuckets)
+
+  /** The table's authoritative config (manifest head), for entry
+    * points that must default caller-side knobs from the table
+    * itself — [[graft.sources.CdcDataSource]] appends. None before
+    * the first apply.
+    */
+  private[graft] def tableConfOf(spark: SparkSession,
+      root: String): Option[TableConf] =
+    currentManifest(spark, root).map(_.conf)
+
+  /** Whether the table keeps a changelog — the detection
+    * [[deleteWhere]]/[[updateWhere]] use to keep streaming tails
+    * converged with the manifest feed on any write.
+    */
+  private[graft] def hasChangelog(spark: SparkSession,
+      root: String): Boolean =
+    fsFor(spark, root).exists(new Path(root, "changelog"))
 
   /** One-row table summary — DESCRIBE DETAIL from manifest metadata
     * only (no data files listed or read): current batch id and
@@ -1431,6 +1453,11 @@ object CdcApply {
     */
   def restore(spark: SparkSession, root: String, targetBatch: Long,
       commitTs: Option[Long] = None): Option[Long] = {
+    // gate BEFORE any read: a non-admin on a governed table would
+    // otherwise compute the diff from RLS/CLS-MASKED snapshots and
+    // only hit the write fence at commit time — the confusing
+    // late-denial hazard deleteWhere/updateWhere also front-run
+    requireDmlWriter(spark, root, "restore")
     val curName = currentManifestName(spark, root).getOrElse(
       throw new IllegalArgumentException(s"no CDC table at $root"))
     val (head, _) = parseManifestName(curName)

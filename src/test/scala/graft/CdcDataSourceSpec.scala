@@ -88,10 +88,18 @@ class CdcDataSourceSpec extends AnyFunSuite with SparkTestBase {
       .toDF("k", "version", "amount", "deleted"), Some(1L))
     assert(rows(spark.read.format("cdc").option("path", root).load()) ==
       Set(1L -> 11.0), "replayed batch must no-op")
-    // append without the merge contract options refuses
+    // a bare append to an EXISTING table inherits the merge contract
+    // from the manifest (keys, versionCol, deletedCol, layout) — the
+    // deleteWhere/updateWhere defaulting pattern
+    Seq((3L, 1L, 30.0, false)).toDF("k", "version", "amount", "deleted")
+      .write.format("cdc").mode("append").option("path", root).save()
+    assert(rows(spark.read.format("cdc").option("path", root).load()) ==
+      Set(1L -> 11.0, 3L -> 30.0))
+    // ...but a NEW root has no manifest to default from: refuses
     intercept[IllegalArgumentException] {
       Seq((1L, 1L, 1.0, false)).toDF("k", "version", "amount", "deleted")
-        .write.format("cdc").mode("append").option("path", root).save()
+        .write.format("cdc").mode("append").option("path", newRoot())
+        .save()
     }
   }
 
@@ -158,5 +166,34 @@ class CdcDataSourceSpec extends AnyFunSuite with SparkTestBase {
       assert(rows(spark.table("cdc_catalog_t")) ==
         Set(1L -> 11.0, 2L -> 99.0), "refused INSERT must not write")
     } finally spark.sql("DROP TABLE IF EXISTS cdc_catalog_t")
+  }
+
+  test("bare appends to a changelog-enabled table keep the changelog " +
+      "fed, and non-default retention is inherited from the manifest") {
+    import spark.implicits._
+    val root = newRoot()
+    assert(CdcApply.applyBatch(
+      Seq((1L, 1L, 10.0, false)).toDF("k", "version", "amount",
+        "deleted"),
+      0L, root, Seq("k"), "version", Some("deleted"),
+      tombstoneRetention = 7, changelog = true,
+      commitTs = Some(1000L)))
+    // no changelog/retention options: detection + manifest defaulting
+    // must make this append succeed AND log its changelog entry
+    Seq((2L, 1L, 20.0, false)).toDF("k", "version", "amount", "deleted")
+      .write.format("cdc").mode("append").option("path", root)
+      .option("commitTs", "2000").save()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "changelog/b1")),
+      "changelog tail diverged: bare append skipped the changelog entry")
+    assert(rows(spark.read.format("cdc").option("path", root).load()) ==
+      Set(1L -> 10.0, 2L -> 20.0))
+    // explicit changelog=false still overrides the detection
+    Seq((3L, 1L, 30.0, false)).toDF("k", "version", "amount", "deleted")
+      .write.format("cdc").mode("append").option("path", root)
+      .option("changelog", "false").option("commitTs", "3000").save()
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root,
+      "changelog/b2")))
   }
 }

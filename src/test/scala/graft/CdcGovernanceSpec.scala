@@ -318,5 +318,15 @@ class CdcGovernanceSpec extends AnyFunSuite with SparkTestBase {
     assert(after.length == 1, "denied delete must not remove the row")
     assert(CdcApply.currentVersion(spark, root).contains(1L),
       "denied delete must not commit a batch")
+    // restore is gated up front like its DML siblings: the denial
+    // fires BEFORE any snapshot read, so a non-admin never computes
+    // a restore diff from a masked view only to be fenced at commit
+    intercept[AccessDeniedException] {
+      Governance.withPrincipal(spark, Analyst) {
+        CdcApply.restore(spark, root, 0L)
+      }
+    }
+    assert(CdcApply.currentVersion(spark, root).contains(1L),
+      "denied restore must not commit a batch")
   }
 }

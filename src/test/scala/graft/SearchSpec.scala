@@ -39,6 +39,30 @@ class SearchSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(got(3L) - e3) < 1e-12)
   }
 
+  test("bm25: non-default k1/b actually parameterize the scores") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c c c"))
+      .toDF("doc_id", "text")
+    val (k1, b) = (2.0, 0.5)
+    val out = Bm25.score(docs, "doc_id", "text", Seq("a", "c"),
+      topK = 10, k1 = k1, b = b)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    def exp(hits: Seq[(Long, Double)], df: Double): Double = {
+      val avgdl = 9.0 / 3.0
+      val idf = (3.0 - df + 0.5) / (df + 0.5)
+      hits.map { case (len, tf) =>
+        idf * (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + b * (len / avgdl)))
+      }.sum
+    }
+    assert(math.abs(out(1L) - exp(Seq((3L, 2.0)), 2.0)) < 1e-12)
+    assert(math.abs(out(2L) - exp(Seq((2L, 1.0), (2L, 1.0)), 2.0)) < 1e-12)
+    assert(math.abs(out(3L) - exp(Seq((4L, 4.0)), 2.0)) < 1e-12)
+    // and they genuinely differ from the default-parameter scores
+    val dflt = Bm25.score(docs, "doc_id", "text", Seq("a", "c"),
+      topK = 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out != dflt, "k1/b had no effect on the scoring expression")
+  }
+
   test("bm25: a doc missing one query term still scores on the others") {
     import spark.implicits._
     val docs = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
