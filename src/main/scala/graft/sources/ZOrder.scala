@@ -45,6 +45,69 @@ object ZOrder {
   def zValue(qa: Column, qb: Column): Column =
     spread16(qa).bitwiseOR(shiftleft(spread16(qb), 1))
 
+  /** Per-dimension quantization resolution for an n-way interleave:
+    * 16 bits for 1-2 dims (the [[zValue]] resolution), then the widest
+    * equal split that keeps the full code in a positive signed long.
+    */
+  def bitsFor(n: Int): Int = {
+    require(n >= 1, s"need at least one dimension, got $n")
+    math.min(16, 62 / n)
+  }
+
+  /** N-dimensional Morton code: bit i of dimension d lands at position
+    * i*n + d, so equal-significance bits of all dimensions interleave —
+    * the 2-dim [[zValue]] generalized. Each dimension must already be
+    * quantized to [0, 2^bits). A fixed tree of n*bits codegen'd bitwise
+    * builtins (shift/and/or) — no UDF; for (n=2, bits=16) it delegates
+    * to the mask-shift [[zValue]] fast path, bit-identically.
+    */
+  def zValueN(qs: Seq[Column], bits: Int): Column = {
+    val n = qs.size
+    require(n >= 1, "zValueN needs at least one dimension")
+    require(bits >= 1 && n * bits <= 62,
+      s"interleave overflows a signed long: $n dims x $bits bits")
+    if (n == 1) qs.head
+    else if (n == 2 && bits == 16) zValue(qs(0), qs(1))
+    else {
+      val terms = for {
+        (q, d) <- qs.zipWithIndex
+        i <- 0 until bits
+      } yield shiftleft(shiftright(q, i).bitwiseAND(lit(1L)), i * n + d)
+      terms.reduce(_.bitwiseOR(_))
+    }
+  }
+
+  /** Order-preserving double surrogate of any orderable column — what
+    * lets rank/linear quantization (and therefore z-ordering) run over
+    * NON-numeric dimensions. Monotone by construction per type:
+    * numerics cast; date/timestamp take their epoch ordinal; booleans
+    * 0/1; strings and binaries take the first 6.5 bytes as a base-16
+    * integer (13 hex digits = 52 bits, exact in a double), padded with
+    * the lowest digit so prefixes stay below their extensions. Values
+    * sharing a 6.5-byte prefix collapse into one cell — a resolution
+    * trade, never an ordering error (rounding and truncation are both
+    * monotone).
+    */
+  def ordinate(c: Column, dt: org.apache.spark.sql.types.DataType)
+      : Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType => c.cast("double")
+      case BooleanType => c.cast("int").cast("double")
+      case DateType => unix_date(c).cast("double")
+      case TimestampType => unix_micros(c).cast("double")
+      case _: TimestampNTZType =>
+        unix_micros(c.cast(TimestampType)).cast("double")
+      case StringType => hexPrefixOrdinate(hex(encode(c, "UTF-8")))
+      case BinaryType => hexPrefixOrdinate(hex(c))
+      case other => throw new IllegalArgumentException(
+        s"cannot z-order on a column of type ${other.simpleString}")
+    }
+  }
+
+  private def hexPrefixOrdinate(hexStr: Column): Column =
+    conv(rpad(substring(hexStr, 1, 13), 13, "0"), 16, 10).cast("double")
+
   /** Linear quantization of `c` into [0, 65535] over [min, max]. Exact
     * and engine-reproducible when the bounds are known a priori; use
     * [[quantizeByBounds]] for data-driven layouts, where skew would
@@ -54,11 +117,19 @@ object ZOrder {
     * curve).
     */
   def quantize(c: Column, min: Double, max: Double): Column =
+    quantizeTo(c, min, max, 65535L)
+
+  /** [[quantize]] at an explicit resolution: linear map onto
+    * [0, maxCell] — the per-dimension range an n-way interleave's
+    * [[bitsFor]] budget allows (maxCell = 2^bits - 1).
+    */
+  def quantizeTo(c: Column, min: Double, max: Double,
+      maxCell: Long): Column =
     if (max - min <= 0) lit(0L)
     else least(greatest(
       floor((coalesce(c.cast("double"), lit(min)) - lit(min)) /
-        lit(max - min) * lit(65535.0)).cast("long"),
-      lit(0L)), lit(65535L))
+        lit(max - min) * lit(maxCell.toDouble)).cast("long"),
+      lit(0L)), lit(maxCell))
 
   /** Sampled per-dimension cell boundaries: the (1/cells … (cells-1)/
     * cells) quantiles of each column, deduplicated — heavy point masses

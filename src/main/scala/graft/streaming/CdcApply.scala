@@ -1192,7 +1192,7 @@ object CdcApply {
 
   /** OPTIMIZE ... ZORDER for the CDC format (the Delta layout
     * maintenance analog): rewrite every bucket's CURRENT content with
-    * rows CLUSTERED on the Morton curve of two numeric columns, as a
+    * rows CLUSTERED on the Morton curve of the given columns, as a
     * new maintenance generation — logical content untouched (pending
     * deltas fold in, expired tombstones age, exactly like
     * [[compactBuckets]]), replay watermark unmoved, original commit
@@ -1216,15 +1216,31 @@ object CdcApply {
     */
   def zorderBuckets(spark: SparkSession, root: String, zColA: String,
       zColB: String): Boolean =
+    zorderBuckets(spark, root, Seq(zColA, zColB))
+
+  /** The general form: OPTIMIZE ... ZORDER BY an arbitrary column
+    * list. Non-numeric dimensions (string, binary, date, timestamp,
+    * boolean) join the curve through their order-preserving numeric
+    * surrogate ([[graft.sources.ZOrder.ordinate]]); each dimension
+    * gets an equal bit budget sized so the full interleave stays in
+    * one signed long ([[graft.sources.ZOrder.bitsFor]] — 16 bits for
+    * two dims, the exact r15 layout, down to 7 bits at eight dims).
+    * Same determinism/maintenance contract as the 2-column form.
+    */
+  def zorderBuckets(spark: SparkSession, root: String,
+      zCols: Seq[String]): Boolean =
     currentManifestName(spark, root) match {
       case None => false
       case Some(name) =>
         import graft.sources.ZOrder
+        require(zCols.nonEmpty, "zorderBuckets: no z-order columns")
+        require(zCols.distinct == zCols,
+          s"zorderBuckets: duplicate z-order column in $zCols")
         val (batchId, gen) = parseManifestName(name)
         val m = readManifest(spark, root, name)
         val conf = m.conf
         if (m.buckets.isEmpty) return false
-        Seq(zColA, zColB).foreach(c => require(
+        zCols.foreach(c => require(
           m.schema.forall(_.fieldNames.contains(c)),
           s"zorderBuckets: no column '$c' in the table schema"))
         val dirTag = s"v${batchId}g${gen + 1}z"
@@ -1234,17 +1250,24 @@ object CdcApply {
           resolved.filter(!(coalesce(col(d), lit(false)) &&
             lit(batchId) - coalesce(col(TsBatchCol), lit(batchId)) >=
               lit(conf.retention.toLong))))
-        val mm = aged.agg(
-          min(col(zColA).cast("double")), max(col(zColA).cast("double")),
-          min(col(zColB).cast("double")), max(col(zColB).cast("double")))
-          .head()
-        require(!mm.anyNull,
-          s"zorderBuckets: '$zColA'/'$zColB' must hold non-NULL values")
+        val ords = zCols.map(c =>
+          ZOrder.ordinate(col(c), aged.schema(c).dataType))
+        // one aggregate for every dimension's exact global bounds —
+        // the single driver hop of the whole maintenance op
+        val aggs = ords.zipWithIndex.flatMap { case (o, i) =>
+          Seq(min(o).as(s"mn$i"), max(o).as(s"mx$i")) }
+        val mm = aged.agg(aggs.head, aggs.drop(1): _*).head()
+        zCols.indices.foreach(i => require(
+          !mm.isNullAt(2 * i) && !mm.isNullAt(2 * i + 1),
+          s"zorderBuckets: '${zCols(i)}' must hold non-NULL values"))
+        val bits = ZOrder.bitsFor(zCols.size)
+        val maxCell = (1L << bits) - 1
+        val qs = ords.zipWithIndex.map { case (o, i) =>
+          ZOrder.quantizeTo(o, mm.getDouble(2 * i),
+            mm.getDouble(2 * i + 1), maxCell) }
         aged
           .withColumn(BucketCol, bucketCol(conf.bucketCols, conf.numBuckets))
-          .withColumn("__graft_z", ZOrder.zValue(
-            ZOrder.quantize(col(zColA), mm.getDouble(0), mm.getDouble(1)),
-            ZOrder.quantize(col(zColB), mm.getDouble(2), mm.getDouble(3))))
+          .withColumn("__graft_z", ZOrder.zValueN(qs, bits))
           .repartition(col(BucketCol))
           .sortWithinPartitions(col(BucketCol), col("__graft_z"))
           .drop("__graft_z")

@@ -274,17 +274,18 @@ object CdcSql {
       (FunctionIdentifier("cdc_zorder"),
         new ExpressionInfo("graft.streaming.CdcSql", "cdc_zorder"),
         args => {
-          if (args.size != 3) throw new UnsupportedOperationException(
-            "cdc_zorder(name, colA, colB) takes 3 arguments")
+          if (args.size < 2) throw new UnsupportedOperationException(
+            "cdc_zorder(name, col1[, col2, ...]) takes a table name " +
+              "and at least one column")
           val name = argString(args(0), "cdc_zorder name")
-          val ca = argString(args(1), "cdc_zorder colA")
-          val cb = argString(args(2), "cdc_zorder colB")
+          val cols = args.drop(1).zipWithIndex.map { case (a, i) =>
+            argString(a, s"cdc_zorder col${i + 1}") }
           val spark = activeSession
           val root = resolveRoot(name)
           requireMaintainer(spark, name, root, "cdc_zorder")
-          val did = CdcApply.zorderBuckets(spark, root, ca, cb)
-          spark.createDataFrame(Seq((name, ca, cb, did)))
-            .toDF("name", "col_a", "col_b", "clustered")
+          val did = CdcApply.zorderBuckets(spark, root, cols)
+          spark.createDataFrame(Seq((name, cols.mkString(","), did)))
+            .toDF("name", "cols", "clustered")
             .queryExecution.analyzed
         }),
       (FunctionIdentifier("cdc_reseed_mirror"),

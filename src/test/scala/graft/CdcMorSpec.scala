@@ -332,4 +332,55 @@ class CdcMorSpec extends AnyFunSuite with SparkTestBase {
     assert(C.zorderBuckets(spark, root, "a", "b"))
     assert(state() == before)
   }
+
+  test("zorderBuckets generalizes to N mixed-type columns: string " +
+      "and timestamp dimensions cluster through their ordinates, " +
+      "content untouched") {
+    import spark.implicits._
+    import graft.sources.ZOrder
+    val root = tmp("mor_zorder_n")
+    val b0 = (1L to 300L).map { k =>
+      (k, 1L, k % 17, f"cat${k % 5}%s-${k % 23}%02d",
+        java.sql.Timestamp.valueOf(f"2024-01-${(k % 28) + 1}%02d 00:00:00"),
+        false)
+    }.toDF("k", "version", "a", "label", "ts", "deleted")
+    assert(C.applyBatch(b0, 0L, root, Seq("k"), "version",
+      Some("deleted"), numBuckets = 4, commitTs = Some(1000L)))
+    def state() = C.readSnapshot(spark, root).get.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("a"),
+        r.getAs[String]("label"), r.getAs[java.sql.Timestamp]("ts")))
+      .toSet
+    val before = state()
+    assert(C.zorderBuckets(spark, root, Seq("a", "label", "ts")))
+    assert(state() == before, "z-order changed logical content")
+    // within every rewritten file, rows are non-decreasing on the
+    // recomputed 3-dim curve (exact bounds -> reproducible from
+    // content alone, same contract as the 2-col form)
+    val snap = C.readSnapshot(spark, root).get
+    val ords = Seq(
+      ZOrder.ordinate(col("a"), snap.schema("a").dataType),
+      ZOrder.ordinate(col("label"), snap.schema("label").dataType),
+      ZOrder.ordinate(col("ts"), snap.schema("ts").dataType))
+    val mm = snap.agg(min(ords(0)), max(ords(0)), min(ords(1)),
+      max(ords(1)), min(ords(2)), max(ords(2))).head()
+    val bits = ZOrder.bitsFor(3)
+    val maxCell = (1L << bits) - 1
+    val z = ZOrder.zValueN(ords.zipWithIndex.map { case (o, i) =>
+      ZOrder.quantizeTo(o, mm.getDouble(2 * i), mm.getDouble(2 * i + 1),
+        maxCell) }, bits)
+    val files = snap.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("g1z")))
+    files.foreach { f =>
+      val zs = spark.read.parquet(f).coalesce(1).select(z.as("z"))
+        .collect().map(_.getLong(0))
+      assert(zs.sameElements(zs.sorted), s"file $f is not curve-clustered")
+    }
+    // guards: unknown and duplicate columns refuse loudly
+    intercept[IllegalArgumentException] {
+      C.zorderBuckets(spark, root, Seq("a", "nope"))
+    }
+    intercept[IllegalArgumentException] {
+      C.zorderBuckets(spark, root, Seq("a", "a"))
+    }
+  }
 }

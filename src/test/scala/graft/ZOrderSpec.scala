@@ -109,4 +109,68 @@ class ZOrderSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getLong(0)).toSeq
     assert(degenerate.forall(_ == 0L), "zero span collapses to one cell")
   }
+
+  test("zValueN: known vectors, 2-dim fast-path identity, overflow " +
+      "guard") {
+    import spark.implicits._
+    // n=3, bits=2: dim d's bit i lands at 3i+d
+    val df3 = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (2L, 0L, 0L), (3L, 3L, 3L)).toDF("a", "b", "c")
+    val z3 = df3.select(ZOrder.zValueN(
+      Seq(col("a"), col("b"), col("c")), 2).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(z3 == Seq(1L, 2L, 4L, 8L, 63L), z3.toString)
+    // the (n=2, bits=16) general form IS the spread16 fast path
+    val df2 = Seq((0xFFFFL, 0L), (0L, 0xFFFFL), (3L, 3L), (12345L, 54321L))
+      .toDF("a", "b")
+    val both = df2.select(
+      ZOrder.zValueN(Seq(col("a"), col("b")), 16).as("zn"),
+      ZOrder.zValue(col("a"), col("b")).as("z2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(both.forall { case (zn, z2) => zn == z2 }, both.toSeq.toString)
+    // one dim passes through; a 63-bit budget refuses
+    val z1 = df2.select(ZOrder.zValueN(Seq(col("a")), 16).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(z1 == Seq(0xFFFFL, 0L, 3L, 12345L))
+    intercept[IllegalArgumentException] {
+      ZOrder.zValueN(Seq(col("a"), col("b"), col("a"), col("b")), 16)
+    }
+    assert(ZOrder.bitsFor(2) == 16 && ZOrder.bitsFor(3) == 16 &&
+      ZOrder.bitsFor(4) == 15 && ZOrder.bitsFor(8) == 7)
+  }
+
+  test("ordinate is order-preserving per type; unsupported types " +
+      "refuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // strings: lexicographic byte order carries into the surrogate,
+    // incl. prefixes vs extensions and the >6.5-byte collapse
+    val sdf = Seq("", "a", "apple", "applesauce", "banana", "zz")
+      .toDF("s")
+    val so = sdf.select(ZOrder.ordinate(col("s"), StringType).as("o"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(so.sameElements(so.sorted), so.toString)
+    assert(so.distinct.size >= 5, "distinct short strings must separate")
+    // timestamps and dates: epoch ordinals
+    val t = Seq("2020-01-01 00:00:00", "2020-01-01 00:00:01",
+      "2024-06-30 12:00:00").map(java.sql.Timestamp.valueOf)
+    val to = t.toDF("t")
+      .select(ZOrder.ordinate(col("t"), TimestampType).as("o"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(to.sameElements(to.sorted) && to.distinct.size == 3)
+    val d = Seq("2020-01-01", "2020-01-02", "2024-06-30")
+      .map(java.sql.Date.valueOf)
+    val dord = d.toDF("d")
+      .select(ZOrder.ordinate(col("d"), DateType).as("o"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(dord == Seq(18262.0, 18263.0, 19904.0), dord.toString)
+    // booleans: false < true
+    val bo = Seq(false, true).toDF("b")
+      .select(ZOrder.ordinate(col("b"), BooleanType).as("o"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(bo == Seq(0.0, 1.0))
+    intercept[IllegalArgumentException] {
+      ZOrder.ordinate(col("x"), ArrayType(LongType))
+    }
+  }
 }
