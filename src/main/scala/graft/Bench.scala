@@ -22,6 +22,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+      // cost-based planning posture: stats recorded by ANALYZE feed
+      // Catalyst (join reorder needs row counts on every side)
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.planStats.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.extensions", "graft.governance.GraftExtensions")
       .config("spark.sql.warehouse.dir",
         new java.io.File("target/spark-warehouse").getAbsolutePath)

@@ -311,7 +311,15 @@ object Plans {
       "the signature/verified-pair index posture); the split " +
       "assignment is a MAP-SIDE projection on the cluster id, so the " +
       "whole declared plan is one tiny parquet scan plus the " +
-      "census's two-phase aggregate."))
+      "census's two-phase aggregate."),
+    "q_cbo_join" -> ("Stats-driven join reorder: the SQL names the " +
+      "worst FROM order (lineitem x orders first), but the ANALYZE'd " +
+      "row counts + join-key NDVs let CostBasedJoinReorder start from " +
+      "the filtered region/nation end — the deepest join in the plan " +
+      "is dimension-side, every dimension hop is a BroadcastHashJoin, " +
+      "and the fact table joins LAST against an already-reduced " +
+      "build side (CboSpec machine-checks the reorder against the " +
+      "heuristic baseline)."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
@@ -323,6 +331,9 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.planStats.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.extensions", "graft.governance.GraftExtensions")
       .config("spark.sql.warehouse.dir",
         new java.io.File("target/spark-warehouse").getAbsolutePath)

@@ -17,6 +17,11 @@ object Verify {
       // outputs compare cleanly against the DuckDB oracle.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+      // cost-based planning posture: stats recorded by ANALYZE feed
+      // Catalyst (join reorder needs row counts on every side)
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.planStats.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.extensions", "graft.governance.GraftExtensions")
       .config("spark.sql.queryExecutionListeners",
         "graft.governance.AuditListener")

@@ -37,6 +37,27 @@ object TierB {
   private def dsumSql(col: String): String =
     s"CAST(SUM(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"
 
+  /** Register + ANALYZE the six Q5 tables as `stats_db` catalog tables
+    * and enable CBO — the Glue-crawler-feeds-the-engine posture.
+    * Idempotent per (session, location): every declared query may call
+    * it; only the first pays the ANALYZE scans.
+    */
+  private def cboTables(s: SparkSession, d: String): Unit = {
+    import graft.operators.Stats
+    Stats.enableCbo(s)
+    s.sql("CREATE DATABASE IF NOT EXISTS stats_db")
+    Seq(
+      ("lineitem",
+        Seq("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")),
+      ("orders", Seq("o_orderkey", "o_custkey", "o_totalprice")),
+      ("customer", Seq("c_custkey", "c_nationkey")),
+      ("supplier", Seq("s_suppkey", "s_nationkey")),
+      ("nation", Seq("n_nationkey", "n_regionkey", "n_name")),
+      ("region", Seq("r_regionkey", "r_name"))
+    ).foreach { case (t, cols) =>
+      Stats.registerAnalyzed(s, s"stats_db.$t", s"$d/$t.parquet", cols) }
+  }
+
   val queries: Map[String, Q] = Map(
 
     // B1 — equi inner join, small dimension broadcast: lineitem ⋈ part.
@@ -435,6 +456,48 @@ object TierB {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // B22 — cost-based join reorder: the six-table TPC-H-Q5 shape
+    // written in the WORST FROM order (fact ⋈ fact first), planned
+    // against ANALYZE'd catalog tables with CBO on. The FROM-order
+    // heuristic would join lineitem ⋈ orders before any dimension
+    // filter; CostBasedJoinReorder's DP, fed the recorded row counts
+    // and join-key NDVs, starts from the filtered region ⋈ nation end
+    // instead — the stats-driven ordering the reference's delegated
+    // engine gets from Glue statistics (CboSpec pins the reorder;
+    // correctness here pins the result).
+    "q_cbo_join" -> ((s, d) => {
+      cboTables(s, d)
+      s.sql("""SELECT n_name,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue
+               FROM stats_db.lineitem, stats_db.orders,
+                 stats_db.customer, stats_db.supplier,
+                 stats_db.nation, stats_db.region
+               WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+                 AND l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+                 AND s_nationkey = n_nationkey
+                 AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+               GROUP BY n_name
+               ORDER BY revenue DESC, n_name""")
+    }),
+
+    // B23 — the statistics themselves, read back from where the
+    // optimizer reads them (the catalog's plan stats, not a re-scan):
+    // exact row/null/min/max per analyzed column. NDV is excluded
+    // here (ANALYZE records the HLL++ estimate — pinned in CboSpec
+    // against exact counts instead).
+    "q_analyze_stats" -> ((s, d) => {
+      cboTables(s, d)
+      graft.operators.Stats.planStats(s, "stats_db.orders")
+        .filter(col("col_name").isin("o_orderkey", "o_custkey",
+          "o_totalprice"))
+        .select(col("col_name"), col("row_count"), col("null_count"),
+          col("min_val"), col("max_val"))
+        .orderBy(col("col_name"))
+    }),
+
     // B19 — salted skewed aggregation: two-phase groupBy spreads hot keys
     // over 16 sub-reducers; the final combine is key-count × 16 rows.
     // Result is provably equal to the direct aggregation (same oracle
@@ -646,6 +709,22 @@ object TierB {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cbo_join" ->
+      ("SELECT n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) " +
+        "* (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS " +
+        "revenue FROM lineitem, orders, customer, supplier, nation, " +
+        "region WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+        "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
+        "AND r_name = 'ASIA' GROUP BY n_name " +
+        "ORDER BY revenue DESC, n_name"),
+    "q_analyze_stats" ->
+      Seq("o_custkey", "o_orderkey", "o_totalprice").map(c =>
+        s"SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS " +
+          s"row_count, CAST(COUNT(*) - COUNT($c) AS BIGINT) AS " +
+          s"null_count, CAST(MIN($c) AS DOUBLE) AS min_val, " +
+          s"CAST(MAX($c) AS DOUBLE) AS max_val FROM orders")
+        .mkString("", " UNION ALL ", " ORDER BY col_name"),
     "q_join_inner_hash" ->
       ("SELECT p_brand, COUNT(*) AS cnt, " + dsumSql("l_extendedprice") +
         " AS total_price FROM lineitem JOIN part ON l_partkey = p_partkey " +
