@@ -49,6 +49,15 @@ object GraftFunctions {
   def imageDecode(payload: Column): Column =
     call_function("image_decode", payload)
 
+  /** Deterministic mono PCM16 WAV from a long seed (see [[WavEncode]]). */
+  def wavEncode(seed: Column): Column = call_function("wav_encode", seed)
+
+  /** `(sample_rate, n_samples, rms, peak)` of an audio payload, NULL
+    * when the bytes are not parseable PCM audio (see [[WavDecode]]).
+    */
+  def wavDecode(payload: Column): Column =
+    call_function("wav_decode", payload)
+
   /** Register all graft SQL functions on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     SimHash.register(spark)
@@ -57,5 +66,6 @@ object GraftFunctions {
     BinaryStride.register(spark)
     Shingles.register(spark)
     ImageCodec.register(spark)
+    AudioCodec.register(spark)
   }
 }

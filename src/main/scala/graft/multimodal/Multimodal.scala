@@ -10,11 +10,14 @@ import org.apache.spark.sql.types.LongType
   * predicate pushdown, and shuffle behavior are identical to any other
   * column at 100 TB (the payload bytes never become a special case).
   *
-  * The IMAGE codec path is REAL: payloads for image-typed rows are
+  * The IMAGE and AUDIO codec paths are REAL: image-typed rows carry
   * genuine PNG byte streams ([[graft.functions.PngEncode]], pure-JDK
-  * `javax.imageio`) and [[decodeImage]] decodes them back to
-  * dimensions + pixel stats. Audio/video decode stays STUBBED — this
-  * container ships no codec libraries for them — behind [[decodeStub]],
+  * `javax.imageio`) decoded back to dimensions + pixel stats by
+  * [[decodeImage]]; audio-typed rows carry genuine RIFF/WAVE PCM16
+  * streams ([[graft.functions.WavEncode]]) parsed back through the
+  * JDK's own audio parser (`javax.sound.sampled`) to rate/length/
+  * loudness by [[decodeAudio]]. VIDEO decode stays STUBBED — this
+  * container ships no video codec libraries — behind [[decodeStub]],
   * which derives a deterministic fake feature vector from the payload
   * bytes; swapping that stub for a real decoder changes one
   * expression, not the pipeline.
@@ -24,9 +27,10 @@ object Multimodal {
   val MediaTypes: Seq[String] = Seq("image", "audio", "video")
 
   /** Synthesize a media table from the documents corpus: image rows
-    * carry a REAL decodable PNG (seeded by `doc_id`, so dimensions and
-    * pixels are reproducible), audio/video rows carry the UTF-8 text
-    * bytes (the stand-in for codec formats the JDK lacks); media type
+    * carry a REAL decodable PNG and audio rows a REAL decodable WAV
+    * (both seeded by `doc_id`, so dimensions, samples, and pixels are
+    * reproducible); video rows carry the UTF-8 text bytes (the
+    * stand-in for codec formats the JDK lacks); media type
     * round-robins by id, and metadata is a typed struct recording the
     * SOURCE asset's content length — the shape a crawler's media
     * sidecar table has.
@@ -40,6 +44,8 @@ object Multimodal {
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
       when(pmod(col("doc_id"), lit(3)) === 0,
           graft.functions.GraftFunctions.pngEncode(col("doc_id")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          graft.functions.GraftFunctions.wavEncode(col("doc_id")))
         .otherwise(col("text").cast("binary")).as("payload"),
       struct(
         length(col("text").cast("binary")).cast(LongType).as("byte_len"),
@@ -53,6 +59,14 @@ object Multimodal {
     */
   def decodeImage(payload: Column): Column =
     graft.functions.GraftFunctions.imageDecode(payload)
+
+  /** REAL audio decode through the JDK's WAV parser:
+    * `(sample_rate, n_samples, rms, peak)`, NULL when the bytes are
+    * not parseable PCM audio — the audio sibling of [[decodeImage]],
+    * same one-pass no-dispatch contract.
+    */
+  def decodeAudio(payload: Column): Column =
+    graft.functions.GraftFunctions.wavDecode(payload)
 
   /** Payload size in bytes. */
   def payloadBytes(payload: Column): Column =

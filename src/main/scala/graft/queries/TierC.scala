@@ -1218,24 +1218,46 @@ object TierC {
           max(col("meta.byte_len")).as("max_bytes"))
         .orderBy(col("media_type"))),
 
-    // REAL image decode + stubbed audio/video features in ONE map-side
-    // pass: image rows (genuine PNG payloads) decode to their true
-    // dimensions and mean luma via the pure-JDK codec expression;
-    // non-image rows decode NULL and carry the stub feature instead.
-    // Rows-only (PNG byte streams and xxhash features are
-    // engine-specific); MultimodalSpec pins the decode exactly —
-    // dimensions round-trip the encoder's seed formula bit-for-bit.
+    // REAL image + audio decode and the stubbed video feature in ONE
+    // map-side pass: image rows (genuine PNG payloads) decode to their
+    // true dimensions and mean luma, audio rows (genuine WAV payloads)
+    // parse through the JDK's own audio reader to rate/length/
+    // loudness; rows of the other types decode NULL on each codec —
+    // no media-type dispatch. Rows-only (PNG/WAV byte streams and
+    // xxhash features are engine-specific); MultimodalSpec pins both
+    // decodes exactly — dimensions and sample counts round-trip the
+    // encoders' seed formulas bit-for-bit.
     "q_media_decode" -> ((s, d) =>
       M.mediaFromDocs(Tables.documents(s, d))
         .filter(col("media_id") < 200)
         .withColumn("img", M.decodeImage(col("payload")))
+        .withColumn("au", M.decodeAudio(col("payload")))
         .select(col("media_id"), col("media_type"),
           col("img.width").as("width"),
           col("img.height").as("height"),
           round(col("img.mean_luma"), 2).as("mean_luma"),
+          col("au.sample_rate").as("sample_rate"),
+          col("au.n_samples").as("n_samples"),
+          round(col("au.rms"), 4).as("rms"),
+          round(col("au.peak"), 4).as("peak"),
           size(M.frameSample(col("payload"), 4, 16)).as("n_frames"),
           element_at(M.decodeStub(col("payload"), 8), 1).as("feat0"),
           M.payloadFingerprint(col("payload")).as("payload_fp"))
+        .orderBy(col("media_id"))),
+
+    // The audio half that IS oracle-checkable: the WAV header fields
+    // the decode recovers (rate, sample count) follow the encoder's
+    // seed formulas, so DuckDB reproduces them from doc_id alone —
+    // a hash-checked proof the bytes round-trip the REAL JDK parser
+    // (a malformed header, wrong data length, or byte-order slip
+    // breaks rate or count; rms/peak stay spec-pinned).
+    "q_media_audio" -> ((s, d) =>
+      M.mediaFromDocs(Tables.documents(s, d))
+        .filter(col("media_type") === "audio" && col("media_id") < 400)
+        .withColumn("au", M.decodeAudio(col("payload")))
+        .select(col("media_id"),
+          col("au.sample_rate").as("sample_rate"),
+          col("au.n_samples").as("n_samples"))
         .orderBy(col("media_id"))),
 
     // C8 — the partition-scoped CDC apply end-to-end as a DECLARED
@@ -2397,6 +2419,11 @@ object TierC {
         "CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes, " +
         "CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes " +
         "FROM documents GROUP BY 1 ORDER BY media_type"),
+    "q_media_audio" ->
+      ("SELECT doc_id AS media_id, CAST(8000 AS INTEGER) AS " +
+        "sample_rate, CAST(200 + doc_id % 801 AS BIGINT) AS n_samples " +
+        "FROM documents WHERE doc_id % 3 = 1 AND doc_id < 400 " +
+        "ORDER BY media_id"),
     "q_cdc_merge" ->
       ("SELECT s_nationkey, COUNT(*) AS cnt, " +
         "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +

@@ -34,24 +34,61 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(decoded != null, "image payload must be a decodable PNG")
     assert(decoded.getWidth == graft.functions.PngEncode.widthOf(0L))
     assert(decoded.getHeight == graft.functions.PngEncode.heightOf(0L))
-    // doc 1 is audio-typed: payload stays the UTF-8 text stand-in
+    // doc 1 is audio-typed: its payload parses as a genuine WAV via
+    // the plain JDK audio reader, at the seed-derived frame count
     val au = m.filter(col("media_id") === 1).collect().head
     assert(au.getAs[String]("media_type") == "audio")
-    assert(new String(au.getAs[Array[Byte]]("payload"), "UTF-8")
-      .startsWith("a much longer document"))
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(au.getAs[Array[Byte]]("payload")))
+    assert(ais.getFormat.getSampleRate == 8000.0f)
+    assert(ais.getFrameLength == graft.functions.WavEncode.nSamplesOf(1L))
   }
 
-  test("payload byte length matches source text for non-image rows " +
+  test("payload byte length matches source text for video rows " +
     "(ASCII corpus); meta records the SOURCE length for all rows") {
     val rows = M.mediaFromDocs(docs())
       .select(col("media_id"), col("media_type"),
         M.payloadBytes(col("payload")).as("n"), col("meta.byte_len"))
       .collect()
-    rows.filter(_.getString(1) != "image")
+    rows.filter(_.getString(1) == "video")
       .foreach(r => assert(r.getLong(2) == r.getLong(3)))
-    // image rows: meta is the source text length, payload is the PNG
-    rows.filter(_.getString(1) == "image")
+    // image/audio rows: meta is the source text length, payload is
+    // the encoded media byte stream
+    rows.filter(_.getString(1) != "video")
       .foreach(r => assert(r.getLong(3) > 0))
+  }
+
+  test("wav_encode / wav_decode round-trip: rate and sample count " +
+    "follow the seed formulas, rms tracks the seeded amplitude, " +
+    "unparseable bytes decode NULL") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val seeds = (0L until 40L).toDF("seed")
+    val rt = seeds.select(col("seed"),
+        M.decodeAudio(graft.functions.GraftFunctions
+          .wavEncode(col("seed"))).as("au"))
+      .select(col("seed"), col("au.sample_rate"), col("au.n_samples"),
+        col("au.rms"), col("au.peak"))
+      .collect()
+    assert(rt.length == 40)
+    rt.foreach { r =>
+      val s = r.getLong(0)
+      assert(r.getInt(1) == graft.functions.WavEncode.SampleRate)
+      assert(r.getLong(2) == graft.functions.WavEncode.nSamplesOf(s),
+        s"sample count mismatch at seed $s")
+      val amp = graft.functions.WavEncode.ampOf(s)
+      // a sine's rms is amp/sqrt(2) up to quantization + partial-period
+      // truncation; peak is within one quantization step of amp
+      assert(math.abs(r.getDouble(3) - amp / math.sqrt(2.0)) < 0.05,
+        s"rms ${r.getDouble(3)} vs amp $amp at seed $s")
+      assert(r.getDouble(4) <= amp + 1.0 / 32767 &&
+        r.getDouble(4) > amp * 0.9, s"peak off at seed $s")
+    }
+    // text bytes are not audio: NULL, not an error
+    val nul = Seq("just text").toDF("t")
+      .select(M.decodeAudio($"t".cast("binary")).as("au"))
+      .collect().head
+    assert(nul.isNullAt(0))
   }
 
   test("png_encode / image_decode round-trip: dimensions follow the " +
@@ -83,27 +120,40 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("q_media_decode: image rows decode to their true dimensions, " +
-    "non-image rows carry the stub feature with NULL image fields") {
+    "audio rows to their true sample counts, video rows carry the " +
+    "stub feature with NULL codec fields") {
     val rows = SparkEntry.queries("q_media_decode")(spark, sfDir)
       .collect()
     assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[String]("media_type") == "audio"))
     rows.foreach { r =>
       val id = r.getAs[Long]("media_id")
-      if (r.getAs[String]("media_type") == "image") {
-        assert(r.getAs[Int]("width") ==
-          graft.functions.PngEncode.widthOf(id))
-        assert(r.getAs[Int]("height") ==
-          graft.functions.PngEncode.heightOf(id))
-      } else {
-        assert(r.isNullAt(r.fieldIndex("width")))
-        assert(!r.isNullAt(r.fieldIndex("feat0")))
+      r.getAs[String]("media_type") match {
+        case "image" =>
+          assert(r.getAs[Int]("width") ==
+            graft.functions.PngEncode.widthOf(id))
+          assert(r.getAs[Int]("height") ==
+            graft.functions.PngEncode.heightOf(id))
+          assert(r.isNullAt(r.fieldIndex("n_samples")))
+        case "audio" =>
+          assert(r.getAs[Long]("n_samples") ==
+            graft.functions.WavEncode.nSamplesOf(id))
+          assert(r.getAs[Int]("sample_rate") ==
+            graft.functions.WavEncode.SampleRate)
+          assert(r.isNullAt(r.fieldIndex("width")))
+        case _ =>
+          assert(r.isNullAt(r.fieldIndex("width")))
+          assert(r.isNullAt(r.fieldIndex("n_samples")))
+          assert(!r.isNullAt(r.fieldIndex("feat0")))
       }
     }
   }
 
   test("frameSample yields n fixed-width slices from the payload") {
-    val frames = M.mediaFromDocs(docs())
-      .filter(col("media_id") === 1)
+    import spark.implicits._
+    val frames = Seq("a much longer document body that stands in for " +
+      "media bytes with enough length to sample several frames from")
+      .toDF("text").select($"text".cast("binary").as("payload"))
       .select(M.frameSample(col("payload"), 4, 8).as("f"))
       .collect().head.getSeq[Array[Byte]](0)
     assert(frames.length == 4)
