@@ -815,6 +815,30 @@ object CdcApply {
         "pending_deltas", "columns")
   }
 
+  /** Total on-disk (bytes, rows) of the CURRENT manifest — base plus
+    * pending merge-on-read delta directories, from the write-time
+    * footer stats the manifest already carries. None before the first
+    * apply or when any pre-v6 entry lacks stats. Zero-scan, zero
+    * listing: this is the engine's ANALYZE — the numbers Glue
+    * crawlers re-derive by scanning are recorded at write time here,
+    * so feeding the cost-based optimizer costs one manifest read.
+    * `rows` counts STORED rows (tombstones within retention and
+    * superseded MOR versions included) — an upper-bound estimate of
+    * the live snapshot, the right polarity for join costing.
+    */
+  private[graft] def manifestTotals(spark: SparkSession,
+      root: String): Option[(Long, Long)] =
+    currentManifest(spark, root).flatMap { m =>
+      val sizes = m.buckets.valuesIterator
+        .flatMap(e => e.bytes +: e.deltas.map(_.bytes)).toSeq
+      val counts = m.buckets.valuesIterator
+        .flatMap(e => e.rows +: e.deltas.map(_.rows)).toSeq
+      if (sizes.nonEmpty && sizes.forall(_.isDefined) &&
+          counts.forall(_.isDefined))
+        Some((sizes.flatten.sum, counts.flatten.sum))
+      else None
+    }
+
   /** Unified read entry — the "as of" user story without knowing the
     * internal function pair: `read(spark, root)` is the current
     * snapshot, `read(spark, root, asOfBatch = Some(3))` time-travels by

@@ -554,12 +554,61 @@ case class CdcTableResolution(spark: SparkSession)
     * leaves it untouched.
     */
   private def expand(alias: String, snapshot: Option[
-      org.apache.spark.sql.DataFrame], what: String): LogicalPlan =
+      org.apache.spark.sql.DataFrame], what: String,
+      statsRoot: Option[String] = None): LogicalPlan =
     snapshot match {
-      case Some(df) => SubqueryAlias(alias, df.queryExecution.analyzed)
+      case Some(df) =>
+        val base = df.queryExecution.analyzed
+        SubqueryAlias(alias,
+          statsRoot.fold(base)(withManifestStats(_, alias, base)))
       case None => throw new IllegalStateException(
         s"CDC table '$alias' has no readable snapshot $what")
     }
+
+  /** The engine's zero-scan ANALYZE: annotate the expanded snapshot's
+    * parquet relation with the manifest's total bytes/rows
+    * ([[CdcApply.manifestTotals]] — write-time footer stats, one
+    * manifest read) as catalog statistics, so a registered CDC table
+    * joins the cost-based optimizer's row-count world exactly like an
+    * ANALYZE'd catalog table ([[graft.operators.Stats]]) — multi-join
+    * SQL over CDC names gets stats-driven join reorder with no stats
+    * pass ever run. Applied only when the resolved snapshot is a
+    * SINGLE relation (the compacted/copy-on-write read path — after
+    * maintenance, the common state of a healthy table); a pending-MOR
+    * plan's window/union shape carries no single scan to annotate and
+    * passes through unannotated (size-only costing, as before). The
+    * synthetic identifier carries NO database, so the governance
+    * registry's (db, table) matching is untouched — location-based
+    * governance already ran inside the nested analysis, and the
+    * GovernedTag rides the copy.
+    */
+  private def withManifestStats(root: String, alias: String,
+      plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val lrs = plan.collect { case lr: LogicalRelation => lr }
+    if (lrs.size != 1 || lrs.head.catalogTable.isDefined) return plan
+    CdcApply.manifestTotals(spark, root) match {
+      case Some((bytes, rows)) =>
+        val target = lrs.head
+        plan.transform {
+          case lr: LogicalRelation if lr eq target =>
+            lr.copy(catalogTable = Some(
+              org.apache.spark.sql.catalyst.catalog.CatalogTable(
+                identifier = org.apache.spark.sql.catalyst
+                  .TableIdentifier(alias),
+                tableType = org.apache.spark.sql.catalyst.catalog
+                  .CatalogTableType.EXTERNAL,
+                storage = org.apache.spark.sql.catalyst.catalog
+                  .CatalogStorageFormat.empty,
+                schema = lr.schema,
+                provider = Some("parquet"),
+                stats = Some(org.apache.spark.sql.catalyst.catalog
+                  .CatalogStatistics(BigInt(bytes),
+                    Some(BigInt(rows)))))))
+        }
+      case None => plan
+    }
+  }
 
   /** `TIMESTAMP AS OF <expr>` → the engine's commit-clock millis: an
     * integer literal is taken as the logical clock verbatim (the form
@@ -746,7 +795,8 @@ case class CdcTableResolution(spark: SparkSession)
             expand(alias, CdcApply.readSnapshotAsOf(spark, root, millis),
               s"as of timestamp $millis")
           case (None, None) =>
-            expand(alias, CdcApply.readSnapshot(spark, root), "(empty)")
+            expand(alias, CdcApply.readSnapshot(spark, root), "(empty)",
+              statsRoot = Some(root))
         }
 
       case u: UnresolvedRelation
@@ -754,7 +804,8 @@ case class CdcTableResolution(spark: SparkSession)
             CdcSql.rootFor(u.multipartIdentifier).isDefined =>
         val root = CdcSql.rootFor(u.multipartIdentifier).get
         expand(u.multipartIdentifier.last,
-          CdcApply.readSnapshot(spark, root), "(empty)")
+          CdcApply.readSnapshot(spark, root), "(empty)",
+          statsRoot = Some(root))
 
       case MetaTarget(alias, df) =>
         SubqueryAlias(alias, df.queryExecution.analyzed)

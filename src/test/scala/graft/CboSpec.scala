@@ -100,6 +100,44 @@ class CboSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b && a.nonEmpty)
   }
 
+  test("registered CDC tables feed the CBO from manifest metadata: " +
+      "zero-scan row counts on the optimized plan, unregistered " +
+      "raw-parquet reads stay size-only") {
+    import spark.implicits._
+    import graft.streaming.{CdcApply, CdcSql}
+    Stats.enableCbo(spark)
+    val root = java.nio.file.Files
+      .createTempDirectory("cbo_cdc").toFile.getAbsolutePath
+    val b0 = (1L to 500L).map(k => (k, 1L, k * 2.0, false))
+      .toDF("k", "version", "v", "deleted")
+    assert(CdcApply.applyBatch(b0, 0L, root, Seq("k"), "version",
+      Some("deleted"), numBuckets = 4, commitTs = Some(1000L)))
+    CdcSql.registerTable(spark, root, "cbo_cdc_t")
+    try {
+      val st = spark.sql("SELECT * FROM cbo_cdc_t")
+        .queryExecution.optimizedPlan.stats
+      val (bytes, rows) = CdcApply.manifestTotals(spark, root).get
+      assert(rows == 500L, s"manifest rows $rows")
+      assert(st.rowCount.contains(BigInt(rows)),
+        s"CDC stats did not reach the optimizer: $st")
+      assert(st.sizeInBytes > 0)
+      // the same files read WITHOUT the registered name carry no row
+      // count — the stats ride the manifest, not the files
+      val raw = spark.read.parquet(
+        CdcApply.readSnapshot(spark, root).get.inputFiles: _*)
+      assert(raw.queryExecution.optimizedPlan.stats.rowCount.isEmpty)
+      // stats refresh with the manifest: a second batch moves the count
+      assert(CdcApply.applyBatch(
+        (501L to 600L).map(k => (k, 1L, k * 2.0, false))
+          .toDF("k", "version", "v", "deleted"),
+        1L, root, Seq("k"), "version", Some("deleted"), numBuckets = 4,
+        commitTs = Some(2000L)))
+      val st2 = spark.sql("SELECT * FROM cbo_cdc_t")
+        .queryExecution.optimizedPlan.stats
+      assert(st2.rowCount.exists(_ > BigInt(rows)), st2.toString)
+    } finally CdcSql.unregisterTable("cbo_cdc_t")
+  }
+
   test("planStats reads back what the optimizer sees — no rescan, " +
       "exact row/null/min/max") {
     register()
