@@ -54,18 +54,28 @@ object Stats {
     * not one scan. Returns `fq`.
     */
   def registerAnalyzed(spark: SparkSession, fq: String, location: String,
-      cols: Seq[String]): String = synchronized {
-    val key = System.identityHashCode(spark).toString + ":" + fq
-    if (analyzed.get(key) == location) return fq
-    spark.sql(s"DROP TABLE IF EXISTS $fq")
-    spark.sql(s"CREATE TABLE $fq USING parquet LOCATION '$location'")
-    spark.sql(s"ANALYZE TABLE $fq COMPUTE STATISTICS")
-    if (cols.nonEmpty)
-      spark.sql(s"ANALYZE TABLE $fq COMPUTE STATISTICS FOR COLUMNS " +
-        cols.mkString(", "))
-    analyzed.put(key, location)
-    fq
-  }
+      cols: Seq[String], histogram: Boolean = false): String =
+    synchronized {
+      val key = System.identityHashCode(spark).toString + ":" + fq
+      if (analyzed.get(key) == location) return fq
+      spark.sql(s"DROP TABLE IF EXISTS $fq")
+      spark.sql(s"CREATE TABLE $fq USING parquet LOCATION '$location'")
+      spark.sql(s"ANALYZE TABLE $fq COMPUTE STATISTICS")
+      if (cols.nonEmpty) {
+        // histogram = equi-height bins per column (range-predicate
+        // selectivity far beyond min/max); one extra aggregate pass,
+        // so it is opt-in per table, the ANALYZE trade Spark documents
+        val conf = "spark.sql.statistics.histogram.enabled"
+        val prev = spark.conf.get(conf, "false")
+        spark.conf.set(conf, histogram.toString)
+        try spark.sql(
+          s"ANALYZE TABLE $fq COMPUTE STATISTICS FOR COLUMNS " +
+            cols.mkString(", "))
+        finally spark.conf.set(conf, prev)
+      }
+      analyzed.put(key, location)
+      fq
+    }
 
   /** The statistics Catalyst actually sees for `fq`, read back from
     * the relation's plan stats (NOT re-derived from data): one row per

@@ -456,6 +456,20 @@ object TierB {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // B24 — FILTER (WHERE ...) aggregates: per-aggregate predicates in
+    // one two-phase hash aggregate pass — no per-predicate subquery or
+    // self-join, the ANSI form the delegated engine supports.
+    "q_agg_filter" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("b24_lineitem")
+      s.sql("""SELECT l_returnflag, COUNT(*) AS cnt,
+                 COUNT(*) FILTER (WHERE l_quantity > 25) AS cnt_hi,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                   FILTER (WHERE l_discount > 0.05) AS DOUBLE)
+                   AS qty_disc
+               FROM b24_lineitem
+               GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
     // B22 — cost-based join reorder: the six-table TPC-H-Q5 shape
     // written in the WORST FROM order (fact ⋈ fact first), planned
     // against ANALYZE'd catalog tables with CBO on. The FROM-order
@@ -709,6 +723,12 @@ object TierB {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_agg_filter" ->
+      ("SELECT l_returnflag, COUNT(*) AS cnt, " +
+        "COUNT(*) FILTER (WHERE l_quantity > 25) AS cnt_hi, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) " +
+        "FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_disc " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_cbo_join" ->
       ("SELECT n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) " +
         "* (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS " +

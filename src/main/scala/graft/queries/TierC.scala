@@ -472,6 +472,19 @@ object TierC {
           T.subTokenCount(col("text")).as("sub_tokens"))
         .orderBy(col("doc_id"))),
 
+    // C2b' — sequence-length histogram: the batching/packing planner's
+    // first question ("how many docs land in each 16-token bucket")
+    // as one map-side bucket projection + two-phase count — one scan
+    // at any corpus size, the same shape the packing operator's
+    // capacity planning reads.
+    "q_length_histogram" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select((floor(T.tokenCount(col("text")) / lit(16)) * 16)
+          .cast(LongType).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("bucket"))),
+
     // C2c — heuristic quality scoring (length / char-class ratios).
     "q_quality_score" -> ((s, d) =>
       Tables.documents(s, d)
@@ -2243,6 +2256,11 @@ object TierC {
         "CAST(len(regexp_extract_all(text, " +
         "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS sub_tokens " +
         "FROM documents WHERE doc_id < 500 ORDER BY doc_id"),
+    "q_length_histogram" ->
+      ("SELECT CAST(FLOOR(len(list_filter(regexp_split_to_array(" +
+        "trim(text), '\\s+'), t -> t <> '')) / 16) * 16 AS BIGINT) AS " +
+        "bucket, COUNT(*) AS n_docs FROM documents GROUP BY bucket " +
+        "ORDER BY bucket"),
     "q_quality_score" ->
       ("SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS char_len, " +
         "CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)" +

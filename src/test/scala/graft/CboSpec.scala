@@ -100,6 +100,33 @@ class CboSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b && a.nonEmpty)
   }
 
+  test("histogram ANALYZE records equi-height bins the range " +
+      "estimator reads; the non-histogram table carries none") {
+    Stats.enableCbo(spark)
+    spark.sql("CREATE DATABASE IF NOT EXISTS cbo_db")
+    Stats.registerAnalyzed(spark, "cbo_db.orders_hist",
+      s"$sfDir/orders.parquet", Seq("o_totalprice"), histogram = true)
+    def colStat(fq: String, name: String) = {
+      val st = spark.table(fq).queryExecution.optimizedPlan.stats
+      st.attributeStats.toSeq.map { case (a, cs) => a.name -> cs }
+        .toMap.apply(name)
+    }
+    val hist = colStat("cbo_db.orders_hist", "o_totalprice").histogram
+    assert(hist.isDefined, "histogram ANALYZE recorded no histogram")
+    assert(hist.get.bins.length ==
+      spark.conf.get("spark.sql.statistics.histogram.numBins").toInt)
+    // equi-height: every bin carries the same per-bin ndv-weighted
+    // mass contract; endpoints bracket the true min/max
+    val Seq(mn, mx) = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("min(o_totalprice)", "max(o_totalprice)").head()
+      .toSeq.map(_.asInstanceOf[Double])
+    assert(hist.get.bins.head.lo <= mn && hist.get.bins.last.hi >= mx)
+    // the plain register path (CboSpec.register) has stats but no bins
+    register()
+    assert(colStat("cbo_db.orders", "o_totalprice").histogram.isEmpty)
+    spark.sql("DROP TABLE IF EXISTS cbo_db.orders_hist")
+  }
+
   test("registered CDC tables feed the CBO from manifest metadata: " +
       "zero-scan row counts on the optimized plan, unregistered " +
       "raw-parquet reads stay size-only") {
