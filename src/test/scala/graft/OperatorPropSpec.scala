@@ -148,6 +148,74 @@ class OperatorPropSpec extends AnyFunSuite with SparkTestBase {
     check(p)
   }
 
+  test("property: WAV encode/decode round-trip over arbitrary seeds " +
+      "(negatives included) matches the seed formulas and sine bounds") {
+    import graft.functions.{WavDecode, WavEncode}
+    val p = Prop.forAll(Gen.chooseNum(Long.MinValue + 1, Long.MaxValue)) {
+      seed =>
+        val row = WavDecode.compute(WavEncode.compute(seed))
+        val amp = WavEncode.ampOf(seed)
+        row != null &&
+          row.getInt(0) == WavEncode.SampleRate &&
+          row.getLong(1) == WavEncode.nSamplesOf(seed) &&
+          math.abs(row.getDouble(2) - amp / math.sqrt(2.0)) < 0.05 &&
+          row.getDouble(3) <= amp + 1.0 / 32767 &&
+          row.getDouble(3) > amp * 0.9
+    }
+    check(p)
+  }
+
+  test("property: string ordinate is monotone w.r.t. UTF-8 byte order") {
+    import graft.sources.ZOrder
+    import org.apache.spark.sql.types.StringType
+    import spark.implicits._
+    def byteKey(s: String): String =
+      s.getBytes("UTF-8").map(b => f"${b & 0xff}%03d").mkString(",")
+    val strGen = Gen.listOfN(25, Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(12)),
+      Gen.listOfN(6, Gen.oneOf('a', 'z', 'é', '世', '0', ' '))
+        .map(_.mkString)))
+    val p = Prop.forAll(strGen) { ss =>
+      val df = ss.toDF("s")
+        .select(col("s"), ZOrder.ordinate(col("s"), StringType).as("o"))
+      val got = df.collect().map(r => r.getString(0) -> r.getDouble(1))
+      val sorted = got.sortBy(x => (byteKey(x._1), x._1))
+      sorted.map(_._2).toSeq.sliding(2).forall {
+        case Seq(a, b) => a <= b
+        case _ => true
+      }
+    }
+    check(p)
+  }
+
+  test("property: n-dim Morton interleave deinterleaves back to its " +
+      "inputs for 1-4 dimensions") {
+    import graft.sources.ZOrder
+    import spark.implicits._
+    val dimsGen = for {
+      n <- Gen.chooseNum(1, 4)
+      bits = ZOrder.bitsFor(n)
+      rows <- Gen.listOfN(20,
+        Gen.listOfN(n, Gen.chooseNum(0L, (1L << bits) - 1)))
+    } yield (n, bits, rows)
+    val p = Prop.forAll(dimsGen) { case (n, bits, rows) =>
+      val df = rows.map(r => Tuple1(r)).toDF("qs")
+      val z = ZOrder.zValueN(
+        (0 until n).map(i => element_at(col("qs"), i + 1)), bits)
+      val back = df.select(col("qs"), z.as("z")).collect().map { r =>
+        val qs = r.getSeq[Long](0)
+        val zv = r.getLong(1)
+        // extract dim d: bit i of dim d sits at position i*n + d
+        val deco = (0 until n).map { d =>
+          (0 until bits).map(i => ((zv >> (i * n + d)) & 1L) << i).sum
+        }
+        qs == deco
+      }
+      back.forall(identity)
+    }
+    check(p)
+  }
+
   test("merge plan is one ranking window, never a join") {
     import spark.implicits._
     val b = Seq((1L, 1L, 10L)).toDF("k", "version", "v")
