@@ -472,6 +472,18 @@ object TierC {
           T.subTokenCount(col("text")).as("sub_tokens"))
         .orderBy(col("doc_id"))),
 
+    // C2b'' — weight-proportional sampling without replacement
+    // (Duffield–Lund–Thorup priority sampling): id-derived exact
+    // uniforms over token-count weights, k smallest u/w priorities.
+    // One map-side projection + TakeOrdered — sampling 1M docs of
+    // 100 TB costs one scan; the exact-IEEE priority makes the whole
+    // sample hash-checkable.
+    "q_weighted_sample" -> ((s, d) =>
+      graft.operators.Sampling.prioritySample(
+        Tables.documents(s, d)
+          .select(col("doc_id"), T.tokenCount(col("text")).as("w")),
+        "doc_id", col("w"), 50)),
+
     // C2b' — sequence-length histogram: the batching/packing planner's
     // first question ("how many docs land in each 16-token bucket")
     // as one map-side bucket projection + two-phase count — one scan
@@ -2256,6 +2268,13 @@ object TierC {
         "CAST(len(regexp_extract_all(text, " +
         "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS sub_tokens " +
         "FROM documents WHERE doc_id < 500 ORDER BY doc_id"),
+    "q_weighted_sample" ->
+      ("SELECT doc_id, w, u / w AS priority FROM (SELECT doc_id, " +
+        "CAST(len(list_filter(regexp_split_to_array(trim(text), " +
+        "'\\s+'), t -> t <> '')) AS BIGINT) AS w, " +
+        "(CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 0.5) " +
+        "/ 4294967296.0 AS u FROM documents) " +
+        "ORDER BY priority, doc_id LIMIT 50"),
     "q_length_histogram" ->
       ("SELECT CAST(FLOOR(len(list_filter(regexp_split_to_array(" +
         "trim(text), '\\s+'), t -> t <> '')) / 16) * 16 AS BIGINT) AS " +

@@ -368,4 +368,34 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
         s"id=$id: got ${got(id)}, BigInt reference $expect")
     }
   }
+
+  test("priority sampling: exact Scala-reference priorities, " +
+      "weight-proportional inclusion, top-k plan (no global sort)") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // deterministic exactness against a BigInt/Double reference
+    def uRef(id: Long): Double =
+      (((BigInt(id) * BigInt(2654435761L)) mod BigInt(2).pow(32))
+        .toLong + 0.5) / 4294967296.0
+    val rows = (0L until 200L).map(id => (id, 1L + id % 7))
+    val df = rows.toDF("doc_id", "w")
+    val got = Sampling.prioritySample(df, "doc_id", col("w"), 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val expect = rows
+      .map { case (id, w) => (id, uRef(id) / w.toDouble) }
+      .sortBy { case (id, p) => (p, id) }.take(20)
+    assert(got.toSeq == expect, s"got ${got.take(3).toSeq}")
+    // weight-proportional inclusion: one heavy row among uniform light
+    // rows is sampled ~always; the same row with the light weight
+    // follows its plain uniform rank
+    val heavy = (0L until 1000L).map(id =>
+      (id, if (id == 777L) 100000L else 1L)).toDF("doc_id", "w")
+    val picked = Sampling.prioritySample(heavy, "doc_id", col("w"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(picked.contains(777L), "heavy row must be sampled")
+    // top-k plans as TakeOrdered (per-partition heaps), never a sort
+    val plan = Sampling.prioritySample(df, "doc_id", col("w"), 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
