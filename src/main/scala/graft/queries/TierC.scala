@@ -1436,6 +1436,35 @@ object TierC {
       finally graft.streaming.CdcSql.unregisterTable("supplier_cdc")
     }),
 
+    // C8i — SQL-ONLY INGEST: batch 1 of the supplier change stream
+    // enters through the cdc_apply procedure from a temp view — no
+    // Scala applyBatch, no df.write — with an EXPLICIT batch id so
+    // re-runs replay through the guard as no-ops (the artifact root
+    // persists across rounds). The net state then reads back through
+    // the registered name against the same oracle as q_sql_cdc: a
+    // batch lost, double-applied, or merged under the wrong manifest
+    // contract would hash-mismatch.
+    "q_sql_cdc_apply" -> ((s, d) => {
+      val root = synchronized {
+        val r = new java.io.File("target/graft-data/cdc_sqlapply_q/" +
+          graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet") +
+          s"_$CdcRecipeRev").getAbsolutePath
+        val (b0, b1) = supplierCdcBatches(s, d)
+        graft.streaming.CdcApply.applyBatch(b0, 0L, r, Seq("s_suppkey"),
+          "version", Some("deleted"), commitTs = Some(1000L))
+        graft.streaming.CdcSql.registerTable(s, r, "supplier_sql_apply")
+        b1.createOrReplaceTempView("supplier_sql_apply_src")
+        s.sql("SELECT * FROM cdc_apply('supplier_sql_apply', " +
+          "'supplier_sql_apply_src', 1)").collect()
+        r
+      }
+      try s.sql("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS total_bal FROM supplier_sql_apply " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey")
+      finally graft.streaming.CdcSql.unregisterTable("supplier_sql_apply")
+    }),
+
     // C8q — SQL TIME TRAVEL via the standard syntax: `VERSION AS OF 0`
     // over the registered name resolves through the retained batch-0
     // manifest (readSnapshotAt), so the result is the pre-update insert
@@ -2476,6 +2505,13 @@ object TierC {
         "GROUP BY s_nationkey ORDER BY s_nationkey"),
     // SQL-name read of the same snapshot: identical net state
     "q_sql_cdc" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
+        "FROM supplier WHERE s_suppkey % 7 <> 0 " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // SQL-only ingest lands the identical net state
+    "q_sql_cdc_apply" ->
       ("SELECT s_nationkey, COUNT(*) AS cnt, " +
         "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
         "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +

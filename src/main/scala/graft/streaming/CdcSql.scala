@@ -311,6 +311,48 @@ object CdcSql {
             .toDF("source", "mirror", "reseeded", "current_batch")
             .queryExecution.analyzed
         }),
+      // SQL-only INGEST: apply one change batch FROM any SQL-visible
+      // relation (temp view, catalog table, another registered name) —
+      // the last piece that makes the whole CDC lifecycle drivable by
+      // SQL strings alone (the reference's consumers only ever hand
+      // SQL to an engine, validate.sh:74-80). The merge contract
+      // (keys, version/deleted columns, layout, retention) comes from
+      // the TABLE's manifest — a batch cannot quietly re-declare it —
+      // and the batch enters through the ordinary applyBatch: replay
+      // guard, writer fence, changelog detection, and governance all
+      // hold. Omit batch_id for head+1; pass it explicitly to make
+      // retried submissions idempotent through the replay guard.
+      (FunctionIdentifier("cdc_apply"),
+        new ExpressionInfo("graft.streaming.CdcSql", "cdc_apply"),
+        args => {
+          if (args.size < 2 || args.size > 3)
+            throw new UnsupportedOperationException(
+              "cdc_apply(name, source [, batch_id]) takes 2-3 arguments")
+          val name = argString(args(0), "cdc_apply name")
+          val source = argString(args(1), "cdc_apply source")
+          val spark = activeSession
+          val root = resolveRoot(name)
+          // an apply is a WRITE: same principal gate as the DML procs
+          requireMaintainer(spark, name, root, "cdc_apply")
+          val conf = CdcApply.tableConfOf(spark, root).getOrElse(
+            throw new IllegalStateException(
+              s"CDC table '$name' has no committed manifest"))
+          val batchId = args.drop(2).headOption
+            .map(argLong(_, "cdc_apply batch_id")).getOrElse(
+              CdcApply.currentVersion(spark, root).map(_ + 1L)
+                .getOrElse(0L))
+          val applied = CdcApply.applyBatch(spark.table(source),
+            batchId, root, conf.keys, conf.versionCol, conf.deletedCol,
+            numBuckets = conf.numBuckets,
+            tombstoneRetention = conf.retention,
+            changelog = CdcApply.hasChangelog(spark, root),
+            maxDeltas = conf.maxDeltas, bucketCols = conf.bucketKeys)
+          spark.createDataFrame(Seq((name, source, batchId, applied,
+              CdcApply.currentVersion(spark, root).getOrElse(-1L))))
+            .toDF("name", "source", "batch_id", "applied",
+              "current_batch")
+            .queryExecution.analyzed
+        }),
       (FunctionIdentifier("cdc_delete_where"),
         new ExpressionInfo("graft.streaming.CdcSql",
           "cdc_delete_where"),

@@ -520,6 +520,50 @@ class CdcSqlSpec extends AnyFunSuite with SparkTestBase {
     } finally CdcSql.unregisterTable("tag_t")
   }
 
+  test("cdc_apply ingests a batch from a SQL-visible relation: merge " +
+      "contract from the manifest, replay idempotence, gated writes") {
+    import spark.implicits._
+    val root = newRoot()
+    applyB0(root)
+    CdcSql.registerTable(spark, root, "apply_t")
+    try {
+      def state() = spark.sql(
+        "SELECT k, amount FROM apply_t ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // the batch arrives as a TEMP VIEW — SQL is the only interface
+      Seq((1L, 2L, 11.0, false), (3L, 2L, 30.0, true))
+        .toDF("k", "version", "amount", "deleted")
+        .createOrReplaceTempView("apply_src")
+      val row = spark.sql(
+        "SELECT * FROM cdc_apply('apply_t', 'apply_src')").head()
+      assert(row.getAs[Long]("batch_id") == 1L &&
+        row.getAs[Boolean]("applied") &&
+        row.getAs[Long]("current_batch") == 1L, row.toString)
+      assert(state() == Seq(1L -> 11.0, 2L -> 20.0))
+      // an explicit batch id replays through the guard: no-op, loud
+      // applied=false, content untouched
+      Seq((1L, 9L, 99.0, false))
+        .toDF("k", "version", "amount", "deleted")
+        .createOrReplaceTempView("apply_src")
+      val replay = spark.sql(
+        "SELECT * FROM cdc_apply('apply_t', 'apply_src', 1)").head()
+      assert(!replay.getAs[Boolean]("applied"), replay.toString)
+      assert(state() == Seq(1L -> 11.0, 2L -> 20.0))
+      // on a GOVERNED root, an apply is a write: non-admins denied
+      // (the root is a fresh temp dir, so the registration is inert
+      // for every other suite)
+      graft.governance.GovernanceCatalog.registerLocation(
+        root, "gov_apply_db", "gov_apply_t")
+      intercept[graft.governance.AccessDeniedException] {
+        graft.governance.Governance.withPrincipal(spark,
+            graft.governance.Analyst) {
+          spark.sql("SELECT * FROM cdc_apply('apply_t', 'apply_src')")
+            .collect()
+        }
+      }
+    } finally CdcSql.unregisterTable("apply_t")
+  }
+
   test("cdc_register / cdc_unregister drive the name lifecycle from " +
       "SQL; registering a root with no committed table refuses") {
     val root = newRoot()
