@@ -1559,6 +1559,39 @@ object TierC {
     // oracle as q_cdc_merge — any key the sync dropped, duplicated, or
     // failed to delete hash-mismatches, and `wm` witnesses that the
     // mirror's replay-guard watermark reached the source's head.
+    // C8x — DELTA-PROTOCOL EXPORT: the supplier snapshot published as
+    // a spec-conformant Delta table (_delta_log JSON + plain parquet)
+    // and read back through the engine's own protocol reader — the
+    // interop seam validated end to end without a delta library.
+    // Export is head-gated (a marker records the exported CDC batch),
+    // so re-runs add no new versions until the table actually moves;
+    // the aggregate over the Delta read hash-checks against the same
+    // net-state oracle as the snapshot itself.
+    "q_delta_export" -> ((s, d) => {
+      val root = cdcQueryRoot(s, d)
+      val delta = new java.io.File("target/graft-data/delta_export_q/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet") +
+        s"_$CdcRecipeRev").getAbsolutePath
+      synchronized {
+        val head = graft.streaming.CdcApply.currentVersion(s, root)
+        val marker = new java.io.File(delta, "_graft_exported_head")
+        val exported =
+          if (marker.exists)
+            Some(java.nio.file.Files.readString(marker.toPath).trim.toLong)
+          else None
+        if (exported != head) {
+          graft.sources.DeltaInterop.exportSnapshot(s, root, delta)
+          java.nio.file.Files.writeString(marker.toPath,
+            head.get.toString)
+        }
+      }
+      graft.sources.DeltaInterop.readDelta(s, delta)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("s_acctbal")).as("total_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     "q_cdc_mirror" -> ((s, d) => {
       val root = cdcMirrorRoot(s, d)
       val wm = graft.streaming.CdcApply.currentVersion(s, root).get
@@ -2562,6 +2595,13 @@ object TierC {
         "GROUP BY s_nationkey ORDER BY s_nationkey"),
     // the mirror's live state == the source's net state, watermark at
     // the source's head batch (1)
+    // the Delta export serves the identical net state
+    "q_delta_export" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
+        "FROM supplier WHERE s_suppkey % 7 <> 0 " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
     "q_cdc_mirror" ->
       ("SELECT s_nationkey, COUNT(*) AS cnt, " +
         "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +

@@ -1,0 +1,197 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.streaming.CdcApply
+
+/** Delta Lake table-format interop — the export/read seam the
+  * BASELINE's "Delta/Iceberg interop" family names, built against the
+  * PUBLIC Delta transaction-log protocol (delta.io PROTOCOL.md: a
+  * `_delta_log/` of ordered JSON commit files whose `add`/`remove`
+  * actions define the live parquet file set — no library required,
+  * the log is newline-delimited JSON and the data is plain parquet).
+  *
+  * [[exportSnapshot]] publishes a CDC table's CURRENT snapshot as a
+  * Delta table readable by any Delta reader (delta-rs, Spark+delta,
+  * DuckDB's delta extension — none ship in this container, so the
+  * round-trip is validated by [[readDelta]], this engine's own
+  * protocol reader, plus structural spec checks in DeltaInteropSpec).
+  * Re-exporting after more CDC batches appends a NEW log version that
+  * removes the previous file set and adds the current one — the
+  * full-rewrite commit shape, always protocol-correct; readers see an
+  * atomic flip. The schemaString rides Spark's own StructType JSON,
+  * which IS Delta's schema serialization.
+  *
+  * [[readDelta]] replays a `_delta_log` (ours or another writer's):
+  * net add/remove set in version order, then one ordinary parquet
+  * scan of the live files under the declared schema — pruning,
+  * pushdown, and codegen identical to any parquet read. Protocol
+  * features beyond reader version 1 (deletion vectors, column
+  * mapping) are REFUSED loudly rather than silently misread.
+  *
+  * Scale: an export is one snapshot write + one driver-side log
+  * append; a read is one log replay (driver-side, O(commits) small
+  * JSON files — the same metadata class as a manifest read) + one
+  * multi-path parquet scan.
+  */
+object DeltaInterop {
+
+  private val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m
+  }
+
+  private def logDir(table: String) = new Path(table, "_delta_log")
+
+  private def versionFile(table: String, v: Long) =
+    new Path(logDir(table), f"$v%020d.json")
+
+  /** Live versions present in the log, ascending; empty = no table. */
+  private def versions(spark: SparkSession, table: String): Seq[Long] = {
+    val fs = CdcApply.fsFor(spark, table)
+    val dir = logDir(table)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.matches("\\d{20}\\.json"))
+      .map(_.stripSuffix(".json").toLong).sorted
+  }
+
+  /** Export the CDC table's current snapshot at `cdcRoot` as version
+    * N+1 (or 0) of the Delta table at `deltaDir`. Returns the
+    * committed log version. The data lands under `v<version>/` inside
+    * the table dir (Delta paths are table-relative; subdirectories
+    * are protocol-legal), written as ordinary snappy parquet.
+    */
+  def exportSnapshot(spark: SparkSession, cdcRoot: String,
+      deltaDir: String): Long = {
+    val snap = CdcApply.readSnapshot(spark, cdcRoot).getOrElse(
+      throw new IllegalArgumentException(s"no CDC table at $cdcRoot"))
+    val fs = CdcApply.fsFor(spark, deltaDir)
+    val prior = versions(spark, deltaDir)
+    val version = prior.lastOption.map(_ + 1L).getOrElse(0L)
+    val rel = s"v$version"
+    snap.write.mode("errorifexists")
+      .parquet(new Path(deltaDir, rel).toString)
+    val dataFiles = fs.listStatus(new Path(deltaDir, rel)).toSeq
+      .filter(st => st.getPath.getName.endsWith(".parquet"))
+    val node = mapper.createObjectNode _
+    val actions = scala.collection.mutable.ArrayBuffer[String]()
+    if (version == 0L) {
+      val protocol = node()
+      val p = protocol.putObject("protocol")
+      p.put("minReaderVersion", 1)
+      p.put("minWriterVersion", 2)
+      actions += mapper.writeValueAsString(protocol)
+    }
+    // metaData on every commit we author (protocol requires it at
+    // version 0; repeating it is legal and keeps each commit
+    // self-describing under additive CDC schema evolution)
+    val meta = node()
+    val m = meta.putObject("metaData")
+    m.put("id", java.util.UUID
+      .nameUUIDFromBytes(deltaDir.getBytes("UTF-8")).toString)
+    m.put("schemaString", snap.schema.json)
+    val fmt = m.putObject("format")
+    fmt.put("provider", "parquet")
+    fmt.putObject("options")
+    m.putArray("partitionColumns")
+    m.putObject("configuration")
+    m.put("createdTime", 0L)
+    actions += mapper.writeValueAsString(meta)
+    // remove every file live in the prior version (full-rewrite shape)
+    readLiveFiles(spark, deltaDir, prior).foreach { path =>
+      val rm = node()
+      val r = rm.putObject("remove")
+      r.put("path", path)
+      r.put("dataChange", true)
+      actions += mapper.writeValueAsString(rm)
+    }
+    dataFiles.foreach { st =>
+      val add = node()
+      val a = add.putObject("add")
+      a.put("path", s"$rel/${st.getPath.getName}")
+      a.put("size", st.getLen)
+      a.putObject("partitionValues")
+      a.put("modificationTime", st.getModificationTime)
+      a.put("dataChange", true)
+      actions += mapper.writeValueAsString(add)
+    }
+    val tmp = new Path(logDir(deltaDir), s".tmp-$version")
+    val out = fs.create(tmp, false)
+    out.write((actions.mkString("\n") + "\n").getBytes("UTF-8"))
+    out.close()
+    if (!fs.rename(tmp, versionFile(deltaDir, version)))
+      throw new IllegalStateException(
+        s"concurrent Delta export lost the commit race for " +
+          s"version $version of $deltaDir")
+    version
+  }
+
+  /** Table-relative live file paths after replaying `vs` in order. */
+  private def readLiveFiles(spark: SparkSession, table: String,
+      vs: Seq[Long]): Seq[String] = {
+    val fs = CdcApply.fsFor(spark, table)
+    val live = scala.collection.mutable.LinkedHashMap[String, Unit]()
+    vs.foreach { v =>
+      val in = fs.open(versionFile(table, v))
+      val text = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      in.close()
+      text.linesIterator.filter(_.nonEmpty).foreach { line =>
+        val n = mapper.readTree(line)
+        if (n.has("protocol")) {
+          val mr = n.get("protocol").get("minReaderVersion").asInt()
+          if (mr > 1) throw new UnsupportedOperationException(
+            s"Delta table $table needs reader version $mr; this " +
+              "reader implements protocol version 1 (no deletion " +
+              "vectors / column mapping)")
+        }
+        if (n.has("add")) live.put(n.get("add").get("path").asText(), ())
+        if (n.has("remove")) live.remove(
+          n.get("remove").get("path").asText())
+      }
+    }
+    live.keys.toSeq
+  }
+
+  /** The declared schema of the latest metaData action, if any. */
+  private def readSchema(spark: SparkSession, table: String,
+      vs: Seq[Long]): Option[StructType] = {
+    val fs = CdcApply.fsFor(spark, table)
+    var schema: Option[StructType] = None
+    vs.foreach { v =>
+      val in = fs.open(versionFile(table, v))
+      val text = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      in.close()
+      text.linesIterator.filter(_.nonEmpty).foreach { line =>
+        val n = mapper.readTree(line)
+        if (n.has("metaData"))
+          schema = Some(DataType.fromJson(
+            n.get("metaData").get("schemaString").asText())
+            .asInstanceOf[StructType])
+      }
+    }
+    schema
+  }
+
+  /** Read a Delta table (this exporter's or any protocol-1 writer's):
+    * replay the log, scan the live files under the declared schema.
+    * An empty live set yields an empty frame WITH the schema.
+    */
+  def readDelta(spark: SparkSession, table: String): DataFrame = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no Delta log at $table")
+    val schema = readSchema(spark, table, vs).getOrElse(
+      throw new IllegalStateException(
+        s"Delta log at $table carries no metaData action"))
+    val files = readLiveFiles(spark, table, vs)
+      .map(rel => new Path(table, rel).toString)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
+}

@@ -242,7 +242,7 @@ object CdcApply {
     def hasDeltas: Boolean = buckets.valuesIterator.exists(_.deltas.nonEmpty)
   }
 
-  private[streaming] def fsFor(spark: SparkSession, root: String): FileSystem =
+  private[graft] def fsFor(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Open ONCE and read to EOF: a stat-then-read pair could tear across

@@ -1,0 +1,140 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.DeltaInterop
+import graft.streaming.CdcApply
+
+/** Delta-protocol interop ([[graft.sources.DeltaInterop]]): exports
+  * must be structurally conformant to the PUBLIC Delta transaction-log
+  * spec and round-trip through the engine's own protocol reader; the
+  * reader must refuse protocol features it does not implement.
+  */
+class DeltaInteropSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmp(p: String): String = java.nio.file.Files
+    .createTempDirectory(p).toFile.getAbsolutePath
+
+  private def buildCdc(): String = {
+    import spark.implicits._
+    val root = tmp("delta_cdc")
+    val b0 = Seq((1L, 1L, 10.0, false), (2L, 1L, 20.0, false),
+      (3L, 1L, 30.0, false)).toDF("k", "version", "amount", "deleted")
+    assert(CdcApply.applyBatch(b0, 0L, root, Seq("k"), "version",
+      Some("deleted"), numBuckets = 2, commitTs = Some(1000L)))
+    root
+  }
+
+  private def state(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, Double] =
+    df.select("k", "amount").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("export round-trips through the protocol reader; re-export " +
+      "after new CDC batches is an atomic full-rewrite commit") {
+    import spark.implicits._
+    val root = buildCdc()
+    val delta = tmp("delta_tbl")
+    assert(DeltaInterop.exportSnapshot(spark, root, delta) == 0L)
+    val v0 = DeltaInterop.readDelta(spark, delta)
+    assert(v0.schema == CdcApply.readSnapshot(spark, root).get.schema)
+    assert(state(v0) == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    // CDC moves on: update k=1, tombstone k=2; the export publishes
+    // version 1 whose net file set is exactly the new snapshot
+    assert(CdcApply.applyBatch(
+      Seq((1L, 2L, 11.0, false), (2L, 2L, 20.0, true))
+        .toDF("k", "version", "amount", "deleted"),
+      1L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+      commitTs = Some(2000L)))
+    assert(DeltaInterop.exportSnapshot(spark, root, delta) == 1L)
+    assert(state(DeltaInterop.readDelta(spark, delta)) ==
+      Map(1L -> 11.0, 3L -> 30.0))
+    // delta-side reads are ordinary parquet: pushdown-able filters
+    assert(state(DeltaInterop.readDelta(spark, delta)
+      .filter(col("amount") > 20.0)) == Map(3L -> 30.0))
+  }
+
+  test("the log is structurally spec-conformant newline-delimited " +
+      "JSON: protocol once, metaData with Spark-JSON schemaString, " +
+      "relative add/remove paths") {
+    val root = buildCdc()
+    val delta = tmp("delta_struct")
+    DeltaInterop.exportSnapshot(spark, root, delta)
+    CdcApply.applyBatch(
+      { import spark.implicits._
+        Seq((9L, 1L, 90.0, false))
+          .toDF("k", "version", "amount", "deleted") },
+      1L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+      commitTs = Some(2000L))
+    DeltaInterop.exportSnapshot(spark, root, delta)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def actions(v: Long) = {
+      val f = new java.io.File(delta, f"_delta_log/$v%020d.json")
+      assert(f.exists, f.toString)
+      scala.io.Source.fromFile(f, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(mapper.readTree).toSeq
+    }
+    val a0 = actions(0L)
+    assert(a0.count(_.has("protocol")) == 1)
+    val proto = a0.find(_.has("protocol")).get.get("protocol")
+    assert(proto.get("minReaderVersion").asInt == 1 &&
+      proto.get("minWriterVersion").asInt == 2)
+    val meta = a0.find(_.has("metaData")).get.get("metaData")
+    assert(meta.get("format").get("provider").asText == "parquet")
+    // schemaString is Spark's StructType JSON — Delta's serialization
+    val parsed = org.apache.spark.sql.types.DataType
+      .fromJson(meta.get("schemaString").asText)
+    assert(parsed.isInstanceOf[org.apache.spark.sql.types.StructType])
+    assert(a0.count(_.has("remove")) == 0)
+    val adds0 = a0.filter(_.has("add")).map(_.get("add"))
+    assert(adds0.nonEmpty)
+    adds0.foreach { a =>
+      val p = a.get("path").asText
+      assert(!p.startsWith("/") && p.endsWith(".parquet"), p)
+      assert(a.get("size").asLong > 0)
+      assert(a.get("dataChange").asBoolean)
+    }
+    // version 1: removes exactly version 0's adds, then its own adds
+    val a1 = actions(1L)
+    assert(a1.count(_.has("protocol")) == 0,
+      "protocol action must appear only at version 0")
+    val removed = a1.filter(_.has("remove"))
+      .map(_.get("remove").get("path").asText).toSet
+    assert(removed == adds0.map(_.get("path").asText).toSet)
+  }
+
+  test("unsupported reader versions refuse loudly; a foreign " +
+      "protocol-1 log reads fine") {
+    import java.nio.file.{Files, Paths}
+    val delta = tmp("delta_foreign")
+    // hand-author a minimal foreign log over one parquet file
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .coalesce(1).write.parquet(s"$delta/files")
+    val part = new java.io.File(s"$delta/files").listFiles()
+      .map(_.getName).find(_.endsWith(".parquet")).get
+    val schema = Seq((1L, "a")).toDF("id", "s").schema.json
+      .replace("\"", "\\\"")
+    Files.createDirectories(Paths.get(s"$delta/_delta_log"))
+    Files.writeString(Paths.get(
+      s"$delta/_delta_log/00000000000000000000.json"),
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+{"metaData":{"id":"x","schemaString":"$schema","format":{"provider":"parquet","options":{}},"partitionColumns":[],"configuration":{}}}
+{"add":{"path":"files/$part","size":1,"partitionValues":{},"modificationTime":0,"dataChange":true}}
+""")
+    val got = DeltaInterop.readDelta(spark, delta).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(1L -> "a", 2L -> "b"))
+    // a version-3 reader requirement (deletion vectors etc.) refuses
+    Files.writeString(Paths.get(
+      s"$delta/_delta_log/00000000000000000001.json"),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}
+""")
+    val e = intercept[UnsupportedOperationException] {
+      DeltaInterop.readDelta(spark, delta)
+    }
+    assert(e.getMessage.contains("reader version 3"), e.getMessage)
+  }
+}
