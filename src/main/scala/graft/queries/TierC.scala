@@ -1563,27 +1563,20 @@ object TierC {
     // a spec-conformant Delta table (_delta_log JSON + plain parquet)
     // and read back through the engine's own protocol reader — the
     // interop seam validated end to end without a delta library.
-    // Export is head-gated (a marker records the exported CDC batch),
-    // so re-runs add no new versions until the table actually moves;
-    // the aggregate over the Delta read hash-checks against the same
+    // The INCREMENTAL exporter is the declared path: it republishes
+    // only buckets whose physical identity changed (O(changed
+    // buckets) per sync — the 100 TB shape) and commits NOTHING when
+    // the table hasn't moved, so re-runs add no versions; the
+    // aggregate over the Delta read hash-checks against the same
     // net-state oracle as the snapshot itself.
     "q_delta_export" -> ((s, d) => {
       val root = cdcQueryRoot(s, d)
-      val delta = new java.io.File("target/graft-data/delta_export_q/" +
+      val delta = new java.io.File(
+        "target/graft-data/delta_export_inc_q/" +
         graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet") +
         s"_$CdcRecipeRev").getAbsolutePath
       synchronized {
-        val head = graft.streaming.CdcApply.currentVersion(s, root)
-        val marker = new java.io.File(delta, "_graft_exported_head")
-        val exported =
-          if (marker.exists)
-            Some(java.nio.file.Files.readString(marker.toPath).trim.toLong)
-          else None
-        if (exported != head) {
-          graft.sources.DeltaInterop.exportSnapshot(s, root, delta)
-          java.nio.file.Files.writeString(marker.toPath,
-            head.get.toString)
-        }
+        graft.sources.DeltaInterop.exportIncremental(s, root, delta)
       }
       graft.sources.DeltaInterop.readDelta(s, delta)
         .groupBy(col("s_nationkey"))

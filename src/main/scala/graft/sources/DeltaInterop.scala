@@ -129,6 +129,146 @@ object DeltaInterop {
     version
   }
 
+  /** INCREMENTAL export — the 100 TB path: re-publish ONLY the
+    * buckets whose physical identity (base dir + pending delta dirs)
+    * changed since the last export, as one new log version removing
+    * exactly those buckets' previous files and adding their rewritten
+    * snapshots. A trickle-fed table exports in O(changed buckets)
+    * per sync, not O(table) — the same cost class as the CDC mirror.
+    * The per-bucket export state rides a sidecar JSON next to the log
+    * (exporter-private, invisible to Delta readers). Returns the
+    * committed version, or None when nothing changed (no empty
+    * commits). First call on an empty dir exports everything —
+    * [[exportSnapshot]]'s full shape with per-bucket layout.
+    */
+  def exportIncremental(spark: SparkSession, cdcRoot: String,
+      deltaDir: String): Option[Long] = {
+    val m = CdcApply.currentManifest(spark, cdcRoot).getOrElse(
+      throw new IllegalArgumentException(s"no CDC table at $cdcRoot"))
+    val fs = CdcApply.fsFor(spark, deltaDir)
+    val statePath = new Path(deltaDir, "_graft_export_state.json")
+    // state: bucketId -> (identity, files)
+    val prior: Map[Int, (String, Seq[String])] =
+      if (!fs.exists(statePath)) Map.empty
+      else {
+        val in = fs.open(statePath)
+        val text = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        in.close()
+        val n = mapper.readTree(text)
+        import scala.jdk.CollectionConverters._
+        n.properties().asScala.map { e =>
+          val files = e.getValue.get("files").elements().asScala
+            .map(_.asText()).toSeq
+          e.getKey.toInt ->
+            (e.getValue.get("identity").asText(), files)
+        }.toMap
+      }
+    val priorVsProbe = versions(spark, deltaDir)
+    if (priorVsProbe.nonEmpty && prior.isEmpty)
+      throw new IllegalStateException(
+        s"Delta table at $deltaDir has log versions but no export " +
+          "state — it was written by exportSnapshot (or a foreign " +
+          "writer); incremental export requires its own lineage. " +
+          "Use a fresh directory, or keep using exportSnapshot.")
+    val current: Map[Int, String] =
+      m.buckets.map { case (id, e) => id -> e.allRels.mkString("+") }
+    val changed = current.filter { case (id, ident) =>
+      !prior.get(id).exists(_._1 == ident) }.keys.toSeq.sorted
+    val dropped = (prior.keySet -- current.keySet).toSeq.sorted
+    val priorVs = versions(spark, deltaDir)
+    if (changed.isEmpty && dropped.isEmpty && priorVs.nonEmpty)
+      return None
+    val version = priorVs.lastOption.map(_ + 1L).getOrElse(0L)
+    // rewrite each changed bucket's RESOLVED logical rows under its
+    // own per-version dir (tombstones stripped, internals dropped —
+    // Delta readers must see the logical table, never merge state)
+    val written: Map[Int, Seq[String]] = changed.map { id =>
+      val rel = s"v$version/b$id"
+      CdcApply.stripInternal(
+        CdcApply.readBucketsResolved(spark, cdcRoot, m, Some(Seq(id)))
+          .getOrElse(throw new IllegalStateException(
+            s"bucket $id vanished during export of $cdcRoot")),
+        m.conf)
+        .write.mode("errorifexists")
+        .parquet(new Path(deltaDir, rel).toString)
+      id -> fs.listStatus(new Path(deltaDir, rel)).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => s"$rel/${st.getPath.getName}")
+    }.toMap
+    val node = mapper.createObjectNode _
+    val actions = scala.collection.mutable.ArrayBuffer[String]()
+    if (version == 0L) {
+      val protocol = node()
+      val p = protocol.putObject("protocol")
+      p.put("minReaderVersion", 1)
+      p.put("minWriterVersion", 2)
+      actions += mapper.writeValueAsString(protocol)
+    }
+    val schema = CdcApply.stripInternal(
+      CdcApply.readBucketsResolved(spark, cdcRoot, m, None).get, m.conf)
+      .schema
+    val meta = node()
+    val mm = meta.putObject("metaData")
+    mm.put("id", java.util.UUID
+      .nameUUIDFromBytes(deltaDir.getBytes("UTF-8")).toString)
+    mm.put("schemaString", schema.json)
+    val fmt = mm.putObject("format")
+    fmt.put("provider", "parquet")
+    fmt.putObject("options")
+    mm.putArray("partitionColumns")
+    mm.putObject("configuration")
+    mm.put("createdTime", 0L)
+    actions += mapper.writeValueAsString(meta)
+    (changed ++ dropped).foreach { id =>
+      prior.get(id).toSeq.flatMap(_._2).foreach { path =>
+        val rm = node()
+        val r = rm.putObject("remove")
+        r.put("path", path)
+        r.put("dataChange", true)
+        actions += mapper.writeValueAsString(rm)
+      }
+    }
+    written.toSeq.sortBy(_._1).foreach { case (id, files) =>
+      files.foreach { path =>
+        val add = node()
+        val a = add.putObject("add")
+        a.put("path", path)
+        a.put("size",
+          fs.getFileStatus(new Path(deltaDir, path)).getLen)
+        a.putObject("partitionValues")
+        a.put("modificationTime", 0L)
+        a.put("dataChange", true)
+        actions += mapper.writeValueAsString(add)
+      }
+    }
+    val tmp = new Path(logDir(deltaDir), s".tmp-$version")
+    val out = fs.create(tmp, false)
+    out.write((actions.mkString("\n") + "\n").getBytes("UTF-8"))
+    out.close()
+    if (!fs.rename(tmp, versionFile(deltaDir, version)))
+      throw new IllegalStateException(
+        s"concurrent Delta export lost the commit race for " +
+          s"version $version of $deltaDir")
+    // new state: changed buckets' fresh files, unchanged carry over
+    val newState = mapper.createObjectNode()
+    current.toSeq.sortBy(_._1).foreach { case (id, ident) =>
+      val b = newState.putObject(id.toString)
+      b.put("identity", ident)
+      val arr = b.putArray("files")
+      written.getOrElse(id, prior(id)._2).foreach(arr.add)
+    }
+    val stateTmp = new Path(deltaDir, s"._graft_export_state-$version")
+    val so = fs.create(stateTmp, false)
+    so.write(mapper.writeValueAsString(newState).getBytes("UTF-8"))
+    so.close()
+    fs.delete(statePath, false)
+    if (!fs.rename(stateTmp, statePath))
+      throw new IllegalStateException(
+        s"export state rename failed for $deltaDir")
+    Some(version)
+  }
+
   /** Table-relative live file paths after replaying `vs` in order. */
   private def readLiveFiles(spark: SparkSession, table: String,
       vs: Seq[Long]): Seq[String] = {

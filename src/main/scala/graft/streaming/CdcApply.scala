@@ -180,7 +180,7 @@ object CdcApply {
     * stats; readers of a delta-bearing bucket resolve latest-wins
     * across `rel +: deltas`.
     */
-  private[streaming] final case class BucketEntry(rel: String, minTs: Option[Long],
+  private[graft] final case class BucketEntry(rel: String, minTs: Option[Long],
       bytes: Option[Long] = None, rows: Option[Long] = None,
       deltas: Seq[BucketEntry] = Seq.empty) {
     /** Every live data directory of this bucket, base first. */
@@ -223,7 +223,7 @@ object CdcApply {
     * as of 14:00" must resolve identically before and after an expiry
     * rewrite. None only on manifests written before the field existed.
     */
-  private[streaming] final case class Manifest(conf: TableConf,
+  private[graft] final case class Manifest(conf: TableConf,
       buckets: Map[Int, BucketEntry],
       schema: Option[org.apache.spark.sql.types.StructType],
       ts: Option[Long]) {
@@ -369,7 +369,7 @@ object CdcApply {
     parseManifest(readSmallFile(fsFor(spark, root),
       new Path(root, s"manifests/$name")))
 
-  private[streaming] def currentManifest(spark: SparkSession,
+  private[graft] def currentManifest(spark: SparkSession,
       root: String): Option[Manifest] =
     currentManifestName(spark, root).map(readManifest(spark, root, _))
 
@@ -465,7 +465,7 @@ object CdcApply {
     schema.fold(spark.read.option("mergeSchema", "true"))(
       spark.read.schema(_)).parquet(paths: _*)
 
-  private def stripInternal(df: DataFrame, conf: TableConf): DataFrame = {
+  private[graft] def stripInternal(df: DataFrame, conf: TableConf): DataFrame = {
     val noTs = df.drop(TsBatchCol, AppliedBatchCol)
     conf.deletedCol.fold(noTs)(d =>
       noTs.filter(!coalesce(col(d), lit(false))).drop(d))
@@ -498,7 +498,7 @@ object CdcApply {
     * costs exactly what a copy-on-write read costs. None when `ids`
     * selects no live bucket.
     */
-  private[streaming] def readBucketsResolved(spark: SparkSession,
+  private[graft] def readBucketsResolved(spark: SparkSession,
       root: String, m: Manifest,
       ids: Option[Seq[Int]] = None): Option[DataFrame] = {
     val entries = ids.fold(m.buckets.values.toSeq)(sel =>

@@ -104,6 +104,57 @@ class DeltaInteropSpec extends AnyFunSuite with SparkTestBase {
     assert(removed == adds0.map(_.get("path").asText).toSet)
   }
 
+  test("incremental export republishes ONLY changed buckets; " +
+      "no-change calls commit nothing; snapshot-lineage dirs refuse") {
+    import spark.implicits._
+    val root = tmp("delta_cdc_inc")
+    // enough spread that one key's batch touches a strict subset of
+    // the 4 buckets
+    val b0 = (1L to 40L).map(k => (k, 1L, k * 1.0, false))
+      .toDF("k", "version", "amount", "deleted")
+    assert(CdcApply.applyBatch(b0, 0L, root, Seq("k"), "version",
+      Some("deleted"), numBuckets = 4, commitTs = Some(1000L)))
+    val delta = tmp("delta_inc")
+    assert(DeltaInterop.exportIncremental(spark, root, delta)
+      .contains(0L))
+    assert(state(DeltaInterop.readDelta(spark, delta)) ==
+      (1L to 40L).map(k => k -> k * 1.0).toMap)
+    // immediately re-export: nothing changed, no new version
+    assert(DeltaInterop.exportIncremental(spark, root, delta).isEmpty)
+    // one-key update: only that key's bucket re-publishes
+    assert(CdcApply.applyBatch(
+      Seq((7L, 2L, 700.0, false))
+        .toDF("k", "version", "amount", "deleted"),
+      1L, root, Seq("k"), "version", Some("deleted"), numBuckets = 4,
+      commitTs = Some(2000L)))
+    assert(DeltaInterop.exportIncremental(spark, root, delta)
+      .contains(1L))
+    val v1Buckets = new java.io.File(delta, "v1").listFiles()
+      .map(_.getName).toSet
+    assert(v1Buckets.size == 1 && v1Buckets.head.startsWith("b"),
+      s"expected exactly one rewritten bucket dir, got $v1Buckets")
+    val expect = (1L to 40L).map(k =>
+      k -> (if (k == 7L) 700.0 else k * 1.0)).toMap
+    assert(state(DeltaInterop.readDelta(spark, delta)) == expect)
+    // the commit removed only that bucket's prior files
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val a1 = scala.io.Source.fromFile(new java.io.File(delta,
+        "_delta_log/00000000000000000001.json"), "UTF-8")
+      .getLines().filter(_.nonEmpty).map(mapper.readTree).toSeq
+    val removed = a1.filter(_.has("remove"))
+      .map(_.get("remove").get("path").asText)
+    assert(removed.nonEmpty &&
+      removed.forall(_.startsWith(s"v0/${v1Buckets.head}/")),
+      removed.toString)
+    // a snapshot-lineage dir has no export state: refuse loudly
+    val snapDir = tmp("delta_snap_lineage")
+    DeltaInterop.exportSnapshot(spark, root, snapDir)
+    val e = intercept[IllegalStateException] {
+      DeltaInterop.exportIncremental(spark, root, snapDir)
+    }
+    assert(e.getMessage.contains("export state"), e.getMessage)
+  }
+
   test("unsupported reader versions refuse loudly; a foreign " +
       "protocol-1 log reads fine") {
     import java.nio.file.{Files, Paths}
