@@ -317,6 +317,85 @@ object DeltaInterop {
     schema
   }
 
+  /** CONTINUOUS export: a Structured Streaming query tailing the CDC
+    * table's changelog whose every micro-batch runs one
+    * [[exportIncremental]] sync — the changelog events are the WAKE
+    * SIGNAL (their content is not re-derived; the sync reads the
+    * manifest), so the Delta mirror follows the table with per-batch
+    * latency at O(changed buckets) per sync, the
+    * [[CdcApply.syncMirror]] pattern pointed at the open ecosystem.
+    * Requires a changelog-enabled table. Caller owns the returned
+    * query's lifecycle (trigger/checkpoint via `options`).
+    */
+  def startContinuousExport(spark: SparkSession, cdcRoot: String,
+      deltaDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val feed = CdcApply.readChangesStream(spark, cdcRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"continuous export needs a changelog-enabled table at " +
+          s"$cdcRoot (applyBatch(changelog = true))"))
+    feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the changelog file lands BEFORE the manifest pointer flips,
+        // so the wake signal can outrun the commit: wait (bounded)
+        // until the head covers this micro-batch's newest change
+        // batch, then sync — the export itself reads the manifest
+        val target = batch
+          .agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions
+              .col(CdcApply.ChangeBatchCol)))
+          .head()
+        if (!target.isNullAt(0)) {
+          val want = target.getLong(0)
+          val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+          while (!CdcApply.currentVersion(spark, cdcRoot)
+              .exists(_ >= want) && System.nanoTime() < deadline)
+            Thread.sleep(25)
+        }
+        exportIncremental(spark, cdcRoot, deltaDir)
+        ()
+      }
+      .start()
+  }
+
+  /** VACUUM for an exported table — the Delta maintenance op: delete
+    * every data file under the table dir that the CURRENT live set no
+    * longer references (files a later commit removed). Time travel to
+    * the versions that referenced them stops resolving, exactly as
+    * Delta's VACUUM documents; the log itself is retained (it is the
+    * table's history, and it is small). Returns the deleted paths.
+    * Driver-side metadata work + one delete per dead file.
+    */
+  def vacuumExport(spark: SparkSession, table: String): Seq[String] = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no Delta log at $table")
+    val fs = CdcApply.fsFor(spark, table)
+    val live = readLiveFiles(spark, table, vs).toSet
+    val dead = scala.collection.mutable.ArrayBuffer[String]()
+    // data files live under the exporter's v<N>/ dirs only — never
+    // touch _delta_log or foreign layout conventions
+    fs.listStatus(new Path(table)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .foreach { dir =>
+        def walk(p: Path): Unit =
+          fs.listStatus(p).foreach { st =>
+            if (st.isDirectory) walk(st.getPath)
+            else if (st.getPath.getName.endsWith(".parquet")) {
+              val rel = st.getPath.toString
+                .stripPrefix(fs.makeQualified(new Path(table)).toString)
+                .stripPrefix("/")
+              if (!live.contains(rel)) {
+                fs.delete(st.getPath, false)
+                dead += rel
+              }
+            }
+          }
+        walk(dir.getPath)
+      }
+    dead.toSeq
+  }
+
   /** Read a Delta table (this exporter's or any protocol-1 writer's):
     * replay the log, scan the live files under the declared schema.
     * An empty live set yields an empty frame WITH the schema.

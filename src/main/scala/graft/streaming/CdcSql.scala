@@ -353,6 +353,30 @@ object CdcSql {
               "current_batch")
             .queryExecution.analyzed
         }),
+      // Delta-protocol export from SQL: publish (incrementally) the
+      // registered table's snapshot as a Delta table at `path` —
+      // cdc_export_delta(name, path). Reads of the export go through
+      // any Delta reader; the procedure returns the committed log
+      // version (NULL column value when nothing changed).
+      (FunctionIdentifier("cdc_export_delta"),
+        new ExpressionInfo("graft.streaming.CdcSql",
+          "cdc_export_delta"),
+        args => {
+          if (args.size != 2) throw new UnsupportedOperationException(
+            "cdc_export_delta(name, path) takes 2 arguments")
+          val name = argString(args(0), "cdc_export_delta name")
+          val path = argString(args(1), "cdc_export_delta path")
+          val spark = activeSession
+          val root = resolveRoot(name)
+          // exporting cell data OFF the governed root is a read the
+          // row/column filters cannot follow: admin-gated like writes
+          requireMaintainer(spark, name, root, "cdc_export_delta")
+          val v = graft.sources.DeltaInterop
+            .exportIncremental(spark, root, path)
+          spark.createDataFrame(Seq((name, path, v)))
+            .toDF("name", "path", "committed_version")
+            .queryExecution.analyzed
+        }),
       (FunctionIdentifier("cdc_delete_where"),
         new ExpressionInfo("graft.streaming.CdcSql",
           "cdc_delete_where"),

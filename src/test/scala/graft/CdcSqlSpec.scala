@@ -564,6 +564,42 @@ class CdcSqlSpec extends AnyFunSuite with SparkTestBase {
     } finally CdcSql.unregisterTable("apply_t")
   }
 
+  test("cdc_export_delta publishes the snapshot from SQL: committed " +
+      "version, no-change NULL, admin gate on governed roots") {
+    import spark.implicits._
+    val root = newRoot()
+    applyB0(root)
+    CdcSql.registerTable(spark, root, "exp_t")
+    val delta = java.nio.file.Files
+      .createTempDirectory("cdc_sql_delta").toFile.getAbsolutePath
+    try {
+      val r0 = spark.sql(
+        s"SELECT * FROM cdc_export_delta('exp_t', '$delta')").head()
+      assert(r0.getAs[Long]("committed_version") == 0L, r0.toString)
+      val got = graft.sources.DeltaInterop.readDelta(spark, delta)
+        .select("k", "amount").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == Set(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+      // unchanged table: NULL committed_version, no new log entry
+      val r1 = spark.sql(
+        s"SELECT * FROM cdc_export_delta('exp_t', '$delta')").head()
+      assert(r1.isNullAt(r1.fieldIndex("committed_version")),
+        r1.toString)
+      // governed root: export moves cell data off the governed
+      // location — non-admin denied
+      graft.governance.GovernanceCatalog.registerLocation(
+        root, "gov_exp_db", "gov_exp_t")
+      intercept[graft.governance.AccessDeniedException] {
+        graft.governance.Governance.withPrincipal(spark,
+            graft.governance.Analyst) {
+          spark.sql(
+            s"SELECT * FROM cdc_export_delta('exp_t', '$delta')")
+            .collect()
+        }
+      }
+    } finally CdcSql.unregisterTable("exp_t")
+  }
+
   test("cdc_register / cdc_unregister drive the name lifecycle from " +
       "SQL; registering a root with no committed table refuses") {
     val root = newRoot()

@@ -155,6 +155,65 @@ class DeltaInteropSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("export state"), e.getMessage)
   }
 
+  test("continuous export follows the changelog: each applied batch " +
+      "lands in the Delta mirror") {
+    import spark.implicits._
+    val root = tmp("delta_cont_cdc")
+    val delta = tmp("delta_cont")
+    val ckpt = tmp("delta_cont_ckpt")
+    val b0 = Seq((1L, 1L, 10.0, false), (2L, 1L, 20.0, false))
+      .toDF("k", "version", "amount", "deleted")
+    assert(CdcApply.applyBatch(b0, 0L, root, Seq("k"), "version",
+      Some("deleted"), numBuckets = 2, changelog = true,
+      commitTs = Some(1000L)))
+    val q = DeltaInterop.startContinuousExport(spark, root, delta, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(state(DeltaInterop.readDelta(spark, delta)) ==
+        Map(1L -> 10.0, 2L -> 20.0))
+      assert(CdcApply.applyBatch(
+        Seq((1L, 2L, 11.0, false), (3L, 1L, 30.0, false))
+          .toDF("k", "version", "amount", "deleted"),
+        1L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+        changelog = true, commitTs = Some(2000L)))
+      q.processAllAvailable()
+      assert(state(DeltaInterop.readDelta(spark, delta)) ==
+        Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0))
+    } finally q.stop()
+    // a table without a changelog refuses with the remedy
+    val plain = tmp("delta_cont_plain")
+    assert(CdcApply.applyBatch(b0, 0L, plain, Seq("k"), "version",
+      Some("deleted"), commitTs = Some(1000L)))
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.startContinuousExport(spark, plain,
+        tmp("x"), tmp("y"))
+    }
+    assert(e.getMessage.contains("changelog"), e.getMessage)
+  }
+
+  test("vacuumExport deletes exactly the files later commits " +
+      "removed; the live read is untouched") {
+    import spark.implicits._
+    val root = buildCdc()
+    val delta = tmp("delta_vac")
+    DeltaInterop.exportIncremental(spark, root, delta)
+    assert(CdcApply.applyBatch(
+      Seq((1L, 2L, 11.0, false))
+        .toDF("k", "version", "amount", "deleted"),
+      1L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+      commitTs = Some(2000L)))
+    DeltaInterop.exportIncremental(spark, root, delta)
+    val before = state(DeltaInterop.readDelta(spark, delta))
+    val dead = DeltaInterop.vacuumExport(spark, delta)
+    assert(dead.nonEmpty && dead.forall(_.startsWith("v0/")),
+      dead.toString)
+    dead.foreach(p => assert(!new java.io.File(delta, p).exists))
+    assert(state(DeltaInterop.readDelta(spark, delta)) == before,
+      "vacuum must not change the live read")
+    // idempotent: nothing left to sweep
+    assert(DeltaInterop.vacuumExport(spark, delta).isEmpty)
+  }
+
   test("unsupported reader versions refuse loudly; a foreign " +
       "protocol-1 log reads fine") {
     import java.nio.file.{Files, Paths}
