@@ -472,6 +472,21 @@ object TierC {
           T.subTokenCount(col("text")).as("sub_tokens"))
         .orderBy(col("doc_id"))),
 
+    // C1e — edit-distance similarity SELF-JOIN (Ed-Join/PPJoin prefix
+    // filter): all customer-name pairs within Levenshtein 1, found by
+    // joining only on each string's q·d+1 RAREST q-grams — hot grams
+    // carry no pairs, so the join never goes all-pairs; the oracle is
+    // the naive quadratic levenshtein, which proves the filter
+    // LOSSLESS (a pruned true pair would hash-mismatch).
+    "q_edit_simjoin" -> ((s, d) =>
+      graft.operators.EditSimilarity.selfJoin(
+        Tables.customer(s, d).filter(col("c_custkey") <= 2000)
+          .select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name", d = 1, q = 2)
+        .select(col("id_a"), col("id_b"),
+          col("dist").cast(LongType).as("dist"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // C2b'' — weight-proportional sampling without replacement
     // (Duffield–Lund–Thorup priority sampling): id-derived exact
     // uniforms over token-count weights, k smallest u/w priorities.
@@ -2323,6 +2338,14 @@ object TierC {
         "CAST(len(regexp_extract_all(text, " +
         "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS sub_tokens " +
         "FROM documents WHERE doc_id < 500 ORDER BY doc_id"),
+    "q_edit_simjoin" ->
+      ("SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, " +
+        "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist " +
+        "FROM customer a, customer b " +
+        "WHERE a.c_custkey < b.c_custkey AND a.c_custkey <= 2000 " +
+        "AND b.c_custkey <= 2000 " +
+        "AND levenshtein(a.c_name, b.c_name) <= 1 " +
+        "ORDER BY id_a, id_b"),
     "q_weighted_sample" ->
       ("SELECT doc_id, w, u / w AS priority FROM (SELECT doc_id, " +
         "CAST(len(list_filter(regexp_split_to_array(trim(text), " +

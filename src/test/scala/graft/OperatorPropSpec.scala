@@ -216,6 +216,42 @@ class OperatorPropSpec extends AnyFunSuite with SparkTestBase {
     check(p)
   }
 
+  test("property: prefix-filtered edit-distance self-join equals the " +
+      "naive quadratic reference (filter losslessness)") {
+    import spark.implicits._
+    import graft.operators.EditSimilarity
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    // tiny alphabet + short strings force collisions, hot grams, and
+    // the short-string fallback paths all at once
+    val strGen = Gen.listOfN(30, for {
+      n <- Gen.chooseNum(0, 10)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString)
+    val p = Prop.forAll(strGen, Gen.oneOf(1, 2)) { (ss, d) =>
+      val df = ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "s")
+      val got = EditSimilarity.selfJoin(df, "id", "s", d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      val expect = (for {
+        (a, i) <- ss.zipWithIndex
+        (b, j) <- ss.zipWithIndex
+        if i < j
+        dist = lev(a, b)
+        if dist <= d
+      } yield (i.toLong, j.toLong, dist)).toSet
+      got == expect
+    }
+    check(p)
+  }
+
   test("merge plan is one ranking window, never a join") {
     import spark.implicits._
     val b = Seq((1L, 1L, 10L)).toDF("k", "version", "v")
