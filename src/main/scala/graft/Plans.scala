@@ -319,7 +319,19 @@ object Plans {
       "is dimension-side, every dimension hop is a BroadcastHashJoin, " +
       "and the fact table joins LAST against an already-reduced " +
       "build side (CboSpec machine-checks the reorder against the " +
-      "heuristic baseline)."))
+      "heuristic baseline)."),
+    "q_edit_simjoin" -> ("Prefix-filtered edit-distance self-join: " +
+      "the candidate join is keyed on each string's q*d+1 RAREST " +
+      "q-grams (one small frequency aggregate feeds the ranking), so " +
+      "no hot-gram key ever carries the corpus — no cartesian " +
+      "product or all-pairs nested loop appears; the exact " +
+      "levenshtein runs only on the surviving candidate projection."),
+    "q_delta_export" -> ("Delta-protocol export read-back: the " +
+      "declared aggregate scans the exported table's LIVE file set " +
+      "(log-replay resolved, driver-side) as ordinary parquet — " +
+      "column-pruned scan + two-phase aggregate; the export itself " +
+      "republished only changed buckets (O(changed), the mirror " +
+      "cost class)."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
