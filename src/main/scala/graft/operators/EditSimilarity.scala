@@ -50,11 +50,13 @@ object EditSimilarity {
     val long = base.filter(col("len") >= minLong)
     val short = base.filter(col("len") < minLong)
 
-    // grams of the long strings, globally frequency-ranked
+    // grams of the long strings, globally frequency-ranked. The
+    // per-string gram SET forms map-side (array_distinct before the
+    // explode) — no dedup shuffle ever carries the gram table.
     val grams = long.select(col("id"), col("len"),
-        explode(transform(sequence(lit(1), col("len") - (q - 1)),
-          i => substring(col("s"), i, lit(q)))).as("g"))
-      .distinct()
+        explode(array_distinct(
+          transform(sequence(lit(1), col("len") - (q - 1)),
+            i => substring(col("s"), i, lit(q))))).as("g"))
     val freq = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("f"))
     // each string's q*d+1 rarest grams (total order (f, g) — the
