@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** EXACT Jaccard set-similarity SELF-JOIN — the lossless complement
+  * to the MinHash+LSH near-dup path ([[graft.dedup.Dedup]]): LSH can
+  * miss a true pair (bounded, spec-pinned probability); this operator
+  * finds EVERY pair with Jaccard >= t, scalably, via the AllPairs /
+  * PPJoin prefix filter (Bayardo et al., WWW 2007; Xiao et al., WWW
+  * 2008 — public literature):
+  *
+  *  1. each record's distinct token set is ordered by GLOBAL token
+  *     frequency (rarest first);
+  *  2. a record of size s keeps only its first s - ceil(t*s) + 1
+  *     tokens (the "prefix") — two sets with J >= t overlap in at
+  *     least ceil(t/(1+t)*(s_a+s_b)) tokens, too many to avoid both
+  *     prefixes (pigeonhole — lossless);
+  *  3. candidates = equi-join on prefix tokens + the size window
+  *     ceil(t*s_a) <= s_b <= floor(s_a/t);
+  *  4. verify exact |A∩B| / |A∪B| on candidates only, via codegen'd
+  *     array intersection over the (sorted, distinct) token arrays.
+  *
+  * Hot tokens land in nobody's prefix (frequency ranking), so the
+  * candidate join never degenerates to all-pairs on stopwords — the
+  * failure mode a naive token join has on any natural corpus.
+  *
+  * Plan shape: one token-frequency aggregate, one shuffle keyed on
+  * (rare) prefix tokens, verify on the surviving candidates.
+  */
+object SetSimilarity {
+
+  /** All id pairs (id_a < id_b) with Jaccard(tokens_a, tokens_b) >= t,
+    * with the exact intersection/union sizes and similarity. `tokens`
+    * is an array column; duplicates within a record are ignored (set
+    * semantics).
+    */
+  def jaccardSelfJoin(df: DataFrame, idCol: String, tokens: Column,
+      t: Double): DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"threshold out of (0, 1]: $t")
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+        array_sort(array_distinct(tokens)).as("toks"))
+      .withColumn("sz", size(col("toks")).cast(LongType))
+      .filter(col("sz") > 0)
+    val toks = base.select(col("id"), col("sz"),
+      explode(col("toks")).as("tok"))
+    val freq = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("f"))
+    // prefix = the sz - ceil(t*sz) + 1 globally-rarest tokens,
+    // total-ordered by (f, tok) so the collect order never shows
+    val prefix = toks.join(freq, "tok")
+      .groupBy(col("id"), col("sz"))
+      .agg(array_sort(collect_list(struct(col("f"), col("tok"))))
+        .as("ranked"))
+      .select(col("id"), col("sz"),
+        // EPSILON-SAFE ceiling: IEEE can round t*sz a hair ABOVE the
+        // exact product (5 * 0.6 = 3.000…04), and a too-large ceil
+        // SHRINKS the prefix — the lossy direction. Subtracting an
+        // epsilon can only lengthen the prefix: more candidates,
+        // never a missed pair (verification is exact).
+        explode(slice(col("ranked"), lit(1),
+          (col("sz") - ceil(col("sz") * lit(t) - lit(1e-9)) + 1)
+            .cast("int")))
+          .as("e"))
+      .select(col("id"), col("sz"), col("e.tok").as("tok"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          // size window, epsilon-loose for the same reason
+          col("b.sz").cast(DoubleType) >=
+            col("a.sz") * lit(t) - lit(1e-9) &&
+          col("a.sz").cast(DoubleType) >=
+            col("b.sz") * lit(t) - lit(1e-9))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sets = base.select(col("id"), col("toks"), col("sz"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("toks").as("ta"),
+        col("sz").as("sa")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("toks").as("tb"),
+        col("sz").as("sb")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast(LongType))
+      .withColumn("uni", col("sa") + col("sb") - col("inter"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / col("uni").cast(DoubleType))
+      .filter(col("jaccard") >= t)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        col("jaccard"))
+  }
+}

@@ -472,6 +472,20 @@ object TierC {
           T.subTokenCount(col("text")).as("sub_tokens"))
         .orderBy(col("doc_id"))),
 
+    // C1f — EXACT Jaccard similarity self-join (AllPairs/PPJoin
+    // prefix filter): every document pair with token-set Jaccard
+    // >= 0.4 — the LOSSLESS complement of the MinHash path (LSH can
+    // miss a pair; this cannot, proven by the naive quadratic
+    // oracle). Candidates join only on each set's rarest tokens, so
+    // stopwords never explode the join.
+    "q_jaccard_simjoin" -> ((s, d) =>
+      graft.operators.SetSimilarity.jaccardSelfJoin(
+        Tables.documents(s, d).filter(col("doc_id") < 400),
+        "doc_id",
+        filter(split(trim(col("text")), "\\s+"), x => x =!= ""),
+        t = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // C1e — edit-distance similarity SELF-JOIN (Ed-Join/PPJoin prefix
     // filter): all customer-name pairs within Levenshtein 1, found by
     // joining only on each string's q·d+1 RAREST q-grams — hot grams
@@ -2338,6 +2352,19 @@ object TierC {
         "CAST(len(regexp_extract_all(text, " +
         "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS sub_tokens " +
         "FROM documents WHERE doc_id < 500 ORDER BY doc_id"),
+    "q_jaccard_simjoin" ->
+      ("WITH d AS (SELECT doc_id, list_distinct(list_filter(" +
+        "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) " +
+        "AS toks FROM documents WHERE doc_id < 400) " +
+        "SELECT id_a, id_b, inter, uni, " +
+        "CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard " +
+        "FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter, " +
+        "CAST(len(a.toks) + len(b.toks) - " +
+        "len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni " +
+        "FROM d a, d b WHERE a.doc_id < b.doc_id) " +
+        "WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.4 " +
+        "ORDER BY id_a, id_b"),
     "q_edit_simjoin" ->
       ("SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, " +
         "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist " +

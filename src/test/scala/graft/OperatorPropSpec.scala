@@ -252,6 +252,34 @@ class OperatorPropSpec extends AnyFunSuite with SparkTestBase {
     check(p)
   }
 
+  test("property: prefix-filtered exact Jaccard join equals brute " +
+      "force (filter losslessness incl. the float-ceil edge)") {
+    import spark.implicits._
+    import graft.operators.SetSimilarity
+    val recGen = Gen.listOfN(22, Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))))
+    val p = Prop.forAll(recGen, Gen.oneOf(0.3, 0.5, 0.6, 0.8)) {
+      (rows, t) =>
+        val df = rows.zipWithIndex
+          .map { case (ts, i) => (i.toLong, ts) }.toDF("id", "toks")
+        val got = SetSimilarity
+          .jaccardSelfJoin(df, "id", col("toks"), t)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+        val sets = rows.map(_.toSet)
+        val expect = (for {
+          i <- sets.indices; j <- sets.indices
+          if i < j && sets(i).nonEmpty && sets(j).nonEmpty
+          inter = (sets(i) & sets(j)).size
+          uni = (sets(i) | sets(j)).size
+          if inter.toDouble / uni >= t
+        } yield (i.toLong, j.toLong, inter.toLong, uni.toLong)).toSet
+        got == expect
+    }
+    check(p)
+  }
+
   test("merge plan is one ranking window, never a join") {
     import spark.implicits._
     val b = Seq((1L, 1L, 10L)).toDF("k", "version", "v")
