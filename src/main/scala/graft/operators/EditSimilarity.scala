@@ -76,18 +76,22 @@ object EditSimilarity {
       .distinct()
 
     // short strings: too few grams to prefix-filter — verify the
-    // (tiny) short set pairwise within the length window
-    val candShort = short.select(col("id"), col("len")).as("a")
+    // (tiny) short set pairwise within the length window. The band
+    // |len_a - len_b| <= d becomes an EQUI-join by exploding one side
+    // into its 2d+1 admissible partner lengths (each true pair
+    // matches on exactly one key) — a hash join, never a nested loop.
+    val shortKeyed = short.select(col("id"), col("len"),
+      explode(sequence(col("len") - d, col("len") + d)).as("lk"))
+    val candShort = shortKeyed.as("a")
       .join(short.select(col("id"), col("len")).as("b"),
-        col("a.id") < col("b.id") &&
-          abs(col("a.len") - col("b.len")) <= d)
+        col("a.lk") === col("b.len") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     // short x long: only longs in the d-wide length band above the
     // short cutoff can pair with a short string — both sides tiny
-    val candMixed = short.select(col("id"), col("len")).as("a")
+    val candMixed = shortKeyed.as("a")
       .join(long.filter(col("len") < minLong + d)
           .select(col("id"), col("len")).as("b"),
-        abs(col("a.len") - col("b.len")) <= d)
+        col("a.lk") === col("b.len"))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
 
