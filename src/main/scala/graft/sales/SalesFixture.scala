@@ -104,7 +104,12 @@ object SalesFixture {
       // as the catalog table (reference S3 block, main.tf:32-49)
       graft.governance.GovernanceCatalog.registerLocation(
         location, dbName, tableName)
-      df(spark).write.mode("overwrite").parquet(location)
+      // the fixture data is deterministic: only write when absent, so
+      // a second JVM registering the same location (a test suite and a
+      // Verify run side by side) never deletes part files a cached
+      // relation in the other JVM still references
+      if (!new java.io.File(location, "_SUCCESS").exists)
+        df(spark).write.mode("overwrite").parquet(location)
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $dbName")
       spark.sql(s"DROP TABLE IF EXISTS $dbName.$tableName")
       spark.sql(
