@@ -751,6 +751,32 @@ object CdcApply {
         "oldest_tombstone_batch", "pending_deltas", "delta_bytes")
   }
 
+  /** One row per LIVE data file of the current snapshot —
+    * (bucket_id, data_dir, file, bytes), the file-level inventory a
+    * table format's DESCRIBE FILES shows (and what an external
+    * orchestrator feeds to a distcp/backup job). [[buckets]] serves
+    * the per-bucket aggregates from manifest stats alone; this is the
+    * one metadata view that LISTS — one filesystem listing per live
+    * directory, never a file read.
+    */
+  def files(spark: SparkSession, root: String): DataFrame = {
+    val fs = fsFor(spark, root)
+    val rows: Seq[(Int, String, String, Long)] =
+      currentManifest(spark, root).toSeq.flatMap(m =>
+        m.buckets.toSeq.sortBy(_._1).flatMap { case (b, e) =>
+          e.allRels.flatMap { rel =>
+            val p = new Path(root, s"data/$rel")
+            if (!fs.exists(p)) Seq.empty[(Int, String, String, Long)]
+            else fs.listStatus(p).toSeq
+              .filter(_.getPath.getName.endsWith(".parquet"))
+              .sortBy(_.getPath.getName)
+              .map(st => (b, rel, st.getPath.getName, st.getLen))
+          }
+        })
+    spark.createDataFrame(rows)
+      .toDF("bucket_id", "data_dir", "file", "bytes")
+  }
+
   /** The CURRENT layout's bucket count — manifest-authoritative (it
     * diverges from the creation-time parameter after a [[rebucket]]);
     * None before the first apply. The denominator of the rebucket

@@ -598,7 +598,8 @@ case class CdcTableResolution(spark: SparkSession)
     "history" -> ((s, r) => CdcApply.history(s, r)),
     "buckets" -> ((s, r) => CdcApply.buckets(s, r)),
     "describe" -> ((s, r) => CdcApply.describe(s, r)),
-    "tags" -> ((s, r) => CdcApply.tags(s, r)))
+    "tags" -> ((s, r) => CdcApply.tags(s, r)),
+    "files" -> ((s, r) => CdcApply.files(s, r)))
 
   private def metaTarget(u: UnresolvedRelation)
       : Option[(String, org.apache.spark.sql.DataFrame)] = {

@@ -130,11 +130,29 @@ class CdcSqlSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("metadata tables resolve via the $ suffix convention: history, " +
-    "buckets, describe") {
+    "buckets, describe, files") {
     val root = newRoot()
     applyB0(root); applyB1(root)
     CdcSql.registerTable(spark, root, "meta_t")
     try {
+      // `t$files`: one row per live parquet file; every listed file
+      // exists on disk at its listed size, and total bytes agree with
+      // the manifest's write-time stats served by `t$buckets`
+      val files = spark.sql(
+        "SELECT bucket_id, data_dir, file, bytes FROM `meta_t$files`")
+        .collect()
+      assert(files.nonEmpty)
+      files.foreach { r =>
+        val f = new java.io.File(
+          s"$root/data/${r.getString(1)}/${r.getString(2)}")
+        assert(f.exists && f.length == r.getLong(3), f.toString)
+        assert(r.getString(2).endsWith(".parquet"))
+      }
+      val statBytes = spark.sql(
+        "SELECT CAST(SUM(bytes) AS BIGINT) FROM `meta_t$buckets`")
+        .head().getLong(0)
+      assert(files.map(_.getLong(3)).sum == statBytes,
+        "listing and manifest stats disagree")
       val hist = spark.sql(
         "SELECT batch_id, is_current FROM `meta_t$history` " +
           "ORDER BY batch_id").collect()
