@@ -58,6 +58,18 @@ object GraftFunctions {
   def wavDecode(payload: Column): Column =
     call_function("wav_decode", payload)
 
+  /** Deterministic MJPEG-in-AVI clip from a long seed (see
+    * [[AviEncode]]).
+    */
+  def aviEncode(seed: Column): Column = call_function("avi_encode", seed)
+
+  /** `(n_frames, width, height, mean_luma)` of a video payload, NULL
+    * when the bytes are not an AVI of decodable frames (see
+    * [[AviDecode]]).
+    */
+  def aviDecode(payload: Column): Column =
+    call_function("avi_decode", payload)
+
   /** Register all graft SQL functions on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     SimHash.register(spark)
@@ -67,5 +79,6 @@ object GraftFunctions {
     Shingles.register(spark)
     ImageCodec.register(spark)
     AudioCodec.register(spark)
+    VideoCodec.register(spark)
   }
 }

@@ -10,16 +10,18 @@ import org.apache.spark.sql.types.LongType
   * predicate pushdown, and shuffle behavior are identical to any other
   * column at 100 TB (the payload bytes never become a special case).
   *
-  * The IMAGE and AUDIO codec paths are REAL: image-typed rows carry
-  * genuine PNG byte streams ([[graft.functions.PngEncode]], pure-JDK
+  * ALL THREE codec paths are REAL: image-typed rows carry genuine PNG
+  * byte streams ([[graft.functions.PngEncode]], pure-JDK
   * `javax.imageio`) decoded back to dimensions + pixel stats by
   * [[decodeImage]]; audio-typed rows carry genuine RIFF/WAVE PCM16
   * streams ([[graft.functions.WavEncode]]) parsed back through the
   * JDK's own audio parser (`javax.sound.sampled`) to rate/length/
-  * loudness by [[decodeAudio]]. VIDEO decode stays STUBBED — this
-  * container ships no video codec libraries — behind [[decodeStub]],
-  * which derives a deterministic fake feature vector from the payload
-  * bytes; swapping that stub for a real decoder changes one
+  * loudness by [[decodeAudio]]; video-typed rows carry genuine
+  * MJPEG-in-AVI clips ([[graft.functions.AviEncode]] — RIFF container
+  * of complete JPEG frames, both halves pure-JDK) walked and
+  * frame-decoded by [[decodeVideo]]. [[decodeStub]] remains as the
+  * documented SEAM for codec families beyond the JDK (H.264 and
+  * friends): swapping it for a real library decoder changes one
   * expression, not the pipeline.
   */
 object Multimodal {
@@ -27,13 +29,12 @@ object Multimodal {
   val MediaTypes: Seq[String] = Seq("image", "audio", "video")
 
   /** Synthesize a media table from the documents corpus: image rows
-    * carry a REAL decodable PNG and audio rows a REAL decodable WAV
-    * (both seeded by `doc_id`, so dimensions, samples, and pixels are
-    * reproducible); video rows carry the UTF-8 text bytes (the
-    * stand-in for codec formats the JDK lacks); media type
-    * round-robins by id, and metadata is a typed struct recording the
-    * SOURCE asset's content length — the shape a crawler's media
-    * sidecar table has.
+    * carry a REAL decodable PNG, audio rows a REAL decodable WAV, and
+    * video rows a REAL decodable MJPEG-in-AVI clip (all seeded by
+    * `doc_id`, so dimensions, samples, frame counts, and pixels are
+    * reproducible); media type round-robins by id, and metadata is a
+    * typed struct recording the SOURCE asset's content length — the
+    * shape a crawler's media sidecar table has.
     */
   def mediaFromDocs(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
@@ -46,7 +47,9 @@ object Multimodal {
           graft.functions.GraftFunctions.pngEncode(col("doc_id")))
         .when(pmod(col("doc_id"), lit(3)) === 1,
           graft.functions.GraftFunctions.wavEncode(col("doc_id")))
-        .otherwise(col("text").cast("binary")).as("payload"),
+        .otherwise(
+          graft.functions.GraftFunctions.aviEncode(col("doc_id")))
+        .as("payload"),
       struct(
         length(col("text").cast("binary")).cast(LongType).as("byte_len"),
         col("source").as("origin"),
@@ -67,6 +70,14 @@ object Multimodal {
     */
   def decodeAudio(payload: Column): Column =
     graft.functions.GraftFunctions.wavDecode(payload)
+
+  /** REAL video decode: the RIFF walker + the JDK's JPEG reader yield
+    * `(n_frames, width, height, mean_luma)`, NULL when the bytes are
+    * not an AVI of decodable frames — the video sibling of
+    * [[decodeImage]], same one-pass no-dispatch contract.
+    */
+  def decodeVideo(payload: Column): Column =
+    graft.functions.GraftFunctions.aviDecode(payload)
 
   /** Payload size in bytes. */
   def payloadBytes(payload: Column): Column =

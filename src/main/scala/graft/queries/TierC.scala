@@ -1299,6 +1299,21 @@ object TierC {
           M.payloadFingerprint(col("payload")).as("payload_fp"))
         .orderBy(col("media_id"))),
 
+    // The video facet that IS oracle-checkable: frame count and
+    // dimensions recovered by walking the REAL RIFF container and
+    // JPEG-decoding every frame follow the encoder's seed formulas,
+    // so DuckDB reproduces them from doc_id alone — a chunk-layout
+    // slip, a miscounted frame, or a misdecoded dimension
+    // hash-mismatches (pixel stats are JPEG-lossy: spec-bounded, not
+    // oracled).
+    "q_media_video" -> ((s, d) =>
+      M.mediaFromDocs(Tables.documents(s, d))
+        .filter(col("media_type") === "video" && col("media_id") < 400)
+        .withColumn("v", M.decodeVideo(col("payload")))
+        .select(col("media_id"), col("v.n_frames").as("n_frames"),
+          col("v.width").as("width"), col("v.height").as("height"))
+        .orderBy(col("media_id"))),
+
     // The audio half that IS oracle-checkable: the WAV header fields
     // the decode recovers (rate, sample count) follow the encoder's
     // seed formulas, so DuckDB reproduces them from doc_id alone —
@@ -2561,6 +2576,13 @@ object TierC {
         "CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes, " +
         "CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes " +
         "FROM documents GROUP BY 1 ORDER BY media_type"),
+    "q_media_video" ->
+      ("SELECT doc_id AS media_id, " +
+        "CAST(3 + doc_id % 6 AS INTEGER) AS n_frames, " +
+        "CAST(8 + (doc_id // 11) % 17 AS INTEGER) AS width, " +
+        "CAST(8 + (doc_id // 5) % 13 AS INTEGER) AS height " +
+        "FROM documents WHERE doc_id % 3 = 2 AND doc_id < 400 " +
+        "ORDER BY media_id"),
     "q_media_audio" ->
       ("SELECT doc_id AS media_id, CAST(8000 AS INTEGER) AS " +
         "sample_rate, CAST(200 + doc_id % 801 AS BIGINT) AS n_samples " +

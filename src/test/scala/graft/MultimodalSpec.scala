@@ -44,18 +44,61 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(ais.getFrameLength == graft.functions.WavEncode.nSamplesOf(1L))
   }
 
-  test("payload byte length matches source text for video rows " +
-    "(ASCII corpus); meta records the SOURCE length for all rows") {
+  test("every media row carries an encoded payload; meta records the " +
+    "SOURCE length for all rows; doc 2's video payload is a real AVI") {
     val rows = M.mediaFromDocs(docs())
       .select(col("media_id"), col("media_type"),
         M.payloadBytes(col("payload")).as("n"), col("meta.byte_len"))
       .collect()
-    rows.filter(_.getString(1) == "video")
-      .foreach(r => assert(r.getLong(2) == r.getLong(3)))
-    // image/audio rows: meta is the source text length, payload is
-    // the encoded media byte stream
-    rows.filter(_.getString(1) != "video")
-      .foreach(r => assert(r.getLong(3) > 0))
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0, r.toString)
+      assert(r.getLong(3) > 0, r.toString)
+    }
+    val av = M.mediaFromDocs(docs()).filter(col("media_id") === 2)
+      .collect().head
+    assert(av.getAs[String]("media_type") == "video")
+    val bytes = av.getAs[Array[Byte]]("payload")
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "AVI ")
+  }
+
+  test("avi_encode / avi_decode round-trip: frame count and " +
+    "dimensions follow the seed formulas, mean luma tracks the raw " +
+    "pixels within JPEG loss, unparseable bytes decode NULL") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rt = (0L until 25L).toDF("seed")
+      .select(col("seed"),
+        M.decodeVideo(graft.functions.GraftFunctions
+          .aviEncode(col("seed"))).as("v"))
+      .select(col("seed"), col("v.n_frames"), col("v.width"),
+        col("v.height"), col("v.mean_luma"))
+      .collect()
+    assert(rt.length == 25)
+    rt.foreach { r =>
+      val s = r.getLong(0)
+      val (n, w, h) = (graft.functions.AviEncode.nFramesOf(s),
+        graft.functions.AviEncode.widthOf(s),
+        graft.functions.AviEncode.heightOf(s))
+      assert(r.getInt(1) == n && r.getInt(2) == w && r.getInt(3) == h,
+        s"structure mismatch at seed $s: $r")
+      // raw-pixel luma mean from the shared generator; JPEG is lossy
+      // but roughly zero-mean on the error, so the clip means agree
+      var sum = 0.0
+      for (f <- 0 until n; y <- 0 until h; x <- 0 until w) {
+        val rgb = graft.functions.AviEncode.framePixel(s, f, x, y)
+        sum += 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+      }
+      val raw = sum / (n.toLong * w * h)
+      assert(math.abs(r.getDouble(4) - raw) < 10.0,
+        s"luma drifted past JPEG loss at seed $s: ${r.getDouble(4)} " +
+          s"vs raw $raw")
+    }
+    val nul = Seq("just text").toDF("t")
+      .select(M.decodeVideo($"t".cast("binary")).as("v"))
+      .collect().head
+    assert(nul.isNullAt(0))
   }
 
   test("wav_encode / wav_decode round-trip: rate and sample count " +
