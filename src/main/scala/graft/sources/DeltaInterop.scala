@@ -147,9 +147,15 @@ object DeltaInterop {
       throw new IllegalArgumentException(s"no CDC table at $cdcRoot"))
     val fs = CdcApply.fsFor(spark, deltaDir)
     val statePath = new Path(deltaDir, "_graft_export_state.json")
-    // state: bucketId -> (identity, files)
-    val prior: Map[Int, (String, Seq[String])] =
-      if (!fs.exists(statePath)) Map.empty
+    val priorVs = versions(spark, deltaDir)
+    // sidecar state: the log version it describes + per-bucket
+    // (identity, files). A crash can land BETWEEN the log commit and
+    // the state write, so the state is trusted only when its stamp
+    // matches the log head — otherwise the next sync SELF-HEALS with
+    // a full rewrite whose removals come from the LOG's live set (the
+    // one source that is always right).
+    val rawState: Option[(Long, Map[Int, (String, Seq[String])])] =
+      if (!fs.exists(statePath)) None
       else {
         val in = fs.open(statePath)
         val text = new String(
@@ -157,29 +163,42 @@ object DeltaInterop {
         in.close()
         val n = mapper.readTree(text)
         import scala.jdk.CollectionConverters._
-        n.properties().asScala.map { e =>
-          val files = e.getValue.get("files").elements().asScala
-            .map(_.asText()).toSeq
-          e.getKey.toInt ->
-            (e.getValue.get("identity").asText(), files)
-        }.toMap
+        val v = Option(n.get("version")).map(_.asLong(-1L)).getOrElse(-1L)
+        val buckets = Option(n.get("buckets")).map(
+          _.properties().asScala.map { e =>
+            val files = e.getValue.get("files").elements().asScala
+              .map(_.asText()).toSeq
+            e.getKey.toInt ->
+              (e.getValue.get("identity").asText(), files)
+          }.toMap).getOrElse(Map.empty[Int, (String, Seq[String])])
+        Some((v, buckets))
       }
-    val priorVsProbe = versions(spark, deltaDir)
-    if (priorVsProbe.nonEmpty && prior.isEmpty)
+    if (priorVs.nonEmpty && rawState.isEmpty)
       throw new IllegalStateException(
         s"Delta table at $deltaDir has log versions but no export " +
           "state — it was written by exportSnapshot (or a foreign " +
           "writer); incremental export requires its own lineage. " +
           "Use a fresh directory, or keep using exportSnapshot.")
+    val stateConsistent =
+      rawState.exists(_._1 == priorVs.lastOption.getOrElse(-1L))
+    val prior: Map[Int, (String, Seq[String])] =
+      if (stateConsistent) rawState.get._2
+      else Map.empty // stale stamp: treat every bucket as changed
     val current: Map[Int, String] =
       m.buckets.map { case (id, e) => id -> e.allRels.mkString("+") }
     val changed = current.filter { case (id, ident) =>
       !prior.get(id).exists(_._1 == ident) }.keys.toSeq.sorted
     val dropped = (prior.keySet -- current.keySet).toSeq.sorted
-    val priorVs = versions(spark, deltaDir)
     if (changed.isEmpty && dropped.isEmpty && priorVs.nonEmpty)
       return None
     val version = priorVs.lastOption.map(_ + 1L).getOrElse(0L)
+    // removals: the trusted state's files for the touched buckets, or
+    // (self-heal path) EVERYTHING the log currently serves
+    val removals: Seq[String] =
+      if (stateConsistent)
+        (changed ++ dropped).flatMap(id =>
+          prior.get(id).toSeq.flatMap(_._2))
+      else readLiveFiles(spark, deltaDir, priorVs)
     // rewrite each changed bucket's RESOLVED logical rows under its
     // own per-version dir (tombstones stripped, internals dropped —
     // Delta readers must see the logical table, never merge state)
@@ -220,14 +239,12 @@ object DeltaInterop {
     mm.putObject("configuration")
     mm.put("createdTime", 0L)
     actions += mapper.writeValueAsString(meta)
-    (changed ++ dropped).foreach { id =>
-      prior.get(id).toSeq.flatMap(_._2).foreach { path =>
-        val rm = node()
-        val r = rm.putObject("remove")
-        r.put("path", path)
-        r.put("dataChange", true)
-        actions += mapper.writeValueAsString(rm)
-      }
+    removals.foreach { path =>
+      val rm = node()
+      val r = rm.putObject("remove")
+      r.put("path", path)
+      r.put("dataChange", true)
+      actions += mapper.writeValueAsString(rm)
     }
     written.toSeq.sortBy(_._1).foreach { case (id, files) =>
       files.foreach { path =>
@@ -250,10 +267,13 @@ object DeltaInterop {
       throw new IllegalStateException(
         s"concurrent Delta export lost the commit race for " +
           s"version $version of $deltaDir")
-    // new state: changed buckets' fresh files, unchanged carry over
+    // new state: changed buckets' fresh files, unchanged carry over;
+    // stamped with the log version it describes (the crash detector)
     val newState = mapper.createObjectNode()
+    newState.put("version", version)
+    val bucketsNode = newState.putObject("buckets")
     current.toSeq.sortBy(_._1).foreach { case (id, ident) =>
-      val b = newState.putObject(id.toString)
+      val b = bucketsNode.putObject(id.toString)
       b.put("identity", ident)
       val arr = b.putArray("files")
       written.getOrElse(id, prior(id)._2).foreach(arr.add)

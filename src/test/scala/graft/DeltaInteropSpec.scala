@@ -191,6 +191,41 @@ class DeltaInteropSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("changelog"), e.getMessage)
   }
 
+  test("a stale export-state stamp (crash between log commit and " +
+      "state write) self-heals with a full rewrite — no duplicate " +
+      "rows survive") {
+    import spark.implicits._
+    val root = buildCdc()
+    val delta = tmp("delta_heal")
+    DeltaInterop.exportIncremental(spark, root, delta)
+    assert(CdcApply.applyBatch(
+      Seq((1L, 2L, 11.0, false))
+        .toDF("k", "version", "amount", "deleted"),
+      1L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+      commitTs = Some(2000L)))
+    DeltaInterop.exportIncremental(spark, root, delta)
+    val good = state(DeltaInterop.readDelta(spark, delta))
+    // simulate the crash: regress the sidecar's version stamp so it
+    // no longer matches the log head (delete the .crc sidecar too —
+    // Hadoop's local FS checksums would otherwise reject the edit)
+    val sf = new java.io.File(delta, "_graft_export_state.json")
+    val text = java.nio.file.Files.readString(sf.toPath)
+    new java.io.File(delta, "._graft_export_state.json.crc").delete()
+    java.nio.file.Files.writeString(sf.toPath,
+      text.replaceFirst("\"version\":1", "\"version\":0"))
+    // next sync self-heals: a full-rewrite commit, live read unchanged
+    assert(DeltaInterop.exportIncremental(spark, root, delta)
+      .contains(2L))
+    assert(state(DeltaInterop.readDelta(spark, delta)) == good,
+      "self-heal must not duplicate or lose rows")
+    // row MULTIPLICITY check too — a stale-state bug leaves old files
+    // live, which doubles counts without changing the keyed state()
+    assert(DeltaInterop.readDelta(spark, delta).count() ==
+      good.size.toLong)
+    // and the healed lineage is steady again
+    assert(DeltaInterop.exportIncremental(spark, root, delta).isEmpty)
+  }
+
   test("vacuumExport deletes exactly the files later commits " +
       "removed; the live read is untouched") {
     import spark.implicits._
