@@ -206,8 +206,11 @@ object AviDecode {
     var lumaSum = 0.0
     var pixels = 0L
     // walk top-level and LIST-nested chunks; frame data is any
-    // '##dc'/'##db' chunk (compressed / uncompressed DIB naming)
-    def walk(limit: Int): Boolean = {
+    // '##dc'/'##db' chunk (compressed / uncompressed DIB naming).
+    // Depth-bounded: a hostile byte stream nesting LISTs len/8 deep
+    // must exhaust the bound, not the JVM stack.
+    def walk(limit: Int, depth: Int): Boolean = {
+      if (depth > 32) return false
       while (bb.position() + 8 <= limit) {
         val id = fourcc()
         val len = bb.getInt()
@@ -215,7 +218,7 @@ object AviDecode {
         val next = bb.position() + len + (len % 2)
         if (id == "LIST") {
           fourcc() // list kind
-          if (!walk(bb.position() + len - 4)) return false
+          if (!walk(bb.position() + len - 4, depth + 1)) return false
         } else if (id.endsWith("dc") || id.endsWith("db")) {
           val frame = new Array[Byte](len)
           bb.get(frame)
@@ -246,7 +249,7 @@ object AviDecode {
       }
       true
     }
-    if (!walk(bytes.length) || nFrames == 0) return null
+    if (!walk(bytes.length, 0) || nFrames == 0) return null
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](nFrames, w, h, lumaSum / pixels))
   }
