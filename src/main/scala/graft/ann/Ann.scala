@@ -451,6 +451,92 @@ object Ann {
       vecCol, queryId, k)
   }
 
+  // ---- IVF+PQ: the deployed billion-scale composition ----
+
+  /** Persisted IVF+PQ index — the full IVFADC layout of Jégou et al.
+    * 2011 (coarse quantizer + product codes), composing the two stages
+    * this file already has: [[persistedKmeans]] trains the `nlists`
+    * coarse centroids that route every vector to an inverted list, and
+    * the PQ codes table ([[pqEncode]] against shared [[pqCodebooks]])
+    * is written PARTITIONED BY LIST, one directory per list id. That
+    * layout is the point: a probe's `isin` over its nprobe lists is a
+    * plan-time `PartitionFilters` entry, so the ADC stage reads
+    * ~nprobe/nlists of the code files — where [[pqTopK]] alone scans
+    * EVERY code row per query, O(corpus) even at m ints per vector.
+    * Returns (cents, books, codes): nlists rows + m×ksub rows (both
+    * broadcastable at any corpus size) + the list-partitioned codes.
+    *
+    * All three artifacts go through the fingerprint-keyed
+    * [[graft.sources.Artifacts.commitOnce]] cache — one batch build,
+    * served to every query thereafter; deterministic integer-quantized
+    * training makes rebuilds bit-identical.
+    */
+  def persistedIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, ksub: Int, iters: Int, nlists: Int,
+      path: String): (DataFrame, DataFrame, DataFrame) = synchronized {
+    val cents = persistedKmeans(emb, idCol, vecCol, nlists, iters,
+      s"${path}_coarse")
+    val books = pqCodebooks(emb, idCol, vecCol, dims, m, ksub, iters,
+      path)
+    val dir = new java.io.File(
+      s"${path}_ivfcodes_${idCol}_${vecCol}_d${dims}_m${m}_k${ksub}" +
+        s"_i${iters}_n${nlists}_ivfpq1")
+    graft.sources.Artifacts.commitOnce(emb.sparkSession,
+      dir.getAbsolutePath)(tmp =>
+      pqEncode(emb, idCol, vecCol, dims, m, books)
+        .join(
+          assignLists(
+            emb.select(col(idCol).as("vid"), col(vecCol).as("v")),
+            cents)
+            .withColumnRenamed("vid", idCol),
+          Seq(idCol))
+        .write.mode("overwrite").partitionBy("list").parquet(tmp))
+    (cents, books, emb.sparkSession.read.parquet(dir.getAbsolutePath))
+  }
+
+  /** ADC top-k over ONLY the probed lists' codes: the coarse index
+    * (nlists rows) picks the `nprobe` most query-similar lists — the
+    * same one documented driver hop as [[ivfTopK]] — and the `isin`
+    * filter on the codes table's partition column prunes every other
+    * list's files out of the scan (inputFiles-asserted in AnnSpec).
+    * Scoring is [[pqTopK]]'s LUT-based ADC, unchanged.
+    */
+  def ivfPqTopK(codes: DataFrame, books: DataFrame, cents: DataFrame,
+      queryVec: DataFrame, idCol: String, dims: Int, m: Int,
+      queryId: Long, k: Int, nprobe: Int): DataFrame = {
+    require(queryVec.columns.length == 1,
+      "queryVec must have exactly one (vector) column")
+    val probeLists: Seq[Any] = cents
+      .crossJoin(broadcast(queryVec.toDF("q_vec")))
+      .select(col("list"), cosine(col("centroid"), col("q_vec")).as("sim"))
+      .orderBy(col("sim").desc, col("list"))
+      .limit(nprobe)
+      .select("list").collect().toSeq.map(_.get(0))
+    pqTopK(codes.filter(col("list").isin(probeLists: _*)).drop("list"),
+      books, queryVec, idCol, dims, m, queryId, k)
+  }
+
+  /** IVF+PQ candidate generation + EXACT re-ranking — the deployed
+    * query path end to end: coarse-prune to nprobe lists, ADC-score
+    * only those lists' compressed codes into `nCandidates` ids, then
+    * fetch and exact-cosine rank the raw vectors of those ids alone
+    * (semi-join pruned, as [[pqRefinedTopK]]). Final quality is the
+    * two pruning stages' compounded recall@nCandidates — pinned
+    * against [[bruteForceTopK]] in AnnSpec, approximate by
+    * construction (rows-only declared query `q_ann_ivfpq`).
+    */
+  def ivfPqRefinedTopK(emb: DataFrame, codes: DataFrame,
+      books: DataFrame, cents: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, queryId: Long, k: Int, nprobe: Int,
+      nCandidates: Int): DataFrame = {
+    require(nCandidates >= k, "nCandidates must be >= k")
+    val qv = emb.filter(col(idCol) === queryId).select(col(vecCol))
+    val cand = ivfPqTopK(codes, books, cents, qv, idCol, dims, m,
+      queryId, nCandidates, nprobe).select(col(idCol))
+    bruteForceTopK(emb.join(cand, Seq(idCol), "left_semi"), qv, idCol,
+      vecCol, queryId, k)
+  }
+
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication"): drop every vector that has a LOWER-id neighbor

@@ -2031,6 +2031,26 @@ object TierC {
         dims = 64, m = 16, queryId = 0L, k = 10, nCandidates = 64)
     }),
 
+    // C14b — IVF+PQ composed (the deployed billion-scale IVFADC
+    // shape): coarse quantizer prunes to nprobe lists, ADC scores only
+    // those lists' codes (the codes table is PARTITIONED BY LIST —
+    // probe pruning is a plan-time PartitionFilters entry, asserted in
+    // AnnSpec), exact refine of the 64 survivors. Rows-only like
+    // q_ann_pq — two compounded approximation stages; the recall twin
+    // against bruteForceTopK is machine-checked in AnnSpec.
+    "q_ann_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val path = new java.io.File("target/graft-data/ivfpq_index/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/embeddings.parquet"))
+        .getAbsolutePath
+      val (cents, books, codes) = Ann.persistedIvfPqIndex(emb, "vec_id",
+        "embedding", dims = 64, m = 16, ksub = 16, iters = 3,
+        nlists = 8, path)
+      Ann.ivfPqRefinedTopK(emb, codes, books, cents, "vec_id",
+        "embedding", dims = 64, m = 16, queryId = 0L, k = 10,
+        nprobe = 4, nCandidates = 64)
+    }),
+
     // C15 — SemDeDup semantic dedup: within-cluster (label) cosine
     // >= 0.25 drops the higher id; survivors hash-checked. The
     // quadratic comparison is confined per cluster (the paper's move),
