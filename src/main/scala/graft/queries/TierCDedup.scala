@@ -1,0 +1,398 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.functions.{TextFunctions => T}
+import graft.multimodal.{Multimodal => M}
+import graft.operators.Profile
+import graft.search.Bm25
+import graft.sources.Tables
+
+import graft.queries.TierCHelpers._
+
+/** Tier C — deduplication and decontamination (exact, MinHash/
+  * SimHash/n-gram-Jaccard near-dup, similarity self-joins, duplicate
+  * clusters, leakage-safe splits, SemDeDup, Bloom decontamination,
+  * and the incremental dedup indexes). Split from the
+  * single TierC file (r16, maintainability); assembled with its
+  * siblings at the [[TierC]] edge — keys, bodies and oracles are
+  * verbatim, so the declared-query surface is unchanged.
+  */
+private[queries] object TierCDedup {
+
+  val queries: Map[String, TierC.Q] = Map(
+
+    // C1 — exact dedup: content-hash group-by; shuffles hashes, not text.
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+        .select(col("content_hash"), col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))),
+
+    // C1f — EXACT Jaccard similarity self-join (AllPairs/PPJoin
+    // prefix filter): every document pair with token-set Jaccard
+    // >= 0.4 — the LOSSLESS complement of the MinHash path (LSH can
+    // miss a pair; this cannot, proven by the naive quadratic
+    // oracle). Candidates join only on each set's rarest tokens, so
+    // stopwords never explode the join.
+    "q_jaccard_simjoin" -> ((s, d) =>
+      graft.operators.SetSimilarity.jaccardSelfJoin(
+        Tables.documents(s, d).filter(col("doc_id") < 400),
+        "doc_id",
+        filter(split(trim(col("text")), "\\s+"), x => x =!= ""),
+        t = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // C1e — edit-distance similarity SELF-JOIN (Ed-Join/PPJoin prefix
+    // filter): all customer-name pairs within Levenshtein 1, found by
+    // joining only on each string's q·d+1 RAREST q-grams — hot grams
+    // carry no pairs, so the join never goes all-pairs; the oracle is
+    // the naive quadratic levenshtein, which proves the filter
+    // LOSSLESS (a pruned true pair would hash-mismatch).
+    "q_edit_simjoin" -> ((s, d) =>
+      graft.operators.EditSimilarity.selfJoin(
+        Tables.customer(s, d).filter(col("c_custkey") <= 2000)
+          .select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name", d = 1, q = 2)
+        .select(col("id_a"), col("id_b"),
+          col("dist").cast(LongType).as("dist"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // C4 — MinHash+LSH near-dup candidates: top pairs by estimated Jaccard.
+    // k=32, bands=8 (r=4) puts the banding S-curve threshold near
+    // Jaccard 0.59 — the planted near-dups (J ≈ 0.98) always collide,
+    // random word-soup pairs (J ≈ 0.05) essentially never do. Signatures
+    // come from the persisted per-dataset index (built once, shared with
+    // q_ngram_jaccard and re-runs).
+    "q_minhash_dup" -> ((s, d) =>
+      Dedup.minhashCandidatesFromSigs(minhashSigs(s, d), k = 32, bands = 8)
+        .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
+        .limit(50)),
+
+    // SimHash near-dup candidates: closest pairs by Hamming distance.
+    // 16-bit chunks → 4 chunks (Hamming ≤ 3 recall), 65,536-way buckets.
+    // bucketCap=100: this small-vocab corpus clusters fingerprints (top
+    // chunk buckets reach ~200 docs ⇒ 250k candidate pairs); capping
+    // drops only clustered-but-unrelated buckets — true near-dups sit at
+    // Hamming 0-1 and re-collide in all 4 chunk buckets, so recall holds.
+    // The declared query takes a doc_id slice like its siblings (the
+    // fingerprint clustering made the full-corpus form ~15% of the whole
+    // bench total, drowning the signal of every other query); the
+    // full-corpus form stays exercised by DedupSpec and the pigeonhole
+    // contract in ToleranceSpec.
+    "q_simhash_dup" -> ((s, d) =>
+      Dedup.simhashCandidates(
+        Tables.documents(s, d).filter(col("doc_id") < 2000),
+        "doc_id", "text", chunkBits = 16, bucketCap = 100)
+        .orderBy(col("hamming"), col("id_a"), col("id_b"))
+        .limit(20)),
+
+    // Exact n-gram Jaccard verification of the MinHash candidates — the
+    // dedup pipeline's verify stage, served from the persisted verified-
+    // pair index (built once per corpus: signatures → banded candidates →
+    // semi-join-pruned shingles → exact Jaccard >= 0.5).
+    // Oracle-checked against a DuckDB ALL-pairs exact-Jaccard scan: the
+    // banding parameters (k=32, bands=8, r=4) collide a J>=0.9 pair with
+    // probability 1-(1-0.9^4)^8 ~ 0.9998 and the corpus is bimodal (every
+    // pair is J>=0.9 or J<0.2, no mid-band pairs), so the candidate set
+    // provably contains every pair the threshold keeps — making the
+    // LSH-pruned pipeline hash-comparable to the exhaustive oracle.
+    // Second precondition: no band bucket may exceed the bucket cap
+    // (star fallback would drop non-anchor pairs from the verified set);
+    // the index build asserts this (persistedVerifiedPairs
+    // assertUncapped), so a denser corpus fails loudly at build time
+    // instead of confusingly at oracle compare.
+    "q_ngram_jaccard" -> ((s, d) =>
+      verifiedPairs(s, d).orderBy(col("id_a"), col("id_b"))),
+
+    // Duplicate-cluster resolution over the verified near-dup pairs:
+    // connected components (min-label propagation with pointer-jumping —
+    // Dedup.clusters) + keeper selection, one row per document. The
+    // star-fallback candidate design depends on exactly this stage to
+    // recover mega-clusters from their O(n) anchor edges. Oracle: DuckDB
+    // recursive-CTE transitive closure over the same thresholded pair set.
+    // Served from the PERSISTED membership artifact (the pointer-
+    // jumping fixpoint is a one-time resolution build, like the
+    // signature/verified-pair indexes it reads).
+    "q_dedup_clusters" -> ((s, d) =>
+      membership(s, d).orderBy(col("doc_id"))),
+
+    // C1c — leakage-safe train/val/test split: the split key is the
+    // near-dup CLUSTER id, so a near-duplicate of a training document
+    // can never land in val/test (the eval-integrity property a
+    // per-document split silently violates — Dedup.splitByCluster).
+    // Cluster resolution reuses the verified-pair index; the split
+    // itself is a map-side projection (shuffles nothing). Oracle:
+    // recursive-CTE transitive closure + the shared scramble formula,
+    // so a wrong cluster id or a drifted scramble both hash-mismatch
+    // the per-split census.
+    "q_leakage_split" -> ((s, d) =>
+      Dedup.splitByCluster(membership(s, d),
+        trainShuffleKey(col("cluster_id")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .orderBy(col("split"))),
+
+    // Embedding-cosine near-dup via hyperplane LSH buckets.
+    "q_embed_neardup" -> ((s, d) =>
+      Ann.lshNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        bits = 12)
+        .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+        .limit(20)),
+
+    // C2g — benchmark decontamination: flag corpus documents sharing
+    // 3-gram shingles with a held-out eval set (here: docs 0-9 stand in
+    // for the benchmark). The eval shingle set is tiny by construction →
+    // broadcast, so the corpus side never shuffles: explode shingles
+    // map-side, hash-join against the broadcast set, one agg. At 100 TB
+    // the eval set stays a few MB (real benchmarks are) and the scan is
+    // embarrassingly parallel — the standard pretraining decontamination
+    // shape (n-gram overlap against eval data).
+    "q_decontaminate" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val evalShingles = docs.filter(col("doc_id") < 10)
+        .select(explode(array_distinct(T.shingles(col("text"), 3)))
+          .as("shingle"))
+        .distinct()
+      docs.filter(col("doc_id") >= 10)
+        .select(col("doc_id"),
+          explode(array_distinct(T.shingles(col("text"), 3)))
+            .as("shingle"))
+        .join(broadcast(evalShingles), "shingle")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .withColumn("contaminated", col("n_overlap") >= 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // C2g-scale — the same decontamination through a distributed BLOOM
+    // filter: the eval set becomes a bounded bit table (<= m rows,
+    // broadcast) instead of a broadcast of the shingles themselves —
+    // the path for eval sets too large to broadcast (multi-benchmark
+    // unions, dedup-against-prior-corpus). No false negatives by
+    // construction (every truly contaminated doc flags); rows-only
+    // (xxhash64 bit placement; false positives possible by design),
+    // with the exact broadcast twin q_decontaminate oracle-checked and
+    // ToleranceSpec pinning the no-false-negative + FP-rate bounds.
+    "q_bloom_decontaminate" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val eval = docs.filter(col("doc_id") < 10)
+        .select(explode(array_distinct(T.shingles(col("text"), 3)))
+          .as("shingle"))
+      // the bit table is a persisted artifact keyed on the eval corpus
+      // fingerprint + (m, k): re-runs and later corpus batches probe
+      // the committed sketch instead of re-shingling the eval set
+      val bits = graft.operators.Bloom.persistedBuild(eval, "shingle",
+        m = 1L << 16, k = 5,
+        path = new java.io.File("target/graft-data/bloom/eval_" +
+          graft.sources.Artifacts.datasetKey(d,
+            s"$d/documents.parquet")).getAbsolutePath)
+      val probes = docs.filter(col("doc_id") >= 10)
+        .select(col("doc_id"),
+          explode(array_distinct(T.shingles(col("text"), 3)))
+            .as("shingle"))
+      graft.operators.Bloom
+        .mightContain(bits, probes, "shingle", m = 1L << 16, k = 5)
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("might_contain"), 1L).otherwise(0L))
+          .as("n_maybe"))
+        .filter(col("n_maybe") >= 1)
+        .withColumn("contaminated", col("n_maybe") >= 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // C1d — INCREMENTAL NEAR-DUP DEDUP under the hash gate: batch 1
+    // deduped against a persisted MinHash signature index of the
+    // corpus — verbatim re-ingests AND lightly-edited (" v2") copies
+    // both drop (exact shingle-Jaccard >= 0.5 to a prior keeper,
+    // verified only for banding candidates), while genuinely fresh
+    // synthetic docs survive. The " v2" arm is what distinguishes this
+    // from q_dedup_incremental: the exact index admits an edit, the
+    // near-dup index catches it. Oracle: exhaustive NOT EXISTS
+    // anti-join over exact Jaccard between the reconstructed batch and
+    // the full corpus — hash-matching it proves the banded probe
+    // missed no true pair at this scale.
+    "q_neardup_incremental" -> ((s, d) => {
+      val root = new java.io.File("target/graft-data/neardup_incr_q/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/documents.parquet") +
+        "_rev1").getAbsolutePath
+      synchronized {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        Dedup.incrementalNearDup(docs, docs, root, "doc_id", "text", 0L,
+          maxDeltas = 4)
+        Dedup.incrementalNearDup(nearDupBatch1(s, d), docs, root,
+          "doc_id", "text", 1L, maxDeltas = 4)
+          .orderBy(col("doc_id"))
+      }
+    }),
+
+    // C1c — INCREMENTAL CORPUS DEDUP under the hash gate: batch 1
+    // (verbatim re-ingests + edited copies, both reconstructible in
+    // SQL) deduped against a PERSISTED index built from batch 0 —
+    // the continuous-ingest form of exact dedup, no corpus rescan. The
+    // index is a merge-on-read CDC table (O(batch) writes — the right
+    // mode for a trickle-fed 100 TB index); survivors are read back
+    // from the index's own change feed, so the declared result is the
+    // index's testimony of what batch 1 admitted: every re-ingested
+    // hash dropped (first-wins across batches via the CDC tie rules),
+    // every edited doc admitted under its smallest batch id. The
+    // oracle recomputes the survivor set with an anti-semi-join over
+    // the reconstructed batches.
+    "q_dedup_incremental" -> ((s, d) => {
+      val root = new java.io.File("target/graft-data/dedup_incr_q/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/documents.parquet") +
+        "_rev1").getAbsolutePath
+      synchronized {
+        val (b0, b1) = incrDedupBatches(s, d)
+        Dedup.incrementalExact(b0, root, "doc_id", "text", 0L,
+          maxDeltas = 4)
+        Dedup.incrementalExact(b1, root, "doc_id", "text", 1L,
+          maxDeltas = 4)
+          .orderBy(col("doc_id"))
+      }
+    }),
+
+    // C15 — SemDeDup semantic dedup: within-cluster (label) cosine
+    // >= 0.25 drops the higher id; survivors hash-checked. The
+    // quadratic comparison is confined per cluster (the paper's move),
+    // the similarity is the codegen'd integer-quantized CosineQuant
+    // (bit-identical in DuckDB — same contract as q_embed_topk), and
+    // the keep rule is the deterministic lowest-id witness, so the
+    // full dedup decision — clustering pruning included — is in the
+    // hash, not just the pair counts.
+    "q_semantic_dedup" -> ((s, d) =>
+      Ann.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", 0.25)
+        .select(col("vec_id"), col("label").cast(LongType).as("label"))
+        .orderBy(col("vec_id")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_ngram_jaccard" ->
+      ("WITH " + shingleCte + " " + dupPairsSql + " ORDER BY id_a, id_b"),
+    "q_dedup_clusters" ->
+      ("WITH RECURSIVE " + shingleCte + ", " +
+        "pairs AS (" + dupPairsSql + "), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION SELECT id_b, id_a FROM pairs), " +
+        "reach(src, dst) AS (SELECT src, dst FROM edges UNION " +
+        "SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+        "comp AS (SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id " +
+        "FROM reach GROUP BY src) " +
+        "SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, " +
+        "d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_keeper " +
+        "FROM documents d LEFT JOIN comp c USING (doc_id) " +
+        "ORDER BY d.doc_id"),
+    "q_dedup_exact" ->
+      ("SELECT sha256(text) AS content_hash, MIN(doc_id) AS doc_id, " +
+        "COUNT(*) AS n_copies FROM documents GROUP BY sha256(text) " +
+        "ORDER BY doc_id"),
+    "q_jaccard_simjoin" ->
+      ("WITH d AS (SELECT doc_id, list_distinct(list_filter(" +
+        "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) " +
+        "AS toks FROM documents WHERE doc_id < 400) " +
+        "SELECT id_a, id_b, inter, uni, " +
+        "CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard " +
+        "FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter, " +
+        "CAST(len(a.toks) + len(b.toks) - " +
+        "len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni " +
+        "FROM d a, d b WHERE a.doc_id < b.doc_id) " +
+        "WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.4 " +
+        "ORDER BY id_a, id_b"),
+    "q_edit_simjoin" ->
+      ("SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, " +
+        "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist " +
+        "FROM customer a, customer b " +
+        "WHERE a.c_custkey < b.c_custkey AND a.c_custkey <= 2000 " +
+        "AND b.c_custkey <= 2000 " +
+        "AND levenshtein(a.c_name, b.c_name) <= 1 " +
+        "ORDER BY id_a, id_b"),
+    "q_decontaminate" ->
+      ("WITH " + shingleCte + ", " +
+        "ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh " +
+        "WHERE doc_id < 10), " +
+        "c AS (SELECT doc_id, unnest(s) AS shingle FROM sh " +
+        "WHERE doc_id >= 10) " +
+        "SELECT c.doc_id, COUNT(*) AS n_overlap, " +
+        "COUNT(*) >= 5 AS contaminated " +
+        "FROM c JOIN ev USING (shingle) GROUP BY c.doc_id " +
+        "ORDER BY c.doc_id"),
+    // batch-1 survivors of the incremental index: hashes never seen in
+    // batch 0, keeping the smallest batch-1 id per hash — re-ingested
+    // texts drop, edited (" v2") texts survive
+    "q_dedup_incremental" ->
+      ("WITH b1 AS (" +
+        "SELECT doc_id + 1000000 AS doc_id, text FROM documents " +
+        "WHERE doc_id % 5 = 0 " +
+        "UNION ALL " +
+        "SELECT doc_id + 1000000 AS doc_id, text || ' v2' AS text " +
+        "FROM documents WHERE doc_id % 5 = 1) " +
+        "SELECT sha256(text) AS content_hash, MIN(doc_id) AS doc_id " +
+        "FROM b1 WHERE sha256(text) NOT IN " +
+        "(SELECT sha256(text) FROM documents) " +
+        "GROUP BY sha256(text) ORDER BY doc_id"),
+    // batch-1 survivors of the near-dup index: docs with exact
+    // shingle-Jaccard >= 0.5 to ANY corpus doc drop (re-ingests and
+    // " v2" edits alike); fresh synthetic docs survive
+    "q_neardup_incremental" ->
+      ("WITH b1 AS (" +
+        "SELECT doc_id + 1000000 AS doc_id, text FROM documents " +
+        "WHERE doc_id % 5 = 0 " +
+        "UNION ALL " +
+        "SELECT doc_id + 1000000 AS doc_id, text || ' v2' AS text " +
+        "FROM documents WHERE doc_id % 5 = 1 " +
+        "UNION ALL " +
+        "SELECT doc_id + 1000000 AS doc_id, 'fresh synthetic doc ' || " +
+        "doc_id || ' alpha beta gamma delta epsilon zeta' AS text " +
+        "FROM documents WHERE doc_id % 5 = 2), " +
+        shingleCteFor("shb", "b1") + ", " + shingleCte + " " +
+        "SELECT doc_id FROM shb WHERE doc_id NOT IN (" +
+        "SELECT b.doc_id FROM shb b JOIN sh a ON " +
+        "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+        "len(list_distinct(a.s || b.s)) >= 0.5) " +
+        "ORDER BY doc_id"),
+
+    // the q_dedup_clusters closure + the shared scramble on CLUSTER id:
+    // a per-split census (doc and cluster counts)
+    "q_leakage_split" ->
+      ("WITH RECURSIVE " + shingleCte + ", " +
+        "pairs AS (" + dupPairsSql + "), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION SELECT id_b, id_a FROM pairs), " +
+        "reach(src, dst) AS (SELECT src, dst FROM edges UNION " +
+        "SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+        "comp AS (SELECT src AS doc_id, least(src, MIN(dst)) " +
+        "AS cluster_id FROM reach GROUP BY src), " +
+        "m AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) " +
+        "AS cluster_id FROM documents d LEFT JOIN comp c USING (doc_id)), " +
+        s"sp AS (SELECT doc_id, cluster_id, CASE " +
+        s"WHEN (${scrambleSql("cluster_id")}) % 100 < 80 THEN 'train' " +
+        s"WHEN (${scrambleSql("cluster_id")}) % 100 < 90 THEN 'val' " +
+        "ELSE 'test' END AS split FROM m) " +
+        "SELECT split, COUNT(*) AS n_docs, " +
+        "COUNT(DISTINCT cluster_id) AS n_clusters " +
+        "FROM sp GROUP BY split ORDER BY split"),
+
+    // Same quantized-cosine formulation as the q_embed_topk oracle.
+    "q_semantic_dedup" ->
+      ("WITH e AS (SELECT vec_id, label, " + quantSql + " AS v " +
+        "FROM embeddings), " +
+        "d AS (SELECT DISTINCT b.vec_id FROM e a JOIN e b " +
+        "ON a.label = b.label AND a.vec_id < b.vec_id " +
+        "AND CAST(list_sum(list_transform(list_zip(a.v, b.v), " +
+        "p -> p[1] * p[2])) AS DOUBLE) / " +
+        "(sqrt(CAST(list_sum(list_transform(a.v, x -> x * x)) " +
+        "AS DOUBLE)) * " +
+        "sqrt(CAST(list_sum(list_transform(b.v, x -> x * x)) " +
+        "AS DOUBLE))) >= 0.25) " +
+        "SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings " +
+        "WHERE vec_id NOT IN (SELECT vec_id FROM d) ORDER BY vec_id")
+  )
+}

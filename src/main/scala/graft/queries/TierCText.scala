@@ -1,0 +1,380 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.functions.{TextFunctions => T}
+import graft.multimodal.{Multimodal => M}
+import graft.operators.Profile
+import graft.search.Bm25
+import graft.sources.Tables
+
+import graft.queries.TierCHelpers._
+
+/** Tier C — text analysis (stats, tokens, quality scoring and
+  * regression, language ID, fingerprints, vocab/TF-IDF, repetition
+  * filters, column profiling). Split from the
+  * single TierC file (r16, maintainability); assembled with its
+  * siblings at the [[TierC]] edge — keys, bodies and oracles are
+  * verbatim, so the declared-query surface is unchanged.
+  */
+private[queries] object TierCText {
+
+  val queries: Map[String, TierC.Q] = Map(
+
+    // C2 — corpus stats by language: pure map-side text measures + one agg.
+    "q_text_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"),
+          T.tokenCount(col("text")).as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          (sum(col("n_chars")).cast(DoubleType) / count(lit(1)))
+            .as("avg_chars"))
+        .orderBy(col("lang"))),
+
+    // C2b — per-document token counting: whitespace + BPE-ish subword regex.
+    "q_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          T.tokenCount(col("text")).as("ws_tokens"),
+          T.subTokenCount(col("text")).as("sub_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // C2b' — sequence-length histogram: the batching/packing planner's
+    // first question ("how many docs land in each 16-token bucket")
+    // as one map-side bucket projection + two-phase count — one scan
+    // at any corpus size, the same shape the packing operator's
+    // capacity planning reads.
+    "q_length_histogram" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select((floor(T.tokenCount(col("text")) / lit(16)) * 16)
+          .cast(LongType).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("bucket"))),
+
+    // C2c — heuristic quality scoring (length / char-class ratios).
+    "q_quality_score" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          length(col("text")).cast(LongType).as("char_len"),
+          (T.alphaChars(col("text")).cast(DoubleType) /
+            length(col("text")).cast(DoubleType)).as("alpha_ratio"),
+          T.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // C2 + governance composite — free-text PII redaction at corpus
+    // scale. The reference masks PII COLUMNS at query time
+    // (outputs.tf:48-49); a training pipeline must also scrub PII
+    // embedded in the text itself before the corpus leaves the governed
+    // zone. The synthetic corpus is word soup, so deterministic PII is
+    // planted per row — with the identical construction in the oracle —
+    // and the per-language char/placeholder sums hash-prove the scrub
+    // byte-for-byte. Pure map-side regexp_replace + one aggregation.
+    "q_pii_scrub" -> ((s, d) => {
+      val ssn = concat(
+        lpad(pmod(col("doc_id") * 7, lit(1000)).cast("string"), 3, "0"),
+        lit("-"),
+        lpad(pmod(col("doc_id") * 13, lit(100)).cast("string"), 2, "0"),
+        lit("-"),
+        lpad(pmod(col("doc_id") * 31, lit(10000)).cast("string"), 4, "0"))
+      val planted = concat(substring(col("text"), 1, 40),
+        lit(" reach user"), col("doc_id").cast("string"),
+        lit("@example.com id "), ssn, lit(" end"))
+      def marks(c: Column, tok: String): Column =
+        sum(length(c) - length(regexp_replace(c, tok, "")))
+          .cast(LongType)
+      Tables.documents(s, d)
+        .select(col("lang"), planted.as("planted"),
+          T.scrubPii(planted).as("scrubbed"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("planted"))).cast(LongType).as("raw_chars"),
+          sum(length(col("scrubbed"))).cast(LongType).as("scrubbed_chars"),
+          marks(col("scrubbed"), "<EMAIL>").as("email_mark_chars"),
+          marks(col("scrubbed"), "<ID>").as("id_mark_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // Language-ID heuristic vs the labeled lang column (confusion counts).
+    // Deterministic (stopword-profile argmax, lexicographic tie-break) and
+    // SQL-expressible, so it is oracle-checked despite being a heuristic.
+    "q_lang_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), T.langId(col("text")).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"), col("pred_lang"))),
+
+    // Rolling-hash document fingerprints.
+    "q_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // C2d — vocabulary building: corpus-wide token frequencies, top 50.
+    // Explode is map-side; the count is a two-phase hash aggregate on the
+    // token — the standard first step of tokenizer training.
+    "q_vocab_topk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(T.tokens(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(50)),
+
+    // C2f — TF-IDF-style top terms per document: term frequency × a
+    // rational inverse-document-frequency (tf·N/df — a RATIO of exact
+    // integers, one IEEE division, so the score is bit-identical across
+    // engines; a libm log() would not be). N is the doc_id slice bound,
+    // a FIXED scale constant — tf/df rankings are invariant to it, so it
+    // need not equal the live corpus count. Explode is map-side; tf and
+    // df are two-phase hash aggregates; top-3 per doc via a rank window.
+    "q_tfidf_topk" -> ((s, d) => {
+      val nDocs = 200L
+      val tf = Tables.documents(s, d)
+        .filter(col("doc_id") < nDocs)
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df, "term")
+        .withColumn("score",
+          (col("tf") * lit(nDocs)).cast(DoubleType) / col("df"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("score"))
+        .orderBy(col("doc_id"), col("score").desc, col("term"))
+    }),
+
+    // C2e — C4-style quality gate: language + quality score + token-count
+    // band. Pure map-side predicates over the corpus — the shape of every
+    // large-scale pretraining-data filter.
+    "q_quality_filter" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("lang") === "en")
+        .filter(T.qualityScore(col("text")) > 0.75)
+        .filter(T.tokenCount(col("text")).between(20, 60))
+        .select(col("doc_id"), col("lang"),
+          T.tokenCount(col("text")).as("n_tokens"),
+          T.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // C2h — repetition-based quality gate (the "fraction of duplicate
+    // n-grams" family of pretraining filters): per document, the share
+    // of bigram occurrences that are repeats. Pure map-side arithmetic
+    // on exact integers (one IEEE division), so it is bit-stable and
+    // oracle-checked despite being a heuristic.
+    "q_repetition_filter" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          size(T.shingles(col("text"), 2)).cast(LongType)
+            .as("n_bigrams"),
+          size(array_distinct(T.shingles(col("text"), 2))).cast(LongType)
+            .as("n_distinct"))
+        .withColumn("dup_frac",
+          (col("n_bigrams") - col("n_distinct")).cast(DoubleType) /
+            col("n_bigrams"))
+        .withColumn("keep", col("dup_frac") <= lit(0.2))
+        .orderBy(col("doc_id"))
+    }),
+
+    // C1+C2 composite — the cleaning-pipeline yield metric: exact-dedup
+    // keepers that pass the quality gate, and how many tokens survive.
+    "q_pipeline_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keepers = Dedup.exact(docs, "doc_id", "text")
+        .select(col("doc_id"))
+      docs.join(keepers, "doc_id")
+        .filter(T.qualityScore(col("text")) > 0.7)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(T.tokenCount(col("text"))).as("surviving_tokens"))
+    }),
+
+    // C14 — column-level data profiling (the Glue-crawler/table-stats
+    // analog, reference main.tf:291-300): one aggregation pass emits
+    // per-column rows/nulls/exact-distinct/min/max in long format. The
+    // nullif() input derives a genuinely NULL-bearing column so the
+    // null accounting is exercised; min/max compare on the NATIVE type
+    // before the uniform string cast.
+    "q_profile" -> ((s, d) =>
+      Profile.profile(
+        Tables.customer(s, d).select(col("c_custkey"),
+          col("c_nationkey").cast(LongType).as("c_nationkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("segment")),
+        Seq("c_custkey", "c_nationkey", "segment"))),
+
+    // C16c — learned linear quality scorer, closed-form: per-language
+    // fit of token count ~ char length + alpha-char count from exact
+    // integer moments (Regression.fitTwoFeature — one pass, ten longs
+    // per group on the shuffle, Cramer solve as a shared-SQL fixed
+    // expression tree, R² included). The trainable flavor of
+    // q_quality_score's hand weights.
+    "q_quality_regression" -> ((s, d) =>
+      graft.operators.Regression.fitTwoFeature(
+        Tables.documents(s, d), Seq("lang"),
+        length(col("text")),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")),
+        T.tokenCount(col("text")))
+        .orderBy(col("lang")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_tfidf_topk" ->
+      ("WITH t AS (SELECT doc_id, unnest(list_filter(" +
+        "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) " +
+        "AS term FROM documents WHERE doc_id < 200), " +
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t " +
+        "GROUP BY doc_id, term), " +
+        "df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), " +
+        "sc AS (SELECT doc_id, term, tf, df, " +
+        "CAST(tf * 200 AS DOUBLE) / df AS score " +
+        "FROM tf JOIN df USING (term)), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY score DESC, term) AS rn FROM sc) " +
+        "SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3 " +
+        "ORDER BY doc_id, score DESC, term"),
+    "q_lang_id" ->
+      ("WITH t AS (SELECT lang, list_filter(regexp_split_to_array(" +
+        "trim(text), '\\s+'), x -> x <> '') AS toks FROM documents), " +
+        "p AS (SELECT lang, list_max([" + langIdStructs + "]).lang " +
+        "AS pred_lang FROM t) " +
+        "SELECT lang, pred_lang, COUNT(*) AS cnt FROM p " +
+        "GROUP BY lang, pred_lang ORDER BY lang, pred_lang"),
+    "q_text_stats" ->
+      ("SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
+        "CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), " +
+        "'\\s+'), t -> t <> ''))) AS BIGINT) " +
+        "AS total_tokens, MIN(n_chars) AS min_chars, " +
+        "MAX(n_chars) AS max_chars, " +
+        "CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "q_token_count" ->
+      ("SELECT doc_id, " +
+        "CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), " +
+        "t -> t <> '')) AS BIGINT) AS ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, " +
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS sub_tokens " +
+        "FROM documents WHERE doc_id < 500 ORDER BY doc_id"),
+    "q_length_histogram" ->
+      ("SELECT CAST(FLOOR(len(list_filter(regexp_split_to_array(" +
+        "trim(text), '\\s+'), t -> t <> '')) / 16) * 16 AS BIGINT) AS " +
+        "bucket, COUNT(*) AS n_docs FROM documents GROUP BY bucket " +
+        "ORDER BY bucket"),
+    "q_quality_score" ->
+      ("SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS char_len, " +
+        "CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)" +
+        " / CAST(LENGTH(text) AS DOUBLE) AS alpha_ratio, " +
+        "CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE " +
+        "0.6 * (CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) " +
+        "AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE)) + 0.4 * (1.0 - " +
+        "CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) " +
+        "AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE)) END AS quality " +
+        "FROM documents WHERE doc_id < 500 ORDER BY doc_id"),
+    // the regex patterns interpolate from TextFunctions so the oracle can
+    // never drift from the engine's scrubber (SQL string literals pass
+    // backslashes through untouched; both engines speak the RE2 subset)
+    "q_pii_scrub" ->
+      ("WITH t AS (SELECT lang, " +
+        "substr(text, 1, 40) || ' reach user' || " +
+        "CAST(doc_id AS VARCHAR) || '@example.com id ' || " +
+        "lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0') || '-' || " +
+        "lpad(CAST(doc_id * 13 % 100 AS VARCHAR), 2, '0') || '-' || " +
+        "lpad(CAST(doc_id * 31 % 10000 AS VARCHAR), 4, '0') || ' end' " +
+        "AS planted FROM documents), " +
+        "u AS (SELECT lang, planted, " +
+        s"regexp_replace(regexp_replace(planted, '${T.emailPattern}', " +
+        s"'<EMAIL>', 'g'), '${T.ssnPattern}', '<ID>', 'g') AS scrubbed " +
+        "FROM t) " +
+        "SELECT lang, COUNT(*) AS n_docs, " +
+        "CAST(SUM(LENGTH(planted)) AS BIGINT) AS raw_chars, " +
+        "CAST(SUM(LENGTH(scrubbed)) AS BIGINT) AS scrubbed_chars, " +
+        "CAST(SUM(LENGTH(scrubbed) - LENGTH(regexp_replace(scrubbed, " +
+        "'<EMAIL>', '', 'g'))) AS BIGINT) AS email_mark_chars, " +
+        "CAST(SUM(LENGTH(scrubbed) - LENGTH(regexp_replace(scrubbed, " +
+        "'<ID>', '', 'g'))) AS BIGINT) AS id_mark_chars " +
+        "FROM u GROUP BY lang ORDER BY lang"),
+    "q_vocab_topk" ->
+      ("SELECT u.word AS word, COUNT(*) AS cnt FROM (SELECT " +
+        "unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), " +
+        "t -> t <> '')) AS word FROM documents) u " +
+        "GROUP BY u.word ORDER BY cnt DESC, word LIMIT 50"),
+    "q_quality_filter" ->
+      ("SELECT doc_id, lang, " +
+        "CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+')," +
+        " t -> t <> '')) AS BIGINT) AS n_tokens, " +
+        qualitySql + " AS quality FROM documents " +
+        "WHERE lang = 'en' AND " + qualitySql + " > 0.75 AND " +
+        "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), " +
+        "t -> t <> '')) BETWEEN 20 AND 60 ORDER BY doc_id"),
+    "q_pipeline_tokens" ->
+      ("WITH keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents " +
+        "GROUP BY sha256(text)) " +
+        "SELECT COUNT(*) AS n_docs, " +
+        "CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), " +
+        "'\\s+'), t -> t <> ''))) AS BIGINT) AS surviving_tokens " +
+        "FROM documents JOIN keepers USING (doc_id) WHERE " +
+        qualitySql + " > 0.7"),
+    "q_repetition_filter" ->
+      ("WITH bg AS (SELECT doc_id, CASE WHEN len(toks) < 2 " +
+        "THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_transform(range(1, len(toks)), " +
+        "i -> toks[i] || ' ' || toks[i+1]) END AS b " +
+        "FROM (SELECT doc_id, list_filter(regexp_split_to_array(" +
+        "trim(text), '\\s+'), t -> t <> '') AS toks FROM documents " +
+        "WHERE doc_id < 500)) " +
+        "SELECT doc_id, CAST(len(b) AS BIGINT) AS n_bigrams, " +
+        "CAST(len(list_distinct(b)) AS BIGINT) AS n_distinct, " +
+        "CAST(len(b) - len(list_distinct(b)) AS DOUBLE) / len(b) " +
+        "AS dup_frac, " +
+        "(CAST(len(b) - len(list_distinct(b)) AS DOUBLE) / len(b)) " +
+        "<= 0.2 AS keep FROM bg ORDER BY doc_id"),
+
+    // the coefficient expressions come verbatim from
+    // Regression.coefExprs — the SAME strings Spark's expr() parses
+    "q_quality_regression" ->
+      (graft.operators.Regression.oracleSql(
+        "SELECT lang, CAST(LENGTH(text) AS BIGINT) AS x1, " +
+          "CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) " +
+          "AS BIGINT) AS x2, " +
+          "CAST(len(list_filter(regexp_split_to_array(trim(text), " +
+          "'\\s+'), t -> t <> '')) AS BIGINT) AS y FROM documents",
+        Seq("lang")) + " ORDER BY lang"),
+
+    "q_profile" ->
+      ("WITH src AS (SELECT c_custkey, " +
+        "CAST(c_nationkey AS BIGINT) AS c_nationkey, " +
+        "nullif(c_mktsegment, 'BUILDING') AS segment FROM customer), " +
+        "p AS (SELECT 'c_custkey' AS col_name, COUNT(*) AS n_rows, " +
+        "COUNT(c_custkey) AS n_nonnull, " +
+        "COUNT(DISTINCT c_custkey) AS n_distinct, " +
+        "CAST(MIN(c_custkey) AS VARCHAR) AS min_val, " +
+        "CAST(MAX(c_custkey) AS VARCHAR) AS max_val FROM src " +
+        "UNION ALL SELECT 'c_nationkey', COUNT(*), COUNT(c_nationkey), " +
+        "COUNT(DISTINCT c_nationkey), CAST(MIN(c_nationkey) AS VARCHAR), " +
+        "CAST(MAX(c_nationkey) AS VARCHAR) FROM src " +
+        "UNION ALL SELECT 'segment', COUNT(*), COUNT(segment), " +
+        "COUNT(DISTINCT segment), CAST(MIN(segment) AS VARCHAR), " +
+        "CAST(MAX(segment) AS VARCHAR) FROM src) " +
+        "SELECT col_name, n_rows, n_nonnull, n_distinct, min_val, " +
+        "max_val FROM p ORDER BY col_name")
+  )
+}
