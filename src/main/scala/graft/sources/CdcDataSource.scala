@@ -3,7 +3,9 @@ package graft.sources
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.streaming.CdcApply
@@ -43,7 +45,8 @@ import graft.streaming.CdcApply
   * ErrorIfExists/Ignore have no merge meaning.
   */
 class CdcDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "cdc"
 
@@ -80,12 +83,63 @@ class CdcDataSource extends RelationProvider
           "CdcApply.applyBatch — merge semantics have no " +
           s"$mode meaning; history rewrites go through " +
           "restore/vacuum)")
-    // Appends to an EXISTING table default every layout/config knob
-    // from the current manifest (the deleteWhere/updateWhere pattern):
-    // applyBatch's config gate compares all of them, so a bare
-    // df.write append must present the table's own values, not the
-    // Scala-API defaults. Explicit options still override (and then
-    // the gate rejects a genuine mismatch loudly).
+    val batchId = parameters.get("batchId").map(_.toLong).getOrElse(
+      CdcApply.currentVersion(spark, root).map(_ + 1L).getOrElse(0L))
+    CdcDataSource.applyResolved(spark, root, parameters, data, batchId)
+    createRelation(sqlContext, Map("path" -> root))
+  }
+
+  /** `df.writeStream.format("cdc")` — the streaming twin of the batch
+    * writer above, completing the format protocol for streams: each
+    * micro-batch IS a [[CdcApply.applyBatch]], so merge semantics,
+    * bucket layout, writer fence, governance AND exactly-once all
+    * hold. Exactly-once comes from the engine pair: the streaming
+    * engine replays an epoch after a crash with the SAME epoch id, and
+    * the CDC replay guard no-ops a batch id at-or-below the table's
+    * watermark — so a replayed epoch is dropped, not double-applied
+    * (EventStreamSpec). Epoch ids map to CDC batch ids as
+    * `baseBatchId + epoch` (default base 0 — right for a table the
+    * stream owns from batch 0; appending a stream to a table with
+    * prior history needs an explicit `baseBatchId` ABOVE that history,
+    * stable across restarts, which an at-start default could not be).
+    *
+    * Append and Update modes both deliver "rows that changed this
+    * epoch" — exactly applyBatch's input contract. Complete mode is
+    * refused: re-merging the full result every epoch would record
+    * unchanged rows as fresh versions.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "format(\"cdc\") requires option(\"path\", <table root>)"))
+    require(partitionColumns.isEmpty,
+      "format(\"cdc\") sink: CDC tables bucket by key — partitionBy " +
+        "has no meaning here (use bucketCols)")
+    if (outputMode == OutputMode.Complete())
+      throw new UnsupportedOperationException(
+        "format(\"cdc\") sink supports Append/Update output modes " +
+          "(a micro-batch is a change batch; Complete would re-merge " +
+          "unchanged rows as fresh versions)")
+    new CdcSink(sqlContext.sparkSession, root, parameters,
+      parameters.get("baseBatchId").map(_.toLong).getOrElse(0L))
+  }
+}
+
+private[sources] object CdcDataSource {
+
+  /** Shared append path for the batch save and the streaming sink.
+    * Appends to an EXISTING table default every layout/config knob
+    * from the current manifest (the deleteWhere/updateWhere pattern):
+    * applyBatch's config gate compares all of them, so a bare
+    * df.write append must present the table's own values, not the
+    * Scala-API defaults. Explicit options still override (and then
+    * the gate rejects a genuine mismatch loudly).
+    */
+  private[sources] def applyResolved(spark: org.apache.spark.sql.SparkSession,
+      root: String, parameters: Map[String, String], data: DataFrame,
+      batchId: Long): Unit = {
     val conf = CdcApply.tableConfOf(spark, root)
     val keys = parameters.get("keys")
       .map(_.split(',').map(_.trim).toSeq.filter(_.nonEmpty))
@@ -97,8 +151,6 @@ class CdcDataSource extends RelationProvider
       .orElse(conf.map(_.versionCol))
       .getOrElse(throw new IllegalArgumentException(
         "format(\"cdc\") append requires option(\"versionCol\", <col>)"))
-    val batchId = parameters.get("batchId").map(_.toLong).getOrElse(
-      CdcApply.currentVersion(spark, root).map(_ + 1L).getOrElse(0L))
     // changelog-enabled tables keep their changelog fed on a bare
     // append (streaming tails must not silently diverge from the
     // manifest feed) — same detection as deleteWhere/updateWhere
@@ -118,7 +170,34 @@ class CdcDataSource extends RelationProvider
       bucketCols = parameters.get("bucketCols")
         .map(_.split(',').map(_.trim).toSeq.filter(_.nonEmpty))
         .orElse(conf.flatMap(_.bucketKeys)))
-    createRelation(sqlContext, Map("path" -> root))
+    ()
+  }
+}
+
+/** The V1 streaming sink: epoch → [[CdcApply.applyBatch]]. The
+  * micro-batch frame the engine hands `addBatch` carries an
+  * incremental-execution plan that must not be re-analyzed, so the
+  * rows are re-planned as an ordinary DataFrame first (one
+  * InternalRow→Row conversion at the protocol seam — the write-side
+  * twin of the read relation's documented codegen boundary;
+  * throughput-critical streams use `foreachBatch` + the Scala API,
+  * which skips it). Options re-resolve against the manifest EVERY
+  * epoch: the table's conf evolves as batches commit, and the first
+  * epoch may be the one that creates the table.
+  */
+private[sources] class CdcSink(spark: org.apache.spark.sql.SparkSession,
+    root: String, parameters: Map[String, String], base: Long)
+    extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val schema = data.schema
+    val rows = data.queryExecution.toRdd.mapPartitions { it =>
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(schema)
+      it.map(ir => conv(ir.copy()).asInstanceOf[Row])
+    }
+    CdcDataSource.applyResolved(spark, root, parameters,
+      spark.createDataFrame(rows, schema), base + batchId)
   }
 }
 

@@ -345,6 +345,71 @@ class EventStreamSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("writeStream.format(\"cdc\") sink: micro-batches merge, and a " +
+      "replayed epoch no-ops through the replay guard (exactly-once)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("cdc_sink").toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cdc_sink_ckpt").toFile.getAbsolutePath
+    val stream = MemoryStream[(Long, Long, String, Boolean)]
+    def snap(): Map[Long, String] =
+      graft.streaming.CdcApply.readSnapshot(spark, root).get
+        .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v"))
+        .toMap
+    def start() = stream.toDF().toDF("k", "version", "v", "deleted")
+      .writeStream.format("cdc")
+      .option("path", root)
+      .option("checkpointLocation", ckpt)
+      .option("keys", "k").option("versionCol", "version")
+      .option("deletedCol", "deleted")
+      .queryName("cdc_sink_test").start()
+    var q = start()
+    try {
+      stream.addData((1L, 1L, "a", false), (2L, 1L, "b", false))
+      q.processAllAvailable()
+      assert(snap() == Map(1L -> "a", 2L -> "b"))
+      // epoch 1: update, delete, insert — a merge, not an append
+      stream.addData((2L, 2L, "b2", false), (1L, 2L, "", true),
+        (3L, 1L, "c", false))
+      q.processAllAvailable()
+      assert(snap() == Map(2L -> "b2", 3L -> "c"))
+      val v = graft.streaming.CdcApply.currentVersion(spark, root)
+      q.stop()
+      // the V1 sink's real crash window: epoch 1 committed to the
+      // TABLE but not to the CHECKPOINT (crash between addBatch and
+      // the commit log write). Reopen that window by deleting the
+      // checkpoint commit record — the restarted engine re-runs epoch
+      // 1, and the CDC replay guard must drop it, not double-apply.
+      new java.io.File(s"$ckpt/commits/1").delete()
+      new java.io.File(s"$ckpt/commits/.1.crc").delete()
+      q = start()
+      q.processAllAvailable()
+      assert(graft.streaming.CdcApply.currentVersion(spark, root) == v,
+        "replayed epoch advanced the table version")
+      assert(snap() == Map(2L -> "b2", 3L -> "c"),
+        "replayed epoch mutated state")
+      // and the stream continues past the replay: epoch 2 applies
+      stream.addData((4L, 1L, "d", false))
+      q.processAllAvailable()
+      assert(snap() == Map(2L -> "b2", 3L -> "c", 4L -> "d"))
+    } finally q.stop()
+    // Complete mode is refused loudly (it would re-merge unchanged
+    // rows as fresh versions every epoch)
+    val err = intercept[Exception] {
+      stream.toDF().toDF("k", "version", "v", "deleted")
+        .groupBy($"k").count()
+        .writeStream.format("cdc")
+        .option("path", root)
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("cdc_sink_bad").toFile.getAbsolutePath)
+        .outputMode("complete")
+        .start()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("CDC replay guard: a committed batch re-run is a no-op") {
     import spark.implicits._
     val root = java.nio.file.Files
