@@ -292,6 +292,14 @@ object Plans {
       "TakeOrdered. Probe selection upstream touched nlists centroid " +
       "rows (the documented driver hop); ingest upstream wrote " +
       "O(batch) rows into only the touched buckets."),
+    "q_ann_ivfpq" -> ("IVF+PQ probe (IVFADC): the ADC stage's scan " +
+      "carries a PartitionFilters entry on the list column — only the " +
+      "nprobe probed lists' code partitions are read (pqTopK alone " +
+      "scans every code row; at 100 TB this pruning IS the query " +
+      "path). Broadcast m x ksub LUT, per-vector code explosion " +
+      "map-side, one shuffle of m partial rows per surviving vector, " +
+      "TakeOrdered for candidates, then the exact re-rank touches " +
+      "only the 64 survivors' raw vectors (left_semi prune)."),
     "q_quality_regression" -> ("Closed-form learned scorer: ONE " +
       "two-phase hash aggregate computes the ten exact normal-equation " +
       "moments per group (partial map-side combine before the single " +
