@@ -233,8 +233,48 @@ private[queries] object TierCText {
         length(col("text")),
         length(regexp_replace(col("text"), "[^A-Za-z]", "")),
         T.tokenCount(col("text")))
+        .orderBy(col("lang"))),
+
+    // C18 — BPE tokenizer training (Sennrich 2016), three stages:
+    // q_bpe_pairs is the trainer's first iteration (adjacent-pair
+    // counts over the distinct-word table) — single-pass, DuckDB
+    // hash-checked; q_bpe_train is the full iterative merge loop
+    // (global argmax per round — not single-pass-SQL-expressible, so
+    // rows-only with the BpeSpec sequential-reference twin pinning
+    // the exact merge sequence); q_bpe_tokens re-counts the corpus
+    // under the LEARNED vocabulary (per-lang totals) — the number the
+    // mixture/packing planners actually want.
+    "q_bpe_pairs" -> ((s, d) =>
+      graft.operators.Bpe.pairCounts(
+        graft.operators.Bpe.wordTable(Tables.documents(s, d), "text"))
+        .orderBy(col("pair_cnt").desc, col("l"), col("r"))
+        .limit(20)),
+
+    "q_bpe_train" -> ((s, d) =>
+      bpeArtifacts(s, d)._1.orderBy(col("rank"))),
+
+    "q_bpe_tokens" -> ((s, d) =>
+      graft.operators.Bpe.tokenCounts(
+        Tables.documents(s, d), "doc_id", "text", bpeArtifacts(s, d)._2)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
         .orderBy(col("lang")))
   )
+
+  /** Persisted 40-merge BPE build over the documents table — one-time
+    * index construction (Bench warms it), keyed like every artifact.
+    */
+  private def bpeArtifacts(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    graft.operators.Bpe.persistedBpe(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      "text", 40,
+      new java.io.File("target/graft-data/bpe/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/documents.parquet"))
+        .getAbsolutePath)
 
   val oracles: Map[String, String] = Map(
     "q_tfidf_topk" ->
@@ -375,6 +415,22 @@ private[queries] object TierCText {
         "COUNT(DISTINCT segment), CAST(MIN(segment) AS VARCHAR), " +
         "CAST(MAX(segment) AS VARCHAR) FROM src) " +
         "SELECT col_name, n_rows, n_nonnull, n_distinct, min_val, " +
-        "max_val FROM p ORDER BY col_name")
+        "max_val FROM p ORDER BY col_name"),
+
+    // the trainer's first iteration: pair counts over the
+    // distinct-word table (list_zip of equal-length slices — DuckDB
+    // pads unequal zips with NULL, and a fully-split 1-char word must
+    // contribute (char, </w>), not a padded row)
+    "q_bpe_pairs" ->
+      ("SELECT pr[1] AS l, pr[2] AS r, " +
+        "CAST(SUM(cnt) AS BIGINT) AS pair_cnt " +
+        "FROM (SELECT unnest(list_zip(syms[1:len(syms)-1], " +
+        "syms[2:len(syms)])) AS pr, cnt " +
+        "FROM (SELECT list_append(string_split(w, ''), '</w>') AS syms, " +
+        "cnt FROM (SELECT w, COUNT(*) AS cnt " +
+        "FROM (SELECT unnest(list_filter(" +
+        "regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS w " +
+        "FROM documents) GROUP BY w))) " +
+        "GROUP BY 1, 2 ORDER BY pair_cnt DESC, l, r LIMIT 20")
   )
 }
