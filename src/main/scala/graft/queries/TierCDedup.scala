@@ -61,6 +61,34 @@ private[queries] object TierCDedup {
           col("dist").cast(LongType).as("dist"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // C1e — fuzzy ENTITY RESOLUTION, the canonical composition of two
+    // operators this engine already has: edit-distance match edges
+    // (EditSimilarity.selfJoin — prefix-filtered, never all-pairs)
+    // feed the pointer-jumping connected components (Dedup.clusters,
+    // O(log n) passes), and every record maps to its entity's minimum
+    // id. The same shape resolves author/title/URL variants over a
+    // crawl at 100 TB: edge generation is the bounded-candidate join,
+    // CC shuffles only (id, label) pairs. Oracle: exhaustive
+    // levenshtein pairs + recursive-CTE closure (the all-pairs O(n²)
+    // exists only in DuckDB), so a wrong edge, a lost component
+    // member or a wrong canonical id all hash-mismatch.
+    "q_entity_clusters" -> ((s, d) => {
+      val custs = Tables.customer(s, d)
+        .filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"), col("c_name"))
+      val edges = graft.operators.EditSimilarity.selfJoin(
+        custs, "c_custkey", "c_name", d = 1, q = 2)
+        .select(col("id_a"), col("id_b"))
+      val comp = Dedup.clusters(edges)
+      custs.select(col("c_custkey").cast(LongType).as("id"))
+        .join(comp, Seq("id"), "left")
+        .select(col("id").as("c_custkey"),
+          coalesce(col("cluster_id"), col("id")).as("entity_id"))
+        .withColumn("is_canonical",
+          col("c_custkey") === col("entity_id"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // C4 — MinHash+LSH near-dup candidates: top pairs by estimated Jaccard.
     // k=32, bands=8 (r=4) puts the banding S-curve threshold near
     // Jaccard 0.59 — the planted near-dups (J ≈ 0.98) always collide,
@@ -314,6 +342,23 @@ private[queries] object TierCDedup {
         "AND b.c_custkey <= 2000 " +
         "AND levenshtein(a.c_name, b.c_name) <= 1 " +
         "ORDER BY id_a, id_b"),
+    "q_entity_clusters" ->
+      ("WITH RECURSIVE " +
+        "c AS (SELECT c_custkey AS id, c_name AS s FROM customer " +
+        "WHERE c_custkey <= 500), " +
+        "pairs AS (SELECT a.id AS id_a, b.id AS id_b FROM c a JOIN c b " +
+        "ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1 " +
+        "AND levenshtein(a.s, b.s) <= 1), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION SELECT id_b, id_a FROM pairs), " +
+        "reach(src, dst) AS (SELECT src, dst FROM edges UNION " +
+        "SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+        "comp AS (SELECT src AS id, least(src, MIN(dst)) AS entity_id " +
+        "FROM reach GROUP BY src) " +
+        "SELECT c.id AS c_custkey, " +
+        "COALESCE(comp.entity_id, c.id) AS entity_id, " +
+        "c.id = COALESCE(comp.entity_id, c.id) AS is_canonical " +
+        "FROM c LEFT JOIN comp USING (id) ORDER BY c_custkey"),
     "q_decontaminate" ->
       ("WITH " + shingleCte + ", " +
         "ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh " +

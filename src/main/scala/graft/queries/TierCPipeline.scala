@@ -179,6 +179,27 @@ private[queries] object TierCPipeline {
         .orderBy(col("lang"))
     }),
 
+    // C2i2 — temperature-scaled mixture weights (the multilingual
+    // sampling standard: raise every language's share to alpha < 1 so
+    // low-resource languages up-sample — Xue et al. 2021, mT5).
+    // alpha = 1/2 here, deliberately: sqrt and division are the IEEE
+    // operations BOTH engines round correctly, so the weights are
+    // bit-exact and hash-checked (pow(x, 0.3) is not correctly-rounded
+    // and an order-dependent normalizing SUM of doubles is not
+    // reproducible — normalizing by the MAX keeps every step exact).
+    // One two-phase count aggregate + a broadcast 1-row max join.
+    "q_mixture_temperature" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(sum(T.tokenCount(col("text"))).as("n_tokens"))
+      val maxTok = counts.agg(max(col("n_tokens")).as("max_tokens"))
+      counts.crossJoin(broadcast(maxTok))
+        .select(col("lang"), col("n_tokens"),
+          (sqrt(col("n_tokens").cast("double")) /
+            sqrt(col("max_tokens").cast("double"))).as("rel_weight"))
+        .orderBy(col("lang"))
+    }),
+
     // C2j — reproducible corpus shuffle: training order randomized by a
     // Knuth multiplicative scramble of the id — exact integer arithmetic,
     // so the permutation is bit-identical across engines and runs (a
@@ -523,6 +544,15 @@ private[queries] object TierCPipeline {
         "FROM documents WHERE doc_id % 100 < " +
         "CASE WHEN lang = 'en' THEN 60 WHEN lang = 'zh' THEN 40 " +
         "ELSE 20 END GROUP BY lang ORDER BY lang"),
+    "q_mixture_temperature" ->
+      ("WITH t AS (SELECT lang, " +
+        "CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), " +
+        "'\\s+'), t -> t <> ''))) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY lang) " +
+        "SELECT lang, n_tokens, " +
+        "sqrt(CAST(n_tokens AS DOUBLE)) / " +
+        "(SELECT sqrt(CAST(MAX(n_tokens) AS DOUBLE)) FROM t) " +
+        "AS rel_weight FROM t ORDER BY lang"),
     "q_train_shuffle" ->
       (s"SELECT doc_id, ${scrambleSql("doc_id")} " +
         "AS shuffle_key FROM documents " +

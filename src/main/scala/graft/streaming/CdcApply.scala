@@ -249,14 +249,35 @@ object CdcApply {
     * a concurrent pointer flip (old length, new content).
     */
   private[streaming] def readSmallFile(fs: FileSystem, p: Path): String = {
-    val out = new java.io.ByteArrayOutputStream()
-    val in = fs.open(p)
-    try {
-      val buf = new Array[Byte](4096)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    } finally in.close()
-    out.toString(StandardCharsets.UTF_8.name)
+    def readVia(f: FileSystem): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      val in = f.open(p)
+      try {
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+      out.toString(StandardCharsets.UTF_8.name)
+    }
+    try readVia(fs)
+    catch {
+      // Hadoop's LOCAL ChecksumFs renames a file and its .crc sidecar
+      // as two separate operations, so a reader racing a pointer flip
+      // (or a crash-retry manifest recommit) can transiently observe
+      // the just-renamed data file against the predecessor's crc and
+      // fail verification. The data-file rename itself IS atomic —
+      // re-read through the raw (non-verifying) filesystem; content
+      // integrity still holds because every caller parses a strict
+      // format (manifest name / manifest body / tag line). Cluster
+      // filesystems (HDFS, object stores) keep no sidecars, so this
+      // branch is local-mode-only by construction.
+      case _: org.apache.hadoop.fs.ChecksumException =>
+        fs match {
+          case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+            readVia(c.getRawFileSystem)
+          case _ => readVia(fs)
+        }
+    }
   }
 
   private[streaming] def writeSmallFile(fs: FileSystem, p: Path, s: String): Unit = {

@@ -138,4 +138,26 @@ class CdcFenceSpec extends AnyFunSuite with SparkTestBase
       .map(r => (r.getAs[Long]("k"), r.getAs[Double]("amount"))).toSet
     assert(state == Set(1L -> 11.0, 2L -> 20.0))
   }
+
+  test("a CURRENT read racing the pointer flip's crc-sidecar rename " +
+    "survives (stale local-FS checksum, fresh data file)") {
+    val root = newRoot()
+    assert(CdcApply.applyBatch(b0, 0L, root, Seq("k"), "version",
+      Some("deleted")))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(root, "CURRENT")
+    val before = CdcApply.currentManifestName(spark, root).get
+    // reproduce the mid-flip window deterministically: the new pointer
+    // content lands in the DATA file (raw write) while the .crc
+    // sidecar still verifies the old content — exactly what a reader
+    // sees between ChecksumFs's two renames
+    val raw = fs.asInstanceOf[org.apache.hadoop.fs.ChecksumFileSystem]
+      .getRawFileSystem
+    val out = raw.create(ptr, true)
+    try out.write("v99.0".getBytes("UTF-8")) finally out.close()
+    // the read must surface the new pointer, not a ChecksumException
+    assert(CdcApply.currentManifestName(spark, root).contains("v99.0"),
+      s"stale-crc read did not recover (was $before)")
+  }
 }

@@ -21,6 +21,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_ann_incremental",   // 1-row query-vector crossJoin
     "q_ann_kmeans",        // 1-row query-vector crossJoin
     "q_ann_pq",            // 1-row query-vector crossJoin (LUT build)
+    "q_ann_ivfpq",         // 1-row query-vector crossJoins (probe + LUT)
+    "q_mixture_temperature", // 1-row broadcast max-tokens aggregate
     "q_bm25_topk",         // 1-row corpus-stats crossJoin
     "q_bm25_incremental",  // 1-row corpus-stats crossJoin (rollup)
     "q_hybrid_search",     // inherits both runs' 1-row crossJoins
