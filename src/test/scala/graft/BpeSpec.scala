@@ -132,6 +132,32 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(out.getAs[Long]("n_tokens") == aaTokens + 4L)
   }
 
+  test("property: distributed trainer equals the reference on random " +
+      "tie-heavy corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // a 4-letter alphabet and short words force pair-count TIES almost
+    // every round — exactly where a wrong tie-break (or a
+    // nondeterministic argmax) diverges from the reference
+    val wordGen = Gen.chooseNum(1, 4)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")))
+      .map(_.mkString)
+    val corpusGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
+    val p = Prop.forAll(Gen.listOfN(3, corpusGen)) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val (merges, vocab) = Bpe.train(docs, "text", 6)
+      val (refMerges, refVocab) = refTrain(refWordCounts(texts), 6)
+      val gotVocab = vocab.collect().map(r =>
+        r.getAs[String]("word") ->
+          r.getAs[scala.collection.Seq[String]]("tokens").toList).toMap
+      merges.map(m => (m._2, m._3)) == refMerges && gotVocab == refVocab
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), p)
+    assert(res.passed, res.status.toString)
+  }
+
   private def tmpPath(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toFile
       .getAbsolutePath + "/idx"
