@@ -300,6 +300,24 @@ object Plans {
       "map-side, one shuffle of m partial rows per surviving vector, " +
       "TakeOrdered for candidates, then the exact re-rank touches " +
       "only the 64 survivors' raw vectors (left_semi prune)."),
+    "q_bpe_pairs" -> ("BPE trainer, one iteration: the corpus scan " +
+      "collapses to the distinct-word table (Heaps'-law bounded — the " +
+      "shuffle carries words, never documents), pair explosion is " +
+      "map-side over the symbol arrays, and the count is a two-phase " +
+      "hash aggregate with map-side partials. Every later merge " +
+      "iteration aggregates the SAME word table; the corpus is never " +
+      "rescanned."),
+    "q_entity_clusters" -> ("Entity resolution: prefix-filtered edit " +
+      "join (candidates keyed on globally-rare q-grams — hot grams " +
+      "carry no pairs) feeds pointer-jumping connected components; " +
+      "each CC pass is one equi-join + aggregate on (id, label) pairs " +
+      "with lineage cut per pass, O(log n) passes. No all-pairs " +
+      "product anywhere — the quadratic exists only in the oracle."),
+    "q_ann_filtered" -> ("Filtered vector search: the metadata " +
+      "predicate is an ordinary pushed filter on the searched scan " +
+      "(PushedFilters on label), THEN the quantized-cosine top-k via " +
+      "TakeOrdered — filter-then-rank, never rank-then-filter, so " +
+      "selectivity cuts the scored set proportionally."),
     "q_quality_regression" -> ("Closed-form learned scorer: ONE " +
       "two-phase hash aggregate computes the ten exact normal-equation " +
       "moments per group (partial map-side combine before the single " +

@@ -644,11 +644,17 @@ private[queries] object TierCHelpers {
   /** Exact-cosine top-k CTEs + final select, factored for the same
     * reason (shared by q_embed_topk and the hybrid oracle).
     */
-  private[queries] val embedCtes: String =
+  private[queries] val embedCtes: String = embedCtesWhere("")
+
+  /** The embed CTEs with an extra predicate on the SEARCHED side (the
+    * filtered-vector-search oracle); the query vector still comes from
+    * the full table.
+    */
+  private[queries] def embedCtesWhere(extra: String): String =
     "q AS (SELECT " + quantSql + " AS qv FROM embeddings " +
       "WHERE vec_id = 0), " +
       "e AS (SELECT vec_id, " + quantSql + " AS ev FROM embeddings " +
-      "WHERE vec_id <> 0), " +
+      "WHERE vec_id <> 0" + extra + "), " +
       "s AS (SELECT vec_id, " +
       "CAST(list_sum(list_transform(list_zip(ev, qv), " +
       "p -> p[1] * p[2])) AS BIGINT) AS dotq, " +

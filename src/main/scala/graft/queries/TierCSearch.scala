@@ -31,6 +31,20 @@ private[queries] object TierCSearch {
       Ann.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryId = 0L, k = 10)),
 
+    // Filtered vector search — the vector-DB staple (ANN under a
+    // metadata predicate): the attribute filter restricts the SEARCHED
+    // set before the top-k (pushed into the scan like any predicate),
+    // while the query vector is captured from the full table (its own
+    // label need not satisfy the filter — the bruteForceTopK contract).
+    // The same composition applies to the IVF/PQ paths: filter the
+    // probed lists' scan. Exact integer-quantized cosine, hash-checked.
+    "q_ann_filtered" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.bruteForceTopK(emb.filter(col("label") === 3),
+        emb.filter(col("vec_id") === 0L).select(col("embedding")),
+        "vec_id", "embedding", queryId = 0L, k = 10)
+    }),
+
     // IVF-style ANN over the LIST-PARTITIONED embedding layout: centroids
     // from the PERSISTED index (built once per dataset); the probe filter
     // prunes whole label=<list> partitions at plan time, so scan cost is
@@ -250,6 +264,9 @@ private[queries] object TierCSearch {
     // exhaustive IVF over the union corpus; centroids/probe from base
     "q_ann_incremental" -> ivfOracleOver(annIncrUnionRel),
     "q_embed_topk" -> ("WITH " + embedCtes + " " + embedSelect),
+
+    "q_ann_filtered" ->
+      ("WITH " + embedCtesWhere(" AND label = 3") + " " + embedSelect),
 
     // q_bm25_topk's oracle over the UNION corpus the incremental
     // index ingested in two batches.

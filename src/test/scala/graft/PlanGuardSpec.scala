@@ -17,6 +17,7 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
   private val bnljAllowed = Set(
     "q_join_theta_range",  // non-equi range join, tiny broadcast side
     "q_embed_topk",        // 1-row query-vector crossJoin
+    "q_ann_filtered",      // 1-row query-vector crossJoin
     "q_ann_ivf",           // 1-row query-vector crossJoin
     "q_ann_incremental",   // 1-row query-vector crossJoin
     "q_ann_kmeans",        // 1-row query-vector crossJoin
