@@ -329,4 +329,50 @@ class CdcGovernanceSpec extends AnyFunSuite with SparkTestBase {
     assert(CdcApply.currentVersion(spark, root).contains(1L),
       "denied restore must not commit a batch")
   }
+
+  test("the streaming cdc sink composes with the write fence: an " +
+    "analyst's stream fails at the apply with nothing committed, and " +
+    "the same checkpoint restarted as admin applies the batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = buildSnapshot()
+    register(root)
+    val v0 = CdcApply.currentVersion(spark, root)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cdc_gov_sink").toFile.getAbsolutePath
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Double, String, Boolean)]
+    stream.addData((9L, 3L, "APAC", 9.0, "s9", false))
+    def start() = stream.toDF()
+      .toDF("k", "version", "region", "amount", "secret", "deleted")
+      .writeStream.format("cdc")
+      .option("path", root)
+      .option("checkpointLocation", ckpt)
+      // above the table's committed history — replay-guard-clean ids
+      .option("baseBatchId", "100")
+      .start()
+    val ex = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] {
+      Governance.withPrincipal(spark, Analyst) {
+        val q = start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(ex).exists(c =>
+      c.isInstanceOf[AccessDeniedException] ||
+        String.valueOf(c.getMessage).contains("denied")),
+      s"not a governance denial: $ex")
+    assert(CdcApply.currentVersion(spark, root) == v0,
+      "denied stream must not commit a batch")
+    // same checkpoint, admin principal: the engine re-runs the epoch
+    // and the apply lands
+    Governance.withPrincipal(spark, DataAdmin) {
+      val q = start()
+      try q.processAllAvailable() finally q.stop()
+      assert(CdcApply.lookup(spark, root, Seq(9L)).get
+        .collect().length == 1, "admin restart must apply the batch")
+    }
+  }
 }
