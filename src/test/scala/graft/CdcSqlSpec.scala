@@ -648,4 +648,37 @@ class CdcSqlSpec extends AnyFunSuite with SparkTestBase {
       }
     } finally CdcSql.unregisterTable("sql_reg_t")
   }
+
+  test("the registry's documented engine-global contract, executable: " +
+    "a cloned session resolves the same name to the same root, and a " +
+    "re-registration (latest wins) repoints BOTH sessions") {
+    val rootA = newRoot(); applyB0(rootA)
+    val rootB = newRoot()
+    // rootB: same schema, one differing row — so which root a name
+    // resolves to is observable from row content
+    locally {
+      import spark.implicits._
+      assert(CdcApply.applyBatch(
+        Seq((7L, 1L, 70.0, false)).toDF("k", "version", "amount",
+          "deleted"),
+        0L, rootB, Seq("k"), "version", Some("deleted"),
+        commitTs = Some(1000L)))
+    }
+    CdcSql.registerTable(spark, rootA, "global_t")
+    try {
+      val clone = spark.newSession()
+      def ks(s: org.apache.spark.sql.SparkSession): Set[Long] =
+        s.sql("SELECT k FROM global_t").collect()
+          .map(_.getLong(0)).toSet
+      // registration is session-SETUP metadata, global like
+      // GovernanceCatalog (the CdcSql scaladoc contract): the clone
+      // sees the name without registering anything
+      assert(ks(clone) == ks(spark) && ks(spark).contains(1L))
+      // latest registration wins EVERYWHERE — there is one registry,
+      // not a per-session view that could silently diverge
+      CdcSql.registerTable(spark, rootB, "global_t")
+      assert(ks(spark) == Set(7L) && ks(clone) == Set(7L),
+        "re-registration must repoint every session")
+    } finally CdcSql.unregisterTable("global_t")
+  }
 }
