@@ -52,7 +52,7 @@ object Bench {
         "q_dedup_incremental", "q_neardup_incremental", "q_lookup_by",
         "q_quality_gate", "q_quarantine", "q_cdc_diff",
         "q_lookup", "q_bm25_topk", "q_cdc_restore", "q_ann_pq",
-        "q_ann_ivfpq", "q_bpe_train",
+        "q_ann_ivfpq", "q_bpe_train", "q_entity_incremental",
         "q_bm25_incremental", "q_zorder", "q_compacted",
         "q_semantic_dedup", "q_corpus_overlap", "q_ngram_commonness",
         "q_ann_incremental", "q_dedup_clusters",

@@ -89,6 +89,38 @@ private[queries] object TierCDedup {
         .orderBy(col("c_custkey"))
     }),
 
+    // C1f — INCREMENTAL entity resolution: the same record→canonical
+    // map as q_entity_clusters, built by feeding the corpus in TWO
+    // batches through the persisted gram-postings index
+    // (EntityResolution.resolveBatch — probe reads only the batch's
+    // prefix grams' bucket families, running union-find with entity
+    // merges through the CDC update path). The incremental assignment
+    // provably equals batch connected components (spec-pinned after
+    // every batch), so this query shares q_entity_clusters' exhaustive
+    // recursive-closure ORACLE VERBATIM — the incremental path is
+    // hash-checked against the closed-form batch ground truth.
+    "q_entity_incremental" -> ((s, d) => {
+      val root = new java.io.File("target/graft-data/er/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/customer.parquet") +
+        "_er1").getAbsolutePath
+      if (graft.operators.EntityResolution.entities(s, root).isEmpty) {
+        val custs = Tables.customer(s, d)
+          .filter(col("c_custkey") <= 500)
+          .select(col("c_custkey"), col("c_name"))
+        graft.operators.EntityResolution.resolveBatch(s, root,
+          custs.filter(col("c_custkey") <= 250), "c_custkey", "c_name",
+          d = 1, q = 2, batchId = 0L)
+        graft.operators.EntityResolution.resolveBatch(s, root,
+          custs.filter(col("c_custkey") > 250), "c_custkey", "c_name",
+          d = 1, q = 2, batchId = 1L)
+      }
+      graft.operators.EntityResolution.entities(s, root).get
+        .select(col("id").as("c_custkey"),
+          col("entity_id"),
+          (col("id") === col("entity_id")).as("is_canonical"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // C4 — MinHash+LSH near-dup candidates: top pairs by estimated Jaccard.
     // k=32, bands=8 (r=4) puts the banding S-curve threshold near
     // Jaccard 0.59 — the planted near-dups (J ≈ 0.98) always collide,
@@ -301,7 +333,31 @@ private[queries] object TierCDedup {
         .orderBy(col("vec_id")))
   )
 
+  /** Shared by q_entity_clusters AND q_entity_incremental — the
+    * incremental path provably equals batch connected components
+    * (EntityResolutionSpec), so one exhaustive-closure oracle checks
+    * both.
+    */
+  private val entityOracle: String =
+    "WITH RECURSIVE " +
+      "c AS (SELECT c_custkey AS id, c_name AS s FROM customer " +
+      "WHERE c_custkey <= 500), " +
+      "pairs AS (SELECT a.id AS id_a, b.id AS id_b FROM c a JOIN c b " +
+      "ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1 " +
+      "AND levenshtein(a.s, b.s) <= 1), " +
+      "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+      "UNION SELECT id_b, id_a FROM pairs), " +
+      "reach(src, dst) AS (SELECT src, dst FROM edges UNION " +
+      "SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+      "comp AS (SELECT src AS id, least(src, MIN(dst)) AS entity_id " +
+      "FROM reach GROUP BY src) " +
+      "SELECT c.id AS c_custkey, " +
+      "COALESCE(comp.entity_id, c.id) AS entity_id, " +
+      "c.id = COALESCE(comp.entity_id, c.id) AS is_canonical " +
+      "FROM c LEFT JOIN comp USING (id) ORDER BY c_custkey"
+
   val oracles: Map[String, String] = Map(
+    "q_entity_incremental" -> entityOracle,
     "q_ngram_jaccard" ->
       ("WITH " + shingleCte + " " + dupPairsSql + " ORDER BY id_a, id_b"),
     "q_dedup_clusters" ->
@@ -342,23 +398,7 @@ private[queries] object TierCDedup {
         "AND b.c_custkey <= 2000 " +
         "AND levenshtein(a.c_name, b.c_name) <= 1 " +
         "ORDER BY id_a, id_b"),
-    "q_entity_clusters" ->
-      ("WITH RECURSIVE " +
-        "c AS (SELECT c_custkey AS id, c_name AS s FROM customer " +
-        "WHERE c_custkey <= 500), " +
-        "pairs AS (SELECT a.id AS id_a, b.id AS id_b FROM c a JOIN c b " +
-        "ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1 " +
-        "AND levenshtein(a.s, b.s) <= 1), " +
-        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
-        "UNION SELECT id_b, id_a FROM pairs), " +
-        "reach(src, dst) AS (SELECT src, dst FROM edges UNION " +
-        "SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
-        "comp AS (SELECT src AS id, least(src, MIN(dst)) AS entity_id " +
-        "FROM reach GROUP BY src) " +
-        "SELECT c.id AS c_custkey, " +
-        "COALESCE(comp.entity_id, c.id) AS entity_id, " +
-        "c.id = COALESCE(comp.entity_id, c.id) AS is_canonical " +
-        "FROM c LEFT JOIN comp USING (id) ORDER BY c_custkey"),
+    "q_entity_clusters" -> entityOracle,
     "q_decontaminate" ->
       ("WITH " + shingleCte + ", " +
         "ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh " +
