@@ -313,6 +313,14 @@ object Plans {
       "each CC pass is one equi-join + aggregate on (id, label) pairs " +
       "with lineage cut per pass, O(log n) passes. No all-pairs " +
       "product anywhere — the quadratic exists only in the oracle."),
+    "q_entity_incremental" -> ("Incremental entity resolution read " +
+      "path: the assignments collapse from the gram-postings CDC " +
+      "snapshot (ordinary multi-path parquet scan + two-phase " +
+      "min-aggregate per record id). The ingest upstream probed only " +
+      "the batch's prefix grams' bucket families, verified candidates " +
+      "from the probed rows (payload travels with the posting — no " +
+      "second lookup), and committed merges + appends through the " +
+      "ordinary apply path."),
     "q_ann_filtered" -> ("Filtered vector search: the metadata " +
       "predicate is an ordinary pushed filter on the searched scan " +
       "(PushedFilters on label), THEN the quantized-cosine top-k via " +
