@@ -48,7 +48,11 @@ object SetSimilarity {
     val freq = toks.groupBy(col("tok"))
       .agg(count(lit(1)).as("f"))
     // prefix = the sz - ceil(t*sz) + 1 globally-rarest tokens,
-    // total-ordered by (f, tok) so the collect order never shows
+    // total-ordered by (f, tok) so the collect order never shows.
+    // posexplode keeps each prefix token's POSITION in the record's
+    // full frequency-sorted token list (a prefix IS that list's head,
+    // so prefix position = global position) for the PPJoin positional
+    // filter below.
     val prefix = toks.join(freq, "tok")
       .groupBy(col("id"), col("sz"))
       .agg(array_sort(collect_list(struct(col("f"), col("tok"))))
@@ -59,11 +63,21 @@ object SetSimilarity {
         // SHRINKS the prefix — the lossy direction. Subtracting an
         // epsilon can only lengthen the prefix: more candidates,
         // never a missed pair (verification is exact).
-        explode(slice(col("ranked"), lit(1),
+        posexplode(slice(col("ranked"), lit(1),
           (col("sz") - ceil(col("sz") * lit(t) - lit(1e-9)) + 1)
             .cast("int")))
-          .as("e"))
-      .select(col("id"), col("sz"), col("e.tok").as("tok"))
+          .as(Seq("pos", "e")))
+      .select(col("id"), col("sz"), col("pos"), col("e.tok").as("tok"))
+    // POSITIONAL filter (PPJoin, Xiao et al. 2008): a shared prefix
+    // token at 0-based positions (i, j) caps the possible overlap at
+    // min(sz_a - i, sz_b - j) — everything before the shared token on
+    // either side plus the token itself is the best case. Pairs whose
+    // cap misses the required overlap ceil(t/(1+t)·(sz_a+sz_b)) are
+    // dropped BEFORE the distinct/verify stages; epsilon keeps the
+    // bound loose-side (more candidates, never a missed pair), and
+    // the exhaustive oracle gates losslessness end to end. On
+    // low-threshold prose corpora this is the difference between
+    // near-all-pairs and a working candidate set.
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
@@ -71,7 +85,11 @@ object SetSimilarity {
           col("b.sz").cast(DoubleType) >=
             col("a.sz") * lit(t) - lit(1e-9) &&
           col("a.sz").cast(DoubleType) >=
-            col("b.sz") * lit(t) - lit(1e-9))
+            col("b.sz") * lit(t) - lit(1e-9) &&
+          least(col("a.sz") - col("a.pos"),
+            col("b.sz") - col("b.pos")).cast(DoubleType) >=
+            ceil((col("a.sz") + col("b.sz")).cast(DoubleType) *
+              lit(t / (1 + t)) - lit(1e-9)))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val sets = base.select(col("id"), col("toks"), col("sz"))
