@@ -179,6 +179,59 @@ private[queries] object TierCPipeline {
         .orderBy(col("lang"))
     }),
 
+    // C5c — ordered funnel analysis (view → click → purchase, each
+    // step strictly after the previous per user): the product-
+    // analytics staple. Each stage is one equi-join on user_id + a
+    // min-aggregate (map-side partial), so a 100 TB event log pays
+    // three user-keyed shuffles — co-partition events by user to
+    // collapse them. Output = per-step user counts via a 3-row union,
+    // no 1-row cross join.
+    "q_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      v.select(lit("1_view").as("step"), col("user_id"))
+        .unionByName(c.select(lit("2_click").as("step"), col("user_id")))
+        .unionByName(
+          p.select(lit("3_purchase").as("step"), col("user_id")))
+        .groupBy(col("step")).agg(count(lit(1)).as("users"))
+        .orderBy(col("step"))
+    }),
+
+    // C5d — weekly cohort retention: users cohorted by first-signup
+    // week, retained if ANY activity lands in the following ISO week.
+    // date_trunc('week') is ISO-Monday in both engines and interval
+    // arithmetic is exact, so the cohort table hash-checks. Shape:
+    // one distinct (user, week) projection + one equi-join on
+    // user_id + a two-phase count — no window over the raw log.
+    "q_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), col("ts"))
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("sts"))
+        .select(col("user_id"), date_trunc("week", col("sts")).as("cw"))
+      val active = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("aw"))
+        .distinct()
+      val w1 = cohort.join(active, Seq("user_id"))
+        .filter(col("aw") === col("cw") + expr("INTERVAL '7' DAY"))
+        .select(col("user_id"), lit(1).as("flag")).distinct()
+      cohort.join(w1, Seq("user_id"), "left")
+        .groupBy(col("cw"))
+        .agg(count(lit(1)).as("cohort_users"),
+          count(col("flag")).as("retained_w1"))
+        .orderBy(col("cw"))
+    }),
+
     // C2i2 — temperature-scaled mixture weights (the multilingual
     // sampling standard: raise every language's share to alpha < 1 so
     // low-resource languages up-sample — Xue et al. 2021, mT5).
@@ -544,6 +597,33 @@ private[queries] object TierCPipeline {
         "FROM documents WHERE doc_id % 100 < " +
         "CASE WHEN lang = 'en' THEN 60 WHEN lang = 'zh' THEN 40 " +
         "ELSE 20 END GROUP BY lang ORDER BY lang"),
+    "q_funnel" ->
+      ("WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events " +
+        "WHERE event_type = 'view' GROUP BY user_id), " +
+        "c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e " +
+        "JOIN v ON e.user_id = v.user_id AND e.ts > v.t1 " +
+        "WHERE e.event_type = 'click' GROUP BY e.user_id), " +
+        "p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e " +
+        "JOIN c ON e.user_id = c.user_id AND e.ts > c.t2 " +
+        "WHERE e.event_type = 'purchase' GROUP BY e.user_id) " +
+        "SELECT step, CAST(users AS BIGINT) AS users FROM (" +
+        "SELECT '1_view' AS step, COUNT(*) AS users FROM v " +
+        "UNION ALL SELECT '2_click', COUNT(*) FROM c " +
+        "UNION ALL SELECT '3_purchase', COUNT(*) FROM p) " +
+        "ORDER BY step"),
+    "q_retention" ->
+      ("WITH cohort AS (SELECT user_id, " +
+        "date_trunc('week', MIN(ts)) AS cw FROM events " +
+        "WHERE event_type = 'signup' GROUP BY user_id), " +
+        "active AS (SELECT DISTINCT user_id, " +
+        "date_trunc('week', ts) AS aw FROM events), " +
+        "w1 AS (SELECT DISTINCT c.user_id FROM cohort c " +
+        "JOIN active a ON c.user_id = a.user_id " +
+        "AND a.aw = c.cw + INTERVAL 7 DAY) " +
+        "SELECT c.cw, COUNT(*) AS cohort_users, " +
+        "CAST(COUNT(w1.user_id) AS BIGINT) AS retained_w1 " +
+        "FROM cohort c LEFT JOIN w1 ON c.user_id = w1.user_id " +
+        "GROUP BY c.cw ORDER BY c.cw"),
     "q_mixture_temperature" ->
       ("WITH t AS (SELECT lang, " +
         "CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), " +
