@@ -2821,15 +2821,43 @@ object CdcApply {
       : Option[DataFrame] = {
     val fs = fsFor(spark, root)
     if (!fs.exists(new Path(root, "changelog"))) None
-    else currentManifest(spark, root).flatMap(_.schema).map { stored =>
-      val fields = stored.fields
+    else changeFeedSchema(spark, root).map(declared =>
+      spark.readStream
+        .schema(declared)
+        .parquet(new Path(root, "changelog/b*").toString))
+  }
+
+  /** The change feed's declared schema — the manifest's stored schema
+    * minus the write-time internal column, with the applied-batch
+    * stamp renamed to [[ChangeBatchCol]] (matching what the changelog
+    * files physically carry). None before a first schema-bearing
+    * commit. Shared by [[readChangesStream]] and the
+    * `readStream.format("cdc")` source.
+    */
+  private[graft] def changeFeedSchema(spark: SparkSession, root: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    currentManifest(spark, root).flatMap(_.schema).map { stored =>
+      org.apache.spark.sql.types.StructType(stored.fields
         .filterNot(_.name == TsBatchCol)
         .map(f => if (f.name == AppliedBatchCol)
-          f.copy(name = ChangeBatchCol) else f)
-      spark.readStream
-        .schema(org.apache.spark.sql.types.StructType(fields))
-        .parquet(new Path(root, "changelog/b*").toString)
+          f.copy(name = ChangeBatchCol) else f))
     }
+
+  /** Batch ids with a COMPLETE changelog directory (`_SUCCESS`
+    * present — a dir listed mid-write must not advance a source
+    * offset), ascending. Empty when the table has no changelog.
+    */
+  private[graft] def changelogBatchIds(spark: SparkSession,
+      root: String): Seq[Long] = {
+    val fs = fsFor(spark, root)
+    val dir = new Path(root, "changelog")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("b"))
+      .filter(p => fs.exists(new Path(p, "_SUCCESS")))
+      .flatMap(p => scala.util.Try(p.getName.stripPrefix("b").toLong)
+        .toOption)
+      .sorted
   }
 
   /** One-shot bootstrap for a changelog consumer whose checkpoint fell

@@ -196,4 +196,72 @@ class CdcDataSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(root,
       "changelog/b2")))
   }
+
+  test("readStream.format(\"cdc\") tails the changelog with batch-id " +
+    "offsets: events per applied batch, restart resumes past the " +
+    "checkpointed batch, pre-changelog tables refuse loudly") {
+    import spark.implicits._
+    val root = newRoot()
+    def apply(rows: Seq[(Long, Long, String, Boolean)], id: Long) =
+      CdcApply.applyBatch(rows.toDF("k", "version", "v", "deleted"),
+        id, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+        changelog = true)
+    // no table yet: schema resolution refuses with a pointed message
+    val noTable = intercept[IllegalStateException] {
+      spark.readStream.format("cdc").option("path", root).load()
+    }
+    assert(noTable.getMessage.contains("changelog-enabled"))
+    assert(apply(Seq((1L, 1L, "a", false), (2L, 1L, "b", false)), 0L))
+    assert(apply(Seq((2L, 2L, "b2", false), (3L, 1L, "", true)), 1L))
+    // phase 1 — live tail (memory sink, no checkpoint): events arrive
+    // per applied batch with the batch id as _change_batch
+    val q1 = spark.readStream.format("cdc")
+      .option("path", root).load()
+      .writeStream.format("memory").queryName("cdc_src_sink")
+      .outputMode("append").start()
+    try {
+      def got() = spark.table("cdc_src_sink")
+        .select("k", "version", "v", "deleted", "_change_batch")
+        .as[(Long, Long, String, Boolean, Long)].collect().toSet
+      q1.processAllAvailable()
+      assert(got() == Set(
+        (1L, 1L, "a", false, 0L), (2L, 1L, "b", false, 0L),
+        (2L, 2L, "b2", false, 1L), (3L, 1L, "", true, 1L)),
+        got().toString)
+      // a live apply lands as the next offset
+      assert(apply(Seq((1L, 3L, "a3", false)), 2L))
+      q1.processAllAvailable()
+      assert(got().contains((1L, 3L, "a3", false, 2L)) &&
+        got().size == 5)
+    } finally {
+      q1.stop()
+      spark.sql("DROP VIEW IF EXISTS cdc_src_sink")
+    }
+    // phase 2 — checkpointed consumer (foreachBatch, which supports
+    // recovery): the restart resumes from the checkpointed BATCH-ID
+    // offset, so only batches applied while the stream was down
+    // arrive in the second run — nothing replays
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cdc_src_ckpt").toFile.getAbsolutePath
+    val seen = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def startCk() = spark.readStream.format("cdc")
+      .option("path", root).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.select("k", "_change_batch").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        seen.synchronized { seen ++= rows }
+        ()
+      }.start()
+    val q2 = startCk()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(seen.synchronized(seen.map(_._2).toSet) == Set(0L, 1L, 2L),
+      s"first checkpointed run must read batches 0-2: $seen")
+    seen.synchronized(seen.clear())
+    assert(apply(Seq((4L, 1L, "d", false)), 3L))
+    val q3 = startCk()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(seen.synchronized(seen.toList) == List(4L -> 3L),
+      s"restart must deliver ONLY batch 3: $seen")
+  }
 }
