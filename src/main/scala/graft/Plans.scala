@@ -365,7 +365,21 @@ object Plans {
       "(log-replay resolved, driver-side) as ordinary parquet — " +
       "column-pruned scan + two-phase aggregate; the export itself " +
       "republished only changed buckets (O(changed), the mirror " +
-      "cost class)."))
+      "cost class)."),
+    "q_lm_score" -> ("Bigram-LM scoring: training counts are two " +
+      "explode -> two-phase hash aggregates shuffling (term, long) " +
+      "pairs, never text; V rides a broadcast 1-row frame; the " +
+      "scoring side joins exploded bigrams to the count tables on " +
+      "the term key (broadcast while they fit, shuffle-hash at " +
+      "corpus scale) and reduces to four longs per document — " +
+      "nothing quadratic, nothing collected."),
+    "q_neardup_keep_best" -> ("Quality-aware canonical selection: " +
+      "cluster membership reads the PERSISTED resolution artifact " +
+      "(no recompute); the quality score is map-side arithmetic on " +
+      "the corpus scan; one equi-join on doc_id and one window " +
+      "argmax partitioned BY CLUSTER — the shuffle carries " +
+      "(doc_id, cluster_id, double), and no partition exceeds the " +
+      "largest near-dup cluster."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",

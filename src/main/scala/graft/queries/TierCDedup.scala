@@ -330,7 +330,35 @@ private[queries] object TierCDedup {
       Ann.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", 0.25)
         .select(col("vec_id"), col("label").cast(LongType).as("label"))
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+
+    // C1g — QUALITY-AWARE canonical selection: within each near-dup
+    // cluster keep the HIGHEST-QUALITY member, not the lowest id — the
+    // curation refinement of q_dedup_clusters' keeper rule (near-dup
+    // members genuinely differ, so "which copy survives" matters for
+    // the training corpus; min-id keeps whichever crawled first).
+    // Reads the persisted membership artifact, joins the per-doc
+    // quality score (map-side arithmetic), and resolves one argmax
+    // window per cluster. Oracle: the same recursive-CTE closure +
+    // the shared qualitySql + an identical rank window — so cluster
+    // resolution AND the quality tie-break are both in the hash.
+    "q_neardup_keep_best" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+      membership(s, d).select(col("doc_id"), col("cluster_id"))
+        .join(Tables.documents(s, d)
+          .select(col("doc_id"), T.qualityScore(col("text")).as("quality")),
+          Seq("doc_id"))
+        .withColumn("n_members", count(lit(1)).over(wc))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("n_members"),
+          col("doc_id").as("best_doc"), col("quality").as("best_quality"))
+        .orderBy(col("cluster_id"))
+    })
   )
 
   /** Shared by q_entity_clusters AND q_entity_incremental — the
@@ -478,6 +506,26 @@ private[queries] object TierCDedup {
         "sqrt(CAST(list_sum(list_transform(b.v, x -> x * x)) " +
         "AS DOUBLE))) >= 0.25) " +
         "SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings " +
-        "WHERE vec_id NOT IN (SELECT vec_id FROM d) ORDER BY vec_id")
+        "WHERE vec_id NOT IN (SELECT vec_id FROM d) ORDER BY vec_id"),
+
+    // the q_dedup_clusters closure + qualitySql + the same argmax
+    // window (quality DESC, doc_id) the Spark side ranks with
+    "q_neardup_keep_best" ->
+      ("WITH RECURSIVE " + shingleCte + ", " +
+        "pairs AS (" + dupPairsSql + "), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION SELECT id_b, id_a FROM pairs), " +
+        "reach(src, dst) AS (SELECT src, dst FROM edges UNION " +
+        "SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+        "comp AS (SELECT src AS doc_id, least(src, MIN(dst)) " +
+        "AS cluster_id FROM reach GROUP BY src), " +
+        "m AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) " +
+        "AS cluster_id, " + qualitySql + " AS quality " +
+        "FROM documents d LEFT JOIN comp c USING (doc_id)), " +
+        "r AS (SELECT *, COUNT(*) OVER (PARTITION BY cluster_id) " +
+        "AS n_members, row_number() OVER (PARTITION BY cluster_id " +
+        "ORDER BY quality DESC, doc_id) AS rn FROM m) " +
+        "SELECT cluster_id, n_members, doc_id AS best_doc, " +
+        "quality AS best_quality FROM r WHERE rn = 1 ORDER BY cluster_id")
   )
 }

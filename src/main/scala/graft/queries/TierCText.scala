@@ -261,7 +261,23 @@ private[queries] object TierCText {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"))
-        .orderBy(col("lang")))
+        .orderBy(col("lang"))),
+
+    // C19 — bigram-LM document scoring (CCNet, Wenzek 2020): train a
+    // Laplace-smoothed bigram model on the trusted `lang='en'` slice,
+    // score every candidate document's familiarity under it. The
+    // declared form is the RATIONAL pooled score (exact-integer
+    // sufficient statistics + one IEEE division — the BM25 rational-idf
+    // house rule), so training counts, smoothing and OOV handling are
+    // all inside the DuckDB hash; the textbook log-space cross-entropy
+    // is NgramLm.crossEntropy, pinned exactly by LmSpec.
+    "q_lm_score" -> ((s, d) =>
+      graft.operators.NgramLm.score(
+        Tables.documents(s, d).filter(col("doc_id") < 500),
+        "doc_id", "text",
+        Tables.documents(s, d).filter(col("lang") === "en"),
+        keep = Seq("lang"))
+        .orderBy(col("doc_id")))
   )
 
   /** Persisted 40-merge BPE build over the documents table — one-time
@@ -431,6 +447,40 @@ private[queries] object TierCText {
         "FROM (SELECT unnest(list_filter(" +
         "regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS w " +
         "FROM documents) GROUP BY w))) " +
-        "GROUP BY 1, 2 ORDER BY pair_cnt DESC, l, r LIMIT 20")
+        "GROUP BY 1, 2 ORDER BY pair_cnt DESC, l, r LIMIT 20"),
+
+    // bigram construction mirrors the q_repetition_filter CTE (whole
+    // text as the single "bigram" under 2 tokens — the Shingles kernel
+    // contract); counts and the smoothing arithmetic are exact
+    // integers, the score is one double division of two exact longs
+    "q_lm_score" ->
+      ("WITH t AS (SELECT doc_id, lang, list_filter(" +
+        "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "bg AS (SELECT doc_id, lang, CASE WHEN len(toks) < 2 " +
+        "THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_transform(range(1, len(toks)), " +
+        "i -> toks[i] || ' ' || toks[i+1]) END AS b FROM t), " +
+        "c12 AS (SELECT bigram, COUNT(*) AS c12 FROM " +
+        "(SELECT unnest(b) AS bigram FROM bg WHERE lang = 'en') " +
+        "GROUP BY bigram), " +
+        "c1 AS (SELECT w, COUNT(*) AS c1 FROM " +
+        "(SELECT unnest(toks) AS w FROM t WHERE lang = 'en') " +
+        "GROUP BY w), " +
+        "v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1), " +
+        "x AS (SELECT doc_id, lang, unnest(b) AS bigram FROM bg " +
+        "WHERE doc_id < 500), " +
+        "j AS (SELECT x.doc_id, x.lang, c12.c12, c1.c1, v.v FROM x " +
+        "LEFT JOIN c12 USING (bigram) " +
+        "LEFT JOIN c1 ON string_split(x.bigram, ' ')[1] = c1.w " +
+        "CROSS JOIN v) " +
+        "SELECT doc_id, lang, COUNT(*) AS n_bigrams, " +
+        "CAST(SUM(CASE WHEN c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_unseen, " +
+        "CAST(SUM(COALESCE(c12, 0) + 1) AS BIGINT) AS sum_num, " +
+        "CAST(SUM(COALESCE(c1, 0) + v) AS BIGINT) AS sum_den, " +
+        "CAST(SUM(COALESCE(c1, 0) + v) AS DOUBLE) / " +
+        "CAST(SUM(COALESCE(c12, 0) + 1) AS DOUBLE) AS ppl_proxy " +
+        "FROM j GROUP BY doc_id, lang ORDER BY doc_id")
   )
 }
