@@ -373,6 +373,13 @@ object Plans {
       "the term key (broadcast while they fit, shuffle-hash at " +
       "corpus scale) and reduces to four longs per document — " +
       "nothing quadratic, nothing collected."),
+    "q_image_neardup" -> ("Perceptual image dedup: dHash computes " +
+      "map-side over the payload column (8 bytes per image " +
+      "thereafter — the image BYTES never shuffle), candidates band " +
+      "on 16-bit fingerprint chunks (pigeonhole recall at Hamming " +
+      "<= 3, capped buckets), exact Hamming verifies only " +
+      "chunk-colliding pairs — never all-pairs, and the only " +
+      "shuffle carries (id, fp) longs."),
     "q_neardup_keep_best" -> ("Quality-aware canonical selection: " +
       "cluster membership reads the PERSISTED resolution artifact " +
       "(no recompute); the quality score is map-side arithmetic on " +

@@ -605,14 +605,27 @@ object Dedup {
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       chunkBits: Int = 16,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    hammingCandidates(
+      docs.select(col(idCol).as("doc_id"),
+        graft.functions.GraftFunctions
+          .simhash64(TextFunctions.tokens(col(textCol))).as("fp")),
+      chunkBits, bucketCap)
+  }
+
+  /** Candidate near-dup pairs over ANY precomputed 64-bit fingerprint
+    * frame (`doc_id`, `fp`) — the chunk-banding core of
+    * [[simhashCandidates]], shared with perceptual-image-hash dedup
+    * (dHash fingerprints band exactly like SimHash ones: a pair within
+    * Hamming ≤ nChunks−1 agrees on at least one chunk by pigeonhole).
+    * Null fingerprints (e.g. undecodable payloads) are skipped.
+    */
+  def hammingCandidates(fps: DataFrame, chunkBits: Int = 16,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     require(64 % chunkBits == 0, "chunkBits must divide 64")
     val nChunks = 64 / chunkBits
     val mask = (1L << chunkBits) - 1
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    val fps = docs.select(col(idCol).as("doc_id"),
-      graft.functions.GraftFunctions
-        .simhash64(TextFunctions.tokens(col(textCol))).as("fp"))
-    val chunked = fps.select(
+    val chunked = fps.filter(col("fp").isNotNull).select(
       struct(col("doc_id"), col("fp")).as("m"),
       posexplode(array((0 until nChunks).map { c =>
         shiftrightunsigned(col("fp"), c * chunkBits).bitwiseAND(lit(mask))

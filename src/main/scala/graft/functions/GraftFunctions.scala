@@ -70,6 +70,17 @@ object GraftFunctions {
   def aviDecode(payload: Column): Column =
     call_function("avi_decode", payload)
 
+  /** 64-bit perceptual difference hash of an image payload, NULL when
+    * the bytes are not a decodable image (see [[DHash64]]).
+    */
+  def dhash64(payload: Column): Column = call_function("dhash64", payload)
+
+  /** Deterministic 3-pixel low-bit perturbation of an image payload,
+    * re-encoded as PNG (see [[PngPerturb]]).
+    */
+  def pngPerturb(payload: Column, seed: Column): Column =
+    call_function("png_perturb", payload, seed)
+
   /** Register all graft SQL functions on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     SimHash.register(spark)
@@ -80,5 +91,6 @@ object GraftFunctions {
     ImageCodec.register(spark)
     AudioCodec.register(spark)
     VideoCodec.register(spark)
+    PerceptualHash.register(spark)
   }
 }

@@ -121,4 +121,29 @@ object Multimodal {
     * media bytes without ever shuffling the bytes).
     */
   def payloadFingerprint(payload: Column): Column = xxhash64(payload)
+
+  /** 64-bit PERCEPTUAL fingerprint of an image payload (NULL for
+    * non-image bytes): survives re-encoding and small retouches that
+    * change every payload byte — the decode-level sibling of
+    * [[payloadFingerprint]]. See [[graft.functions.DHash64]].
+    */
+  def imageDHash(payload: Column): Column =
+    graft.functions.GraftFunctions.dhash64(payload)
+
+  /** Near-duplicate IMAGE pairs by perceptual hash: dHash each payload
+    * map-side (8 bytes per image thereafter — the bytes never shuffle),
+    * band the fingerprints into 16-bit chunks (pigeonhole: Hamming ≤ 3
+    * pairs always share a chunk), verify exact Hamming on candidates.
+    * Non-image payloads hash NULL and drop out, so the input can be a
+    * mixed media table.
+    */
+  def imageNearDupPairs(media: DataFrame, idCol: String,
+      payloadCol: String, maxHamming: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(media.sparkSession)
+    graft.dedup.Dedup.hammingCandidates(
+      media.select(col(idCol).as("doc_id"),
+        imageDHash(col(payloadCol)).as("fp")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

@@ -546,7 +546,31 @@ private[queries] object TierCPipeline {
         .select(col("media_id"),
           col("au.sample_rate").as("sample_rate"),
           col("au.n_samples").as("n_samples"))
-        .orderBy(col("media_id")))
+        .orderBy(col("media_id"))),
+
+    // Perceptual IMAGE near-dup: every image doc with media_id % 6
+    // == 0 gets a planted retouched copy (png_perturb: 3 low-bit
+    // pixel edits + PNG re-encode — every payload byte changes, the
+    // picture doesn't), and the dHash banding join recovers exactly
+    // those pairs: decode-level dedup that byte fingerprints
+    // structurally cannot do. Rows-only (ImageIO decode + integer
+    // bilinear resampling are not expressible in DuckDB);
+    // MultimodalSpec pins determinism, planted-pair recall at
+    // Hamming <= 3, unrelated-pair separation, and NULL pass-through
+    // for non-image payloads.
+    "q_image_neardup" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val images = M.mediaFromDocs(Tables.documents(s, d))
+        .filter(col("media_type") === "image" && col("media_id") < 3000)
+        .select(col("media_id"), col("payload"))
+      val variants = images.filter(col("media_id") % 6 === 0)
+        .select((col("media_id") + lit(1000000L)).as("media_id"),
+          graft.functions.GraftFunctions
+            .pngPerturb(col("payload"), col("media_id")).as("payload"))
+      M.imageNearDupPairs(images.unionByName(variants),
+        "media_id", "payload")
+        .orderBy(col("id_a"), col("id_b"))
+    })
   )
 
   val oracles: Map[String, String] = Map(

@@ -239,4 +239,61 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(two(0L) == two(1L))
     assert(two(0L) != two(2L))
   }
+
+  test("dhash64: deterministic, matches the sequential compute, NULL " +
+      "for non-image bytes, and two calls codegen in one projection") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val seeds = (0L until 40L).toDF("seed")
+    val out = seeds.select($"seed",
+      graft.functions.GraftFunctions.dhash64(
+        graft.functions.GraftFunctions.pngEncode($"seed")).as("fp"),
+      // second call in the same projection: regression for the
+      // generated-code local-name collision
+      graft.functions.GraftFunctions.dhash64(
+        graft.functions.GraftFunctions.pngEncode($"seed" + 1000L))
+        .as("fp_other"))
+      .collect()
+    out.foreach { r =>
+      val seed = r.getLong(0)
+      val expected = graft.functions.DHash64
+        .compute(graft.functions.PngEncode.compute(seed))
+      assert(r.getLong(1) === expected.longValue(), s"seed $seed")
+    }
+    // distinct random images: hashes disagree (not a constant function)
+    assert(out.map(_.getLong(1)).distinct.length > 30)
+    // non-image bytes hash NULL (mixed media tables in one pass)
+    val nulls = Seq(7L).toDF("seed")
+      .select(graft.functions.GraftFunctions.dhash64(
+        graft.functions.GraftFunctions.wavEncode($"seed")).as("fp"))
+      .collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
+  test("png_perturb changes every-byte-comparable payload but not the " +
+      "perceptual hash; near-dup pairs recover exactly the planted set") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val n = 60L
+    val images = (0L until n).toDF("seed")
+      .select($"seed".as("media_id"),
+        graft.functions.GraftFunctions.pngEncode($"seed").as("payload"))
+    val variants = images.filter($"media_id" % 3 === 0)
+      .select(($"media_id" + 1000L).as("media_id"),
+        graft.functions.GraftFunctions
+          .pngPerturb($"payload", $"media_id").as("payload"))
+    // the retouched copy shares no BYTES with the original …
+    val joined = images.as("a").join(variants.as("b"),
+      col("a.media_id") + 1000L === col("b.media_id"))
+    assert(joined.filter(
+      M.payloadFingerprint(col("a.payload")) ===
+        M.payloadFingerprint(col("b.payload"))).count() === 0L)
+    // … yet every planted pair is recovered perceptually, at the
+    // declared threshold, with no unrelated pair admitted
+    val pairs = M.imageNearDupPairs(images.unionByName(variants),
+      "media_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until n by 3).map(s => (s, s + 1000L)).toSet
+    assert(pairs === planted)
+  }
 }
