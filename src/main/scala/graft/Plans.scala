@@ -373,6 +373,13 @@ object Plans {
       "the term key (broadcast while they fit, shuffle-hash at " +
       "corpus scale) and reduces to four longs per document — " +
       "nothing quadratic, nothing collected."),
+    "q_hard_negatives" -> ("Hard-negative mining: the anchor batch " +
+      "is a BroadcastNestedLoopJoin build side (bounded — a training " +
+      "batch, not a corpus), the corpus side scans once with the " +
+      "label-inequality filter and the fused quantized-cosine " +
+      "evaluated map-side; only (anchor, neg, sim) triples shuffle " +
+      "into the per-anchor top-k window. Vectors never cross the " +
+      "wire."),
     "q_image_neardup" -> ("Perceptual image dedup: dHash computes " +
       "map-side over the payload column (8 bytes per image " +
       "thereafter — the image BYTES never shuffle), candidates band " +

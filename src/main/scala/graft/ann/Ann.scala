@@ -626,4 +626,43 @@ object Ann {
         graft.functions.GraftFunctions.cosineQuant(col("v_a"), col("v_b"))
           .as("sim"))
   }
+
+  /** Batch HARD-NEGATIVE mining for contrastive training: for every
+    * anchor, the `k` most cosine-similar corpus vectors whose label
+    * DIFFERS — the maximally-confusable other-class examples a
+    * contrastive or reranker trainer wants next to each positive
+    * (in-batch random negatives are mostly easy; hard ones carry the
+    * gradient signal). `anchors` must have the same id/label/vec
+    * columns as `emb` (typically a filtered slice of it); the anchor
+    * itself can never appear among its negatives.
+    *
+    * Scale: the anchor batch is bounded (a training batch, not a
+    * corpus) and BROADCASTS; the corpus scans ONCE, map-side — vectors
+    * never shuffle, similarity is the fused codegen'd
+    * [[graft.functions.CosineQuant]], and only (anchor, neg, sim)
+    * triples reach the per-anchor top-k window, which each anchor's
+    * partition resolves in one pass. Exact integer-quantized
+    * arithmetic end to end, so the mining decision is hash-checkable.
+    */
+  def hardNegatives(emb: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, anchors: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      col(labelCol).as("anchor_label"), col(vecCol).as("anchor_vec"))
+    val sims = emb
+      .select(col(idCol).as("neg_id"), col(labelCol).as("neg_label"),
+        col(vecCol).as("neg_vec"))
+      .crossJoin(broadcast(a))
+      .filter(col("neg_label") =!= col("anchor_label") &&
+        col("neg_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("neg_id"),
+        graft.functions.GraftFunctions
+          .cosineQuant(col("neg_vec"), col("anchor_vec")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("sim").desc, col("neg_id"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("anchor_id"), col("neg_id"), col("sim"))
+  }
 }

@@ -45,6 +45,20 @@ private[queries] object TierCSearch {
         "vec_id", "embedding", queryId = 0L, k = 10)
     }),
 
+    // C3d — hard-negative mining for contrastive training: for each
+    // anchor (vec_id < 20), the 5 most cosine-similar vectors of a
+    // DIFFERENT label — the maximally-confusable other-class examples
+    // a contrastive/reranker trainer pairs with each positive. Anchors
+    // broadcast; the corpus scans once map-side (vectors never
+    // shuffle); exact integer-quantized cosine → fully hash-checked
+    // against the all-pairs DuckDB twin.
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.hardNegatives(emb, "vec_id", "label", "embedding",
+        anchors = emb.filter(col("vec_id") < 20), k = 5)
+        .orderBy(col("anchor_id"), col("sim").desc, col("neg_id"))
+    }),
+
     // IVF-style ANN over the LIST-PARTITIONED embedding layout: centroids
     // from the PERSISTED index (built once per dataset); the probe filter
     // prunes whole label=<list> partitions at plan time, so scan cost is
@@ -264,6 +278,29 @@ private[queries] object TierCSearch {
     // exhaustive IVF over the union corpus; centroids/probe from base
     "q_ann_incremental" -> ivfOracleOver(annIncrUnionRel),
     "q_embed_topk" -> ("WITH " + embedCtes + " " + embedSelect),
+
+    // the same quantized-cosine formulation as the embed oracle, over
+    // the all-pairs anchor x other-label join
+    "q_hard_negatives" ->
+      ("WITH e AS (SELECT vec_id, label, " + quantSql + " AS v " +
+        "FROM embeddings), " +
+        "a AS (SELECT vec_id AS anchor_id, label AS anchor_label, " +
+        "v AS av FROM e WHERE vec_id < 20), " +
+        "s AS (SELECT anchor_id, e.vec_id AS neg_id, " +
+        "CAST(list_sum(list_transform(list_zip(e.v, a.av), " +
+        "p -> p[1] * p[2])) AS BIGINT) AS dotq, " +
+        "CAST(list_sum(list_transform(e.v, x -> x * x)) AS BIGINT) " +
+        "AS na, " +
+        "CAST(list_sum(list_transform(a.av, x -> x * x)) AS BIGINT) " +
+        "AS nb FROM e JOIN a ON e.label <> a.anchor_label " +
+        "AND e.vec_id <> a.anchor_id), " +
+        "c AS (SELECT anchor_id, neg_id, CAST(dotq AS DOUBLE) / " +
+        "(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS sim " +
+        "FROM s), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id " +
+        "ORDER BY sim DESC, neg_id) AS rn FROM c) " +
+        "SELECT anchor_id, neg_id, sim FROM r WHERE rn <= 5 " +
+        "ORDER BY anchor_id, sim DESC, neg_id"),
 
     "q_ann_filtered" ->
       ("WITH " + embedCtesWhere(" AND label = 3") + " " + embedSelect),

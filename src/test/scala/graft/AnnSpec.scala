@@ -522,4 +522,26 @@ class AnnSpec extends AnyFunSuite with SparkTestBase {
       Ann.semanticDedup(emb, "vec_id", "embedding", "label", 0.5)
     }
   }
+
+  test("hardNegatives: only other-label vectors, ranked by cosine, " +
+      "anchor excluded, k bounded") {
+    val emb = vectors()
+    val out = Ann.hardNegatives(emb, "vec_id", "label", "embedding",
+      anchors = emb.filter(org.apache.spark.sql.functions
+        .col("vec_id") < 2), k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // anchors 0,1 share label 0 → negatives only from labels 1,2
+    assert(out.forall { case (_, neg, _) => neg >= 2L })
+    assert(out.groupBy(_._1).forall(_._2.length == 2))
+    // anchor 0 = x-axis: nearest other-label is vec 2 (cos ≈ 0.995),
+    // then vec 3 (cos ≈ 0.707)
+    val a0 = out.filter(_._1 == 0L).map(_._2).toSeq
+    assert(a0 == Seq(2L, 3L))
+    // per-anchor rows are sim-descending
+    out.groupBy(_._1).values.foreach { rs =>
+      val sims = rs.map(_._3).toSeq
+      assert(sims == sims.sorted.reverse)
+    }
+  }
 }
