@@ -81,6 +81,18 @@ object GraftFunctions {
   def pngPerturb(payload: Column, seed: Column): Column =
     call_function("png_perturb", payload, seed)
 
+  /** 64-bit perceptual audio fingerprint of a WAV payload, NULL when
+    * the bytes are not parseable PCM audio (see [[AudioFp64]]).
+    */
+  def audioFp64(payload: Column): Column =
+    call_function("audio_fp64", payload)
+
+  /** Deterministic 3-sample low-bit perturbation of a WAV payload
+    * (see [[WavPerturb]]).
+    */
+  def wavPerturb(payload: Column, seed: Column): Column =
+    call_function("wav_perturb", payload, seed)
+
   /** Register all graft SQL functions on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     SimHash.register(spark)

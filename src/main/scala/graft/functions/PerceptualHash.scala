@@ -42,6 +42,12 @@ object PerceptualHash {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "png_perturb",
       (es: Seq[Expression]) => PngPerturb(es(0), es(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "audio_fp64",
+      (es: Seq[Expression]) => AudioFp64(es.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "wav_perturb",
+      (es: Seq[Expression]) => WavPerturb(es(0), es(1)), "scala_udf")
   }
 }
 
@@ -159,9 +165,155 @@ case class PngPerturb(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 64-bit perceptual audio fingerprint: one bit per amplitude
+  * comparison between 65 evenly-spaced sample probes — shape-of-the-
+  * waveform, not bytes-of-the-file, so a re-dithered or lightly-edited
+  * copy keeps its fingerprint while `xxhash64(payload)` changes
+  * completely. All-integer (raw PCM16 sample compares; no float
+  * anywhere), NULL for bytes the JDK audio parser rejects.
+  *
+  * Perturbation bound (the pairing contract with [[WavPerturb]]): each
+  * edited sample can be a probe for at most one index and each probe
+  * feeds at most two comparisons, so k sample edits move the
+  * fingerprint at most 2k bits — with [[WavPerturb]]'s 3 edits,
+  * Hamming ≤ 6, inside the ≤ 7 pigeonhole recall of 8-bit chunk
+  * banding ([[graft.dedup.Dedup.hammingCandidates]] at chunkBits = 8).
+  */
+case class AudioFp64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_fp64"
+
+  override def nullSafeEval(input: Any): Any =
+    AudioFp64.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val fp = ctx.freshName("afp")
+      s"""
+      java.lang.Long $fp = graft.functions.AudioFp64.compute($c);
+      if ($fp == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $fp.longValue(); }
+    """
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): AudioFp64 = copy(child = newChild)
+}
+
+object AudioFp64 {
+
+  /** Called from generated code; must stay public + static-shaped.
+    * Returns null for unparseable bytes, non-PCM16-mono formats, or
+    * clips shorter than 65 samples (probes must be distinct for the
+    * perturbation bound to hold).
+    */
+  def compute(bytes: Array[Byte]): java.lang.Long = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val in =
+      try AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+            _: java.io.IOException => null
+      }
+    if (in == null) return null
+    try {
+      val fmt = in.getFormat
+      if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) return null
+      val data = in.readAllBytes()
+      val n = data.length / 2
+      if (n < 65) return null
+      val buf = java.nio.ByteBuffer.wrap(data).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      def probe(i: Int): Int = buf.getShort(
+        ((i.toLong * (n - 1)) / 64L).toInt * 2).toInt
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (probe(i) < probe(i + 1)) hash |= 1L << i
+        i += 1
+      }
+      java.lang.Long.valueOf(hash)
+    } finally in.close()
+  }
+}
+
+/** Deterministic small perturbation of a WAV payload: XOR the low bit
+  * of three seed-chosen PCM16 samples in place (the data chunk is
+  * located by RIFF walk, all other bytes untouched) — the audio
+  * sibling of [[PngPerturb]], planting near-duplicates whose exact
+  * byte fingerprint changes while [[AudioFp64]] moves at most 6 bits.
+  * NULL for payloads without a RIFF/WAVE data chunk.
+  */
+case class WavPerturb(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_perturb"
+
+  override def nullSafeEval(payload: Any, seed: Any): Any =
+    WavPerturb.compute(payload.asInstanceOf[Array[Byte]],
+      seed.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, s) => s"""
+      ${ev.value} = graft.functions.WavPerturb.compute($p, $s);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): WavPerturb =
+    copy(left = newLeft, right = newRight)
+}
+
+object WavPerturb {
+
+  /** Called from generated code; must stay public + static-shaped.
+    * Walks the RIFF chunk list for `data`; returns null when the bytes
+    * are not a RIFF/WAVE stream with one.
+    */
+  def compute(bytes: Array[Byte], seed: Long): Array[Byte] = {
+    if (bytes.length < 12 ||
+      bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' ||
+      bytes(3) != 'F' || bytes(8) != 'W' || bytes(9) != 'A' ||
+      bytes(10) != 'V' || bytes(11) != 'E') return null
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val len = buf.getInt(off + 4)
+      if (len < 0 || off + 8 + len > bytes.length) return null
+      if (id == "data") {
+        val n = len / 2
+        if (n == 0) return null
+        val out = java.util.Arrays.copyOf(bytes, bytes.length)
+        var i = 0
+        while (i < 3) {
+          val x = java.lang.Math.floorMod(
+            PngPerturb.mix(seed * 7919L + i), n.toLong).toInt
+          // low byte of the little-endian PCM16 sample
+          out(off + 8 + 2 * x) = (out(off + 8 + 2 * x) ^ 1).toByte
+          i += 1
+        }
+        return out
+      }
+      off += 8 + len + (len & 1)
+    }
+    null
+  }
+}
+
 object PngPerturb {
 
-  private def mix(z0: Long): Long = {
+  private[functions] def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL

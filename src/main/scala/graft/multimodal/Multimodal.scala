@@ -146,4 +146,29 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** 64-bit PERCEPTUAL fingerprint of an audio payload (NULL for
+    * non-audio bytes): waveform shape, not file bytes. See
+    * [[graft.functions.AudioFp64]].
+    */
+  def audioFingerprint(payload: Column): Column =
+    graft.functions.GraftFunctions.audioFp64(payload)
+
+  /** Near-duplicate AUDIO pairs by perceptual fingerprint — the audio
+    * sibling of [[imageNearDupPairs]]. 8-bit chunk banding (8 chunks →
+    * pigeonhole recall at Hamming ≤ 7) because the paired perturbation
+    * bound is 6 bits, wider than the image path's 3; the default
+    * threshold matches. Non-audio payloads fingerprint NULL and drop
+    * out, so the input can be a mixed media table.
+    */
+  def audioNearDupPairs(media: DataFrame, idCol: String,
+      payloadCol: String, maxHamming: Int = 7): DataFrame = {
+    graft.functions.GraftFunctions.register(media.sparkSession)
+    graft.dedup.Dedup.hammingCandidates(
+      media.select(col(idCol).as("doc_id"),
+        audioFingerprint(col(payloadCol)).as("fp")),
+      chunkBits = 8)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

@@ -570,6 +570,35 @@ private[queries] object TierCPipeline {
       M.imageNearDupPairs(images.unionByName(variants),
         "media_id", "payload")
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Perceptual AUDIO near-dup — the audio sibling of
+    // q_image_neardup: planted wav_perturb copies (3 PCM sample
+    // low-bit edits — a different exact byte fingerprint, the same
+    // waveform) recovered by the amplitude-probe fingerprint under
+    // 8-bit chunk banding. The recall here is PROVABLE, not
+    // statistical: 3 edits move the fingerprint at most 6 bits
+    // (each edited sample feeds at most 2 probe comparisons) and
+    // 8 chunks pigeonhole-guarantee every Hamming <= 7 pair a
+    // shared chunk. The corpus payloads are pure tones, so
+    // CLOSE-FREQUENCY tone pairs also land under the threshold —
+    // same-pitch audio pairing up is the perceptual fingerprint
+    // working as intended, and the output stays deterministic.
+    // Rows-only (JDK audio parsing not expressible in DuckDB);
+    // MultimodalSpec pins determinism, the edit bound, and
+    // guaranteed planted-pair recall.
+    "q_audio_neardup" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val audios = M.mediaFromDocs(Tables.documents(s, d))
+        .filter(col("media_type") === "audio" && col("media_id") < 3000)
+        .select(col("media_id"), col("payload"))
+      val variants = audios.filter(col("media_id") % 6 === 1)
+        .select((col("media_id") + lit(1000000L)).as("media_id"),
+          graft.functions.GraftFunctions
+            .wavPerturb(col("payload"), col("media_id")).as("payload"))
+      M.audioNearDupPairs(audios.unionByName(variants),
+        "media_id", "payload")
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 

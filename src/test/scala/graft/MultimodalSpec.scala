@@ -296,4 +296,59 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val planted = (0L until n by 3).map(s => (s, s + 1000L)).toSet
     assert(pairs === planted)
   }
+
+  test("audio_fp64: deterministic, matches the sequential compute, " +
+      "NULL for image bytes and sub-65-sample clips") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val out = (0L until 40L).toDF("seed")
+      .select($"seed", graft.functions.GraftFunctions.audioFp64(
+        graft.functions.GraftFunctions.wavEncode($"seed")).as("fp"))
+      .collect()
+    out.foreach { r =>
+      val expected = graft.functions.AudioFp64
+        .compute(graft.functions.WavEncode.compute(r.getLong(0)))
+      assert(r.getLong(1) === expected.longValue(), s"seed ${r.getLong(0)}")
+    }
+    val pngFp = Seq(3L).toDF("seed")
+      .select(graft.functions.GraftFunctions.audioFp64(
+        graft.functions.GraftFunctions.pngEncode($"seed")).as("fp"))
+      .collect()
+    assert(pngFp.head.isNullAt(0))
+  }
+
+  test("wav_perturb: bytes change, the waveform fingerprint moves at " +
+      "most the PROVEN 6-bit bound, and planted pairs are always " +
+      "recovered (pigeonhole recall at 8-bit chunks)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val n = 60L
+    val audios = (0L until n).toDF("seed")
+      .select($"seed".as("media_id"),
+        graft.functions.GraftFunctions.wavEncode($"seed").as("payload"))
+    val variants = audios.filter($"media_id" % 3 === 0)
+      .select(($"media_id" + 1000L).as("media_id"),
+        graft.functions.GraftFunctions
+          .wavPerturb($"payload", $"media_id").as("payload"))
+    val joined = audios.as("a").join(variants.as("b"),
+      col("a.media_id") + 1000L === col("b.media_id"))
+    // exact byte fingerprints always diverge …
+    assert(joined.filter(
+      M.payloadFingerprint(col("a.payload")) ===
+        M.payloadFingerprint(col("b.payload"))).count() === 0L)
+    // … while the perceptual fingerprint moves within the edit bound
+    val hams = joined.select(bit_count(
+      M.audioFingerprint(col("a.payload")).bitwiseXOR(
+        M.audioFingerprint(col("b.payload")))).as("ham"))
+      .collect().map(_.getInt(0))
+    assert(hams.nonEmpty && hams.forall(_ <= 6))
+    // recall is guaranteed: every planted pair appears (close-frequency
+    // tone pairs may ALSO appear — same-pitch audio pairing up is the
+    // fingerprint working, so this asserts containment, not equality)
+    val pairs = M.audioNearDupPairs(audios.unionByName(variants),
+      "media_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until n by 3).map(s => (s, s + 1000L)).toSet
+    assert(planted.subsetOf(pairs))
+  }
 }
