@@ -93,6 +93,14 @@ object GraftFunctions {
   def wavPerturb(payload: Column, seed: Column): Column =
     call_function("wav_perturb", payload, seed)
 
+  /** Canonical NFC composition of a string (see [[NfcNormalize]]). */
+  def nfcNormalize(text: Column): Column =
+    call_function("nfc_normalize", text)
+
+  /** Combining-mark removal — "Café" → "Cafe" (see [[StripAccents]]). */
+  def stripAccents(text: Column): Column =
+    call_function("strip_accents", text)
+
   /** Register all graft SQL functions on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     SimHash.register(spark)
@@ -104,5 +112,6 @@ object GraftFunctions {
     AudioCodec.register(spark)
     VideoCodec.register(spark)
     PerceptualHash.register(spark)
+    UnicodeNorm.register(spark)
   }
 }

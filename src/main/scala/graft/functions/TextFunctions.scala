@@ -109,6 +109,32 @@ object TextFunctions {
       regexp_replace(text, emailPattern, "<EMAIL>"),
       ssnPattern, "<ID>")
 
+  /** The accented probe suffix `q_text_normalize` plants on every row
+    * (the corpus itself is ASCII, where normalization is the
+    * identity): composed accents, DECOMPOSED accents (e + combining
+    * acute — NFC must recompose them), uppercase umlauts for the
+    * casefold stage, and the non-decomposable letters ñ-adjacent
+    * pipelines get wrong (ø, ß pass strip_accents unchanged; ñ loses
+    * its tilde). One Scala constant interpolates into BOTH the Spark
+    * plan and the DuckDB oracle, so the two can never drift. (No
+    * Turkish İ: Java and utf8proc disagree on its lowercase — the one
+    * documented divergence.)
+    */
+  val accentProbe: String =
+    " Caf\u00e9 na\u00efve re\u0301sume\u0301 " + // composed; decomposed e+U+0301
+      "\u00dcBERM\u00c4SSIG \u00f1 \u00f8 \u00df" // UEBERMAESSIG n-tilde o-slash sharp-s
+
+  /** Canonical NFC composition (codegen'd [[NfcNormalize]]). */
+  def nfc(text: Column): Column = GraftFunctions.nfcNormalize(text)
+
+  /** Combining-mark removal (codegen'd [[StripAccents]]). */
+  def stripAccents(text: Column): Column =
+    GraftFunctions.stripAccents(text)
+
+  /** The full normalization pipeline: compose, de-accent, casefold. */
+  def normalizeText(text: Column): Column =
+    lower(stripAccents(nfc(text)))
+
   /** `n`-word shingles, the unit for MinHash/Jaccard near-dup detection —
     * the codegen'd [[Shingles]] kernel (the higher-order formulation is
     * interpreted and re-evaluates the token split per branch, ~50×

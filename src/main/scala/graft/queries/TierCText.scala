@@ -263,6 +263,28 @@ private[queries] object TierCText {
           sum(col("n_tokens")).as("total_tokens"))
         .orderBy(col("lang"))),
 
+    // C20 — unicode normalization, the FIRST pass of a real ingestion
+    // pipeline (mixed NFC/NFD crawl text makes dedup, token counts and
+    // vocab all see phantom variants). The corpus is ASCII (where
+    // normalization is the identity), so every row plants the shared
+    // accentProbe — composed accents, decomposed e+U+0301 that NFC
+    // must recompose, umlauts for the casefold, and the
+    // non-decomposables (ø ß) that must PASS strip_accents — and the
+    // DuckDB twin (utf8proc nfc_normalize/strip_accents) hash-checks
+    // the full compose → de-accent → casefold pipeline byte-for-byte.
+    "q_text_normalize" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 20), lit(T.accentProbe))
+            .as("planted"))
+        .select(col("doc_id"),
+          length(col("planted")).cast(LongType).as("raw_len"),
+          length(T.nfc(col("planted"))).cast(LongType).as("nfc_len"),
+          T.normalizeText(col("planted")).as("normalized"))
+        .orderBy(col("doc_id"))
+    }),
+
     // C19 — bigram-LM document scoring (CCNet, Wenzek 2020): train a
     // Laplace-smoothed bigram model on the trusted `lang='en'` slice,
     // score every candidate document's familiarity under it. The
@@ -448,6 +470,17 @@ private[queries] object TierCText {
         "regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS w " +
         "FROM documents) GROUP BY w))) " +
         "GROUP BY 1, 2 ORDER BY pair_cnt DESC, l, r LIMIT 20"),
+
+    // the probe literal interpolates from TextFunctions.accentProbe —
+    // the SAME string the Spark plan plants, so the two cannot drift
+    "q_text_normalize" ->
+      ("WITH t AS (SELECT doc_id, substr(text, 1, 20) || " +
+        s"'${T.accentProbe}' AS planted FROM documents " +
+        "WHERE doc_id < 300) " +
+        "SELECT doc_id, CAST(LENGTH(planted) AS BIGINT) AS raw_len, " +
+        "CAST(LENGTH(nfc_normalize(planted)) AS BIGINT) AS nfc_len, " +
+        "lower(strip_accents(nfc_normalize(planted))) AS normalized " +
+        "FROM t ORDER BY doc_id"),
 
     // bigram construction mirrors the q_repetition_filter CTE (whole
     // text as the single "bigram" under 2 tokens — the Shingles kernel

@@ -76,6 +76,31 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(one[Long](T.subTokenCount($"text"), "ab12-cd") == 4L)
   }
 
+  test("nfc_normalize composes, strip_accents de-accents but keeps " +
+      "non-decomposables, normalizeText chains with casefold") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // decomposed e + combining acute \u2192 one composed codepoint
+    assert(one[String](T.nfc($"text"), "re\u0301sume\u0301") ===
+      "r\u00e9sum\u00e9")
+    // ASCII fast path is the identity
+    assert(one[String](T.nfc($"text"), "plain ascii") === "plain ascii")
+    assert(one[String](T.stripAccents($"text"),
+      "Caf\u00e9 na\u00efve \u00f1") === "Cafe naive n")
+    // \u00f8 and \u00df do NOT decompose \u2014 they must survive accent stripping
+    assert(one[String](T.stripAccents($"text"), "\u00f8 \u00df") ===
+      "\u00f8 \u00df")
+    assert(one[String](T.normalizeText($"text"),
+      "\u00dcBERM\u00c4SSIG re\u0301sume\u0301") ===
+      "ubermassig resume")
+    // normalization-variant dedup: NFC and NFD spellings of one word
+    // hash identically after normalizeText
+    val forms = Seq("r\u00e9sum\u00e9", "re\u0301sume\u0301")
+      .toDF("text").select(T.normalizeText($"text").as("n"))
+      .distinct().count()
+    assert(forms === 1L)
+  }
+
   test("shingles on a non-array child fails at analysis, not runtime") {
     import spark.implicits._
     import org.apache.spark.sql.functions.call_function
