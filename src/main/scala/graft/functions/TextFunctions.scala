@@ -135,6 +135,30 @@ object TextFunctions {
   def normalizeText(text: Column): Column =
     lower(stripAccents(nfc(text)))
 
+  /** Deterministic token masking for denoising-LM training pairs
+    * (BERT/T5-style corruption, id-derived instead of sampled so every
+    * run and engine builds the SAME pairs): token `i` of document `id`
+    * is masked iff `(id * 131 + i) % cycle < rate`. Returns the token
+    * array with masked positions replaced by `<mask>`; pair it with
+    * [[maskedTargets]] for the supervision side. Pure map-side lambda
+    * over the token array — no shuffle, linear in splits.
+    */
+  def maskTokens(id: Column, text: Column, rate: Int = 2,
+      cycle: Int = 10): Column =
+    transform(tokens(text),
+      (t, i) => when(pmod(id * lit(131L) + i, lit(cycle)) < rate,
+        lit("<mask>")).otherwise(t))
+
+  /** The masked-out tokens, in order — the target side of the
+    * denoising pair built by [[maskTokens]].
+    */
+  def maskedTargets(id: Column, text: Column, rate: Int = 2,
+      cycle: Int = 10): Column =
+    filter(
+      transform(tokens(text),
+        (t, i) => when(pmod(id * lit(131L) + i, lit(cycle)) < rate, t)),
+      x => x.isNotNull)
+
   /** `n`-word shingles, the unit for MinHash/Jaccard near-dup detection —
     * the codegen'd [[Shingles]] kernel (the higher-order formulation is
     * interpreted and re-evaluates the token split per branch, ~50×

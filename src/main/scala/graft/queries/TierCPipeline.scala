@@ -599,7 +599,26 @@ private[queries] object TierCPipeline {
       M.audioNearDupPairs(audios.unionByName(variants),
         "media_id", "payload")
         .orderBy(col("id_a"), col("id_b"))
-    })
+    }),
+
+    // Denoising-LM training pairs (BERT/T5-style token corruption):
+    // deterministic id-derived masking — token i of doc d masks iff
+    // (d*131 + i) % 10 < 2, a 20% rate — so every run and engine
+    // builds the SAME pairs (a sampled mask would be neither
+    // resumable nor oracle-checkable). inputs = the corrupted text,
+    // targets = the masked-out tokens in order. Pure map-side array
+    // lambdas over the token split; hash-checked end to end.
+    "q_mask_corruption" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          array_join(T.maskTokens(col("doc_id"), col("text")), " ")
+            .as("inputs"),
+          array_join(T.maskedTargets(col("doc_id"), col("text")), " ")
+            .as("targets"),
+          size(T.maskedTargets(col("doc_id"), col("text")))
+            .cast(LongType).as("n_masked"))
+        .orderBy(col("doc_id")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -643,6 +662,22 @@ private[queries] object TierCPipeline {
       ("SELECT lang, COUNT(*) AS n_docs, " +
         "CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM documents " +
         "WHERE doc_id < 100 GROUP BY lang ORDER BY lang"),
+    // the same (doc_id*131 + i) % 10 < 2 mask rule over 1-based list
+    // indexing (i-1 re-zero-bases it)
+    "q_mask_corruption" ->
+      ("WITH t AS (SELECT doc_id, list_filter(" +
+        "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents WHERE doc_id < 300), " +
+        "m AS (SELECT doc_id, " +
+        "list_transform(range(1, len(toks)+1), i -> CASE WHEN " +
+        "(doc_id * 131 + (i-1)) % 10 < 2 THEN '<mask>' " +
+        "ELSE toks[i] END) AS inp, " +
+        "list_transform(list_filter(range(1, len(toks)+1), i -> " +
+        "(doc_id * 131 + (i-1)) % 10 < 2), i -> toks[i]) AS tgt " +
+        "FROM t) " +
+        "SELECT doc_id, array_to_string(inp, ' ') AS inputs, " +
+        "array_to_string(tgt, ' ') AS targets, " +
+        "CAST(len(tgt) AS BIGINT) AS n_masked FROM m ORDER BY doc_id"),
     "q_data_mixture" ->
       ("SELECT lang, COUNT(*) AS kept_docs, " +
         "CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), " +

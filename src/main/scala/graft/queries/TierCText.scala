@@ -263,6 +263,42 @@ private[queries] object TierCText {
           sum(col("n_tokens")).as("total_tokens"))
         .orderBy(col("lang"))),
 
+    // C21 — distinctive vocabulary per language by PMI lift:
+    // lift(w, lang) = P(w|lang) / P(w) = (c_wl · N) / (c_w · N_l),
+    // the pointwise-mutual-information ranking behind every
+    // "characteristic terms of this source/domain" corpus report.
+    // Kept RATIONAL (two exact long products, one IEEE division — the
+    // BM25 rational-idf house rule: the log in textbook PMI is
+    // monotone, so the ranking is identical and the score is
+    // bit-exact across engines). One token explode feeds all four
+    // counts; totals ride broadcast 1-row/5-row frames; min-support
+    // c_wl >= 20 kills noise words. Top-5 per language by a rank
+    // window.
+    "q_pmi_terms" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), explode(T.tokens(col("text"))).as("w"))
+      val cwl = toks.groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("c_wl"))
+      val cw = cwl.groupBy(col("w")).agg(sum(col("c_wl")).as("c_w"))
+      val nl = cwl.groupBy(col("lang")).agg(sum(col("c_wl")).as("n_l"))
+      val n = cw.agg(sum(col("c_w")).as("n"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("lift").desc, col("w"))
+      cwl.filter(col("c_wl") >= 20)
+        .join(cw, "w")
+        .join(broadcast(nl), "lang")
+        .crossJoin(broadcast(n))
+        .withColumn("lift",
+          (col("c_wl") * col("n")).cast(DoubleType) /
+            (col("c_w") * col("n_l")).cast(DoubleType))
+        .withColumn("rn", row_number().over(win))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("w").as("term"), col("c_wl"),
+          col("c_w"), col("lift"))
+        .orderBy(col("lang"), col("lift").desc, col("term"))
+    }),
+
     // C20 — unicode normalization, the FIRST pass of a real ingestion
     // pipeline (mixed NFC/NFD crawl text makes dedup, token counts and
     // vocab all see phantom variants). The corpus is ASCII (where
@@ -470,6 +506,29 @@ private[queries] object TierCText {
         "regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS w " +
         "FROM documents) GROUP BY w))) " +
         "GROUP BY 1, 2 ORDER BY pair_cnt DESC, l, r LIMIT 20"),
+
+    // the same exact-integer lift over the same explode; SUM(...)
+    // casts pin DuckDB's HUGEINT sums back to the engine's longs
+    "q_pmi_terms" ->
+      ("WITH toks AS (SELECT lang, unnest(list_filter(" +
+        "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) " +
+        "AS w FROM documents), " +
+        "cwl AS (SELECT lang, w, COUNT(*) AS c_wl FROM toks " +
+        "GROUP BY lang, w), " +
+        "cw AS (SELECT w, CAST(SUM(c_wl) AS BIGINT) AS c_w FROM cwl " +
+        "GROUP BY w), " +
+        "nl AS (SELECT lang, CAST(SUM(c_wl) AS BIGINT) AS n_l FROM cwl " +
+        "GROUP BY lang), " +
+        "n AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM cw), " +
+        "sc AS (SELECT cwl.lang, cwl.w, cwl.c_wl, cw.c_w, " +
+        "CAST(cwl.c_wl * n.n AS DOUBLE) / " +
+        "CAST(cw.c_w * nl.n_l AS DOUBLE) AS lift " +
+        "FROM cwl JOIN cw USING (w) JOIN nl ON cwl.lang = nl.lang " +
+        "CROSS JOIN n WHERE cwl.c_wl >= 20), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY lift DESC, w) AS rn FROM sc) " +
+        "SELECT lang, w AS term, c_wl, c_w, lift FROM r WHERE rn <= 5 " +
+        "ORDER BY lang, lift DESC, term"),
 
     // the probe literal interpolates from TextFunctions.accentProbe —
     // the SAME string the Spark plan plants, so the two cannot drift

@@ -101,6 +101,30 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(forms === 1L)
   }
 
+  test("maskTokens/maskedTargets: deterministic id-derived positions, " +
+      "inputs and targets partition the tokens, empty text is safe") {
+    import spark.implicits._
+    val out = Seq((0L, "a b c d e f g h i j k l"), (7L, ""), (3L, "x"))
+      .toDF("doc_id", "text")
+      .select($"doc_id",
+        T.maskTokens($"doc_id", $"text").as("inp"),
+        T.maskedTargets($"doc_id", $"text").as("tgt"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1), r.getSeq[String](2))).toMap
+    // doc 0: (0*131 + i) % 10 < 2 → positions 0,1,10,11 mask
+    assert(out(0L)._1 ===
+      Seq("<mask>", "<mask>", "c", "d", "e", "f", "g", "h", "i", "j",
+        "<mask>", "<mask>"))
+    assert(out(0L)._2 === Seq("a", "b", "k", "l"))
+    // masked positions + surviving tokens partition the original
+    assert(out(0L)._1.count(_ == "<mask>") === out(0L)._2.length)
+    // empty text → empty arrays, no phantom mask
+    assert(out(7L)._1 === Seq.empty[String])
+    assert(out(7L)._2 === Seq.empty[String])
+    // doc 3, token 0: (3*131 + 0) % 10 = 3 → unmasked
+    assert(out(3L)._1 === Seq("x") && out(3L)._2.isEmpty)
+  }
+
   test("shingles on a non-array child fails at analysis, not runtime") {
     import spark.implicits._
     import org.apache.spark.sql.functions.call_function
