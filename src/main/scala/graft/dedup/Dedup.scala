@@ -96,6 +96,112 @@ object Dedup {
       .select(col("content_hash"), col(idCol))
   }
 
+  // ---- chunk-level (line/paragraph) dedup --------------------------------
+
+  /** Fixed token-budget segmentation as one map-side array expression:
+    * `array<struct<chunk_idx, chunk_text, chunk_tokens>>`, tail chunk
+    * short, zero-token text → empty array (never a phantom chunk). The
+    * segmentation UNIT for [[chunkDedup]]/[[boilerplateStrip]] — the
+    * corpus carries no newlines, so the chunker plays the role line/
+    * paragraph boundaries play in C4/CCNet; swap the splitter and the
+    * operators below are line-level verbatim.
+    */
+  def chunkArray(text: Column, chunkLen: Int): Column = {
+    val toks = TextFunctions.tokens(text)
+    when(size(toks) > 0, transform(
+      sequence(lit(0),
+        ceil(size(toks) / lit(chunkLen.toDouble)).cast("int") - 1),
+      i => struct(
+        i.cast(LongType).as("chunk_idx"),
+        concat_ws(" ", slice(toks, i * chunkLen + 1, lit(chunkLen)))
+          .as("chunk_text"),
+        least(lit(chunkLen), size(toks) - i * chunkLen)
+          .cast(LongType).as("chunk_tokens"))))
+      .otherwise(array().cast(
+        "array<struct<chunk_idx:bigint,chunk_text:string,chunk_tokens:bigint>>"))
+  }
+
+  /** Corpus-wide FIRST-OCCURRENCE chunk dedup (the line-level exact
+    * dedup of C4/CCNet, at chunk granularity): a chunk survives iff no
+    * identical chunk appears earlier in corpus order (id, chunk_idx);
+    * each document is rebuilt from its surviving chunks in order.
+    * Returns (id, n_chunks, n_kept, clean_text) — clean_text is ""
+    * when every chunk of a document was seen before.
+    *
+    * Scale shape: the first-occurrence resolution shuffles ONLY
+    * (sha256, id, chunk_idx) — 48 bytes per chunk, never text — through
+    * one hash-keyed min-aggregate plus one equi-join on the hash; the
+    * surviving (id, chunk_idx) pairs fold to one int-array row per
+    * document, and reconstruction re-chunks the document MAP-SIDE and
+    * keeps the flagged indexes, so document text crosses the wire only
+    * in the final O(docs) join on the primary key. Ties are impossible
+    * (a (id, chunk_idx) key is unique), so min-struct is deterministic.
+    */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      chunkLen: Int = 16): DataFrame = {
+    val keys = docs
+      .select(col(idCol).as("_cd_id"),
+        explode(chunkArray(col(textCol), chunkLen)).as("c"))
+      .select(col("_cd_id"), col("c.chunk_idx"),
+        sha2(col("c.chunk_text"), 256).as("h"))
+    val firsts = keys.groupBy(col("h"))
+      .agg(min(struct(col("_cd_id"), col("chunk_idx"))).as("first"))
+    val kept = keys.join(firsts, "h")
+      .filter(struct(col("_cd_id"), col("chunk_idx")) === col("first"))
+      .groupBy(col("_cd_id"))
+      .agg(sort_array(collect_list(col("chunk_idx"))).as("_cd_kept"))
+    rebuildFromKept(docs, idCol, textCol, chunkLen, kept)
+  }
+
+  /** CCNet-style boilerplate removal: drop every chunk whose DISTINCT-
+    * document frequency reaches `minDocs` (navigation bars, license
+    * footers, template headers — content that repeats ACROSS documents,
+    * which first-occurrence dedup would keep once). Returns the same
+    * (id, n_chunks, n_kept, clean_text) shape as [[chunkDedup]].
+    *
+    * Scale shape: the doc-frequency pass shuffles hashes only; the hot
+    * set is by definition a tiny fraction of distinct chunks (broadcast
+    * it when small, semi-join on the 32-byte hash otherwise — the form
+    * below lets AQE pick), and survivors rebuild map-side exactly as in
+    * [[chunkDedup]].
+    */
+  def boilerplateStrip(docs: DataFrame, idCol: String, textCol: String,
+      chunkLen: Int = 16, minDocs: Int = 3): DataFrame = {
+    val keys = docs
+      .select(col(idCol).as("_cd_id"),
+        explode(chunkArray(col(textCol), chunkLen)).as("c"))
+      .select(col("_cd_id"), col("c.chunk_idx"),
+        sha2(col("c.chunk_text"), 256).as("h"))
+    val hot = keys.groupBy(col("h"))
+      .agg(countDistinct(col("_cd_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("h"))
+    val kept = keys.join(hot, Seq("h"), "left_anti")
+      .groupBy(col("_cd_id"))
+      .agg(sort_array(collect_list(col("chunk_idx"))).as("_cd_kept"))
+    rebuildFromKept(docs, idCol, textCol, chunkLen, kept)
+  }
+
+  /** Shared reconstruction tail: attach each document's surviving
+    * chunk-index array (absent row = nothing survived) and rebuild the
+    * cleaned text by re-chunking map-side — the only join that ever
+    * sees text, O(docs) rows on the primary key.
+    */
+  private def rebuildFromKept(docs: DataFrame, idCol: String,
+      textCol: String, chunkLen: Int, kept: DataFrame): DataFrame = {
+    val keptIdx = coalesce(col("_cd_kept"),
+      array().cast("array<bigint>"))
+    docs
+      .select(col(idCol), chunkArray(col(textCol), chunkLen).as("chs"))
+      .join(kept, col(idCol) === col("_cd_id"), "left")
+      .select(col(idCol),
+        size(col("chs")).cast(LongType).as("n_chunks"),
+        size(keptIdx).cast(LongType).as("n_kept"),
+        concat_ws(" ", transform(
+          filter(col("chs"), c => array_contains(keptIdx, c("chunk_idx"))),
+          c => c("chunk_text"))).as("clean_text"))
+  }
+
   /** Incremental NEAR-dup dedup against a persisted MinHash signature
     * index — the fuzzy sibling of [[incrementalExact]]: each arriving
     * batch is deduped against every doc ADMITTED before it (exact

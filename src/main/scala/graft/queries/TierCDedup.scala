@@ -358,7 +358,30 @@ private[queries] object TierCDedup {
         .select(col("cluster_id"), col("n_members"),
           col("doc_id").as("best_doc"), col("quality").as("best_quality"))
         .orderBy(col("cluster_id"))
-    })
+    }),
+
+    // C1g — chunk-level first-occurrence dedup (the C4/CCNet
+    // line-dedup move at 16-token chunk granularity — the corpus
+    // carries no newlines, so the chunker IS the line boundary): a
+    // chunk survives iff no identical chunk appears earlier in
+    // (doc_id, chunk_idx) corpus order, and each document is rebuilt
+    // from its survivors. Resolution shuffles (sha256, id, idx) only
+    // — 48 B/chunk, never text; reconstruction re-chunks map-side and
+    // the one text-bearing join is O(docs) on the primary key.
+    "q_chunk_dedup" -> ((s, d) =>
+      Dedup.chunkDedup(Tables.documents(s, d), "doc_id", "text", 16)
+        .orderBy(col("doc_id"))),
+
+    // C1h — CCNet boilerplate strip: drop every chunk whose
+    // DISTINCT-document frequency reaches 3 (template headers /
+    // footers repeat ACROSS documents — first-occurrence dedup would
+    // keep one copy; this removes all of them). Same rebuild tail as
+    // q_chunk_dedup; the hot set is tiny by definition and prunes
+    // via a hash-keyed anti-join.
+    "q_boilerplate_strip" -> ((s, d) =>
+      Dedup.boilerplateStrip(Tables.documents(s, d), "doc_id", "text",
+        16, 3)
+        .orderBy(col("doc_id")))
   )
 
   /** Shared by q_entity_clusters AND q_entity_incremental — the
@@ -526,6 +549,53 @@ private[queries] object TierCDedup {
         "AS n_members, row_number() OVER (PARTITION BY cluster_id " +
         "ORDER BY quality DESC, doc_id) AS rn FROM m) " +
         "SELECT cluster_id, n_members, doc_id AS best_doc, " +
-        "quality AS best_quality FROM r WHERE rn = 1 ORDER BY cluster_id")
+        "quality AS best_quality FROM r WHERE rn = 1 ORDER BY cluster_id"),
+
+    // the same 16-token chunker; first occurrence = row_number over
+    // (doc_id, chunk_idx) order, rebuild = ordered string_agg
+    "q_chunk_dedup" ->
+      (chunkCte +
+        "k AS (SELECT doc_id, chunk_idx, chunk_text, row_number() " +
+        "OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) " +
+        "AS rn FROM ch), " +
+        "s AS (SELECT doc_id, COUNT(*) AS n_kept, " +
+        "string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text " +
+        "FROM k WHERE rn = 1 GROUP BY doc_id) " +
+        chunkRebuildSql),
+
+    // identical chunker + rebuild; the kept set is instead every chunk
+    // OUTSIDE the >= 3-distinct-doc hot set
+    "q_boilerplate_strip" ->
+      (chunkCte +
+        "hot AS (SELECT chunk_text FROM ch GROUP BY 1 " +
+        "HAVING COUNT(DISTINCT doc_id) >= 3), " +
+        "s AS (SELECT doc_id, COUNT(*) AS n_kept, " +
+        "string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text " +
+        "FROM ch WHERE chunk_text NOT IN (SELECT chunk_text FROM hot) " +
+        "GROUP BY doc_id) " +
+        chunkRebuildSql)
   )
+
+  /** The 16-token chunker both chunk-granularity curation oracles
+    * share — the SQL twin of [[Dedup.chunkArray]] (1-based DuckDB list
+    * slicing re-zero-based via `i*16+1`).
+    */
+  private def chunkCte: String =
+    "WITH t AS (SELECT doc_id, list_filter(" +
+      "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') " +
+      "AS toks FROM documents), " +
+      "ch AS (SELECT doc_id, i AS chunk_idx, " +
+      "array_to_string(toks[(i*16+1):(i*16+16)], ' ') AS chunk_text " +
+      "FROM t, unnest(range(0, CAST(ceil(len(toks)/16.0) AS INT))) " +
+      "AS u(i) WHERE len(toks) > 0), "
+
+  /** Shared rebuild tail: every document reports its chunk count and
+    * whatever the query's `s` CTE kept (absent row = nothing kept).
+    */
+  private def chunkRebuildSql: String =
+    "SELECT t.doc_id, CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE " +
+      "ceil(len(toks)/16.0) END AS BIGINT) AS n_chunks, " +
+      "CAST(COALESCE(s.n_kept, 0) AS BIGINT) AS n_kept, " +
+      "COALESCE(s.clean_text, '') AS clean_text " +
+      "FROM t LEFT JOIN s USING (doc_id) ORDER BY t.doc_id"
 }

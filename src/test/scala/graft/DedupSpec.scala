@@ -280,4 +280,39 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
         trainPct = 90, valPct = 10)
     }
   }
+
+  test("chunkDedup: first occurrence survives, later copies drop, " +
+      "docs rebuild in chunk order; boilerplateStrip removes ALL copies") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // chunkLen=2 → doc 1: [a b][c d], doc 2: [a b][x y], doc 3: [a b][a b]
+    // (within-doc repeat), doc 4: "" (no chunks), doc 5: [c d] (whole doc
+    // duplicates doc 1's second chunk)
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "a b a b"),
+      (4L, ""), (5L, "c d")).toDF("doc_id", "text")
+    val dd = Dedup.chunkDedup(docs, "doc_id", "text", chunkLen = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(dd(1L) === ((2L, 2L, "a b c d")))      // first doc keeps all
+    assert(dd(2L) === ((2L, 1L, "x y")))          // "a b" seen in doc 1
+    assert(dd(3L) === ((2L, 0L, "")))             // both chunks seen before
+    assert(dd(4L) === ((0L, 0L, "")))             // empty text, no chunks
+    assert(dd(5L) === ((1L, 0L, "")))             // whole doc was a dup
+    // tail chunk short: 3 tokens at chunkLen=2 → chunks [a b][c]
+    val tail = Dedup.chunkDedup(
+      Seq((9L, "p q r")).toDF("doc_id", "text"), "doc_id", "text", 2)
+      .collect().head
+    assert(tail.getLong(1) === 2L && tail.getString(3) === "p q r")
+    // boilerplate at minDocs=3: "a b" is in docs 1,2,3 → stripped from
+    // ALL of them (dedup kept doc 1's copy); "c d" (2 docs) survives
+    val bp = Dedup.boilerplateStrip(docs, "doc_id", "text",
+      chunkLen = 2, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(bp(1L) === ((1L, "c d")))
+    assert(bp(2L) === ((1L, "x y")))
+    assert(bp(3L) === ((0L, "")))
+    assert(bp(5L) === ((1L, "c d")))              // copies, not distinct docs
+  }
 }
