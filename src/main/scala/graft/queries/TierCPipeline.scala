@@ -618,7 +618,31 @@ private[queries] object TierCPipeline {
             .as("targets"),
           size(T.maskedTargets(col("doc_id"), col("text")))
             .cast(LongType).as("n_masked"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // PageRank over the part co-purchase graph (parts sharing an
+    // order), in EXACT integer arithmetic (operators/PageRank): ranks
+    // on a 1e-9 fixed-point grid, damping 85/100, 3 iterations — every
+    // op is a 64-bit integer op and the inbound sums are order-
+    // independent, so the run is bit-identical on any engine/partition
+    // count and the top-50 hash-checks where a float PageRank never
+    // could. The co-occurrence self-join is per-order (≤ items² per
+    // order, never corpus-wide); each iteration shuffles (long, long)
+    // pairs only.
+    "q_pagerank" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").cast(LongType).as("src"),
+          col("b.l_partkey").cast(LongType).as("dst"))
+        .distinct()
+      graft.operators.PageRank.run(edges, iters = 3)
+        .orderBy(col("rank").desc, col("id"))
+        .limit(50)
+        .select(col("id").as("part_id"), col("rank"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -805,6 +829,38 @@ private[queries] object TierCPipeline {
       ("SELECT doc_id AS media_id, CAST(8000 AS INTEGER) AS " +
         "sample_rate, CAST(200 + doc_id % 801 AS BIGINT) AS n_samples " +
         "FROM documents WHERE doc_id % 3 = 1 AND doc_id < 400 " +
-        "ORDER BY media_id")
+        "ORDER BY media_id"),
+
+    // the same integer recurrence, three unrolled CTE rounds; // is
+    // DuckDB floor division and the CASTs pin HUGEINT sums to longs
+    "q_pagerank" ->
+      ("WITH e AS (SELECT DISTINCT a.l_partkey AS src, " +
+        "b.l_partkey AS dst FROM lineitem a JOIN lineitem b " +
+        "ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey <> b.l_partkey), " +
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg " +
+        "FROM e GROUP BY src), " +
+        "n AS (SELECT DISTINCT src AS id FROM e), " +
+        "r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank FROM n), " +
+        "c1 AS (SELECT e.dst AS id, CAST(SUM(r0.rank // deg.outdeg) " +
+        "AS BIGINT) AS contrib FROM e JOIN deg USING (src) " +
+        "JOIN r0 ON r0.id = e.src GROUP BY e.dst), " +
+        "r1 AS (SELECT n.id, CAST((15000000000 + " +
+        "85 * COALESCE(c1.contrib, 0)) // 100 AS BIGINT) AS rank " +
+        "FROM n LEFT JOIN c1 USING (id)), " +
+        "c2 AS (SELECT e.dst AS id, CAST(SUM(r1.rank // deg.outdeg) " +
+        "AS BIGINT) AS contrib FROM e JOIN deg USING (src) " +
+        "JOIN r1 ON r1.id = e.src GROUP BY e.dst), " +
+        "r2 AS (SELECT n.id, CAST((15000000000 + " +
+        "85 * COALESCE(c2.contrib, 0)) // 100 AS BIGINT) AS rank " +
+        "FROM n LEFT JOIN c2 USING (id)), " +
+        "c3 AS (SELECT e.dst AS id, CAST(SUM(r2.rank // deg.outdeg) " +
+        "AS BIGINT) AS contrib FROM e JOIN deg USING (src) " +
+        "JOIN r2 ON r2.id = e.src GROUP BY e.dst), " +
+        "r3 AS (SELECT n.id, CAST((15000000000 + " +
+        "85 * COALESCE(c3.contrib, 0)) // 100 AS BIGINT) AS rank " +
+        "FROM n LEFT JOIN c3 USING (id)) " +
+        "SELECT id AS part_id, rank FROM r3 " +
+        "ORDER BY rank DESC, id LIMIT 50")
   )
 }

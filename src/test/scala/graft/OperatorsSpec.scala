@@ -398,4 +398,28 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("PageRank: exact integer recurrence on a hand-computed path " +
+      "graph; endpoints symmetric; bad damping refused") {
+    import spark.implicits._
+    import graft.operators.PageRank
+    // path graph 1 - 2 - 3 (symmetric edges): outdeg 1,2,1
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    // iter1: c(2)=1e9+1e9, c(1)=c(3)=5e8
+    //   r1 = (15e9 + 85*c) div 100 -> 575e6 / 1.85e9 / 575e6
+    // iter2: c(2)=2*575e6, c(1)=c(3)=925e6
+    //   r2 -> 936,250,000 / 1,127,500,000 / 936,250,000
+    val r = PageRank.run(edges, iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 936250000L, 2L -> 1127500000L,
+      3L -> 936250000L))
+    // symmetric endpoints agree exactly (a float PageRank would only
+    // agree within rounding)
+    assert(r(1L) === r(3L))
+    intercept[IllegalArgumentException] { PageRank.run(edges, 0) }
+    intercept[IllegalArgumentException] {
+      PageRank.run(edges, 1, dampNum = 100, dampDen = 100)
+    }
+  }
 }

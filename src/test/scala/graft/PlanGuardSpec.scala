@@ -27,7 +27,13 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_bm25_topk",         // 1-row corpus-stats crossJoin
     "q_bm25_incremental",  // 1-row corpus-stats crossJoin (rollup)
     "q_hybrid_search",     // inherits both runs' 1-row crossJoins
-    "q_subquery_scalar")   // 1-row broadcast scalar-threshold aggregate
+    "q_subquery_scalar",   // 1-row broadcast scalar-threshold aggregate
+    "q_pmi_terms",         // 1-row broadcast corpus-total aggregate
+    "q_lm_score",          // 1-row broadcast vocabulary-size aggregate
+    "q_hard_negatives")    // bounded anchor-batch broadcast (k rows,
+                           // a training batch — never the corpus);
+                           // both appear only on a cold artifact cache
+                           // (a warm run serves the persisted table)
 
   /** Queries whose plan legitimately contains an UNPARTITIONED window:
     * the window's input is already metadata-sized (never the data).
