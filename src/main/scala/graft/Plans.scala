@@ -393,7 +393,26 @@ object Plans {
       "the corpus scan; one equi-join on doc_id and one window " +
       "argmax partitioned BY CLUSTER — the shuffle carries " +
       "(doc_id, cluster_id, double), and no partition exceeds the " +
-      "largest near-dup cluster."))
+      "largest near-dup cluster."),
+    "q_pagerank" -> ("Integer-exact PageRank: degrees attach to the " +
+      "edge list once (one aggregate + one equi-join on src); each " +
+      "iteration is one src equi-join + one dst hash aggregate, so " +
+      "the per-iteration shuffle carries (long, long) pairs only — " +
+      "no payloads, no cartesian shapes, and the co-occurrence " +
+      "self-join keys on l_orderkey (per-order pairs, never " +
+      "corpus-wide)."),
+    "q_chunk_dedup" -> ("Chunk-level first-occurrence dedup: the " +
+      "resolution side shuffles (sha256, doc_id, chunk_idx) — never " +
+      "chunk text; survivors fold to ONE int-array row per document, " +
+      "and the only text-bearing join is the final O(docs) equi-join " +
+      "on the primary key, where the rebuild is a map-side array " +
+      "filter over the re-chunked tokens."),
+    "q_pmi_terms" -> ("PMI-lift distinctive terms: ONE token explode " +
+      "feeds the (lang, w) count, whose re-aggregations produce the " +
+      "word and language totals — no second corpus scan; the 5-row " +
+      "language totals and the 1-row corpus total BROADCAST, the " +
+      "min-support filter prunes before the word-total join, and " +
+      "the rank window partitions BY LANGUAGE."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
