@@ -66,6 +66,14 @@ object EntityResolution {
   private def freqPath(root: String) = s"$root/gramfreq"
   private def tablePath(root: String) = s"$root/postings"
 
+  /** Probe-list collect cap: past this many distinct prefix grams the
+    * bucket-pruned point probe degrades to a full bucket scan (see the
+    * fallback in [[resolveBatch]]) — a batch that large touches most
+    * bucket families anyway, and the driver never holds an unbounded
+    * gram list.
+    */
+  val MaxProbeGrams: Long = 100000L
+
   /** q-grams of `s` (len >= q), or the sentinel whole-string "gram"
     * for shorter strings — every record gets at least one posting row.
     */
@@ -130,18 +138,28 @@ object EntityResolution {
       case None =>
         import spark.implicits._
         Seq.empty[(Long, Long)].toDF("id_b", "ent")
-      case Some(_) =>
+      case Some(snapshot) =>
         // probe list: the batch's distinct prefix grams — the
         // documented driver hop, bounded by (q·d+1)·|batch| short
-        // strings (grams, never payloads)
-        val probeGrams = pfx.select(col("gram")).distinct()
-          .collect().map(r => Seq[Any](r.getString(0))).toSeq
-        if (probeGrams.isEmpty) {
+        // strings (grams, never payloads). Past MaxProbeGrams the
+        // collect stops paying for itself (the probe would touch most
+        // bucket families anyway, and a huge batch's gram list strains
+        // the driver), so the probe degrades to the full bucket scan —
+        // the equi-join on gram below keeps correctness either way;
+        // pruning is an optimization, never a semantic.
+        val nProbe = pfx.select(col("gram")).distinct().count()
+        if (nProbe == 0) {
           import spark.implicits._
           Seq.empty[(Long, Long)].toDF("id_b", "ent")
         } else {
-        val probed = CdcApply.scanByBucketValues(spark, tablePath(root),
-          probeGrams).get
+        val probedRaw =
+          if (nProbe <= MaxProbeGrams) {
+            val probeGrams = pfx.select(col("gram")).distinct()
+              .collect().map(r => Seq[Any](r.getString(0))).toSeq
+            CdcApply.scanByBucketValues(spark, tablePath(root),
+              probeGrams).get
+          } else snapshot
+        val probed = probedRaw
           .select(col("gram"), col("id").as("iid"),
             col("len").as("ilen"), col("s").as("is"),
             col("entity_id").as("ent"))
@@ -157,8 +175,7 @@ object EntityResolution {
         // EQUI-join by exploding the batch side into its 2d+1
         // admissible partner lengths (the selfJoin candShort shape —
         // a hash join, never a nested loop).
-        val idxNearShort = CdcApply.readSnapshot(spark, tablePath(root))
-          .get.filter(col("len") < minLong + d)
+        val idxNearShort = snapshot.filter(col("len") < minLong + d)
           .select(col("id").as("iid"), col("len").as("ilen"),
             col("s").as("is"), col("entity_id").as("ent"))
           .distinct()
@@ -191,22 +208,33 @@ object EntityResolution {
 
     // ---- entity merges FIRST (idempotent; min ids merge-invariant):
     // a prior entity whose id is not its component's minimum rewrites
-    // to the survivor through the ordinary predicate-update path ----
-    val merges = matches.join(comp.withColumnRenamed("id", "id_b"),
+    // to the survivor. The merge map stays a DATAFRAME end-to-end: the
+    // victims join it broadcast (a batch with 10⁴ merges is one tiny
+    // hash join, where a collected when-chain would build a 10⁴-deep
+    // expression tree and blow up the analyzer), and the rewritten
+    // rows re-upsert through the ordinary apply path at the batch's
+    // reserved EVEN slot (2·batchId) — deterministic across retries
+    // where updateWhere's head+1 auto-slot was only accidentally so.
+    // On re-delivery the merge map recomputes empty against the
+    // already-merged index, so the slot goes unused and the replay is
+    // a no-op either way. ----
+    val mergeMap = matches.join(comp.withColumnRenamed("id", "id_b"),
         Seq("id_b"))
-      .select(col("ent"), col("cluster_id"))
-      .filter(col("ent") =!= col("cluster_id"))
+      .select(col("ent").as("ent_from"), col("cluster_id").as("ent_to"))
+      .filter(col("ent_from") =!= col("ent_to"))
       .distinct()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
-    if (merges.nonEmpty) {
-      val target = merges.tail.foldLeft(
-        when(col("entity_id") === merges.head._1, lit(merges.head._2))) {
-        case (acc, (from, to)) =>
-          acc.when(col("entity_id") === from, lit(to))
-      }.otherwise(col("entity_id"))
-      CdcApply.updateWhere(spark, tablePath(root),
-        col("entity_id").isin(merges.map(_._1): _*),
-        Map("entity_id" -> target), commitTs = Some(batchId))
+      .localCheckpoint(true)
+    if (!mergeMap.isEmpty) {
+      val snap = CdcApply.readSnapshot(spark, tablePath(root)).get
+      val diff = snap
+        .join(broadcast(mergeMap), col("entity_id") === col("ent_from"))
+        .select(col("gram"), col("id"), col("len"), col("s"),
+          col("ent_to").as("entity_id"),
+          (col("version") + lit(1L)).as("version"))
+      CdcApply.applyBatch(diff, 2 * batchId, tablePath(root),
+        Seq("gram", "id"), "version", None, numBuckets = 16,
+        bucketCols = Some(Seq("gram")), maxDeltas = 4,
+        commitTs = Some(batchId))
     }
 
     // ---- append the batch's postings (replay-guarded). Appends own

@@ -49,8 +49,15 @@ object Sampling {
   def prioritySample(df: DataFrame, idCol: String, weight: Column,
       k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    df.withColumn("priority",
-        idUniform(col(idCol)) / weight.cast("double"))
+    val w = weight.cast("double")
+    // enforce the strictly-positive contract IN the plan: a negative
+    // weight would sort first (dominating the sample) and a zero weight
+    // yields Inf/NaN priorities — both silent skew; fail loudly instead
+    val checked = when(w > 0, w).otherwise(raise_error(concat(
+      lit("prioritySample: weight must be strictly positive, got "),
+      coalesce(w.cast("string"), lit("NULL")),
+      lit(s" (row $idCol="), col(idCol).cast("string"), lit(")"))))
+    df.withColumn("priority", idUniform(col(idCol)) / checked)
       .orderBy(col("priority"), col(idCol))
       .limit(k)
   }

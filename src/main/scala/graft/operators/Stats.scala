@@ -43,21 +43,61 @@ object Stats {
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
   }
 
-  // (sessionUUID, fq-table) -> analyzed location; re-analyze only when
-  // the location changes (a fresh sf dir), never per query invocation
+  // (sessionUUID, fq-table) -> analyzed (location + data fingerprint);
+  // re-analyze when the location OR the files under it change (a fresh
+  // sf dir, or the same dir rewritten in place), never per invocation
   private val analyzed = new ConcurrentHashMap[String, String]()
+
+  // 1- or 2-part SQL identifier of plain-identifier parts — the names
+  // this engine's queries use; anything else (quotes, spaces, hyphens)
+  // is refused rather than interpolated into DDL
+  private val FqRe = "[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?"
+
+  /** Driver-side fingerprint of the data under `location`: every file's
+    * (relative name, length, mtime) hashed — one FS listing, no scan.
+    * Same-location data rewritten in place changes the fingerprint, so
+    * the memo re-ANALYZEs instead of serving stale CBO stats.
+    */
+  private def fingerprint(spark: SparkSession, location: String): String = {
+    val p = new org.apache.hadoop.fs.Path(location)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return "absent"
+    val buf = new StringBuilder
+    def walk(d: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(d).sortBy(_.getPath.getName).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else buf.append(st.getPath.getName).append(':')
+          .append(st.getLen).append(':')
+          .append(st.getModificationTime).append(';')
+      }
+    walk(p)
+    java.util.UUID.nameUUIDFromBytes(
+      buf.toString.getBytes("UTF-8")).toString
+  }
 
   /** Register a parquet directory as catalog table `fq` and record
     * row/size + column statistics for `cols` — the Glue-crawler step,
-    * driven by the engine. Idempotent per (session, table, location):
-    * repeated calls from every declared query are one catalog probe,
-    * not one scan. Returns `fq`.
+    * driven by the engine. Idempotent per (session, table, location,
+    * data fingerprint): repeated calls from every declared query are
+    * one catalog probe + one FS listing, not one scan. Returns `fq`.
     */
   def registerAnalyzed(spark: SparkSession, fq: String, location: String,
       cols: Seq[String], histogram: Boolean = false): String =
     synchronized {
-      val key = System.identityHashCode(spark).toString + ":" + fq
-      if (analyzed.get(key) == location) return fq
+      require(fq.matches(FqRe),
+        s"table name '$fq' is not a plain 1- or 2-part SQL identifier")
+      require(!location.contains("'"),
+        s"location '$location' contains a quote — refusing to " +
+          "interpolate it into DDL")
+      // sessionUUID is private[sql] — public in bytecode (the same
+      // pragmatic seam as CdcChangelogSource's internalCreateDataFrame);
+      // unlike identityHashCode it can never collide or be reused by a
+      // GC'd session
+      val sessionId = spark.getClass.getMethod("sessionUUID")
+        .invoke(spark).toString
+      val key = sessionId + ":" + fq
+      val stamp = location + "#" + fingerprint(spark, location)
+      if (analyzed.get(key) == stamp) return fq
       spark.sql(s"DROP TABLE IF EXISTS $fq")
       spark.sql(s"CREATE TABLE $fq USING parquet LOCATION '$location'")
       spark.sql(s"ANALYZE TABLE $fq COMPUTE STATISTICS")
@@ -73,7 +113,7 @@ object Stats {
             cols.mkString(", "))
         finally spark.conf.set(conf, prev)
       }
-      analyzed.put(key, location)
+      analyzed.put(key, stamp)
       fq
     }
 

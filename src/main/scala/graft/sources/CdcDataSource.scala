@@ -289,7 +289,33 @@ private[sources] class CdcSink(spark: org.apache.spark.sql.SparkSession,
     root: String, parameters: Map[String, String], base: Long)
     extends Sink {
 
+  // Table head when THIS sink instance started. Epochs at or below it
+  // are checkpoint replays of batches a previous incarnation already
+  // committed — the replay guard's legitimate no-op. Epochs ABOVE it
+  // are new work this instance must genuinely apply, so if the head has
+  // meanwhile advanced past one (an interleaved deleteWhere/updateWhere
+  // auto-commit at head+1, a cdc_apply at its default slot, another
+  // writer), applyBatch's replay guard would SILENTLY swallow the
+  // micro-batch as a replay — silent data loss. The guard below turns
+  // that into a loud failure instead: DML must not interleave with an
+  // active cdc sink's batch-id range.
+  private val headAtStart: Long =
+    CdcApply.currentVersion(spark, root).getOrElse(-1L)
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val target = base + batchId
+    if (target > headAtStart) {
+      val head = CdcApply.currentVersion(spark, root).getOrElse(-1L)
+      if (head >= target)
+        throw new IllegalStateException(
+          s"cdc sink epoch $batchId maps to table batch $target of " +
+            s"$root, but the table head is already $head and this " +
+            "query never applied that epoch — an interleaved writer " +
+            "(deleteWhere/updateWhere/cdc_apply/another stream) took " +
+            "the slot, and applying would be silently swallowed by " +
+            "the replay guard. Stop interleaved DML while the sink " +
+            "runs, or restart with a baseBatchId above the intruder.")
+    }
     val schema = data.schema
     val rows = data.queryExecution.toRdd.mapPartitions { it =>
       val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
@@ -297,7 +323,7 @@ private[sources] class CdcSink(spark: org.apache.spark.sql.SparkSession,
       it.map(ir => conv(ir.copy()).asInstanceOf[Row])
     }
     CdcDataSource.applyResolved(spark, root, parameters,
-      spark.createDataFrame(rows, schema), base + batchId)
+      spark.createDataFrame(rows, schema), target)
   }
 }
 

@@ -48,6 +48,23 @@ object DeltaInterop {
   private def versionFile(table: String, v: Long) =
     new Path(logDir(table), f"$v%020d.json")
 
+  /** Clear the debris a crash in the pre-commit window can leave for
+    * `version`: the data dir `v<version>/` and the log tmp file
+    * `.tmp-<version>`. Safe by construction — no committed log entry
+    * can reference either (the version is derived as head+1, so if the
+    * rename had landed the version would not be recomputed), and
+    * without this sweep a crashed export would make every retry fail
+    * permanently on `errorifexists`/`create(overwrite=false)`.
+    */
+  private def clearAborted(spark: SparkSession, table: String,
+      version: Long): Unit = {
+    val fs = CdcApply.fsFor(spark, table)
+    val dataDir = new Path(table, s"v$version")
+    if (fs.exists(dataDir)) fs.delete(dataDir, true)
+    val tmp = new Path(logDir(table), s".tmp-$version")
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+  }
+
   /** Live versions present in the log, ascending; empty = no table. */
   private def versions(spark: SparkSession, table: String): Seq[Long] = {
     val fs = CdcApply.fsFor(spark, table)
@@ -71,6 +88,7 @@ object DeltaInterop {
     val fs = CdcApply.fsFor(spark, deltaDir)
     val prior = versions(spark, deltaDir)
     val version = prior.lastOption.map(_ + 1L).getOrElse(0L)
+    clearAborted(spark, deltaDir, version)
     val rel = s"v$version"
     snap.write.mode("errorifexists")
       .parquet(new Path(deltaDir, rel).toString)
@@ -192,6 +210,7 @@ object DeltaInterop {
     if (changed.isEmpty && dropped.isEmpty && priorVs.nonEmpty)
       return None
     val version = priorVs.lastOption.map(_ + 1L).getOrElse(0L)
+    clearAborted(spark, deltaDir, version)
     // removals: the trusted state's files for the touched buckets, or
     // (self-heal path) EVERYTHING the log currently serves
     val removals: Seq[String] =
@@ -392,11 +411,18 @@ object DeltaInterop {
     require(vs.nonEmpty, s"no Delta log at $table")
     val fs = CdcApply.fsFor(spark, table)
     val live = readLiveFiles(spark, table, vs).toSet
+    val head = vs.max
     val dead = scala.collection.mutable.ArrayBuffer[String]()
     // data files live under the exporter's v<N>/ dirs only — never
-    // touch _delta_log or foreign layout conventions
+    // touch _delta_log or foreign layout conventions. Dirs ABOVE the
+    // log head are an in-flight export's uncommitted data (written
+    // before its log rename): deleting them would let a concurrent
+    // export commit a version referencing missing files, so vacuum
+    // skips them — they are either about to be committed or will be
+    // swept by that version's own clearAborted on the next retry.
     fs.listStatus(new Path(table)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .filter(_.getPath.getName.stripPrefix("v").toLong <= head)
       .foreach { dir =>
         def walk(p: Path): Unit =
           fs.listStatus(p).foreach { st =>

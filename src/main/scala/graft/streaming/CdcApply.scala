@@ -1453,11 +1453,14 @@ object CdcApply {
     * bucketed on `tenant` (or `term`) serves "these three tenants"
     * from ≤ 3 bucket families out of numBuckets, not the table.
     * `values` are positional against `TableConf.bucketCols` (the
-    * declared subset of the keys). The predicate re-checks the actual
-    * column values, so two tuples hashing to one bucket never leak
-    * each other's rows. Driver cost: |values| trivial hash jobs —
-    * bounded by the caller's probe set, the lookup pattern. Schema-less
-    * pre-v4 manifests fall back to a correct, merely unpruned filter.
+    * declared subset of the keys). The probe set rides ONE exploded
+    * array-of-structs frame: bucket ids come from a single hash job
+    * over it (not one job per value), and membership re-checks via a
+    * broadcast SEMI-JOIN on the bucket columns — so two tuples hashing
+    * to one bucket never leak each other's rows, and a 10⁵-term probe
+    * is as legal as a 3-tenant one (a literal OR-chain predicate would
+    * overflow the analyzer stack around 10⁴). Schema-less pre-v4
+    * manifests fall back to a correct, merely unpruned scan.
     * None before the first apply or with zero live buckets.
     */
   def scanByBucketValues(spark: SparkSession, root: String,
@@ -1468,25 +1471,33 @@ object CdcApply {
       val bcols = conf.bucketCols
       values.foreach(v => require(v.size == bcols.size,
         s"expected ${bcols.size} bucket-column value(s) for $bcols"))
+      // the probe tuples as one small frame: a FLAT array of structs
+      // (breadth, never expression depth), each value cast to the
+      // table's declared column type when known — the hash is
+      // type-sensitive, so an untyped literal could name the wrong
+      // bucket
+      def valuesFrame(typed: Option[
+          org.apache.spark.sql.types.StructType]): DataFrame = {
+        def typedLit(k: String, v: Any): Column =
+          typed.flatMap(_.fields.find(_.name == k))
+            .fold(lit(v))(f => lit(v).cast(f.dataType)).as(k)
+        val structs = values.map(v =>
+          struct(bcols.zip(v).map { case (k, x) => typedLit(k, x) }: _*))
+        spark.range(1)
+          .select(explode(array(structs: _*)).as("_probe"))
+          .select(bcols.map(k => col(s"_probe.$k").as(k)): _*)
+          .distinct()
+      }
       m.schema match {
         case None =>
-          val pred = values.map(v => bcols.zip(v).map { case (k, x) =>
-            col(k) === lit(x) }.reduce(_ && _)).reduce(_ || _)
           stripInternal(readRaw(spark, m.dataPaths(root), None), conf)
-            .filter(pred)
+            .join(broadcast(valuesFrame(None)), bcols, "left_semi")
         case Some(schema) =>
-          def typedLit(k: String, v: Any): Column =
-            schema.fields.find(_.name == k)
-              .fold(lit(v))(f => lit(v).cast(f.dataType)).as(k)
-          val ids = values.map { v =>
-            spark.range(1)
-              .select(bcols.zip(v).map { case (k, x) =>
-                typedLit(k, x) }: _*)
-              .select(bucketCol(bcols, conf.numBuckets).as("b"))
-              .head().getInt(0)
-          }.distinct.sorted.filter(m.buckets.contains)
-          val pred = values.map(v => bcols.zip(v).map { case (k, x) =>
-            col(k) === typedLit(k, x) }.reduce(_ && _)).reduce(_ || _)
+          val probe = valuesFrame(Some(schema))
+          val ids = probe
+            .select(bucketCol(bcols, conf.numBuckets).as("b"))
+            .distinct().collect().map(_.getInt(0))
+            .toSeq.sorted.filter(m.buckets.contains)
           if (ids.isEmpty)
             // none of the probed buckets ever held a surviving row:
             // the visible shape with zero rows from manifest schema
@@ -1496,7 +1507,8 @@ object CdcApply {
               schema), conf)
           else
             stripInternal(readBucketsResolved(spark, root, m,
-              Some(ids)).get, conf).filter(pred)
+              Some(ids)).get, conf)
+              .join(broadcast(probe), bcols, "left_semi")
       }
     }
   }

@@ -42,11 +42,32 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, T
 object CdcSql {
 
   /** Registered names: lowercased identifier (1-part `t` or 2-part
-    * `db.t`, as registered) → CDC table root. Global like
-    * `GovernanceCatalog`'s registries — registration is session-setup
-    * metadata, not per-query state.
+    * `db.t`, as registered) → CDC table root, scoped to the SESSION
+    * that registered them — two sessions on one JVM can bind the same
+    * name to different roots without clashing (the multi-tenant
+    * contract a process-global map could not honor). Lookups resolve
+    * against the ACTIVE session's bindings first, then [[globalTables]]
+    * — the documented engine-wide fallback for names that must be
+    * visible to every session (see [[registerTableGlobally]]).
     */
-  @volatile private var tables: Map[String, String] = Map.empty
+  @volatile private var sessionTables
+      : Map[String, Map[String, String]] = Map.empty
+
+  /** Engine-global fallback bindings — the pre-r17 behavior, kept for
+    * names shared across sessions (e.g. a table registered once at
+    * process setup and queried from cloned sessions, whose UUIDs
+    * differ from their parent's).
+    */
+  @volatile private var globalTables: Map[String, String] = Map.empty
+
+  /** Stable per-session identity. `sessionUUID` is private[sql] —
+    * public in bytecode (the engine's standing reflective seam).
+    */
+  private def sessionKey(spark: SparkSession): String =
+    spark.getClass.getMethod("sessionUUID").invoke(spark).toString
+
+  private def activeSessionKey: Option[String] =
+    SparkSession.getActiveSession.map(sessionKey)
 
   private def keyOf(parts: Seq[String]): String =
     parts.map(_.toLowerCase(Locale.ROOT)).mkString(".")
@@ -59,23 +80,51 @@ object CdcSql {
   }
 
   /** Register `name` (`t` or `db.t`) as the SQL identifier of the CDC
-    * table at `root`. Idempotent; re-registering moves the name. The
-    * session is taken for signature symmetry with the read API — the
-    * mapping itself is engine-global, and any session carrying
-    * `GraftExtensions` resolves the name.
+    * table at `root`, scoped to `spark`: only queries ANALYZED under
+    * this session resolve the binding (another session may bind the
+    * same name to a different root). Idempotent; re-registering moves
+    * the name.
     */
   def registerTable(spark: SparkSession, root: String,
       name: String): Unit = {
     val parts = split(name)
-    synchronized { tables = tables + (keyOf(parts) -> root) }
+    val sk = sessionKey(spark)
+    synchronized {
+      sessionTables = sessionTables.updated(sk,
+        sessionTables.getOrElse(sk, Map.empty) + (keyOf(parts) -> root))
+    }
   }
 
-  /** Remove a registered name (test isolation, table retirement). */
-  def unregisterTable(name: String): Unit =
-    synchronized { tables = tables - keyOf(split(name)) }
+  /** The engine-global fallback: bind `name` for EVERY session on this
+    * JVM (resolved only when the active session carries no binding of
+    * its own). For process-setup names shared across sessions — the
+    * pre-session-scoping behavior, kept documented rather than removed.
+    */
+  def registerTableGlobally(root: String, name: String): Unit = {
+    val parts = split(name)
+    synchronized { globalTables = globalTables + (keyOf(parts) -> root) }
+  }
 
-  private[streaming] def rootFor(parts: Seq[String]): Option[String] =
-    tables.get(keyOf(parts))
+  /** Remove a registered name (test isolation, table retirement) —
+    * everywhere: from every session's bindings and the global
+    * fallback. Retirement means the name stops resolving, full stop;
+    * per-session surgical removal has no use case worth the footgun
+    * of a thread's active session deciding which binding dies.
+    */
+  def unregisterTable(name: String): Unit = {
+    val k = keyOf(split(name))
+    synchronized {
+      sessionTables = sessionTables.view.mapValues(_ - k).toMap
+      globalTables = globalTables - k
+    }
+  }
+
+  private[streaming] def rootFor(parts: Seq[String]): Option[String] = {
+    val k = keyOf(parts)
+    activeSessionKey.flatMap(sk => sessionTables.get(sk))
+      .flatMap(_.get(k))
+      .orElse(globalTables.get(k))
+  }
 
   /** Constant-folded argument helpers for the table functions. */
   private def constArg(e: org.apache.spark.sql.catalyst.expressions
@@ -108,10 +157,17 @@ object CdcSql {
     * keeps the SHOW TABLES / DESCRIBE interception a pure pass-through
     * for sessions that never touch the CDC surface.
     */
-  private[streaming] def hasRegistered: Boolean = tables.nonEmpty
+  private[streaming] def hasRegistered: Boolean =
+    globalTables.nonEmpty ||
+      activeSessionKey.flatMap(sessionTables.get).exists(_.nonEmpty)
 
+  /** The active session's view: its own bindings over the global ones
+    * (a session binding shadows a same-named global, exactly as
+    * [[rootFor]] resolves).
+    */
   private[streaming] def registeredNames: Seq[(String, String)] =
-    tables.toSeq.sortBy(_._1)
+    (globalTables ++ activeSessionKey.flatMap(sessionTables.get)
+      .getOrElse(Map.empty)).toSeq.sortBy(_._1)
 
   private def resolveRoot(name: String): String =
     rootFor(split(name)).getOrElse(
@@ -203,7 +259,7 @@ object CdcSql {
           if (args.nonEmpty) throw new UnsupportedOperationException(
             "cdc_tables() takes no arguments")
           val spark = activeSession
-          val rows = tables.toSeq.sortBy(_._1).map { case (n, r) =>
+          val rows = registeredNames.map { case (n, r) =>
             val m = CdcApply.currentManifestAndVersion(spark, r)
             (n, r, m.map(_._2), m.flatMap(_._1.ts),
               m.map(_._1.conf.numBuckets))

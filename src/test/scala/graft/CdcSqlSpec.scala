@@ -649,9 +649,9 @@ class CdcSqlSpec extends AnyFunSuite with SparkTestBase {
     } finally CdcSql.unregisterTable("sql_reg_t")
   }
 
-  test("the registry's documented engine-global contract, executable: " +
-    "a cloned session resolves the same name to the same root, and a " +
-    "re-registration (latest wins) repoints BOTH sessions") {
+  test("registry scoping: two sessions bind the SAME name to different " +
+    "roots without clashing; registerTableGlobally is the shared " +
+    "fallback, and a session binding shadows it") {
     val rootA = newRoot(); applyB0(rootA)
     val rootB = newRoot()
     // rootB: same schema, one differing row — so which root a name
@@ -664,21 +664,34 @@ class CdcSqlSpec extends AnyFunSuite with SparkTestBase {
         0L, rootB, Seq("k"), "version", Some("deleted"),
         commitTs = Some(1000L)))
     }
-    CdcSql.registerTable(spark, rootA, "global_t")
+    def ks(s: org.apache.spark.sql.SparkSession, n: String): Set[Long] =
+      s.sql(s"SELECT k FROM $n").collect().map(_.getLong(0)).toSet
+    val clone = spark.newSession()
+    CdcSql.registerTable(spark, rootA, "scoped_t")
     try {
-      val clone = spark.newSession()
-      def ks(s: org.apache.spark.sql.SparkSession): Set[Long] =
-        s.sql("SELECT k FROM global_t").collect()
-          .map(_.getLong(0)).toSet
-      // registration is session-SETUP metadata, global like
-      // GovernanceCatalog (the CdcSql scaladoc contract): the clone
-      // sees the name without registering anything
-      assert(ks(clone) == ks(spark) && ks(spark).contains(1L))
-      // latest registration wins EVERYWHERE — there is one registry,
-      // not a per-session view that could silently diverge
-      CdcSql.registerTable(spark, rootB, "global_t")
-      assert(ks(spark) == Set(7L) && ks(clone) == Set(7L),
-        "re-registration must repoint every session")
-    } finally CdcSql.unregisterTable("global_t")
+      // isolation: the binding is the registering SESSION's — the
+      // clone does not resolve it at all
+      intercept[org.apache.spark.sql.AnalysisException] {
+        ks(clone, "scoped_t")
+      }
+      // the same name binds to a DIFFERENT root in the clone, and the
+      // two sessions' views never clash (the multi-tenant contract)
+      CdcSql.registerTable(clone, rootB, "scoped_t")
+      assert(ks(spark, "scoped_t") == Set(1L, 2L, 3L))
+      assert(ks(clone, "scoped_t") == Set(7L))
+      // the documented engine-wide fallback: a global binding resolves
+      // in every session that has no binding of its own...
+      CdcSql.registerTableGlobally(rootB, "shared_t")
+      assert(ks(spark, "shared_t") == Set(7L))
+      assert(ks(clone, "shared_t") == Set(7L))
+      // ...and a session binding SHADOWS it for that session only
+      CdcSql.registerTable(spark, rootA, "shared_t")
+      assert(ks(spark, "shared_t") == Set(1L, 2L, 3L))
+      assert(ks(clone, "shared_t") == Set(7L),
+        "a session binding must not leak into other sessions")
+    } finally {
+      CdcSql.unregisterTable("scoped_t")
+      CdcSql.unregisterTable("shared_t")
+    }
   }
 }

@@ -92,6 +92,42 @@ class EntityResolutionSpec extends AnyFunSuite with SparkTestBase {
       s"$root/postings") == v, "replay advanced the table")
   }
 
+  test("a batch triggering 10^4 entity merges resolves through the " +
+      "broadcast merge-map join without analyzer strain") {
+    // N families; family i seeds two entities at edit distance 2
+    // (…AA… / …BB…) whose midpoint bridge (…AB…) arrives in batch 1 —
+    // exactly one merge per family. The id digits appear TWICE in each
+    // string, so any two distinct families are >= 2 edits (or >= 2
+    // length) apart and never match at d = 1.
+    val n = 10000
+    val root = java.nio.file.Files
+      .createTempDirectory("er_big").toFile.getAbsolutePath + "/er"
+    def s(i: Int, mid: String) = s"$i$mid$i"
+    val seed = (0 until n).flatMap(i =>
+      Seq((2L * i) -> s(i, "AA"), (2L * i + 1) -> s(i, "BB")))
+    val bridges = (0 until n).map(i => (100000L + i) -> s(i, "AB"))
+    EntityResolution.resolveBatch(spark, root, df(seed: _*), "id", "s",
+      d = 1, q = 4, batchId = 0L)
+    // before the bridges: every record is its own entity
+    val pre = current(root)
+    assert(pre.size == 2 * n && pre.forall { case (k, v) => k == v })
+    val a1 = EntityResolution.resolveBatch(spark, root,
+      df(bridges: _*), "id", "s", d = 1, q = 4, batchId = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every bridge resolved to its family minimum (2i)...
+    assert(a1.size == n)
+    (0 until n).foreach(i => assert(a1(100000L + i) == 2L * i))
+    // ...and all 10^4 absorbed entities (2i+1) were rewritten in the
+    // index — spot-check the full read-back at the edges and middle
+    val got = current(root)
+    assert(got.size == 3 * n)
+    Seq(0, 1, n / 2, n - 2, n - 1).foreach { i =>
+      assert(got(2L * i) == 2L * i && got(2L * i + 1) == 2L * i &&
+        got(100000L + i) == 2L * i, s"family $i not merged: $got")
+    }
+    assert(got.count { case (k, v) => k != v } == 2 * n)
+  }
+
   test("two independent builds are bit-identical (frozen order, " +
       "deterministic min-label)") {
     def build(): Map[Long, Long] = {
