@@ -153,6 +153,70 @@ object Dedup {
     rebuildFromKept(docs, idCol, textCol, chunkLen, kept)
   }
 
+  /** EXACT-SUBSTRING dedup (the ExactSubstr pipeline of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better",
+    * at token granularity): remove EVERY repeat of length >= k tokens,
+    * wherever it starts — the guarantee neither fixed-chunk form gives
+    * (a repeat straddling a chunk boundary survives [[chunkDedup]]).
+    *
+    * Semantics, pinned for the oracle: every k-token window of every
+    * document is fingerprinted; a window OCCURRENCE is a hit iff an
+    * identical window occurs EARLIER in corpus order (doc, position) —
+    * so the corpus-order-first occurrence of any repeated substring is
+    * kept, all later ones are cut (the first-occurrence policy of
+    * [[chunkDedup]], generalized to every alignment). A token is
+    * removed iff ANY hit window covers it, which merges overlapping
+    * hits into maximal spans across window boundaries for free: a
+    * repeat of length L >= k produces L-k+1 consecutive hit windows
+    * whose union is exactly the repeat.
+    *
+    * Returns (id, n_tokens, n_removed, clean_text), clean_text = the
+    * kept tokens in order ("" when everything was cut).
+    *
+    * Scale shape: the window pass shuffles (sha256, id, pos) — ~48 B
+    * per TOKEN (each position opens one window), one hash-keyed
+    * min-aggregate + one equi-join, exactly [[chunkDedup]]'s
+    * resolution cost at k× finer granularity; hit positions fold to
+    * one int-array row per affected document, covered indexes expand
+    * MAP-SIDE (never shuffled), and the only text-bearing join is
+    * O(docs) on the primary key.
+    */
+  def substrDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, "k must be >= 2 (a 1-token repeat is a stopword)")
+    val toks = TextFunctions.tokens(col(textCol))
+    val base = docs.select(col(idCol).as("_sd_id"), toks.as("toks"))
+    val wins = base.filter(size(col("toks")) >= k)
+      .select(col("_sd_id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - k),
+        i => struct(i.cast(LongType).as("pos"),
+          sha2(concat_ws(" ", slice(col("toks"), i + 1, lit(k))), 256)
+            .as("h")))).as("w"))
+      .select(col("_sd_id"), col("w.pos"), col("w.h"))
+    val firsts = wins.groupBy(col("h"))
+      .agg(min(struct(col("_sd_id"), col("pos"))).as("first"))
+    val hitPos = wins.join(firsts, "h")
+      .filter(struct(col("_sd_id"), col("pos")) =!= col("first"))
+      .groupBy(col("_sd_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("_sd_hits"))
+    val covered = array_distinct(flatten(transform(
+      coalesce(col("_sd_hits"), array().cast("array<bigint>")),
+      p => sequence(p, p + (k - 1)))))
+    docs
+      .select(col(idCol), toks.as("toks"))
+      .join(hitPos, col(idCol) === col("_sd_id"), "left")
+      .select(col(idCol),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        size(covered).cast(LongType).as("n_removed"),
+        // guard the empty doc: sequence(0, -1) would DESCEND, not
+        // return empty (the chunkArray lesson)
+        when(size(col("toks")) > 0, concat_ws(" ", transform(
+          filter(sequence(lit(0L), size(col("toks")).cast(LongType) - 1),
+            i => !array_contains(covered, i)),
+          i => element_at(col("toks"), (i + 1).cast("int")))))
+          .otherwise("").as("clean_text"))
+  }
+
   /** CCNet-style boilerplate removal: drop every chunk whose DISTINCT-
     * document frequency reaches `minDocs` (navigation bars, license
     * footers, template headers — content that repeats ACROSS documents,

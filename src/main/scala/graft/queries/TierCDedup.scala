@@ -372,6 +372,16 @@ private[queries] object TierCDedup {
       Dedup.chunkDedup(Tables.documents(s, d), "doc_id", "text", 16)
         .orderBy(col("doc_id"))),
 
+    // C1i — exact-substring dedup (ExactSubstr, Lee et al. 2022):
+    // remove EVERY repeat of >= 8 tokens at ANY alignment — the
+    // guarantee chunk-granularity dedup cannot give (a repeat
+    // straddling a chunk boundary survives q_chunk_dedup). Window
+    // resolution shuffles (sha256, id, pos) — ~48 B/token; hit spans
+    // merge map-side; the one text join is O(docs) on the key.
+    "q_substr_dedup" -> ((s, d) =>
+      Dedup.substrDedup(Tables.documents(s, d), "doc_id", "text", 8)
+        .orderBy(col("doc_id"))),
+
     // C1h — CCNet boilerplate strip: drop every chunk whose
     // DISTINCT-document frequency reaches 3 (template headers /
     // footers repeat ACROSS documents — first-occurrence dedup would
@@ -562,6 +572,38 @@ private[queries] object TierCDedup {
         "string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text " +
         "FROM k WHERE rn = 1 GROUP BY doc_id) " +
         chunkRebuildSql),
+
+    // every 8-token window; an occurrence is a hit iff an identical
+    // window occurs earlier in (doc_id, pos) order (row_number > 1);
+    // a token is cut iff any hit window covers it — the same
+    // first-occurrence policy as q_chunk_dedup, at every alignment
+    "q_substr_dedup" ->
+      ("WITH t AS (SELECT doc_id, list_filter(" +
+        "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "w AS (SELECT doc_id, i AS pos, " +
+        "array_to_string(toks[(i+1):(i+8)], ' ') AS win " +
+        "FROM t, unnest(range(0, len(toks) - 7)) AS u(i) " +
+        "WHERE len(toks) >= 8), " +
+        "h AS (SELECT doc_id, pos, row_number() OVER " +
+        "(PARTITION BY win ORDER BY doc_id, pos) AS rn FROM w), " +
+        "cov AS (SELECT DISTINCT doc_id, pos + j AS idx FROM h, " +
+        "unnest(range(0, 8)) AS u(j) WHERE rn > 1), " +
+        "tok AS (SELECT t.doc_id, i AS idx, " +
+        "toks[CAST(i + 1 AS INT)] AS tk FROM t, " +
+        "unnest(range(0, len(toks))) AS u(i)), " +
+        "kept AS (SELECT tok.doc_id, tok.idx, tok.tk FROM tok " +
+        "LEFT JOIN cov ON tok.doc_id = cov.doc_id " +
+        "AND tok.idx = cov.idx WHERE cov.idx IS NULL), " +
+        "s AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY idx) " +
+        "AS clean_text FROM kept GROUP BY doc_id), " +
+        "c AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov " +
+        "GROUP BY doc_id) " +
+        "SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+        "CAST(COALESCE(c.n_removed, 0) AS BIGINT) AS n_removed, " +
+        "COALESCE(s.clean_text, '') AS clean_text " +
+        "FROM t LEFT JOIN s USING (doc_id) LEFT JOIN c USING (doc_id) " +
+        "ORDER BY t.doc_id"),
 
     // identical chunker + rebuild; the kept set is instead every chunk
     // OUTSIDE the >= 3-distinct-doc hot set

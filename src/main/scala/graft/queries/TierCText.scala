@@ -116,6 +116,28 @@ private[queries] object TierCText {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("lang"), col("pred_lang"))),
 
+    // LEARNED language-ID (Cavnar-Trenkle rank profiles): char-bigram
+    // top-100 profiles trained on the 80% slice (doc_id % 5 != 0),
+    // integer tf·weight argmax on the held-out 20% — training AND
+    // prediction are exact integer arithmetic, so the whole learned
+    // pipeline is DuckDB hash-checked. Confusion counts vs labels.
+    // (The driver corpus's lang labels are uncorrelated with its
+    // English-vocabulary text — measured — so the matrix here pins
+    // pipeline determinism; MODEL QUALITY is pinned by LangIdSpec on
+    // a five-language corpus with genuine signal: 100% held-out.)
+    "q_lang_id_learned" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val test = docs.filter(col("doc_id") % 5 === 0)
+      val prof = graft.operators.LangId
+        .trainProfiles(train, "lang", "text", 100)
+      graft.operators.LangId.classify(test, "doc_id", "text", prof)
+        .join(test.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"), col("pred_lang"))
+    }),
+
     // Rolling-hash document fingerprints.
     "q_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
@@ -372,6 +394,42 @@ private[queries] object TierCText {
         "AS pred_lang FROM t) " +
         "SELECT lang, pred_lang, COUNT(*) AS cnt FROM p " +
         "GROUP BY lang, pred_lang ORDER BY lang, pred_lang"),
+    // same split, same integer rank-profile model: top-100 bigrams per
+    // lang by (count desc, gram), weight 100-rn+1; score = Σ tf·w;
+    // argmax ties by lang — training included in the checked SQL
+    "q_lang_id_learned" ->
+      ("WITH train AS (SELECT doc_id, lang, lower(text) AS s " +
+        "FROM documents WHERE doc_id % 5 <> 0), " +
+        "test AS (SELECT doc_id, lang, lower(text) AS s " +
+        "FROM documents WHERE doc_id % 5 = 0), " +
+        "tg AS (SELECT lang, substring(s, CAST(i AS INT), 1) AS gram " +
+        "FROM train, unnest(range(1, len(s) + 1)) AS u(i) " +
+        "UNION ALL SELECT lang, substring(s, CAST(i AS INT), 2) " +
+        "FROM train, unnest(range(1, len(s))) AS u(i)), " +
+        "cnts AS (SELECT lang, gram, COUNT(*) AS cnt FROM tg " +
+        "GROUP BY lang, gram), " +
+        "prof0 AS (SELECT lang, gram, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY cnt DESC, gram) AS rn FROM cnts), " +
+        "prof AS (SELECT lang, gram, CAST(100 - rn + 1 AS BIGINT) AS w " +
+        "FROM prof0 WHERE rn <= 100), " +
+        "tfg AS (SELECT doc_id, gram, COUNT(*) AS tf FROM " +
+        "(SELECT doc_id, substring(s, CAST(i AS INT), 1) AS gram " +
+        "FROM test, unnest(range(1, len(s) + 1)) AS u(i) " +
+        "UNION ALL SELECT doc_id, substring(s, CAST(i AS INT), 2) " +
+        "FROM test, unnest(range(1, len(s))) AS u(i)) " +
+        "GROUP BY doc_id, gram), " +
+        "sc AS (SELECT tfg.doc_id, prof.lang, SUM(tf * w) AS score " +
+        "FROM tfg JOIN prof USING (gram) GROUP BY tfg.doc_id, prof.lang), " +
+        "langs AS (SELECT DISTINCT lang FROM train), " +
+        "allsc AS (SELECT t.doc_id, l.lang, COALESCE(sc.score, 0) " +
+        "AS score FROM test t CROSS JOIN langs l LEFT JOIN sc " +
+        "ON sc.doc_id = t.doc_id AND sc.lang = l.lang), " +
+        "pred AS (SELECT doc_id, lang AS pred_lang FROM " +
+        "(SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY score DESC, lang) AS rn FROM allsc) WHERE rn = 1) " +
+        "SELECT t.lang, p.pred_lang, COUNT(*) AS cnt FROM test t " +
+        "JOIN pred p USING (doc_id) GROUP BY t.lang, p.pred_lang " +
+        "ORDER BY t.lang, p.pred_lang"),
     "q_text_stats" ->
       ("SELECT lang, COUNT(*) AS n_docs, " +
         "CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +

@@ -315,4 +315,36 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(bp(3L) === ((0L, "")))
     assert(bp(5L) === ((1L, "c d")))              // copies, not distinct docs
   }
+
+  test("substrDedup removes every >= k repeat at any alignment, " +
+    "merging overlapping hit windows into maximal spans") {
+    import spark.implicits._
+    val docs = Seq(
+      // 0: the corpus-order-first copy of "w1..w5" — kept verbatim
+      (0L, "w1 w2 w3 w4 w5 u1 u2"),
+      // 1: the 5-token repeat sits at OFFSET 1 — three overlapping
+      // hit windows (pos 1,2,3 at k=3) must merge into ONE span
+      // covering exactly tokens 1..5, leaving the flanks
+      (1L, "x1 w1 w2 w3 w4 w5 x2"),
+      // 2: within-doc repeat — the second "p q r s" is cut, the
+      // first kept (positions, not content, decide)
+      (2L, "p q r s p q r s"),
+      // 3: shorter than k — untouched by construction
+      (3L, "a b"),
+      // 4: a THIRD copy of the repeat — also fully cut
+      (4L, "w1 w2 w3 w4 w5"),
+      // 5: empty text — zero tokens, never a phantom window
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val got = Dedup.substrDedup(docs, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L) === ((7L, 0L, "w1 w2 w3 w4 w5 u1 u2")))
+    assert(got(1L) === ((7L, 5L, "x1 x2")))
+    assert(got(2L) === ((8L, 4L, "p q r s")))
+    assert(got(3L) === ((2L, 0L, "a b")))
+    assert(got(4L) === ((5L, 5L, "")))
+    assert(got(5L) === ((0L, 0L, "")))
+  }
 }
