@@ -326,6 +326,32 @@ private[queries] object TierCCdc {
         .orderBy(col("s_nationkey"))
     }),
 
+    // C8y — ICEBERG-SPEC EXPORT, the Delta seam's open-format twin:
+    // the same CDC net state published as an Iceberg v1 metadata tree
+    // (JSON table metadata + REAL Avro manifest lists/manifests with
+    // spec field-ids and parquet-footer column stats) and read back
+    // through the engine's own v1 reader. Incremental: snapshots map
+    // to export versions, manifests to bucket directories, and a sync
+    // republishes only changed buckets — O(changed buckets), zero new
+    // snapshots when the table hasn't moved. Hash-checked against the
+    // q_cdc_merge net-state oracle; structure pinned by
+    // IcebergInteropSpec.
+    "q_iceberg_export" -> ((s, d) => {
+      val root = cdcQueryRoot(s, d)
+      val ice = new java.io.File(
+        "target/graft-data/iceberg_export_q/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet") +
+        s"_$CdcRecipeRev").getAbsolutePath
+      synchronized {
+        graft.sources.IcebergInterop.exportIncremental(s, root, ice)
+      }
+      graft.sources.IcebergInterop.readIceberg(s, ice)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("s_acctbal")).as("total_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     "q_cdc_mirror" -> ((s, d) => {
       val root = cdcMirrorRoot(s, d)
       val wm = graft.streaming.CdcApply.currentVersion(s, root).get
@@ -602,6 +628,13 @@ private[queries] object TierCCdc {
     // the source's head batch (1)
     // the Delta export serves the identical net state
     "q_delta_export" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
+        "FROM supplier WHERE s_suppkey % 7 <> 0 " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // the Iceberg export serves the identical net state
+    "q_iceberg_export" ->
       ("SELECT s_nationkey, COUNT(*) AS cnt, " +
         "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
         "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
