@@ -127,6 +127,61 @@ class CboSpec extends AnyFunSuite with SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS cbo_db.orders_hist")
   }
 
+  test("equi-height histograms flip a real plan decision: a skewed " +
+      "range predicate broadcasts WITH bins, shuffles without them") {
+    import spark.implicits._
+    Stats.enableCbo(spark)
+    spark.sql("CREATE DATABASE IF NOT EXISTS cbo_db")
+    // skew: ONE row below 500k, the rest packed into [1.0M, 1.0001M].
+    // min/max-only estimation assumes uniform, so `x <= 500000` rates
+    // ~50% selective (≈50k rows — far over any broadcast threshold);
+    // the equi-height bins see the mass sits above 1M and rate it at
+    // a fraction of one bin (≈200 rows — trivially broadcastable).
+    val skewDir = java.nio.file.Files
+      .createTempDirectory("cbo_skew").toFile.getAbsolutePath
+    val factDir = java.nio.file.Files
+      .createTempDirectory("cbo_fact").toFile.getAbsolutePath
+    (0L until 100000L).map(i =>
+        (i, if (i == 0L) 0L else 1000000L + i % 100))
+      .toDF("k", "x").write.mode("overwrite").parquet(skewDir)
+    (0L until 50000L).map(i => (i, i % 7)).toDF("f_k", "f_v")
+      .write.mode("overwrite").parquet(factDir)
+    Stats.registerAnalyzed(spark, "cbo_db.skew_hist", skewDir,
+      Seq("k", "x"), histogram = true)
+    Stats.registerAnalyzed(spark, "cbo_db.skew_plain", skewDir,
+      Seq("k", "x"), histogram = false)
+    Stats.registerAnalyzed(spark, "cbo_db.cbo_fact", factDir,
+      Seq("f_k", "f_v"))
+    def q(t: String) = spark.sql(
+      s"""SELECT f_v, x FROM cbo_db.$t JOIN cbo_db.cbo_fact
+          ON k = f_k WHERE x <= 500000""")
+    def isBroadcast(t: String): Boolean = {
+      val plan = q(t).queryExecution.sparkPlan
+      plan.collect { case b: org.apache.spark.sql.execution.joins
+        .BroadcastHashJoinExec => b }.nonEmpty
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+    try {
+      assert(isBroadcast("skew_hist"),
+        "histogram selectivity should shrink the filtered side under " +
+          "the broadcast threshold:\n" +
+          q("skew_hist").queryExecution.sparkPlan)
+      assert(!isBroadcast("skew_plain"),
+        "min/max-only estimation should overshoot the threshold " +
+          "(if this broadcasts too, the histogram proved nothing):\n" +
+          q("skew_plain").queryExecution.sparkPlan)
+      // and both plans answer identically (the one matching row)
+      val a = q("skew_hist").collect().toSeq.map(_.toSeq)
+      val b = q("skew_plain").collect().toSeq.map(_.toSeq)
+      assert(a == b && a.size == 1, s"$a / $b")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      Seq("skew_hist", "skew_plain", "cbo_fact").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS cbo_db.$t"))
+    }
+  }
+
   test("registered CDC tables feed the CBO from manifest metadata: " +
       "zero-scan row counts on the optimized plan, unregistered " +
       "raw-parquet reads stay size-only") {
