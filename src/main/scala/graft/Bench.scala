@@ -60,9 +60,11 @@ object Bench {
         // one-time catalog-statistics build; timed passes re-plan
         // against the cached stats)
         "q_cbo_join",
-        // first runs build the Delta export and the SQL-applied CDC
-        // root; later passes no-op the export and replay the batch
-        "q_delta_export", "q_sql_cdc_apply").foreach { w =>
+        // first runs build the Delta/Iceberg exports and the
+        // SQL-applied CDC root; later passes no-op the export and
+        // replay the batch
+        "q_delta_export", "q_iceberg_export",
+        "q_sql_cdc_apply").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -97,16 +99,37 @@ object Bench {
       .reduce(_ intersect _)
     val runTotals = passes.map(
       _.collect { case (n, t) if everywhereOk(n) => t }.sum)
-    // per-query MEDIANS over the same three passes, so the breakdown is
-    // the same statistic as the headline (a last-pass-verbatim map would
-    // neither sum to the median total nor exclude dropped queries);
-    // a query that failed any pass reports -1, matching everywhereOk
+    // HEAVY-TAIL tightening: queries whose 3-pass median exceeds 2 s
+    // (pagerank, the near-dup/simjoin family) dominate the total AND
+    // carry the widest shared-box noise, so they get two extra timed
+    // samples and report a MEDIAN OF 5 — regressions in the tail
+    // become attributable under noise that 3 samples cannot absorb.
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted; s(s.size / 2)
+    }
+    val med3: Map[String, Double] = passes.head.map { case (name, _) =>
+      name -> median(passes.map(_.toMap.apply(name)))
+    }.toMap
+    val heavy = med3.collect {
+      case (n, t) if t > 2.0 && everywhereOk(n) => n }.toSet
+    val extra: Map[String, Seq[Double]] =
+      if (heavy.isEmpty) Map.empty
+      else Seq.fill(2)(heavy.toSeq.sorted.map { name =>
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => name -> -1.0 }
+      }).flatten.filter(_._2 >= 0)
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // per-query MEDIANS (3 samples; 5 for the heavy tail), the same
+    // statistic family as the headline; a query that failed any pass
+    // reports -1, matching everywhereOk
     val results = passes.head.map { case (name, _) =>
       name -> (if (!everywhereOk(name)) -1.0
-               else {
-                 val ts = passes.map(_.toMap.apply(name)).sorted
-                 ts(ts.size / 2)
-               })
+               else median(passes.map(_.toMap.apply(name)) ++
+                 extra.getOrElse(name, Seq.empty)))
     }
     def esc(s: String): String =
       s.flatMap {

@@ -412,7 +412,28 @@ object Plans {
       "word and language totals — no second corpus scan; the 5-row " +
       "language totals and the 1-row corpus total BROADCAST, the " +
       "min-support filter prunes before the word-total join, and " +
-      "the rank window partitions BY LANGUAGE."))
+      "the rank window partitions BY LANGUAGE."),
+    "q_substr_dedup" -> ("Exact-substring dedup: the window pass " +
+      "shuffles (sha256, doc_id, pos) — 48 B per TOKEN, never text — " +
+      "through one hash-keyed min-aggregate and one equi-join; hit " +
+      "positions fold to one int-array row per affected document, " +
+      "covered spans expand MAP-SIDE, and the only text-bearing join " +
+      "is the final O(docs) primary-key join where the rebuild is a " +
+      "map-side token filter."),
+    "q_lang_id_learned" -> ("Learned language-ID: training is one " +
+      "char-gram explode + two-phase (lang, gram) hash aggregate " +
+      "(2-char grams + longs on the wire, never text) and a top-m " +
+      "window per language; the <= m-rows-per-language profile " +
+      "BROADCASTS into the prediction join, scores reduce map-side " +
+      "per (doc, lang), and the argmax is one min-struct aggregate — " +
+      "document text never shuffles."),
+    "q_iceberg_export" -> ("Iceberg-v1 export read-back: the " +
+      "declared aggregate scans the snapshot's live file set " +
+      "(metadata-tree replay, driver-side O(manifests)) as ordinary " +
+      "parquet — column-pruned scan + two-phase aggregate; the " +
+      "export itself republished only changed buckets with " +
+      "footer-derived stats (O(changed buckets), the Delta mirror " +
+      "cost class)."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",

@@ -352,6 +352,37 @@ private[queries] object TierCCdc {
         .orderBy(col("s_nationkey"))
     }),
 
+    // C8y2 — Iceberg TIME TRAVEL: the same change stream exported
+    // snapshot-per-batch (apply b0 → export → apply b1 → export), then
+    // read at SNAPSHOT 0 — `VERSION AS OF` for the open format. The
+    // oracle is the full batch-0 insert load: a time-travel read that
+    // leaks any batch-1 update/delete (or loses a row the later
+    // snapshot rewrote) hash-mismatches. Re-runs no-op end to end
+    // (replay guard + no-change exports), so the artifact is stable.
+    "q_iceberg_timetravel" -> ((s, d) => {
+      val base = new java.io.File(
+        "target/graft-data/iceberg_tt_q/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet") +
+        s"_$CdcRecipeRev").getAbsolutePath
+      val root = s"$base/cdc"
+      val ice = s"$base/ice"
+      synchronized {
+        import graft.streaming.CdcApply
+        val (b0, b1) = supplierCdcBatches(s, d)
+        CdcApply.applyBatch(b0, 0L, root, Seq("s_suppkey"), "version",
+          Some("deleted"), commitTs = Some(1000L))
+        graft.sources.IcebergInterop.exportIncremental(s, root, ice)
+        CdcApply.applyBatch(b1, 1L, root, Seq("s_suppkey"), "version",
+          Some("deleted"), commitTs = Some(2000L))
+        graft.sources.IcebergInterop.exportIncremental(s, root, ice)
+      }
+      graft.sources.IcebergInterop.readIceberg(s, ice, Some(0L))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("s_acctbal")).as("total_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     "q_cdc_mirror" -> ((s, d) => {
       val root = cdcMirrorRoot(s, d)
       val wm = graft.streaming.CdcApply.currentVersion(s, root).get
@@ -632,6 +663,13 @@ private[queries] object TierCCdc {
         "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
         "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
         "FROM supplier WHERE s_suppkey % 7 <> 0 " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // snapshot 0 = the untouched batch-0 insert load (every supplier,
+    // original balances)
+    "q_iceberg_timetravel" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS total_bal FROM supplier " +
         "GROUP BY s_nationkey ORDER BY s_nationkey"),
     // the Iceberg export serves the identical net state
     "q_iceberg_export" ->

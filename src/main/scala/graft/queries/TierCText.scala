@@ -129,8 +129,13 @@ private[queries] object TierCText {
       val docs = Tables.documents(s, d)
       val train = docs.filter(col("doc_id") % 5 =!= 0)
       val test = docs.filter(col("doc_id") % 5 === 0)
+      // the learned profile is <= 500 tiny rows but its TRAINING
+      // subtree (corpus explode + aggregate + window) is referenced
+      // three times downstream (score join, candidate set, broadcast)
+      // — materialize it once instead of re-training per reference
       val prof = graft.operators.LangId
         .trainProfiles(train, "lang", "text", 100)
+        .localCheckpoint(true)
       graft.operators.LangId.classify(test, "doc_id", "text", prof)
         .join(test.select(col("doc_id"), col("lang")), "doc_id")
         .groupBy(col("lang"), col("pred_lang"))

@@ -220,6 +220,37 @@ class CboSpec extends AnyFunSuite with SparkTestBase {
     } finally CdcSql.unregisterTable("cbo_cdc_t")
   }
 
+  test("registerAnalyzed re-ANALYZEs when the data under an unchanged " +
+      "location is rewritten in place; hostile names/paths refuse") {
+    import spark.implicits._
+    Stats.enableCbo(spark)
+    spark.sql("CREATE DATABASE IF NOT EXISTS cbo_db")
+    val dir = java.nio.file.Files
+      .createTempDirectory("cbo_fp").toFile.getAbsolutePath
+    (0L until 100L).map(i => (i, i * 2)).toDF("x", "y")
+      .write.mode("overwrite").parquet(dir)
+    def rowCount(): BigInt = {
+      Stats.registerAnalyzed(spark, "cbo_db.fp_t", dir, Seq("x"))
+      spark.table("cbo_db.fp_t").queryExecution.optimizedPlan
+        .stats.rowCount.get
+    }
+    assert(rowCount() == BigInt(100))
+    // same location, rewritten content: the file-listing fingerprint
+    // must invalidate the memo (an identityHashCode+path memo would
+    // serve the stale 100 forever)
+    (0L until 250L).map(i => (i, i * 2)).toDF("x", "y")
+      .write.mode("overwrite").parquet(dir)
+    assert(rowCount() == BigInt(250),
+      "stale CBO stats served after an in-place rewrite")
+    intercept[IllegalArgumentException] {
+      Stats.registerAnalyzed(spark, "bad-name; DROP TABLE x", dir, Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Stats.registerAnalyzed(spark, "cbo_db.ok_t", "/tmp/evil'path", Nil)
+    }
+    spark.sql("DROP TABLE IF EXISTS cbo_db.fp_t")
+  }
+
   test("planStats reads back what the optimizer sees — no rescan, " +
       "exact row/null/min/max") {
     register()

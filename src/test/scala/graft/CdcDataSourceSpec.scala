@@ -264,4 +264,49 @@ class CdcDataSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(seen.synchronized(seen.toList) == List(4L -> 3L),
       s"restart must deliver ONLY batch 3: $seen")
   }
+
+  test("the cdc sink fails LOUDLY when interleaved DML steals an " +
+    "epoch's batch-id slot (silent replay-guard swallow would be " +
+    "data loss)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    val root = newRoot() + "/t"
+    val stream = MemoryStream[(Long, Long, Double)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cdc_sink_guard").toFile.getAbsolutePath
+    def start() = stream.toDF().toDF("k", "version", "amount")
+      .writeStream.format("cdc")
+      .option("path", root)
+      .option("keys", "k").option("versionCol", "version")
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q = start()
+    try {
+      stream.addData((1L, 1L, 10.0))
+      q.processAllAvailable()
+      assert(CdcApply.currentVersion(spark, root).contains(0L))
+      // an interleaved writer auto-commits at head+1 = 1 — the slot
+      // epoch 1 would map to
+      CdcApply.updateWhere(spark, root,
+        org.apache.spark.sql.functions.col("k") === 1L,
+        Map("amount" -> org.apache.spark.sql.functions.lit(99.0)))
+      assert(CdcApply.currentVersion(spark, root).contains(1L))
+      stream.addData((2L, 1L, 20.0))
+      val e = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): String =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      assert(chain(e).contains("interleaved writer"), chain(e))
+      // the epoch was NOT silently swallowed-as-applied: k=2 never
+      // landed, and the failure said so
+      assert(CdcApply.readSnapshot(spark, root).get
+        .filter(org.apache.spark.sql.functions.col("k") === 2L)
+        .isEmpty)
+    } finally q.stop()
+  }
 }

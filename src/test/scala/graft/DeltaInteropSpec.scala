@@ -226,6 +226,53 @@ class DeltaInteropSpec extends AnyFunSuite with SparkTestBase {
     assert(DeltaInterop.exportIncremental(spark, root, delta).isEmpty)
   }
 
+  test("pre-commit crash debris (orphan data dir + tmp log file) is " +
+      "swept on the next attempt, so a crashed export never wedges " +
+      "the retry path") {
+    import spark.implicits._
+    val root = buildCdc()
+    val delta = tmp("delta_debris")
+    assert(DeltaInterop.exportSnapshot(spark, root, delta) == 0L)
+    // simulate a crash mid-export of version 1: data dir and log tmp
+    // exist, no commit — without the sweep, every retry would die on
+    // errorifexists / create(overwrite=false) forever
+    val v1 = new java.io.File(delta, "v1"); v1.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(v1, "part-junk.parquet").toPath, "junk")
+    java.nio.file.Files.writeString(
+      new java.io.File(delta, "_delta_log/.tmp-1").toPath, "{}")
+    assert(CdcApply.applyBatch(
+      Seq((1L, 2L, 11.0, false))
+        .toDF("k", "version", "amount", "deleted"),
+      1L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+      commitTs = Some(2000L)))
+    assert(DeltaInterop.exportSnapshot(spark, root, delta) == 1L)
+    val s = state(DeltaInterop.readDelta(spark, delta))
+    assert(s == Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0))
+    assert(DeltaInterop.readDelta(spark, delta).count() == 3L)
+    assert(!new java.io.File(v1, "part-junk.parquet").exists,
+      "the orphaned junk file must have been swept, not committed")
+    // same window on the INCREMENTAL path
+    val inc = tmp("delta_debris_inc")
+    assert(DeltaInterop.exportIncremental(spark, root, inc)
+      .contains(0L))
+    val iv1 = new java.io.File(inc, "v1"); iv1.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(iv1, "junk.parquet").toPath, "junk")
+    java.nio.file.Files.writeString(
+      new java.io.File(inc, "_delta_log/.tmp-1").toPath, "{}")
+    assert(CdcApply.applyBatch(
+      Seq((2L, 2L, 21.0, false))
+        .toDF("k", "version", "amount", "deleted"),
+      2L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+      commitTs = Some(3000L)))
+    assert(DeltaInterop.exportIncremental(spark, root, inc)
+      .contains(1L))
+    assert(state(DeltaInterop.readDelta(spark, inc)) ==
+      Map(1L -> 11.0, 2L -> 21.0, 3L -> 30.0))
+    assert(!new java.io.File(iv1, "junk.parquet").exists)
+  }
+
   test("vacuumExport deletes exactly the files later commits " +
       "removed; the live read is untouched") {
     import spark.implicits._
@@ -247,6 +294,15 @@ class DeltaInteropSpec extends AnyFunSuite with SparkTestBase {
       "vacuum must not change the live read")
     // idempotent: nothing left to sweep
     assert(DeltaInterop.vacuumExport(spark, delta).isEmpty)
+    // an IN-FLIGHT export's uncommitted data (v-dir above the log
+    // head) is NOT vacuum's to delete — sweeping it would let the
+    // concurrent commit reference missing files
+    val inflight = new java.io.File(delta, "v9"); inflight.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(inflight, "pending.parquet").toPath, "x")
+    assert(DeltaInterop.vacuumExport(spark, delta).isEmpty)
+    assert(new java.io.File(inflight, "pending.parquet").exists,
+      "vacuum must skip versions above the committed log head")
   }
 
   test("unsupported reader versions refuse loudly; a foreign " +

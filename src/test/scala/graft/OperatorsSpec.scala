@@ -397,6 +397,22 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     val plan = Sampling.prioritySample(df, "doc_id", col("w"), 20)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the strictly-positive weight contract is ENFORCED in-plan: a
+    // zero or negative weight fails loudly instead of silently
+    // dominating the sample with Inf/negative priorities
+    def chainText(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val bad = Seq((1L, 1L), (2L, 0L), (3L, 2L)).toDF("doc_id", "w")
+    val e = intercept[Exception] {
+      Sampling.prioritySample(bad, "doc_id", col("w"), 3).collect()
+    }
+    assert(chainText(e).contains("strictly positive"), chainText(e))
+    val neg = Seq((1L, 1L), (2L, -5L)).toDF("doc_id", "w")
+    val e2 = intercept[Exception] {
+      Sampling.prioritySample(neg, "doc_id", col("w"), 2).collect()
+    }
+    assert(chainText(e2).contains("strictly positive"), chainText(e2))
   }
 
   test("PageRank: exact integer recurrence on a hand-computed path " +
