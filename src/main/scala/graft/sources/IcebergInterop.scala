@@ -459,11 +459,15 @@ object IcebergInterop {
     meta.putObject("properties")
     meta.put("current-snapshot-id", version)
     val snaps = meta.putArray("snapshots")
-    val priorSnaps: Seq[(Long, String)] = priorVs.map(v =>
-      v -> new Path(tableDir,
-        s"metadata/${manifestListFile(tableDir, v).getName}").toString)
-    (priorSnaps :+ (version -> manifestListFile(tableDir, version)
-      .toString)).foreach { case (v, _) =>
+    // the RETAINED snapshot list carries forward from the prior
+    // metadata (never re-derived from version filenames — after an
+    // [[expireSnapshots]] the two diverge, and resurrecting expired
+    // ids would point readers at deleted manifest lists)
+    val priorSnapIds: Seq[Long] = priorVs.lastOption.map { pv =>
+      parseMetadata(spark, tableDir, pv).get("snapshots")
+        .elements().asScala.map(_.get("snapshot-id").asLong()).toSeq
+    }.getOrElse(Seq.empty)
+    (priorSnapIds :+ version).foreach { v =>
       val sn = snaps.addObject()
       sn.put("snapshot-id", v)
       sn.put("timestamp-ms", v)
@@ -513,6 +517,156 @@ object IcebergInterop {
       throw new IllegalStateException(
         s"export state rename failed for $tableDir")
     Some(version)
+  }
+
+  /** EXPIRE SNAPSHOTS — Iceberg's maintenance op: commit a new
+    * metadata version retaining ONLY the current snapshot, then
+    * delete every data file, manifest, and manifest list no other
+    * retained snapshot references. Time travel to expired ids stops
+    * resolving (by design — that is what expiry means); the current
+    * read is bit-identical before and after. Returns the deleted
+    * paths (table-relative). Driver-side metadata work + one delete
+    * per dead file; the sidecar state is re-stamped so the next
+    * incremental export syncs normally instead of self-healing.
+    */
+  def expireSnapshots(spark: SparkSession, table: String): Seq[String] = {
+    val fs = CdcApply.fsFor(spark, table)
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no Iceberg metadata at $table")
+    val meta = parseMetadata(spark, table, vs.max)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val cur = meta.get("current-snapshot-id").asLong()
+    val retainedIds = meta.get("snapshots").elements().asScala
+      .map(_.get("snapshot-id").asLong()).toSeq
+    val version = vs.max + 1
+    val committed = retainedIds != Seq(cur)
+    if (committed) {
+      // single-writer contract (as for export): the sweep below and
+      // this debris clear assume no concurrent export is mid-flight
+      clearAborted(spark, table, version)
+      // rewrite the snapshot list to [current]; everything else
+      // (schema, spec, pointer) carries over verbatim
+      val keep = meta.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == cur).get
+      val snaps = meta.putArray("snapshots")
+      snaps.add(keep)
+      meta.put("last-updated-ms", version)
+      val tmp = new Path(metaDir(table), s".tmp-$version")
+      val out = fs.create(tmp, false)
+      out.write(mapper.writerWithDefaultPrettyPrinter()
+        .writeValueAsString(meta).getBytes("UTF-8"))
+      out.close()
+      if (!fs.rename(tmp, metadataFile(table, version)))
+        throw new IllegalStateException(
+          s"concurrent commit lost the expire race for $table")
+      // re-stamp the sidecar so the next export sees a consistent
+      // lineage (content unchanged — expiry moves no buckets)
+      readState(spark, table).foreach { case (_, buckets) =>
+        val n = mapper.createObjectNode()
+        n.put("version", version)
+        val bn = n.putObject("buckets")
+        buckets.toSeq.sortBy(_._1).foreach { case (id, (ident, r)) =>
+          val b = bn.putObject(id.toString)
+          b.put("identity", ident)
+          b.put("manifest", r.path)
+          b.put("snap", r.snap)
+          b.put("nfiles", r.nFiles)
+          b.put("nrows", r.nRows)
+        }
+        val stTmp = new Path(table, s"._graft_export_state-$version")
+        val so = fs.create(stTmp, false)
+        so.write(mapper.writeValueAsString(n).getBytes("UTF-8"))
+        so.close()
+        fs.delete(statePath(table), false)
+        fs.rename(stTmp, statePath(table))
+      }
+    }
+    // sweep: live set = the current snapshot's files + manifests +
+    // its manifest list; everything else under data/v*/ and the
+    // metadata manifest/list namespace is dead. Dirs at or above the
+    // expiry's own metadata version are an in-flight export's —
+    // skipped, exactly like Delta vacuum.
+    val newMeta = parseMetadata(spark, table,
+      if (committed) version else vs.max)
+    val liveData = liveFiles(spark, table, newMeta, cur).toSet
+    val liveManifests = {
+      val snap = newMeta.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == cur).get
+      readAvro(spark, new Path(snap.get("manifest-list").asText))
+        .map(_.get("manifest_path").toString).toSet
+    }
+    val dead = scala.collection.mutable.ArrayBuffer[String]()
+    val dataRoot = new Path(table, "data")
+    if (fs.exists(dataRoot))
+      fs.listStatus(dataRoot).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.matches("v\\d+") &&
+          st.getPath.getName.stripPrefix("v").toLong < version)
+        .foreach { dir =>
+          def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+            if (st.isDirectory) walk(st.getPath)
+            else if (st.getPath.getName.endsWith(".parquet")) {
+              val rel = st.getPath.toString
+                .stripPrefix(fs.makeQualified(new Path(table)).toString)
+                .stripPrefix("/")
+              if (!liveData.contains(rel)) {
+                fs.delete(st.getPath, false); dead += rel
+              }
+            }
+          }
+          walk(dir.getPath)
+        }
+    fs.listStatus(metaDir(table)).toSeq.foreach { st =>
+      val n = st.getPath.getName
+      val rel = s"metadata/$n"
+      val isDeadManifest = n.matches("manifest-\\d+-b\\d+\\.avro") &&
+        !liveManifests.contains(rel)
+      val isDeadList = n.matches("snap-\\d+\\.avro") &&
+        n.stripPrefix("snap-").stripSuffix(".avro").toLong != cur
+      if (isDeadManifest || isDeadList) {
+        fs.delete(st.getPath, false); dead += rel
+      }
+    }
+    dead.toSeq
+  }
+
+  /** CONTINUOUS export — [[DeltaInterop.startContinuousExport]]'s
+    * Iceberg twin: a Structured Streaming query tailing the CDC
+    * changelog whose every micro-batch runs one [[exportIncremental]]
+    * sync. The changelog events are the WAKE SIGNAL only (the sync
+    * reads the manifest), so the Iceberg mirror follows the table at
+    * O(changed buckets) per sync. Requires a changelog-enabled table;
+    * caller owns the returned query's lifecycle.
+    */
+  def startContinuousExport(spark: SparkSession, cdcRoot: String,
+      tableDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val feed = CdcApply.readChangesStream(spark, cdcRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"continuous export needs a changelog-enabled table at " +
+          s"$cdcRoot (applyBatch(changelog = true))"))
+    feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the changelog file lands BEFORE the manifest pointer flips:
+        // wait (bounded) until the head covers this micro-batch's
+        // newest change batch, then sync off the manifest
+        val target = batch
+          .agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions
+              .col(CdcApply.ChangeBatchCol)))
+          .head()
+        if (!target.isNullAt(0)) {
+          val want = target.getLong(0)
+          val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+          while (!CdcApply.currentVersion(spark, cdcRoot)
+              .exists(_ >= want) && System.nanoTime() < deadline)
+            Thread.sleep(25)
+        }
+        exportIncremental(spark, cdcRoot, tableDir)
+        ()
+      }
+      .start()
   }
 
   // ---- read ----------------------------------------------------------------

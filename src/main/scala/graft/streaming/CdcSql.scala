@@ -433,6 +433,29 @@ object CdcSql {
             .toDF("name", "path", "committed_version")
             .queryExecution.analyzed
         }),
+      // Iceberg-spec export from SQL — the Delta procedure's open-
+      // format twin: cdc_export_iceberg(name, path) publishes
+      // (incrementally) the registered table as an Iceberg v1
+      // metadata tree; returns the committed snapshot id (NULL when
+      // nothing changed). Same admin gate: exporting cell data off
+      // the governed root escapes the row/column filters.
+      (FunctionIdentifier("cdc_export_iceberg"),
+        new ExpressionInfo("graft.streaming.CdcSql",
+          "cdc_export_iceberg"),
+        args => {
+          if (args.size != 2) throw new UnsupportedOperationException(
+            "cdc_export_iceberg(name, path) takes 2 arguments")
+          val name = argString(args(0), "cdc_export_iceberg name")
+          val path = argString(args(1), "cdc_export_iceberg path")
+          val spark = activeSession
+          val root = resolveRoot(name)
+          requireMaintainer(spark, name, root, "cdc_export_iceberg")
+          val v = graft.sources.IcebergInterop
+            .exportIncremental(spark, root, path)
+          spark.createDataFrame(Seq((name, path, v)))
+            .toDF("name", "path", "committed_snapshot")
+            .queryExecution.analyzed
+        }),
       (FunctionIdentifier("cdc_delete_where"),
         new ExpressionInfo("graft.streaming.CdcSql",
           "cdc_delete_where"),

@@ -618,6 +618,38 @@ class CdcSqlSpec extends AnyFunSuite with SparkTestBase {
     } finally CdcSql.unregisterTable("exp_t")
   }
 
+  test("cdc_export_iceberg publishes the snapshot from SQL: committed " +
+      "snapshot id, no-change NULL, admin gate on governed roots") {
+    val root = newRoot()
+    applyB0(root)
+    CdcSql.registerTable(spark, root, "exp_ice_t")
+    val ice = java.nio.file.Files
+      .createTempDirectory("cdc_sql_ice").toFile.getAbsolutePath
+    try {
+      val r0 = spark.sql(
+        s"SELECT * FROM cdc_export_iceberg('exp_ice_t', '$ice')").head()
+      assert(r0.getAs[Long]("committed_snapshot") == 0L, r0.toString)
+      val got = graft.sources.IcebergInterop.readIceberg(spark, ice)
+        .select("k", "amount").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == Set(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+      val r1 = spark.sql(
+        s"SELECT * FROM cdc_export_iceberg('exp_ice_t', '$ice')").head()
+      assert(r1.isNullAt(r1.fieldIndex("committed_snapshot")),
+        r1.toString)
+      graft.governance.GovernanceCatalog.registerLocation(
+        root, "gov_ice_db", "gov_ice_t")
+      intercept[graft.governance.AccessDeniedException] {
+        graft.governance.Governance.withPrincipal(spark,
+            graft.governance.Analyst) {
+          spark.sql(
+            s"SELECT * FROM cdc_export_iceberg('exp_ice_t', '$ice')")
+            .collect()
+        }
+      }
+    } finally CdcSql.unregisterTable("exp_ice_t")
+  }
+
   test("cdc_register / cdc_unregister drive the name lifecycle from " +
       "SQL; registering a root with no committed table refuses") {
     val root = newRoot()

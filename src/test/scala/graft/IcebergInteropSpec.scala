@@ -240,6 +240,88 @@ class IcebergInteropSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("export state"), e.getMessage)
   }
 
+  test("expireSnapshots retains only the current snapshot: dead " +
+      "files/manifests/lists deleted, the live read is bit-identical, " +
+      "and exports continue incrementally afterwards") {
+    import spark.implicits._
+    val root = buildCdc()
+    val ice = tmp("ice_expire")
+    assert(IcebergInterop.exportIncremental(spark, root, ice)
+      .contains(0L))
+    assert(CdcApply.applyBatch(
+      Seq((1L, 2L, 11.0, false))
+        .toDF("k", "version", "amount", "deleted"),
+      1L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+      commitTs = Some(2000L)))
+    assert(IcebergInterop.exportIncremental(spark, root, ice)
+      .contains(1L))
+    val before = state(IcebergInterop.readIceberg(spark, ice))
+    assert(IcebergInterop.snapshots(spark, ice) == Seq(0L, 1L))
+    val dead = IcebergInterop.expireSnapshots(spark, ice)
+    assert(dead.nonEmpty, "snapshot 0's exclusive files must die")
+    dead.foreach(p => assert(!new java.io.File(ice, p).exists, p))
+    assert(IcebergInterop.snapshots(spark, ice) == Seq(1L))
+    assert(state(IcebergInterop.readIceberg(spark, ice)) == before)
+    assert(IcebergInterop.readIceberg(spark, ice).count() ==
+      before.size.toLong)
+    // the expired snapshot stops resolving — loudly
+    intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, ice, Some(0L))
+    }
+    // idempotent: nothing left to expire or sweep
+    assert(IcebergInterop.expireSnapshots(spark, ice).isEmpty)
+    // lineage stays incremental: the next one-key change republishes
+    // ONE bucket (no self-heal full rewrite after the re-stamp)
+    assert(CdcApply.applyBatch(
+      Seq((3L, 2L, 31.0, false))
+        .toDF("k", "version", "amount", "deleted"),
+      2L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+      commitTs = Some(3000L)))
+    val v = IcebergInterop.exportIncremental(spark, root, ice)
+    assert(v.isDefined)
+    val vDirs = new java.io.File(ice, s"data/v${v.get}").listFiles()
+      .map(_.getName).toSet
+    assert(vDirs.size == 1 && vDirs.head.startsWith("b"),
+      s"expected one republished bucket after expire, got $vDirs")
+    assert(state(IcebergInterop.readIceberg(spark, ice)) ==
+      Map(1L -> 11.0, 2L -> 20.0, 3L -> 31.0))
+  }
+
+  test("continuous export follows the changelog: each applied batch " +
+      "lands in the Iceberg mirror") {
+    import spark.implicits._
+    val root = tmp("ice_cont_cdc")
+    val ice = tmp("ice_cont")
+    val ckpt = tmp("ice_cont_ckpt")
+    val b0 = Seq((1L, 1L, 10.0, false), (2L, 1L, 20.0, false))
+      .toDF("k", "version", "amount", "deleted")
+    assert(CdcApply.applyBatch(b0, 0L, root, Seq("k"), "version",
+      Some("deleted"), numBuckets = 2, changelog = true,
+      commitTs = Some(1000L)))
+    val q = IcebergInterop.startContinuousExport(spark, root, ice, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(state(IcebergInterop.readIceberg(spark, ice)) ==
+        Map(1L -> 10.0, 2L -> 20.0))
+      assert(CdcApply.applyBatch(
+        Seq((1L, 2L, 11.0, false), (3L, 1L, 30.0, false))
+          .toDF("k", "version", "amount", "deleted"),
+        1L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+        changelog = true, commitTs = Some(2000L)))
+      q.processAllAvailable()
+      assert(state(IcebergInterop.readIceberg(spark, ice)) ==
+        Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0))
+    } finally q.stop()
+    val plain = tmp("ice_cont_plain")
+    assert(CdcApply.applyBatch(b0, 0L, plain, Seq("k"), "version",
+      Some("deleted"), commitTs = Some(1000L)))
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.startContinuousExport(spark, plain,
+        tmp("icx"), tmp("icy"))
+    }
+    assert(e.getMessage.contains("changelog"), e.getMessage)
+  }
+
   test("format versions beyond v1 and unsupported column types " +
       "refuse loudly") {
     val dir = tmp("ice_v2")
