@@ -208,11 +208,15 @@ object Dedup {
       .select(col(idCol),
         size(col("toks")).cast(LongType).as("n_tokens"),
         size(covered).cast(LongType).as("n_removed"),
-        // guard the empty doc: sequence(0, -1) would DESCEND, not
-        // return empty (the chunkArray lesson)
+        // kept indexes via array_except — hash-based O(n + |covered|)
+        // and order-preserving, where a filter + array_contains scan
+        // is O(n·|covered|): quadratic for a heavily-duplicated
+        // 10⁵-token document. Guard the empty doc: sequence(0, -1)
+        // would DESCEND, not return empty (the chunkArray lesson).
         when(size(col("toks")) > 0, concat_ws(" ", transform(
-          filter(sequence(lit(0L), size(col("toks")).cast(LongType) - 1),
-            i => !array_contains(covered, i)),
+          array_except(
+            sequence(lit(0L), size(col("toks")).cast(LongType) - 1),
+            covered),
           i => element_at(col("toks"), (i + 1).cast("int")))))
           .otherwise("").as("clean_text"))
   }

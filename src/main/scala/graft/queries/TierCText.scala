@@ -73,6 +73,58 @@ private[queries] object TierCText {
           T.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
+    // C2r — Gopher-style REPETITION filter (Rae et al. 2021 §A1.1:
+    // documents dominated by repeated fragments are low-quality
+    // training data), token-granular and fully EXACT: dup_token_frac
+    // = (n - distinct)/n, top_bigram_frac = 2·(max bigram count)/n
+    // ("fraction of tokens in the most common 2-gram"),
+    // dup_trigram_frac = (trigram occurrences - distinct)/occurrences;
+    // keep = top-2-gram < 0.20 AND dup-3-gram < 0.30 (the published
+    // threshold family). Counts are exact longs, each fraction ONE
+    // IEEE division — hash-checkable. Scale: two (doc, gram)
+    // two-phase aggregates (grams + longs on the wire, never text) +
+    // two O(docs) primary-key joins; everything else map-side.
+    "q_repetition_filter" -> ((s, d) => {
+      val toks = T.tokens(col("text"))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .withColumn("n", size(col("toks")).cast(LongType))
+      def grams(k: Int): DataFrame = base
+        .filter(col("n") >= k)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), (col("n") - (k - 1)).cast("int")),
+          i => concat_ws(" ", slice(col("toks"), i, lit(k))))).as("g"))
+      val bg = grams(2)
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("max_bg"))
+      val tg = grams(3)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("tri_occ"),
+          countDistinct(col("g")).as("tri_distinct"))
+      base
+        .join(bg, Seq("doc_id"), "left")
+        .join(tg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          when(col("n") > 0, (col("n") -
+            size(array_distinct(col("toks"))).cast(LongType))
+            .cast(DoubleType) / col("n").cast(DoubleType))
+            .otherwise(0.0).as("dup_token_frac"),
+          when(col("n") > 0,
+            coalesce(col("max_bg"), lit(0L)).cast(DoubleType) *
+              lit(2.0) / col("n").cast(DoubleType))
+            .otherwise(0.0).as("top_bigram_frac"),
+          when(coalesce(col("tri_occ"), lit(0L)) > 0,
+            (col("tri_occ") - col("tri_distinct")).cast(DoubleType) /
+              col("tri_occ").cast(DoubleType))
+            .otherwise(0.0).as("dup_trigram_frac"))
+        .withColumn("keep",
+          col("top_bigram_frac") < 0.20 &&
+            col("dup_trigram_frac") < 0.30)
+        .orderBy(col("doc_id"))
+    }),
+
     // C2 + governance composite — free-text PII redaction at corpus
     // scale. The reference masks PII COLUMNS at query time
     // (outputs.tf:48-49); a training pipeline must also scrub PII
@@ -435,6 +487,37 @@ private[queries] object TierCText {
         "SELECT t.lang, p.pred_lang, COUNT(*) AS cnt FROM test t " +
         "JOIN pred p USING (doc_id) GROUP BY t.lang, p.pred_lang " +
         "ORDER BY t.lang, p.pred_lang"),
+    // identical exact counts + single-division fractions; keep
+    // recomputed over the named fractions in the outer select
+    "q_repetition_filter" ->
+      ("WITH t AS (SELECT doc_id, list_filter(" +
+        "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "nn AS (SELECT doc_id, toks, len(toks) AS n FROM t), " +
+        "bg AS (SELECT doc_id, MAX(c) AS max_bg FROM " +
+        "(SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g, " +
+        "COUNT(*) AS c FROM nn, unnest(range(1, n)) AS u(i) " +
+        "WHERE n >= 2 GROUP BY doc_id, g) GROUP BY doc_id), " +
+        "tg AS (SELECT doc_id, COUNT(*) AS tri_occ, " +
+        "COUNT(DISTINCT g) AS tri_distinct FROM " +
+        "(SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g " +
+        "FROM nn, unnest(range(1, n - 1)) AS u(i) WHERE n >= 3) " +
+        "GROUP BY doc_id), " +
+        "m AS (SELECT nn.doc_id, CAST(nn.n AS BIGINT) AS n_tokens, " +
+        "CASE WHEN nn.n > 0 THEN " +
+        "CAST(nn.n - len(list_distinct(toks)) AS DOUBLE) / " +
+        "CAST(nn.n AS DOUBLE) ELSE 0.0 END AS dup_token_frac, " +
+        "CASE WHEN nn.n > 0 THEN " +
+        "CAST(COALESCE(bg.max_bg, 0) AS DOUBLE) * 2.0 / " +
+        "CAST(nn.n AS DOUBLE) ELSE 0.0 END AS top_bigram_frac, " +
+        "CASE WHEN COALESCE(tg.tri_occ, 0) > 0 THEN " +
+        "CAST(tg.tri_occ - tg.tri_distinct AS DOUBLE) / " +
+        "CAST(tg.tri_occ AS DOUBLE) ELSE 0.0 END AS dup_trigram_frac " +
+        "FROM nn LEFT JOIN bg USING (doc_id) " +
+        "LEFT JOIN tg USING (doc_id)) " +
+        "SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac, " +
+        "dup_trigram_frac, (top_bigram_frac < 0.20 AND " +
+        "dup_trigram_frac < 0.30) AS keep FROM m ORDER BY doc_id"),
     "q_text_stats" ->
       ("SELECT lang, COUNT(*) AS n_docs, " +
         "CAST(SUM(n_chars) AS BIGINT) AS total_chars, " +
