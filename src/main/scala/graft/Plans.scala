@@ -427,6 +427,12 @@ object Plans {
       "BROADCASTS into the prediction join, scores reduce map-side " +
       "per (doc, lang), and the argmax is one min-struct aggregate — " +
       "document text never shuffles."),
+    "q_repetition_filter" -> ("Gopher repetition filter: the bigram " +
+      "and trigram passes are two (doc, gram) two-phase hash " +
+      "aggregates — grams + longs on the wire, never text — joined " +
+      "back O(docs) on the primary key; the dup-token fraction is a " +
+      "map-side array_distinct, and every fraction is one IEEE " +
+      "division over exact counts."),
     "q_iceberg_export" -> ("Iceberg-v1 export read-back: the " +
       "declared aggregate scans the snapshot's live file set " +
       "(metadata-tree replay, driver-side O(manifests)) as ordinary " +

@@ -193,10 +193,16 @@ object Dedup {
           sha2(concat_ws(" ", slice(col("toks"), i + 1, lit(k))), 256)
             .as("h")))).as("w"))
       .select(col("_sd_id"), col("w.pos"), col("w.h"))
-    val firsts = wins.groupBy(col("h"))
-      .agg(min(struct(col("_sd_id"), col("pos"))).as("first"))
-    val hitPos = wins.join(firsts, "h")
-      .filter(struct(col("_sd_id"), col("pos")) =!= col("first"))
+    // a hit = any occurrence that is not the corpus-order-first of its
+    // fingerprint: ONE row_number window partitioned by the hash (one
+    // shuffle, one scan) — the min-aggregate + join-back form
+    // evaluates the whole fingerprint subtree twice and shuffles it
+    // twice for the same answer
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("_sd_id"), col("pos"))
+    val hitPos = wins
+      .withColumn("_sd_rn", row_number().over(byHash))
+      .filter(col("_sd_rn") > 1)
       .groupBy(col("_sd_id"))
       .agg(sort_array(collect_list(col("pos"))).as("_sd_hits"))
     val covered = array_distinct(flatten(transform(
