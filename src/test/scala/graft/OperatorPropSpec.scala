@@ -290,4 +290,53 @@ class OperatorPropSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Join"),
       s"latest-wins must not plan a join:\n$plan")
   }
+
+  test("property: substrDedup equals a brute-force token-level " +
+      "reference over arbitrary tiny-vocab corpora") {
+    import spark.implicits._
+    val k = 3
+    // 3-word vocab + doc lengths 0..10 force dense window collisions
+    // within AND across documents — exactly where the one-pass window
+    // formulation could diverge from first-occurrence semantics
+    val docGen: Gen[String] = for {
+      n <- Gen.chooseNum(0, 10)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield ws.mkString(" ")
+    def reference(docs: Seq[(Long, String)])
+        : Map[Long, (Long, Long, String)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+      // corpus-order-first occurrence per window content
+      val seen = scala.collection.mutable.Map[Seq[String], (Long, Int)]()
+      val hits = scala.collection.mutable
+        .Map[Long, Set[Int]]().withDefaultValue(Set.empty)
+      docs.sortBy(_._1).foreach { case (id, _) =>
+        val ts = toks(id)
+        (0 to ts.length - k).foreach { i =>
+          val w = ts.slice(i, i + k)
+          seen.get(w) match {
+            case None => seen(w) = (id, i)
+            case Some(_) => hits(id) = hits(id) ++ (i until i + k).toSet
+          }
+        }
+      }
+      docs.map { case (id, _) =>
+        val ts = toks(id)
+        val cov = hits(id)
+        id -> ((ts.length.toLong, cov.size.toLong,
+          ts.zipWithIndex.collect {
+            case (t, i) if !cov(i) => t }.mkString(" ")))
+      }.toMap
+    }
+    val p = Prop.forAll(Gen.listOfN(6, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.dedup.Dedup
+        .substrDedup(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      got == reference(docs)
+    }
+    check(p)
+  }
 }
