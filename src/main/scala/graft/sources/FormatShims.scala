@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
+  RelationProvider}
+
+/** `spark.read.format("delta")` / `format("iceberg")` — reader shims
+  * completing the format-protocol matrix for the two interop seams
+  * (the `format("cdc")` pattern pointed at the open formats): tools
+  * that speak only the DataFrameReader protocol read this engine's
+  * exports — or any conformant writer's tables — without touching the
+  * Scala API. Each shim resolves the table through the engine's own
+  * protocol reader ([[DeltaInterop.readDelta]] /
+  * [[IcebergInterop.readIceberg]]) and serves it through the same
+  * pruned-filtered relation as the cdc shim, so column pruning and
+  * the common filter shapes reach the underlying parquet scans.
+  *
+  * Would a REAL delta/iceberg runtime be on the classpath these
+  * shortName registrations would collide — by design they are for the
+  * zero-dependency deployment this engine targets, and an explicit
+  * `format("graft.sources.DeltaTableSource")` always disambiguates.
+  *
+  * Writes go through the export APIs (an export is a protocol COMMIT
+  * with crash-window handling — not a blind file save), so the shims
+  * are read-only on purpose.
+  */
+class DeltaTableSource extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "delta"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "format(\"delta\") requires option(\"path\", <table dir>)"))
+    CdcRelation(sqlContext,
+      DeltaInterop.readDelta(sqlContext.sparkSession, path))
+  }
+}
+
+class IcebergTableSource extends RelationProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "iceberg"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "format(\"iceberg\") requires option(\"path\", <table dir>)"))
+    val snapshot = parameters.get("snapshotId").map(_.toLong)
+    CdcRelation(sqlContext,
+      IcebergInterop.readIceberg(sqlContext.sparkSession, path, snapshot))
+  }
+}

@@ -305,6 +305,22 @@ class DeltaInteropSpec extends AnyFunSuite with SparkTestBase {
       "vacuum must skip versions above the committed log head")
   }
 
+  test("format(\"delta\") reads the export through the " +
+      "DataFrameReader protocol; writes are refused by construction") {
+    val root = buildCdc()
+    val delta = tmp("delta_fmt")
+    DeltaInterop.exportSnapshot(spark, root, delta)
+    val df = spark.read.format("delta").option("path", delta).load()
+    assert(state(df) == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    assert(state(df.filter(col("amount") > 15.0)) ==
+      Map(2L -> 20.0, 3L -> 30.0))
+    // read-only shim: a save has no protocol-commit semantics here
+    intercept[Exception] {
+      df.write.format("delta").option("path", tmp("delta_fmt_w"))
+        .save()
+    }
+  }
+
   test("unsupported reader versions refuse loudly; a foreign " +
       "protocol-1 log reads fine") {
     import java.nio.file.{Files, Paths}

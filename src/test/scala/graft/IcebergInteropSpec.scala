@@ -322,6 +322,42 @@ class IcebergInteropSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("changelog"), e.getMessage)
   }
 
+  test("format(\"iceberg\") reads exports through the DataFrameReader " +
+      "protocol (snapshotId option = VERSION AS OF); additive CDC " +
+      "schema evolution flows into the export and old snapshots read " +
+      "NULL for the new column") {
+    import spark.implicits._
+    val root = buildCdc()
+    val ice = tmp("ice_fmt")
+    assert(IcebergInterop.exportIncremental(spark, root, ice)
+      .contains(0L))
+    // additive evolution mid-stream: batch 1 introduces `bonus`
+    assert(CdcApply.applyBatch(
+      Seq((1L, 2L, 11.0, false, 7L))
+        .toDF("k", "version", "amount", "deleted", "bonus"),
+      1L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+      commitTs = Some(2000L)))
+    assert(IcebergInterop.exportIncremental(spark, root, ice)
+      .contains(1L))
+    val live = spark.read.format("iceberg").option("path", ice).load()
+    assert(live.schema.fieldNames.contains("bonus"))
+    val got = live.select("k", "amount", "bonus").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got == Set((1L, 11.0, Some(7L)), (2L, 20.0, None),
+      (3L, 30.0, None)), got.toString)
+    // filters flow through the relation seam
+    assert(live.filter(col("amount") > 15.0).count() == 2L)
+    // snapshot 0 predates the evolution: its files lack the column,
+    // the declared CURRENT schema reads it back as NULL everywhere
+    val v0 = spark.read.format("iceberg").option("path", ice)
+      .option("snapshotId", "0").load()
+    assert(v0.select("k", "amount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    assert(v0.filter(col("bonus").isNotNull).isEmpty)
+  }
+
   test("format versions beyond v1 and unsupported column types " +
       "refuse loudly") {
     val dir = tmp("ice_v2")
