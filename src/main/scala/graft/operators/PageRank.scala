@@ -39,10 +39,12 @@ import org.apache.spark.sql.types.LongType
   * inbound sum stays below 2^63/num as long as in-degree × scale <
   * 1e17 — i.e. in-degrees up to ~1e8 at the default scale.
   *
-  * Lineage doubles per iteration; beyond ~10 iterations cut it with
-  * a checkpoint every few passes exactly as
-  * [[graft.dedup.Dedup.clusters]] does (its `checkpointDir` pattern);
-  * ranking fixed points are typically read at 3–20 iterations.
+  * Every iteration ends in a lineage cut ([[graft.dedup.Dedup.clusters]]'s
+  * pattern — `localCheckpoint` by default, `Dataset.checkpoint` into
+  * `checkpointDir` for the executor-loss-safe cluster form): without
+  * the cut, iteration i's plan re-executes iterations 1..i-1, turning
+  * an N-iteration run into O(N²) work. Caller owns `checkpointDir`
+  * (same retention contract as clusters).
   */
 object PageRank {
 
@@ -51,14 +53,30 @@ object PageRank {
     * Returns (id, rank) with rank on the `scale` fixed-point grid.
     */
   def run(edges: DataFrame, iters: Int, scale: Long = 1000000000L,
-      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+      dampNum: Long = 85, dampDen: Long = 100,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum > 0 && dampNum < dampDen,
       s"damping must satisfy 0 < num < den, got $dampNum/$dampDen")
-    val withDeg = edges
+    val sc = edges.sparkSession.sparkContext
+    val prior = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir(_))
+    try runImpl(edges, iters, scale, dampNum, dampDen,
+      checkpointDir.isDefined)
+    finally prior.foreach(sc.setCheckpointDir(_))
+  }
+
+  private def runImpl(edges: DataFrame, iters: Int, scale: Long,
+      dampNum: Long, dampDen: Long, reliable: Boolean): DataFrame = {
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    // degrees and the node set are loop INVARIANTS: materialize once,
+    // or every iteration re-derives them from the raw edge pipeline
+    val withDeg = cut(edges
       .join(edges.groupBy(col("src"))
-        .agg(count(lit(1)).cast(LongType).as("outdeg")), "src")
-    val nodes = edges.select(col("src").as("id")).distinct()
+        .agg(count(lit(1)).cast(LongType).as("outdeg")), "src"))
+    val nodes = cut(edges.select(col("src").as("id")).distinct())
     val base = (dampDen - dampNum) * scale
     var ranks = nodes.select(col("id"), lit(scale).as("rank"))
     for (_ <- 1 to iters) {
@@ -70,10 +88,10 @@ object PageRank {
         .agg(sum(col("c")).as("contrib"))
       // `div` (not `/`): long / long is a DOUBLE division in Spark,
       // which silently loses integer precision past 2^53
-      ranks = nodes.join(contribs, Seq("id"), "left")
+      ranks = cut(nodes.join(contribs, Seq("id"), "left")
         .select(col("id"),
           expr(s"(${base}L + ${dampNum}L * coalesce(contrib, 0L)) " +
-            s"div ${dampDen}L").as("rank"))
+            s"div ${dampDen}L").as("rank")))
     }
     ranks
   }
