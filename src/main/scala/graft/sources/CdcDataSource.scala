@@ -338,6 +338,16 @@ private[sources] case class CdcRelation(sqlContext: SQLContext,
 
   override def schema: StructType = snap.schema
 
+  // plan-derived size instead of BaseRelation's "assume huge" default:
+  // the delegated snapshot plan already carries file-size (and, for
+  // registered CDC names, manifest row-count) statistics — reporting
+  // them here lets a small dimension table served through the format
+  // shim broadcast like any parquet read would
+  override def sizeInBytes: Long = {
+    val s = snap.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (s > BigInt(Long.MaxValue)) Long.MaxValue else s.toLong
+  }
+
   // rows leave as InternalRow straight from the delegated plan — no
   // Row conversion copy on the scan boundary
   override def needConversion: Boolean = false

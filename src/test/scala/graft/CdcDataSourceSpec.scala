@@ -265,6 +265,20 @@ class CdcDataSourceSpec extends AnyFunSuite with SparkTestBase {
       s"restart must deliver ONLY batch 3: $seen")
   }
 
+  test("the relation reports plan-derived sizeInBytes: a tiny table " +
+    "read through the format shim broadcasts in a join") {
+    import spark.implicits._
+    val root = build()
+    val small = spark.read.format("cdc").option("path", root).load()
+    val big = (0L until 50000L).map(k => (k, k % 7)).toDF("k", "v")
+    val plan = big.join(small.select("k", "amount"), "k")
+      .queryExecution.sparkPlan
+    val bhj = plan.collect { case b: org.apache.spark.sql.execution
+      .joins.BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty,
+      s"a 2-live-row cdc relation should broadcast, got:\n$plan")
+  }
+
   test("the cdc sink fails LOUDLY when interleaved DML steals an " +
     "epoch's batch-id slot (silent replay-guard swallow would be " +
     "data loss)") {
