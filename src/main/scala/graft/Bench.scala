@@ -60,10 +60,11 @@ object Bench {
         // one-time catalog-statistics build; timed passes re-plan
         // against the cached stats)
         "q_cbo_join",
-        // first runs build the Delta/Iceberg exports and the
-        // SQL-applied CDC root; later passes no-op the export and
+        // first runs build the Delta/Iceberg exports (incl. the
+        // time-travel recipe's CDC root + two snapshot exports) and
+        // the SQL-applied CDC root; later passes no-op the export and
         // replay the batch
-        "q_delta_export", "q_iceberg_export",
+        "q_delta_export", "q_iceberg_export", "q_iceberg_timetravel",
         "q_sql_cdc_apply").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -120,7 +121,15 @@ object Bench {
           SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
           name -> (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => name -> -1.0 }
+        } catch { case e: Throwable =>
+          // an extra-sample crash is STILL a failure (the class doc's
+          // no-swallowing contract): record it so n_failed and the
+          // exit code expose an intermittent heavy-tail regression
+          errors(name) = Option(e.getMessage)
+            .getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString.take(300)
+          name -> -1.0
+        }
       }).flatten.filter(_._2 >= 0)
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     // per-query MEDIANS (3 samples; 5 for the heavy tail), the same

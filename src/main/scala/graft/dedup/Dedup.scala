@@ -647,7 +647,14 @@ object Dedup {
     val priorCheckpointDir = sc.getCheckpointDir
     checkpointDir.foreach(sc.setCheckpointDir(_))
     try clustersImpl(pairs, maxIters, checkpointDir.isDefined)
-    finally priorCheckpointDir.foreach(sc.setCheckpointDir(_))
+    finally priorCheckpointDir match {
+      case Some(d) => sc.setCheckpointDir(d)
+      // restore "unset" too (the Ann.kmeans pattern): leaving the
+      // caller's soon-deleted dir installed context-wide would break
+      // the session's next unrelated checkpoint
+      case None if checkpointDir.isDefined => sc.setCheckpointDir(null)
+      case None => ()
+    }
   }
 
   private def clustersImpl(pairs: DataFrame, maxIters: Int,

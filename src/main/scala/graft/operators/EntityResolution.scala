@@ -147,15 +147,19 @@ object EntityResolution {
         // the driver), so the probe degrades to the full bucket scan —
         // the equi-join on gram below keeps correctness either way;
         // pruning is an optimization, never a semantic.
-        val nProbe = pfx.select(col("gram")).distinct().count()
-        if (nProbe == 0) {
+        // ONE job sizes and materializes the probe set together: the
+        // limit caps driver memory at MaxProbeGrams+1 rows, and the
+        // sentinel extra row is the went-over signal
+        val probeRows = pfx.select(col("gram")).distinct()
+          .limit((MaxProbeGrams + 1).toInt).collect()
+        if (probeRows.isEmpty) {
           import spark.implicits._
           Seq.empty[(Long, Long)].toDF("id_b", "ent")
         } else {
         val probedRaw =
-          if (nProbe <= MaxProbeGrams) {
-            val probeGrams = pfx.select(col("gram")).distinct()
-              .collect().map(r => Seq[Any](r.getString(0))).toSeq
+          if (probeRows.length <= MaxProbeGrams) {
+            val probeGrams =
+              probeRows.map(r => Seq[Any](r.getString(0))).toSeq
             CdcApply.scanByBucketValues(spark, tablePath(root),
               probeGrams).get
           } else snapshot

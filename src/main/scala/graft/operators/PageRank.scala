@@ -63,7 +63,14 @@ object PageRank {
     checkpointDir.foreach(sc.setCheckpointDir(_))
     try runImpl(edges, iters, scale, dampNum, dampDen,
       checkpointDir.isDefined)
-    finally prior.foreach(sc.setCheckpointDir(_))
+    finally prior match {
+      case Some(d) => sc.setCheckpointDir(d)
+      // restore "unset" too (the Ann.kmeans pattern): leaving the
+      // caller's soon-deleted dir installed context-wide would break
+      // the session's next unrelated checkpoint
+      case None if checkpointDir.isDefined => sc.setCheckpointDir(null)
+      case None => ()
+    }
   }
 
   private def runImpl(edges: DataFrame, iters: Int, scale: Long,

@@ -237,9 +237,11 @@ private[sources] object CdcDataSource {
     * Scala-API defaults. Explicit options still override (and then
     * the gate rejects a genuine mismatch loudly).
     */
+  /** Returns applyBatch's applied/no-op result — the sink's
+    * swallowed-epoch detector reads it. */
   private[sources] def applyResolved(spark: org.apache.spark.sql.SparkSession,
       root: String, parameters: Map[String, String], data: DataFrame,
-      batchId: Long): Unit = {
+      batchId: Long): Boolean = {
     val conf = CdcApply.tableConfOf(spark, root)
     val keys = parameters.get("keys")
       .map(_.split(',').map(_.trim).toSeq.filter(_.nonEmpty))
@@ -256,7 +258,7 @@ private[sources] object CdcDataSource {
     // manifest feed) — same detection as deleteWhere/updateWhere
     val logged = parameters.get("changelog").map(_.toBoolean).getOrElse(
       CdcApply.hasChangelog(spark, root))
-    CdcApply.applyBatch(data, batchId, root, keys, versionCol,
+    val applied = CdcApply.applyBatch(data, batchId, root, keys, versionCol,
       parameters.get("deletedCol").orElse(conf.flatMap(_.deletedCol)),
       numBuckets = parameters.get("numBuckets").map(_.toInt)
         .orElse(conf.map(_.numBuckets)).getOrElse(16),
@@ -270,7 +272,7 @@ private[sources] object CdcDataSource {
       bucketCols = parameters.get("bucketCols")
         .map(_.split(',').map(_.trim).toSeq.filter(_.nonEmpty))
         .orElse(conf.flatMap(_.bucketKeys)))
-    ()
+    applied
   }
 }
 
@@ -304,26 +306,31 @@ private[sources] class CdcSink(spark: org.apache.spark.sql.SparkSession,
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val target = base + batchId
-    if (target > headAtStart) {
-      val head = CdcApply.currentVersion(spark, root).getOrElse(-1L)
-      if (head >= target)
-        throw new IllegalStateException(
-          s"cdc sink epoch $batchId maps to table batch $target of " +
-            s"$root, but the table head is already $head and this " +
-            "query never applied that epoch — an interleaved writer " +
-            "(deleteWhere/updateWhere/cdc_apply/another stream) took " +
-            "the slot, and applying would be silently swallowed by " +
-            "the replay guard. Stop interleaved DML while the sink " +
-            "runs, or restart with a baseBatchId above the intruder.")
-    }
     val schema = data.schema
     val rows = data.queryExecution.toRdd.mapPartitions { it =>
       val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
         .createToScalaConverter(schema)
       it.map(ir => conv(ir.copy()).asInstanceOf[Row])
     }
-    CdcDataSource.applyResolved(spark, root, parameters,
+    val applied = CdcDataSource.applyResolved(spark, root, parameters,
       spark.createDataFrame(rows, schema), target)
+    // swallowed-epoch detector, AFTER the apply so no check-then-act
+    // window remains: an epoch ABOVE the head this sink started at is
+    // new work that must genuinely apply; if the replay guard no-op'd
+    // it, an interleaved writer (deleteWhere/updateWhere auto-commit,
+    // cdc_apply, another stream) took its batch-id slot — throwing
+    // here keeps the engine from committing the checkpoint offset, so
+    // the failure is loud instead of silent data loss. Epochs at or
+    // below headAtStart are checkpoint replays of batches a previous
+    // incarnation committed — the legitimate no-op.
+    if (!applied && target > headAtStart)
+      throw new IllegalStateException(
+        s"cdc sink epoch $batchId maps to table batch $target of " +
+          s"$root, but the replay guard swallowed it (head is " +
+          s"${CdcApply.currentVersion(spark, root).getOrElse(-1L)}) " +
+          "and this query never applied that epoch — an interleaved " +
+          "writer took the slot. Stop interleaved DML while the sink " +
+          "runs, or restart with a baseBatchId above the intruder.")
   }
 }
 

@@ -114,9 +114,22 @@ object CdcSql {
   def unregisterTable(name: String): Unit = {
     val k = keyOf(split(name))
     synchronized {
-      sessionTables = sessionTables.view.mapValues(_ - k).toMap
+      // drop emptied session entries too — dead sessions' keys must
+      // not accumulate on a long-lived JVM
+      sessionTables = sessionTables.view.mapValues(_ - k)
+        .filter(_._2.nonEmpty).toMap
       globalTables = globalTables - k
     }
+  }
+
+  /** Drop EVERY binding of one session — the retirement hook for a
+    * long-lived JVM cycling many short-lived sessions (nothing reclaims
+    * a dead session's bindings automatically; the registry cannot
+    * observe session death).
+    */
+  def unregisterSession(spark: SparkSession): Unit = {
+    val sk = sessionKey(spark)
+    synchronized { sessionTables = sessionTables - sk }
   }
 
   private[streaming] def rootFor(parts: Seq[String]): Option[String] = {
