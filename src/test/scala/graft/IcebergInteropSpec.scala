@@ -204,6 +204,39 @@ class IcebergInteropSpec extends AnyFunSuite with SparkTestBase {
     assert(IcebergInterop.readIceberg(spark, ice).count() == 40L)
   }
 
+  test("pre-commit crash debris (data dir, manifests, manifest list, " +
+      "metadata tmp) is swept on the next attempt — a crashed export " +
+      "never wedges the retry") {
+    import spark.implicits._
+    val root = buildCdc()
+    val ice = tmp("ice_debris")
+    assert(IcebergInterop.exportIncremental(spark, root, ice)
+      .contains(0L))
+    // simulate a crash mid-export of version 1: every pre-commit
+    // artifact exists, the metadata rename never happened
+    val v1 = new java.io.File(ice, "data/v1"); v1.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(v1, "junk.parquet").toPath, "junk")
+    java.nio.file.Files.writeString(new java.io.File(ice,
+      "metadata/manifest-1-b0.avro").toPath, "junk")
+    java.nio.file.Files.writeString(new java.io.File(ice,
+      "metadata/snap-1.avro").toPath, "junk")
+    java.nio.file.Files.writeString(new java.io.File(ice,
+      "metadata/.tmp-1").toPath, "junk")
+    assert(CdcApply.applyBatch(
+      Seq((1L, 2L, 11.0, false))
+        .toDF("k", "version", "amount", "deleted"),
+      1L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+      commitTs = Some(2000L)))
+    assert(IcebergInterop.exportIncremental(spark, root, ice)
+      .contains(1L))
+    assert(state(IcebergInterop.readIceberg(spark, ice)) ==
+      Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0))
+    assert(IcebergInterop.readIceberg(spark, ice).count() == 3L)
+    assert(!new java.io.File(v1, "junk.parquet").exists,
+      "orphaned junk must be swept, never committed")
+  }
+
   test("a stale export-state stamp self-heals with a full rewrite; " +
       "foreign metadata dirs refuse incremental export") {
     import spark.implicits._
