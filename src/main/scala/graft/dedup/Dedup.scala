@@ -174,12 +174,13 @@ object Dedup {
     * kept tokens in order ("" when everything was cut).
     *
     * Scale shape: the window pass shuffles (sha256, id, pos) — ~48 B
-    * per TOKEN (each position opens one window), one hash-keyed
-    * min-aggregate + one equi-join, exactly [[chunkDedup]]'s
-    * resolution cost at k× finer granularity; hit positions fold to
-    * one int-array row per affected document, covered indexes expand
-    * MAP-SIDE (never shuffled), and the only text-bearing join is
-    * O(docs) on the primary key.
+    * per TOKEN (each position opens one window) — into ONE hash-keyed
+    * min-struct aggregate whose partial aggregation absorbs even a
+    * boilerplate fingerprint repeated 10⁹ times map-side; the hit set
+    * derives per doc from the firsts alone (every window position is
+    * either its fingerprint's corpus-order-first or a hit), so nothing
+    * ever joins on the hash, covered indexes expand MAP-SIDE, and the
+    * only text-bearing join is O(docs) on the primary key.
     */
   def substrDedup(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
@@ -193,24 +194,30 @@ object Dedup {
           sha2(concat_ws(" ", slice(col("toks"), i + 1, lit(k))), 256)
             .as("h")))).as("w"))
       .select(col("_sd_id"), col("w.pos"), col("w.h"))
-    // a hit = any occurrence that is not the corpus-order-first of its
-    // fingerprint: ONE row_number window partitioned by the hash (one
-    // shuffle, one scan) — the min-aggregate + join-back form
-    // evaluates the whole fingerprint subtree twice and shuffles it
-    // twice for the same answer
-    val byHash = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("h")).orderBy(col("_sd_id"), col("pos"))
-    val hitPos = wins
-      .withColumn("_sd_rn", row_number().over(byHash))
-      .filter(col("_sd_rn") > 1)
-      .groupBy(col("_sd_id"))
-      .agg(sort_array(collect_list(col("pos"))).as("_sd_hits"))
+    // Every window position of a doc is either the corpus-order-FIRST
+    // of its fingerprint or a hit — so the hit set is derivable from
+    // the firsts ALONE: per doc, hits = all window positions minus the
+    // doc's own first-positions. That keeps the resolution to ONE
+    // min-struct aggregate on the hash (partial aggregation absorbs a
+    // boilerplate fingerprint repeated 10⁹ times map-side, where a
+    // row_number window would pile the hot hash on one reducer) plus
+    // one per-doc fold — the fingerprint subtree evaluates once and
+    // nothing ever joins on the hash.
+    val firstPos = wins.groupBy(col("h"))
+      .agg(min(struct(col("_sd_id"), col("pos"))).as("first"))
+      .groupBy(col("first._sd_id").as("_sd_id"))
+      .agg(collect_list(col("first.pos")).as("_sd_first"))
+    // window count n-k+1 when n >= k (guarded: sequence would descend)
+    val nWins = size(col("toks")).cast(LongType) - (k - 1)
+    val hitArr = when(size(col("toks")) >= k,
+      array_except(sequence(lit(0L), nWins - 1),
+        coalesce(col("_sd_first"), array().cast("array<bigint>"))))
+      .otherwise(array().cast("array<bigint>"))
     val covered = array_distinct(flatten(transform(
-      coalesce(col("_sd_hits"), array().cast("array<bigint>")),
-      p => sequence(p, p + (k - 1)))))
+      hitArr, p => sequence(p, p + (k - 1)))))
     docs
       .select(col(idCol), toks.as("toks"))
-      .join(hitPos, col(idCol) === col("_sd_id"), "left")
+      .join(firstPos, col(idCol) === col("_sd_id"), "left")
       .select(col(idCol),
         size(col("toks")).cast(LongType).as("n_tokens"),
         size(covered).cast(LongType).as("n_removed"),
