@@ -427,7 +427,7 @@ object Plans {
       "BROADCASTS into the prediction join, scores reduce map-side " +
       "per (doc, lang), and the argmax is one min-struct aggregate — " +
       "document text never shuffles."),
-    "q_repetition_filter" -> ("Gopher repetition filter: the bigram " +
+    "q_gopher_filter" -> ("Gopher repetition filter: the bigram " +
       "and trigram passes are two (doc, gram) two-phase hash " +
       "aggregates — grams + longs on the wire, never text — joined " +
       "back O(docs) on the primary key; the dup-token fraction is a " +

@@ -84,7 +84,7 @@ private[queries] object TierCText {
     // IEEE division — hash-checkable. Scale: two (doc, gram)
     // two-phase aggregates (grams + longs on the wire, never text) +
     // two O(docs) primary-key joins; everything else map-side.
-    "q_repetition_filter" -> ((s, d) => {
+    "q_gopher_filter" -> ((s, d) => {
       val toks = T.tokens(col("text"))
       val base = Tables.documents(s, d)
         .select(col("doc_id"), toks.as("toks"))
@@ -489,7 +489,7 @@ private[queries] object TierCText {
         "ORDER BY t.lang, p.pred_lang"),
     // identical exact counts + single-division fractions; keep
     // recomputed over the named fractions in the outer select
-    "q_repetition_filter" ->
+    "q_gopher_filter" ->
       ("WITH t AS (SELECT doc_id, list_filter(" +
         "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') " +
         "AS toks FROM documents), " +
