@@ -65,7 +65,9 @@ object Bench {
         // the SQL-applied CDC root; later passes no-op the export and
         // replay the batch
         "q_delta_export", "q_iceberg_export", "q_iceberg_timetravel",
-        "q_sql_cdc_apply").foreach { w =>
+        "q_sql_cdc_apply",
+        // first run builds the persisted co-purchase edge list
+        "q_pagerank").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

@@ -78,12 +78,15 @@ object PageRank {
     def cut(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
-    // degrees and the node set are loop INVARIANTS: materialize once,
-    // or every iteration re-derives them from the raw edge pipeline
+    // degrees and the node set are loop INVARIANTS: materialize them
+    // once (the double reference to `edges` inside the degree join
+    // dedupes via ReuseExchange — one evaluation of the edge
+    // pipeline), and derive nodes from the materialized degree table
+    // rather than re-running the pipeline
     val withDeg = cut(edges
       .join(edges.groupBy(col("src"))
         .agg(count(lit(1)).cast(LongType).as("outdeg")), "src"))
-    val nodes = cut(edges.select(col("src").as("id")).distinct())
+    val nodes = cut(withDeg.select(col("src").as("id")).distinct())
     val base = (dampDen - dampNum) * scale
     var ranks = nodes.select(col("id"), lit(scale).as("rank"))
     for (_ <- 1 to iters) {
