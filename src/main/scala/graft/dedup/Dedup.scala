@@ -130,11 +130,14 @@ object Dedup {
     *
     * Scale shape: the first-occurrence resolution shuffles ONLY
     * (sha256, id, chunk_idx) — 48 bytes per chunk, never text — through
-    * one hash-keyed min-aggregate plus one equi-join on the hash; the
-    * surviving (id, chunk_idx) pairs fold to one int-array row per
-    * document, and reconstruction re-chunks the document MAP-SIDE and
-    * keeps the flagged indexes, so document text crosses the wire only
-    * in the final O(docs) join on the primary key. Ties are impossible
+    * ONE hash-keyed min-aggregate; the surviving set IS the firsts (a
+    * chunk occurrence is kept iff it is its hash's corpus-order
+    * minimum), so no join on the hash ever forms, partial aggregation
+    * absorbs a boilerplate chunk repeated 10⁹ times map-side, and the
+    * firsts fold straight to one int-array row per document.
+    * Reconstruction re-chunks the document MAP-SIDE and keeps the
+    * flagged indexes, so document text crosses the wire only in the
+    * final O(docs) join on the primary key. Ties are impossible
     * (a (id, chunk_idx) key is unique), so min-struct is deterministic.
     */
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
@@ -144,12 +147,11 @@ object Dedup {
         explode(chunkArray(col(textCol), chunkLen)).as("c"))
       .select(col("_cd_id"), col("c.chunk_idx"),
         sha2(col("c.chunk_text"), 256).as("h"))
-    val firsts = keys.groupBy(col("h"))
+    val kept = keys.groupBy(col("h"))
       .agg(min(struct(col("_cd_id"), col("chunk_idx"))).as("first"))
-    val kept = keys.join(firsts, "h")
-      .filter(struct(col("_cd_id"), col("chunk_idx")) === col("first"))
-      .groupBy(col("_cd_id"))
-      .agg(sort_array(collect_list(col("chunk_idx"))).as("_cd_kept"))
+      .groupBy(col("first._cd_id").as("_cd_id"))
+      .agg(sort_array(collect_list(col("first.chunk_idx")))
+        .as("_cd_kept"))
     rebuildFromKept(docs, idCol, textCol, chunkLen, kept)
   }
 
