@@ -394,19 +394,21 @@ object Plans {
       "argmax partitioned BY CLUSTER — the shuffle carries " +
       "(doc_id, cluster_id, double), and no partition exceeds the " +
       "largest near-dup cluster."),
-    "q_pagerank" -> ("Integer-exact PageRank: degrees attach to the " +
-      "edge list once (one aggregate + one equi-join on src); each " +
-      "iteration is one src equi-join + one dst hash aggregate, so " +
-      "the per-iteration shuffle carries (long, long) pairs only — " +
-      "no payloads, no cartesian shapes, and the co-occurrence " +
-      "self-join keys on l_orderkey (per-order pairs, never " +
-      "corpus-wide)."),
+    "q_pagerank" -> ("Integer-exact PageRank: the co-purchase edge " +
+      "list is a PERSISTED build artifact (the self-join + distinct " +
+      "runs once per dataset, not per query run); degrees attach to " +
+      "it once (one aggregate + one equi-join on src, double edge " +
+      "reference deduped by ReuseExchange), every iteration ends in a " +
+      "lineage cut, and the per-iteration shuffle carries (long, " +
+      "long) pairs only — no payloads, no cartesian shapes."),
     "q_chunk_dedup" -> ("Chunk-level first-occurrence dedup: the " +
       "resolution side shuffles (sha256, doc_id, chunk_idx) — never " +
-      "chunk text; survivors fold to ONE int-array row per document, " +
-      "and the only text-bearing join is the final O(docs) equi-join " +
-      "on the primary key, where the rebuild is a map-side array " +
-      "filter over the re-chunked tokens."),
+      "chunk text — into ONE min-struct hash aggregate whose partial " +
+      "phase absorbs hot boilerplate chunks map-side (the kept set IS " +
+      "the firsts, so no join on the hash forms); survivors fold to " +
+      "ONE int-array row per document, and the only text-bearing join " +
+      "is the final O(docs) equi-join on the primary key, where the " +
+      "rebuild is a map-side array filter over the re-chunked tokens."),
     "q_pmi_terms" -> ("PMI-lift distinctive terms: ONE token explode " +
       "feeds the (lang, w) count, whose re-aggregations produce the " +
       "word and language totals — no second corpus scan; the 5-row " +
