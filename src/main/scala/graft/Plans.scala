@@ -417,11 +417,13 @@ object Plans {
       "the rank window partitions BY LANGUAGE."),
     "q_substr_dedup" -> ("Exact-substring dedup: the window pass " +
       "shuffles (sha256, doc_id, pos) — 48 B per TOKEN, never text — " +
-      "through one hash-keyed min-aggregate and one equi-join; hit " +
-      "positions fold to one int-array row per affected document, " +
-      "covered spans expand MAP-SIDE, and the only text-bearing join " +
-      "is the final O(docs) primary-key join where the rebuild is a " +
-      "map-side token filter."),
+      "into ONE hash-keyed min-struct aggregate whose partial phase " +
+      "absorbs hot fingerprints map-side; the kept set IS the firsts " +
+      "(hit positions derive per document from the firsts alone — " +
+      "nothing ever joins back on the hash), covered spans expand " +
+      "MAP-SIDE, and the only text-bearing join is the final O(docs) " +
+      "primary-key join where the rebuild is a map-side token " +
+      "filter."),
     "q_lang_id_learned" -> ("Learned language-ID: training is one " +
       "char-gram explode + two-phase (lang, gram) hash aggregate " +
       "(2-char grams + longs on the wire, never text) and a top-m " +

@@ -242,14 +242,14 @@ object EntityResolution {
     }
 
     // ---- append the batch's postings (replay-guarded). Appends own
-    // the ODD table-batch slots (2·batchId + 1): a merge's
-    // updateWhere auto-commits at head+1 — the even slot between two
-    // appends — so a batch whose resolution required a merge never
-    // collides with its own append's id (a collision would make the
-    // replay guard swallow the batch's rows). On re-delivery the
-    // merge set recomputes empty against the already-merged index,
-    // and the append no-ops at its reserved slot — idempotent either
-    // way. ----
+    // the ODD table-batch slots (2·batchId + 1): a merge applyBatch
+    // commits at the RESERVED even slot 2·batchId (see the merge
+    // block above), so a batch whose resolution required a merge
+    // never collides with its own append's id (a collision would
+    // make the replay guard swallow the batch's rows). On
+    // re-delivery the merge set recomputes empty against the
+    // already-merged index, and the append no-ops at its reserved
+    // slot — idempotent either way. ----
     val rows = prefixRows(assigned.drop("entity_id"), freq, d, q)
       .join(assigned.select(col("id"), col("entity_id")), Seq("id"))
       .select(col("gram"), col("id"), col("len"), col("s"),

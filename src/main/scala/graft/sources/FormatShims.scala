@@ -15,10 +15,15 @@ import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
   * pruned-filtered relation as the cdc shim, so column pruning and
   * the common filter shapes reach the underlying parquet scans.
   *
-  * Would a REAL delta/iceberg runtime be on the classpath these
-  * shortName registrations would collide — by design they are for the
-  * zero-dependency deployment this engine targets, and an explicit
-  * `format("graft.sources.DeltaTableSource")` always disambiguates.
+  * Short names: each shim registers TWO names — the convenience
+  * `delta`/`iceberg` for the zero-dependency deployment this engine
+  * targets, and a collision-proof `graft-delta`/`graft-iceberg`
+  * alias. Were a real delta-spark or iceberg-runtime jar on the
+  * classpath, `format("delta")`/`format("iceberg")` becomes a
+  * multiple-sources ambiguity error for EVERY caller — the stable
+  * API is therefore the `graft-*` name (or the fully-qualified
+  * `format("graft.sources.DeltaTableSource")`), with the bare names
+  * kept as sugar that works until a competing registration appears.
   *
   * Writes go through the export APIs (an export is a protocol COMMIT
   * with crash-window handling — not a blind file save), so the shims
@@ -52,4 +57,18 @@ class IcebergTableSource extends RelationProvider
     CdcRelation(sqlContext,
       IcebergInterop.readIceberg(sqlContext.sparkSession, path, snapshot))
   }
+}
+
+/** Collision-proof alias for [[DeltaTableSource]] — resolves even when
+  * a real delta-spark jar also registers `delta`.
+  */
+class GraftDeltaTableSource extends DeltaTableSource {
+  override def shortName(): String = "graft-delta"
+}
+
+/** Collision-proof alias for [[IcebergTableSource]] — resolves even
+  * when a real iceberg-runtime jar also registers `iceberg`.
+  */
+class GraftIcebergTableSource extends IcebergTableSource {
+  override def shortName(): String = "graft-iceberg"
 }

@@ -63,6 +63,31 @@ object IcebergInterop {
   private def manifestFile(table: String, v: Long, bucket: Int) =
     new Path(metaDir(table), s"manifest-$v-b$bucket.avro")
 
+  /** Absolute path or full URI? Hadoop renders local URIs with a
+    * SINGLE slash (`file:/tmp/x`), so a bare `://` test misses them.
+    */
+  private[sources] def isAbsolute(p: String): Boolean =
+    p.startsWith("/") || p.matches("[A-Za-z][A-Za-z0-9+.-]*:.*")
+
+  /** Manifest/file path resolved against the table root when
+    * relative; absolute URIs (the spec-conformant form) pass through.
+    */
+  private[sources] def resolvePath(table: String, p: String): Path =
+    if (isAbsolute(p)) new Path(p) else new Path(table, p)
+
+  /** A manifest/file path back in table-relative form when it lives
+    * under the table root (absolute URIs are what conformant
+    * manifests carry; the sweep and state bookkeeping key on the
+    * relative form). Foreign-rooted paths pass through unchanged.
+    */
+  private def relativize(fs: org.apache.hadoop.fs.FileSystem,
+      table: String, p: String): String = {
+    if (!isAbsolute(p)) return p
+    val prefix = fs.makeQualified(new Path(table)).toString
+    val q = fs.makeQualified(new Path(p)).toString
+    if (q.startsWith(prefix + "/")) q.stripPrefix(prefix + "/") else p
+  }
+
   /** Committed metadata versions, ascending; empty = no table. The
     * listing (not version-hint.text) is the source of truth — the
     * hint is advisory output for HadoopTables-convention readers.
@@ -158,6 +183,7 @@ object IcebergInterop {
       |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       |{"name":"record_count","type":"long","field-id":103},
       |{"name":"file_size_in_bytes","type":"long","field-id":104},
+      |{"name":"block_size_in_bytes","type":"long","field-id":105},
       |{"name":"lower_bounds","field-id":125,"default":null,"type":["null",
       |{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[
       |{"name":"key","type":"int","field-id":126},
@@ -273,13 +299,18 @@ object IcebergInterop {
         footerStats(spark, new Path(table, rel), schema)
       rows += nRows
       val df = new GenericData.Record(dataFileSchema)
-      df.put("file_path", rel)
+      // spec: file_path is a full URI (readIceberg keeps a relative
+      // fallback for trees written by pre-conformance exports)
+      df.put("file_path",
+        fs.makeQualified(new Path(table, rel)).toString)
       df.put("file_format", "PARQUET")
       df.put("partition",
         new GenericData.Record(dataFileSchema.getField("partition")
           .schema()))
       df.put("record_count", nRows)
       df.put("file_size_in_bytes", size)
+      // v1-required (deprecated in v2); the conventional default
+      df.put("block_size_in_bytes", 67108864L)
       if (lo.nonEmpty) df.put("lower_bounds", boundsMap("lower_bounds", lo))
       if (hi.nonEmpty) df.put("upper_bounds", boundsMap("upper_bounds", hi))
       val e = new GenericData.Record(manifestEntrySchema)
@@ -308,7 +339,10 @@ object IcebergInterop {
     w.create(manifestListSchema, fs.create(path, false))
     try manifests.foreach { case (m, fresh) =>
       val rec = new GenericData.Record(manifestListSchema)
-      rec.put("manifest_path", m.path)
+      // spec: manifest_path is a full URI (state sidecar keeps the
+      // table-relative form; readers fall back on relative too)
+      rec.put("manifest_path",
+        fs.makeQualified(new Path(table, m.path)).toString)
       rec.put("manifest_length",
         fs.getFileStatus(new Path(table, m.path)).getLen)
       rec.put("partition_spec_id", 0)
@@ -474,8 +508,8 @@ object IcebergInterop {
       sn.put("schema-id", 0)
       val sum = sn.putObject("summary")
       sum.put("operation", if (v == 0L) "append" else "overwrite")
-      sn.put("manifest-list",
-        new Path(tableDir, s"metadata/snap-$v.avro").toString)
+      sn.put("manifest-list", fs.makeQualified(
+        new Path(tableDir, s"metadata/snap-$v.avro")).toString)
     }
     meta.putArray("snapshot-log")
     meta.putArray("metadata-log")
@@ -588,12 +622,14 @@ object IcebergInterop {
     // skipped, exactly like Delta vacuum.
     val newMeta = parseMetadata(spark, table,
       if (committed) version else vs.max)
-    val liveData = liveFiles(spark, table, newMeta, cur).toSet
+    val liveData = liveFiles(spark, table, newMeta, cur)
+      .map(relativize(fs, table, _)).toSet
     val liveManifests = {
       val snap = newMeta.get("snapshots").elements().asScala
         .find(_.get("snapshot-id").asLong() == cur).get
       readAvro(spark, new Path(snap.get("manifest-list").asText))
-        .map(_.get("manifest_path").toString).toSet
+        .map(r => relativize(fs, table, r.get("manifest_path").toString))
+        .toSet
     }
     val dead = scala.collection.mutable.ArrayBuffer[String]()
     val dataRoot = new Path(table, "data")
@@ -616,13 +652,25 @@ object IcebergInterop {
           }
           walk(dir.getPath)
         }
+    // metadata sweep gets the SAME in-flight carve-out as the data
+    // walk above: manifests / manifest lists stamped with a version
+    // at or above this expiry's own metadata version belong to a
+    // concurrent export that has not committed yet — deleting them
+    // would let that export commit metadata pointing at nothing
+    val ManifestName = "manifest-(\\d+)-b\\d+\\.avro".r
+    val ListName = "snap-(\\d+)\\.avro".r
     fs.listStatus(metaDir(table)).toSeq.foreach { st =>
       val n = st.getPath.getName
       val rel = s"metadata/$n"
-      val isDeadManifest = n.matches("manifest-\\d+-b\\d+\\.avro") &&
-        !liveManifests.contains(rel)
-      val isDeadList = n.matches("snap-\\d+\\.avro") &&
-        n.stripPrefix("snap-").stripSuffix(".avro").toLong != cur
+      val isDeadManifest = n match {
+        case ManifestName(v) =>
+          v.toLong < version && !liveManifests.contains(rel)
+        case _ => false
+      }
+      val isDeadList = n match {
+        case ListName(v) => v.toLong < version && v.toLong != cur
+        case _ => false
+      }
       if (isDeadManifest || isDeadList) {
         fs.delete(st.getPath, false); dead += rel
       }
@@ -722,9 +770,7 @@ object IcebergInterop {
     val listPath = new Path(snap.get("manifest-list").asText())
     readAvro(spark, listPath).flatMap { mf =>
       val mPath = mf.get("manifest_path").toString
-      val abs = if (mPath.startsWith("/") || mPath.contains("://"))
-        new Path(mPath) else new Path(table, mPath)
-      readAvro(spark, abs)
+      readAvro(spark, resolvePath(table, mPath))
         .filter(_.get("status").asInstanceOf[Int] != 2)
         .map { e =>
           val df = e.get("data_file").asInstanceOf[GenericRecord]
@@ -752,8 +798,7 @@ object IcebergInterop {
     val snap = snapshotId.getOrElse(
       meta.get("current-snapshot-id").asLong())
     val files = liveFiles(spark, table, meta, snap)
-      .map(rel => if (rel.startsWith("/") || rel.contains("://")) rel
-        else new Path(table, rel).toString)
+      .map(rel => resolvePath(table, rel).toString)
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -38,6 +38,14 @@ class IcebergInteropSpec extends AnyFunSuite with SparkTestBase {
     df.select("k", "amount").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
+  /** Resolve a spec path — a full URI per the conformance contract,
+    * with the relative fallback older trees used.
+    */
+  private def asFile(table: String, p: String): java.io.File =
+    if (p.startsWith("file:"))
+      new java.io.File(java.net.URI.create(p).getPath)
+    else new java.io.File(table, p)
+
   private def avro(path: java.io.File): Seq[GenericRecord] = {
     val in = new DataFileStream[GenericRecord](
       new java.io.FileInputStream(path),
@@ -107,13 +115,15 @@ class IcebergInteropSpec extends AnyFunSuite with SparkTestBase {
       "metadata/version-hint.text").toPath).trim == "0")
     // snapshot → manifest list (real Avro, spec field names)
     val snap = meta.get("snapshots").elements().asScala.toSeq.head
-    val listFile = new java.io.File(
-      new java.net.URI(null, snap.get("manifest-list").asText, null)
-        .getPath)
+    // spec: manifest-list is a full URI
+    assert(snap.get("manifest-list").asText.startsWith("file:"))
+    val listFile = asFile(ice, snap.get("manifest-list").asText)
     assert(listFile.exists, listFile.toString)
     val manifests = avro(listFile)
     assert(manifests.nonEmpty)
     manifests.foreach { mf =>
+      // spec: manifest_path is a full URI
+      assert(mf.get("manifest_path").toString.startsWith("file:"))
       assert(mf.get("manifest_length").asInstanceOf[Long] > 0)
       assert(mf.get("partition_spec_id").asInstanceOf[Int] == 0)
       assert(mf.get("added_snapshot_id").asInstanceOf[Long] == 0L)
@@ -124,7 +134,7 @@ class IcebergInteropSpec extends AnyFunSuite with SparkTestBase {
     // counts, and k-column bounds that decode little-endian to the
     // true min/max keys
     val entries = manifests.flatMap(mf =>
-      avro(new java.io.File(ice, mf.get("manifest_path").toString)))
+      avro(asFile(ice, mf.get("manifest_path").toString)))
     assert(entries.forall(_.get("status").asInstanceOf[Int] == 1))
     val dataFiles = entries.map(
       _.get("data_file").asInstanceOf[GenericRecord])
@@ -133,7 +143,12 @@ class IcebergInteropSpec extends AnyFunSuite with SparkTestBase {
     assert(dataFiles.map(
       _.get("record_count").asInstanceOf[Long]).sum == 3L)
     dataFiles.foreach { df =>
-      val f = new java.io.File(ice, df.get("file_path").toString)
+      // spec: file_path is a full URI; block_size_in_bytes (field-id
+      // 105) is v1-required — a real v1 reader fails resolution
+      // without it
+      assert(df.get("file_path").toString.startsWith("file:"))
+      assert(df.get("block_size_in_bytes").asInstanceOf[Long] > 0L)
+      val f = asFile(ice, df.get("file_path").toString)
       assert(f.exists && f.length ==
         df.get("file_size_in_bytes").asInstanceOf[Long])
     }
