@@ -383,6 +383,46 @@ private[queries] object TierCCdc {
         .orderBy(col("s_nationkey"))
     }),
 
+    // C8y3 — ICEBERG FORMAT-VERSION 2 EXPORT (merge-on-read delete
+    // files): the same change stream exported snapshot-per-batch, but
+    // batch 1's sync appends ONE data file (the net upserts) and ONE
+    // equality delete file (every touched key, shadowing older images
+    // by the spec's strictly-below sequence rule) — O(batch) data
+    // work, no bucket materialization — and the v2 reader resolves
+    // the tree back to latest-wins state. Hash-checked against the
+    // q_cdc_merge net-state oracle; `del_files`/`del_rows` witness
+    // that the MOR shape actually shipped (the oracle derives the
+    // touched-key count from first principles, so a sync that
+    // materialized buckets instead of deltas, or shadowed the wrong
+    // keys, hash-mismatches). Structure pinned by IcebergV2Spec.
+    "q_iceberg_v2" -> ((s, d) => {
+      val base = new java.io.File(
+        "target/graft-data/iceberg_v2_q/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet") +
+        s"_$CdcRecipeRev").getAbsolutePath
+      val root = s"$base/cdc"
+      val ice = s"$base/ice"
+      synchronized {
+        import graft.streaming.CdcApply
+        val (b0, b1) = supplierCdcBatches(s, d)
+        CdcApply.applyBatch(b0, 0L, root, Seq("s_suppkey"), "version",
+          Some("deleted"), commitTs = Some(1000L))
+        graft.sources.IcebergV2.exportIncremental(s, root, ice)
+        CdcApply.applyBatch(b1, 1L, root, Seq("s_suppkey"), "version",
+          Some("deleted"), commitTs = Some(2000L))
+        graft.sources.IcebergV2.exportIncremental(s, root, ice)
+      }
+      val (delFiles, delRows) =
+        graft.sources.IcebergV2.deleteFileStats(s, ice)
+      graft.sources.IcebergInterop.readIceberg(s, ice)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("s_acctbal")).as("total_bal"))
+        .withColumn("del_files", lit(delFiles.toLong))
+        .withColumn("del_rows", lit(delRows))
+        .orderBy(col("s_nationkey"))
+    }),
+
     "q_cdc_mirror" -> ((s, d) => {
       val root = cdcMirrorRoot(s, d)
       val wm = graft.streaming.CdcApply.currentVersion(s, root).get
@@ -629,6 +669,18 @@ private[queries] object TierCCdc {
         "CAST(1 AS BIGINT) AS change_batch " +
         "FROM supplier WHERE s_suppkey % 5 = 0 OR s_suppkey % 7 = 0 " +
         "ORDER BY s_suppkey"),
+    // v2 net state == v1 net state; the witnesses derive from first
+    // principles: ONE delete file per (single) incremental sync, and
+    // one shadowed key per supplier the batch-1 stream touched
+    "q_iceberg_v2" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal, " +
+        "CAST(1 AS BIGINT) AS del_files, " +
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM supplier " +
+        "WHERE s_suppkey % 5 = 0 OR s_suppkey % 7 = 0) AS del_rows " +
+        "FROM supplier WHERE s_suppkey % 7 <> 0 " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
     // batch-0 state: every supplier present, balances untouched
     "q_cdc_timetravel" ->
       ("SELECT s_nationkey, COUNT(*) AS cnt, " +

@@ -38,11 +38,14 @@ import graft.streaming.CdcApply
   *    plan against).
   *
   * [[exportIncremental]] publishes/syncs the CDC table at `cdcRoot`
-  * into the Iceberg layout at `tableDir`; [[readIceberg]] replays the
-  * metadata tree (ours or any v1 writer's) into one schema-declared
-  * parquet scan — pruning, pushdown, codegen all ordinary. Protocol
-  * versions beyond v1 are REFUSED loudly, never misread; so are
-  * column types outside the supported primitive set.
+  * into the Iceberg v1 layout at `tableDir`; [[readIceberg]] replays
+  * the metadata tree (ours or any v1 writer's) into one
+  * schema-declared parquet scan — pruning, pushdown, codegen all
+  * ordinary. Format-version 2 trees (sequence numbers + delete
+  * files) dispatch to [[IcebergV2]] — read here, written by
+  * [[IcebergV2.exportIncremental]]. Versions beyond v2 are REFUSED
+  * loudly, never misread; so are column types outside the supported
+  * primitive set.
   *
   * Crash consistency mirrors [[DeltaInterop]]: the commit point is
   * the RENAME of `v<N>.metadata.json`; pre-commit debris (data dirs,
@@ -53,12 +56,12 @@ import graft.streaming.CdcApply
   */
 object IcebergInterop {
 
-  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private[sources] val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def metaDir(table: String) = new Path(table, "metadata")
-  private def metadataFile(table: String, v: Long) =
+  private[sources] def metaDir(table: String) = new Path(table, "metadata")
+  private[sources] def metadataFile(table: String, v: Long) =
     new Path(metaDir(table), s"v$v.metadata.json")
-  private def manifestListFile(table: String, v: Long) =
+  private[sources] def manifestListFile(table: String, v: Long) =
     new Path(metaDir(table), s"snap-$v.avro")
   private def manifestFile(table: String, v: Long, bucket: Int) =
     new Path(metaDir(table), s"manifest-$v-b$bucket.avro")
@@ -92,7 +95,7 @@ object IcebergInterop {
     * listing (not version-hint.text) is the source of truth — the
     * hint is advisory output for HadoopTables-convention readers.
     */
-  private def versions(spark: SparkSession, table: String): Seq[Long] = {
+  private[sources] def versions(spark: SparkSession, table: String): Seq[Long] = {
     val fs = CdcApply.fsFor(spark, table)
     val dir = metaDir(table)
     if (!fs.exists(dir)) return Seq.empty
@@ -105,7 +108,7 @@ object IcebergInterop {
 
   // ---- Iceberg schema JSON <-> Spark StructType --------------------------
 
-  private def icebergType(dt: DataType): String = dt match {
+  private[sources] def icebergType(dt: DataType): String = dt match {
     case LongType => "long"
     case IntegerType => "int"
     case DoubleType => "double"
@@ -123,7 +126,7 @@ object IcebergInterop {
         "metadata)")
   }
 
-  private def sparkType(t: String): DataType = {
+  private[sources] def sparkType(t: String): DataType = {
     val Dec = "decimal\\((\\d+),\\s*(\\d+)\\)".r
     t match {
       case "long" => LongType
@@ -141,7 +144,7 @@ object IcebergInterop {
     }
   }
 
-  private def schemaNode(schema: StructType)
+  private[sources] def schemaNode(schema: StructType)
       : com.fasterxml.jackson.databind.node.ObjectNode = {
     val n = mapper.createObjectNode()
     n.put("type", "struct")
@@ -205,7 +208,7 @@ object IcebergInterop {
     * little-endian fixed width for the numeric types we emit bounds
     * for.
     */
-  private def serialize(dt: DataType, v: Any): Option[Array[Byte]] = {
+  private[sources] def serialize(dt: DataType, v: Any): Option[Array[Byte]] = {
     val bb = java.nio.ByteBuffer.allocate(8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     (dt, v) match {
@@ -225,9 +228,9 @@ object IcebergInterop {
     * lower/upper bounds for the int/long/double columns whose chunk
     * statistics are present in every block.
     */
-  private def footerStats(spark: SparkSession, file: Path,
-      schema: StructType): (Long, Map[Int, Array[Byte]],
-      Map[Int, Array[Byte]]) = {
+  private[sources] def footerStats(spark: SparkSession, file: Path,
+      schema: StructType, fieldIds: Option[Map[String, Int]] = None)
+      : (Long, Map[Int, Array[Byte]], Map[Int, Array[Byte]]) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(file, spark.sparkContext.hadoopConfiguration)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -235,7 +238,7 @@ object IcebergInterop {
       val blocks = r.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
       val byId = schema.fields.zipWithIndex.map { case (f, i) =>
-        (f.name, (i + 1, f.dataType))
+        (f.name, (fieldIds.fold(i + 1)(_(f.name)), f.dataType))
       }.toMap
       val lower = scala.collection.mutable.Map[Int, Any]()
       val upper = scala.collection.mutable.Map[Int, Any]()
@@ -363,7 +366,7 @@ object IcebergInterop {
 
   // ---- export --------------------------------------------------------------
 
-  private def statePath(table: String) =
+  private[sources] def statePath(table: String) =
     new Path(table, "_graft_export_state.json")
 
   private def readState(spark: SparkSession, table: String)
@@ -375,6 +378,11 @@ object IcebergInterop {
       org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
     in.close()
     val n = mapper.readTree(text)
+    if (Option(n.get("format")).exists(_.asInt() == 2))
+      throw new IllegalStateException(
+        s"Iceberg table at $table was exported as format v2 — " +
+          "continue it with IcebergV2.exportIncremental (mixing " +
+          "writers would corrupt the sequence-number lineage)")
     val v = Option(n.get("version")).map(_.asLong(-1L)).getOrElse(-1L)
     val buckets = Option(n.get("buckets")).map(
       _.properties().asScala.map { e =>
@@ -594,19 +602,16 @@ object IcebergInterop {
         throw new IllegalStateException(
           s"concurrent commit lost the expire race for $table")
       // re-stamp the sidecar so the next export sees a consistent
-      // lineage (content unchanged — expiry moves no buckets)
-      readState(spark, table).foreach { case (_, buckets) =>
-        val n = mapper.createObjectNode()
+      // lineage (content unchanged — expiry moves no buckets for v1,
+      // no manifests for v2; only the committed-version stamp moves)
+      if (fs.exists(statePath(table))) {
+        val in = fs.open(statePath(table))
+        val text = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        in.close()
+        val n = mapper.readTree(text)
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
         n.put("version", version)
-        val bn = n.putObject("buckets")
-        buckets.toSeq.sortBy(_._1).foreach { case (id, (ident, r)) =>
-          val b = bn.putObject(id.toString)
-          b.put("identity", ident)
-          b.put("manifest", r.path)
-          b.put("snap", r.snap)
-          b.put("nfiles", r.nFiles)
-          b.put("nrows", r.nRows)
-        }
         val stTmp = new Path(table, s"._graft_export_state-$version")
         val so = fs.create(stTmp, false)
         so.write(mapper.writeValueAsString(n).getBytes("UTF-8"))
@@ -657,7 +662,7 @@ object IcebergInterop {
     // at or above this expiry's own metadata version belong to a
     // concurrent export that has not committed yet — deleting them
     // would let that export commit metadata pointing at nothing
-    val ManifestName = "manifest-(\\d+)-b\\d+\\.avro".r
+    val ManifestName = "manifest-(\\d+)-(?:b\\d+|data|del)\\.avro".r
     val ListName = "snap-(\\d+)\\.avro".r
     fs.listStatus(metaDir(table)).toSeq.foreach { st =>
       val n = st.getPath.getName
@@ -719,7 +724,7 @@ object IcebergInterop {
 
   // ---- read ----------------------------------------------------------------
 
-  private def readAvro(spark: SparkSession, path: Path)
+  private[sources] def readAvro(spark: SparkSession, path: Path)
       : Seq[GenericRecord] = {
     val fs = CdcApply.fsFor(spark, path.toString)
     val in = new DataFileStream[GenericRecord](fs.open(path),
@@ -731,7 +736,7 @@ object IcebergInterop {
     } finally in.close()
   }
 
-  private def parseMetadata(spark: SparkSession, table: String,
+  private[sources] def parseMetadata(spark: SparkSession, table: String,
       v: Long): com.fasterxml.jackson.databind.JsonNode = {
     val fs = CdcApply.fsFor(spark, table)
     val in = fs.open(metadataFile(table, v))
@@ -739,16 +744,36 @@ object IcebergInterop {
       org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
     in.close()
     val n = mapper.readTree(text)
-    val fv = Option(n.get("format-version")).map(_.asInt()).getOrElse(-1)
-    if (fv != 1) throw new UnsupportedOperationException(
-      s"Iceberg table $table declares format-version $fv; this reader " +
-        "implements v1 (no sequence numbers / delete files)")
+    val fv = formatVersion(n)
+    if (fv != 1 && fv != 2) throw new UnsupportedOperationException(
+      s"Iceberg table $table declares format-version $fv; this engine " +
+        "implements v1 and v2 (row-lineage and later are v3)")
     n
   }
 
-  private def schemaOf(meta: com.fasterxml.jackson.databind.JsonNode)
+  private[sources] def formatVersion(
+      meta: com.fasterxml.jackson.databind.JsonNode): Int =
+    Option(meta.get("format-version")).map(_.asInt()).getOrElse(-1)
+
+  /** The current schema node: the deprecated single `schema` field
+    * when present, else `schemas[current-schema-id]` (the only form
+    * v2-native writers emit).
+    */
+  private[sources] def schemaJson(
+      meta: com.fasterxml.jackson.databind.JsonNode)
+      : com.fasterxml.jackson.databind.JsonNode =
+    Option(meta.get("schema")).getOrElse {
+      val cur = Option(meta.get("current-schema-id")).map(_.asInt())
+        .getOrElse(0)
+      meta.get("schemas").elements().asScala
+        .find(s => Option(s.get("schema-id")).exists(_.asInt() == cur))
+        .getOrElse(throw new IllegalArgumentException(
+          s"metadata has no schema with schema-id $cur"))
+    }
+
+  private[sources] def schemaOf(meta: com.fasterxml.jackson.databind.JsonNode)
       : StructType = {
-    val fields = meta.get("schema").get("fields").elements().asScala
+    val fields = schemaJson(meta).get("fields").elements().asScala
       .map { f =>
         StructField(f.get("name").asText(),
           sparkType(f.get("type").asText()),
@@ -757,10 +782,22 @@ object IcebergInterop {
     StructType(fields)
   }
 
+  /** Field-id → StructField for the current schema — what equality
+    * delete files' `equality_ids` resolve against.
+    */
+  private[sources] def schemaFieldsById(
+      meta: com.fasterxml.jackson.databind.JsonNode)
+      : Map[Int, StructField] =
+    schemaJson(meta).get("fields").elements().asScala.map { f =>
+      f.get("id").asInt() -> StructField(f.get("name").asText(),
+        sparkType(f.get("type").asText()),
+        nullable = !f.get("required").asBoolean())
+    }.toMap
+
   /** The live data files of one snapshot: its manifest list, then
     * every non-deleted entry of every listed manifest.
     */
-  private def liveFiles(spark: SparkSession, table: String,
+  private[sources] def liveFiles(spark: SparkSession, table: String,
       meta: com.fasterxml.jackson.databind.JsonNode,
       snapshotId: Long): Seq[String] = {
     val snap = meta.get("snapshots").elements().asScala
@@ -794,6 +831,8 @@ object IcebergInterop {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no Iceberg metadata at $table")
     val meta = parseMetadata(spark, table, vs.max)
+    if (formatVersion(meta) == 2)
+      return IcebergV2.read(spark, table, meta, snapshotId)
     val schema = schemaOf(meta)
     val snap = snapshotId.getOrElse(
       meta.get("current-snapshot-id").asLong())

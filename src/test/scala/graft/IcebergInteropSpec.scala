@@ -406,18 +406,18 @@ class IcebergInteropSpec extends AnyFunSuite with SparkTestBase {
     assert(v0.filter(col("bonus").isNotNull).isEmpty)
   }
 
-  test("format versions beyond v1 and unsupported column types " +
+  test("format versions beyond v2 and unsupported column types " +
       "refuse loudly") {
-    val dir = tmp("ice_v2")
+    val dir = tmp("ice_v3")
     java.nio.file.Files.createDirectories(
       new java.io.File(dir, "metadata").toPath)
     java.nio.file.Files.writeString(new java.io.File(dir,
       "metadata/v0.metadata.json").toPath,
-      """{"format-version":2,"schema":{"type":"struct","fields":[]}}""")
+      """{"format-version":3,"schema":{"type":"struct","fields":[]}}""")
     val e = intercept[UnsupportedOperationException] {
       IcebergInterop.readIceberg(spark, dir)
     }
-    assert(e.getMessage.contains("format-version 2"), e.getMessage)
+    assert(e.getMessage.contains("format-version 3"), e.getMessage)
     // an unsupported column type in otherwise-valid v1 metadata
     val dir2 = tmp("ice_badtype")
     java.nio.file.Files.createDirectories(

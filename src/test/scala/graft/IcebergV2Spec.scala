@@ -1,0 +1,285 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader,
+  GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{IcebergInterop, IcebergV2}
+import graft.streaming.CdcApply
+
+/** Iceberg FORMAT-VERSION 2 ([[graft.sources.IcebergV2]]): O(batch)
+  * incremental export via equality delete files, sequence-number
+  * resolution (strictly-below for equality, at-or-below for position
+  * deletes), manifest-list carry-forward, compaction + expiry, the
+  * foreign-tree read path (position deletes, null entry-seq
+  * inheritance, schemas-array-only metadata), and the v1/v2 lineage
+  * guards.
+  */
+class IcebergV2Spec extends AnyFunSuite with SparkTestBase {
+
+  private def tmp(p: String): String = java.nio.file.Files
+    .createTempDirectory(p).toFile.getAbsolutePath
+
+  private def state(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, Double] =
+    df.select("k", "amount").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  private def buildCdc(): String = {
+    import spark.implicits._
+    val root = tmp("icev2_cdc")
+    val b0 = Seq((1L, 1L, 10.0, false), (2L, 1L, 20.0, false),
+      (3L, 1L, 30.0, false)).toDF("k", "version", "amount", "deleted")
+    assert(CdcApply.applyBatch(b0, 0L, root, Seq("k"), "version",
+      Some("deleted"), numBuckets = 2, commitTs = Some(1000L)))
+    root
+  }
+
+  test("incremental v2 export is O(batch): a sync appends the net " +
+      "upserts as a data file and the touched keys as an equality " +
+      "delete file — no bucket materialization — and the read " +
+      "resolves latest-wins; a deleted key re-inserted later " +
+      "survives the older delete's sequence number") {
+    import spark.implicits._
+    val root = buildCdc()
+    val ice = tmp("icev2_tbl")
+    assert(IcebergV2.exportIncremental(spark, root, ice).contains(0L))
+    assert(state(IcebergInterop.readIceberg(spark, ice)) ==
+      Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    // batch 1: update k=1, tombstone k=2
+    assert(CdcApply.applyBatch(
+      Seq((1L, 2L, 11.0, false), (2L, 2L, 20.0, true))
+        .toDF("k", "version", "amount", "deleted"),
+      1L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+      commitTs = Some(2000L)))
+    assert(IcebergV2.exportIncremental(spark, root, ice).contains(1L))
+    assert(state(IcebergInterop.readIceberg(spark, ice)) ==
+      Map(1L -> 11.0, 3L -> 30.0))
+    // O(batch) witness: the sync's data dir holds exactly the ONE
+    // upserted row — not the two-row bucket it lives in
+    assert(spark.read.parquet(s"$ice/data/v1/data").count() == 1L)
+    // delete-file witness: one equality delete file, two shadowed keys
+    assert(IcebergV2.deleteFileStats(spark, ice) == (1, 2L))
+    // time travel: snapshot 0 predates the delete manifests entirely
+    assert(state(IcebergInterop.readIceberg(spark, ice, Some(0L))) ==
+      Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    // no movement → no snapshot
+    assert(IcebergV2.exportIncremental(spark, root, ice).isEmpty)
+    // batch 2: RE-INSERT k=2 — the new image is at a HIGHER sequence
+    // than the equality delete that killed the old one, so the
+    // strictly-below rule must let it live
+    assert(CdcApply.applyBatch(
+      Seq((2L, 3L, 22.0, false)).toDF("k", "version", "amount", "deleted"),
+      2L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+      commitTs = Some(3000L)))
+    assert(IcebergV2.exportIncremental(spark, root, ice).contains(2L))
+    assert(state(IcebergInterop.readIceberg(spark, ice)) ==
+      Map(1L -> 11.0, 2L -> 22.0, 3L -> 30.0))
+    assert(IcebergInterop.snapshots(spark, ice) == Seq(0L, 1L, 2L))
+    // filters flow through the resolved plan
+    assert(state(IcebergInterop.readIceberg(spark, ice)
+      .filter(col("amount") > 20.0)) == Map(2L -> 22.0, 3L -> 30.0))
+    // format("iceberg") serves v2 through the DataFrameReader shim,
+    // snapshot option included
+    assert(state(spark.read.format("iceberg").option("path", ice)
+      .load()) == Map(1L -> 11.0, 2L -> 22.0, 3L -> 30.0))
+    assert(state(spark.read.format("iceberg").option("path", ice)
+      .option("snapshotId", "0").load()) ==
+      Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+  }
+
+  test("compact folds the MOR tail into one data manifest and " +
+      "expireSnapshots sweeps the superseded data + delete files; " +
+      "incremental export continues on the compacted lineage") {
+    import spark.implicits._
+    val root = buildCdc()
+    val ice = tmp("icev2_compact")
+    assert(IcebergV2.exportIncremental(spark, root, ice).contains(0L))
+    assert(CdcApply.applyBatch(
+      Seq((1L, 2L, 11.0, false), (2L, 2L, 20.0, true))
+        .toDF("k", "version", "amount", "deleted"),
+      1L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+      commitTs = Some(2000L)))
+    assert(IcebergV2.exportIncremental(spark, root, ice).contains(1L))
+    val before = state(IcebergInterop.readIceberg(spark, ice))
+    assert(IcebergV2.deleteFileStats(spark, ice)._1 == 1)
+    // compact: new snapshot, zero delete files, identical state
+    assert(IcebergV2.compact(spark, root, ice) == 2L)
+    assert(state(IcebergInterop.readIceberg(spark, ice)) == before)
+    assert(IcebergV2.deleteFileStats(spark, ice) == (0, 0L))
+    // expire: superseded files (v1's delete parquet among them) die
+    val dead = IcebergInterop.expireSnapshots(spark, ice)
+    assert(dead.exists(_.startsWith("data/v1/deletes/")),
+      s"the equality delete file must be swept: $dead")
+    assert(dead.exists(_.startsWith("data/v0/")), dead.toString)
+    dead.foreach(p => assert(!new java.io.File(ice, p).exists, p))
+    assert(IcebergInterop.snapshots(spark, ice) == Seq(2L))
+    assert(state(IcebergInterop.readIceberg(spark, ice)) == before)
+    // lineage survives maintenance: the next trickle change exports
+    // incrementally (one-row data file, one delete file)
+    assert(CdcApply.applyBatch(
+      Seq((3L, 2L, 33.0, false)).toDF("k", "version", "amount", "deleted"),
+      2L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+      commitTs = Some(3000L)))
+    // expiry committed metadata v3, so the sync lands as v4
+    assert(IcebergV2.exportIncremental(spark, root, ice).contains(4L))
+    // k=2 stays dead (tombstoned in batch 1, compacted away); only
+    // k=3's post-compaction update lands
+    assert(state(IcebergInterop.readIceberg(spark, ice)) ==
+      Map(1L -> 11.0, 3L -> 33.0))
+    assert(spark.read.parquet(s"$ice/data/v4/data").count() == 1L)
+    assert(IcebergV2.deleteFileStats(spark, ice) == (1, 1L))
+  }
+
+  test("a foreign v2 tree reads correctly: position deletes applied " +
+      "at-or-below their sequence, null entry sequence numbers " +
+      "inherit the manifest list's, schemas-array-only metadata " +
+      "resolves") {
+    import spark.implicits._
+    val dir = tmp("icev2_foreign")
+    new java.io.File(dir, "metadata").mkdirs()
+    new java.io.File(dir, "data").mkdirs()
+    // one data file: 4 rows, known order (single partition write)
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .toDF("k", "amount").coalesce(1).sortWithinPartitions("k")
+      .write.parquet(s"$dir/data/d0")
+    val dataFile = new java.io.File(s"$dir/data/d0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    // one position-delete file killing rows 1 and 3 (k=2, k=4),
+    // file_path in the SINGLE-SLASH uri form (Hadoop's rendering) —
+    // the reader must canonicalize against Spark's triple-slash
+    // _metadata.file_path
+    Seq((s"file:${dataFile.getAbsolutePath}", 1L),
+      (s"file:${dataFile.getAbsolutePath}", 3L))
+      .toDF("file_path", "pos").coalesce(1)
+      .write.parquet(s"$dir/data/pd0")
+    val pdFile = new java.io.File(s"$dir/data/pd0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    // hand-written v2 avro (independent of the engine's writer)
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int","field-id":0},
+        |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+        |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int","field-id":134},
+        |{"name":"file_path","type":"string","field-id":100},
+        |{"name":"file_format","type":"string","field-id":101},
+        |{"name":"record_count","type":"long","field-id":103},
+        |{"name":"file_size_in_bytes","type":"long","field-id":104}
+        |]}}]}""".stripMargin)
+    def writeManifest(name: String, content: Int, path: String,
+        rows: Long): Unit = {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](entrySchema))
+      w.create(entrySchema, new java.io.FileOutputStream(
+        new java.io.File(dir, s"metadata/$name")))
+      val df = new GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      df.put("content", content)
+      df.put("file_path", path)
+      df.put("file_format", "PARQUET")
+      df.put("record_count", rows)
+      df.put("file_size_in_bytes", 1L)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("sequence_number", null) // INHERITED from the list
+      e.put("data_file", df)
+      w.append(e)
+      w.close()
+    }
+    writeManifest("m-data.avro", 0,
+      s"file:${dataFile.getAbsolutePath}", 4L)
+    writeManifest("m-del.avro", 1,
+      s"file:${pdFile.getAbsolutePath}", 2L)
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string","field-id":500},
+        |{"name":"manifest_length","type":"long","field-id":501},
+        |{"name":"content","type":"int","field-id":517},
+        |{"name":"sequence_number","type":"long","field-id":515}
+        |]}""".stripMargin)
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](listSchema))
+    lw.create(listSchema, new java.io.FileOutputStream(
+      new java.io.File(dir, "metadata/snap-0.avro")))
+    def listEntry(name: String, content: Int, seq: Long): Unit = {
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", s"metadata/$name") // relative fallback
+      r.put("manifest_length", 1L)
+      r.put("content", content)
+      r.put("sequence_number", seq)
+      lw.append(r)
+    }
+    listEntry("m-data.avro", 0, 1L)
+    listEntry("m-del.avro", 1, 1L) // same-commit position delete
+    lw.close()
+    // metadata: v2-native shape — schemas array, NO legacy "schema"
+    java.nio.file.Files.writeString(new java.io.File(dir,
+      "metadata/v0.metadata.json").toPath,
+      s"""{"format-version":2,"last-sequence-number":1,
+         |"current-schema-id":0,"schemas":[{"type":"struct",
+         |"schema-id":0,"fields":[
+         |{"id":1,"name":"k","required":false,"type":"long"},
+         |{"id":2,"name":"amount","required":false,"type":"double"}]}],
+         |"current-snapshot-id":0,"snapshots":[{"snapshot-id":0,
+         |"sequence-number":1,
+         |"manifest-list":"$dir/metadata/snap-0.avro"}]}"""
+        .stripMargin.replace("\n", ""))
+    assert(state(IcebergInterop.readIceberg(spark, dir)) ==
+      Map(1L -> 10.0, 3L -> 30.0))
+  }
+
+  test("lineage guards: a v1 export dir refuses v2 continuation and " +
+      "vice versa; foreign v2 metadata without our sidecar refuses " +
+      "incremental export") {
+    val root = buildCdc()
+    val v1dir = tmp("icev2_guard_v1")
+    IcebergInterop.exportIncremental(spark, root, v1dir)
+    val e1 = intercept[IllegalStateException] {
+      IcebergV2.exportIncremental(spark, root, v1dir)
+    }
+    assert(e1.getMessage.contains("format v1"), e1.getMessage)
+    val v2dir = tmp("icev2_guard_v2")
+    IcebergV2.exportIncremental(spark, root, v2dir)
+    val e2 = intercept[IllegalStateException] {
+      IcebergInterop.exportIncremental(spark, root, v2dir)
+    }
+    assert(e2.getMessage.contains("format v2"), e2.getMessage)
+    val foreign = tmp("icev2_guard_foreign")
+    new java.io.File(foreign, "metadata").mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(foreign,
+      "metadata/v0.metadata.json").toPath, "{\"format-version\":2}")
+    val e3 = intercept[IllegalStateException] {
+      IcebergV2.exportIncremental(spark, root, foreign)
+    }
+    assert(e3.getMessage.contains("export state"), e3.getMessage)
+  }
+
+  test("a stale v2 export-state stamp self-heals with a full-rewrite " +
+      "snapshot and the lineage continues") {
+    import spark.implicits._
+    val root = buildCdc()
+    val ice = tmp("icev2_heal")
+    IcebergV2.exportIncremental(spark, root, ice)
+    assert(CdcApply.applyBatch(
+      Seq((1L, 2L, 11.0, false)).toDF("k", "version", "amount", "deleted"),
+      1L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+      commitTs = Some(2000L)))
+    IcebergV2.exportIncremental(spark, root, ice)
+    val good = state(IcebergInterop.readIceberg(spark, ice))
+    val sf = new java.io.File(ice, "_graft_export_state.json")
+    val text = java.nio.file.Files.readString(sf.toPath)
+    new java.io.File(ice, "._graft_export_state.json.crc").delete()
+    java.nio.file.Files.writeString(sf.toPath,
+      text.replaceFirst("\"version\":1", "\"version\":0"))
+    assert(IcebergV2.exportIncremental(spark, root, ice).contains(2L))
+    assert(state(IcebergInterop.readIceberg(spark, ice)) == good)
+    // healed snapshot is a clean full rewrite — no delete files
+    assert(IcebergV2.deleteFileStats(spark, ice) == (0, 0L))
+    assert(IcebergV2.exportIncremental(spark, root, ice).isEmpty)
+  }
+}
