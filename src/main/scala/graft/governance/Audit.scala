@@ -93,6 +93,10 @@ class AuditListener extends QueryExecutionListener {
       durationNs: Long): Unit = {
     val e = eventFor(funcName, qe, durationNs, None)
     AuditLog.record(e)
+    // the engine-metrics sibling record (bytes/files/shuffle) — the
+    // reference's per-query CloudWatch publication (main.tf:502)
+    QueryMetricsCollector.collect(funcName, e.principal, e.tables,
+      qe, durationNs).foreach(MetricsLog.record)
     logInfo(s"audit: $e")
   }
 
