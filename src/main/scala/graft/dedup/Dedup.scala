@@ -121,6 +121,22 @@ object Dedup {
         "array<struct<chunk_idx:bigint,chunk_text:string,chunk_tokens:bigint>>"))
   }
 
+  /** Line segmentation into [[chunkArray]]'s struct shape — the
+    * LITERAL C4/CCNet unit: one element per NON-BLANK line (trimmed),
+    * `chunk_idx` = the original 0-based line number so rebuild order
+    * survives dropped blanks, `chunk_tokens` = the line's whitespace
+    * token count. Newline-free text is one line; empty text is an
+    * empty array.
+    */
+  def lineArray(text: Column): Column =
+    filter(
+      transform(split(text, "\n"), (l, i) => struct(
+        i.cast(LongType).as("chunk_idx"),
+        trim(l).as("chunk_text"),
+        size(TextFunctions.tokens(l)).cast(LongType)
+          .as("chunk_tokens"))),
+      s => s("chunk_text") =!= "")
+
   /** Corpus-wide FIRST-OCCURRENCE chunk dedup (the line-level exact
     * dedup of C4/CCNet, at chunk granularity): a chunk survives iff no
     * identical chunk appears earlier in corpus order (id, chunk_idx);
@@ -141,10 +157,23 @@ object Dedup {
     * (a (id, chunk_idx) key is unique), so min-struct is deterministic.
     */
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
-      chunkLen: Int = 16): DataFrame = {
+      chunkLen: Int = 16): DataFrame =
+    segmentDedup(docs, idCol, textCol, chunkArray(_, chunkLen), " ")
+
+  /** LINE-LEVEL first-occurrence dedup — [[chunkDedup]] with the
+    * [[lineArray]] splitter and newline rebuild: the literal C4/CCNet
+    * move on real multiline text. Same plan shape (hashes on the
+    * wire, firsts-only, map-side rebuild).
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    segmentDedup(docs, idCol, textCol, lineArray, "\n")
+
+  private def segmentDedup(docs: DataFrame, idCol: String,
+      textCol: String, seg: Column => Column, sep: String): DataFrame = {
     val keys = docs
       .select(col(idCol).as("_cd_id"),
-        explode(chunkArray(col(textCol), chunkLen)).as("c"))
+        explode(seg(col(textCol))).as("c"))
       .select(col("_cd_id"), col("c.chunk_idx"),
         sha2(col("c.chunk_text"), 256).as("h"))
     val kept = keys.groupBy(col("h"))
@@ -152,7 +181,7 @@ object Dedup {
       .groupBy(col("first._cd_id").as("_cd_id"))
       .agg(sort_array(collect_list(col("first.chunk_idx")))
         .as("_cd_kept"))
-    rebuildFromKept(docs, idCol, textCol, chunkLen, kept)
+    rebuildFromKept(docs, idCol, textCol, seg, sep, kept)
   }
 
   /** EXACT-SUBSTRING dedup (the ExactSubstr pipeline of Lee et al.
@@ -249,10 +278,24 @@ object Dedup {
     * [[chunkDedup]].
     */
   def boilerplateStrip(docs: DataFrame, idCol: String, textCol: String,
-      chunkLen: Int = 16, minDocs: Int = 3): DataFrame = {
+      chunkLen: Int = 16, minDocs: Int = 3): DataFrame =
+    segmentBoilerplate(docs, idCol, textCol, chunkArray(_, chunkLen),
+      " ", minDocs)
+
+  /** LINE-LEVEL boilerplate strip — [[boilerplateStrip]] with the
+    * [[lineArray]] splitter: the CCNet hot-line removal on real
+    * multiline text.
+    */
+  def lineBoilerplateStrip(docs: DataFrame, idCol: String,
+      textCol: String, minDocs: Int = 3): DataFrame =
+    segmentBoilerplate(docs, idCol, textCol, lineArray, "\n", minDocs)
+
+  private def segmentBoilerplate(docs: DataFrame, idCol: String,
+      textCol: String, seg: Column => Column, sep: String,
+      minDocs: Int): DataFrame = {
     val keys = docs
       .select(col(idCol).as("_cd_id"),
-        explode(chunkArray(col(textCol), chunkLen)).as("c"))
+        explode(seg(col(textCol))).as("c"))
       .select(col("_cd_id"), col("c.chunk_idx"),
         sha2(col("c.chunk_text"), 256).as("h"))
     val hot = keys.groupBy(col("h"))
@@ -262,25 +305,26 @@ object Dedup {
     val kept = keys.join(hot, Seq("h"), "left_anti")
       .groupBy(col("_cd_id"))
       .agg(sort_array(collect_list(col("chunk_idx"))).as("_cd_kept"))
-    rebuildFromKept(docs, idCol, textCol, chunkLen, kept)
+    rebuildFromKept(docs, idCol, textCol, seg, sep, kept)
   }
 
   /** Shared reconstruction tail: attach each document's surviving
-    * chunk-index array (absent row = nothing survived) and rebuild the
-    * cleaned text by re-chunking map-side — the only join that ever
-    * sees text, O(docs) rows on the primary key.
+    * segment-index array (absent row = nothing survived) and rebuild
+    * the cleaned text by re-segmenting map-side — the only join that
+    * ever sees text, O(docs) rows on the primary key.
     */
   private def rebuildFromKept(docs: DataFrame, idCol: String,
-      textCol: String, chunkLen: Int, kept: DataFrame): DataFrame = {
+      textCol: String, seg: Column => Column, sep: String,
+      kept: DataFrame): DataFrame = {
     val keptIdx = coalesce(col("_cd_kept"),
       array().cast("array<bigint>"))
     docs
-      .select(col(idCol), chunkArray(col(textCol), chunkLen).as("chs"))
+      .select(col(idCol), seg(col(textCol)).as("chs"))
       .join(kept, col(idCol) === col("_cd_id"), "left")
       .select(col(idCol),
         size(col("chs")).cast(LongType).as("n_chunks"),
         size(keptIdx).cast(LongType).as("n_kept"),
-        concat_ws(" ", transform(
+        concat_ws(sep, transform(
           filter(col("chs"), c => array_contains(keptIdx, c("chunk_idx"))),
           c => c("chunk_text"))).as("clean_text"))
   }

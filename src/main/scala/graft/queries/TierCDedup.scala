@@ -372,6 +372,31 @@ private[queries] object TierCDedup {
       Dedup.chunkDedup(Tables.documents(s, d), "doc_id", "text", 16)
         .orderBy(col("doc_id"))),
 
+    // C1g2 — LINE-LEVEL first-occurrence dedup, the literal C4/CCNet
+    // move on real multiline text: the corpus carries no newlines, so
+    // the fixture plants deterministic ones (every 8 tokens becomes a
+    // line — a pure function of the text both engines derive
+    // identically), then Dedup.lineDedup splits on \n, trims, drops
+    // blanks, and keeps each line's corpus-order first occurrence.
+    // Same firsts-only plan as q_chunk_dedup (sha256+idx on the wire,
+    // map-side newline rebuild); the rebuilt multiline text is
+    // hash-checked verbatim.
+    "q_line_dedup" -> ((s, d) =>
+      Dedup.lineDedup(multilineDocs(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_chunks").as("n_lines"),
+          col("n_kept"), col("clean_text"))
+        .orderBy(col("doc_id"))),
+
+    // C1h2 — LINE-LEVEL boilerplate strip on the same multiline
+    // fixture: every line whose distinct-document frequency reaches 3
+    // is removed EVERYWHERE (the CCNet hot-line sweep), survivors
+    // rebuild joined by newline.
+    "q_line_boilerplate" -> ((s, d) =>
+      Dedup.lineBoilerplateStrip(multilineDocs(s, d), "doc_id", "text", 3)
+        .select(col("doc_id"), col("n_chunks").as("n_lines"),
+          col("n_kept"), col("clean_text"))
+        .orderBy(col("doc_id"))),
+
     // C1i — exact-substring dedup (ExactSubstr, Lee et al. 2022):
     // remove EVERY repeat of >= 8 tokens at ANY alignment — the
     // guarantee chunk-granularity dedup cannot give (a repeat
@@ -573,6 +598,30 @@ private[queries] object TierCDedup {
         "FROM k WHERE rn = 1 GROUP BY doc_id) " +
         chunkRebuildSql),
 
+    // the 8-token lines; first occurrence = row_number over
+    // (doc_id, line_idx) order, rebuild = newline-joined string_agg
+    "q_line_dedup" ->
+      (lineCte +
+        "k AS (SELECT doc_id, line_idx, line_text, row_number() " +
+        "OVER (PARTITION BY line_text ORDER BY doc_id, line_idx) " +
+        "AS rn FROM ln), " +
+        "s AS (SELECT doc_id, COUNT(*) AS n_kept, " +
+        "string_agg(line_text, chr(10) ORDER BY line_idx) AS clean_text " +
+        "FROM k WHERE rn = 1 GROUP BY doc_id) " +
+        lineRebuildSql),
+
+    // identical line derivation; the kept set is every line OUTSIDE
+    // the >= 3-distinct-doc hot set
+    "q_line_boilerplate" ->
+      (lineCte +
+        "hot AS (SELECT line_text FROM ln GROUP BY 1 " +
+        "HAVING COUNT(DISTINCT doc_id) >= 3), " +
+        "s AS (SELECT doc_id, COUNT(*) AS n_kept, " +
+        "string_agg(line_text, chr(10) ORDER BY line_idx) AS clean_text " +
+        "FROM ln WHERE line_text NOT IN (SELECT line_text FROM hot) " +
+        "GROUP BY doc_id) " +
+        lineRebuildSql),
+
     // every 8-token window; an occurrence is a hit iff an identical
     // window occurs earlier in (doc_id, pos) order (row_number > 1);
     // a token is cut iff any hit window covers it — the same
@@ -622,6 +671,39 @@ private[queries] object TierCDedup {
     * share — the SQL twin of [[Dedup.chunkArray]] (1-based DuckDB list
     * slicing re-zero-based via `i*16+1`).
     */
+  /** The multiline fixture behind the line-level queries: every 8
+    * tokens becomes one line — a pure function of the text (the same
+    * derivation the DuckDB oracles make with [[lineCte]]), planting
+    * deterministic newlines in a corpus that ships none.
+    */
+  private def multilineDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("text",
+      concat_ws("\n", transform(Dedup.chunkArray(col("text"), 8),
+        c => c("chunk_text"))))
+
+  /** The 8-token line derivation both line-level oracles share — the
+    * SQL twin of [[multilineDocs]] + [[Dedup.lineArray]] (each 8-token
+    * chunk IS one non-blank line).
+    */
+  private def lineCte: String =
+    "WITH t AS (SELECT doc_id, list_filter(" +
+      "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') " +
+      "AS toks FROM documents), " +
+      "ln AS (SELECT doc_id, i AS line_idx, " +
+      "array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS line_text " +
+      "FROM t, unnest(range(0, CAST(ceil(len(toks)/8.0) AS INT))) " +
+      "AS u(i) WHERE len(toks) > 0), "
+
+  /** Shared line-level rebuild tail ([[chunkRebuildSql]] at line
+    * granularity, newline-joined).
+    */
+  private def lineRebuildSql: String =
+    "SELECT t.doc_id, CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE " +
+      "ceil(len(toks)/8.0) END AS BIGINT) AS n_lines, " +
+      "CAST(COALESCE(s.n_kept, 0) AS BIGINT) AS n_kept, " +
+      "COALESCE(s.clean_text, '') AS clean_text " +
+      "FROM t LEFT JOIN s USING (doc_id) ORDER BY t.doc_id"
+
   private def chunkCte: String =
     "WITH t AS (SELECT doc_id, list_filter(" +
       "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') " +

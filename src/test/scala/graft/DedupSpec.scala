@@ -316,6 +316,36 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(bp(5L) === ((1L, "c d")))              // copies, not distinct docs
   }
 
+  test("lineDedup: the line splitter trims, drops blank lines, keeps " +
+      "original line order through gaps; lineBoilerplateStrip removes " +
+      "hot lines everywhere") {
+    import spark.implicits._
+    // doc 1: three lines (one padded, one blank — blank is NOT a
+    // segment and never dedups); doc 2 repeats doc 1's first line and
+    // adds its own; doc 3 is newline-free (one line, duplicate of
+    // doc 2's second); doc 4 is only whitespace lines
+    val docs = Seq(
+      (1L, "alpha beta\n  gamma delta  \n\nepsilon"),
+      (2L, "alpha beta\nzeta eta"),
+      (3L, "zeta eta"),
+      (4L, " \n   \n")).toDF("doc_id", "text")
+    val ld = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(ld(1L) === ((3L, 3L, "alpha beta\ngamma delta\nepsilon")))
+    assert(ld(2L) === ((2L, 1L, "zeta eta")))  // first line seen in doc 1
+    assert(ld(3L) === ((1L, 0L, "")))          // whole doc was a dup line
+    assert(ld(4L) === ((0L, 0L, "")))          // blanks are not lines
+    // hot line at minDocs=2: "zeta eta" (docs 2,3) dies EVERYWHERE;
+    // "alpha beta" (docs 1,2) dies too; doc 1's singletons survive
+    val bp = Dedup.lineBoilerplateStrip(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(bp(1L) === ((2L, "gamma delta\nepsilon")))
+    assert(bp(2L) === ((0L, "")))
+    assert(bp(3L) === ((0L, "")))
+  }
+
   test("substrDedup removes every >= k repeat at any alignment, " +
     "merging overlapping hit windows into maximal spans") {
     import spark.implicits._
