@@ -46,6 +46,25 @@ private[queries] object TierCDedup {
         t = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // C1d2 — the SAME exact simjoin over the FULL corpus at t=0.8, on
+    // SHINGLE sets: the production posture (no doc_id slice). The
+    // word-soup corpus draws from a ~31-word vocabulary, so unigram
+    // token SETS are degenerate (most long docs sit above 0.8 of each
+    // other — quadratic OUTPUT by construction, which is why the
+    // t=0.4 unigram query above keeps its slice); 3-gram shingles are
+    // near-unique per document, the high threshold keeps the PPJoin
+    // prefix at ceil((1-t)·|set|)+1 ≈ 1/5th of each set, and the 25
+    // surviving pairs are exactly the planted near-dups — the
+    // benched, hash-checked proof that "never all-pairs" holds
+    // corpus-wide against an exhaustive quadratic oracle.
+    "q_jaccard_simjoin_hi" -> ((s, d) =>
+      graft.operators.SetSimilarity.jaccardSelfJoin(
+        Tables.documents(s, d),
+        "doc_id",
+        T.shingles(col("text"), 3),
+        t = 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // C1e — edit-distance similarity SELF-JOIN (Ed-Join/PPJoin prefix
     // filter): all customer-name pairs within Levenshtein 1, found by
     // joining only on each string's q·d+1 RAREST q-grams — hot grams
@@ -475,6 +494,20 @@ private[queries] object TierCDedup {
         "len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni " +
         "FROM d a, d b WHERE a.doc_id < b.doc_id) " +
         "WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.4 " +
+        "ORDER BY id_a, id_b"),
+    // full-corpus quadratic ground truth at t=0.8 over the shared
+    // 3-gram shingle derivation — losslessness of the
+    // prefix+positional filter with NO slice
+    "q_jaccard_simjoin_hi" ->
+      ("WITH " + shingleCte + " " +
+        "SELECT id_a, id_b, inter, uni, " +
+        "CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard " +
+        "FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter, " +
+        "CAST(len(a.s) + len(b.s) - " +
+        "len(list_intersect(a.s, b.s)) AS BIGINT) AS uni " +
+        "FROM sh a, sh b WHERE a.doc_id < b.doc_id) " +
+        "WHERE CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) >= 0.8 " +
         "ORDER BY id_a, id_b"),
     "q_edit_simjoin" ->
       ("SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, " +
