@@ -383,6 +383,41 @@ private[queries] object TierCCdc {
         .orderBy(col("s_nationkey"))
     }),
 
+    // C8g — METADATA-ONLY COLUMN RENAME (schema evolution v2): batch 0
+    // loads under s_acctbal, one manifest-generation commit renames it
+    // to s_balance with ZERO data rewrite, and batch 1 DELIVERS the
+    // new name (the apply translates logical → stored). The query
+    // reads the net state under the logical name — if the rename
+    // failed to surface, col("s_balance") is an unresolved-column
+    // crash; the has_old_name witness pins that the old name is gone.
+    // Same net-state oracle as q_cdc_merge. Era semantics + guards
+    // pinned by CdcRenameSpec.
+    "q_cdc_rename" -> ((s, d) => {
+      val base = new java.io.File(
+        "target/graft-data/cdc_rename_q/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet") +
+        s"_$CdcRecipeRev").getAbsolutePath
+      val root = s"$base/cdc"
+      synchronized {
+        import graft.streaming.CdcApply
+        val (b0, b1) = supplierCdcBatches(s, d)
+        CdcApply.applyBatch(b0, 0L, root, Seq("s_suppkey"), "version",
+          Some("deleted"), commitTs = Some(1000L))
+        CdcApply.renameColumn(s, root, "s_acctbal", "s_balance")
+        CdcApply.applyBatch(
+          b1.withColumnRenamed("s_acctbal", "s_balance"),
+          1L, root, Seq("s_suppkey"), "version", Some("deleted"),
+          commitTs = Some(2000L))
+      }
+      val snap = graft.streaming.CdcApply.readSnapshot(s, root).get
+      snap.groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("s_balance")).as("total_bal"))
+        .withColumn("has_old_name",
+          lit(snap.columns.contains("s_acctbal")))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // C8y3 — ICEBERG FORMAT-VERSION 2 EXPORT (merge-on-read delete
     // files): the same change stream exported snapshot-per-batch, but
     // batch 1's sync appends ONE data file (the net upserts) and ONE
@@ -669,6 +704,15 @@ private[queries] object TierCCdc {
         "CAST(1 AS BIGINT) AS change_batch " +
         "FROM supplier WHERE s_suppkey % 5 = 0 OR s_suppkey % 7 = 0 " +
         "ORDER BY s_suppkey"),
+    // renamed net state == q_cdc_merge's, under the new column name;
+    // the old name must be gone
+    "q_cdc_rename" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal, " +
+        "FALSE AS has_old_name " +
+        "FROM supplier WHERE s_suppkey % 7 <> 0 " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
     // v2 net state == v1 net state; the witnesses derive from first
     // principles: ONE delete file per (single) incremental sync, and
     // one shadowed key per supplier the batch-1 stream touched

@@ -159,6 +159,21 @@ object DeltaInterop {
     * commits). First call on an empty dir exports everything —
     * [[exportSnapshot]]'s full shape with per-bucket layout.
     */
+
+  /** Bucket identity for the incremental sync, RENAME-STATE included:
+    * a metadata-only rename changes every bucket's identity, so the
+    * next sync republishes the whole table under the new names (the
+    * export reader is name-based; mixing old-name and new-name files
+    * under one declared schema would read NULLs).
+    */
+  private def bucketIdentity(m: CdcApply.Manifest): Map[Int, String] = {
+    val suffix =
+      if (m.renames.isEmpty) ""
+      else "+r=" + m.renames.map { case (s, l) => s"$s>$l" }.mkString(",")
+    m.buckets.map { case (id, e) =>
+      id -> (e.allRels.mkString("+") + suffix) }
+  }
+
   def exportIncremental(spark: SparkSession, cdcRoot: String,
       deltaDir: String): Option[Long] = {
     val m = CdcApply.currentManifest(spark, cdcRoot).getOrElse(
@@ -203,7 +218,7 @@ object DeltaInterop {
       if (stateConsistent) rawState.get._2
       else Map.empty // stale stamp: treat every bucket as changed
     val current: Map[Int, String] =
-      m.buckets.map { case (id, e) => id -> e.allRels.mkString("+") }
+      bucketIdentity(m)
     val changed = current.filter { case (id, ident) =>
       !prior.get(id).exists(_._1 == ident) }.keys.toSeq.sorted
     val dropped = (prior.keySet -- current.keySet).toSeq.sorted
@@ -223,11 +238,11 @@ object DeltaInterop {
     // Delta readers must see the logical table, never merge state)
     val written: Map[Int, Seq[String]] = changed.map { id =>
       val rel = s"v$version/b$id"
-      CdcApply.stripInternal(
+      CdcApply.applyRenames(CdcApply.stripInternal(
         CdcApply.readBucketsResolved(spark, cdcRoot, m, Some(Seq(id)))
           .getOrElse(throw new IllegalStateException(
             s"bucket $id vanished during export of $cdcRoot")),
-        m.conf)
+        m.conf), m)
         .write.mode("errorifexists")
         .parquet(new Path(deltaDir, rel).toString)
       id -> fs.listStatus(new Path(deltaDir, rel)).toSeq
@@ -243,9 +258,9 @@ object DeltaInterop {
       p.put("minWriterVersion", 2)
       actions += mapper.writeValueAsString(protocol)
     }
-    val schema = CdcApply.stripInternal(
-      CdcApply.readBucketsResolved(spark, cdcRoot, m, None).get, m.conf)
-      .schema
+    val schema = CdcApply.applyRenames(CdcApply.stripInternal(
+      CdcApply.readBucketsResolved(spark, cdcRoot, m, None).get, m.conf),
+      m).schema
     val meta = node()
     val mm = meta.putObject("metaData")
     mm.put("id", java.util.UUID

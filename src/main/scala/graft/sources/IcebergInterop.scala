@@ -420,6 +420,21 @@ object IcebergInterop {
     * (no empty snapshots). O(changed buckets) data work + one
     * footer read per written file — the [[DeltaInterop]] cost class.
     */
+
+  /** Bucket identity for the incremental sync, RENAME-STATE included:
+    * a metadata-only rename changes every bucket's identity, so the
+    * next sync republishes the whole table under the new names (the
+    * export reader is name-based; mixing old-name and new-name files
+    * under one declared schema would read NULLs).
+    */
+  private def bucketIdentity(m: CdcApply.Manifest): Map[Int, String] = {
+    val suffix =
+      if (m.renames.isEmpty) ""
+      else "+r=" + m.renames.map { case (s, l) => s"$s>$l" }.mkString(",")
+    m.buckets.map { case (id, e) =>
+      id -> (e.allRels.mkString("+") + suffix) }
+  }
+
   def exportIncremental(spark: SparkSession, cdcRoot: String,
       tableDir: String): Option[Long] = {
     val m = CdcApply.currentManifest(spark, cdcRoot).getOrElse(
@@ -439,7 +454,7 @@ object IcebergInterop {
       if (stateConsistent) rawState.get._2
       else Map.empty // stale stamp: self-heal with a full rewrite
     val current: Map[Int, String] =
-      m.buckets.map { case (id, e) => id -> e.allRels.mkString("+") }
+      bucketIdentity(m)
     val changed = current.filter { case (id, ident) =>
       !prior.get(id).exists(_._1 == ident) }.keys.toSeq.sorted
     val dropped = (prior.keySet -- current.keySet).toSeq.sorted
@@ -447,19 +462,19 @@ object IcebergInterop {
       return None
     val version = priorVs.lastOption.map(_ + 1L).getOrElse(0L)
     clearAborted(spark, tableDir, version)
-    val schema = CdcApply.stripInternal(
-      CdcApply.readBucketsResolved(spark, cdcRoot, m, None).get, m.conf)
-      .schema
+    val schema = CdcApply.applyRenames(CdcApply.stripInternal(
+      CdcApply.readBucketsResolved(spark, cdcRoot, m, None).get, m.conf),
+      m).schema
     schema.fields.foreach(f => icebergType(f.dataType)) // refuse early
     // rewrite each changed bucket's RESOLVED logical rows, then one
     // manifest per rewritten bucket (footer stats included)
     val written: Map[Int, ManifestRef] = changed.map { id =>
       val rel = s"data/v$version/b$id"
-      CdcApply.stripInternal(
+      CdcApply.applyRenames(CdcApply.stripInternal(
         CdcApply.readBucketsResolved(spark, cdcRoot, m, Some(Seq(id)))
           .getOrElse(throw new IllegalStateException(
             s"bucket $id vanished during export of $cdcRoot")),
-        m.conf)
+        m.conf), m)
         .write.mode("errorifexists")
         .parquet(new Path(tableDir, rel).toString)
       val files = fs.listStatus(new Path(tableDir, rel)).toSeq

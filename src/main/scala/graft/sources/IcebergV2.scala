@@ -131,7 +131,15 @@ object IcebergV2 {
       content: Int, nFiles: Int, nRows: Long)
 
   private case class StateV2(version: Long, lastBatch: Long,
-      manifests: Seq[ManRef])
+      manifests: Seq[ManRef], renames: String = "")
+
+  /** Rename-state fingerprint: a metadata-only rename on the source
+    * changes every name the (name-based) v2 reader resolves, so a
+    * mismatch forces the next sync through [[fullSnapshot]] — old-name
+    * and new-name data files must never mix under one schema.
+    */
+  private def renameFp(m: CdcApply.Manifest): String =
+    m.renames.map { case (st, l) => s"$st>$l" }.mkString(",")
 
   private def readState(spark: SparkSession, table: String)
       : Option[StateV2] = {
@@ -154,7 +162,8 @@ object IcebergV2 {
           m.get("nfiles").asInt(), m.get("nrows").asLong())
       }.toSeq).getOrElse(Seq.empty)
     Some(StateV2(n.get("version").asLong(),
-      n.get("lastBatch").asLong(), mans))
+      n.get("lastBatch").asLong(), mans,
+      Option(n.get("renames")).map(_.asText()).getOrElse("")))
   }
 
   private def writeState(spark: SparkSession, table: String,
@@ -164,6 +173,7 @@ object IcebergV2 {
     n.put("format", 2)
     n.put("version", st.version)
     n.put("lastBatch", st.lastBatch)
+    n.put("renames", st.renames)
     val arr = n.putArray("manifests")
     st.manifests.foreach { m =>
       val o = arr.addObject()
@@ -374,8 +384,9 @@ object IcebergV2 {
       table: String, version: Long, headBatch: Long): Long = {
     clearAborted(spark, table, version)
     val m = CdcApply.currentManifest(spark, cdcRoot).get
-    val resolved = CdcApply.stripInternal(
-      CdcApply.readBucketsResolved(spark, cdcRoot, m, None).get, m.conf)
+    val resolved = CdcApply.applyRenames(CdcApply.stripInternal(
+      CdcApply.readBucketsResolved(spark, cdcRoot, m, None).get, m.conf),
+      m)
     val schema = resolved.schema
     schema.fields.foreach(f => icebergType(f.dataType)) // refuse early
     val fieldIds = schema.fieldNames.zipWithIndex
@@ -391,7 +402,8 @@ object IcebergV2 {
     writeManifestList(spark, table, version, refs.map((_, true)))
     commitMetadata(spark, table, version, seq, schema,
       priorSnapNodes(spark, table))
-    writeState(spark, table, StateV2(version, headBatch, refs))
+    writeState(spark, table,
+      StateV2(version, headBatch, refs, renameFp(m)))
     version
   }
 
@@ -427,6 +439,12 @@ object IcebergV2 {
       // list can't be trusted — self-heal with a full rewrite
       return Some(fullSnapshot(spark, cdcRoot, tableDir,
         priorVs.last + 1L, head))
+    if (st.renames != renameFp(m))
+      // a rename landed since the last sync: republish everything
+      // under the new names (metadata-only on the source, one full
+      // rewrite here — the name-based reader cannot mix name eras)
+      return Some(fullSnapshot(spark, cdcRoot, tableDir,
+        priorVs.last + 1L, head))
     if (head <= st.lastBatch) return None
     val changes = CdcApply.changesSince(spark, cdcRoot, st.lastBatch)
       .get.cache()
@@ -435,9 +453,9 @@ object IcebergV2 {
       val version = st.version + 1
       val seq = version + 1
       clearAborted(spark, tableDir, version)
-      val schema = CdcApply.stripInternal(
+      val schema = CdcApply.applyRenames(CdcApply.stripInternal(
         CdcApply.readBucketsResolved(spark, cdcRoot, m, None).get,
-        m.conf).schema
+        m.conf), m).schema
       schema.fields.foreach(f => icebergType(f.dataType))
       val fieldIds = schema.fieldNames.zipWithIndex
         .map { case (n, i) => (n, i + 1) }.toMap
@@ -472,7 +490,7 @@ object IcebergV2 {
       commitMetadata(spark, tableDir, version, seq, schema,
         priorSnapNodes(spark, tableDir))
       writeState(spark, tableDir,
-        StateV2(version, head, st.manifests ++ fresh))
+        StateV2(version, head, st.manifests ++ fresh, st.renames))
       Some(version)
     } finally changes.unpersist()
   }

@@ -223,10 +223,22 @@ object CdcApply {
     * as of 14:00" must resolve identically before and after an expiry
     * rewrite. None only on manifests written before the field existed.
     */
+  /** `renames` is the METADATA-ONLY column-rename state: ordered
+    * (storedName, logicalName) pairs, at most one per stored name.
+    * Storage keeps the original stored name in every file ever
+    * written (and in `schema`, which stays the STORED row schema);
+    * the public read boundary projects stored → logical, and
+    * [[applyBatch]] translates arriving logical names back. A rename
+    * is therefore one manifest generation commit with ZERO data
+    * rewrite, and time travel reads each batch under the names it
+    * committed with (old manifests carry the old rename state).
+    * Structural columns (keys, version, deleted) are not renamable.
+    */
   private[graft] final case class Manifest(conf: TableConf,
       buckets: Map[Int, BucketEntry],
       schema: Option[org.apache.spark.sql.types.StructType],
-      ts: Option[Long]) {
+      ts: Option[Long],
+      renames: Seq[(String, String)] = Seq.empty) {
     /** Every live data directory — bases AND pending deltas. Callers
       * that read these paths raw must resolve latest-wins when
       * [[hasDeltas]]; vacuum's live-set and the footer-recovery path
@@ -332,13 +344,27 @@ object CdcApply {
     // schema JSON is one line (JSON escapes control chars), tagged so a
     // bucket line (which starts with an int) can never shadow it
     val schemaLine = m.schema.map(s => s"schema\t${s.json}").toSeq
+    // rename state as a JSON array of [stored, logical] pairs (JSON
+    // escaping keeps arbitrary column names line-safe); only written
+    // when a rename exists, so pre-rename manifests are byte-identical
+    val renamesLine =
+      if (m.renames.isEmpty) Seq.empty
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val arr = om.createArrayNode()
+        m.renames.foreach { case (s, l) =>
+          val p = om.createArrayNode(); p.add(s); p.add(l); arr.add(p)
+        }
+        Seq(s"renames\t${om.writeValueAsString(arr)}")
+      }
     def o(v: Option[Long]): String = v.map(_.toString).getOrElse("-")
     // pending deltas ride as a sixth tab field: `rel:minTs:bytes:rows`
     // items ';'-joined ('-' when none). Rel paths are `v<tag>/_b=<k>` —
     // no ':' or ';' can appear in them
     def d(e: BucketEntry): String =
       s"${e.rel}:${o(e.minTs)}:${o(e.bytes)}:${o(e.rows)}"
-    ((header +: schemaLine) ++ m.buckets.toSeq.sortBy(_._1).map {
+    ((header +: schemaLine) ++ renamesLine ++
+      m.buckets.toSeq.sortBy(_._1).map {
       case (b, e) =>
         val ds = if (e.deltas.isEmpty) "-" else e.deltas.map(d).mkString(";")
         s"$b\t${e.rel}\t${o(e.minTs)}\t${o(e.bytes)}\t${o(e.rows)}\t$ds"
@@ -364,8 +390,16 @@ object CdcApply {
       org.apache.spark.sql.types.DataType.fromJson(
         l.stripPrefix("schema\t"))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val renames: Seq[(String, String)] = lines.tail
+      .find(_.startsWith("renames\t")).map { l =>
+        import scala.jdk.CollectionConverters._
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        om.readTree(l.stripPrefix("renames\t")).elements().asScala
+          .map(p => (p.get(0).asText(), p.get(1).asText())).toSeq
+      }.getOrElse(Seq.empty)
     val buckets = lines.tail
-      .filter(l => l.nonEmpty && !l.startsWith("schema\t")).map { l =>
+      .filter(l => l.nonEmpty && !l.startsWith("schema\t") &&
+        !l.startsWith("renames\t")).map { l =>
         // 3-field lines are pre-v6 manifests (no bytes/rows stats),
         // 5-field pre-v7 (no delta list) — live tables written by
         // older builds keep parsing
@@ -382,7 +416,7 @@ object CdcApply {
         (parts(0).toInt,
           BucketEntry(parts(1), opt(2), opt(3), opt(4), deltas))
       }.toMap
-    Manifest(conf, buckets, schema, kv.get("ts").map(_.toLong))
+    Manifest(conf, buckets, schema, kv.get("ts").map(_.toLong), renames)
   }
 
   private def readManifest(spark: SparkSession, root: String,
@@ -492,6 +526,22 @@ object CdcApply {
       noTs.filter(!coalesce(col(d), lit(false))).drop(d))
   }
 
+  /** Project the manifest's rename state at the PUBLIC read boundary:
+    * stored column names → their logical names. Storage-facing paths
+    * (merges, maintenance rewrites, bucket writes) never call this —
+    * files keep stored names forever.
+    */
+  private[graft] def applyRenames(df: DataFrame, m: Manifest): DataFrame =
+    m.renames.foldLeft(df) { case (d, (stored, logical)) =>
+      if (d.columns.contains(stored)) d.withColumnRenamed(stored, logical)
+      else d
+    }
+
+  /** A stored column's current logical name under `m`'s rename state. */
+  private[graft] def logicalName(m: Manifest, stored: String): String =
+    m.renames.collectFirst { case (s, l) if s == stored => l }
+      .getOrElse(stored)
+
   /** Latest-wins resolution across merge-on-read base + delta rows:
     * per key, the row with the highest version wins; a cross-batch
     * version TIE resolves to the FIRST-applied row (lowest change-feed
@@ -547,7 +597,8 @@ object CdcApply {
     */
   def readSnapshot(spark: SparkSession, root: String): Option[DataFrame] =
     currentManifest(spark, root).flatMap(m =>
-      readBucketsResolved(spark, root, m).map(stripInternal(_, m.conf)))
+      readBucketsResolved(spark, root, m)
+        .map(df => applyRenames(stripInternal(df, m.conf), m)))
 
   /** Time travel: read the snapshot as of `batchId` — every applied
     * batch commits an immutable manifest, so any batch whose manifest
@@ -566,11 +617,14 @@ object CdcApply {
       .sortBy(parseManifestName(_)._2).lastOption
       .flatMap { name =>
         val m = readManifest(spark, root, name)
-        // that manifest's OWN schema: time travel to before an additive
-        // evolution sees the table as it was, without the later columns
-        // (and ITS delta set: resolution reproduces the state as of the
-        // batch, pending deltas included)
-        readBucketsResolved(spark, root, m).map(stripInternal(_, m.conf))
+        // that manifest's OWN schema AND rename state: time travel to
+        // before an additive evolution (or a rename) sees the table as
+        // it was — without the later columns, under the names each
+        // batch committed with (and ITS delta set: resolution
+        // reproduces the state as of the batch, pending deltas
+        // included)
+        readBucketsResolved(spark, root, m)
+          .map(df => applyRenames(stripInternal(df, m.conf), m))
       }
   }
 
@@ -977,7 +1031,8 @@ object CdcApply {
             AppliedBatchCol)
       val fields = visible
         .map(f => if (f.name == AppliedBatchCol)
-          f.copy(name = ChangeBatchCol) else f) :+
+          f.copy(name = ChangeBatchCol)
+          else f.copy(name = logicalName(manifest, f.name))) :+
         org.apache.spark.sql.types.StructField(ChangeBatchCol,
           org.apache.spark.sql.types.LongType)
       spark.createDataFrame(
@@ -1006,10 +1061,11 @@ object CdcApply {
         }.toSeq.sorted
         if (hot.isEmpty) emptyFeed(m.schema.get)
         else {
-          val out = readBucketsResolved(spark, root, m, Some(hot)).get
-            .filter(col(AppliedBatchCol) > sinceBatch)
-            .withColumnRenamed(AppliedBatchCol, ChangeBatchCol)
-            .drop(TsBatchCol)
+          val out = applyRenames(
+            readBucketsResolved(spark, root, m, Some(hot)).get
+              .filter(col(AppliedBatchCol) > sinceBatch)
+              .withColumnRenamed(AppliedBatchCol, ChangeBatchCol)
+              .drop(TsBatchCol), m)
           if (!out.columns.contains(ChangeBatchCol))
             throw new IllegalStateException(
               "change feed lost its batch stamp — on a governed root " +
@@ -1081,7 +1137,13 @@ object CdcApply {
     val live: Set[String] = kept
       .map(readManifest(spark, root, _))
       .flatMap(_.buckets.valuesIterator.flatMap(_.allRels)).toSet
-    doomedManifests.foreach(n => fs.delete(new Path(mdir, n), false))
+    doomedManifests.foreach { n =>
+      fs.delete(new Path(mdir, n), false)
+      // the commit-fence claim of this manifest's successor slot dies
+      // with it (its predecessor is gone, so no commit can ever claim
+      // against it again)
+      fs.delete(new Path(mdir, s".after-$n"), false)
+    }
     // a data dir is removable only when NO kept manifest references any
     // bucket under it; bucket-level deletes would leave half-empty
     // version dirs, so sweep at bucket-dir granularity. Dirs tagged with
@@ -1183,7 +1245,7 @@ object CdcApply {
           // generation rewrites layout, not logical content
           commitManifest(spark, root, s"v$batchId.${gen + 1}",
             Manifest(conf, (m.buckets -- dirty) ++ written, m.schema,
-              m.ts),
+              m.ts, m.renames),
             batchId, overwrite = false)
         }
       }
@@ -1225,6 +1287,69 @@ object CdcApply {
     * no snapshot yet, the count is unchanged, or the commit guard
     * aborted.
     */
+  /** METADATA-ONLY column rename — one manifest generation commit,
+    * ZERO data rewrite (the Iceberg-style schema-evolution move the
+    * additive path can't express): files keep the stored name forever,
+    * reads project stored → logical, [[applyBatch]] translates
+    * arriving logical names back, and time travel serves each batch
+    * under the names it committed with. Returns false when the rename
+    * already holds (idempotent replay).
+    *
+    * Refused loudly for structural columns (keys, version, deleted —
+    * merge semantics are keyed on stored names) and for any `to` that
+    * collides with a live logical name, a stored name, or a reserved
+    * internal column. Type changes stay refused at apply time —
+    * rename never relaxes the type-clash guard. Renaming BACK to the
+    * original stored name simply drops the mapping.
+    *
+    * Two caveats a caller owns: incremental consumers keyed on names
+    * (mirrors, rollups, secondary indexes) do not retro-translate —
+    * re-seed them after a rename; and location-governance allowlists
+    * keep operating on STORED names (the scan the rule rewrites is
+    * the stored one).
+    */
+  def renameColumn(spark: SparkSession, root: String,
+      from: String, to: String): Boolean = {
+    val name = currentManifestName(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no CDC table at $root"))
+    val (batchId, gen) = parseManifestName(name)
+    val m = readManifest(spark, root, name)
+    val stored = m.schema.getOrElse(throw new IllegalStateException(
+      "rename requires a schema-bearing manifest (commit one batch " +
+        "under a current build first)"))
+    val renMap = m.renames.toMap
+    val fromStored = stored.fieldNames
+      .find(s => renMap.getOrElse(s, s) == from)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column named '$from' in $root"))
+    val structural = (m.conf.keys :+ m.conf.versionCol) ++
+      m.conf.deletedCol
+    require(!structural.contains(fromStored),
+      s"cannot rename structural column '$from' (keys/version/deleted " +
+        "drive merge semantics and bucket hashing)")
+    require(!Seq(TsBatchCol, AppliedBatchCol).contains(fromStored),
+      s"cannot rename internal column '$from'")
+    if (renMap.get(fromStored).contains(to)) return false // idempotent
+    val reserved = Seq(BucketCol, TsBatchCol, AppliedBatchCol,
+      ChangeBatchCol)
+    require(!reserved.contains(to), s"'$to' is a reserved column name")
+    val logicalNames = stored.fieldNames.map(s => renMap.getOrElse(s, s))
+    require(!logicalNames.contains(to),
+      s"column '$to' already exists in $root")
+    require(to == fromStored || !stored.fieldNames.contains(to),
+      s"'$to' is the storage name of another (renamed) column")
+    val next = m.renames.filterNot(_._1 == fromStored) ++
+      (if (to == fromStored) Seq.empty else Seq(fromStored -> to))
+    // the rebucket commit pattern: metadata-only maintenance, new
+    // generation, loud on a concurrent flip
+    if (currentManifestName(spark, root).contains(name)) {
+      commitManifest(spark, root, s"v$batchId.${gen + 1}",
+        m.copy(renames = next), batchId, overwrite = false)
+      true
+    } else throw new IllegalStateException(
+      s"concurrent commit moved $root during rename — retry")
+  }
+
   def rebucket(spark: SparkSession, root: String,
       newNumBuckets: Int): Boolean = {
     require(newNumBuckets >= 1, "newNumBuckets must be >= 1")
@@ -1254,8 +1379,8 @@ object CdcApply {
           hasTombstones = conf.deletedCol.isDefined)
         if (currentManifestName(spark, root).contains(name)) {
           commitManifest(spark, root, s"v$batchId.${gen + 1}",
-            Manifest(conf, written, m.schema, m.ts), batchId,
-            overwrite = false)
+            Manifest(conf, written, m.schema, m.ts, m.renames),
+            batchId, overwrite = false)
           true
         } else false
     }
@@ -1348,7 +1473,7 @@ object CdcApply {
           hasTombstones = conf.deletedCol.isDefined)
         if (currentManifestName(spark, root).contains(name)) {
           commitManifest(spark, root, s"v$batchId.${gen + 1}",
-            Manifest(conf, written, m.schema, m.ts),
+            Manifest(conf, written, m.schema, m.ts, m.renames),
             batchId, overwrite = false)
           true
         } else false
@@ -1410,7 +1535,7 @@ object CdcApply {
           if (currentManifestName(spark, root).contains(name)) {
             commitManifest(spark, root, s"v$batchId.${gen + 1}",
               Manifest(conf, (m.buckets -- targets) ++ written,
-                m.schema, m.ts),
+                m.schema, m.ts, m.renames),
               batchId, overwrite = false)
             true
           } else false
@@ -1490,8 +1615,9 @@ object CdcApply {
       }
       m.schema match {
         case None =>
-          stripInternal(readRaw(spark, m.dataPaths(root), None), conf)
-            .join(broadcast(valuesFrame(None)), bcols, "left_semi")
+          applyRenames(
+            stripInternal(readRaw(spark, m.dataPaths(root), None), conf)
+              .join(broadcast(valuesFrame(None)), bcols, "left_semi"), m)
         case Some(schema) =>
           val probe = valuesFrame(Some(schema))
           val ids = probe
@@ -1502,13 +1628,14 @@ object CdcApply {
             // none of the probed buckets ever held a surviving row:
             // the visible shape with zero rows from manifest schema
             // alone, no filesystem access (the absent-bucket GET rule)
-            stripInternal(spark.createDataFrame(
+            applyRenames(stripInternal(spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              schema), conf)
+              schema), conf), m)
           else
-            stripInternal(readBucketsResolved(spark, root, m,
-              Some(ids)).get, conf)
-              .join(broadcast(probe), bcols, "left_semi")
+            applyRenames(
+              stripInternal(readBucketsResolved(spark, root, m,
+                Some(ids)).get, conf)
+                .join(broadcast(probe), bcols, "left_semi"), m)
       }
     }
   }
@@ -1701,7 +1828,8 @@ object CdcApply {
       commitManifest(spark, root, s"v$newBatch.0",
         Manifest(conf, (mCur.buckets -- touched) ++ written,
           Some(stored),
-          Some(commitTs.getOrElse(System.currentTimeMillis()))),
+          Some(commitTs.getOrElse(System.currentTimeMillis())),
+          mCur.renames),
         newBatch, overwrite = false,
         expectCurrent = Some(Some(curName)))
       Some(newBatch)
@@ -1870,8 +1998,9 @@ object CdcApply {
           // snapshot; one commit under a v4+ build restores pruning.
           val pred = keyed.map { case (k, v) => col(k) === lit(v) }
             .reduce(_ && _)
-          stripInternal(readRaw(spark, m.dataPaths(root), None), conf)
-            .filter(pred)
+          applyRenames(
+            stripInternal(readRaw(spark, m.dataPaths(root), None), conf)
+              .filter(pred), m)
         case Some(schema) =>
           def typedLit(k: String, v: Any): Column =
             schema.fields.find(_.name == k)
@@ -1888,9 +2017,10 @@ object CdcApply {
               // for delta-free buckets and latest-wins-resolves base +
               // pending deltas for merge-on-read ones — still one
               // bucket FAMILY of directories either way
-              stripInternal(readBucketsResolved(spark, root, m,
-                Some(Seq(b))).get, conf)
-                .filter(pred)
+              applyRenames(
+                stripInternal(readBucketsResolved(spark, root, m,
+                  Some(Seq(b))).get, conf)
+                  .filter(pred), m)
             case None =>
               // no row of this key ever survived: the snapshot's
               // visible shape with zero rows, built from the manifest
@@ -1904,6 +2034,7 @@ object CdcApply {
                 schema.fields.toSeq.filterNot(f =>
                   f.name == TsBatchCol || f.name == AppliedBatchCol ||
                     conf.deletedCol.contains(f.name)))
+                .map(f => f.copy(name = logicalName(m, f.name)))
               spark.createDataFrame(
                 spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                 org.apache.spark.sql.types.StructType(visible))
@@ -2379,9 +2510,6 @@ object CdcApply {
     // mirroring the maintenance fence above. Crash-retry recommit is
     // unaffected: the retry re-reads CURRENT at applyBatch entry, so
     // its expectation matches unless someone else really moved it.
-    // The check-then-flip pair is not a true CAS (the FS has none) —
-    // it narrows the silent window to the rename itself and makes the
-    // operating contract (one merge stream per table) fail loudly.
     // A concurrent MAINTENANCE flip (a new generation of the same
     // batch) trips the fence too, deliberately: this merge's manifest
     // carries the pre-maintenance bucket map, so publishing it would
@@ -2389,6 +2517,23 @@ object CdcApply {
     // committed — the retry re-reads the new generation and merges
     // against it. Syncs (mirror/rollup/index) apply through this same
     // path, so racing sync processes fail loudly as well.
+    //
+    // The fence is CAS-GRADE where the filesystem gives atomic
+    // create-exclusive (HDFS semantics, incl. the local FS): after
+    // the pointer check, the committer CLAIMS the predecessor's
+    // successor slot — a dot-prefixed `.after-<predecessor>` marker
+    // created with overwrite=false, content = the successor name.
+    // Exactly one creator wins; a loser (or anyone finding the slot
+    // already claimed by a DIFFERENT name) refuses loudly, so the
+    // old check-then-flip window between the check and the rename is
+    // closed: the claim, not the pointer rename, decides the race.
+    // Crash-retry recommit of the SAME name reads its own claim back
+    // and proceeds. Residual caveats, documented: a claim created but
+    // crashed before its one content write reads empty — treated as
+    // a corpse and taken over (a few-ms window, strictly narrower
+    // than the fence it replaces); object stores without atomic
+    // create-exclusive degrade to exactly the old loud-but-unproven
+    // convention.
     expectCurrent.foreach { pred =>
       Option(raceWindowHook.getAndSet(null)).foreach(_.apply())
       val now = currentManifestName(spark, root)
@@ -2399,6 +2544,27 @@ object CdcApply {
             s"while batch $batchId merged — this merge read a stale " +
             "base and must not be published; re-apply the batch " +
             "against the new head")
+      val claim = new Path(root,
+        s"manifests/.after-${pred.getOrElse("genesis")}")
+      val winner =
+        try {
+          val out = fs.create(claim, false)
+          out.write(name.getBytes("UTF-8"))
+          out.close()
+          name
+        } catch {
+          case _: java.io.IOException =>
+            // slot taken: the claimant's name decides; an empty read
+            // is a creator that died pre-write — take the corpse over
+            scala.util.Try(readSmallFile(fs, claim).trim)
+              .toOption.filter(_.nonEmpty).getOrElse(name)
+        }
+      if (winner != name)
+        throw new java.util.ConcurrentModificationException(
+          s"lost apply race on $root: predecessor " +
+            s"${pred.getOrElse("<genesis>")} was already succeeded " +
+            s"by $winner while batch $batchId merged — refusing to " +
+            s"publish $name over it; re-apply against the new head")
     }
     val tmp = new Path(root, s".CURRENT.$batchId.tmp")
     writeSmallFile(fs, tmp, name)
@@ -2504,16 +2670,35 @@ object CdcApply {
     }
     val conf = existing.map(_.conf).getOrElse(conf0)
 
+    // RENAMED columns arrive under their LOGICAL names; storage keeps
+    // the original stored name in every file ever written, so the
+    // batch translates logical → stored here (the read boundary
+    // translates back). A batch reviving a renamed column's OLD name,
+    // or carrying both names at once, is refused — silently merging
+    // either would scatter one logical column across two stored ones.
+    val renames = existing.map(_.renames).getOrElse(Seq.empty)
+    renames.foreach { case (stored, logical) =>
+      require(!rawBatch.columns.contains(stored),
+        s"batch column '$stored' is the STORAGE name of the column " +
+          s"renamed to '$logical' — deliver it as '$logical'")
+    }
+    val translated = renames.foldLeft(rawBatch) {
+      case (df, (stored, logical)) =>
+        if (df.columns.contains(logical))
+          df.withColumnRenamed(logical, stored)
+        else df
+    }
+
     // exact duplicate rows within the batch collapse deterministically;
     // rows with one (key, version) that differ in an ORDERABLE column
     // still raise in latestWins. Non-orderable columns (maps) cannot
     // join a dropDuplicates grouping, so rows differing only there
     // collapse arbitrarily-but-to-one.
-    val orderable = rawBatch.schema.fields.collect {
+    val orderable = translated.schema.fields.collect {
       case f if org.apache.spark.sql.catalyst.expressions.RowOrdering
         .isOrderable(f.dataType) => f.name
     }
-    val deduped = rawBatch.dropDuplicates(orderable.toIndexedSeq)
+    val deduped = translated.dropDuplicates(orderable.toIndexedSeq)
     // persisted for the three consumers below (touched-set probe, merge
     // read, final write): without it each action re-reads the source
     // and redoes the dedup shuffle — per trigger, on the hot path
@@ -2696,7 +2881,7 @@ object CdcApply {
       val prior = existing.map(_.buckets).getOrElse(Map.empty)
       commitManifest(spark, root, s"v$batchId.0",
         Manifest(conf, (prior -- touched) ++ written, Some(evolved),
-          Some(commitTs)),
+          Some(commitTs), existing.map(_.renames).getOrElse(Seq.empty)),
         batchId, expectCurrent = Some(predecessor))
       true
     } finally logged.foreach(_.unpersist())
@@ -2787,7 +2972,8 @@ object CdcApply {
       }
     commitManifest(spark, root, s"v$batchId.0",
       Manifest(conf, (prior -- touched) ++ deltaEntries ++ compactEntries,
-        Some(evolved), Some(commitTs)),
+        Some(evolved), Some(commitTs),
+        existing.map(_.renames).getOrElse(Seq.empty)),
       batchId, expectCurrent = Some(predecessor))
     true
   }

@@ -122,6 +122,75 @@ class CdcFenceSpec extends AnyFunSuite with SparkTestBase
     assert(!CdcApply.syncMirror(spark, src, mirror))
   }
 
+  test("the CAS claim decides a race the pointer check cannot see: " +
+    "a claimed-but-unflipped successor slot refuses a different " +
+    "commit, readmits its own crash-retry, and a pre-write corpse " +
+    "is taken over") {
+    val root = newRoot()
+    assert(CdcApply.applyBatch(b0, 0L, root, Seq("k"), "version",
+      Some("deleted")))
+    val b2 = Seq((1L, 2L, 11.0, false)).toDF(
+      "k", "version", "amount", "deleted")
+    // a concurrent committer claimed v0.0's successor slot (as v3.0)
+    // but has NOT flipped the pointer yet — the old check-then-flip
+    // fence would sail through this window; the claim refuses it
+    val claim = new java.io.File(root, "manifests/.after-v0.0")
+    java.nio.file.Files.writeString(claim.toPath, "v3.0")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      CdcApply.applyBatch(b2, 2L, root, Seq("k"), "version",
+        Some("deleted"))
+    }
+    assert(e.getMessage.contains("already succeeded by v3.0"),
+      e.getMessage)
+    assert(CdcApply.currentVersion(spark, root).contains(0L),
+      "the loser must not have flipped the pointer")
+    // crash-retry of the claim's OWN commit reads its claim back and
+    // completes (claim names v2.0 = the retry's manifest name)
+    java.nio.file.Files.writeString(claim.toPath, "v2.0")
+    new java.io.File(root, "manifests/..after-v0.0.crc").delete()
+    assert(CdcApply.applyBatch(b2, 2L, root, Seq("k"), "version",
+      Some("deleted")))
+    assert(CdcApply.currentVersion(spark, root).contains(2L))
+    // a creator that died before its one content write left an empty
+    // corpse: the next committer takes the slot over
+    val root2 = newRoot()
+    assert(CdcApply.applyBatch(b0, 0L, root2, Seq("k"), "version",
+      Some("deleted")))
+    java.nio.file.Files.writeString(
+      new java.io.File(root2, "manifests/.after-v0.0").toPath, "")
+    assert(CdcApply.applyBatch(b2, 2L, root2, Seq("k"), "version",
+      Some("deleted")))
+    assert(CdcApply.currentVersion(spark, root2).contains(2L))
+  }
+
+  test("vacuum sweeps the successor-slot claims of the manifests it " +
+    "removes") {
+    val root = newRoot()
+    assert(CdcApply.applyBatch(b0, 0L, root, Seq("k"), "version",
+      Some("deleted")))
+    (1L to 4L).foreach { b =>
+      assert(CdcApply.applyBatch(
+        Seq((1L, b + 1L, 10.0 + b, false))
+          .toDF("k", "version", "amount", "deleted"),
+        b, root, Seq("k"), "version", Some("deleted")))
+    }
+    val mdir = new java.io.File(root, "manifests")
+    assert(mdir.listFiles().exists(_.getName.startsWith(".after-")),
+      "claims must exist before the sweep")
+    CdcApply.vacuum(spark, root, keep = 2)
+    val leftClaims = mdir.listFiles().map(_.getName)
+      .filter(_.startsWith(".after-")).toSet
+    val leftManifests = mdir.listFiles().map(_.getName)
+      .filter(_.startsWith("v")).toSet
+    // every surviving claim's predecessor manifest is still retained
+    // (or is the genesis slot)
+    leftClaims.foreach { c =>
+      val pred = c.stripPrefix(".after-")
+      assert(pred == "genesis" || leftManifests.contains(pred),
+        s"orphaned claim $c with manifests $leftManifests")
+    }
+  }
+
   test("sequential applies and same-batch replays still commit " +
     "cleanly through the fence") {
     val root = newRoot()
