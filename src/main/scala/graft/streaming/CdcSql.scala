@@ -340,6 +340,23 @@ object CdcSql {
             .toDF("name", "rebucketed", "num_buckets")
             .queryExecution.analyzed
         }),
+      (FunctionIdentifier("cdc_rename_column"),
+        new ExpressionInfo("graft.streaming.CdcSql",
+          "cdc_rename_column"),
+        args => {
+          if (args.size != 3) throw new UnsupportedOperationException(
+            "cdc_rename_column(name, from, to) takes 3 arguments")
+          val name = argString(args(0), "cdc_rename_column name")
+          val from = argString(args(1), "cdc_rename_column from")
+          val to = argString(args(2), "cdc_rename_column to")
+          val spark = activeSession
+          val root = resolveRoot(name)
+          requireMaintainer(spark, name, root, "cdc_rename_column")
+          val did = CdcApply.renameColumn(spark, root, from, to)
+          spark.createDataFrame(Seq((name, from, to, did)))
+            .toDF("name", "from", "to", "renamed")
+            .queryExecution.analyzed
+        }),
       (FunctionIdentifier("cdc_zorder"),
         new ExpressionInfo("graft.streaming.CdcSql", "cdc_zorder"),
         args => {

@@ -431,6 +431,29 @@ class CdcSqlSpec extends AnyFunSuite with SparkTestBase {
     } finally CdcSql.unregisterTable("vac_t")
   }
 
+  test("cdc_rename_column from SQL: metadata-only rename surfaces " +
+    "through the registered name; the old column stops resolving; " +
+    "replay reports false") {
+    val root = newRoot()
+    applyB0(root); applyB1(root)
+    CdcSql.registerTable(spark, root, "ren_t")
+    try {
+      val rn = spark.sql(
+        "SELECT * FROM cdc_rename_column('ren_t', 'amount', 'amt')")
+        .collect().head
+      assert(rn.getAs[Boolean]("renamed"), rn.toString)
+      val state = spark.sql("SELECT k, amt FROM ren_t ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(state == Seq(1L -> 11.0, 2L -> 20.0), state.toString)
+      intercept[Exception] {
+        spark.sql("SELECT amount FROM ren_t").collect()
+      }
+      assert(!spark.sql(
+        "SELECT * FROM cdc_rename_column('ren_t', 'amt', 'amt')")
+        .collect().head.getAs[Boolean]("renamed"))
+    } finally CdcSql.unregisterTable("ren_t")
+  }
+
   test("cdc_reseed_mirror from SQL rebuilds the mirror at the " +
     "source's watermark") {
     val src = newRoot(); val dst = newRoot()
