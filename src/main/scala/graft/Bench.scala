@@ -65,6 +65,7 @@ object Bench {
         // the SQL-applied CDC root; later passes no-op the export and
         // replay the batch
         "q_delta_export", "q_iceberg_export", "q_iceberg_timetravel",
+        "q_iceberg_v2", "q_cdc_rename",
         "q_sql_cdc_apply",
         // first run builds the persisted co-purchase edge list
         "q_pagerank").foreach { w =>

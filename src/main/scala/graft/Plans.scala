@@ -401,6 +401,25 @@ object Plans {
       "reference deduped by ReuseExchange), every iteration ends in a " +
       "lineage cut, and the per-iteration shuffle carries (long, " +
       "long) pairs only — no payloads, no cartesian shapes."),
+    "q_iceberg_v2" -> ("Iceberg v2 MOR resolution: per-sequence " +
+      "declared-schema parquet scans union, the equality-delete set " +
+      "aggregates to max-seq per key (an O(changes) relation AQE " +
+      "BROADCASTS) and applies via one null-safe left join — data " +
+      "vectors never shuffle for resolution; the export side writes " +
+      "O(batch) bytes per sync (one upsert data file + one key-only " +
+      "delete file), never a bucket rewrite."),
+    "q_line_dedup" -> ("Line-level first-occurrence dedup: identical " +
+      "firsts-only plan to q_chunk_dedup with the line splitter — " +
+      "(sha256, doc_id, line_idx) on the wire, ONE min-struct hash " +
+      "aggregate whose partial phase absorbs hot lines map-side, no " +
+      "join on the hash, map-side newline rebuild, one O(docs) " +
+      "primary-key text join."),
+    "q_jaccard_simjoin_hi" -> ("Full-corpus PPJoin at t=0.8 over " +
+      "3-gram shingle sets: candidates key on each set's rarest " +
+      "prefix shingles (ceil((1-t)|s|)+1 ≈ |s|/5), positional filter " +
+      "prunes before verification, and only candidate pairs' shingle " +
+      "arrays meet — never all-pairs, proven lossless against the " +
+      "exhaustive quadratic oracle."),
     "q_chunk_dedup" -> ("Chunk-level first-occurrence dedup: the " +
       "resolution side shuffles (sha256, doc_id, chunk_idx) — never " +
       "chunk text — into ONE min-struct hash aggregate whose partial " +

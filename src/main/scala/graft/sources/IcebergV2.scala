@@ -513,6 +513,42 @@ object IcebergV2 {
     fullSnapshot(spark, cdcRoot, tableDir, priorVs.last + 1L, head)
   }
 
+  /** CONTINUOUS v2 export — [[IcebergInterop.startContinuousExport]]'s
+    * merge-on-read twin: a Structured Streaming query tailing the CDC
+    * changelog whose every micro-batch runs one [[exportIncremental]]
+    * sync (the changelog is the WAKE SIGNAL; the sync reads the
+    * manifest/change feed), so the mirror follows at O(batch) per
+    * sync. Requires a changelog-enabled table; caller owns the
+    * returned query's lifecycle.
+    */
+  def startContinuousExport(spark: SparkSession, cdcRoot: String,
+      tableDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val feed = CdcApply.readChangesStream(spark, cdcRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"continuous export needs a changelog-enabled table at " +
+          s"$cdcRoot (applyBatch(changelog = true))"))
+    feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the changelog file lands BEFORE the manifest pointer flips:
+        // wait (bounded) until the head covers this micro-batch's
+        // newest change batch, then sync off the manifest
+        val target = batch
+          .agg(max(col(CdcApply.ChangeBatchCol))).head()
+        if (!target.isNullAt(0)) {
+          val want = target.getLong(0)
+          val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+          while (!CdcApply.currentVersion(spark, cdcRoot)
+              .exists(_ >= want) && System.nanoTime() < deadline)
+            Thread.sleep(25)
+        }
+        exportIncremental(spark, cdcRoot, tableDir)
+        ()
+      }
+      .start()
+  }
+
   // ---- read ------------------------------------------------------------------
 
   private case class FileEntry(path: String, seq: Long, content: Int,

@@ -233,6 +233,35 @@ class IcebergV2Spec extends AnyFunSuite with SparkTestBase {
       Map(1L -> 10.0, 3L -> 30.0))
   }
 
+  test("continuous v2 export follows the changelog: each applied " +
+      "batch lands as one O(batch) MOR snapshot in the mirror") {
+    import spark.implicits._
+    val root = tmp("icev2_cont_cdc")
+    val ice = tmp("icev2_cont")
+    val ckpt = tmp("icev2_cont_ckpt")
+    val b0 = Seq((1L, 1L, 10.0, false), (2L, 1L, 20.0, false))
+      .toDF("k", "version", "amount", "deleted")
+    assert(CdcApply.applyBatch(b0, 0L, root, Seq("k"), "version",
+      Some("deleted"), numBuckets = 2, changelog = true,
+      commitTs = Some(1000L)))
+    val q = IcebergV2.startContinuousExport(spark, root, ice, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(state(IcebergInterop.readIceberg(spark, ice)) ==
+        Map(1L -> 10.0, 2L -> 20.0))
+      assert(CdcApply.applyBatch(
+        Seq((1L, 2L, 11.0, false), (3L, 1L, 30.0, false))
+          .toDF("k", "version", "amount", "deleted"),
+        1L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+        changelog = true, commitTs = Some(2000L)))
+      q.processAllAvailable()
+      assert(state(IcebergInterop.readIceberg(spark, ice)) ==
+        Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0))
+      // the follow-up sync was MOR-shaped: delete file present
+      assert(IcebergV2.deleteFileStats(spark, ice)._1 == 1)
+    } finally q.stop()
+  }
+
   test("lineage guards: a v1 export dir refuses v2 continuation and " +
       "vice versa; foreign v2 metadata without our sidecar refuses " +
       "incremental export") {
