@@ -1318,6 +1318,10 @@ object CdcApply {
       "rename requires a schema-bearing manifest (commit one batch " +
         "under a current build first)"))
     val renMap = m.renames.toMap
+    // replay idempotency, the applyBatch contract: re-delivering a
+    // rename that ALREADY holds (its `from` is now a storage name
+    // mapped to `to`) is a no-op, not an unknown-column error
+    if (renMap.get(from).contains(to)) return false
     val fromStored = stored.fieldNames
       .find(s => renMap.getOrElse(s, s) == from)
       .getOrElse(throw new IllegalArgumentException(
