@@ -15,9 +15,11 @@ import graft.governance.{AccessDeniedException, Analyst, DataAdmin,
   */
 class MetricsSpec extends AnyFunSuite with SparkTestBase {
 
+  // generous deadline: the ExecutionListenerBus is async and the full
+  // suite loads the shared listener bus heavily
   private def awaitEvent(pred: QueryMetricsEvent => Boolean)
       : QueryMetricsEvent = {
-    val deadline = System.currentTimeMillis() + 10000
+    val deadline = System.currentTimeMillis() + 30000
     var found: Option[QueryMetricsEvent] = None
     while (found.isEmpty && System.currentTimeMillis() < deadline) {
       found = MetricsLog.events.find(pred)
