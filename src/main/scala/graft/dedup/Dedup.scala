@@ -106,20 +106,20 @@ object Dedup {
     * paragraph boundaries play in C4/CCNet; swap the splitter and the
     * operators below are line-level verbatim.
     */
-  def chunkArray(text: Column, chunkLen: Int): Column = {
-    val toks = TextFunctions.tokens(text)
-    when(size(toks) > 0, transform(
-      sequence(lit(0),
-        ceil(size(toks) / lit(chunkLen.toDouble)).cast("int") - 1),
-      i => struct(
-        i.cast(LongType).as("chunk_idx"),
-        concat_ws(" ", slice(toks, i * chunkLen + 1, lit(chunkLen)))
-          .as("chunk_text"),
-        least(lit(chunkLen), size(toks) - i * chunkLen)
-          .cast(LongType).as("chunk_tokens"))))
-      .otherwise(array().cast(
-        "array<struct<chunk_idx:bigint,chunk_text:string,chunk_tokens:bigint>>"))
-  }
+  def chunkArray(text: Column, chunkLen: Int): Column =
+    TextFunctions.bindOnce(TextFunctions.tokens(text)) { toks =>
+      when(size(toks) > 0, transform(
+        sequence(lit(0),
+          ceil(size(toks) / lit(chunkLen.toDouble)).cast("int") - 1),
+        i => struct(
+          i.cast(LongType).as("chunk_idx"),
+          concat_ws(" ", slice(toks, i * chunkLen + 1, lit(chunkLen)))
+            .as("chunk_text"),
+          least(lit(chunkLen), size(toks) - i * chunkLen)
+            .cast(LongType).as("chunk_tokens"))))
+        .otherwise(array().cast(
+          "array<struct<chunk_idx:bigint,chunk_text:string,chunk_tokens:bigint>>"))
+    }
 
   /** Line segmentation into [[chunkArray]]'s struct shape — the
     * LITERAL C4/CCNet unit: one element per NON-BLANK line (trimmed),
