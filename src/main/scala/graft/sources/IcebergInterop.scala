@@ -809,6 +809,53 @@ object IcebergInterop {
         nullable = !f.get("required").asBoolean())
     }.toMap
 
+  /** The schema with each field's Iceberg id attached as
+    * `parquet.field.id` metadata — when the data files carry parquet
+    * field ids (every real Iceberg writer's do), Spark's id-based
+    * clipping resolves columns by ID instead of name, so a foreign
+    * table whose CURRENT schema renamed a column still reads the old
+    * files' values (name matching would surface NULLs).
+    */
+  private[sources] def schemaWithFieldIds(
+      meta: com.fasterxml.jackson.databind.JsonNode): StructType =
+    StructType(schemaJson(meta).get("fields").elements().asScala.map {
+      f =>
+        StructField(f.get("name").asText(),
+          sparkType(f.get("type").asText()),
+          nullable = !f.get("required").asBoolean(),
+          metadata = new MetadataBuilder()
+            .putLong("parquet.field.id", f.get("id").asLong())
+            .build())
+    }.toSeq)
+
+  /** Do this parquet file's columns carry field ids? One footer read;
+    * decides whether the scan matches by id (foreign Iceberg writers)
+    * or by name (this engine's own exports — Spark writes no ids by
+    * default, and id-matching against id-less files reads nothing).
+    */
+  private[sources] def fileHasFieldIds(spark: SparkSession,
+      file: Path): Boolean = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(file, spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val fields = r.getFooter.getFileMetaData.getSchema.getFields
+      !fields.isEmpty && fields.asScala.forall(_.getId != null)
+    } finally r.close()
+  }
+
+  /** Pick the scan schema for a set of Iceberg data files: id-matched
+    * (with the session conf flipped on — inert for id-less schemas)
+    * when the files carry field ids, plain name-matched otherwise.
+    */
+  private[sources] def scanSchema(spark: SparkSession,
+      meta: com.fasterxml.jackson.databind.JsonNode,
+      firstFile: Option[Path]): StructType =
+    if (firstFile.exists(fileHasFieldIds(spark, _))) {
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      schemaWithFieldIds(meta)
+    } else schemaOf(meta)
+
   /** The live data files of one snapshot: its manifest list, then
     * every non-deleted entry of every listed manifest.
     */
@@ -848,15 +895,21 @@ object IcebergInterop {
     val meta = parseMetadata(spark, table, vs.max)
     if (formatVersion(meta) == 2)
       return IcebergV2.read(spark, table, meta, snapshotId)
-    val schema = schemaOf(meta)
+    val plain = schemaOf(meta) // validates column types up front
     val snap = snapshotId.getOrElse(
       meta.get("current-snapshot-id").asLong())
     val files = liveFiles(spark, table, meta, snap)
       .map(rel => resolvePath(table, rel).toString)
     if (files.isEmpty)
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files: _*)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], plain)
+    else {
+      // id-matched when the files carry field ids (foreign writers):
+      // a renamed column's old files still serve their values
+      val schema = scanSchema(spark, meta,
+        files.headOption.map(new Path(_)))
+      spark.read.schema(schema).parquet(files: _*)
+    }
   }
 
   /** Snapshot ids this table retains, ascending — the time-travel

@@ -626,9 +626,15 @@ object IcebergV2 {
     // data: one declared-schema scan per distinct sequence number
     // (O(snapshots) groups), each stamped with its seq — the stamp is
     // what the delete rules compare against
+    // id-matched when the data files carry parquet field ids
+    // (foreign Iceberg writers): renamed columns' old files still
+    // serve their values; this engine's own (id-less) exports match
+    // by name as before
+    val dataSchema = scanSchema(spark, meta,
+      dataFiles.headOption.map(f => new Path(f.path)))
     var data = dataFiles.groupBy(_.seq).toSeq.sortBy(_._1)
       .map { case (seq, fs) =>
-        val base = spark.read.schema(schema)
+        val base = spark.read.schema(dataSchema)
           .parquet(fs.map(_.path): _*)
         val stamped = base.withColumn(SeqCol, lit(seq))
         if (needPos)
@@ -665,7 +671,17 @@ object IcebergV2 {
         val cols = ids.map(id => byId.getOrElse(id,
           throw new IllegalArgumentException(
             s"equality_ids references unknown field id $id in $table")))
-        val edSchema = StructType(cols)
+        // same id-matching decision per delete-file group: foreign
+        // equality delete files carry the equality_ids as parquet
+        // field ids, so their columns resolve rename-proof too
+        val edSchema =
+          if (fs.headOption.exists(fe =>
+              fileHasFieldIds(spark, new Path(fe.path))))
+            StructType(ids.zip(cols).map { case (id, f) =>
+              f.copy(metadata = new MetadataBuilder()
+                .putLong("parquet.field.id", id.toLong).build())
+            })
+          else StructType(cols)
         val ed = fs.groupBy(_.seq).toSeq
           .map { case (seq, group) =>
             spark.read.schema(edSchema).parquet(group.map(_.path): _*)

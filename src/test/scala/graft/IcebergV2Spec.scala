@@ -138,14 +138,30 @@ class IcebergV2Spec extends AnyFunSuite with SparkTestBase {
   test("a foreign v2 tree reads correctly: position deletes applied " +
       "at-or-below their sequence, null entry sequence numbers " +
       "inherit the manifest list's, schemas-array-only metadata " +
-      "resolves") {
+      "resolves, and columns match by FIELD ID — a foreign rename " +
+      "(file names differ from the current schema's) still serves " +
+      "the values") {
     import spark.implicits._
+    import org.apache.spark.sql.types._
     val dir = tmp("icev2_foreign")
     new java.io.File(dir, "metadata").mkdirs()
     new java.io.File(dir, "data").mkdirs()
-    // one data file: 4 rows, known order (single partition write)
-    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
-      .toDF("k", "amount").coalesce(1).sortWithinPartitions("k")
+    // one data file: 4 rows, known order (single partition write),
+    // written under the PRE-RENAME physical names (k_old, amount_old)
+    // with Iceberg field ids 1/2 in the parquet schema — exactly what
+    // a real writer's files look like after a metadata-only rename
+    val fileSchema = StructType(Seq(
+      StructField("k_old", LongType, nullable = false,
+        new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("amount_old", DoubleType, nullable = false,
+        new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, 10.0), org.apache.spark.sql.Row(2L, 20.0),
+        org.apache.spark.sql.Row(3L, 30.0), org.apache.spark.sql.Row(4L, 40.0)), 1),
+      fileSchema)
+      .sortWithinPartitions("k_old")
       .write.parquet(s"$dir/data/d0")
     val dataFile = new java.io.File(s"$dir/data/d0").listFiles()
       .filter(_.getName.endsWith(".parquet")).head
