@@ -81,6 +81,37 @@ class CdcGovernanceSpec extends AnyFunSuite with SparkTestBase {
     assert(anon.isEmpty, s"anonymous must see nothing: ${anon.toSeq}")
   }
 
+  test("governance composes with a metadata-only rename: allowlists " +
+    "keep operating on STORED names (the scan the rule rewrites), " +
+    "and granted columns surface under their LOGICAL names") {
+    val root = buildSnapshot()
+    register(root)
+    assert(CdcApply.renameColumn(spark, root, "amount", "amt"))
+    // the Analyst's allowlist grants the STORED name `amount`; the
+    // read projects it to the logical `amt` ABOVE the governed scan
+    val analyst = Governance.withPrincipal(spark, Analyst) {
+      CdcApply.readSnapshot(spark, root).get.collect()
+    }
+    assert(analyst.map(_.schema.fieldNames.toSeq).distinct.toSeq ==
+      Seq(Seq("k", "version", "region", "amt")), analyst.toSeq.toString)
+    assert(analyst.map(r => (r.getAs[Long]("k"),
+      r.getAs[Double]("amt"))).toSet == Set(1L -> 11.0))
+    // admin: full schema, logical names, ungoverned column intact
+    val admin = Governance.withPrincipal(spark, DataAdmin) {
+      CdcApply.readSnapshot(spark, root).get.collect()
+    }
+    assert(admin.head.schema.fieldNames.contains("amt") &&
+      !admin.head.schema.fieldNames.contains("amount") &&
+      admin.head.schema.fieldNames.contains("secret"))
+    // time travel to batch 0 predates the rename: committed-era name
+    // under the same grant
+    val asOf = Governance.withPrincipal(spark, Analyst) {
+      CdcApply.readSnapshotAt(spark, root, 0L).get.collect()
+    }
+    assert(asOf.head.schema.fieldNames.contains("amount") &&
+      !asOf.head.schema.fieldNames.contains("amt"))
+  }
+
   test("governance composes with time travel: the batch-0 snapshot is " +
     "filtered by the same grant") {
     val root = buildSnapshot()
