@@ -66,6 +66,8 @@ object Bench {
         // replay the batch
         "q_delta_export", "q_iceberg_export", "q_iceberg_timetravel",
         "q_iceberg_v2", "q_cdc_rename",
+        // first run trains + persists the language-ID profile
+        "q_lang_id_learned",
         "q_sql_cdc_apply",
         // first run builds the persisted co-purchase edge list
         "q_pagerank").foreach { w =>
