@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 import graft.streaming.CdcApply
 
@@ -323,11 +323,29 @@ object DeltaInterop {
     Some(version)
   }
 
-  /** Table-relative live file paths after replaying `vs` in order. */
-  private def readLiveFiles(spark: SparkSession, table: String,
-      vs: Seq[Long]): Seq[String] = {
+  /** Reader features this engine implements for protocol v3 tables.
+    * Anything else (deletionVectors, v2Checkpoint, ...) refuses
+    * loudly — never misread.
+    */
+  private val SupportedReaderFeatures = Set("columnMapping")
+
+  /** Everything one ordered log replay yields: the latest declared
+    * schema, its partition columns and table configuration, and the
+    * net live file set. ONE pass over the commit files (the old
+    * schema/files pair re-read every commit twice).
+    */
+  private case class LogState(schema: Option[StructType],
+      partitionColumns: Seq[String], config: Map[String, String],
+      files: Seq[String])
+
+  private def replayLog(spark: SparkSession, table: String,
+      vs: Seq[Long]): LogState = {
+    import scala.jdk.CollectionConverters._
     val fs = CdcApply.fsFor(spark, table)
     val live = scala.collection.mutable.LinkedHashMap[String, Unit]()
+    var schema: Option[StructType] = None
+    var partCols: Seq[String] = Seq.empty
+    var config: Map[String, String] = Map.empty
     vs.foreach { v =>
       val in = fs.open(versionFile(table, v))
       val text = new String(
@@ -336,40 +354,50 @@ object DeltaInterop {
       text.linesIterator.filter(_.nonEmpty).foreach { line =>
         val n = mapper.readTree(line)
         if (n.has("protocol")) {
-          val mr = n.get("protocol").get("minReaderVersion").asInt()
-          if (mr > 1) throw new UnsupportedOperationException(
-            s"Delta table $table needs reader version $mr; this " +
-              "reader implements protocol version 1 (no deletion " +
-              "vectors / column mapping)")
+          val p = n.get("protocol")
+          val mr = p.get("minReaderVersion").asInt()
+          if (mr == 3) {
+            val feats = Option(p.get("readerFeatures"))
+              .map(_.elements().asScala.map(_.asText()).toSet)
+              .getOrElse(Set.empty[String])
+            val unsupported = feats -- SupportedReaderFeatures
+            if (unsupported.nonEmpty)
+              throw new UnsupportedOperationException(
+                s"Delta table $table requires reader features " +
+                  s"${unsupported.mkString(", ")}; this reader " +
+                  s"implements ${SupportedReaderFeatures.mkString(", ")}")
+          } else if (mr > 3)
+            throw new UnsupportedOperationException(
+              s"Delta table $table needs reader version $mr; this " +
+                "reader implements protocol versions 1-2 and " +
+                "version-3 tables whose readerFeatures are within " +
+                SupportedReaderFeatures.mkString(", "))
+          // mr 1: plain. mr 2: column mapping — handled at read time.
+        }
+        if (n.has("metaData")) {
+          val md = n.get("metaData")
+          schema = Some(DataType.fromJson(
+            md.get("schemaString").asText()).asInstanceOf[StructType])
+          partCols = Option(md.get("partitionColumns"))
+            .map(_.elements().asScala.map(_.asText()).toSeq)
+            .getOrElse(Seq.empty)
+          config = Option(md.get("configuration"))
+            .map(_.properties().asScala.map(e =>
+              e.getKey -> e.getValue.asText()).toMap)
+            .getOrElse(Map.empty)
         }
         if (n.has("add")) live.put(n.get("add").get("path").asText(), ())
         if (n.has("remove")) live.remove(
           n.get("remove").get("path").asText())
       }
     }
-    live.keys.toSeq
+    LogState(schema, partCols, config, live.keys.toSeq)
   }
 
-  /** The declared schema of the latest metaData action, if any. */
-  private def readSchema(spark: SparkSession, table: String,
-      vs: Seq[Long]): Option[StructType] = {
-    val fs = CdcApply.fsFor(spark, table)
-    var schema: Option[StructType] = None
-    vs.foreach { v =>
-      val in = fs.open(versionFile(table, v))
-      val text = new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-      in.close()
-      text.linesIterator.filter(_.nonEmpty).foreach { line =>
-        val n = mapper.readTree(line)
-        if (n.has("metaData"))
-          schema = Some(DataType.fromJson(
-            n.get("metaData").get("schemaString").asText())
-            .asInstanceOf[StructType])
-      }
-    }
-    schema
-  }
+  /** Table-relative live file paths after replaying `vs` in order. */
+  private def readLiveFiles(spark: SparkSession, table: String,
+      vs: Seq[Long]): Seq[String] =
+    replayLog(spark, table, vs).files
 
   /** CONTINUOUS export: a Structured Streaming query tailing the CDC
     * table's changelog whose every micro-batch runs one
@@ -464,14 +492,77 @@ object DeltaInterop {
   def readDelta(spark: SparkSession, table: String): DataFrame = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no Delta log at $table")
-    val schema = readSchema(spark, table, vs).getOrElse(
+    val st = replayLog(spark, table, vs)
+    val declared = st.schema.getOrElse(
       throw new IllegalStateException(
         s"Delta log at $table carries no metaData action"))
-    val files = readLiveFiles(spark, table, vs)
-      .map(rel => new Path(table, rel).toString)
+    // partition values live in add-action metadata, not in the files;
+    // fabricating NULLs for them would be silently wrong — refuse
+    require(st.partitionColumns.isEmpty,
+      s"Delta table $table is partitioned on " +
+        s"${st.partitionColumns.mkString(", ")}; this reader serves " +
+        "unpartitioned tables only (partition values are log " +
+        "metadata, and NULL-filling them would misread every row)")
+    // the logical shape callers see: column-mapping bookkeeping is
+    // reader-internal, never surfaced
+    val logical = StructType(declared.fields.map(f =>
+      f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    val files = st.files
+      .map(rel => IcebergInterop.resolvePath(table, rel).toString)
     if (files.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files: _*)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
+    st.config.getOrElse("delta.columnMapping.mode", "none") match {
+      case "none" =>
+        spark.read.schema(logical).parquet(files: _*)
+      case mode @ ("name" | "id") =>
+        // reader protocol v2/v3 column mapping: files store columns
+        // under PHYSICAL names (and, in id mode, parquet field ids) —
+        // the rename-without-rewrite move. Top-level primitive
+        // columns only; nested mapped fields need per-level
+        // resolution this reader does not implement — refuse.
+        declared.fields.foreach { f =>
+          require(!f.dataType.isInstanceOf[StructType] &&
+            !f.dataType.typeName.startsWith("array") &&
+            !f.dataType.typeName.startsWith("map"),
+            s"column mapping over nested column '${f.name}' " +
+              s"(${f.dataType.simpleString}) is not supported — " +
+              "top-level primitive columns only")
+        }
+        if (mode == "id") {
+          // physical resolution by parquet field id — Spark's
+          // id-based clipping, the same machinery the Iceberg
+          // readers use for foreign trees
+          val idSchema = StructType(declared.fields.map { f =>
+            require(f.metadata.contains("delta.columnMapping.id"),
+              s"column '${f.name}' lacks delta.columnMapping.id")
+            StructField(f.name, f.dataType, f.nullable,
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putLong("parquet.field.id",
+                  f.metadata.getLong("delta.columnMapping.id"))
+                .build())
+          })
+          spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
+            "true")
+          spark.read.schema(idSchema).parquet(files: _*)
+        } else {
+          // name mode: declare the physical names, project back
+          val phys = declared.fields.map { f =>
+            require(
+              f.metadata.contains("delta.columnMapping.physicalName"),
+              s"column '${f.name}' lacks " +
+                "delta.columnMapping.physicalName")
+            f.metadata.getString("delta.columnMapping.physicalName")
+          }
+          val physSchema = StructType(declared.fields.zip(phys).map {
+            case (f, p) => StructField(p, f.dataType, f.nullable) })
+          spark.read.schema(physSchema).parquet(files: _*)
+            .select(declared.fields.zip(phys).map { case (f, p) =>
+              org.apache.spark.sql.functions.col(p).as(f.name) }
+              .toIndexedSeq: _*)
+        }
+      case other => throw new UnsupportedOperationException(
+        s"unknown delta.columnMapping.mode '$other' in $table")
+    }
   }
 }

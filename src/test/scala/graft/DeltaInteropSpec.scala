@@ -344,14 +344,112 @@ class DeltaInteropSpec extends AnyFunSuite with SparkTestBase {
     val got = DeltaInterop.readDelta(spark, delta).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == Set(1L -> "a", 2L -> "b"))
-    // a version-3 reader requirement (deletion vectors etc.) refuses
+    // a version-3 reader FEATURE this engine lacks (deletion
+    // vectors) refuses loudly; reader versions beyond 3 refuse too
     Files.writeString(Paths.get(
       s"$delta/_delta_log/00000000000000000001.json"),
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}
 """)
     val e = intercept[UnsupportedOperationException] {
       DeltaInterop.readDelta(spark, delta)
     }
-    assert(e.getMessage.contains("reader version 3"), e.getMessage)
+    assert(e.getMessage.contains("deletionVectors"), e.getMessage)
+    Files.writeString(Paths.get(
+      s"$delta/_delta_log/00000000000000000001.json"),
+      """{"protocol":{"minReaderVersion":4,"minWriterVersion":7}}
+""")
+    new java.io.File(delta,
+      "_delta_log/.00000000000000000001.json.crc").delete()
+    val e2 = intercept[UnsupportedOperationException] {
+      DeltaInterop.readDelta(spark, delta)
+    }
+    assert(e2.getMessage.contains("reader version 4"), e2.getMessage)
+  }
+
+  test("column mapping (reader v2/v3): NAME mode resolves physical " +
+      "file columns to logical names; ID mode resolves by parquet " +
+      "field id; partitioned foreign tables refuse loudly") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types._
+    def schemaJson(fields: Seq[(String, String, Map[String, Any])])
+        : String = {
+      // hand-build the Delta schemaString with columnMapping metadata
+      val fs = fields.map { case (name, tpe, md) =>
+        val mdJson = md.map {
+          case (k, v: String) => s""""$k":"$v""""
+          case (k, v) => s""""$k":$v"""
+        }.mkString(",")
+        s"""{"name":"$name","type":"$tpe","nullable":true,""" +
+          s""""metadata":{$mdJson}}"""
+      }.mkString(",")
+      s"""{"type":"struct","fields":[$fs]}"""
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+    }
+    def writeLog(dir: String, schema: String, part: String,
+        mode: String, protocol: String,
+        partCols: String = "[]"): Unit = {
+      Files.createDirectories(Paths.get(s"$dir/_delta_log"))
+      Files.writeString(Paths.get(
+        s"$dir/_delta_log/00000000000000000000.json"),
+        s"""$protocol
+{"metaData":{"id":"x","schemaString":"$schema","format":{"provider":"parquet","options":{}},"partitionColumns":$partCols,"configuration":{"delta.columnMapping.mode":"$mode"}}}
+{"add":{"path":"files/$part","size":1,"partitionValues":{},"modificationTime":0,"dataChange":true}}
+""")
+    }
+    // ---- NAME mode: file stores col-aaa/col-bbb, logical id/s ----
+    val d1 = tmp("delta_cm_name")
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("col-aaa", "col-bbb")
+      .coalesce(1).write.parquet(s"$d1/files")
+    val p1 = new java.io.File(s"$d1/files").listFiles()
+      .map(_.getName).find(_.endsWith(".parquet")).get
+    writeLog(d1, schemaJson(Seq(
+      ("id", "long", Map("delta.columnMapping.physicalName" -> "col-aaa",
+        "delta.columnMapping.id" -> 1)),
+      ("s", "string", Map("delta.columnMapping.physicalName" -> "col-bbb",
+        "delta.columnMapping.id" -> 2)))), p1, "name",
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
+    val got1 = DeltaInterop.readDelta(spark, d1)
+    assert(got1.columns.toSeq == Seq("id", "s"))
+    assert(got1.collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet == Set(1L -> "a", 2L -> "b"))
+    // ---- ID mode (protocol v3 + columnMapping feature): physical
+    // names differ AND resolution rides parquet field ids ----
+    val d2 = tmp("delta_cm_id")
+    val fileSchema = StructType(Seq(
+      StructField("col-xxx", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("col-yyy", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "a"),
+        org.apache.spark.sql.Row(2L, "b")), 1), fileSchema)
+      .write.parquet(s"$d2/files")
+    val p2 = new java.io.File(s"$d2/files").listFiles()
+      .map(_.getName).find(_.endsWith(".parquet")).get
+    writeLog(d2, schemaJson(Seq(
+      ("id", "long", Map("delta.columnMapping.physicalName" -> "col-xxx",
+        "delta.columnMapping.id" -> 1)),
+      ("s", "string", Map("delta.columnMapping.physicalName" -> "col-yyy",
+        "delta.columnMapping.id" -> 2)))), p2, "id",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"]}}""")
+    val got2 = DeltaInterop.readDelta(spark, d2)
+    assert(got2.columns.toSeq == Seq("id", "s"))
+    assert(got2.collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet == Set(1L -> "a", 2L -> "b"))
+    // ---- partitioned foreign table: loud refusal, never NULL-fill --
+    val d3 = tmp("delta_cm_part")
+    writeLog(d3, schemaJson(Seq(
+      ("id", "long", Map("delta.columnMapping.physicalName" -> "col-aaa",
+        "delta.columnMapping.id" -> 1)))), "nope.parquet", "name",
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      partCols = """["id"]""")
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.readDelta(spark, d3)
+    }
+    assert(e.getMessage.contains("partitioned"), e.getMessage)
   }
 }
