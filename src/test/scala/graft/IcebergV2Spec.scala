@@ -304,6 +304,50 @@ class IcebergV2Spec extends AnyFunSuite with SparkTestBase {
     assert(e3.getMessage.contains("export state"), e3.getMessage)
   }
 
+  test("randomized (seeded) batch sequences: after every sync the v2 " +
+      "tree resolves to exactly the CDC snapshot, and every retained " +
+      "snapshot time-travels to its era's state") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(180018L)
+    val root = tmp("icev2_prop_cdc")
+    val ice = tmp("icev2_prop_ice")
+    // evolving ground truth the engine must match
+    var truth = Map.empty[Long, Double]
+    var eras = Vector.empty[(Long, Map[Long, Double])] // snapId -> state
+    (0 until 8).foreach { b =>
+      val keys = (1L to 12L).filter(_ => rnd.nextBoolean())
+      val rows = keys.map { k =>
+        val del = truth.contains(k) && rnd.nextInt(3) == 0
+        val v = (b + 1).toLong
+        val amt = math.round(rnd.nextDouble() * 1000) / 10.0
+        (k, v, amt, del)
+      }
+      if (rows.nonEmpty) {
+        assert(CdcApply.applyBatch(
+          rows.toDF("k", "version", "amount", "deleted"),
+          b.toLong, root, Seq("k"), "version", Some("deleted"),
+          numBuckets = 3, commitTs = Some(1000L * (b + 1))))
+        rows.foreach { case (k, _, amt, del) =>
+          truth = if (del) truth - k else truth + (k -> amt)
+        }
+        val snap = IcebergV2.exportIncremental(spark, root, ice)
+        assert(snap.isDefined, s"batch $b must commit a snapshot")
+        eras = eras :+ (snap.get -> truth)
+        assert(state(IcebergInterop.readIceberg(spark, ice)) == truth,
+          s"batch $b: v2 resolution diverged from ground truth")
+        // row multiplicity too: latest-wins must not double-serve
+        assert(IcebergInterop.readIceberg(spark, ice).count() ==
+          truth.size.toLong, s"batch $b: duplicate rows")
+      }
+    }
+    assert(eras.size >= 4, s"seed must exercise several syncs: $eras")
+    // every retained snapshot still serves its own era
+    eras.foreach { case (snapId, st) =>
+      assert(state(IcebergInterop.readIceberg(spark, ice,
+        Some(snapId))) == st, s"snapshot $snapId era drifted")
+    }
+  }
+
   test("a stale v2 export-state stamp self-heals with a full-rewrite " +
       "snapshot and the lineage continues") {
     import spark.implicits._
