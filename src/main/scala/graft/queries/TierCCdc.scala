@@ -458,6 +458,35 @@ private[queries] object TierCCdc {
         .orderBy(col("s_nationkey"))
     }),
 
+    // C8y4 — v2 TIME TRAVEL: VERSION AS OF through the merge-on-read
+    // tree — snapshot 0 predates every delete file, so a reader that
+    // wrongly applies a later equality delete to the earlier era (or
+    // loses a row the later sync shadowed) hash-mismatches against
+    // the batch-0 insert-load oracle. Same artifact as q_iceberg_v2.
+    "q_iceberg_v2_tt" -> ((s, d) => {
+      val base = new java.io.File(
+        "target/graft-data/iceberg_v2_q/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet") +
+        s"_$CdcRecipeRev").getAbsolutePath
+      val root = s"$base/cdc"
+      val ice = s"$base/ice"
+      synchronized {
+        import graft.streaming.CdcApply
+        val (b0, b1) = supplierCdcBatches(s, d)
+        CdcApply.applyBatch(b0, 0L, root, Seq("s_suppkey"), "version",
+          Some("deleted"), commitTs = Some(1000L))
+        graft.sources.IcebergV2.exportIncremental(s, root, ice)
+        CdcApply.applyBatch(b1, 1L, root, Seq("s_suppkey"), "version",
+          Some("deleted"), commitTs = Some(2000L))
+        graft.sources.IcebergV2.exportIncremental(s, root, ice)
+      }
+      graft.sources.IcebergInterop.readIceberg(s, ice, Some(0L))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("s_acctbal")).as("total_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     "q_cdc_mirror" -> ((s, d) => {
       val root = cdcMirrorRoot(s, d)
       val wm = graft.streaming.CdcApply.currentVersion(s, root).get
@@ -713,6 +742,13 @@ private[queries] object TierCCdc {
         "FALSE AS has_old_name " +
         "FROM supplier WHERE s_suppkey % 7 <> 0 " +
         "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // v2 snapshot 0 == the batch-0 insert load (no delete file may
+    // reach backward across its sequence number)
+    "q_iceberg_v2_tt" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) " +
+        "AS total_bal " +
+        "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"),
     // v2 net state == v1 net state; the witnesses derive from first
     // principles: ONE delete file per (single) incremental sync, and
     // one shadowed key per supplier the batch-1 stream touched

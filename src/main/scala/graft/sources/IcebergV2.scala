@@ -513,6 +513,36 @@ object IcebergV2 {
     fullSnapshot(spark, cdcRoot, tableDir, priorVs.last + 1L, head)
   }
 
+  /** Schedule-driven compaction: fold the MOR tail when the CURRENT
+    * snapshot's delete-file rows reach `maxDeleteRatio` of its data
+    * rows — the [[CdcApply.compactIfNeeded]] pattern for the export
+    * side (manifest-list metadata only to decide; no data read).
+    * Returns the committed snapshot id when compaction ran.
+    */
+  def compactIfNeeded(spark: SparkSession, cdcRoot: String,
+      tableDir: String, maxDeleteRatio: Double = 0.2): Option[Long] = {
+    require(maxDeleteRatio > 0.0, "maxDeleteRatio must be positive")
+    val vs = versions(spark, tableDir)
+    if (vs.isEmpty) return None
+    val meta = parseMetadata(spark, tableDir, vs.max)
+    val snap = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() ==
+        meta.get("current-snapshot-id").asLong()).get
+    val listPath = resolvePath(tableDir,
+      snap.get("manifest-list").asText())
+    val (dataRows, delRows) = readAvro(spark, listPath)
+      .foldLeft((0L, 0L)) { case ((d, x), mf) =>
+        val rows = longOf(mf, "added_rows_count").getOrElse(0L) +
+          longOf(mf, "existing_rows_count").getOrElse(0L)
+        if (intOf(mf, "content").contains(1)) (d, x + rows)
+        else (d + rows, x)
+      }
+    if (delRows > 0 && dataRows > 0 &&
+        delRows.toDouble / dataRows >= maxDeleteRatio)
+      Some(compact(spark, cdcRoot, tableDir))
+    else None
+  }
+
   /** CONTINUOUS v2 export — [[IcebergInterop.startContinuousExport]]'s
     * merge-on-read twin: a Structured Streaming query tailing the CDC
     * changelog whose every micro-batch runs one [[exportIncremental]]

@@ -107,8 +107,13 @@ class IcebergV2Spec extends AnyFunSuite with SparkTestBase {
     assert(IcebergV2.exportIncremental(spark, root, ice).contains(1L))
     val before = state(IcebergInterop.readIceberg(spark, ice))
     assert(IcebergV2.deleteFileStats(spark, ice)._1 == 1)
+    // the scheduler: 2 delete rows vs 4 data rows (3 base + 1 upsert)
+    // is over a 20% ratio → compacts; a tight enough ratio declines
+    assert(IcebergV2.compactIfNeeded(spark, root, ice,
+      maxDeleteRatio = 0.9).isEmpty, "under-threshold must not compact")
     // compact: new snapshot, zero delete files, identical state
-    assert(IcebergV2.compact(spark, root, ice) == 2L)
+    assert(IcebergV2.compactIfNeeded(spark, root, ice,
+      maxDeleteRatio = 0.2).contains(2L))
     assert(state(IcebergInterop.readIceberg(spark, ice)) == before)
     assert(IcebergV2.deleteFileStats(spark, ice) == (0, 0L))
     // expire: superseded files (v1's delete parquet among them) die
