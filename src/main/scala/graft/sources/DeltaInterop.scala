@@ -27,9 +27,14 @@ import graft.streaming.CdcApply
   * [[readDelta]] replays a `_delta_log` (ours or another writer's):
   * net add/remove set in version order, then one ordinary parquet
   * scan of the live files under the declared schema — pruning,
-  * pushdown, and codegen identical to any parquet read. Protocol
-  * features beyond reader version 1 (deletion vectors, column
-  * mapping) are REFUSED loudly rather than silently misread.
+  * pushdown, and codegen identical to any parquet read. Partitioned
+  * tables reconstruct their partition columns from each add-action's
+  * `partitionValues` (typed literals per file group — Catalyst
+  * constant-folds partition predicates and prunes whole groups);
+  * column mapping (name and id modes) resolves physical names /
+  * parquet field ids. Reader features beyond that (deletionVectors,
+  * v2Checkpoint, ...) are REFUSED loudly rather than silently
+  * misread.
   *
   * Scale: an export is one snapshot write + one driver-side log
   * append; a read is one log replay (driver-side, O(commits) small
@@ -331,18 +336,20 @@ object DeltaInterop {
 
   /** Everything one ordered log replay yields: the latest declared
     * schema, its partition columns and table configuration, and the
-    * net live file set. ONE pass over the commit files (the old
-    * schema/files pair re-read every commit twice).
+    * net live file set — each file with its add-action
+    * `partitionValues` (string-serialized per the protocol; a JSON
+    * null value reads as None). ONE pass over the commit files.
     */
   private case class LogState(schema: Option[StructType],
       partitionColumns: Seq[String], config: Map[String, String],
-      files: Seq[String])
+      files: Seq[(String, Map[String, Option[String]])])
 
   private def replayLog(spark: SparkSession, table: String,
       vs: Seq[Long]): LogState = {
     import scala.jdk.CollectionConverters._
     val fs = CdcApply.fsFor(spark, table)
-    val live = scala.collection.mutable.LinkedHashMap[String, Unit]()
+    val live = scala.collection.mutable
+      .LinkedHashMap[String, Map[String, Option[String]]]()
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
     var config: Map[String, String] = Map.empty
@@ -386,18 +393,27 @@ object DeltaInterop {
               e.getKey -> e.getValue.asText()).toMap)
             .getOrElse(Map.empty)
         }
-        if (n.has("add")) live.put(n.get("add").get("path").asText(), ())
+        if (n.has("add")) {
+          val a = n.get("add")
+          val pv = Option(a.get("partitionValues"))
+            .map(_.properties().asScala.map { e =>
+              e.getKey ->
+                (if (e.getValue.isNull) None
+                 else Some(e.getValue.asText()))
+            }.toMap).getOrElse(Map.empty[String, Option[String]])
+          live.put(a.get("path").asText(), pv)
+        }
         if (n.has("remove")) live.remove(
           n.get("remove").get("path").asText())
       }
     }
-    LogState(schema, partCols, config, live.keys.toSeq)
+    LogState(schema, partCols, config, live.toSeq)
   }
 
   /** Table-relative live file paths after replaying `vs` in order. */
   private def readLiveFiles(spark: SparkSession, table: String,
       vs: Seq[Long]): Seq[String] =
-    replayLog(spark, table, vs).files
+    replayLog(spark, table, vs).files.map(_._1)
 
   /** CONTINUOUS export: a Structured Streaming query tailing the CDC
     * table's changelog whose every micro-batch runs one
@@ -485,84 +501,146 @@ object DeltaInterop {
     dead.toSeq
   }
 
-  /** Read a Delta table (this exporter's or any protocol-1 writer's):
-    * replay the log, scan the live files under the declared schema.
-    * An empty live set yields an empty frame WITH the schema.
+  /** Read a Delta table (this exporter's or any protocol-1/2 writer's,
+    * plus v3 tables within [[SupportedReaderFeatures]]): replay the
+    * log, scan the live files under the declared schema. An empty
+    * live set yields an empty frame WITH the schema.
+    *
+    * PARTITIONED tables (the most common real-world Delta shape): the
+    * data files OMIT partition columns — their values are log
+    * metadata, each add-action's string-serialized `partitionValues`
+    * (PROTOCOL.md "Partition Value Serialization"). The reader groups
+    * the live files by partition tuple, reconstructs each group's
+    * partition columns as typed literals (cast per the declared
+    * schema; JSON null → NULL), and unions the groups. Because each
+    * group's partition columns are LITERALS, a filter over them
+    * constant-folds per branch and Catalyst prunes non-matching
+    * groups to empty relations — hive-style partition pruning for
+    * free, no custom pushdown. Timestamp partition values cast under
+    * the session timezone (the protocol serializes them without a
+    * zone). Under column mapping the `partitionValues` keys are the
+    * PHYSICAL column names; the reader resolves physical first, then
+    * logical. Binary partition columns refuse (their string
+    * serialization is writer-ambiguous — never misread).
     */
   def readDelta(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no Delta log at $table")
     val st = replayLog(spark, table, vs)
     val declared = st.schema.getOrElse(
       throw new IllegalStateException(
         s"Delta log at $table carries no metaData action"))
-    // partition values live in add-action metadata, not in the files;
-    // fabricating NULLs for them would be silently wrong — refuse
-    require(st.partitionColumns.isEmpty,
-      s"Delta table $table is partitioned on " +
-        s"${st.partitionColumns.mkString(", ")}; this reader serves " +
-        "unpartitioned tables only (partition values are log " +
-        "metadata, and NULL-filling them would misread every row)")
+    val partSet = st.partitionColumns.toSet
+    val unknownPart = partSet -- declared.fieldNames.toSet
+    require(unknownPart.isEmpty,
+      s"Delta table $table declares partition columns " +
+        s"${unknownPart.mkString(", ")} absent from its schema")
+    val partFields = st.partitionColumns.map(c =>
+      declared.fields.find(_.name == c).get)
+    partFields.foreach(f =>
+      require(f.dataType != org.apache.spark.sql.types.BinaryType,
+        s"binary partition column '${f.name}' in $table: its string " +
+          "serialization is writer-ambiguous — refusing rather than " +
+          "misreading"))
+    val dataFields = declared.fields.filterNot(f => partSet(f.name))
     // the logical shape callers see: column-mapping bookkeeping is
     // reader-internal, never surfaced
     val logical = StructType(declared.fields.map(f =>
       f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
-    val files = st.files
-      .map(rel => IcebergInterop.resolvePath(table, rel).toString)
-    if (files.isEmpty)
+    if (st.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
-    st.config.getOrElse("delta.columnMapping.mode", "none") match {
+    val mode = st.config.getOrElse("delta.columnMapping.mode", "none")
+    if (mode != "none") {
+      require(mode == "name" || mode == "id",
+        s"unknown delta.columnMapping.mode '$mode' in $table")
+      // reader protocol v2/v3 column mapping: files store columns
+      // under PHYSICAL names (and, in id mode, parquet field ids) —
+      // the rename-without-rewrite move. Top-level primitive columns
+      // only; nested mapped fields need per-level resolution this
+      // reader does not implement — refuse.
+      declared.fields.foreach { f =>
+        require(!f.dataType.isInstanceOf[StructType] &&
+          !f.dataType.typeName.startsWith("array") &&
+          !f.dataType.typeName.startsWith("map"),
+          s"column mapping over nested column '${f.name}' " +
+            s"(${f.dataType.simpleString}) is not supported — " +
+            "top-level primitive columns only")
+      }
+    }
+    def physicalName(f: StructField): String =
+      if (mode == "none") f.name
+      else {
+        require(f.metadata.contains("delta.columnMapping.physicalName"),
+          s"column '${f.name}' lacks delta.columnMapping.physicalName")
+        f.metadata.getString("delta.columnMapping.physicalName")
+      }
+    // scan one group of data files under LOGICAL names (data columns
+    // only — partitioned files omit partition columns entirely)
+    def scanGroup(paths: Seq[String]): DataFrame = mode match {
       case "none" =>
-        spark.read.schema(logical).parquet(files: _*)
-      case mode @ ("name" | "id") =>
-        // reader protocol v2/v3 column mapping: files store columns
-        // under PHYSICAL names (and, in id mode, parquet field ids) —
-        // the rename-without-rewrite move. Top-level primitive
-        // columns only; nested mapped fields need per-level
-        // resolution this reader does not implement — refuse.
-        declared.fields.foreach { f =>
-          require(!f.dataType.isInstanceOf[StructType] &&
-            !f.dataType.typeName.startsWith("array") &&
-            !f.dataType.typeName.startsWith("map"),
-            s"column mapping over nested column '${f.name}' " +
-              s"(${f.dataType.simpleString}) is not supported — " +
-              "top-level primitive columns only")
+        spark.read.schema(StructType(dataFields.map(f =>
+          f.copy(metadata = org.apache.spark.sql.types.Metadata.empty))))
+          .parquet(paths: _*)
+      case "id" =>
+        // physical resolution by parquet field id — Spark's id-based
+        // clipping, the same machinery the Iceberg readers use; the
+        // required session conf is SCOPED to the derived field-id
+        // session, never set on the caller's
+        val idSchema = StructType(dataFields.map { f =>
+          require(f.metadata.contains("delta.columnMapping.id"),
+            s"column '${f.name}' lacks delta.columnMapping.id")
+          StructField(f.name, f.dataType, f.nullable,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id",
+                f.metadata.getLong("delta.columnMapping.id"))
+              .build())
+        })
+        IcebergInterop.fieldIdSession(spark).read.schema(idSchema)
+          .parquet(paths: _*)
+      case _ => // name mode: declare the physical names, project back
+        val phys = dataFields.map(physicalName)
+        val physSchema = StructType(dataFields.zip(phys).map {
+          case (f, p) => StructField(p, f.dataType, f.nullable) })
+        spark.read.schema(physSchema).parquet(paths: _*)
+          .select(dataFields.zip(phys).map { case (f, p) =>
+            col(p).as(f.name) }.toIndexedSeq: _*)
+    }
+    if (st.partitionColumns.isEmpty)
+      scanGroup(st.files.map { case (rel, _) =>
+        IcebergInterop.resolvePath(table, rel).toString })
+        .select(logical.fieldNames.map(col).toIndexedSeq: _*)
+    else {
+      // group live files by partition tuple; each group scans once and
+      // carries its partition columns as typed literals
+      def tupleOf(path: String,
+          pv: Map[String, Option[String]]): Seq[Option[String]] =
+        partFields.map { f =>
+          pv.get(physicalName(f)).orElse(pv.get(f.name)).getOrElse(
+            throw new IllegalStateException(
+              s"add action for $path in $table carries no partition " +
+                s"value for '${f.name}' — protocol violation"))
         }
-        if (mode == "id") {
-          // physical resolution by parquet field id — Spark's
-          // id-based clipping, the same machinery the Iceberg
-          // readers use for foreign trees
-          val idSchema = StructType(declared.fields.map { f =>
-            require(f.metadata.contains("delta.columnMapping.id"),
-              s"column '${f.name}' lacks delta.columnMapping.id")
-            StructField(f.name, f.dataType, f.nullable,
-              new org.apache.spark.sql.types.MetadataBuilder()
-                .putLong("parquet.field.id",
-                  f.metadata.getLong("delta.columnMapping.id"))
-                .build())
-          })
-          spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
-            "true")
-          spark.read.schema(idSchema).parquet(files: _*)
-        } else {
-          // name mode: declare the physical names, project back
-          val phys = declared.fields.map { f =>
-            require(
-              f.metadata.contains("delta.columnMapping.physicalName"),
-              s"column '${f.name}' lacks " +
-                "delta.columnMapping.physicalName")
-            f.metadata.getString("delta.columnMapping.physicalName")
-          }
-          val physSchema = StructType(declared.fields.zip(phys).map {
-            case (f, p) => StructField(p, f.dataType, f.nullable) })
-          spark.read.schema(physSchema).parquet(files: _*)
-            .select(declared.fields.zip(phys).map { case (f, p) =>
-              org.apache.spark.sql.functions.col(p).as(f.name) }
-              .toIndexedSeq: _*)
-        }
-      case other => throw new UnsupportedOperationException(
-        s"unknown delta.columnMapping.mode '$other' in $table")
+      val groups = st.files
+        .map { case (rel, pv) => (tupleOf(rel, pv), rel) }
+        .groupBy(_._1).toSeq.sortBy(_._1.mkString(""))
+      val branches = groups.map { case (tuple, members) =>
+        val scanned = scanGroup(members.map { case (_, rel) =>
+          IcebergInterop.resolvePath(table, rel).toString })
+        partFields.zip(tuple).foldLeft(scanned) {
+          case (df, (f, v)) =>
+            val value = v match {
+              case None => lit(null).cast(f.dataType)
+              case Some(s) =>
+                if (f.dataType ==
+                    org.apache.spark.sql.types.StringType) lit(s)
+                else lit(s).cast(f.dataType)
+            }
+            df.withColumn(f.name, value)
+        }.select(logical.fieldNames.map(col).toIndexedSeq: _*)
+      }
+      branches.reduce(_ unionByName _)
     }
   }
 }

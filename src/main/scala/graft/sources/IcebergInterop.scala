@@ -442,12 +442,23 @@ object IcebergInterop {
     val fs = CdcApply.fsFor(spark, tableDir)
     val priorVs = versions(spark, tableDir)
     val rawState = readState(spark, tableDir)
-    if (priorVs.nonEmpty && rawState.isEmpty)
-      throw new IllegalStateException(
-        s"Iceberg table at $tableDir has committed metadata but no " +
-          "export state — it was written by a foreign writer; " +
-          "incremental export requires its own lineage. Use a fresh " +
-          "directory.")
+    if (priorVs.nonEmpty && rawState.isEmpty) {
+      // no sidecar next to committed metadata: a foreign writer's tree
+      // (refuse), or our own lineage whose state was lost — the
+      // deterministic table-uuid tells them apart; own lineage
+      // self-heals below exactly like a stale stamp (full rewrite)
+      if (!ownLineage(spark, tableDir, priorVs.last))
+        throw new IllegalStateException(
+          s"Iceberg table at $tableDir has committed metadata but no " +
+            "export state — it was written by a foreign writer; " +
+            "incremental export requires its own lineage. Use a fresh " +
+            "directory.")
+      if (formatVersion(parseMetadata(spark, tableDir, priorVs.last)) != 1)
+        throw new IllegalStateException(
+          s"Iceberg table at $tableDir was exported as format v2 — " +
+            "continue it with IcebergV2.exportIncremental (mixing " +
+            "writers would corrupt the sequence-number lineage)")
+    }
     val stateConsistent =
       rawState.exists(_._1 == priorVs.lastOption.getOrElse(-1L))
     val prior: Map[Int, (String, ManifestRef)] =
@@ -546,12 +557,9 @@ object IcebergInterop {
         s"concurrent Iceberg export lost the commit race for " +
           s"version $version of $tableDir")
     // advisory version hint for HadoopTables-convention readers
-    val hintTmp = new Path(metaDir(tableDir), s".hint-$version")
-    val ho = fs.create(hintTmp, true)
-    ho.write(version.toString.getBytes("UTF-8"))
-    ho.close()
-    fs.delete(new Path(metaDir(tableDir), "version-hint.text"), false)
-    fs.rename(hintTmp, new Path(metaDir(tableDir), "version-hint.text"))
+    replaceSmallFile(spark, new Path(metaDir(tableDir), s".hint-$version"),
+      new Path(metaDir(tableDir), "version-hint.text"),
+      version.toString.getBytes("UTF-8"))
     // sidecar state, stamped with the committed version
     val newState = mapper.createObjectNode()
     newState.put("version", version)
@@ -565,14 +573,10 @@ object IcebergInterop {
       b.put("nfiles", r.nFiles)
       b.put("nrows", r.nRows)
     }
-    val stTmp = new Path(tableDir, s"._graft_export_state-$version")
-    val so = fs.create(stTmp, false)
-    so.write(mapper.writeValueAsString(newState).getBytes("UTF-8"))
-    so.close()
-    fs.delete(statePath(tableDir), false)
-    if (!fs.rename(stTmp, statePath(tableDir)))
-      throw new IllegalStateException(
-        s"export state rename failed for $tableDir")
+    replaceSmallFile(spark,
+      new Path(tableDir, s"._graft_export_state-$version"),
+      statePath(tableDir),
+      mapper.writeValueAsString(newState).getBytes("UTF-8"))
     Some(version)
   }
 
@@ -627,12 +631,10 @@ object IcebergInterop {
         val n = mapper.readTree(text)
           .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
         n.put("version", version)
-        val stTmp = new Path(table, s"._graft_export_state-$version")
-        val so = fs.create(stTmp, false)
-        so.write(mapper.writeValueAsString(n).getBytes("UTF-8"))
-        so.close()
-        fs.delete(statePath(table), false)
-        fs.rename(stTmp, statePath(table))
+        replaceSmallFile(spark,
+          new Path(table, s"._graft_export_state-$version"),
+          statePath(table),
+          mapper.writeValueAsString(n).getBytes("UTF-8"))
       }
     }
     // sweep: live set = the current snapshot's files + manifests +
@@ -844,17 +846,75 @@ object IcebergInterop {
     } finally r.close()
   }
 
-  /** Pick the scan schema for a set of Iceberg data files: id-matched
-    * (with the session conf flipped on — inert for id-less schemas)
-    * when the files carry field ids, plain name-matched otherwise.
+  /** Sessions derived per parent session with
+    * `spark.sql.parquet.fieldId.read.enabled=true` — the flag an
+    * id-matched scan needs. Scoping it to a derived session (the scan
+    * relation captures its own session, so execution reads the child's
+    * conf however the frame is later composed) means an interop read
+    * never mutates the caller's session conf. Weak keys: a dropped
+    * parent session releases its child.
     */
-  private[sources] def scanSchema(spark: SparkSession,
+  private val fieldIdSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
+
+  private[sources] def fieldIdSession(spark: SparkSession): SparkSession =
+    fieldIdSessions.synchronized {
+      Option(fieldIdSessions.get(spark)).getOrElse {
+        val ns = spark.newSession()
+        // carry the caller's runtime SQL conf (shuffle partitions,
+        // AQE, ...); static/immutable entries just refuse — skip them
+        spark.conf.getAll.foreach { case (k, v) =>
+          scala.util.Try(ns.conf.set(k, v)) }
+        ns.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        fieldIdSessions.put(spark, ns)
+        ns
+      }
+    }
+
+  /** Atomic small-file replace: write a temp, then ONE
+    * OVERWRITE-rename onto `dest`. The prior delete-then-rename pair
+    * had a crash window that left committed metadata with no state
+    * sidecar — which the foreign-writer guard then read as "not our
+    * lineage", permanently wedging the export until manual repair.
+    */
+  private[sources] def replaceSmallFile(spark: SparkSession, tmp: Path,
+      dest: Path, bytes: Array[Byte]): Unit = {
+    val fs = CdcApply.fsFor(spark, dest.toString)
+    val out = fs.create(tmp, true)
+    out.write(bytes)
+    out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dest.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Is the committed metadata at `table` this exporter's own lineage?
+    * The exporter stamps a DETERMINISTIC table-uuid
+    * (`nameUUIDFromBytes(tableDir)`), so a missing state sidecar (the
+    * old delete-then-rename crash window, or a hand-deleted file) is
+    * distinguishable from a foreign writer's tree: own lineage
+    * self-heals with a full-rewrite snapshot, foreign trees still
+    * refuse loudly. Callers must pass the same table-dir string the
+    * exports used (a different spelling of the path reads as foreign —
+    * which only refuses, never misreads).
+    */
+  private[sources] def ownLineage(spark: SparkSession, table: String,
+      version: Long): Boolean =
+    Option(parseMetadata(spark, table, version).get("table-uuid"))
+      .exists(_.asText() == java.util.UUID
+        .nameUUIDFromBytes(table.getBytes("UTF-8")).toString)
+
+  /** Pick the scan reader for a set of Iceberg data files: id-matched
+    * through [[fieldIdSession]] when the files carry field ids, plain
+    * name-matched on the caller's session otherwise.
+    */
+  private[sources] def scanReader(spark: SparkSession,
       meta: com.fasterxml.jackson.databind.JsonNode,
-      firstFile: Option[Path]): StructType =
-    if (firstFile.exists(fileHasFieldIds(spark, _))) {
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-      schemaWithFieldIds(meta)
-    } else schemaOf(meta)
+      firstFile: Option[Path]): org.apache.spark.sql.DataFrameReader =
+    if (firstFile.exists(fileHasFieldIds(spark, _)))
+      fieldIdSession(spark).read.schema(schemaWithFieldIds(meta))
+    else spark.read.schema(schemaOf(meta))
 
   /** The live data files of one snapshot: its manifest list, then
     * every non-deleted entry of every listed manifest.
@@ -906,9 +966,8 @@ object IcebergInterop {
     else {
       // id-matched when the files carry field ids (foreign writers):
       // a renamed column's old files still serve their values
-      val schema = scanSchema(spark, meta,
-        files.headOption.map(new Path(_)))
-      spark.read.schema(schema).parquet(files: _*)
+      scanReader(spark, meta, files.headOption.map(new Path(_)))
+        .parquet(files: _*)
     }
   }
 

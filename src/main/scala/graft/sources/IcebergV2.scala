@@ -131,7 +131,8 @@ object IcebergV2 {
       content: Int, nFiles: Int, nRows: Long)
 
   private case class StateV2(version: Long, lastBatch: Long,
-      manifests: Seq[ManRef], renames: String = "")
+      manifests: Seq[ManRef], renames: String = "",
+      schemaFp: String = "")
 
   /** Rename-state fingerprint: a metadata-only rename on the source
     * changes every name the (name-based) v2 reader resolves, so a
@@ -140,6 +141,22 @@ object IcebergV2 {
     */
   private def renameFp(m: CdcApply.Manifest): String =
     m.renames.map { case (st, l) => s"$st>$l" }.mkString(",")
+
+  /** Full stored-schema fingerprint (names + order). Field ids are
+    * derived POSITIONALLY at every sync, so any non-append schema
+    * change between syncs (drop / reorder) would silently re-map
+    * `equality_ids` and bounds ids relative to carried manifests —
+    * corrupting delete resolution. A stored fingerprint that is not a
+    * PREFIX of the current one forces the next sync through
+    * [[fullSnapshot]] (append-only evolution keeps every existing
+    * position, so appends stay incremental).
+    */
+  private def schemaFp(schema: StructType): String =
+    schema.fieldNames.mkString("")
+
+  private def isAppendEvolution(stored: String, current: String): Boolean =
+    stored.isEmpty || current == stored ||
+      current.startsWith(stored + "")
 
   private def readState(spark: SparkSession, table: String)
       : Option[StateV2] = {
@@ -163,17 +180,18 @@ object IcebergV2 {
       }.toSeq).getOrElse(Seq.empty)
     Some(StateV2(n.get("version").asLong(),
       n.get("lastBatch").asLong(), mans,
-      Option(n.get("renames")).map(_.asText()).getOrElse("")))
+      Option(n.get("renames")).map(_.asText()).getOrElse(""),
+      Option(n.get("schemaFp")).map(_.asText()).getOrElse("")))
   }
 
   private def writeState(spark: SparkSession, table: String,
       st: StateV2): Unit = {
-    val fs = CdcApply.fsFor(spark, table)
     val n = mapper.createObjectNode()
     n.put("format", 2)
     n.put("version", st.version)
     n.put("lastBatch", st.lastBatch)
     n.put("renames", st.renames)
+    n.put("schemaFp", st.schemaFp)
     val arr = n.putArray("manifests")
     st.manifests.foreach { m =>
       val o = arr.addObject()
@@ -184,14 +202,13 @@ object IcebergV2 {
       o.put("nfiles", m.nFiles)
       o.put("nrows", m.nRows)
     }
-    val tmp = new Path(table, s"._graft_export_state-${st.version}")
-    val out = fs.create(tmp, false)
-    out.write(mapper.writeValueAsString(n).getBytes("UTF-8"))
-    out.close()
-    fs.delete(statePath(table), false)
-    if (!fs.rename(tmp, statePath(table)))
-      throw new IllegalStateException(
-        s"export state rename failed for $table")
+    // atomic replace (one OVERWRITE rename): the old delete-then-
+    // rename pair could crash between the two, leaving committed
+    // metadata with no state — see [[IcebergInterop.replaceSmallFile]]
+    replaceSmallFile(spark,
+      new Path(table, s"._graft_export_state-${st.version}"),
+      statePath(table),
+      mapper.writeValueAsString(n).getBytes("UTF-8"))
   }
 
   // ---- manifest / manifest-list / metadata writing -------------------------
@@ -357,12 +374,9 @@ object IcebergV2 {
       throw new IllegalStateException(
         s"concurrent Iceberg export lost the commit race for " +
           s"version $version of $table")
-    val hintTmp = new Path(metaDir(table), s".hint-$version")
-    val ho = fs.create(hintTmp, true)
-    ho.write(version.toString.getBytes("UTF-8"))
-    ho.close()
-    fs.delete(new Path(metaDir(table), "version-hint.text"), false)
-    fs.rename(hintTmp, new Path(metaDir(table), "version-hint.text"))
+    replaceSmallFile(spark, new Path(metaDir(table), s".hint-$version"),
+      new Path(metaDir(table), "version-hint.text"),
+      version.toString.getBytes("UTF-8"))
   }
 
   private def priorSnapNodes(spark: SparkSession, table: String)
@@ -403,7 +417,7 @@ object IcebergV2 {
     commitMetadata(spark, table, version, seq, schema,
       priorSnapNodes(spark, table))
     writeState(spark, table,
-      StateV2(version, headBatch, refs, renameFp(m)))
+      StateV2(version, headBatch, refs, renameFp(m), schemaFp(schema)))
     version
   }
 
@@ -425,12 +439,26 @@ object IcebergV2 {
     val head = CdcApply.currentVersion(spark, cdcRoot).get
     val priorVs = versions(spark, tableDir)
     val state = readState(spark, tableDir)
-    if (priorVs.nonEmpty && state.isEmpty)
-      throw new IllegalStateException(
-        s"Iceberg table at $tableDir has committed metadata but no " +
-          "export state — it was written by a foreign writer; " +
-          "incremental export requires its own lineage. Use a fresh " +
-          "directory.")
+    if (priorVs.nonEmpty && state.isEmpty) {
+      // no sidecar next to committed metadata: a foreign writer's
+      // tree (refuse), or our own lineage whose state was lost — the
+      // deterministic table-uuid tells them apart; own v2 lineage
+      // self-heals with a full rewrite, exactly like a stale stamp
+      if (!ownLineage(spark, tableDir, priorVs.last))
+        throw new IllegalStateException(
+          s"Iceberg table at $tableDir has committed metadata but no " +
+            "export state — it was written by a foreign writer; " +
+            "incremental export requires its own lineage. Use a fresh " +
+            "directory.")
+      if (formatVersion(parseMetadata(spark, tableDir,
+          priorVs.last)) != 2)
+        throw new IllegalStateException(
+          s"Iceberg table at $tableDir was exported as format v1 — " +
+            "continue it with IcebergInterop.exportIncremental (mixing " +
+            "writers would corrupt the manifest lineage)")
+      return Some(fullSnapshot(spark, cdcRoot, tableDir,
+        priorVs.last + 1L, head))
+    }
     if (priorVs.isEmpty)
       return Some(fullSnapshot(spark, cdcRoot, tableDir, 0L, head))
     val st = state.get
@@ -457,6 +485,12 @@ object IcebergV2 {
         CdcApply.readBucketsResolved(spark, cdcRoot, m, None).get,
         m.conf), m).schema
       schema.fields.foreach(f => icebergType(f.dataType))
+      if (!isAppendEvolution(st.schemaFp, schemaFp(schema)))
+        // non-append schema change (drop / reorder): positional field
+        // ids would re-map equality_ids and bounds ids relative to the
+        // carried manifests — republish instead of corrupting deletes
+        return Some(fullSnapshot(spark, cdcRoot, tableDir,
+          version, head))
       val fieldIds = schema.fieldNames.zipWithIndex
         .map { case (n, i) => (n, i + 1) }.toMap
       // upserts (current non-tombstone rows of the touched keys)
@@ -490,7 +524,8 @@ object IcebergV2 {
       commitMetadata(spark, tableDir, version, seq, schema,
         priorSnapNodes(spark, tableDir))
       writeState(spark, tableDir,
-        StateV2(version, head, st.manifests ++ fresh, st.renames))
+        StateV2(version, head, st.manifests ++ fresh, st.renames,
+          schemaFp(schema)))
       Some(version)
     } finally changes.unpersist()
   }
@@ -507,9 +542,14 @@ object IcebergV2 {
       throw new IllegalArgumentException(s"no CDC table at $cdcRoot"))
     val priorVs = versions(spark, tableDir)
     require(priorVs.nonEmpty, s"no Iceberg metadata at $tableDir")
-    readState(spark, tableDir).getOrElse(
+    // a missing sidecar on our own lineage (deterministic table-uuid)
+    // is the state-loss crash window — compact IS the self-heal (a
+    // full rewrite needs no carried state), so only foreign trees
+    // refuse here
+    if (readState(spark, tableDir).isEmpty &&
+        !ownLineage(spark, tableDir, priorVs.last))
       throw new IllegalStateException(
-        s"compact requires this exporter's lineage at $tableDir"))
+        s"compact requires this exporter's lineage at $tableDir")
     fullSnapshot(spark, cdcRoot, tableDir, priorVs.last + 1L, head)
   }
 
@@ -659,12 +699,16 @@ object IcebergV2 {
     // id-matched when the data files carry parquet field ids
     // (foreign Iceberg writers): renamed columns' old files still
     // serve their values; this engine's own (id-less) exports match
-    // by name as before
-    val dataSchema = scanSchema(spark, meta,
-      dataFiles.headOption.map(f => new Path(f.path)))
+    // by name as before. The id/name decision is PER SEQUENCE GROUP
+    // (one footer read each), so a tree mixing id-bearing foreign
+    // snapshots with this engine's id-less ones resolves both kinds;
+    // within one group the first file decides — mixed files inside a
+    // single snapshot's adds would need per-file scans and no real
+    // writer produces them
     var data = dataFiles.groupBy(_.seq).toSeq.sortBy(_._1)
       .map { case (seq, fs) =>
-        val base = spark.read.schema(dataSchema)
+        val base = scanReader(spark, meta,
+          fs.headOption.map(f => new Path(f.path)))
           .parquet(fs.map(_.path): _*)
         val stamped = base.withColumn(SeqCol, lit(seq))
         if (needPos)
@@ -704,17 +748,22 @@ object IcebergV2 {
         // same id-matching decision per delete-file group: foreign
         // equality delete files carry the equality_ids as parquet
         // field ids, so their columns resolve rename-proof too
+        val idMatched = fs.headOption.exists(fe =>
+          fileHasFieldIds(spark, new Path(fe.path)))
         val edSchema =
-          if (fs.headOption.exists(fe =>
-              fileHasFieldIds(spark, new Path(fe.path))))
+          if (idMatched)
             StructType(ids.zip(cols).map { case (id, f) =>
               f.copy(metadata = new MetadataBuilder()
                 .putLong("parquet.field.id", id.toLong).build())
             })
           else StructType(cols)
+        // id-matched reads go through the field-id session (the conf
+        // is scoped there, never set on the caller's session)
+        val edReader =
+          if (idMatched) fieldIdSession(spark).read else spark.read
         val ed = fs.groupBy(_.seq).toSeq
           .map { case (seq, group) =>
-            spark.read.schema(edSchema).parquet(group.map(_.path): _*)
+            edReader.schema(edSchema).parquet(group.map(_.path): _*)
               .withColumn("_ed_seq", lit(seq))
           }.reduce(_ unionByName _)
           .groupBy(cols.map(f => col(f.name)): _*)

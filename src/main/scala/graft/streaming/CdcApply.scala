@@ -1237,17 +1237,14 @@ object CdcApply {
         // would roll the table back past a committed batch (and the
         // replay guard would then drop it — silent data loss). Abort
         // instead; the orphaned rewrite dir is swept by a later vacuum.
-        // This shrinks the writer-writer race to the read-check-flip
-        // window; one maintenance process per table remains the
-        // operating assumption, as for any table format's vacuum.
-        if (currentManifestName(spark, root).contains(name)) {
-          // carry the ORIGINAL commit timestamp: a maintenance
-          // generation rewrites layout, not logical content
-          commitManifest(spark, root, s"v$batchId.${gen + 1}",
-            Manifest(conf, (m.buckets -- dirty) ++ written, m.schema,
-              m.ts, m.renames),
-            batchId, overwrite = false)
-        }
+        // The decision is the commit fence's claim (CAS-grade on
+        // HDFS-semantics stores), not a check-then-flip window.
+        // carry the ORIGINAL commit timestamp: a maintenance
+        // generation rewrites layout, not logical content
+        commitMaintenance(spark, root, s"v$batchId.${gen + 1}",
+          Manifest(conf, (m.buckets -- dirty) ++ written, m.schema,
+            m.ts, m.renames),
+          batchId, pred = name)
       }
     }
   }
@@ -1345,12 +1342,12 @@ object CdcApply {
     val next = m.renames.filterNot(_._1 == fromStored) ++
       (if (to == fromStored) Seq.empty else Seq(fromStored -> to))
     // the rebucket commit pattern: metadata-only maintenance, new
-    // generation, loud on a concurrent flip
-    if (currentManifestName(spark, root).contains(name)) {
-      commitManifest(spark, root, s"v$batchId.${gen + 1}",
-        m.copy(renames = next), batchId, overwrite = false)
-      true
-    } else throw new IllegalStateException(
+    // generation, loud on a concurrent flip (claim-fenced — and
+    // because the fence runs BEFORE the manifest rename, a lost race
+    // leaves no half-landed rename for listing-based readers)
+    if (commitMaintenance(spark, root, s"v$batchId.${gen + 1}",
+        m.copy(renames = next), batchId, pred = name)) true
+    else throw new IllegalStateException(
       s"concurrent commit moved $root during rename — retry")
   }
 
@@ -1381,12 +1378,9 @@ object CdcApply {
         }
         val written = writtenEntries(spark, root, dirTag,
           hasTombstones = conf.deletedCol.isDefined)
-        if (currentManifestName(spark, root).contains(name)) {
-          commitManifest(spark, root, s"v$batchId.${gen + 1}",
-            Manifest(conf, written, m.schema, m.ts, m.renames),
-            batchId, overwrite = false)
-          true
-        } else false
+        commitMaintenance(spark, root, s"v$batchId.${gen + 1}",
+          Manifest(conf, written, m.schema, m.ts, m.renames),
+          batchId, pred = name)
     }
   }
 
@@ -1475,12 +1469,9 @@ object CdcApply {
           .parquet(new Path(root, s"data/$dirTag").toString)
         val written = writtenEntries(spark, root, dirTag,
           hasTombstones = conf.deletedCol.isDefined)
-        if (currentManifestName(spark, root).contains(name)) {
-          commitManifest(spark, root, s"v$batchId.${gen + 1}",
-            Manifest(conf, written, m.schema, m.ts, m.renames),
-            batchId, overwrite = false)
-          true
-        } else false
+        commitMaintenance(spark, root, s"v$batchId.${gen + 1}",
+          Manifest(conf, written, m.schema, m.ts, m.renames),
+          batchId, pred = name)
     }
 
   /** Scheduled compaction for merge-on-read tables: fold the pending
@@ -1536,13 +1527,10 @@ object CdcApply {
             .parquet(new Path(root, s"data/$dirTag").toString)
           val written = writtenEntries(spark, root, dirTag,
             hasTombstones = conf.deletedCol.isDefined)
-          if (currentManifestName(spark, root).contains(name)) {
-            commitManifest(spark, root, s"v$batchId.${gen + 1}",
-              Manifest(conf, (m.buckets -- targets) ++ written,
-                m.schema, m.ts, m.renames),
-              batchId, overwrite = false)
-            true
-          } else false
+          commitMaintenance(spark, root, s"v$batchId.${gen + 1}",
+            Manifest(conf, (m.buckets -- targets) ++ written,
+              m.schema, m.ts, m.renames),
+            batchId, pred = name)
         }
     }
 
@@ -2485,6 +2473,94 @@ object CdcApply {
     fs.mkdirs(new Path(root, "manifests"))
     val fc = FileContext.getFileContext(new Path(root).toUri,
       spark.sparkContext.hadoopConfiguration)
+    // COMMIT-RACE FENCE: the state in hand was computed against the
+    // manifest CURRENT named when the op started (`expectCurrent`).
+    // If the pointer moved since, a concurrent committer published a
+    // state this op never read — publishing over it would silently
+    // drop that commit (for an apply, the lost batch's retry would
+    // then no-op on the `>=` replay guard, losing it forever; for
+    // maintenance, the flip would roll the table back). Refuse LOUDLY
+    // instead. Crash-retry recommit is unaffected: the retry re-reads
+    // CURRENT at entry, so its expectation matches unless someone
+    // else really moved it.
+    //
+    // The fence is CAS-GRADE where the filesystem gives atomic
+    // create-exclusive (HDFS semantics, incl. the local FS): after
+    // the pointer check, the committer CLAIMS the predecessor's
+    // successor slot — a dot-prefixed `.after-<predecessor>` marker
+    // created with overwrite=false, content = the successor name.
+    // Exactly one creator wins; a loser (or anyone finding the slot
+    // already claimed by a DIFFERENT name) refuses loudly, so the
+    // old check-then-flip window between the check and the rename is
+    // closed: the claim, not the pointer rename, decides the race.
+    // BOTH commit kinds route through it — applies/syncs AND
+    // maintenance generations (rename/rebucket/zorder/compaction/
+    // expiry), so apply-vs-apply, apply-vs-maintenance, and
+    // maintenance-vs-maintenance races all resolve to one winner per
+    // successor slot. Crash-retry recommit of the SAME name reads its
+    // own claim back and proceeds.
+    //
+    // Residual caveats, documented: (1) a claim created but crashed
+    // before its one content write reads empty — a corpse. Takeover
+    // is delete + ONE fresh create-exclusive; a collision on the
+    // retry defers to the new claimant's content, and an
+    // empty-on-retry slot REFUSES (never proceed undecided). Two
+    // takers whose delete/create interleave adversarially can still
+    // both win — a few-ms pathological schedule, strictly narrower
+    // than the pre-claim fence. (2) a committer that died between
+    // claim and pointer flip leaves the slot claimed; its own retry
+    // (same name) heals it, other committers refuse until then.
+    // (3) object stores without atomic create-exclusive degrade to
+    // the old loud-but-unproven check-then-flip convention.
+    def fence(): Unit = expectCurrent.foreach { pred =>
+      Option(raceWindowHook.getAndSet(null)).foreach(_.apply())
+      val now = currentManifestName(spark, root)
+      if (now != pred)
+        throw new java.util.ConcurrentModificationException(
+          s"lost commit race on $root: CURRENT moved from " +
+            s"${pred.getOrElse("<none>")} to ${now.getOrElse("<none>")} " +
+            s"while $name was prepared — it read a stale base and " +
+            "must not be published; retry against the new head")
+      val claim = new Path(root,
+        s"manifests/.after-${pred.getOrElse("genesis")}")
+      def tryClaim(): Option[String] =
+        try {
+          val out = fs.create(claim, false)
+          out.write(name.getBytes("UTF-8"))
+          out.close()
+          Some(name)
+        } catch { case _: java.io.IOException => None }
+      val winner = tryClaim().getOrElse {
+        scala.util.Try(readSmallFile(fs, claim).trim)
+          .toOption.filter(_.nonEmpty).getOrElse {
+            // corpse (creator died pre-write): delete + one fresh
+            // create-exclusive; if that also collides, the new
+            // claimant decides — and an empty re-read refuses
+            fs.delete(claim, false)
+            tryClaim().getOrElse(
+              scala.util.Try(readSmallFile(fs, claim).trim)
+                .toOption.filter(_.nonEmpty).getOrElse(
+                  throw new java.util.ConcurrentModificationException(
+                    s"undecided successor slot for " +
+                      s"${pred.getOrElse("<genesis>")} on $root — " +
+                      "refusing to publish over it; retry")))
+          }
+      }
+      if (winner != name)
+        throw new java.util.ConcurrentModificationException(
+          s"lost commit race on $root: predecessor " +
+            s"${pred.getOrElse("<genesis>")} was already succeeded " +
+            s"by $winner while $name was prepared — refusing to " +
+            s"publish $name over it; retry against the new head")
+    }
+    // maintenance (overwrite=false) fences BEFORE its manifest rename
+    // so a lost race leaves NO half-landed generation manifest for
+    // listing-based readers (renameColumn is metadata-only — a
+    // post-rename loss would surface the "failed" rename as the
+    // batch's top generation); applies fence AFTER the rename because
+    // crash-retry must recommit the same name with OVERWRITE anyway,
+    // and their manifest name (a new batch id) collides with nothing.
+    if (!overwrite) fence()
     val mTmp = new Path(root, s"manifests/.$name.tmp")
     writeSmallFile(fs, mTmp, serializeManifest(m))
     // applies keep OVERWRITE (a crash between manifest rename and
@@ -2505,75 +2581,29 @@ object CdcApply {
               "exists — one maintenance process per table root is the " +
               "operating contract", e)
       }
-    // APPLY-RACE FENCE: the merge in hand was computed against the
-    // manifest CURRENT named when the apply started (`expectCurrent`).
-    // If the pointer moved since, a concurrent applier committed a
-    // batch this merge never read — publishing would silently drop
-    // that batch's buckets (and this batch's retry would no-op on the
-    // `>=` replay guard, losing it forever). Refuse LOUDLY instead,
-    // mirroring the maintenance fence above. Crash-retry recommit is
-    // unaffected: the retry re-reads CURRENT at applyBatch entry, so
-    // its expectation matches unless someone else really moved it.
-    // A concurrent MAINTENANCE flip (a new generation of the same
-    // batch) trips the fence too, deliberately: this merge's manifest
-    // carries the pre-maintenance bucket map, so publishing it would
-    // silently revert a rebucket/expiry/compaction that just
-    // committed — the retry re-reads the new generation and merges
-    // against it. Syncs (mirror/rollup/index) apply through this same
-    // path, so racing sync processes fail loudly as well.
-    //
-    // The fence is CAS-GRADE where the filesystem gives atomic
-    // create-exclusive (HDFS semantics, incl. the local FS): after
-    // the pointer check, the committer CLAIMS the predecessor's
-    // successor slot — a dot-prefixed `.after-<predecessor>` marker
-    // created with overwrite=false, content = the successor name.
-    // Exactly one creator wins; a loser (or anyone finding the slot
-    // already claimed by a DIFFERENT name) refuses loudly, so the
-    // old check-then-flip window between the check and the rename is
-    // closed: the claim, not the pointer rename, decides the race.
-    // Crash-retry recommit of the SAME name reads its own claim back
-    // and proceeds. Residual caveats, documented: a claim created but
-    // crashed before its one content write reads empty — treated as
-    // a corpse and taken over (a few-ms window, strictly narrower
-    // than the fence it replaces); object stores without atomic
-    // create-exclusive degrade to exactly the old loud-but-unproven
-    // convention.
-    expectCurrent.foreach { pred =>
-      Option(raceWindowHook.getAndSet(null)).foreach(_.apply())
-      val now = currentManifestName(spark, root)
-      if (now != pred)
-        throw new java.util.ConcurrentModificationException(
-          s"lost apply race on $root: CURRENT moved from " +
-            s"${pred.getOrElse("<none>")} to ${now.getOrElse("<none>")} " +
-            s"while batch $batchId merged — this merge read a stale " +
-            "base and must not be published; re-apply the batch " +
-            "against the new head")
-      val claim = new Path(root,
-        s"manifests/.after-${pred.getOrElse("genesis")}")
-      val winner =
-        try {
-          val out = fs.create(claim, false)
-          out.write(name.getBytes("UTF-8"))
-          out.close()
-          name
-        } catch {
-          case _: java.io.IOException =>
-            // slot taken: the claimant's name decides; an empty read
-            // is a creator that died pre-write — take the corpse over
-            scala.util.Try(readSmallFile(fs, claim).trim)
-              .toOption.filter(_.nonEmpty).getOrElse(name)
-        }
-      if (winner != name)
-        throw new java.util.ConcurrentModificationException(
-          s"lost apply race on $root: predecessor " +
-            s"${pred.getOrElse("<genesis>")} was already succeeded " +
-            s"by $winner while batch $batchId merged — refusing to " +
-            s"publish $name over it; re-apply against the new head")
-    }
+    if (overwrite) fence()
     val tmp = new Path(root, s".CURRENT.$batchId.tmp")
     writeSmallFile(fs, tmp, name)
     fc.rename(tmp, new Path(root, "CURRENT"), Options.Rename.OVERWRITE)
   }
+
+  /** Maintenance-generation commit: the same claim-fenced commit as an
+    * apply (`expectCurrent` = the generation this op read, fence run
+    * BEFORE the manifest rename), with a lost race translated to
+    * `false` — the documented maintenance guard-abort contract, now
+    * decided by the CAS-grade claim instead of a check-then-rename
+    * window.
+    */
+  private def commitMaintenance(spark: SparkSession, root: String,
+      name: String, m: Manifest, batchId: Long,
+      pred: String): Boolean =
+    try {
+      commitManifest(spark, root, name, m, batchId,
+        overwrite = false, expectCurrent = Some(Some(pred)))
+      true
+    } catch {
+      case _: java.util.ConcurrentModificationException => false
+    }
 
   /** Apply one change batch to the snapshot — the body `start` runs per
     * micro-batch, public so the replay/idempotency and partition-scope

@@ -55,7 +55,7 @@ class CdcFenceSpec extends AnyFunSuite with SparkTestBase
       CdcApply.applyBatch(b2, 2L, root, Seq("k"), "version",
         Some("deleted"))
     }
-    assert(e.getMessage.contains("lost apply race"), e.getMessage)
+    assert(e.getMessage.contains("lost commit race"), e.getMessage)
     // the winner's commit is intact: batch 3 applied over batch 0,
     // batch 2's merge never published (k=1 still at version 1)
     assert(CdcApply.currentVersion(spark, root).contains(3L))
@@ -79,7 +79,7 @@ class CdcFenceSpec extends AnyFunSuite with SparkTestBase
       CdcApply.applyBatch(b2, 2L, root, Seq("k"), "version",
         Some("deleted"), maxDeltas = 4)
     }
-    assert(e.getMessage.contains("lost apply race"), e.getMessage)
+    assert(e.getMessage.contains("lost commit race"), e.getMessage)
     assert(CdcApply.currentVersion(spark, root).contains(3L))
   }
 
@@ -111,7 +111,7 @@ class CdcFenceSpec extends AnyFunSuite with SparkTestBase
     val e = intercept[java.util.ConcurrentModificationException] {
       CdcApply.syncMirror(spark, src, mirror)
     }
-    assert(e.getMessage.contains("lost apply race"), e.getMessage)
+    assert(e.getMessage.contains("lost commit race"), e.getMessage)
     // B's data commit stands; A's stale empty-table map never
     // published (a silent loss would leave an empty mirror at v1)
     assert(CdcApply.currentVersion(spark, mirror).contains(2L))
@@ -189,6 +189,52 @@ class CdcFenceSpec extends AnyFunSuite with SparkTestBase
       assert(pred == "genesis" || leftManifests.contains(pred),
         s"orphaned claim $c with manifests $leftManifests")
     }
+  }
+
+  test("maintenance generations route through the claim fence: a " +
+    "rebucket losing to a concurrent apply aborts gracefully with NO " +
+    "half-landed generation manifest, and a losing rename throws " +
+    "without half-landing") {
+    val root = newRoot()
+    assert(CdcApply.applyBatch(b0, 0L, root, Seq("k"), "version",
+      Some("deleted"), numBuckets = 2))
+    val b3 = Seq((2L, 2L, 22.0, false)).toDF(
+      "k", "version", "amount", "deleted")
+    // batch 3 commits INSIDE the rebucket's fence window (fence runs
+    // BEFORE the maintenance manifest rename)
+    CdcApply.raceWindowHook.set(() =>
+      assert(CdcApply.applyBatch(b3, 3L, root, Seq("k"), "version",
+        Some("deleted"), numBuckets = 2)))
+    assert(!CdcApply.rebucket(spark, root, 5),
+      "losing maintenance must abort, not throw or commit")
+    // the apply's commit stands; the old layout is untouched and the
+    // lost generation left NO manifest for listing-based readers
+    assert(CdcApply.currentVersion(spark, root).contains(3L))
+    assert(CdcApply.numBuckets(spark, root).contains(2))
+    val names = new java.io.File(root, "manifests").listFiles()
+      .map(_.getName).filter(_.startsWith("v")).toSet
+    assert(names == Set("v0.0", "v3.0"), names.toString)
+    // metadata-only rename: a fence loss surfaces as the documented
+    // retry signal and the rename is NOWHERE half-landed
+    val b5 = Seq((1L, 3L, 12.0, false)).toDF(
+      "k", "version", "amount", "deleted")
+    CdcApply.raceWindowHook.set(() =>
+      assert(CdcApply.applyBatch(b5, 5L, root, Seq("k"), "version",
+        Some("deleted"), numBuckets = 2)))
+    val e = intercept[IllegalStateException] {
+      CdcApply.renameColumn(spark, root, "amount", "amt")
+    }
+    assert(e.getMessage.contains("retry"), e.getMessage)
+    val cols = CdcApply.readSnapshot(spark, root).get.columns.toSet
+    assert(cols.contains("amount") && !cols.contains("amt"),
+      cols.toString)
+    assert(!new java.io.File(root, "manifests").listFiles()
+      .map(_.getName).exists(_.startsWith("v3.1")),
+      "lost rename must not half-land a generation manifest")
+    // the retry (now against the new head) commits cleanly
+    assert(CdcApply.renameColumn(spark, root, "amount", "amt"))
+    assert(CdcApply.readSnapshot(spark, root).get.columns
+      .contains("amt"))
   }
 
   test("sequential applies and same-batch replays still commit " +

@@ -368,7 +368,8 @@ class DeltaInteropSpec extends AnyFunSuite with SparkTestBase {
 
   test("column mapping (reader v2/v3): NAME mode resolves physical " +
       "file columns to logical names; ID mode resolves by parquet " +
-      "field id; partitioned foreign tables refuse loudly") {
+      "field id; a partitioned mapped table resolves partitionValues " +
+      "by PHYSICAL key") {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.types._
     def schemaJson(fields: Seq[(String, String, Map[String, Any])])
@@ -387,13 +388,14 @@ class DeltaInteropSpec extends AnyFunSuite with SparkTestBase {
     }
     def writeLog(dir: String, schema: String, part: String,
         mode: String, protocol: String,
-        partCols: String = "[]"): Unit = {
+        partCols: String = "[]",
+        partValues: String = "{}"): Unit = {
       Files.createDirectories(Paths.get(s"$dir/_delta_log"))
       Files.writeString(Paths.get(
         s"$dir/_delta_log/00000000000000000000.json"),
         s"""$protocol
 {"metaData":{"id":"x","schemaString":"$schema","format":{"provider":"parquet","options":{}},"partitionColumns":$partCols,"configuration":{"delta.columnMapping.mode":"$mode"}}}
-{"add":{"path":"files/$part","size":1,"partitionValues":{},"modificationTime":0,"dataChange":true}}
+{"add":{"path":"files/$part","size":1,"partitionValues":$partValues,"modificationTime":0,"dataChange":true}}
 """)
     }
     // ---- NAME mode: file stores col-aaa/col-bbb, logical id/s ----
@@ -440,16 +442,107 @@ class DeltaInteropSpec extends AnyFunSuite with SparkTestBase {
     assert(got2.columns.toSeq == Seq("id", "s"))
     assert(got2.collect().map(r => (r.getLong(0), r.getString(1)))
       .toSet == Set(1L -> "a", 2L -> "b"))
-    // ---- partitioned foreign table: loud refusal, never NULL-fill --
+    // ---- partitioned + column mapping: the data file stores ONLY
+    // the physical data column; the partition value rides the add
+    // action KEYED BY THE PHYSICAL NAME (what mapped writers emit)
     val d3 = tmp("delta_cm_part")
+    Seq(Tuple1(1L), Tuple1(2L)).toDF("col-aaa")
+      .coalesce(1).write.parquet(s"$d3/files")
+    val p3 = new java.io.File(s"$d3/files").listFiles()
+      .map(_.getName).find(_.endsWith(".parquet")).get
     writeLog(d3, schemaJson(Seq(
       ("id", "long", Map("delta.columnMapping.physicalName" -> "col-aaa",
-        "delta.columnMapping.id" -> 1)))), "nope.parquet", "name",
+        "delta.columnMapping.id" -> 1)),
+      ("p", "string", Map(
+        "delta.columnMapping.physicalName" -> "col-ppp",
+        "delta.columnMapping.id" -> 2)))), p3, "name",
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-      partCols = """["id"]""")
-    val e = intercept[IllegalArgumentException] {
-      DeltaInterop.readDelta(spark, d3)
+      partCols = """["p"]""",
+      partValues = """{"col-ppp":"emea"}""")
+    val got3 = DeltaInterop.readDelta(spark, d3)
+    assert(got3.columns.toSeq == Seq("id", "p"))
+    assert(got3.collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet == Set(1L -> "emea", 2L -> "emea"))
+  }
+
+  test("partitioned foreign Delta tables read: partition columns " +
+      "reconstructed from add.partitionValues as typed literals, " +
+      "NULL partitions honored, partition predicates prune whole " +
+      "file groups out of the physical plan") {
+    import java.nio.file.{Files, Paths}
+    val spark2 = spark
+    import spark2.implicits._
+    val delta = tmp("delta_part")
+    // three hive-partitioned file groups over (p int, d date); the
+    // data files OMIT the partition columns — the real-world shape
+    def writeGroup(sub: String, rows: Seq[(Long, String)]): String = {
+      rows.toDF("id", "s").coalesce(1).write.parquet(s"$delta/$sub")
+      val f = new java.io.File(s"$delta/$sub").listFiles()
+        .map(_.getName).find(_.endsWith(".parquet")).get
+      s"$sub/$f"
     }
-    assert(e.getMessage.contains("partitioned"), e.getMessage)
+    val f1 = writeGroup("p=1/d=2024-01-01",
+      Seq((1L, "a"), (2L, "b")))
+    val f2 = writeGroup("p=2/d=2024-01-02", Seq((3L, "c")))
+    val f3 = writeGroup("p=null", Seq((4L, "d")))
+    val schema = Seq((1L, "a", 1, java.sql.Date.valueOf("2024-01-01")))
+      .toDF("id", "s", "p", "d").schema.json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.createDirectories(Paths.get(s"$delta/_delta_log"))
+    Files.writeString(Paths.get(
+      s"$delta/_delta_log/00000000000000000000.json"),
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+{"metaData":{"id":"x","schemaString":"$schema","format":{"provider":"parquet","options":{}},"partitionColumns":["p","d"],"configuration":{}}}
+{"add":{"path":"$f1","size":1,"partitionValues":{"p":"1","d":"2024-01-01"},"modificationTime":0,"dataChange":true}}
+{"add":{"path":"$f2","size":1,"partitionValues":{"p":"2","d":"2024-01-02"},"modificationTime":0,"dataChange":true}}
+{"add":{"path":"$f3","size":1,"partitionValues":{"p":null,"d":null},"modificationTime":0,"dataChange":true}}
+""")
+    val df = DeltaInterop.readDelta(spark, delta)
+    // declared column order, declared types (int + date partitions)
+    assert(df.columns.toSeq == Seq("id", "s", "p", "d"))
+    assert(df.schema("p").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(df.schema("d").dataType ==
+      org.apache.spark.sql.types.DateType)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1),
+      Option(r.get(2)), Option(r.get(3)).map(_.toString))).toSet
+    assert(got == Set(
+      (1L, "a", Some(1), Some("2024-01-01")),
+      (2L, "b", Some(1), Some("2024-01-01")),
+      (3L, "c", Some(2), Some("2024-01-02")),
+      (4L, "d", None, None)), got.toString)
+    // PRUNING: partition literals constant-fold under the filter and
+    // Catalyst drops non-matching groups — the physical plan scans a
+    // strict subset of the live files
+    val all = df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.toPartitionArray
+          .map(_.filePath.toString).toSeq
+    }.flatten.toSet
+    assert(all.size == 3, all.toString)
+    val pruned = df.filter(col("p") === 1)
+    assert(pruned.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.toPartitionArray
+            .map(_.filePath.toString).toSeq
+      }.flatten.toSet
+    assert(scanned.size == 1 && scanned.forall(_.contains("p=1")),
+      s"partition predicate did not prune file groups: $scanned")
+    // IS NULL selects exactly the null-partition group
+    assert(DeltaInterop.readDelta(spark, delta)
+      .filter(col("p").isNull).collect().map(_.getLong(0)).toSet ==
+      Set(4L))
+    // a missing partition value in an add action is a protocol
+    // violation — refuse loudly, never NULL-fill silently
+    Files.writeString(Paths.get(
+      s"$delta/_delta_log/00000000000000000001.json"),
+      s"""{"add":{"path":"$f1","size":1,"partitionValues":{"p":"1"},"modificationTime":0,"dataChange":true}}
+""")
+    val e = intercept[IllegalStateException] {
+      DeltaInterop.readDelta(spark, delta).collect()
+    }
+    assert(e.getMessage.contains("no partition value"), e.getMessage)
   }
 }

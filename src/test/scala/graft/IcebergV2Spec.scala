@@ -376,4 +376,47 @@ class IcebergV2Spec extends AnyFunSuite with SparkTestBase {
     assert(IcebergV2.deleteFileStats(spark, ice) == (0, 0L))
     assert(IcebergV2.exportIncremental(spark, root, ice).isEmpty)
   }
+
+  test("a MISSING v2 export state next to committed metadata " +
+      "self-heals on our OWN lineage (deterministic table-uuid) — " +
+      "the old delete-then-rename crash window no longer bricks the " +
+      "export — while a foreign tree still refuses") {
+    import spark.implicits._
+    val root = buildCdc()
+    val ice = tmp("icev2_lost_state")
+    IcebergV2.exportIncremental(spark, root, ice)
+    assert(CdcApply.applyBatch(
+      Seq((1L, 2L, 11.0, false)).toDF("k", "version", "amount", "deleted"),
+      1L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+      commitTs = Some(2000L)))
+    IcebergV2.exportIncremental(spark, root, ice)
+    val good = state(IcebergInterop.readIceberg(spark, ice))
+    def dropState(dir: String): Unit = {
+      assert(new java.io.File(dir, "_graft_export_state.json").delete())
+      new java.io.File(dir, "._graft_export_state.json.crc").delete()
+    }
+    dropState(ice)
+    // exportIncremental self-heals with a full rewrite
+    assert(IcebergV2.exportIncremental(spark, root, ice).contains(2L))
+    assert(state(IcebergInterop.readIceberg(spark, ice)) == good)
+    assert(IcebergV2.deleteFileStats(spark, ice) == (0, 0L))
+    // compact survives state loss too (a full rewrite needs no state)
+    dropState(ice)
+    assert(IcebergV2.compact(spark, root, ice) == 3L)
+    assert(state(IcebergInterop.readIceberg(spark, ice)) == good)
+    // the same tree at a DIFFERENT path has a mismatched table-uuid —
+    // exactly a foreign writer's shape — and refuses loudly
+    val foreign = tmp("icev2_foreign_tree")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(ice), new java.io.File(foreign))
+    dropState(foreign)
+    val e = intercept[IllegalStateException] {
+      IcebergV2.exportIncremental(spark, root, foreign)
+    }
+    assert(e.getMessage.contains("foreign writer"), e.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      IcebergV2.compact(spark, root, foreign)
+    }
+    assert(e2.getMessage.contains("lineage"), e2.getMessage)
+  }
 }
