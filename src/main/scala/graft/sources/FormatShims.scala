@@ -54,8 +54,14 @@ class IcebergTableSource extends RelationProvider
       throw new IllegalArgumentException(
         "format(\"iceberg\") requires option(\"path\", <table dir>)"))
     val snapshot = parameters.get("snapshotId").map(_.toLong)
+    // option("filter", <sql predicate>): applied as a row filter AND
+    // pushed to the manifest level as identity-partition pruning — on
+    // a partitioned foreign tree the scan never opens non-matching
+    // partitions' files
+    val filter = parameters.get("filter")
     CdcRelation(sqlContext,
-      IcebergInterop.readIceberg(sqlContext.sparkSession, path, snapshot))
+      IcebergInterop.readIceberg(sqlContext.sparkSession, path,
+        snapshot, filter))
   }
 }
 

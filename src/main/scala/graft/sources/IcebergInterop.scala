@@ -916,12 +916,14 @@ object IcebergInterop {
       fieldIdSession(spark).read.schema(schemaWithFieldIds(meta))
     else spark.read.schema(schemaOf(meta))
 
-  /** The live data files of one snapshot: its manifest list, then
-    * every non-deleted entry of every listed manifest.
+  /** The live data files of one snapshot with their partition
+    * context: (file_path, partition-spec-id of the manifest, the
+    * entry's raw `partition` record). Spec ids default to 0 when the
+    * list schema omits them (this engine's own exports).
     */
-  private[sources] def liveFiles(spark: SparkSession, table: String,
+  private[sources] def liveEntries(spark: SparkSession, table: String,
       meta: com.fasterxml.jackson.databind.JsonNode,
-      snapshotId: Long): Seq[String] = {
+      snapshotId: Long): Seq[(String, Int, Option[GenericRecord])] = {
     val snap = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == snapshotId)
       .getOrElse(throw new IllegalArgumentException(
@@ -929,6 +931,10 @@ object IcebergInterop {
     val listPath = new Path(snap.get("manifest-list").asText())
     readAvro(spark, listPath).flatMap { mf =>
       val mPath = mf.get("manifest_path").toString
+      val specId =
+        if (mf.getSchema.getField("partition_spec_id") == null) 0
+        else Option(mf.get("partition_spec_id"))
+          .map(_.asInstanceOf[java.lang.Integer].intValue()).getOrElse(0)
       readAvro(spark, resolvePath(table, mPath))
         .filter(_.get("status").asInstanceOf[Int] != 2)
         .map { e =>
@@ -936,8 +942,152 @@ object IcebergInterop {
           val fmt = df.get("file_format").toString
           require(fmt.equalsIgnoreCase("parquet"),
             s"unsupported data file format $fmt in $table")
-          df.get("file_path").toString
+          val part =
+            if (df.getSchema.getField("partition") == null) None
+            else Option(df.get("partition"))
+              .map(_.asInstanceOf[GenericRecord])
+          (df.get("file_path").toString, specId, part)
         }
+    }
+  }
+
+  /** The live data files of one snapshot: its manifest list, then
+    * every non-deleted entry of every listed manifest.
+    */
+  private[sources] def liveFiles(spark: SparkSession, table: String,
+      meta: com.fasterxml.jackson.databind.JsonNode,
+      snapshotId: Long): Seq[String] =
+    liveEntries(spark, table, meta, snapshotId).map(_._1)
+
+  // ---- partition pruning on identity transforms ------------------------
+
+  /** IDENTITY-transform partition fields per spec-id: (spec field
+    * name → the source column's StructField). Non-identity transforms
+    * (bucket, truncate, days, ...) are not prunable by a column
+    * predicate and are skipped. Reads `partition-specs`; falls back to
+    * the deprecated v1 top-level `partition-spec`.
+    */
+  private[sources] def identitySpecs(
+      meta: com.fasterxml.jackson.databind.JsonNode)
+      : Map[Int, Seq[(String, StructField)]] = {
+    val byId = schemaFieldsById(meta)
+    def fieldsOf(arr: com.fasterxml.jackson.databind.JsonNode)
+        : Seq[(String, StructField)] =
+      arr.elements().asScala.toSeq.flatMap { f =>
+        if (f.get("transform").asText() == "identity")
+          byId.get(f.get("source-id").asInt())
+            .map(sf => (f.get("name").asText(), sf))
+        else None
+      }
+    val specs = Option(meta.get("partition-specs"))
+      .map(_.elements().asScala.toSeq.map(s =>
+        s.get("spec-id").asInt() ->
+          Option(s.get("fields")).map(fieldsOf).getOrElse(Seq.empty))
+        .toMap)
+      .getOrElse(Map.empty[Int, Seq[(String, StructField)]])
+    if (specs.nonEmpty) specs
+    else Option(meta.get("partition-spec")).filter(_.isArray)
+      .map(arr => Map(0 -> fieldsOf(arr)))
+      .getOrElse(Map.empty)
+  }
+
+  /** Avro partition value → the Spark value of the SOURCE column's
+    * type. Throws on shapes it cannot convert — callers treat that as
+    * "not prunable" and keep the file.
+    */
+  private def avroPartitionValue(v: AnyRef, dt: DataType): Any =
+    v match {
+      case null => null
+      case u: org.apache.avro.util.Utf8 => u.toString
+      case s: java.lang.String => s
+      case i: java.lang.Integer => dt match {
+        case DateType => java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(i.longValue()))
+        case LongType => i.longValue()
+        case IntegerType => i.intValue()
+        case _ => throw new IllegalArgumentException(s"int vs $dt")
+      }
+      case l: java.lang.Long => dt match {
+        case TimestampType =>
+          val ts = new java.sql.Timestamp(
+            Math.floorDiv(l.longValue(), 1000000L) * 1000L)
+          ts.setNanos((Math.floorMod(l.longValue(), 1000000L) * 1000L)
+            .toInt)
+          ts
+        case LongType => l.longValue()
+        case _ => throw new IllegalArgumentException(s"long vs $dt")
+      }
+      case d: java.lang.Double => d.doubleValue()
+      case f: java.lang.Float => f.floatValue()
+      case b: java.lang.Boolean => b.booleanValue()
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition value ${other.getClass}")
+    }
+
+  private def conjunctsOf(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjunctsOf(l) ++ conjunctsOf(r)
+      case other => Seq(other)
+    }
+
+  /** Prune `entries` ((payload, spec-id, raw partition record)) to
+    * the files a `where` predicate can match, using identity-transform
+    * partition values — the manifest-level scan-cost cut a real
+    * Iceberg reader performs on a partitioned tree. EXACT for
+    * top-level conjuncts whose references are all identity partition
+    * columns of the file's spec (identity means every row in the file
+    * carries exactly the tuple's values, so predicate-on-tuple ≡
+    * predicate-on-rows); other conjuncts, non-identity transforms,
+    * unconvertible values, or parse failures prune nothing — the
+    * returned set is always a superset of the matching files, and the
+    * caller applies the row filter regardless. Driver-side over
+    * O(files) tuples, the same metadata class as the manifest read.
+    */
+  private[sources] def partitionPrune[T](spark: SparkSession,
+      meta: com.fasterxml.jackson.databind.JsonNode,
+      entries: Seq[(T, Int, Option[GenericRecord])],
+      whereSql: String): Seq[T] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val specs = identitySpecs(meta)
+    if (specs.forall(_._2.isEmpty)) return entries.map(_._1)
+    val parsed = scala.util.Try(
+      spark.sessionState.sqlParser.parseExpression(whereSql))
+    if (parsed.isFailure) return entries.map(_._1)
+    val cs = conjunctsOf(parsed.get).map { c =>
+      (c, c.collect { case a: UnresolvedAttribute => a.name }.toSet)
+    }
+    entries.groupBy(_._2).toSeq.flatMap { case (specId, group) =>
+      val fields = specs.getOrElse(specId, Seq.empty)
+      val names = fields.map(_._2.name).toSet
+      val usable = cs.filter { case (_, r) =>
+        r.nonEmpty && r.subsetOf(names) }
+      if (fields.isEmpty || usable.isEmpty) group.map(_._1)
+      else scala.util.Try {
+        val schema = StructType(fields.map { case (_, sf) =>
+          StructField(sf.name, sf.dataType, nullable = true) })
+          .add("__graft_part_idx",
+            org.apache.spark.sql.types.LongType, nullable = false)
+        val rows = group.zipWithIndex.map { case ((_, _, rec), i) =>
+          val r = rec.getOrElse(throw new IllegalArgumentException(
+            "entry without partition record"))
+          org.apache.spark.sql.Row.fromSeq(fields.map {
+            case (specName, sf) =>
+              val fld = r.getSchema.getField(specName)
+              if (fld == null) throw new IllegalArgumentException(
+                s"partition record lacks field $specName")
+              avroPartitionValue(r.get(specName), sf.dataType)
+          } :+ i.toLong)
+        }
+        var df = spark.createDataFrame(rows.asJava, schema)
+        usable.foreach { case (c, _) => df = df.filter(c.sql) }
+        val kept = df.select("__graft_part_idx").collect()
+          .map(_.getLong(0)).toSet
+        group.zipWithIndex.collect {
+          case ((t, _, _), i) if kept(i.toLong) => t }
+      }.getOrElse(group.map(_._1)) // not prunable → keep (never drop)
     }
   }
 
@@ -947,28 +1097,44 @@ object IcebergInterop {
     * `VERSION AS OF` for the open format. Metadata is O(manifests)
     * small driver-side reads; the data scan is one ordinary
     * schema-declared multi-path parquet read.
+    *
+    * `where` (a SQL predicate string) filters the result AND prunes
+    * the file list at the MANIFEST level on identity-transform
+    * partition values ([[partitionPrune]]) — on a partitioned foreign
+    * tree the scan never lists or opens non-matching partitions'
+    * files, the cost cut a real Iceberg reader gets from its
+    * manifests. Without it, a partitioned tree still reads correctly
+    * (Iceberg data files carry all data columns) but scans every
+    * live file.
     */
   def readIceberg(spark: SparkSession, table: String,
-      snapshotId: Option[Long] = None): DataFrame = {
+      snapshotId: Option[Long] = None,
+      where: Option[String] = None): DataFrame = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no Iceberg metadata at $table")
     val meta = parseMetadata(spark, table, vs.max)
     if (formatVersion(meta) == 2)
-      return IcebergV2.read(spark, table, meta, snapshotId)
+      return IcebergV2.read(spark, table, meta, snapshotId, where)
     val plain = schemaOf(meta) // validates column types up front
     val snap = snapshotId.getOrElse(
       meta.get("current-snapshot-id").asLong())
-    val files = liveFiles(spark, table, meta, snap)
+    val entries = liveEntries(spark, table, meta, snap)
+    val files = where.fold(entries.map(_._1))(w =>
+      partitionPrune(spark, meta,
+        entries.map(e => (e._1, e._2, e._3)), w))
       .map(rel => resolvePath(table, rel).toString)
-    if (files.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], plain)
-    else {
-      // id-matched when the files carry field ids (foreign writers):
-      // a renamed column's old files still serve their values
-      scanReader(spark, meta, files.headOption.map(new Path(_)))
-        .parquet(files: _*)
-    }
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], plain)
+      else
+        // id-matched when the files carry field ids (foreign
+        // writers): a renamed column's old files still serve values
+        scanReader(spark, meta, files.headOption.map(new Path(_)))
+          .parquet(files: _*)
+    // pruning is file-level; the row predicate still applies
+    where.fold(base)(w =>
+      base.filter(org.apache.spark.sql.functions.expr(w)))
   }
 
   /** Snapshot ids this table retains, ascending — the time-travel

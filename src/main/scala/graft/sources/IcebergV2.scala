@@ -622,7 +622,8 @@ object IcebergV2 {
   // ---- read ------------------------------------------------------------------
 
   private case class FileEntry(path: String, seq: Long, content: Int,
-      eqIds: Seq[Int])
+      eqIds: Seq[Int], specId: Int = 0,
+      part: Option[GenericRecord] = None)
 
   /** Field access tolerant of writer schemas that OMIT optional v2
     * fields entirely (GenericRecord.get throws on unknown names).
@@ -638,10 +639,18 @@ object IcebergV2 {
 
   /** Canonical URI form for file-path matching: Hadoop and Spark's
     * `_metadata.file_path` render the local scheme with one and three
-    * slashes respectively.
+    * slashes respectively, and Spark's rendering is URL-ENCODED
+    * (space → %20) while a real writer's manifest/delete files carry
+    * the raw location string — so a percent-escaped rendering decodes
+    * before the match. A literal `+` is a path character, not a
+    * form-encoded space, hence the pre-escape.
     */
-  private def canonUri(c: Column): Column =
-    regexp_replace(c, "^file:/+", "file:///")
+  private def canonUri(c: Column): Column = {
+    val norm = regexp_replace(c, "^file:/+", "file:///")
+    when(norm.rlike("%[0-9A-Fa-f]{2}"),
+      url_decode(regexp_replace(norm, "\\+", "%2B")))
+      .otherwise(norm)
+  }
 
   private val SeqCol = "_ice_seq"
   private val PathCol = "_ice_path"
@@ -649,12 +658,17 @@ object IcebergV2 {
 
   /** Resolve a v2 tree at `snapshotId` (default: current): data
     * files grouped by data sequence number, position then equality
-    * deletes applied with the spec's sequence-number rules. Called by
-    * [[IcebergInterop.readIceberg]] — not directly.
+    * deletes applied with the spec's sequence-number rules. `where`
+    * prunes data files on identity partition values
+    * ([[IcebergInterop.partitionPrune]]) and filters the result;
+    * delete files are never pruned (a delete for a pruned partition
+    * is simply inert). Called by [[IcebergInterop.readIceberg]] — not
+    * directly.
     */
   private[sources] def read(spark: SparkSession, table: String,
       meta: com.fasterxml.jackson.databind.JsonNode,
-      snapshotId: Option[Long]): DataFrame = {
+      snapshotId: Option[Long],
+      where: Option[String] = None): DataFrame = {
     val schema = schemaOf(meta)
     val byId = schemaFieldsById(meta)
     val snapId = snapshotId.getOrElse(
@@ -667,6 +681,7 @@ object IcebergV2 {
     val entries = readAvro(spark, listPath).flatMap { mf =>
       val mSeq = longOf(mf, "sequence_number").getOrElse(0L)
       val mPath = mf.get("manifest_path").toString
+      val specId = intOf(mf, "partition_spec_id").getOrElse(0)
       readAvro(spark, resolvePath(table, mPath))
         .filter(e => e.get("status").asInstanceOf[Int] != 2)
         .map { e =>
@@ -681,12 +696,17 @@ object IcebergV2 {
             .map(_.asInstanceOf[java.util.List[_]].asScala
               .map(_.asInstanceOf[java.lang.Integer].intValue()).toSeq)
             .getOrElse(Seq.empty)
+          val part = fieldOpt(df, "partition")
+            .map(_.asInstanceOf[GenericRecord])
           FileEntry(resolvePath(table,
             df.get("file_path").toString).toString,
-            seq, intOf(df, "content").getOrElse(0), eqIds)
+            seq, intOf(df, "content").getOrElse(0), eqIds, specId, part)
         }
     }
-    val dataFiles = entries.filter(_.content == 0)
+    val dataFiles = where.fold(entries.filter(_.content == 0))(w =>
+      partitionPrune(spark, meta,
+        entries.filter(_.content == 0)
+          .map(f => (f, f.specId, f.part)), w))
     val posDels = entries.filter(_.content == 1)
     val eqDels = entries.filter(_.content == 2)
     if (dataFiles.isEmpty)
@@ -776,7 +796,9 @@ object IcebergV2 {
           .filter(col("_ed_seq").isNull || col("_ed_seq") <= col(SeqCol))
           .drop("_ed_seq" +: cols.map(f => s"_ed_${f.name}"): _*)
       }
-    data.select(schema.fieldNames.map(col).toSeq: _*)
+    val out = data.select(schema.fieldNames.map(col).toSeq: _*)
+    // pruning is file-level; the row predicate still applies
+    where.fold(out)(w => out.filter(expr(w)))
   }
 
   /** (delete files, delete rows) referenced by the CURRENT snapshot —

@@ -377,6 +377,249 @@ class IcebergV2Spec extends AnyFunSuite with SparkTestBase {
     assert(IcebergV2.exportIncremental(spark, root, ice).isEmpty)
   }
 
+  test("position deletes match across URI renderings: a data path " +
+      "with a space (raw in the writer's manifests, %20-encoded in " +
+      "Spark's _metadata.file_path) still resolves") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = tmp("icev2_uri edge") // note the space
+    new java.io.File(dir, "metadata").mkdirs()
+    val fileSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("amount", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, 10.0),
+        org.apache.spark.sql.Row(2L, 20.0)), 1), fileSchema)
+      .sortWithinPartitions("k")
+      .write.parquet(s"$dir/data/d 0")
+    val dataFile = new java.io.File(s"$dir/data/d 0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    // the delete file references the data file by its RAW location
+    // string (what real writers store) — no percent-encoding
+    Seq((s"file:${dataFile.getAbsolutePath}", 0L))
+      .toDF("file_path", "pos").coalesce(1)
+      .write.parquet(s"$dir/data/pd 0")
+    val pdFile = new java.io.File(s"$dir/data/pd 0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int","field-id":0},
+        |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+        |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int","field-id":134},
+        |{"name":"file_path","type":"string","field-id":100},
+        |{"name":"file_format","type":"string","field-id":101},
+        |{"name":"record_count","type":"long","field-id":103},
+        |{"name":"file_size_in_bytes","type":"long","field-id":104}
+        |]}}]}""".stripMargin)
+    def writeManifest(name: String, content: Int, path: String,
+        rows: Long): Unit = {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](entrySchema))
+      w.create(entrySchema, new java.io.FileOutputStream(
+        new java.io.File(dir, s"metadata/$name")))
+      val df = new GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      df.put("content", content)
+      df.put("file_path", path)
+      df.put("file_format", "PARQUET")
+      df.put("record_count", rows)
+      df.put("file_size_in_bytes", 1L)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("sequence_number", null)
+      e.put("data_file", df)
+      w.append(e)
+      w.close()
+    }
+    writeManifest("m-data.avro", 0,
+      s"file:${dataFile.getAbsolutePath}", 2L)
+    writeManifest("m-del.avro", 1,
+      s"file:${pdFile.getAbsolutePath}", 1L)
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string","field-id":500},
+        |{"name":"manifest_length","type":"long","field-id":501},
+        |{"name":"content","type":"int","field-id":517},
+        |{"name":"sequence_number","type":"long","field-id":515}
+        |]}""".stripMargin)
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](listSchema))
+    lw.create(listSchema, new java.io.FileOutputStream(
+      new java.io.File(dir, "metadata/snap-0.avro")))
+    Seq(("m-data.avro", 0), ("m-del.avro", 1)).foreach { case (n, c) =>
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", s"metadata/$n")
+      r.put("manifest_length", 1L)
+      r.put("content", c)
+      r.put("sequence_number", 1L)
+      lw.append(r)
+    }
+    lw.close()
+    java.nio.file.Files.writeString(new java.io.File(dir,
+      "metadata/v0.metadata.json").toPath,
+      s"""{"format-version":2,"last-sequence-number":1,
+         |"current-schema-id":0,"schemas":[{"type":"struct",
+         |"schema-id":0,"fields":[
+         |{"id":1,"name":"k","required":false,"type":"long"},
+         |{"id":2,"name":"amount","required":false,"type":"double"}]}],
+         |"current-snapshot-id":0,"snapshots":[{"snapshot-id":0,
+         |"sequence-number":1,
+         |"manifest-list":"$dir/metadata/snap-0.avro"}]}"""
+        .stripMargin.replace("\n", ""))
+    // row 0 (k=1) is position-deleted; a rendering mismatch would
+    // silently serve BOTH rows
+    assert(state(IcebergInterop.readIceberg(spark, dir)) ==
+      Map(2L -> 20.0))
+  }
+
+  test("a partitioned foreign tree prunes files on identity-" +
+      "transform predicates at the MANIFEST level: values unchanged, " +
+      "physical file set a strict subset; non-identity conjuncts and " +
+      "mixed predicates never over-prune") {
+    import org.apache.spark.sql.types._
+    val dir = tmp("icev2_part")
+    new java.io.File(dir, "metadata").mkdirs()
+    // two identity-partitioned data files (p=1, p=2); Iceberg data
+    // files CARRY the partition source column
+    val rows1 = Seq(
+      org.apache.spark.sql.Row(1L, 10.0, 1), org.apache.spark.sql.Row(2L, 20.0, 1))
+    val rows2 = Seq(
+      org.apache.spark.sql.Row(3L, 30.0, 2), org.apache.spark.sql.Row(4L, 40.0, 2))
+    val fileSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("amount", DoubleType, nullable = false),
+      StructField("p", IntegerType, nullable = false)))
+    def writeData(sub: String,
+        rows: Seq[org.apache.spark.sql.Row]): java.io.File = {
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), fileSchema)
+        .write.parquet(s"$dir/data/$sub")
+      new java.io.File(s"$dir/data/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+    }
+    val f1 = writeData("p1", rows1)
+    val f2 = writeData("p2", rows2)
+    // manifests whose entries carry the partition record {p: int}
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int","field-id":0},
+        |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+        |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int","field-id":134},
+        |{"name":"file_path","type":"string","field-id":100},
+        |{"name":"file_format","type":"string","field-id":101},
+        |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[
+        |{"name":"p","type":"int","field-id":1000}]}},
+        |{"name":"record_count","type":"long","field-id":103},
+        |{"name":"file_size_in_bytes","type":"long","field-id":104}
+        |]}}]}""".stripMargin)
+    def writeManifest(name: String, path: String, p: Int): Unit = {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](entrySchema))
+      w.create(entrySchema, new java.io.FileOutputStream(
+        new java.io.File(dir, s"metadata/$name")))
+      val dfSchema = entrySchema.getField("data_file").schema()
+      val part = new GenericData.Record(
+        dfSchema.getField("partition").schema())
+      part.put("p", p)
+      val df = new GenericData.Record(dfSchema)
+      df.put("content", 0)
+      df.put("file_path", s"file:${path}")
+      df.put("file_format", "PARQUET")
+      df.put("partition", part)
+      df.put("record_count", 2L)
+      df.put("file_size_in_bytes", 1L)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("sequence_number", null)
+      e.put("data_file", df)
+      w.append(e)
+      w.close()
+    }
+    writeManifest("m-p1.avro", f1.getAbsolutePath, 1)
+    writeManifest("m-p2.avro", f2.getAbsolutePath, 2)
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string","field-id":500},
+        |{"name":"manifest_length","type":"long","field-id":501},
+        |{"name":"partition_spec_id","type":"int","field-id":502},
+        |{"name":"content","type":"int","field-id":517},
+        |{"name":"sequence_number","type":"long","field-id":515}
+        |]}""".stripMargin)
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](listSchema))
+    lw.create(listSchema, new java.io.FileOutputStream(
+      new java.io.File(dir, "metadata/snap-0.avro")))
+    Seq("m-p1.avro", "m-p2.avro").foreach { n =>
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", s"metadata/$n")
+      r.put("manifest_length", 1L)
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("sequence_number", 1L)
+      lw.append(r)
+    }
+    lw.close()
+    // v2 metadata with an identity partition spec AND a bucket field
+    // (the bucket transform must not participate in pruning)
+    java.nio.file.Files.writeString(new java.io.File(dir,
+      "metadata/v0.metadata.json").toPath,
+      s"""{"format-version":2,"last-sequence-number":1,
+         |"current-schema-id":0,"schemas":[{"type":"struct",
+         |"schema-id":0,"fields":[
+         |{"id":1,"name":"k","required":false,"type":"long"},
+         |{"id":2,"name":"amount","required":false,"type":"double"},
+         |{"id":3,"name":"p","required":false,"type":"int"}]}],
+         |"default-spec-id":0,"partition-specs":[{"spec-id":0,
+         |"fields":[
+         |{"name":"p","transform":"identity","source-id":3,"field-id":1000},
+         |{"name":"k_bucket","transform":"bucket[4]","source-id":1,"field-id":1001}]}],
+         |"current-snapshot-id":0,"snapshots":[{"snapshot-id":0,
+         |"sequence-number":1,
+         |"manifest-list":"$dir/metadata/snap-0.avro"}]}"""
+        .stripMargin.replace("\n", ""))
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.toPartitionArray
+            .map(_.filePath.toString).toSeq
+      }.flatten.toSet
+    // unpruned read serves all four rows over both files
+    val all = IcebergInterop.readIceberg(spark, dir)
+    assert(state(all) ==
+      Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0, 4L -> 40.0))
+    assert(scannedFiles(all).size == 2)
+    // identity predicate: values identical to filter-after-read,
+    // physical file set a STRICT SUBSET (only the p=1 file)
+    val pruned = IcebergInterop.readIceberg(spark, dir,
+      where = Some("p = 1"))
+    assert(state(pruned) == Map(1L -> 10.0, 2L -> 20.0))
+    val sf = scannedFiles(pruned)
+    assert(sf.size == 1 && sf.forall(_.contains("/p1/")),
+      s"identity predicate did not prune: $sf")
+    // mixed predicate prunes on its identity conjunct and still
+    // row-filters the rest
+    val mixed = IcebergInterop.readIceberg(spark, dir,
+      where = Some("p = 2 AND amount > 35"))
+    assert(state(mixed) == Map(4L -> 40.0))
+    assert(scannedFiles(mixed).forall(_.contains("/p2/")))
+    // a conjunct over a NON-identity-partitioned column prunes
+    // nothing and loses nothing
+    val byK = IcebergInterop.readIceberg(spark, dir,
+      where = Some("k >= 4"))
+    assert(state(byK) == Map(4L -> 40.0))
+    assert(scannedFiles(byK).size == 2)
+    // the DataFrameReader shim exposes the same pruning via
+    // option("filter", ...)
+    val viaShim = spark.read.format("graft-iceberg")
+      .option("path", dir).option("filter", "p = 1").load()
+    assert(viaShim.select("k", "amount").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+      Map(1L -> 10.0, 2L -> 20.0))
+  }
+
   test("a MISSING v2 export state next to committed metadata " +
       "self-heals on our OWN lineage (deterministic table-uuid) — " +
       "the old delete-then-rename crash window no longer bricks the " +
