@@ -169,6 +169,70 @@ object Dedup {
       : DataFrame =
     segmentDedup(docs, idCol, textCol, lineArray, "\n")
 
+  /** PARAGRAPH-GRANULAR near-dup dedup — the CCNet/RefinedWeb move
+    * the per-document MinHash path cannot express: near-duplicate
+    * SEGMENTS (newline paragraphs) are removed even when their host
+    * documents are globally dissimilar. A segment occurrence survives
+    * iff no EARLIER segment (corpus order = (id, segment index)) is
+    * near-identical: identical earlier ⇒ dropped (exact stage),
+    * exact shingle-Jaccard >= `threshold` to an earlier FIRST
+    * occurrence ⇒ dropped (near stage). Documents rebuild from their
+    * surviving segments, [[lineDedup]]'s contract: (id, n_chunks,
+    * n_kept, clean_text).
+    *
+    * Two-stage shape — the identical-segment mass never reaches the
+    * pair machinery: stage 1 is [[lineDedup]]'s hash-keyed min-struct
+    * (first occurrence per distinct text; a boilerplate line repeated
+    * 10⁹ times folds map-side and contributes ONE representative),
+    * stage 2 runs MinHash banding + exact-Jaccard verification over
+    * the DISTINCT representatives only (signature per segment,
+    * band-bucket per segment — [[minhashCandidatesFromSigs]] /
+    * [[verifyJaccard]] reused verbatim, never all-pairs). Dropping
+    * later-first representatives of verified pairs is equivalent to
+    * the per-occurrence rule: any non-first occurrence has its own
+    * first (similarity 1) earlier, and a first's earlier near-dups
+    * have even earlier firsts. Representative order rides one long:
+    * id·2²⁰ + segment index (indexes above 2²⁰ refuse in-plan).
+    *
+    * Recall is LSH-statistical (bands=16, r=2 ⇒ a 0.8-similar pair
+    * collides with p ≈ 1−1.7e-8); precision is exact (verification).
+    */
+  def paragraphNearDup(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, k: Int = 32, bands: Int = 16,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val SegScale = 1L << 20
+    val segs = docs
+      .select(col(idCol).as("_cd_id"),
+        explode(lineArray(col(textCol))).as("c"))
+      .select(col("_cd_id"), col("c.chunk_idx"), col("c.chunk_text"))
+    // stage 1: corpus-order-first occurrence per distinct segment text
+    val guardedIdx = when(col("first.chunk_idx") < SegScale,
+      col("first.chunk_idx")).otherwise(raise_error(lit(
+      s"paragraphNearDup: segment index >= $SegScale breaks " +
+        "representative ordering")))
+    val firsts = segs
+      .groupBy(col("chunk_text"))
+      .agg(min(struct(col("_cd_id"), col("chunk_idx"))).as("first"))
+      .select(col("chunk_text"), col("first._cd_id").as("_f_id"),
+        col("first.chunk_idx").as("_f_idx"),
+        (col("first._cd_id") * lit(SegScale) + guardedIdx).as("rep"))
+    // stage 2: banded candidates + exact verification over DISTINCT
+    // representatives; a verified pair drops its LATER side
+    val sigs = firsts.select(col("rep").as("doc_id"),
+      minhashSignature(col("chunk_text"), k).as("sig"))
+    val dropped = verifyJaccard(
+      firsts.select(col("rep"), col("chunk_text")), "rep", "chunk_text",
+      minhashCandidatesFromSigs(sigs, k, bands, bucketCap)
+        .select(col("id_a"), col("id_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_b").as("rep")).distinct()
+    val kept = firsts.join(dropped, Seq("rep"), "left_anti")
+      .groupBy(col("_f_id").as("_cd_id"))
+      .agg(sort_array(collect_list(col("_f_idx"))).as("_cd_kept"))
+    rebuildFromKept(docs, idCol, textCol, lineArray, "\n", kept)
+  }
+
   private def segmentDedup(docs: DataFrame, idCol: String,
       textCol: String, seg: Column => Column, sep: String): DataFrame = {
     val keys = docs

@@ -416,6 +416,27 @@ private[queries] object TierCDedup {
           col("n_kept"), col("clean_text"))
         .orderBy(col("doc_id"))),
 
+    // C1h3 — PARAGRAPH-GRANULAR near-dup dedup (the CCNet/RefinedWeb
+    // segment-level sweep): a 32-token paragraph is removed when an
+    // EARLIER paragraph anywhere in the corpus is identical (exact
+    // stage, hash min-struct — no pairs) or >= 0.8 shingle-Jaccard
+    // similar (MinHash banding over DISTINCT representatives + exact
+    // verification). The slice bounds the oracle's quadratic
+    // all-pairs check, not the operator (which is banded by
+    // construction). 32-token paragraphs make one-token edits land
+    // at ~0.82 Jaccard — above the threshold, the planted near-dup
+    // docs' edited paragraphs drop while unrelated paragraphs stay.
+    "q_paragraph_neardup" -> ((s, d) =>
+      Dedup.paragraphNearDup(
+        Tables.documents(s, d).filter(col("doc_id") < 400)
+          .withColumn("text", concat_ws("\n",
+            transform(Dedup.chunkArray(col("text"), 32),
+              c => c("chunk_text")))),
+        "doc_id", "text", threshold = 0.8, bucketCap = 4096)
+        .select(col("doc_id"), col("n_chunks").as("n_paragraphs"),
+          col("n_kept"), col("clean_text"))
+        .orderBy(col("doc_id"))),
+
     // C1i — exact-substring dedup (ExactSubstr, Lee et al. 2022):
     // remove EVERY repeat of >= 8 tokens at ANY alignment — the
     // guarantee chunk-granularity dedup cannot give (a repeat
@@ -642,6 +663,44 @@ private[queries] object TierCDedup {
         "string_agg(line_text, chr(10) ORDER BY line_idx) AS clean_text " +
         "FROM k WHERE rn = 1 GROUP BY doc_id) " +
         lineRebuildSql),
+
+    // 32-token paragraphs; firsts = row_number 1 per distinct text in
+    // (doc_id, line_idx) order; the drop set is the EXHAUSTIVE
+    // all-pairs shingle-Jaccard >= 0.8 join over firsts (later side
+    // drops); rebuild = newline-joined survivors
+    "q_paragraph_neardup" ->
+      ("WITH t AS (SELECT doc_id, list_filter(" +
+        "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents WHERE doc_id < 400), " +
+        "ln AS (SELECT doc_id, i AS line_idx, " +
+        "array_to_string(toks[(i*32+1):(i*32+32)], ' ') AS line_text " +
+        "FROM t, unnest(range(0, CAST(ceil(len(toks)/32.0) AS INT))) " +
+        "AS u(i) WHERE len(toks) > 0), " +
+        "f AS (SELECT doc_id, line_idx, line_text, row_number() " +
+        "OVER (PARTITION BY line_text ORDER BY doc_id, line_idx) " +
+        "AS rn FROM ln), " +
+        "firsts AS (SELECT doc_id, line_idx, line_text, " +
+        "doc_id * 1048576 + line_idx AS rep FROM f WHERE rn = 1), " +
+        "shp AS (SELECT rep, list_distinct(CASE WHEN len(lt) < 3 " +
+        "THEN [array_to_string(lt, ' ')] " +
+        "ELSE list_transform(range(1, len(lt)-1), " +
+        "i -> lt[i] || ' ' || lt[i+1] || ' ' || lt[i+2]) END) AS s " +
+        "FROM (SELECT rep, list_filter(regexp_split_to_array(" +
+        "trim(line_text), '\\s+'), x -> x <> '') AS lt FROM firsts)), " +
+        "drops AS (SELECT DISTINCT b.rep FROM shp a JOIN shp b " +
+        "ON a.rep < b.rep WHERE " +
+        "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+        "len(list_distinct(a.s || b.s)) >= 0.8), " +
+        "kept AS (SELECT firsts.* FROM firsts LEFT JOIN drops " +
+        "ON firsts.rep = drops.rep WHERE drops.rep IS NULL), " +
+        "s AS (SELECT doc_id, COUNT(*) AS n_kept, " +
+        "string_agg(line_text, chr(10) ORDER BY line_idx) " +
+        "AS clean_text FROM kept GROUP BY doc_id) " +
+        "SELECT t.doc_id, CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE " +
+        "ceil(len(toks)/32.0) END AS BIGINT) AS n_paragraphs, " +
+        "CAST(COALESCE(s.n_kept, 0) AS BIGINT) AS n_kept, " +
+        "COALESCE(s.clean_text, '') AS clean_text " +
+        "FROM t LEFT JOIN s USING (doc_id) ORDER BY t.doc_id"),
 
     // identical line derivation; the kept set is every line OUTSIDE
     // the >= 3-distinct-doc hot set

@@ -423,7 +423,26 @@ private[queries] object TierCText {
         "doc_id", "text",
         Tables.documents(s, d).filter(col("lang") === "en"),
         keep = Seq("lang"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // C20 — DSIR importance resampling (Xie et al. 2023): select the
+    // 50 documents distributed like the `lang='en'` target domain by
+    // resampling the WHOLE raw pool under importance weights
+    // p_target/q_raw — the ratio of two pooled bigram-LM estimates
+    // (exact-integer sufficient statistics under each model, three
+    // fixed-order IEEE ops for the ratio), selection via the
+    // id-derived priority sample. Training, smoothing, the weight,
+    // and the selection are ALL inside the DuckDB hash.
+    "q_dsir_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.operators.Dsir.resample(
+        graft.operators.Dsir.weights(docs, "doc_id", "text",
+          target = docs.filter(col("lang") === "en"), raw = docs),
+        "doc_id", 50)
+        .select(col("doc_id"), col("t_num"), col("t_den"),
+          col("r_num"), col("r_den"), col("weight"), col("priority"))
+    })
   )
 
   /** Persisted 40-merge BPE build over the documents table — one-time
@@ -728,6 +747,52 @@ private[queries] object TierCText {
         "CAST(SUM(COALESCE(c1, 0) + v) AS BIGINT) AS sum_den, " +
         "CAST(SUM(COALESCE(c1, 0) + v) AS DOUBLE) / " +
         "CAST(SUM(COALESCE(c12, 0) + 1) AS DOUBLE) AS ppl_proxy " +
-        "FROM j GROUP BY doc_id, lang ORDER BY doc_id")
+        "FROM j GROUP BY doc_id, lang ORDER BY doc_id"),
+
+    // DSIR: the q_lm_score model CTEs instantiated TWICE (target =
+    // lang='en', raw = whole corpus), weight = the ratio of pooled
+    // estimates in the same fixed IEEE op order as the engine, then
+    // the q_weighted_sample priority formula over the weight
+    "q_dsir_weights" ->
+      ("WITH t AS (SELECT doc_id, lang, list_filter(" +
+        "regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "bg AS (SELECT doc_id, lang, CASE WHEN len(toks) < 2 " +
+        "THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_transform(range(1, len(toks)), " +
+        "i -> toks[i] || ' ' || toks[i+1]) END AS b FROM t), " +
+        "c12t AS (SELECT bigram, COUNT(*) AS c12 FROM " +
+        "(SELECT unnest(b) AS bigram FROM bg WHERE lang = 'en') " +
+        "GROUP BY bigram), " +
+        "c1t AS (SELECT w, COUNT(*) AS c1 FROM " +
+        "(SELECT unnest(toks) AS w FROM t WHERE lang = 'en') " +
+        "GROUP BY w), " +
+        "vt AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1t), " +
+        "c12r AS (SELECT bigram, COUNT(*) AS c12 FROM " +
+        "(SELECT unnest(b) AS bigram FROM bg) GROUP BY bigram), " +
+        "c1r AS (SELECT w, COUNT(*) AS c1 FROM " +
+        "(SELECT unnest(toks) AS w FROM t) GROUP BY w), " +
+        "vr AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1r), " +
+        "x AS (SELECT doc_id, unnest(b) AS bigram FROM bg), " +
+        "jt AS (SELECT x.doc_id, " +
+        "CAST(SUM(COALESCE(c12t.c12, 0) + 1) AS BIGINT) AS t_num, " +
+        "CAST(SUM(COALESCE(c1t.c1, 0) + vt.v) AS BIGINT) AS t_den " +
+        "FROM x LEFT JOIN c12t USING (bigram) " +
+        "LEFT JOIN c1t ON string_split(x.bigram, ' ')[1] = c1t.w " +
+        "CROSS JOIN vt GROUP BY x.doc_id), " +
+        "jr AS (SELECT x.doc_id, " +
+        "CAST(SUM(COALESCE(c12r.c12, 0) + 1) AS BIGINT) AS r_num, " +
+        "CAST(SUM(COALESCE(c1r.c1, 0) + vr.v) AS BIGINT) AS r_den " +
+        "FROM x LEFT JOIN c12r USING (bigram) " +
+        "LEFT JOIN c1r ON string_split(x.bigram, ' ')[1] = c1r.w " +
+        "CROSS JOIN vr GROUP BY x.doc_id), " +
+        "w AS (SELECT jt.doc_id, t_num, t_den, r_num, r_den, " +
+        "(CAST(t_num AS DOUBLE) * CAST(r_den AS DOUBLE)) / " +
+        "(CAST(t_den AS DOUBLE) * CAST(r_num AS DOUBLE)) AS weight " +
+        "FROM jt JOIN jr ON jt.doc_id = jr.doc_id) " +
+        "SELECT doc_id, t_num, t_den, r_num, r_den, weight, " +
+        "((CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 0.5) " +
+        "/ 4294967296.0) / weight AS priority " +
+        "FROM w ORDER BY priority, doc_id LIMIT 50")
   )
 }

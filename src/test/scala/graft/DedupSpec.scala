@@ -346,6 +346,46 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(bp(3L) === ((0L, "")))
   }
 
+  test("paragraphNearDup drops identical AND near-identical later " +
+      "paragraphs (exact Jaccard verify), keeps dissimilar ones, and " +
+      "rebuilds in original order") {
+    import spark.implicits._
+    // 16-token paragraphs from a wide vocabulary; pb is pa with ONE
+    // interior token edited — 14 shingles, the edit kills 3 →
+    // Jaccard 11/17 ≈ 0.647 (so threshold 0.6 catches it, 0.7 not)
+    val pa = (1 to 16).map(i => s"a$i").mkString(" ")
+    val pb = ((1 to 8).map(i => s"a$i") ++ Seq("EDIT") ++
+      (10 to 16).map(i => s"a$i")).mkString(" ")
+    val pc = (1 to 16).map(i => s"c$i").mkString(" ")
+    val pd = (1 to 16).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$pa\n$pc"),       // both first occurrences — kept
+      (2L, s"$pb\n$pa\n$pd"),  // pb near-dups pa (earlier, doc 1);
+                               // pa identical-dups; pd survives
+      (3L, s"$pd")             // identical to doc 2's pd — dropped
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphNearDup(docs, "doc_id", "text",
+      threshold = 0.6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((2L, 2L, s"$pa\n$pc")))
+    assert(got(2L) === ((3L, 1L, s"$pd")))
+    assert(got(3L) === ((1L, 0L, "")))
+    // at threshold 0.7 the near-dup paragraph SURVIVES (its exact
+    // Jaccard 11/17 is below) — verification, not banding, decides
+    val hi = Dedup.paragraphNearDup(docs, "doc_id", "text",
+      threshold = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(hi(2L) === s"$pb\n$pd")
+    // the drop direction is corpus order, not similarity symmetry:
+    // swapping the docs keeps pb (now earlier) and drops pa
+    val swapped = Seq((1L, s"$pb"), (2L, s"$pa")).toDF("doc_id", "text")
+    val sw = Dedup.paragraphNearDup(swapped, "doc_id", "text",
+      threshold = 0.6)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(sw(1L) === pb && sw(2L) === "")
+  }
+
   test("substrDedup removes every >= k repeat at any alignment, " +
     "merging overlapping hit windows into maximal spans") {
     import spark.implicits._

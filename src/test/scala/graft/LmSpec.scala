@@ -102,4 +102,54 @@ class LmSpec extends AnyFunSuite with SparkTestBase {
       .orderBy(col("doc_id")).select("cross_entropy").collect()
     assert(ce(0).getDouble(0) < ce(1).getDouble(0))
   }
+
+  test("DSIR importance weights: the weight is exactly the ratio of " +
+      "the two pooled estimates, target-like documents outweigh " +
+      "off-domain ones, and resampling favors them") {
+    import spark.implicits._
+    // target domain repeats one bigram vocabulary; the raw pool mixes
+    // it with an off-domain vocabulary
+    val target = Seq((100L, "the cat sat"), (101L, "the cat ran"),
+      (102L, "the cat sat"))
+      .toDF("doc_id", "text")
+    val offDomain = Seq((200L, "xs qq zz"), (201L, "qq zz xs"))
+      .toDF("doc_id", "text")
+    val raw = target.unionByName(offDomain)
+    val probes = Seq((1L, "the cat sat"), (2L, "xs qq zz"))
+      .toDF("doc_id", "text")
+    val w = graft.operators.Dsir.weights(probes, "doc_id", "text",
+      target, raw).orderBy(col("doc_id")).collect()
+    // formula identity on every row: weight == (t_num·r_den)/(t_den·r_num)
+    w.foreach { r =>
+      val expect = (r.getAs[Long]("t_num").toDouble *
+        r.getAs[Long]("r_den").toDouble) /
+        (r.getAs[Long]("t_den").toDouble *
+          r.getAs[Long]("r_num").toDouble)
+      assert(r.getAs[Double]("weight") == expect, r.toString)
+    }
+    val byId = w.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("weight")).toMap
+    // the target-like probe is MORE likely under the target model
+    // than the pool model (weight > 1); the off-domain probe less
+    assert(byId(1L) > 1.0 && byId(2L) < 1.0, byId.toString)
+    assert(byId(1L) > byId(2L))
+    // resampling k=1 picks exactly the argmin of the deterministic
+    // priority u(id)/weight — the composition is reproducible
+    def u(id: Long): Double =
+      (((id * 2654435761L) % 4294967296L).toDouble + 0.5) / 4294967296.0
+    val expectWinner = byId.map { case (id, wt) => id -> u(id) / wt }
+      .minBy(_._2)._1
+    val picked = graft.operators.Dsir.resample(
+      graft.operators.Dsir.weights(probes, "doc_id", "text",
+        target, raw), "doc_id", 1).collect()
+    assert(picked.length == 1 &&
+      picked.head.getAs[Long]("doc_id") == expectWinner)
+    // partition-layout independence: same weights at 1 partition
+    val w1 = graft.operators.Dsir.weights(probes.repartition(7),
+      "doc_id", "text", target.coalesce(1), raw.repartition(3))
+      .orderBy(col("doc_id")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("weight"))
+      .toMap
+    assert(w1 == byId, s"$w1 vs $byId")
+  }
 }
