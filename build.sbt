@@ -11,6 +11,32 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// ---- test wall clock: suites run in N concurrently-forked JVMs ----
+// Each group is its OWN JVM (own SparkSession, own warehouse dir), so
+// suites keep the sequential shared-session semantics WITHIN a group
+// while the wall clock divides by ~N. Cross-JVM shared state is only
+// target/graft-data artifacts — committed via one-winner atomic
+// renames (Artifacts.commitOnce / the fixture's _SUCCESS check) — and
+// the sales-fixture suites, pinned into one group below.
+val testJvmGroups = 4
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  def groupOf(shortName: String, idx: Int): Int =
+    if (shortName.startsWith("Governance")) 0
+    else idx % testJvmGroups
+  tests.sortBy(_.name).zipWithIndex
+    .groupBy { case (t, i) =>
+      groupOf(t.name.stripPrefix("graft."), i) }
+    .toSeq.sortBy(_._1)
+    .map { case (g, ts) =>
+      Tests.Group(s"g$g", ts.map(_._1),
+        Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+    }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, testJvmGroups),
+  Tags.limitAll(32))
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -32,9 +32,10 @@ import graft.streaming.CdcApply
   * `partitionValues` (typed literals per file group — Catalyst
   * constant-folds partition predicates and prunes whole groups);
   * column mapping (name and id modes) resolves physical names /
-  * parquet field ids. Reader features beyond that (deletionVectors,
-  * v2Checkpoint, ...) are REFUSED loudly rather than silently
-  * misread.
+  * parquet field ids; deletion vectors ([[DeletionVectors]]) decode
+  * on executors and anti-join deleted row indexes away. Reader
+  * features beyond those (v2Checkpoint, ...) are REFUSED loudly
+  * rather than silently misread.
   *
   * Scale: an export is one snapshot write + one driver-side log
   * append; a read is one log replay (driver-side, O(commits) small
@@ -329,27 +330,34 @@ object DeltaInterop {
   }
 
   /** Reader features this engine implements for protocol v3 tables.
-    * Anything else (deletionVectors, v2Checkpoint, ...) refuses
-    * loudly — never misread.
+    * Anything else (v2Checkpoint, timestampNtz, ...) refuses loudly —
+    * never misread.
     */
-  private val SupportedReaderFeatures = Set("columnMapping")
+  private val SupportedReaderFeatures =
+    Set("columnMapping", "deletionVectors")
 
   /** Everything one ordered log replay yields: the latest declared
     * schema, its partition columns and table configuration, and the
     * net live file set — each file with its add-action
     * `partitionValues` (string-serialized per the protocol; a JSON
-    * null value reads as None). ONE pass over the commit files.
+    * null value reads as None) and its `deletionVector` descriptor
+    * when one rides the add. ONE pass over the commit files. An add
+    * for an already-live path REPLACES its entry — the DV-update
+    * commit shape (DELETE re-adds the file with a larger vector).
     */
+  private case class LiveFile(path: String,
+      partitionValues: Map[String, Option[String]],
+      dv: Option[DeletionVectors.DvDescriptor])
+
   private case class LogState(schema: Option[StructType],
       partitionColumns: Seq[String], config: Map[String, String],
-      files: Seq[(String, Map[String, Option[String]])])
+      files: Seq[LiveFile])
 
   private def replayLog(spark: SparkSession, table: String,
       vs: Seq[Long]): LogState = {
     import scala.jdk.CollectionConverters._
     val fs = CdcApply.fsFor(spark, table)
-    val live = scala.collection.mutable
-      .LinkedHashMap[String, Map[String, Option[String]]]()
+    val live = scala.collection.mutable.LinkedHashMap[String, LiveFile]()
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
     var config: Map[String, String] = Map.empty
@@ -401,19 +409,30 @@ object DeltaInterop {
                 (if (e.getValue.isNull) None
                  else Some(e.getValue.asText()))
             }.toMap).getOrElse(Map.empty[String, Option[String]])
-          live.put(a.get("path").asText(), pv)
+          val dv = Option(a.get("deletionVector"))
+            .filterNot(_.isNull).map { d =>
+              DeletionVectors.DvDescriptor(
+                d.get("storageType").asText(),
+                d.get("pathOrInlineDv").asText(),
+                Option(d.get("offset")).filterNot(_.isNull)
+                  .map(_.asLong()),
+                d.get("sizeInBytes").asInt(),
+                d.get("cardinality").asLong())
+            }
+          val path = a.get("path").asText()
+          live.put(path, LiveFile(path, pv, dv))
         }
         if (n.has("remove")) live.remove(
           n.get("remove").get("path").asText())
       }
     }
-    LogState(schema, partCols, config, live.toSeq)
+    LogState(schema, partCols, config, live.values.toSeq)
   }
 
   /** Table-relative live file paths after replaying `vs` in order. */
   private def readLiveFiles(spark: SparkSession, table: String,
       vs: Seq[Long]): Seq[String] =
-    replayLog(spark, table, vs).files.map(_._1)
+    replayLog(spark, table, vs).files.map(_.path)
 
   /** CONTINUOUS export: a Structured Streaming query tailing the CDC
     * table's changelog whose every micro-batch runs one
@@ -569,6 +588,11 @@ object DeltaInterop {
             "top-level primitive columns only")
       }
     }
+    // deletion vectors: any live file carrying one makes every scan
+    // attach its file/row-index metadata for the anti-join below
+    val anyDv = st.files.exists(_.dv.isDefined)
+    val helperCols =
+      if (anyDv) Seq("_dv_path", "_dv_idx") else Seq.empty[String]
     def physicalName(f: StructField): String =
       if (mode == "none") f.name
       else {
@@ -576,13 +600,18 @@ object DeltaInterop {
           s"column '${f.name}' lacks delta.columnMapping.physicalName")
         f.metadata.getString("delta.columnMapping.physicalName")
       }
+    def withMeta(df: DataFrame): DataFrame =
+      if (anyDv)
+        df.withColumn("_dv_path", col("_metadata.file_path"))
+          .withColumn("_dv_idx", col("_metadata.row_index"))
+      else df
     // scan one group of data files under LOGICAL names (data columns
     // only — partitioned files omit partition columns entirely)
     def scanGroup(paths: Seq[String]): DataFrame = mode match {
       case "none" =>
-        spark.read.schema(StructType(dataFields.map(f =>
+        withMeta(spark.read.schema(StructType(dataFields.map(f =>
           f.copy(metadata = org.apache.spark.sql.types.Metadata.empty))))
-          .parquet(paths: _*)
+          .parquet(paths: _*))
       case "id" =>
         // physical resolution by parquet field id — Spark's id-based
         // clipping, the same machinery the Iceberg readers use; the
@@ -597,50 +626,92 @@ object DeltaInterop {
                 f.metadata.getLong("delta.columnMapping.id"))
               .build())
         })
-        IcebergInterop.fieldIdSession(spark).read.schema(idSchema)
-          .parquet(paths: _*)
+        withMeta(IcebergInterop.fieldIdSession(spark).read
+          .schema(idSchema).parquet(paths: _*))
       case _ => // name mode: declare the physical names, project back
         val phys = dataFields.map(physicalName)
         val physSchema = StructType(dataFields.zip(phys).map {
           case (f, p) => StructField(p, f.dataType, f.nullable) })
-        spark.read.schema(physSchema).parquet(paths: _*)
-          .select(dataFields.zip(phys).map { case (f, p) =>
-            col(p).as(f.name) }.toIndexedSeq: _*)
+        withMeta(spark.read.schema(physSchema).parquet(paths: _*))
+          .select((dataFields.zip(phys).map { case (f, p) =>
+            col(p).as(f.name) } ++ helperCols.map(col)).toIndexedSeq: _*)
     }
-    if (st.partitionColumns.isEmpty)
-      scanGroup(st.files.map { case (rel, _) =>
-        IcebergInterop.resolvePath(table, rel).toString })
-        .select(logical.fieldNames.map(col).toIndexedSeq: _*)
-    else {
-      // group live files by partition tuple; each group scans once and
-      // carries its partition columns as typed literals
-      def tupleOf(path: String,
-          pv: Map[String, Option[String]]): Seq[Option[String]] =
-        partFields.map { f =>
-          pv.get(physicalName(f)).orElse(pv.get(f.name)).getOrElse(
-            throw new IllegalStateException(
-              s"add action for $path in $table carries no partition " +
-                s"value for '${f.name}' — protocol violation"))
+    val scanned: DataFrame =
+      if (st.partitionColumns.isEmpty)
+        scanGroup(st.files.map(f =>
+          IcebergInterop.resolvePath(table, f.path).toString))
+      else {
+        // group live files by partition tuple; each group scans once
+        // and carries its partition columns as typed literals
+        def tupleOf(f: LiveFile): Seq[Option[String]] =
+          partFields.map { pf =>
+            f.partitionValues.get(physicalName(pf))
+              .orElse(f.partitionValues.get(pf.name)).getOrElse(
+                throw new IllegalStateException(
+                  s"add action for ${f.path} in $table carries no " +
+                    s"partition value for '${pf.name}' — protocol " +
+                    "violation"))
+          }
+        val groups = st.files.map(f => (tupleOf(f), f))
+          .groupBy(_._1).toSeq.sortBy(_._1.mkString(""))
+        val branches = groups.map { case (tuple, members) =>
+          val g = scanGroup(members.map { case (_, f) =>
+            IcebergInterop.resolvePath(table, f.path).toString })
+          partFields.zip(tuple).foldLeft(g) {
+            case (df, (f, v)) =>
+              val value = v match {
+                case None => lit(null).cast(f.dataType)
+                case Some(s) =>
+                  if (f.dataType ==
+                      org.apache.spark.sql.types.StringType) lit(s)
+                  else lit(s).cast(f.dataType)
+              }
+              df.withColumn(f.name, value)
+          }.select((logical.fieldNames.toSeq ++ helperCols)
+            .map(col).toIndexedSeq: _*)
         }
-      val groups = st.files
-        .map { case (rel, pv) => (tupleOf(rel, pv), rel) }
-        .groupBy(_._1).toSeq.sortBy(_._1.mkString(""))
-      val branches = groups.map { case (tuple, members) =>
-        val scanned = scanGroup(members.map { case (_, rel) =>
-          IcebergInterop.resolvePath(table, rel).toString })
-        partFields.zip(tuple).foldLeft(scanned) {
-          case (df, (f, v)) =>
-            val value = v match {
-              case None => lit(null).cast(f.dataType)
-              case Some(s) =>
-                if (f.dataType ==
-                    org.apache.spark.sql.types.StringType) lit(s)
-                else lit(s).cast(f.dataType)
-            }
-            df.withColumn(f.name, value)
-        }.select(logical.fieldNames.map(col).toIndexedSeq: _*)
+        branches.reduce(_ unionByName _)
       }
-      branches.reduce(_ unionByName _)
-    }
+    val resolved =
+      if (!anyDv) scanned
+      else {
+        // decode each file's vector ON EXECUTORS (a 100 TB table's
+        // vectors never funnel through the driver), then one
+        // anti-join on (canonical file uri, row index); paths QUALIFY
+        // through the table's filesystem so a scheme-less local path
+        // matches Spark's file:///-rendered _metadata.file_path
+        val fsq = CdcApply.fsFor(spark, table)
+        val dels = deletedRowsDf(spark, table, st.files.collect {
+          case LiveFile(rel, _, Some(d)) =>
+            (fsq.makeQualified(
+              IcebergInterop.resolvePath(table, rel)).toString, d) })
+        scanned.join(dels,
+          IcebergInterop.canonUri(col("_dv_path")) ===
+            IcebergInterop.canonUri(col("_del_path")) &&
+            col("_dv_idx") === col("_del_idx"),
+          "left_anti")
+      }
+    resolved.select(logical.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** (canonical data-file path, deleted row index) rows for every
+    * DV-bearing live file: descriptors parallelize, bitmaps decode on
+    * executors (one task per slice of files), the result joins
+    * against the scan's `_metadata` columns. O(deleted rows) total.
+    */
+  private def deletedRowsDf(spark: SparkSession, table: String,
+      files: Seq[(String, DeletionVectors.DvDescriptor)]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val schema = StructType(Seq(
+      StructField("_del_path", StringType, nullable = false),
+      StructField("_del_idx", LongType, nullable = false)))
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .flatMap { case (path, d) =>
+        DeletionVectors.deletedRows(table, d,
+          new org.apache.hadoop.conf.Configuration())
+          .map(i => org.apache.spark.sql.Row(path, i))
+      }
+    spark.createDataFrame(rdd, schema)
   }
 }

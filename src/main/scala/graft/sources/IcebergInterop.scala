@@ -959,6 +959,24 @@ object IcebergInterop {
       snapshotId: Long): Seq[String] =
     liveEntries(spark, table, meta, snapshotId).map(_._1)
 
+  /** Canonical URI form for file-path matching: Hadoop and Spark's
+    * `_metadata.file_path` render the local scheme with one and three
+    * slashes respectively, and Spark's rendering is URL-ENCODED
+    * (space → %20) while writers' metadata carries raw location
+    * strings — so a percent-escaped rendering decodes before the
+    * match. A literal `+` is a path character, not a form-encoded
+    * space, hence the pre-escape. Shared by the Iceberg v2
+    * position-delete join and the Delta deletion-vector join.
+    */
+  private[sources] def canonUri(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val norm = regexp_replace(c, "^file:/+", "file:///")
+    when(norm.rlike("%[0-9A-Fa-f]{2}"),
+      url_decode(regexp_replace(norm, "\\+", "%2B")))
+      .otherwise(norm)
+  }
+
   // ---- partition pruning on identity transforms ------------------------
 
   /** IDENTITY-transform partition fields per spec-id: (spec field

@@ -637,20 +637,7 @@ object IcebergV2 {
   private def intOf(r: GenericRecord, f: String): Option[Int] =
     fieldOpt(r, f).map(_.asInstanceOf[java.lang.Integer].intValue())
 
-  /** Canonical URI form for file-path matching: Hadoop and Spark's
-    * `_metadata.file_path` render the local scheme with one and three
-    * slashes respectively, and Spark's rendering is URL-ENCODED
-    * (space → %20) while a real writer's manifest/delete files carry
-    * the raw location string — so a percent-escaped rendering decodes
-    * before the match. A literal `+` is a path character, not a
-    * form-encoded space, hence the pre-escape.
-    */
-  private def canonUri(c: Column): Column = {
-    val norm = regexp_replace(c, "^file:/+", "file:///")
-    when(norm.rlike("%[0-9A-Fa-f]{2}"),
-      url_decode(regexp_replace(norm, "\\+", "%2B")))
-      .otherwise(norm)
-  }
+  private def canonUri(c: Column): Column = IcebergInterop.canonUri(c)
 
   private val SeqCol = "_ice_seq"
   private val PathCol = "_ice_path"

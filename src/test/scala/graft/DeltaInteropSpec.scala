@@ -344,16 +344,16 @@ class DeltaInteropSpec extends AnyFunSuite with SparkTestBase {
     val got = DeltaInterop.readDelta(spark, delta).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == Set(1L -> "a", 2L -> "b"))
-    // a version-3 reader FEATURE this engine lacks (deletion
-    // vectors) refuses loudly; reader versions beyond 3 refuse too
+    // a version-3 reader FEATURE this engine lacks (v2 checkpoints)
+    // refuses loudly; reader versions beyond 3 refuse too
     Files.writeString(Paths.get(
       s"$delta/_delta_log/00000000000000000001.json"),
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}
 """)
     val e = intercept[UnsupportedOperationException] {
       DeltaInterop.readDelta(spark, delta)
     }
-    assert(e.getMessage.contains("deletionVectors"), e.getMessage)
+    assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
     Files.writeString(Paths.get(
       s"$delta/_delta_log/00000000000000000001.json"),
       """{"protocol":{"minReaderVersion":4,"minWriterVersion":7}}

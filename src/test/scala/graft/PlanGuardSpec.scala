@@ -26,6 +26,8 @@ class PlanGuardSpec extends AnyFunSuite with SparkTestBase {
     "q_mixture_temperature", // 1-row broadcast max-tokens aggregate
     "q_bm25_topk",         // 1-row corpus-stats crossJoin
     "q_bm25_incremental",  // 1-row corpus-stats crossJoin (rollup)
+    "q_dsir_weights",      // two 1-row vocabulary-size crossJoins
+                           // (one per bigram model, the q_lm_score V)
     "q_hybrid_search",     // inherits both runs' 1-row crossJoins
     "q_subquery_scalar",   // 1-row broadcast scalar-threshold aggregate
     "q_pmi_terms",         // 1-row broadcast corpus-total aggregate

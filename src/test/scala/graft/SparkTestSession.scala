@@ -22,8 +22,12 @@ object SparkTestSession {
       .config("spark.sql.cbo.planStats.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.extensions", "graft.governance.GraftExtensions")
+      // per-JVM warehouse: test suites run in several concurrently
+      // forked JVMs (build.sbt testGrouping); a shared warehouse would
+      // let one JVM's catalog DDL delete files another JVM reads
       .config("spark.sql.warehouse.dir",
-        new java.io.File("target/spark-warehouse-test").getAbsolutePath)
+        new java.io.File("target/spark-warehouse-test-" +
+          ProcessHandle.current().pid()).getAbsolutePath)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s.listenerManager.register(new graft.governance.AuditListener)
