@@ -420,6 +420,20 @@ object Plans {
       "prunes before verification, and only candidate pairs' shingle " +
       "arrays meet — never all-pairs, proven lossless against the " +
       "exhaustive quadratic oracle."),
+    "q_dsir_weights" -> ("DSIR importance resampling: two bigram-LM " +
+      "scorings (each q_lm_score's shape — counts shuffle (term, " +
+      "long), V broadcasts 1-row), ONE primary-key join of the two " +
+      "four-long score rows, a map-side weight ratio, and a " +
+      "TakeOrdered top-k for the priority sample — nothing " +
+      "quadratic, nothing collected, the two 1-row crossJoins are " +
+      "the vocabulary sizes."),
+    "q_paragraph_neardup" -> ("Paragraph near-dup: identical " +
+      "segments fold to ONE representative in a hash-min aggregate " +
+      "(partial phase absorbs boilerplate mass map-side) BEFORE any " +
+      "pair forms; MinHash banding + exact-Jaccard verification run " +
+      "over distinct representatives only — banded candidates, " +
+      "never all-pairs; rebuild is the shared map-side tail with " +
+      "one O(docs) primary-key text join."),
     "q_chunk_dedup" -> ("Chunk-level first-occurrence dedup: the " +
       "resolution side shuffles (sha256, doc_id, chunk_idx) — never " +
       "chunk text — into ONE min-struct hash aggregate whose partial " +

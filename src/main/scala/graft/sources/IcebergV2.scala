@@ -53,9 +53,12 @@ import IcebergInterop._
   *
   * Crash consistency is [[IcebergInterop]]'s: commit = the rename of
   * `v<N>.metadata.json`, pre-commit debris swept on retry, sidecar
-  * state stamped with the committed version, stale stamps self-heal
-  * via [[compact]] (a full-rewrite snapshot). Single-writer contract
-  * as for v1.
+  * state replaced ATOMICALLY (one OVERWRITE rename — no
+  * delete-then-rename window) and stamped with the committed
+  * version; a stale stamp self-heals via a full-rewrite snapshot,
+  * and a MISSING sidecar on our own lineage (the deterministic
+  * table-uuid proves it) self-heals the same way — only genuinely
+  * foreign trees refuse. Single-writer contract as for v1.
   */
 object IcebergV2 {
 
