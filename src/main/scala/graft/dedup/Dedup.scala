@@ -201,6 +201,18 @@ object Dedup {
       threshold: Double = 0.8, k: Int = 32, bands: Int = 16,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // the representative long encodes corpus order as id*2^20 + idx —
+    // a non-integral id would silently coerce to double arithmetic
+    // and lose ordering precision past 2^52; refuse instead
+    docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => ()
+      case dt => throw new IllegalArgumentException(
+        s"paragraphNearDup needs an integral id column; '$idCol' is " +
+          s"${dt.simpleString}")
+    }
     val SegScale = 1L << 20
     val segs = docs
       .select(col(idCol).as("_cd_id"),

@@ -591,8 +591,6 @@ object DeltaInterop {
     // deletion vectors: any live file carrying one makes every scan
     // attach its file/row-index metadata for the anti-join below
     val anyDv = st.files.exists(_.dv.isDefined)
-    val helperCols =
-      if (anyDv) Seq("_dv_path", "_dv_idx") else Seq.empty[String]
     def physicalName(f: StructField): String =
       if (mode == "none") f.name
       else {
@@ -600,8 +598,37 @@ object DeltaInterop {
           s"column '${f.name}' lacks delta.columnMapping.physicalName")
         f.metadata.getString("delta.columnMapping.physicalName")
       }
+    // partition tuple per live file (string-serialized; column-mapped
+    // writers key partitionValues by PHYSICAL name). Computed up
+    // front: the branch-vs-join layout decision below also decides
+    // whether scans must attach file metadata.
+    def tupleOf(f: LiveFile): Seq[Option[String]] =
+      partFields.map { pf =>
+        f.partitionValues.get(physicalName(pf))
+          .orElse(f.partitionValues.get(pf.name)).getOrElse(
+            throw new IllegalStateException(
+              s"add action for ${f.path} in $table carries no " +
+                s"partition value for '${pf.name}' — protocol " +
+                "violation"))
+      }
+    val groups: Seq[(Seq[Option[String]], Seq[LiveFile])] =
+      if (st.partitionColumns.isEmpty) Seq.empty
+      else st.files.map(f => (tupleOf(f), f)).groupBy(_._1)
+        .toSeq.sortBy(_._1.toString)
+        .map { case (t, m) => (t, m.map(_._2)) }
+    // above this bound, one union branch per partition tuple stops
+    // being a plan and starts being a plan EXPLOSION (Catalyst pays
+    // per branch); the join fallback keeps O(1) plan nodes at any
+    // partition count
+    val MaxLiteralGroups = 128
+    val useJoinFallback = groups.size > MaxLiteralGroups
+    val attachMeta = anyDv || useJoinFallback
+    val helperCols =
+      if (attachMeta) Seq("_dv_path", "_dv_idx") else Seq.empty[String]
+    helperCols.foreach(h => require(!declared.fieldNames.contains(h),
+      s"column name '$h' is reserved by this reader"))
     def withMeta(df: DataFrame): DataFrame =
-      if (anyDv)
+      if (attachMeta)
         df.withColumn("_dv_path", col("_metadata.file_path"))
           .withColumn("_dv_idx", col("_metadata.row_index"))
       else df
@@ -636,42 +663,72 @@ object DeltaInterop {
           .select((dataFields.zip(phys).map { case (f, p) =>
             col(p).as(f.name) } ++ helperCols.map(col)).toIndexedSeq: _*)
     }
+    def partLit(f: StructField, v: Option[String])
+        : org.apache.spark.sql.Column = v match {
+      case None => lit(null).cast(f.dataType)
+      case Some(s) =>
+        if (f.dataType == org.apache.spark.sql.types.StringType) lit(s)
+        else lit(s).cast(f.dataType)
+    }
     val scanned: DataFrame =
       if (st.partitionColumns.isEmpty)
         scanGroup(st.files.map(f =>
           IcebergInterop.resolvePath(table, f.path).toString))
-      else {
+      else if (!useJoinFallback) {
         // group live files by partition tuple; each group scans once
-        // and carries its partition columns as typed literals
-        def tupleOf(f: LiveFile): Seq[Option[String]] =
-          partFields.map { pf =>
-            f.partitionValues.get(physicalName(pf))
-              .orElse(f.partitionValues.get(pf.name)).getOrElse(
-                throw new IllegalStateException(
-                  s"add action for ${f.path} in $table carries no " +
-                    s"partition value for '${pf.name}' — protocol " +
-                    "violation"))
-          }
-        val groups = st.files.map(f => (tupleOf(f), f))
-          .groupBy(_._1).toSeq.sortBy(_._1.mkString(""))
+        // and carries its partition columns as TYPED LITERALS —
+        // Catalyst constant-folds partition predicates per branch and
+        // prunes non-matching groups to empty relations
         val branches = groups.map { case (tuple, members) =>
-          val g = scanGroup(members.map { case (_, f) =>
-            IcebergInterop.resolvePath(table, f.path).toString })
+          val g = scanGroup(members.map(f =>
+            IcebergInterop.resolvePath(table, f.path).toString))
           partFields.zip(tuple).foldLeft(g) {
-            case (df, (f, v)) =>
-              val value = v match {
-                case None => lit(null).cast(f.dataType)
-                case Some(s) =>
-                  if (f.dataType ==
-                      org.apache.spark.sql.types.StringType) lit(s)
-                  else lit(s).cast(f.dataType)
-              }
-              df.withColumn(f.name, value)
+            case (df, (f, v)) => df.withColumn(f.name, partLit(f, v))
           }.select((logical.fieldNames.toSeq ++ helperCols)
             .map(col).toIndexedSeq: _*)
         }
         branches.reduce(_ unionByName _)
+      } else {
+        // MANY-partition fallback: ONE scan of every live file with
+        // its file-path metadata, joined to a broadcastable
+        // (file uri -> string partition values) frame built from the
+        // log, values cast to the declared types after the join.
+        // Plan-time group pruning is traded away (row-group stats
+        // still apply); the literal-branch path above keeps it where
+        // the plan can afford it.
+        val fsq = CdcApply.fsFor(spark, table)
+        val rows = st.files.map { f =>
+          org.apache.spark.sql.Row.fromSeq(
+            fsq.makeQualified(IcebergInterop
+              .resolvePath(table, f.path)).toString +:
+              tupleOf(f).map(_.orNull))
+        }
+        val pvSchema = StructType(
+          StructField("_pv_path",
+            org.apache.spark.sql.types.StringType,
+            nullable = false) +:
+            partFields.map(f => StructField(s"_pv_${f.name}",
+              org.apache.spark.sql.types.StringType,
+              nullable = true)))
+        val pvDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows,
+            math.max(1, math.min(rows.size / 10000 + 1, 64))),
+          pvSchema)
+        scanGroup(st.files.map(f =>
+          IcebergInterop.resolvePath(table, f.path).toString))
+          .join(org.apache.spark.sql.functions.broadcast(pvDf),
+            IcebergInterop.canonUri(col("_dv_path")) ===
+              IcebergInterop.canonUri(col("_pv_path")), "inner")
+          .select((logical.fields.map { f =>
+            if (partFields.exists(_.name == f.name)) {
+              val s = col(s"_pv_${f.name}")
+              (if (f.dataType ==
+                  org.apache.spark.sql.types.StringType) s
+               else s.cast(f.dataType)).as(f.name)
+            } else col(f.name)
+          }.toSeq ++ helperCols.map(col)).toIndexedSeq: _*)
       }
+
     val resolved =
       if (!anyDv) scanned
       else {

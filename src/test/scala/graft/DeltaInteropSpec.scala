@@ -534,6 +534,50 @@ class DeltaInteropSpec extends AnyFunSuite with SparkTestBase {
     assert(DeltaInterop.readDelta(spark, delta)
       .filter(col("p").isNull).collect().map(_.getLong(0)).toSet ==
       Set(4L))
+    // MANY-partition fallback: past 128 distinct tuples the reader
+    // trades per-group literal branches (a plan explosion at 10^5
+    // partitions) for ONE scan + a broadcast (file -> values) join —
+    // values and types identical, plan stays O(1) nodes
+    val big = tmp("delta_many_parts")
+    (0 until 140).map(i => (i.toLong, s"v$i", i))
+      .toDF("id", "s", "p")
+      .repartition(140, col("p"))
+      .write.partitionBy("p").parquet(s"$big/files")
+    val adds = new java.io.File(s"$big/files").listFiles()
+      .filter(_.getName.startsWith("p=")).flatMap { d =>
+        val p = d.getName.stripPrefix("p=")
+        d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+          s"""{"add":{"path":"files/p=$p/${f.getName}","size":1,"partitionValues":{"p":"$p"},"modificationTime":0,"dataChange":true}}"""
+        }
+      }
+    val bigSchema = Seq((1L, "a", 1)).toDF("id", "s", "p").schema.json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.createDirectories(Paths.get(s"$big/_delta_log"))
+    Files.writeString(Paths.get(
+      s"$big/_delta_log/00000000000000000000.json"),
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+{"metaData":{"id":"x","schemaString":"$bigSchema","format":{"provider":"parquet","options":{}},"partitionColumns":["p"],"configuration":{}}}
+""" + adds.mkString("\n") + "\n")
+    val bigDf = DeltaInterop.readDelta(spark, big)
+    assert(bigDf.schema("p").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val bigGot = bigDf.collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(bigGot == (0 until 140).map(i => (i.toLong, i)).toSet)
+    // the join fallback is adaptive (broadcast join), so inspect the
+    // post-execution plan string: exactly ONE parquet scan, no
+    // 140-branch union
+    val planStr = bigDf.queryExecution.executedPlan.toString
+    // AQE prints the scan once in the final and once in the initial
+    // plan section — 2 occurrences for ONE physical scan; 140
+    // branches would print hundreds
+    val nScans = "Scan parquet".r.findAllIn(planStr).size
+    assert(nScans <= 2,
+      s"many-partition read must be ONE scan + join, got $nScans:\n" +
+        planStr.take(2000))
+    assert(!planStr.contains("Union"),
+      "many-partition read must not union per-partition branches")
+
     // a missing partition value in an add action is a protocol
     // violation — refuse loudly, never NULL-fill silently
     Files.writeString(Paths.get(
