@@ -25,9 +25,14 @@ import graft.streaming.CdcApply
   * which IS Delta's schema serialization.
   *
   * [[readDelta]] replays a `_delta_log` (ours or another writer's):
-  * net add/remove set in version order, then one ordinary parquet
-  * scan of the live files under the declared schema — pruning,
-  * pushdown, and codegen identical to any parquet read. Partitioned
+  * base state from the newest complete CLASSIC PARQUET CHECKPOINT
+  * when one exists (real aged logs delete the JSON commits a
+  * checkpoint covers — a JSON-only replay would silently lose their
+  * adds; a gap in the JSON sequence with no covering checkpoint
+  * refuses as truncated), then the net add/remove set of the JSON
+  * tail in version order, then one ordinary parquet scan of the live
+  * files under the declared schema — pruning, pushdown, and codegen
+  * identical to any parquet read. Partitioned
   * tables reconstruct their partition columns from each add-action's
   * `partitionValues` (typed literals per file group — Catalyst
   * constant-folds partition predicates and prunes whole groups);
@@ -353,6 +358,137 @@ object DeltaInterop {
       partitionColumns: Seq[String], config: Map[String, String],
       files: Seq[LiveFile])
 
+  private def checkProtocol(table: String, minReader: Int,
+      readerFeatures: Set[String]): Unit =
+    if (minReader == 3) {
+      val unsupported = readerFeatures -- SupportedReaderFeatures
+      if (unsupported.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"Delta table $table requires reader features " +
+            s"${unsupported.mkString(", ")}; this reader " +
+            s"implements ${SupportedReaderFeatures.mkString(", ")}")
+    } else if (minReader > 3)
+      throw new UnsupportedOperationException(
+        s"Delta table $table needs reader version $minReader; this " +
+          "reader implements protocol versions 1-2 and " +
+          "version-3 tables whose readerFeatures are within " +
+          SupportedReaderFeatures.mkString(", "))
+    // mr 1: plain. mr 2: column mapping — handled at read time.
+
+  /** The newest COMPLETE classic parquet checkpoint in the log
+    * (single-part `<v>.checkpoint.parquet` or multi-part
+    * `<v>.checkpoint.<i>.<n>.parquet` with all n parts present), as
+    * (version, part paths). `_last_checkpoint` is advisory — the
+    * listing is authoritative (a torn pointer must not hide a
+    * complete checkpoint or point at an incomplete one).
+    */
+  private def latestCheckpoint(spark: SparkSession, table: String)
+      : Option[(Long, Seq[Path])] = {
+    val fs = CdcApply.fsFor(spark, table)
+    if (!fs.exists(logDir(table))) return None
+    val names = fs.listStatus(logDir(table)).toSeq
+      .map(_.getPath.getName)
+    val Single = "(\\d{20})\\.checkpoint\\.parquet".r
+    val Part = "(\\d{20})\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet".r
+    val byVersion = scala.collection.mutable
+      .Map[Long, scala.collection.mutable.ArrayBuffer[(Int, Int, String)]]()
+    names.foreach {
+      case n @ Single(v) =>
+        byVersion.getOrElseUpdate(v.toLong,
+          scala.collection.mutable.ArrayBuffer()) += ((1, 1, n))
+      case n @ Part(v, i, k) =>
+        byVersion.getOrElseUpdate(v.toLong,
+          scala.collection.mutable.ArrayBuffer()) +=
+          ((i.toInt, k.toInt, n))
+      case _ => ()
+    }
+    byVersion.toSeq.sortBy(-_._1).collectFirst {
+      case (v, parts)
+          if parts.map(_._2).distinct.size == 1 &&
+            parts.map(_._1).sorted == (1 to parts.head._2) =>
+        (v, parts.sortBy(_._1).map(p =>
+          new Path(logDir(table), p._3)).toSeq)
+    }
+  }
+
+  /** Load the base state from a classic parquet checkpoint: protocol
+    * gate, latest metaData, and the live add set (a checkpoint's add
+    * rows ARE the live files; its remove rows are expired-tombstone
+    * bookkeeping). Driver-side collect of (path, partitionValues,
+    * deletionVector) per live file — the same O(files) driver
+    * footprint the log replay itself carries.
+    */
+  private def loadCheckpoint(spark: SparkSession, table: String,
+      parts: Seq[Path],
+      live: scala.collection.mutable.LinkedHashMap[String, LiveFile])
+      : (Option[StructType], Seq[String], Map[String, String]) = {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(parts.map(_.toString): _*)
+    val cols = df.columns.toSet
+    if (cols.contains("protocol")) {
+      df.filter(col("protocol").isNotNull).select("protocol.*")
+        .collect().foreach { r =>
+          val feats =
+            if (r.schema.fieldNames.contains("readerFeatures") &&
+                !r.isNullAt(r.fieldIndex("readerFeatures")))
+              r.getSeq[String](r.fieldIndex("readerFeatures")).toSet
+            else Set.empty[String]
+          checkProtocol(table, r.getAs[Int]("minReaderVersion"), feats)
+        }
+    }
+    var schema: Option[StructType] = None
+    var partCols: Seq[String] = Seq.empty
+    var config: Map[String, String] = Map.empty
+    if (cols.contains("metaData")) {
+      df.filter(col("metaData").isNotNull).select("metaData.*")
+        .collect().foreach { r =>
+          schema = Some(DataType.fromJson(
+            r.getAs[String]("schemaString")).asInstanceOf[StructType])
+          partCols = Option(r.getSeq[String](
+            r.fieldIndex("partitionColumns"))).map(_.toSeq)
+            .getOrElse(Seq.empty)
+          config = Option(r.getMap[String, String](
+            r.fieldIndex("configuration"))).map(_.toMap)
+            .getOrElse(Map.empty)
+        }
+    }
+    require(cols.contains("add"),
+      s"checkpoint at $table carries no add column — not a classic " +
+        "checkpoint; refusing")
+    val addSchema = df.schema("add").dataType
+      .asInstanceOf[StructType]
+    val hasDv = addSchema.fieldNames.contains("deletionVector")
+    val selected =
+      if (hasDv)
+        df.filter(col("add").isNotNull)
+          .select(col("add.path"), col("add.partitionValues"),
+            col("add.deletionVector"))
+      else
+        df.filter(col("add").isNotNull)
+          .select(col("add.path"), col("add.partitionValues"))
+    selected.collect().foreach { r =>
+      val path = r.getString(0)
+      val pv = Option(r.getMap[String, String](1))
+        .map(_.toMap).getOrElse(Map.empty[String, String])
+        .map { case (k, v) => k -> Option(v) }
+      val dv =
+        if (hasDv && !r.isNullAt(2)) {
+          val d = r.getStruct(2)
+          Some(DeletionVectors.DvDescriptor(
+            d.getAs[String]("storageType"),
+            d.getAs[String]("pathOrInlineDv"),
+            if (d.schema.fieldNames.contains("offset") &&
+                !d.isNullAt(d.fieldIndex("offset")))
+              Some(d.getAs[Number]("offset").longValue())
+            else None,
+            d.getAs[Number]("sizeInBytes").intValue(),
+            d.getAs[Number]("cardinality").longValue()))
+        } else None
+      live.put(path, LiveFile(path, pv, dv))
+    }
+    (schema, partCols, config)
+  }
+
   private def replayLog(spark: SparkSession, table: String,
       vs: Seq[Long]): LogState = {
     import scala.jdk.CollectionConverters._
@@ -361,7 +497,33 @@ object DeltaInterop {
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
     var config: Map[String, String] = Map.empty
-    vs.foreach { v =>
+    // REAL aged tables checkpoint the log and DELETE the JSON commits
+    // the checkpoint covers — replaying only the surviving JSONs
+    // would silently lose those commits' adds. Base the state on the
+    // newest complete checkpoint when one exists, then require the
+    // JSON tail to be CONTIGUOUS through the head (a gap with no
+    // covering checkpoint is a truncated log: refuse, never misread).
+    val cp = latestCheckpoint(spark, table)
+    val cpV = cp.map(_._1).getOrElse(-1L)
+    val tail = vs.filter(_ > cpV)
+    val head = math.max(cpV, vs.lastOption.getOrElse(-1L))
+    val expected = ((cpV + 1) to head).toSeq
+    if (tail != expected) {
+      val missing = (expected.toSet -- tail.toSet).toSeq.sorted
+      throw new IllegalStateException(
+        s"Delta log at $table is missing commit files for versions " +
+          s"${missing.take(5).mkString(", ")}" +
+          (if (missing.size > 5) ", ..." else "") +
+          " with no covering checkpoint — the log is truncated; " +
+          "refusing rather than serving a silently incomplete table")
+    }
+    cp.foreach { case (_, parts) =>
+      val (s, pc, cfg) = loadCheckpoint(spark, table, parts, live)
+      schema = s.orElse(schema)
+      partCols = pc
+      config = cfg
+    }
+    tail.foreach { v =>
       val in = fs.open(versionFile(table, v))
       val text = new String(
         org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
@@ -370,24 +532,10 @@ object DeltaInterop {
         val n = mapper.readTree(line)
         if (n.has("protocol")) {
           val p = n.get("protocol")
-          val mr = p.get("minReaderVersion").asInt()
-          if (mr == 3) {
-            val feats = Option(p.get("readerFeatures"))
+          checkProtocol(table, p.get("minReaderVersion").asInt(),
+            Option(p.get("readerFeatures"))
               .map(_.elements().asScala.map(_.asText()).toSet)
-              .getOrElse(Set.empty[String])
-            val unsupported = feats -- SupportedReaderFeatures
-            if (unsupported.nonEmpty)
-              throw new UnsupportedOperationException(
-                s"Delta table $table requires reader features " +
-                  s"${unsupported.mkString(", ")}; this reader " +
-                  s"implements ${SupportedReaderFeatures.mkString(", ")}")
-          } else if (mr > 3)
-            throw new UnsupportedOperationException(
-              s"Delta table $table needs reader version $mr; this " +
-                "reader implements protocol versions 1-2 and " +
-                "version-3 tables whose readerFeatures are within " +
-                SupportedReaderFeatures.mkString(", "))
-          // mr 1: plain. mr 2: column mapping — handled at read time.
+              .getOrElse(Set.empty[String]))
         }
         if (n.has("metaData")) {
           val md = n.get("metaData")
@@ -545,7 +693,10 @@ object DeltaInterop {
   def readDelta(spark: SparkSession, table: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val vs = versions(spark, table)
-    require(vs.nonEmpty, s"no Delta log at $table")
+    // a fully-checkpointed log may have had ALL its JSON commits
+    // cleaned up — the checkpoint alone is a complete table
+    require(vs.nonEmpty || latestCheckpoint(spark, table).isDefined,
+      s"no Delta log at $table")
     val st = replayLog(spark, table, vs)
     val declared = st.schema.getOrElse(
       throw new IllegalStateException(

@@ -589,4 +589,122 @@ class DeltaInteropSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("no partition value"), e.getMessage)
   }
+
+  test("classic parquet CHECKPOINTS: an aged log whose checkpointed " +
+      "JSON commits were cleaned up reads from the checkpoint + the " +
+      "JSON tail; checkpoint-only logs read; a gap with no covering " +
+      "checkpoint refuses as truncated") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val spark2 = spark
+    import spark2.implicits._
+    def writeFile(dir: String, sub: String,
+        rows: Seq[(Long, String)]): String = {
+      rows.toDF("id", "s").coalesce(1).write.parquet(s"$dir/$sub")
+      val f = new java.io.File(s"$dir/$sub").listFiles()
+        .map(_.getName).find(_.endsWith(".parquet")).get
+      s"$sub/$f"
+    }
+    val schemaStr = Seq((1L, "a")).toDF("id", "s").schema.json
+    // the checkpoint action schema (classic): one row per action
+    val cpSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration",
+          MapType(StringType, StringType))))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues",
+          MapType(StringType, StringType)),
+        StructField("size", LongType))))))
+    def writeCheckpoint(dir: String, name: String,
+        adds: Seq[String]): Unit = {
+      val rows = Seq(
+        Row(Row(1, 2), null, null),
+        Row(null, Row("x", schemaStr, Seq.empty[String],
+          Map.empty[String, String]), null)) ++
+        adds.map(p => Row(null, null,
+          Row(p, Map.empty[String, String], 1L)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), cpSchema)
+        .coalesce(1).write.parquet(s"$dir/_cp_tmp")
+      val part = new java.io.File(s"$dir/_cp_tmp").listFiles()
+        .map(_.getName).find(_.endsWith(".parquet")).get
+      Files.createDirectories(Paths.get(s"$dir/_delta_log"))
+      Files.copy(Paths.get(s"$dir/_cp_tmp/$part"),
+        Paths.get(s"$dir/_delta_log/$name"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$dir/_cp_tmp"))
+    }
+    // ---- checkpoint at v1 (covers cleaned-up JSONs 0-1) + JSON v2 --
+    val d1 = tmp("delta_cp")
+    val fA = writeFile(d1, "a", Seq((1L, "a"), (2L, "b")))
+    val fB = writeFile(d1, "b", Seq((3L, "c")))
+    writeCheckpoint(d1, f"${1L}%020d.checkpoint.parquet", Seq(fA))
+    Files.writeString(Paths.get(
+      s"$d1/_delta_log/00000000000000000002.json"),
+      s"""{"add":{"path":"$fB","size":1,"partitionValues":{},"modificationTime":0,"dataChange":true}}
+""")
+    assert(DeltaInterop.readDelta(spark, d1).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // ---- checkpoint-only log (every JSON cleaned up) ----
+    val d2 = tmp("delta_cp_only")
+    val f2 = writeFile(d2, "a", Seq((7L, "x")))
+    writeCheckpoint(d2, f"${3L}%020d.checkpoint.parquet", Seq(f2))
+    assert(DeltaInterop.readDelta(spark, d2).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(7L))
+    // ---- MULTI-PART checkpoint: adds split across two parts ----
+    val d3 = tmp("delta_cp_parts")
+    val f3a = writeFile(d3, "a", Seq((10L, "x")))
+    val f3b = writeFile(d3, "b", Seq((11L, "y")))
+    writeCheckpoint(d3,
+      f"${5L}%020d.checkpoint.${1}%010d.${2}%010d.parquet", Seq(f3a))
+    writeCheckpoint(d3,
+      f"${5L}%020d.checkpoint.${2}%010d.${2}%010d.parquet", Seq(f3b))
+    assert(DeltaInterop.readDelta(spark, d3).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(10L, 11L))
+    // an INCOMPLETE multi-part checkpoint (one part missing) is not
+    // usable — with no JSONs either, the log refuses as truncated
+    val d4 = tmp("delta_cp_torn")
+    val f4 = writeFile(d4, "a", Seq((1L, "x")))
+    writeCheckpoint(d4,
+      f"${5L}%020d.checkpoint.${1}%010d.${2}%010d.parquet", Seq(f4))
+    Files.writeString(Paths.get(
+      s"$d4/_delta_log/00000000000000000006.json"),
+      s"""{"metaData":{"id":"x","schemaString":"${schemaStr
+        .replace("\\", "\\\\").replace("\"", "\\\"")}","format":{"provider":"parquet","options":{}},"partitionColumns":[],"configuration":{}}}
+""")
+    val e4 = intercept[IllegalStateException] {
+      DeltaInterop.readDelta(spark, d4)
+    }
+    assert(e4.getMessage.contains("truncated"), e4.getMessage)
+    // ---- a GAP in the JSON sequence with no checkpoint refuses ----
+    val d5 = tmp("delta_gap")
+    val f5 = writeFile(d5, "a", Seq((1L, "x")))
+    Files.createDirectories(Paths.get(s"$d5/_delta_log"))
+    val meta5 =
+      s"""{"metaData":{"id":"x","schemaString":"${schemaStr
+        .replace("\\", "\\\\").replace("\"", "\\\"")}","format":{"provider":"parquet","options":{}},"partitionColumns":[],"configuration":{}}}"""
+    Files.writeString(Paths.get(
+      s"$d5/_delta_log/00000000000000000000.json"),
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+$meta5
+{"add":{"path":"$f5","size":1,"partitionValues":{},"modificationTime":0,"dataChange":true}}
+""")
+    Files.writeString(Paths.get(
+      s"$d5/_delta_log/00000000000000000002.json"),
+      s"""{"add":{"path":"$f5","size":1,"partitionValues":{},"modificationTime":0,"dataChange":true}}
+""")
+    val e5 = intercept[IllegalStateException] {
+      DeltaInterop.readDelta(spark, d5)
+    }
+    assert(e5.getMessage.contains("missing commit files") &&
+      e5.getMessage.contains("1"), e5.getMessage)
+  }
 }
