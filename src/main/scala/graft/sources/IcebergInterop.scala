@@ -95,16 +95,34 @@ object IcebergInterop {
     * listing (not version-hint.text) is the source of truth — the
     * hint is advisory output for HadoopTables-convention readers.
     */
-  private[sources] def versions(spark: SparkSession, table: String): Seq[Long] = {
+  /** Committed metadata files by version, BOTH public naming
+    * conventions: `v<N>.metadata.json` (HadoopTables — what this
+    * exporter writes) and `<seq>-<uuid>.metadata.json` (what
+    * metastore-catalog writers leave in the tree). When one version
+    * carries both names, the v-named file (our own lineage) wins.
+    */
+  private[sources] def metadataFiles(spark: SparkSession,
+      table: String): Seq[(Long, Path)] = {
     val fs = CdcApply.fsFor(spark, table)
     val dir = metaDir(table)
     if (!fs.exists(dir)) return Seq.empty
-    fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .flatMap { n =>
-        val m = "v(\\d+)\\.metadata\\.json".r
-        n match { case m(v) => Some(v.toLong); case _ => None }
-      }.sorted
+    val V = "v(\\d+)\\.metadata\\.json".r
+    val Seqd = "(\\d+)-[0-9a-fA-F-]+\\.metadata\\.json".r
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .flatMap { p =>
+        p.getName match {
+          case V(v) => Some((v.toLong, p, 0))
+          case Seqd(v) => Some((v.toLong, p, 1))
+          case _ => None
+        }
+      }
+      .groupBy(_._1).toSeq
+      .map { case (v, ps) => (v, ps.minBy(_._3)._2) }
+      .sortBy(_._1)
   }
+
+  private[sources] def versions(spark: SparkSession, table: String): Seq[Long] =
+    metadataFiles(spark, table).map(_._1)
 
   // ---- Iceberg schema JSON <-> Spark StructType --------------------------
 
@@ -756,7 +774,13 @@ object IcebergInterop {
   private[sources] def parseMetadata(spark: SparkSession, table: String,
       v: Long): com.fasterxml.jackson.databind.JsonNode = {
     val fs = CdcApply.fsFor(spark, table)
-    val in = fs.open(metadataFile(table, v))
+    // resolve through the listing so foreign `<seq>-<uuid>` metadata
+    // names open too; our own v-named files resolve without it
+    val path =
+      if (fs.exists(metadataFile(table, v))) metadataFile(table, v)
+      else metadataFiles(spark, table).find(_._1 == v).map(_._2)
+        .getOrElse(metadataFile(table, v))
+    val in = fs.open(path)
     val text = new String(
       org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
     in.close()

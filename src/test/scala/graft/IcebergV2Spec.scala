@@ -377,6 +377,21 @@ class IcebergV2Spec extends AnyFunSuite with SparkTestBase {
     assert(IcebergV2.exportIncremental(spark, root, ice).isEmpty)
   }
 
+  test("metastore-convention metadata names (<seq>-<uuid>." +
+      "metadata.json) resolve like v-named ones") {
+    val root = buildCdc()
+    val ice = tmp("icev2_names")
+    IcebergV2.exportIncremental(spark, root, ice)
+    val good = state(IcebergInterop.readIceberg(spark, ice))
+    val meta = new java.io.File(ice, "metadata")
+    assert(new java.io.File(meta, "v0.metadata.json").renameTo(
+      new java.io.File(meta,
+        "00000-8a5f2c3d-1b4e-4f6a-9c7d-0e1f2a3b4c5d.metadata.json")))
+    new java.io.File(meta, ".v0.metadata.json.crc").delete()
+    assert(state(IcebergInterop.readIceberg(spark, ice)) == good)
+    assert(IcebergInterop.snapshots(spark, ice) == Seq(0L))
+  }
+
   test("position deletes match across URI renderings: a data path " +
       "with a space (raw in the writer's manifests, %20-encoded in " +
       "Spark's _metadata.file_path) still resolves") {
