@@ -326,6 +326,27 @@ private[queries] object TierCCdc {
         .orderBy(col("s_nationkey"))
     }),
 
+    // C8x2 — the SAME exported Delta table scanned from SQL ALONE via
+    // the delta_scan(path) table function (the DuckDB posture): the
+    // path resolves through the protocol reader at analysis time, so
+    // the SQL string always serves the log's current state. Same
+    // artifact and oracle as q_delta_export — a divergence between
+    // the Scala and SQL entry points hash-mismatches.
+    "q_sql_delta_scan" -> ((s, d) => {
+      val root = cdcQueryRoot(s, d)
+      val delta = new java.io.File(
+        "target/graft-data/delta_export_inc_q/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet") +
+        s"_$CdcRecipeRev").getAbsolutePath
+      synchronized {
+        graft.sources.DeltaInterop.exportIncremental(s, root, delta)
+      }
+      s.sql(s"SELECT s_nationkey, COUNT(*) AS cnt, " +
+        s"CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) " +
+        s"AS total_bal FROM delta_scan('$delta') " +
+        s"GROUP BY s_nationkey ORDER BY s_nationkey")
+    }),
+
     // C8y — ICEBERG-SPEC EXPORT, the Delta seam's open-format twin:
     // the same CDC net state published as an Iceberg v1 metadata tree
     // (JSON table metadata + REAL Avro manifest lists/manifests with
@@ -791,6 +812,13 @@ private[queries] object TierCCdc {
     // the source's head batch (1)
     // the Delta export serves the identical net state
     "q_delta_export" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
+        "FROM supplier WHERE s_suppkey % 7 <> 0 " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // delta_scan(path) serves the identical net state from SQL alone
+    "q_sql_delta_scan" ->
       ("SELECT s_nationkey, COUNT(*) AS cnt, " +
         "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
         "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +

@@ -283,6 +283,36 @@ object CdcSql {
             .queryExecution.analyzed
         }),
 
+      // ---- foreign-lake scans from SQL alone (the delta_scan /
+      // iceberg_scan posture): the path resolves through the
+      // engine's own protocol readers at ANALYSIS time, so every
+      // spark.sql call sees the table's CURRENT state (checkpoints,
+      // partitions, deletion vectors, column mapping included);
+      // governance composes with zero wiring for registered
+      // locations because the expansion is ordinary parquet scans ----
+      (FunctionIdentifier("delta_scan"),
+        new ExpressionInfo("graft.streaming.CdcSql", "delta_scan"),
+        args => {
+          if (args.size != 1) throw new UnsupportedOperationException(
+            "delta_scan(path) takes 1 argument")
+          val path = argString(args(0), "delta_scan path")
+          graft.sources.DeltaInterop.readDelta(activeSession, path)
+            .queryExecution.analyzed
+        }),
+      (FunctionIdentifier("iceberg_scan"),
+        new ExpressionInfo("graft.streaming.CdcSql", "iceberg_scan"),
+        args => {
+          if (args.isEmpty || args.size > 2)
+            throw new UnsupportedOperationException(
+              "iceberg_scan(path[, snapshotId]) takes 1 or 2 arguments")
+          val path = argString(args(0), "iceberg_scan path")
+          val snap = args.lift(1)
+            .map(argLong(_, "iceberg_scan snapshotId"))
+          graft.sources.IcebergInterop
+            .readIceberg(activeSession, path, snap)
+            .queryExecution.analyzed
+        }),
+
       // ---- guarded maintenance entry points (CALL-style procedures).
       // The reference's entire operational surface is SQL strings
       // handed to an engine (`validate.sh:74-80`), so table

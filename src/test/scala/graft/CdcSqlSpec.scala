@@ -641,6 +641,45 @@ class CdcSqlSpec extends AnyFunSuite with SparkTestBase {
     } finally CdcSql.unregisterTable("exp_t")
   }
 
+  test("delta_scan / iceberg_scan read foreign-lake tables from SQL " +
+      "alone, re-resolved per statement; iceberg_scan takes a " +
+      "snapshot id; wrong arities refuse") {
+    import spark.implicits._
+    val root = newRoot()
+    applyB0(root)
+    val delta = java.nio.file.Files
+      .createTempDirectory("sql_dscan").toFile.getAbsolutePath
+    val ice = java.nio.file.Files
+      .createTempDirectory("sql_iscan").toFile.getAbsolutePath
+    graft.sources.DeltaInterop.exportSnapshot(spark, root, delta)
+    graft.sources.IcebergV2.exportIncremental(spark, root, ice)
+    def vals(sql: String): Set[(Long, Double)] =
+      spark.sql(sql).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Double]("amount"))).toSet
+    val b0 = Set(1L -> 10.0, 2L -> 20.0, 3L -> 30.0)
+    assert(vals(s"SELECT k, amount FROM delta_scan('$delta')") == b0)
+    assert(vals(s"SELECT k, amount FROM iceberg_scan('$ice')") == b0)
+    // the table moves; the SAME SQL strings serve the new state
+    // (analysis-time resolution), and the old snapshot stays
+    // addressable by id
+    assert(CdcApply.applyBatch(
+      Seq((1L, 2L, 11.0, false)).toDF("k", "version", "amount",
+        "deleted"),
+      1L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2))
+    graft.sources.DeltaInterop.exportSnapshot(spark, root, delta)
+    graft.sources.IcebergV2.exportIncremental(spark, root, ice)
+    val b1 = Set(1L -> 11.0, 2L -> 20.0, 3L -> 30.0)
+    assert(vals(s"SELECT k, amount FROM delta_scan('$delta')") == b1)
+    assert(vals(s"SELECT k, amount FROM iceberg_scan('$ice')") == b1)
+    assert(vals(s"SELECT k, amount FROM iceberg_scan('$ice', 0)") == b0)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM delta_scan('/a', 'b')") }
+    assert(e.getMessage.contains("takes 1 argument"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM iceberg_scan()") }
+    assert(e2.getMessage.contains("1 or 2 arguments"), e2.getMessage)
+  }
+
   test("cdc_export_iceberg publishes the snapshot from SQL: committed " +
       "snapshot id, no-change NULL, admin gate on governed roots") {
     val root = newRoot()
