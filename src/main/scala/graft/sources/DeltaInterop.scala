@@ -352,7 +352,8 @@ object DeltaInterop {
     */
   private case class LiveFile(path: String,
       partitionValues: Map[String, Option[String]],
-      dv: Option[DeletionVectors.DvDescriptor])
+      dv: Option[DeletionVectors.DvDescriptor],
+      stats: Option[String] = None)
 
   private case class LogState(schema: Option[StructType],
       partitionColumns: Seq[String], config: Map[String, String],
@@ -458,22 +459,21 @@ object DeltaInterop {
     val addSchema = df.schema("add").dataType
       .asInstanceOf[StructType]
     val hasDv = addSchema.fieldNames.contains("deletionVector")
-    val selected =
-      if (hasDv)
-        df.filter(col("add").isNotNull)
-          .select(col("add.path"), col("add.partitionValues"),
-            col("add.deletionVector"))
-      else
-        df.filter(col("add").isNotNull)
-          .select(col("add.path"), col("add.partitionValues"))
+    val hasStats = addSchema.fieldNames.contains("stats")
+    val cols0 = Seq(col("add.path"), col("add.partitionValues")) ++
+      (if (hasDv) Seq(col("add.deletionVector")) else Nil) ++
+      (if (hasStats) Seq(col("add.stats")) else Nil)
+    val dvIdx = 2
+    val statsIdx = if (hasDv) 3 else 2
+    val selected = df.filter(col("add").isNotNull).select(cols0: _*)
     selected.collect().foreach { r =>
       val path = r.getString(0)
       val pv = Option(r.getMap[String, String](1))
         .map(_.toMap).getOrElse(Map.empty[String, String])
         .map { case (k, v) => k -> Option(v) }
       val dv =
-        if (hasDv && !r.isNullAt(2)) {
-          val d = r.getStruct(2)
+        if (hasDv && !r.isNullAt(dvIdx)) {
+          val d = r.getStruct(dvIdx)
           Some(DeletionVectors.DvDescriptor(
             d.getAs[String]("storageType"),
             d.getAs[String]("pathOrInlineDv"),
@@ -484,13 +484,17 @@ object DeltaInterop {
             d.getAs[Number]("sizeInBytes").intValue(),
             d.getAs[Number]("cardinality").longValue()))
         } else None
-      live.put(path, LiveFile(path, pv, dv))
+      val stats =
+        if (hasStats && !r.isNullAt(statsIdx))
+          Option(r.getString(statsIdx)).filter(_.nonEmpty)
+        else None
+      live.put(path, LiveFile(path, pv, dv, stats))
     }
     (schema, partCols, config)
   }
 
   private def replayLog(spark: SparkSession, table: String,
-      vs: Seq[Long]): LogState = {
+      vs: Seq[Long], versionAsOf: Option[Long] = None): LogState = {
     import scala.jdk.CollectionConverters._
     val fs = CdcApply.fsFor(spark, table)
     val live = scala.collection.mutable.LinkedHashMap[String, LiveFile]()
@@ -503,10 +507,21 @@ object DeltaInterop {
     // newest complete checkpoint when one exists, then require the
     // JSON tail to be CONTIGUOUS through the head (a gap with no
     // covering checkpoint is a truncated log: refuse, never misread).
+    // VERSION AS OF replays the same way with everything past the
+    // requested version out of scope; a version older than the oldest
+    // reconstructable state refuses (its commits are gone).
+    val available = math.max(
+      latestCheckpoint(spark, table).map(_._1).getOrElse(-1L),
+      vs.lastOption.getOrElse(-1L))
+    versionAsOf.foreach(v => require(v >= 0 && v <= available,
+      s"version $v of the Delta table at $table is not available " +
+        s"(log head is $available)"))
     val cp = latestCheckpoint(spark, table)
+      .filter(c => versionAsOf.forall(c._1 <= _))
     val cpV = cp.map(_._1).getOrElse(-1L)
-    val tail = vs.filter(_ > cpV)
-    val head = math.max(cpV, vs.lastOption.getOrElse(-1L))
+    val tail = vs.filter(v => v > cpV && versionAsOf.forall(v <= _))
+    val head = versionAsOf.getOrElse(
+      math.max(cpV, vs.lastOption.getOrElse(-1L)))
     val expected = ((cpV + 1) to head).toSeq
     if (tail != expected) {
       val missing = (expected.toSet -- tail.toSet).toSeq.sorted
@@ -514,8 +529,10 @@ object DeltaInterop {
         s"Delta log at $table is missing commit files for versions " +
           s"${missing.take(5).mkString(", ")}" +
           (if (missing.size > 5) ", ..." else "") +
-          " with no covering checkpoint — the log is truncated; " +
-          "refusing rather than serving a silently incomplete table")
+          " with no covering checkpoint — " +
+          versionAsOf.fold("the log is truncated")(v =>
+            s"version $v is not reconstructable") +
+          "; refusing rather than serving a silently incomplete table")
     }
     cp.foreach { case (_, parts) =>
       val (s, pc, cfg) = loadCheckpoint(spark, table, parts, live)
@@ -568,7 +585,9 @@ object DeltaInterop {
                 d.get("cardinality").asLong())
             }
           val path = a.get("path").asText()
-          live.put(path, LiveFile(path, pv, dv))
+          val stats = Option(a.get("stats")).filterNot(_.isNull)
+            .map(_.asText()).filter(_.nonEmpty)
+          live.put(path, LiveFile(path, pv, dv, stats))
         }
         if (n.has("remove")) live.remove(
           n.get("remove").get("path").asText())
@@ -581,6 +600,208 @@ object DeltaInterop {
   private def readLiveFiles(spark: SparkSession, table: String,
       vs: Seq[Long]): Seq[String] =
     replayLog(spark, table, vs).files.map(_.path)
+
+  // ---- metadata-level file pruning on a `where` predicate -------------
+
+  /** A comparable bound: numerics (and booleans) as BigDecimal,
+    * strings and ISO dates lexicographically. Timestamps and
+    * everything else are not prunable (format variance would make
+    * lexicographic comparison unsound) — None = keep the file.
+    */
+  private def boundKey(dt: DataType, raw: String)
+      : Option[Either[BigDecimal, String]] = dt match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.FloatType |
+         org.apache.spark.sql.types.DoubleType |
+         _: org.apache.spark.sql.types.DecimalType =>
+      scala.util.Try(BigDecimal(raw)).toOption.map(Left(_))
+    case org.apache.spark.sql.types.StringType => Some(Right(raw))
+    case org.apache.spark.sql.types.DateType => Some(Right(raw))
+    case org.apache.spark.sql.types.BooleanType => raw match {
+      case "true" => Some(Left(BigDecimal(1)))
+      case "false" => Some(Left(BigDecimal(0)))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def litKey(dt: DataType,
+      l: org.apache.spark.sql.catalyst.expressions.Literal)
+      : Option[Either[BigDecimal, String]] =
+    if (l.value == null) None
+    else l.dataType match {
+      case org.apache.spark.sql.types.DateType =>
+        // only against a date column: internal value = epoch days
+        if (dt == org.apache.spark.sql.types.DateType)
+          Some(Right(java.time.LocalDate
+            .ofEpochDay(l.value.asInstanceOf[Int].toLong).toString))
+        else None
+      case _ => boundKey(dt, l.value.toString)
+    }
+
+  private def leq(a: Either[BigDecimal, String],
+      b: Either[BigDecimal, String]): Option[Boolean] = (a, b) match {
+    case (Left(x), Left(y)) => Some(x <= y)
+    case (Right(x), Right(y)) => Some(x <= y)
+    case _ => None
+  }
+
+  private def lt(a: Either[BigDecimal, String],
+      b: Either[BigDecimal, String]): Option[Boolean] = (a, b) match {
+    case (Left(x), Left(y)) => Some(x < y)
+    case (Right(x), Right(y)) => Some(x < y)
+    case _ => None
+  }
+
+  /** Per-file add-action stats, top-level columns only. Delta
+    * truncates long string bounds SOUNDLY (min truncated down, max
+    * padded up), so interval pruning on them stays a superset.
+    */
+  private case class AddStats(numRecords: Option[Long],
+      min: Map[String, String], max: Map[String, String],
+      nullCount: Map[String, Long])
+
+  private def parseStats(s: String): Option[AddStats] =
+    scala.util.Try {
+      val n = mapper.readTree(s)
+      import scala.jdk.CollectionConverters._
+      def m(field: String): Map[String, String] =
+        Option(n.get(field)).map(_.properties().asScala.collect {
+          case e if !e.getValue.isNull && e.getValue.isValueNode =>
+            e.getKey -> e.getValue.asText()
+        }.toMap).getOrElse(Map.empty)
+      AddStats(
+        Option(n.get("numRecords")).filterNot(_.isNull).map(_.asLong()),
+        m("minValues"), m("maxValues"),
+        Option(n.get("nullCount")).map(_.properties().asScala.collect {
+          case e if e.getValue.isNumber =>
+            e.getKey -> e.getValue.asLong()
+        }.toMap).getOrElse(Map.empty))
+    }.toOption
+
+  /** Keep the files a `where` predicate can match, deciding from LOG
+    * METADATA alone: partition values are exact point intervals, data
+    * columns use the add-action stats intervals (conservative —
+    * missing stats, unsupported conjunct shapes, or incomparable
+    * types keep the file). A file is dropped only when some top-level
+    * conjunct is PROVABLY unsatisfiable on it, so the kept set is
+    * always a superset of the matching files; the caller re-applies
+    * the predicate as a row filter.
+    */
+  private def pruneFiles(spark: SparkSession, files: Seq[LiveFile],
+      declared: StructType, partitionColumns: Seq[String],
+      whereSql: String): Seq[LiveFile] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val parsed = scala.util.Try(
+      spark.sessionState.sqlParser.parseExpression(whereSql))
+    if (parsed.isFailure) return files
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val partSet = partitionColumns.toSet
+    val byName = declared.fields.map(f => f.name -> f).toMap
+    // (column, op, literal) shapes; op in =, <, <=, >, >= plus the
+    // null tests — everything else keeps
+    sealed trait Test
+    case class Cmp(colName: String, op: String, l: Literal) extends Test
+    case class NullTest(colName: String, isNull: Boolean) extends Test
+    def shape(e: Expression): Option[Test] = e match {
+      case EqualTo(UnresolvedAttribute(Seq(n)), l: Literal) =>
+        Some(Cmp(n, "=", l))
+      case EqualTo(l: Literal, UnresolvedAttribute(Seq(n))) =>
+        Some(Cmp(n, "=", l))
+      case LessThan(UnresolvedAttribute(Seq(n)), l: Literal) =>
+        Some(Cmp(n, "<", l))
+      case LessThan(l: Literal, UnresolvedAttribute(Seq(n))) =>
+        Some(Cmp(n, ">", l))
+      case LessThanOrEqual(UnresolvedAttribute(Seq(n)), l: Literal) =>
+        Some(Cmp(n, "<=", l))
+      case LessThanOrEqual(l: Literal, UnresolvedAttribute(Seq(n))) =>
+        Some(Cmp(n, ">=", l))
+      case GreaterThan(UnresolvedAttribute(Seq(n)), l: Literal) =>
+        Some(Cmp(n, ">", l))
+      case GreaterThan(l: Literal, UnresolvedAttribute(Seq(n))) =>
+        Some(Cmp(n, "<", l))
+      case GreaterThanOrEqual(UnresolvedAttribute(Seq(n)), l: Literal) =>
+        Some(Cmp(n, ">=", l))
+      case GreaterThanOrEqual(l: Literal, UnresolvedAttribute(Seq(n))) =>
+        Some(Cmp(n, "<=", l))
+      case IsNull(UnresolvedAttribute(Seq(n))) =>
+        Some(NullTest(n, isNull = true))
+      case IsNotNull(UnresolvedAttribute(Seq(n))) =>
+        Some(NullTest(n, isNull = false))
+      case _ => None
+    }
+    val tests = conjuncts(parsed.get).flatMap(shape)
+    if (tests.isEmpty) return files
+    // satisfiable(op, lo, hi, lit): can any x in [lo, hi] pass?
+    def satisfiable(op: String,
+        lo: Option[Either[BigDecimal, String]],
+        hi: Option[Either[BigDecimal, String]],
+        lit: Either[BigDecimal, String]): Boolean = op match {
+      case "=" => lo.flatMap(leq(_, lit)).getOrElse(true) &&
+        hi.flatMap(leq(lit, _)).getOrElse(true)
+      case "<" => lo.flatMap(lt(_, lit)).getOrElse(true)
+      case "<=" => lo.flatMap(leq(_, lit)).getOrElse(true)
+      case ">" => hi.flatMap(lt(lit, _)).getOrElse(true)
+      case ">=" => hi.flatMap(leq(lit, _)).getOrElse(true)
+      case _ => true
+    }
+    files.filter { f =>
+      lazy val stats = f.stats.flatMap(parseStats)
+      tests.forall {
+        case Cmp(n, op, l) if partSet(n) =>
+          byName.get(n).forall { fld =>
+            f.partitionValues.get(n)
+              .orElse(f.partitionValues.get(
+                scala.util.Try(fld.metadata.getString(
+                  "delta.columnMapping.physicalName")).getOrElse(n)))
+              .fold(true) {
+                case None => false // all-null partition: no row passes
+                case Some(raw) =>
+                  (boundKey(fld.dataType, raw), litKey(fld.dataType, l))
+                    match {
+                      case (Some(v), Some(k)) =>
+                        satisfiable(op, Some(v), Some(v), k)
+                      case _ => true
+                    }
+              }
+          }
+        case Cmp(n, op, l) =>
+          byName.get(n).forall { fld =>
+            stats.fold(true) { st =>
+              // all-null column in this file: no comparison passes
+              val allNull = (st.numRecords, st.nullCount.get(n)) match {
+                case (Some(r), Some(c)) => r > 0 && c == r
+                case _ => false
+              }
+              if (allNull) false
+              else litKey(fld.dataType, l).fold(true) { k =>
+                satisfiable(op,
+                  st.min.get(n).flatMap(boundKey(fld.dataType, _)),
+                  st.max.get(n).flatMap(boundKey(fld.dataType, _)), k)
+              }
+            }
+          }
+        case NullTest(n, isNull) if partSet(n) =>
+          f.partitionValues.get(n).fold(true)(v =>
+            if (isNull) v.isEmpty else v.nonEmpty)
+        case NullTest(n, isNull) =>
+          stats.fold(true) { st =>
+            (st.numRecords, st.nullCount.get(n)) match {
+              case (Some(r), Some(c)) =>
+                if (isNull) c > 0 else c < r
+              case _ => true
+            }
+          }
+      }
+    }
+  }
 
   /** CONTINUOUS export: a Structured Streaming query tailing the CDC
     * table's changelog whose every micro-batch runs one
@@ -690,14 +911,16 @@ object DeltaInterop {
     * logical. Binary partition columns refuse (their string
     * serialization is writer-ambiguous — never misread).
     */
-  def readDelta(spark: SparkSession, table: String): DataFrame = {
+  def readDelta(spark: SparkSession, table: String,
+      versionAsOf: Option[Long] = None,
+      where: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val vs = versions(spark, table)
     // a fully-checkpointed log may have had ALL its JSON commits
     // cleaned up — the checkpoint alone is a complete table
     require(vs.nonEmpty || latestCheckpoint(spark, table).isDefined,
       s"no Delta log at $table")
-    val st = replayLog(spark, table, vs)
+    val st = replayLog(spark, table, vs, versionAsOf)
     val declared = st.schema.getOrElse(
       throw new IllegalStateException(
         s"Delta log at $table carries no metaData action"))
@@ -714,11 +937,18 @@ object DeltaInterop {
           "serialization is writer-ambiguous — refusing rather than " +
           "misreading"))
     val dataFields = declared.fields.filterNot(f => partSet(f.name))
+    // `where` prunes the FILE LIST at the metadata level before any
+    // scan or vector decode: exact on partition values, conservative
+    // on add-action stats intervals ([[pruneFiles]]); the same
+    // predicate still applies as a row filter below, so pruning can
+    // only cut cost, never change results
+    val liveFiles: Seq[LiveFile] = where.fold(st.files)(w =>
+      pruneFiles(spark, st.files, declared, st.partitionColumns, w))
     // the logical shape callers see: column-mapping bookkeeping is
     // reader-internal, never surfaced
     val logical = StructType(declared.fields.map(f =>
       f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
-    if (st.files.isEmpty)
+    if (liveFiles.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
     val mode = st.config.getOrElse("delta.columnMapping.mode", "none")
@@ -741,7 +971,7 @@ object DeltaInterop {
     }
     // deletion vectors: any live file carrying one makes every scan
     // attach its file/row-index metadata for the anti-join below
-    val anyDv = st.files.exists(_.dv.isDefined)
+    val anyDv = liveFiles.exists(_.dv.isDefined)
     def physicalName(f: StructField): String =
       if (mode == "none") f.name
       else {
@@ -764,7 +994,7 @@ object DeltaInterop {
       }
     val groups: Seq[(Seq[Option[String]], Seq[LiveFile])] =
       if (st.partitionColumns.isEmpty) Seq.empty
-      else st.files.map(f => (tupleOf(f), f)).groupBy(_._1)
+      else liveFiles.map(f => (tupleOf(f), f)).groupBy(_._1)
         .toSeq.sortBy(_._1.toString)
         .map { case (t, m) => (t, m.map(_._2)) }
     // above this bound, one union branch per partition tuple stops
@@ -823,7 +1053,7 @@ object DeltaInterop {
     }
     val scanned: DataFrame =
       if (st.partitionColumns.isEmpty)
-        scanGroup(st.files.map(f =>
+        scanGroup(liveFiles.map(f =>
           IcebergInterop.resolvePath(table, f.path).toString))
       else if (!useJoinFallback) {
         // group live files by partition tuple; each group scans once
@@ -848,7 +1078,7 @@ object DeltaInterop {
         // still apply); the literal-branch path above keeps it where
         // the plan can afford it.
         val fsq = CdcApply.fsFor(spark, table)
-        val rows = st.files.map { f =>
+        val rows = liveFiles.map { f =>
           org.apache.spark.sql.Row.fromSeq(
             fsq.makeQualified(IcebergInterop
               .resolvePath(table, f.path)).toString +:
@@ -865,7 +1095,7 @@ object DeltaInterop {
           spark.sparkContext.parallelize(rows,
             math.max(1, math.min(rows.size / 10000 + 1, 64))),
           pvSchema)
-        scanGroup(st.files.map(f =>
+        scanGroup(liveFiles.map(f =>
           IcebergInterop.resolvePath(table, f.path).toString))
           .join(org.apache.spark.sql.functions.broadcast(pvDf),
             IcebergInterop.canonUri(col("_dv_path")) ===
@@ -889,8 +1119,8 @@ object DeltaInterop {
         // through the table's filesystem so a scheme-less local path
         // matches Spark's file:///-rendered _metadata.file_path
         val fsq = CdcApply.fsFor(spark, table)
-        val dels = deletedRowsDf(spark, table, st.files.collect {
-          case LiveFile(rel, _, Some(d)) =>
+        val dels = deletedRowsDf(spark, table, liveFiles.collect {
+          case LiveFile(rel, _, Some(d), _) =>
             (fsq.makeQualified(
               IcebergInterop.resolvePath(table, rel)).toString, d) })
         scanned.join(dels,
@@ -899,7 +1129,11 @@ object DeltaInterop {
             col("_dv_idx") === col("_del_idx"),
           "left_anti")
       }
-    resolved.select(logical.fieldNames.map(col).toIndexedSeq: _*)
+    val out = resolved.select(
+      logical.fieldNames.map(col).toIndexedSeq: _*)
+    // pruning is file-level; the row predicate still applies
+    where.fold(out)(w =>
+      out.filter(org.apache.spark.sql.functions.expr(w)))
   }
 
   /** (canonical data-file path, deleted row index) rows for every

@@ -38,8 +38,14 @@ class DeltaTableSource extends RelationProvider with DataSourceRegister {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "format(\"delta\") requires option(\"path\", <table dir>)"))
+    // option("versionAsOf", n) = Delta time travel; option("filter",
+    // <sql predicate>) = row filter + metadata-level file pruning
+    // (exact on partition values, conservative on add-action stats)
+    val versionAsOf = parameters.get("versionAsOf").map(_.toLong)
+    val filter = parameters.get("filter")
     CdcRelation(sqlContext,
-      DeltaInterop.readDelta(sqlContext.sparkSession, path))
+      DeltaInterop.readDelta(sqlContext.sparkSession, path,
+        versionAsOf, filter))
   }
 }
 

@@ -293,10 +293,13 @@ object CdcSql {
       (FunctionIdentifier("delta_scan"),
         new ExpressionInfo("graft.streaming.CdcSql", "delta_scan"),
         args => {
-          if (args.size != 1) throw new UnsupportedOperationException(
-            "delta_scan(path) takes 1 argument")
+          if (args.isEmpty || args.size > 2)
+            throw new UnsupportedOperationException(
+              "delta_scan(path[, versionAsOf]) takes 1 or 2 arguments")
           val path = argString(args(0), "delta_scan path")
-          graft.sources.DeltaInterop.readDelta(activeSession, path)
+          val ver = args.lift(1)
+            .map(argLong(_, "delta_scan versionAsOf"))
+          graft.sources.DeltaInterop.readDelta(activeSession, path, ver)
             .queryExecution.analyzed
         }),
       (FunctionIdentifier("iceberg_scan"),

@@ -672,9 +672,11 @@ class CdcSqlSpec extends AnyFunSuite with SparkTestBase {
     assert(vals(s"SELECT k, amount FROM delta_scan('$delta')") == b1)
     assert(vals(s"SELECT k, amount FROM iceberg_scan('$ice')") == b1)
     assert(vals(s"SELECT k, amount FROM iceberg_scan('$ice', 0)") == b0)
+    // Delta time travel from SQL: version 0 = the first export
+    assert(vals(s"SELECT k, amount FROM delta_scan('$delta', 0)") == b0)
     val e = intercept[Exception] {
-      spark.sql("SELECT * FROM delta_scan('/a', 'b')") }
-    assert(e.getMessage.contains("takes 1 argument"), e.getMessage)
+      spark.sql("SELECT * FROM delta_scan('/a', 1, 2)") }
+    assert(e.getMessage.contains("1 or 2 arguments"), e.getMessage)
     val e2 = intercept[Exception] {
       spark.sql("SELECT * FROM iceberg_scan()") }
     assert(e2.getMessage.contains("1 or 2 arguments"), e2.getMessage)

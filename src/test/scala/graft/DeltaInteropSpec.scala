@@ -590,6 +590,99 @@ class DeltaInteropSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("no partition value"), e.getMessage)
   }
 
+  test("versionAsOf time travel: any retained log version " +
+      "reconstructs; versions past the head or behind a cleaned-up " +
+      "checkpoint refuse") {
+    import spark.implicits._
+    val root = buildCdc()
+    val delta = tmp("delta_tt")
+    assert(DeltaInterop.exportSnapshot(spark, root, delta) == 0L)
+    assert(CdcApply.applyBatch(
+      Seq((1L, 2L, 11.0, false), (2L, 2L, 20.0, true))
+        .toDF("k", "version", "amount", "deleted"),
+      1L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+      commitTs = Some(2000L)))
+    assert(DeltaInterop.exportSnapshot(spark, root, delta) == 1L)
+    assert(state(DeltaInterop.readDelta(spark, delta)) ==
+      Map(1L -> 11.0, 3L -> 30.0))
+    assert(state(DeltaInterop.readDelta(spark, delta, Some(0L))) ==
+      Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    assert(state(DeltaInterop.readDelta(spark, delta, Some(1L))) ==
+      Map(1L -> 11.0, 3L -> 30.0))
+    // the shim exposes the same axis
+    assert(state(spark.read.format("graft-delta").option("path", delta)
+      .option("versionAsOf", "0").load()) ==
+      Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    val e = intercept[IllegalArgumentException] {
+      DeltaInterop.readDelta(spark, delta, Some(7L))
+    }
+    assert(e.getMessage.contains("not available"), e.getMessage)
+  }
+
+  test("metadata-level file pruning on a where predicate: add-action " +
+      "STATS intervals and partition values cut the file list before " +
+      "any scan; results equal filter-after-read") {
+    import java.nio.file.{Files, Paths}
+    val spark2 = spark
+    import spark2.implicits._
+    val delta = tmp("delta_stats")
+    def writeGroup(sub: String, rows: Seq[(Long, String)]): String = {
+      rows.toDF("id", "s").coalesce(1).write.parquet(s"$delta/$sub")
+      val f = new java.io.File(s"$delta/$sub").listFiles()
+        .map(_.getName).find(_.endsWith(".parquet")).get
+      s"$sub/$f"
+    }
+    val f1 = writeGroup("a", Seq((1L, "a"), (5L, "b")))
+    val f2 = writeGroup("b", Seq((10L, "c"), (20L, "d")))
+    val f3 = writeGroup("c", Seq((30L, "e")))
+    val schema = Seq((1L, "a")).toDF("id", "s").schema.json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    def add(p: String, mn: Long, mx: Long, n: Long): String =
+      s"""{"add":{"path":"$p","size":1,"partitionValues":{},"modificationTime":0,"dataChange":true,"stats":"{\\"numRecords\\":$n,\\"minValues\\":{\\"id\\":$mn},\\"maxValues\\":{\\"id\\":$mx},\\"nullCount\\":{\\"id\\":0}}"}}"""
+    Files.createDirectories(Paths.get(s"$delta/_delta_log"))
+    Files.writeString(Paths.get(
+      s"$delta/_delta_log/00000000000000000000.json"),
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+{"metaData":{"id":"x","schemaString":"$schema","format":{"provider":"parquet","options":{}},"partitionColumns":[],"configuration":{}}}
+${add(f1, 1, 5, 2)}
+${add(f2, 10, 20, 2)}
+${add(f3, 30, 30, 1)}
+""")
+    def scanned(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.toPartitionArray
+            .map(_.filePath.toString).toSeq
+      }.flatten.toSet
+    val all = DeltaInterop.readDelta(spark, delta)
+    assert(scanned(all).size == 3)
+    // range predicate: only the [10,20] file can match
+    val mid = DeltaInterop.readDelta(spark, delta,
+      where = Some("id >= 10 AND id < 25"))
+    assert(mid.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(10L, 20L))
+    val sMid = scanned(mid)
+    assert(sMid.size == 1 && sMid.forall(_.contains("/b/")),
+      s"stats pruning failed: $sMid")
+    // equality: exactly the covering interval survives
+    val eq = DeltaInterop.readDelta(spark, delta, where = Some("id = 30"))
+    assert(eq.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(30L))
+    assert(scanned(eq).forall(_.contains("/c/")))
+    // a predicate over a column WITHOUT usable shape keeps all files
+    // but still filters rows
+    val like = DeltaInterop.readDelta(spark, delta,
+      where = Some("s LIKE 'c%'"))
+    assert(like.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(10L))
+    assert(scanned(like).size == 3)
+    // the shim: option("filter", ...) drives the same pruning
+    val viaShim = spark.read.format("graft-delta").option("path", delta)
+      .option("filter", "id >= 10 AND id < 25").load()
+    assert(viaShim.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(10L, 20L))
+  }
+
   test("classic parquet CHECKPOINTS: an aged log whose checkpointed " +
       "JSON commits were cleaned up reads from the checkpoint + the " +
       "JSON tail; checkpoint-only logs read; a gap with no covering " +
