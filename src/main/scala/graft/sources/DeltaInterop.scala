@@ -602,59 +602,7 @@ object DeltaInterop {
     replayLog(spark, table, vs).files.map(_.path)
 
   // ---- metadata-level file pruning on a `where` predicate -------------
-
-  /** A comparable bound: numerics (and booleans) as BigDecimal,
-    * strings and ISO dates lexicographically. Timestamps and
-    * everything else are not prunable (format variance would make
-    * lexicographic comparison unsound) — None = keep the file.
-    */
-  private def boundKey(dt: DataType, raw: String)
-      : Option[Either[BigDecimal, String]] = dt match {
-    case org.apache.spark.sql.types.ByteType |
-         org.apache.spark.sql.types.ShortType |
-         org.apache.spark.sql.types.IntegerType |
-         org.apache.spark.sql.types.LongType |
-         org.apache.spark.sql.types.FloatType |
-         org.apache.spark.sql.types.DoubleType |
-         _: org.apache.spark.sql.types.DecimalType =>
-      scala.util.Try(BigDecimal(raw)).toOption.map(Left(_))
-    case org.apache.spark.sql.types.StringType => Some(Right(raw))
-    case org.apache.spark.sql.types.DateType => Some(Right(raw))
-    case org.apache.spark.sql.types.BooleanType => raw match {
-      case "true" => Some(Left(BigDecimal(1)))
-      case "false" => Some(Left(BigDecimal(0)))
-      case _ => None
-    }
-    case _ => None
-  }
-
-  private def litKey(dt: DataType,
-      l: org.apache.spark.sql.catalyst.expressions.Literal)
-      : Option[Either[BigDecimal, String]] =
-    if (l.value == null) None
-    else l.dataType match {
-      case org.apache.spark.sql.types.DateType =>
-        // only against a date column: internal value = epoch days
-        if (dt == org.apache.spark.sql.types.DateType)
-          Some(Right(java.time.LocalDate
-            .ofEpochDay(l.value.asInstanceOf[Int].toLong).toString))
-        else None
-      case _ => boundKey(dt, l.value.toString)
-    }
-
-  private def leq(a: Either[BigDecimal, String],
-      b: Either[BigDecimal, String]): Option[Boolean] = (a, b) match {
-    case (Left(x), Left(y)) => Some(x <= y)
-    case (Right(x), Right(y)) => Some(x <= y)
-    case _ => None
-  }
-
-  private def lt(a: Either[BigDecimal, String],
-      b: Either[BigDecimal, String]): Option[Boolean] = (a, b) match {
-    case (Left(x), Left(y)) => Some(x < y)
-    case (Right(x), Right(y)) => Some(x < y)
-    case _ => None
-  }
+  // (shared satisfiability logic lives in [[MetaPrune]])
 
   /** Per-file add-action stats, top-level columns only. Delta
     * truncates long string bounds SOUNDLY (min truncated down, max
@@ -694,64 +642,11 @@ object DeltaInterop {
   private def pruneFiles(spark: SparkSession, files: Seq[LiveFile],
       declared: StructType, partitionColumns: Seq[String],
       whereSql: String): Seq[LiveFile] = {
-    import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    val parsed = scala.util.Try(
-      spark.sessionState.sqlParser.parseExpression(whereSql))
-    if (parsed.isFailure) return files
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
+    import MetaPrune.{Cmp, NullTest}
     val partSet = partitionColumns.toSet
     val byName = declared.fields.map(f => f.name -> f).toMap
-    // (column, op, literal) shapes; op in =, <, <=, >, >= plus the
-    // null tests — everything else keeps
-    sealed trait Test
-    case class Cmp(colName: String, op: String, l: Literal) extends Test
-    case class NullTest(colName: String, isNull: Boolean) extends Test
-    def shape(e: Expression): Option[Test] = e match {
-      case EqualTo(UnresolvedAttribute(Seq(n)), l: Literal) =>
-        Some(Cmp(n, "=", l))
-      case EqualTo(l: Literal, UnresolvedAttribute(Seq(n))) =>
-        Some(Cmp(n, "=", l))
-      case LessThan(UnresolvedAttribute(Seq(n)), l: Literal) =>
-        Some(Cmp(n, "<", l))
-      case LessThan(l: Literal, UnresolvedAttribute(Seq(n))) =>
-        Some(Cmp(n, ">", l))
-      case LessThanOrEqual(UnresolvedAttribute(Seq(n)), l: Literal) =>
-        Some(Cmp(n, "<=", l))
-      case LessThanOrEqual(l: Literal, UnresolvedAttribute(Seq(n))) =>
-        Some(Cmp(n, ">=", l))
-      case GreaterThan(UnresolvedAttribute(Seq(n)), l: Literal) =>
-        Some(Cmp(n, ">", l))
-      case GreaterThan(l: Literal, UnresolvedAttribute(Seq(n))) =>
-        Some(Cmp(n, "<", l))
-      case GreaterThanOrEqual(UnresolvedAttribute(Seq(n)), l: Literal) =>
-        Some(Cmp(n, ">=", l))
-      case GreaterThanOrEqual(l: Literal, UnresolvedAttribute(Seq(n))) =>
-        Some(Cmp(n, "<=", l))
-      case IsNull(UnresolvedAttribute(Seq(n))) =>
-        Some(NullTest(n, isNull = true))
-      case IsNotNull(UnresolvedAttribute(Seq(n))) =>
-        Some(NullTest(n, isNull = false))
-      case _ => None
-    }
-    val tests = conjuncts(parsed.get).flatMap(shape)
+    val tests = MetaPrune.conjunctTests(spark, whereSql)
     if (tests.isEmpty) return files
-    // satisfiable(op, lo, hi, lit): can any x in [lo, hi] pass?
-    def satisfiable(op: String,
-        lo: Option[Either[BigDecimal, String]],
-        hi: Option[Either[BigDecimal, String]],
-        lit: Either[BigDecimal, String]): Boolean = op match {
-      case "=" => lo.flatMap(leq(_, lit)).getOrElse(true) &&
-        hi.flatMap(leq(lit, _)).getOrElse(true)
-      case "<" => lo.flatMap(lt(_, lit)).getOrElse(true)
-      case "<=" => lo.flatMap(leq(_, lit)).getOrElse(true)
-      case ">" => hi.flatMap(lt(lit, _)).getOrElse(true)
-      case ">=" => hi.flatMap(leq(lit, _)).getOrElse(true)
-      case _ => true
-    }
     files.filter { f =>
       lazy val stats = f.stats.flatMap(parseStats)
       tests.forall {
@@ -764,10 +659,10 @@ object DeltaInterop {
               .fold(true) {
                 case None => false // all-null partition: no row passes
                 case Some(raw) =>
-                  (boundKey(fld.dataType, raw), litKey(fld.dataType, l))
-                    match {
+                  (MetaPrune.boundKey(fld.dataType, raw),
+                    MetaPrune.litKey(fld.dataType, l)) match {
                       case (Some(v), Some(k)) =>
-                        satisfiable(op, Some(v), Some(v), k)
+                        MetaPrune.satisfiable(op, Some(v), Some(v), k)
                       case _ => true
                     }
               }
@@ -781,10 +676,12 @@ object DeltaInterop {
                 case _ => false
               }
               if (allNull) false
-              else litKey(fld.dataType, l).fold(true) { k =>
-                satisfiable(op,
-                  st.min.get(n).flatMap(boundKey(fld.dataType, _)),
-                  st.max.get(n).flatMap(boundKey(fld.dataType, _)), k)
+              else MetaPrune.litKey(fld.dataType, l).fold(true) { k =>
+                MetaPrune.satisfiable(op,
+                  st.min.get(n).flatMap(
+                    MetaPrune.boundKey(fld.dataType, _)),
+                  st.max.get(n).flatMap(
+                    MetaPrune.boundKey(fld.dataType, _)), k)
               }
             }
           }

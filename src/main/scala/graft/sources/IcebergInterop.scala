@@ -940,14 +940,54 @@ object IcebergInterop {
       fieldIdSession(spark).read.schema(schemaWithFieldIds(meta))
     else spark.read.schema(schemaOf(meta))
 
-  /** The live data files of one snapshot with their partition
-    * context: (file_path, partition-spec-id of the manifest, the
-    * entry's raw `partition` record). Spec ids default to 0 when the
-    * list schema omits them (this engine's own exports).
+  /** One live data file with its pruning context: the manifest's
+    * partition-spec-id, the entry's raw `partition` record, and the
+    * column bounds (field-id → single-value-serialized bytes).
+    */
+  private[sources] case class LiveDataFile(path: String, specId: Int,
+      partition: Option[GenericRecord],
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
+
+  /** Bounds map from a data_file record's `lower_bounds` /
+    * `upper_bounds` — tolerant of both the spec's array-of-(key,
+    * value) form (what this engine and real writers emit) and a plain
+    * Avro map with stringified keys.
+    */
+  private[sources] def boundsOf(df: GenericRecord,
+      field: String): Map[Int, Array[Byte]] = {
+    def bytes(v: Any): Array[Byte] = v match {
+      case bb: java.nio.ByteBuffer =>
+        val d = bb.duplicate()
+        val a = new Array[Byte](d.remaining())
+        d.get(a)
+        a
+      case a: Array[Byte] => a
+      case other => other.toString.getBytes("UTF-8")
+    }
+    if (df.getSchema.getField(field) == null) Map.empty
+    else Option(df.get(field)).map {
+      case l: java.util.List[_] =>
+        l.asScala.flatMap { r0 =>
+          val r = r0.asInstanceOf[GenericRecord]
+          scala.util.Try(
+            r.get("key").asInstanceOf[Number].intValue() ->
+              bytes(r.get("value"))).toOption
+        }.toMap
+      case m: java.util.Map[_, _] =>
+        m.asScala.flatMap { case (k, v) =>
+          scala.util.Try(k.toString.toInt -> bytes(v)).toOption
+        }.toMap
+      case _ => Map.empty[Int, Array[Byte]]
+    }.getOrElse(Map.empty)
+  }
+
+  /** The live data files of one snapshot with their pruning context.
+    * Spec ids default to 0 when the list schema omits them (this
+    * engine's own exports).
     */
   private[sources] def liveEntries(spark: SparkSession, table: String,
       meta: com.fasterxml.jackson.databind.JsonNode,
-      snapshotId: Long): Seq[(String, Int, Option[GenericRecord])] = {
+      snapshotId: Long): Seq[LiveDataFile] = {
     val snap = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == snapshotId)
       .getOrElse(throw new IllegalArgumentException(
@@ -970,7 +1010,8 @@ object IcebergInterop {
             if (df.getSchema.getField("partition") == null) None
             else Option(df.get("partition"))
               .map(_.asInstanceOf[GenericRecord])
-          (df.get("file_path").toString, specId, part)
+          LiveDataFile(df.get("file_path").toString, specId, part,
+            boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds"))
         }
     }
   }
@@ -981,7 +1022,45 @@ object IcebergInterop {
   private[sources] def liveFiles(spark: SparkSession, table: String,
       meta: com.fasterxml.jackson.databind.JsonNode,
       snapshotId: Long): Seq[String] =
-    liveEntries(spark, table, meta, snapshotId).map(_._1)
+    liveEntries(spark, table, meta, snapshotId).map(_.path)
+
+  /** Prune data files on their manifest COLUMN BOUNDS under `where`
+    * ([[MetaPrune]] satisfiability over lower/upper single-value
+    * bounds) — the file-skipping a real Iceberg reader performs
+    * beyond partition pruning. Conservative: missing bounds,
+    * unsupported conjunct shapes, or incomparable types keep.
+    */
+  private[sources] def boundsPrune[T](spark: SparkSession,
+      meta: com.fasterxml.jackson.databind.JsonNode,
+      entries: Seq[(T, Map[Int, Array[Byte]], Map[Int, Array[Byte]])],
+      whereSql: String): Seq[T] = {
+    import MetaPrune.{Cmp, NullTest}
+    val tests = MetaPrune.conjunctTests(spark, whereSql)
+    if (tests.isEmpty) return entries.map(_._1)
+    val idByName: Map[String, (Int, StructField)] =
+      schemaJson(meta).get("fields").elements().asScala.map { f =>
+        f.get("name").asText() ->
+          ((f.get("id").asInt(), StructField(f.get("name").asText(),
+            sparkType(f.get("type").asText()))))
+      }.toMap
+    entries.filter { case (_, lo, hi) =>
+      tests.forall {
+        case Cmp(n, op, l) =>
+          idByName.get(n).fold(true) { case (id, fld) =>
+            MetaPrune.litKey(fld.dataType, l).fold(true) { k =>
+              MetaPrune.satisfiable(op,
+                lo.get(id).flatMap(
+                  MetaPrune.icebergBound(fld.dataType, _))
+                  .flatMap(MetaPrune.boundKey(fld.dataType, _)),
+                hi.get(id).flatMap(
+                  MetaPrune.icebergBound(fld.dataType, _))
+                  .flatMap(MetaPrune.boundKey(fld.dataType, _)), k)
+            }
+          }
+        case NullTest(_, _) => true // null counts not consulted
+      }
+    }.map(_._1)
+  }
 
   /** Canonical URI form for file-path matching: Hadoop and Spark's
     * `_metadata.file_path` render the local scheme with one and three
@@ -1161,10 +1240,14 @@ object IcebergInterop {
     val snap = snapshotId.getOrElse(
       meta.get("current-snapshot-id").asLong())
     val entries = liveEntries(spark, table, meta, snap)
-    val files = where.fold(entries.map(_._1))(w =>
-      partitionPrune(spark, meta,
-        entries.map(e => (e._1, e._2, e._3)), w))
-      .map(rel => resolvePath(table, rel).toString)
+    val files = where.fold(entries.map(_.path)) { w =>
+      // identity-partition pruning first, then column-bounds
+      // file skipping — both conservative supersets
+      val p1 = partitionPrune(spark, meta,
+        entries.map(e => (e, e.specId, e.partition)), w)
+      boundsPrune(spark, meta,
+        p1.map(e => (e.path, e.lower, e.upper)), w)
+    }.map(rel => resolvePath(table, rel).toString)
     val base =
       if (files.isEmpty)
         spark.createDataFrame(

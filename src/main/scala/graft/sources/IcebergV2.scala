@@ -626,7 +626,9 @@ object IcebergV2 {
 
   private case class FileEntry(path: String, seq: Long, content: Int,
       eqIds: Seq[Int], specId: Int = 0,
-      part: Option[GenericRecord] = None)
+      part: Option[GenericRecord] = None,
+      lower: Map[Int, Array[Byte]] = Map.empty,
+      upper: Map[Int, Array[Byte]] = Map.empty)
 
   /** Field access tolerant of writer schemas that OMIT optional v2
     * fields entirely (GenericRecord.get throws on unknown names).
@@ -690,13 +692,17 @@ object IcebergV2 {
             .map(_.asInstanceOf[GenericRecord])
           FileEntry(resolvePath(table,
             df.get("file_path").toString).toString,
-            seq, intOf(df, "content").getOrElse(0), eqIds, specId, part)
+            seq, intOf(df, "content").getOrElse(0), eqIds, specId, part,
+            boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds"))
         }
     }
-    val dataFiles = where.fold(entries.filter(_.content == 0))(w =>
-      partitionPrune(spark, meta,
+    val dataFiles = where.fold(entries.filter(_.content == 0)) { w =>
+      val p1 = partitionPrune(spark, meta,
         entries.filter(_.content == 0)
-          .map(f => (f, f.specId, f.part)), w))
+          .map(f => (f, f.specId, f.part)), w)
+      boundsPrune(spark, meta,
+        p1.map(f => (f, f.lower, f.upper)), w)
+    }
     val posDels = entries.filter(_.content == 1)
     val eqDels = entries.filter(_.content == 2)
     if (dataFiles.isEmpty)

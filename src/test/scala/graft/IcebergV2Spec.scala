@@ -528,9 +528,29 @@ class IcebergV2Spec extends AnyFunSuite with SparkTestBase {
         |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[
         |{"name":"p","type":"int","field-id":1000}]}},
         |{"name":"record_count","type":"long","field-id":103},
-        |{"name":"file_size_in_bytes","type":"long","field-id":104}
+        |{"name":"file_size_in_bytes","type":"long","field-id":104},
+        |{"name":"lower_bounds","field-id":125,"default":null,"type":["null",
+        |{"type":"array","items":{"type":"record","name":"kv1","fields":[
+        |{"name":"key","type":"int","field-id":126},
+        |{"name":"value","type":"bytes","field-id":127}]}}]},
+        |{"name":"upper_bounds","field-id":128,"default":null,"type":["null",
+        |{"type":"array","items":{"type":"record","name":"kv2","fields":[
+        |{"name":"key","type":"int","field-id":129},
+        |{"name":"value","type":"bytes","field-id":130}]}}]}
         |]}}]}""".stripMargin)
-    def writeManifest(name: String, path: String, p: Int): Unit = {
+    // k bounds in the spec's single-value form: 8-byte little-endian
+    def le64(v: Long): Array[Byte] =
+      (0 until 8).map(i => ((v >>> (8 * i)) & 0xff).toByte).toArray
+    def kBound(schema: org.apache.avro.Schema, id: Int,
+        v: Long): Object = {
+      val item = schema.getTypes.get(1).getElementType
+      val r = new GenericData.Record(item)
+      r.put("key", id)
+      r.put("value", java.nio.ByteBuffer.wrap(le64(v)))
+      java.util.Collections.singletonList(r)
+    }
+    def writeManifest(name: String, path: String, p: Int,
+        kLo: Long, kHi: Long): Unit = {
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](entrySchema))
       w.create(entrySchema, new java.io.FileOutputStream(
@@ -546,6 +566,10 @@ class IcebergV2Spec extends AnyFunSuite with SparkTestBase {
       df.put("partition", part)
       df.put("record_count", 2L)
       df.put("file_size_in_bytes", 1L)
+      df.put("lower_bounds",
+        kBound(dfSchema.getField("lower_bounds").schema(), 1, kLo))
+      df.put("upper_bounds",
+        kBound(dfSchema.getField("upper_bounds").schema(), 1, kHi))
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1)
       e.put("sequence_number", null)
@@ -553,8 +577,8 @@ class IcebergV2Spec extends AnyFunSuite with SparkTestBase {
       w.append(e)
       w.close()
     }
-    writeManifest("m-p1.avro", f1.getAbsolutePath, 1)
-    writeManifest("m-p2.avro", f2.getAbsolutePath, 2)
+    writeManifest("m-p1.avro", f1.getAbsolutePath, 1, 1L, 2L)
+    writeManifest("m-p2.avro", f2.getAbsolutePath, 2, 3L, 4L)
     val listSchema = new org.apache.avro.Schema.Parser().parse(
       """{"type":"record","name":"manifest_file","fields":[
         |{"name":"manifest_path","type":"string","field-id":500},
@@ -620,12 +644,21 @@ class IcebergV2Spec extends AnyFunSuite with SparkTestBase {
       where = Some("p = 2 AND amount > 35"))
     assert(state(mixed) == Map(4L -> 40.0))
     assert(scannedFiles(mixed).forall(_.contains("/p2/")))
-    // a conjunct over a NON-identity-partitioned column prunes
-    // nothing and loses nothing
+    // a conjunct over a non-partition column prunes on the manifest
+    // COLUMN BOUNDS (k in [1,2] for the p1 file, [3,4] for p2) —
+    // file skipping beyond partition pruning, values unchanged
     val byK = IcebergInterop.readIceberg(spark, dir,
       where = Some("k >= 4"))
     assert(state(byK) == Map(4L -> 40.0))
-    assert(scannedFiles(byK).size == 2)
+    val sk = scannedFiles(byK)
+    assert(sk.size == 1 && sk.forall(_.contains("/p2/")),
+      s"bounds pruning failed: $sk")
+    // a bound-covered but value-absent predicate keeps the covering
+    // file (bounds are intervals, not membership) and row-filters
+    val byK2 = IcebergInterop.readIceberg(spark, dir,
+      where = Some("k = 2"))
+    assert(state(byK2) == Map(2L -> 20.0))
+    assert(scannedFiles(byK2).size == 1)
     // the DataFrameReader shim exposes the same pruning via
     // option("filter", ...)
     val viaShim = spark.read.format("graft-iceberg")
