@@ -242,6 +242,173 @@ class DeletionVectorSpec extends AnyFunSuite with SparkTestBase {
     assert(msg4.contains("storageType"), s"$e4")
   }
 
+  test("randomized (seeded) log sequences: adds, removes, DV updates, " +
+      "checkpoints with JSON cleanup, and partition values — the " +
+      "reader equals ground truth after every commit, with and " +
+      "without a pruning predicate") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(42)
+    val dir = tmp("dv_random")
+    Files.createDirectories(Paths.get(s"$dir/_delta_log"))
+    val schemaStr = Seq((1L, 1)).toDF("id", "p").schema.json
+    val schemaEsc = schemaStr.replace("\\", "\\\\").replace("\"", "\\\"")
+    // ground truth: live file -> (partition p, surviving ids in order)
+    val live = scala.collection.mutable
+      .LinkedHashMap[String, (Int, Seq[Long])]()
+    // per-file FULL row list (row_index i -> ids(i)) for DV updates
+    val fullRows = scala.collection.mutable.Map[String, Seq[Long]]()
+    var nextId = 0L
+    var version = 0L
+    def writeFile(p: Int, n: Int): String = {
+      val ids = (nextId until nextId + n).toSeq
+      nextId += n
+      ids.map(i => Tuple1(i)).toDF("id")
+        .coalesce(1).sortWithinPartitions("id")
+        .write.parquet(s"$dir/g$nextId")
+      val f = new java.io.File(s"$dir/g$nextId").listFiles()
+        .map(_.getName).find(_.endsWith(".parquet")).get
+      val rel = s"g$nextId/$f"
+      fullRows(rel) = ids
+      live(rel) = (p, ids)
+      rel
+    }
+    def dvJsonFor(rel: String, deletedIdx: Seq[Long]): String =
+      if (deletedIdx.isEmpty) ""
+      else {
+        val payload = DV.encodePayload(deletedIdx)
+        val padded = java.util.Arrays.copyOf(payload,
+          ((payload.length + 3) / 4) * 4)
+        "," + dvJson("i", DV.z85Encode(padded), None, payload.length,
+          deletedIdx.size.toLong)
+      }
+    def addLine(rel: String, p: Int, deletedIdx: Seq[Long]): String =
+      s"""{"add":{"path":"$rel","size":1,"partitionValues":{"p":"$p"},"modificationTime":0,"dataChange":true${dvJsonFor(rel, deletedIdx)}}}"""
+    def commit(lines: Seq[String]): Unit = {
+      val head =
+        if (version == 0L)
+          Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+            s"""{"metaData":{"id":"x","schemaString":"$schemaEsc","format":{"provider":"parquet","options":{}},"partitionColumns":["p"],"configuration":{}}}""")
+        else Seq.empty
+      Files.writeString(Paths.get(
+        f"$dir/_delta_log/$version%020d.json"),
+        (head ++ lines).mkString("\n") + "\n")
+      version += 1
+    }
+    // the checkpoint writer mirrors the classic action schema with
+    // partitionValues + deletionVector on add
+    val cpSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration",
+          MapType(StringType, StringType))))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues",
+          MapType(StringType, StringType)),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType)))))))))
+    def writeCheckpointNow(): Unit = {
+      val target = new java.io.File(dir,
+        f"_delta_log/${version - 1}%020d.checkpoint.parquet")
+      if (target.exists) return // already checkpointed this version
+      val rows = Seq(
+        Row(Row(3, 7, Seq("deletionVectors")), null, null),
+        Row(null, Row("x", schemaStr, Seq("p"),
+          Map.empty[String, String]), null)) ++
+        live.toSeq.map { case (rel, (p, kept)) =>
+          val full = fullRows(rel)
+          val deletedIdx = full.zipWithIndex
+            .collect { case (id, i) if !kept.contains(id) => i.toLong }
+          val dvRow =
+            if (deletedIdx.isEmpty) null
+            else {
+              val payload = DV.encodePayload(deletedIdx)
+              val padded = java.util.Arrays.copyOf(payload,
+                ((payload.length + 3) / 4) * 4)
+              Row("i", DV.z85Encode(padded), payload.length,
+                deletedIdx.size.toLong)
+            }
+          Row(null, null, Row(rel, Map("p" -> p.toString), dvRow))
+        }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), cpSchema)
+        .coalesce(1).write.parquet(s"$dir/_cp_tmp")
+      val part = new java.io.File(s"$dir/_cp_tmp").listFiles()
+        .map(_.getName).find(_.endsWith(".parquet")).get
+      Files.copy(Paths.get(s"$dir/_cp_tmp/$part"), Paths.get(
+        f"$dir/_delta_log/${version - 1}%020d.checkpoint.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$dir/_cp_tmp"))
+      // log cleanup: delete every JSON the checkpoint covers
+      (0L until version).foreach { v =>
+        new java.io.File(dir, f"_delta_log/$v%020d.json").delete()
+        new java.io.File(dir, f"_delta_log/.$v%020d.json.crc").delete()
+      }
+    }
+    def check(): Unit = {
+      val expect = live.toSeq.flatMap { case (_, (p, kept)) =>
+        kept.map(id => (id, p)) }.toSet
+      val got = DeltaInterop.readDelta(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == expect, s"full read diverged at version $version")
+      // a random range predicate: pruning must not change results
+      val lo = rnd.nextInt(math.max(1, nextId.toInt))
+      val pv = rnd.nextInt(3)
+      val w = s"id >= $lo AND p = $pv"
+      val gotW = DeltaInterop.readDelta(spark, dir, where = Some(w))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val expW = expect.filter { case (id, p) => id >= lo && p == pv }
+      assert(gotW == expW, s"pruned read diverged at version $version ($w)")
+    }
+    // seed commit: three files across two partitions
+    commit(Seq(addLine(writeFile(0, 4), 0, Nil),
+      addLine(writeFile(1, 3), 1, Nil),
+      addLine(writeFile(0, 2), 0, Nil)))
+    check()
+    (1 to 8).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 => // add a fresh file
+          val p = rnd.nextInt(3)
+          commit(Seq(addLine(writeFile(p, 1 + rnd.nextInt(4)), p, Nil)))
+        case 1 if live.size > 1 => // remove a random live file
+          val rel = live.keys.toSeq(rnd.nextInt(live.size))
+          live.remove(rel)
+          commit(Seq(
+            s"""{"remove":{"path":"$rel","dataChange":true}}"""))
+        case 2 if live.nonEmpty => // DV update: delete one more row
+          val rel = live.keys.toSeq(rnd.nextInt(live.size))
+          val (p, kept) = live(rel)
+          if (kept.nonEmpty) {
+            val victim = kept(rnd.nextInt(kept.size))
+            val newKept = kept.filterNot(_ == victim)
+            live(rel) = (p, newKept)
+            val full = fullRows(rel)
+            val deletedIdx = full.zipWithIndex.collect {
+              case (id, i) if !newKept.contains(id) => i.toLong }
+            commit(Seq(
+              s"""{"remove":{"path":"$rel","dataChange":true}}""",
+              addLine(rel, p, deletedIdx)))
+          } else commit(Seq(addLine(writeFile(p, 2), p, Nil)))
+        case _ => // checkpoint + JSON cleanup (needs >= 1 commit)
+          writeCheckpointNow()
+      }
+      check()
+    }
+  }
+
   test("deletion vectors compose with PARTITIONED tables: the vector " +
       "applies to its file's rows only, other partitions untouched") {
     val spark2 = spark
