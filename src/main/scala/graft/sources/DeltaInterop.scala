@@ -383,8 +383,8 @@ object DeltaInterop {
     * listing is authoritative (a torn pointer must not hide a
     * complete checkpoint or point at an incomplete one).
     */
-  private def latestCheckpoint(spark: SparkSession, table: String)
-      : Option[(Long, Seq[Path])] = {
+  private def latestCheckpoint(spark: SparkSession, table: String,
+      maxVersion: Option[Long] = None): Option[(Long, Seq[Path])] = {
     val fs = CdcApply.fsFor(spark, table)
     if (!fs.exists(logDir(table))) return None
     val names = fs.listStatus(logDir(table)).toSeq
@@ -403,7 +403,8 @@ object DeltaInterop {
           ((i.toInt, k.toInt, n))
       case _ => ()
     }
-    byVersion.toSeq.sortBy(-_._1).collectFirst {
+    byVersion.toSeq.filter(e => maxVersion.forall(e._1 <= _))
+      .sortBy(-_._1).collectFirst {
       case (v, parts)
           if parts.map(_._2).distinct.size == 1 &&
             parts.map(_._1).sorted == (1 to parts.head._2) =>
@@ -516,8 +517,12 @@ object DeltaInterop {
     versionAsOf.foreach(v => require(v >= 0 && v <= available,
       s"version $v of the Delta table at $table is not available " +
         s"(log head is $available)"))
-    val cp = latestCheckpoint(spark, table)
-      .filter(c => versionAsOf.forall(c._1 <= _))
+    // VERSION AS OF may fall between two checkpoints: base on the
+    // newest COMPLETE checkpoint at-or-below the requested version
+    // (not the global newest filtered away), so aged logs whose
+    // early JSONs were cleaned under an older checkpoint still serve
+    // the read
+    val cp = latestCheckpoint(spark, table, versionAsOf)
     val cpV = cp.map(_._1).getOrElse(-1L)
     val tail = vs.filter(v => v > cpV && versionAsOf.forall(v <= _))
     val head = versionAsOf.getOrElse(
@@ -545,6 +550,16 @@ object DeltaInterop {
       val text = new String(
         org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
       in.close()
+      // actions within ONE commit are reconciled per the protocol
+      // with NO intra-commit ordering guarantee: a DV update may
+      // serialize the add (new vector) before the remove (old
+      // vector) of the same path. Buffer the commit's file actions,
+      // then apply removes first and adds last — line order inside
+      // the commit never decides whether a file survives.
+      val commitAdds =
+        scala.collection.mutable.LinkedHashMap[String, LiveFile]()
+      val commitRemoves =
+        scala.collection.mutable.LinkedHashSet[String]()
       text.linesIterator.filter(_.nonEmpty).foreach { line =>
         val n = mapper.readTree(line)
         if (n.has("protocol")) {
@@ -587,11 +602,13 @@ object DeltaInterop {
           val path = a.get("path").asText()
           val stats = Option(a.get("stats")).filterNot(_.isNull)
             .map(_.asText()).filter(_.nonEmpty)
-          live.put(path, LiveFile(path, pv, dv, stats))
+          commitAdds.put(path, LiveFile(path, pv, dv, stats))
         }
-        if (n.has("remove")) live.remove(
-          n.get("remove").get("path").asText())
+        if (n.has("remove")) commitRemoves +=
+          n.get("remove").get("path").asText()
       }
+      commitRemoves.foreach(live.remove)
+      commitAdds.foreach { case (p, f) => live.put(p, f) }
     }
     LogState(schema, partCols, config, live.values.toSeq)
   }
@@ -1044,12 +1061,29 @@ object DeltaInterop {
     val schema = StructType(Seq(
       StructField("_del_path", StringType, nullable = false),
       StructField("_del_idx", LongType, nullable = false)))
+    // the SESSION's Hadoop configuration (fs implementations,
+    // spark.hadoop.* credentials) ships to executors as a plain
+    // property array — a bare `new Configuration()` there would drop
+    // those settings and fail or misauthenticate file-backed vectors
+    // on s3a/abfs/hdfs
+    val confProps: Array[(String, String)] = {
+      val c = spark.sparkContext.hadoopConfiguration
+      val it = c.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      while (it.hasNext) {
+        val e = it.next(); buf += ((e.getKey, e.getValue))
+      }
+      buf.toArray
+    }
     val rdd = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 64)))
-      .flatMap { case (path, d) =>
-        DeletionVectors.deletedRows(table, d,
-          new org.apache.hadoop.conf.Configuration())
-          .map(i => org.apache.spark.sql.Row(path, i))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confProps.foreach { case (k, v) => conf.set(k, v) }
+        it.flatMap { case (path, d) =>
+          DeletionVectors.deletedRows(table, d, conf)
+            .map(i => org.apache.spark.sql.Row(path, i))
+        }
       }
     spark.createDataFrame(rdd, schema)
   }

@@ -154,12 +154,23 @@ object IcebergV2 {
     * [[fullSnapshot]] (append-only evolution keeps every existing
     * position, so appends stay incremental).
     */
-  private def schemaFp(schema: StructType): String =
-    schema.fieldNames.mkString("")
+  // the separator must be a character that CANNOT appear in a column
+  // name, else distinct schemas collide (["a","b"] vs ["ab"]) or an
+  // append test is satisfied by EXTENDING the last column's name
+  // ("c" -> "cd") — either would smuggle a non-append evolution past
+  // the full-snapshot guard. NUL is rejected by every catalog/parquet
+  // name path; Jackson escapes it fine in the JSON state. (A state
+  // written under an older separator simply mismatches and forces one
+  // full snapshot — conservative, never corrupting.)
+  private val FpSep = "\u0000"
 
-  private def isAppendEvolution(stored: String, current: String): Boolean =
+  private[sources] def schemaFp(schema: StructType): String =
+    schema.fieldNames.mkString(FpSep)
+
+  private[sources] def isAppendEvolution(stored: String,
+      current: String): Boolean =
     stored.isEmpty || current == stored ||
-      current.startsWith(stored + "")
+      current.startsWith(stored + FpSep)
 
   private def readState(spark: SparkSession, table: String)
       : Option[StateV2] = {

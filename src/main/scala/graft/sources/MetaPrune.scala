@@ -15,9 +15,12 @@ import org.apache.spark.sql.types._
   * scan cost, never change results.
   *
   * Comparison domains: numerics (and booleans) as exact BigDecimal,
-  * strings and ISO dates lexicographically. Timestamps are NOT
-  * prunable (writer format variance would make lexicographic
-  * comparison unsound).
+  * strings and ISO dates as UNSIGNED UTF-8 BYTE sequences (code-point
+  * order — what Delta stats and Iceberg bounds are collected under;
+  * Java's UTF-16 code-unit order disagrees for supplementary
+  * characters, and strings carrying unpaired surrogates answer
+  * "maybe"). Timestamps are NOT prunable (writer format variance
+  * would make lexicographic comparison unsound).
   */
 private[sources] object MetaPrune {
 
@@ -102,17 +105,58 @@ private[sources] object MetaPrune {
       case _ => boundKey(dt, l.value.toString)
     }
 
+  /** True when every surrogate in `s` is part of a valid pair — a
+    * string UTF-8 can faithfully encode. Unpaired surrogates make the
+    * two orders incomparable, so callers answer "maybe" (keep).
+    */
+  private def wellFormed(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c)) {
+        if (i + 1 >= s.length || !Character.isLowSurrogate(s.charAt(i + 1)))
+          return false
+        i += 2
+      } else if (Character.isLowSurrogate(c)) return false
+      else i += 1
+    }
+    true
+  }
+
+  /** Compare as UNSIGNED UTF-8 byte sequences (= code-point order) —
+    * the order Delta stats and Iceberg bounds are collected under.
+    * Java String's natural `<` compares UTF-16 CODE UNITS, which
+    * disagrees for supplementary characters (surrogate pairs sort
+    * below U+E000..U+FFFF): pruning on it could drop a file whose
+    * rows match, which the caller's row filter cannot repair.
+    */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val xa = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val xb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(xa.length, xb.length)
+    while (i < n) {
+      val d = (xa(i) & 0xff) - (xb(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    xa.length - xb.length
+  }
+
+  private def strCmp(x: String, y: String): Option[Int] =
+    if (wellFormed(x) && wellFormed(y)) Some(utf8Cmp(x, y)) else None
+
   private def leq(a: Either[BigDecimal, String],
       b: Either[BigDecimal, String]): Option[Boolean] = (a, b) match {
     case (Left(x), Left(y)) => Some(x <= y)
-    case (Right(x), Right(y)) => Some(x <= y)
+    case (Right(x), Right(y)) => strCmp(x, y).map(_ <= 0)
     case _ => None
   }
 
   private def lt(a: Either[BigDecimal, String],
       b: Either[BigDecimal, String]): Option[Boolean] = (a, b) match {
     case (Left(x), Left(y)) => Some(x < y)
-    case (Right(x), Right(y)) => Some(x < y)
+    case (Right(x), Right(y)) => strCmp(x, y).map(_ < 0)
     case _ => None
   }
 

@@ -187,6 +187,35 @@ class DeletionVectorSpec extends AnyFunSuite with SparkTestBase {
     assert(ids(dir) == Set(1L))
   }
 
+  test("intra-commit ordering: a DV-update commit that serializes the " +
+      "ADD (new vector) BEFORE the REMOVE (old vector) of the same " +
+      "path keeps the file live — reconciliation is per commit, not " +
+      "per line") {
+    val dir = tmp("dv_add_first")
+    val rel = writeDataFile(dir, "files")
+    val p1 = DV.encodePayload(Seq(0L))
+    val p1pad = java.util.Arrays.copyOf(p1, ((p1.length + 3) / 4) * 4)
+    logLine(dir, 0L, protoAndMeta + "\n" +
+      s"""{"add":{"path":"$rel","size":1,"partitionValues":{},"modificationTime":0,"dataChange":true,${dvJson("i", DV.z85Encode(p1pad), None, p1.length, 1L)}}}
+""")
+    assert(ids(dir) == Set(1L, 2L, 3L))
+    // the protocol gives NO intra-commit ordering guarantee: this
+    // legal commit lists the add (new, larger vector) first and the
+    // remove (old file version) second — applying line order would
+    // delete the just-added file and silently drop every row
+    val p2 = DV.encodePayload(Seq(0L, 2L))
+    val p2pad = java.util.Arrays.copyOf(p2, ((p2.length + 3) / 4) * 4)
+    logLine(dir, 1L,
+      s"""{"add":{"path":"$rel","size":1,"partitionValues":{},"modificationTime":0,"dataChange":true,${dvJson("i", DV.z85Encode(p2pad), None, p2.length, 2L)}}}
+{"remove":{"path":"$rel","dataChange":true}}
+""")
+    assert(ids(dir) == Set(1L, 3L))
+    // a commit with ONLY a remove still removes
+    logLine(dir, 2L, s"""{"remove":{"path":"$rel","dataChange":true}}
+""")
+    assert(ids(dir).isEmpty)
+  }
+
   test("FILE-BACKED deletion vectors: storageType u (z85 uuid under " +
       "the table root) and p (absolute path); cardinality mismatch " +
       "and unknown storage types refuse") {

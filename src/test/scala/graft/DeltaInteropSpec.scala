@@ -800,4 +800,83 @@ $meta5
     assert(e5.getMessage.contains("missing commit files") &&
       e5.getMessage.contains("1"), e5.getMessage)
   }
+
+  test("versionAsOf BETWEEN two checkpoints: the read bases on the " +
+      "newest complete checkpoint AT-OR-BELOW the requested version " +
+      "even when a newer checkpoint exists and the early JSONs were " +
+      "cleaned up under the older one") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = tmp("delta_cp_between")
+    def writeFile(sub: String, rows: Seq[(Long, String)]): String = {
+      rows.toDF("id", "s").coalesce(1).write.parquet(s"$dir/$sub")
+      val f = new java.io.File(s"$dir/$sub").listFiles()
+        .map(_.getName).find(_.endsWith(".parquet")).get
+      s"$sub/$f"
+    }
+    val schemaStr = Seq((1L, "a")).toDF("id", "s").schema.json
+    val cpSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration",
+          MapType(StringType, StringType))))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues",
+          MapType(StringType, StringType)),
+        StructField("size", LongType))))))
+    def writeCheckpoint(v: Long, adds: Seq[String]): Unit = {
+      val rows = Seq(
+        Row(Row(1, 2), null, null),
+        Row(null, Row("x", schemaStr, Seq.empty[String],
+          Map.empty[String, String]), null)) ++
+        adds.map(p => Row(null, null,
+          Row(p, Map.empty[String, String], 1L)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), cpSchema)
+        .coalesce(1).write.parquet(s"$dir/_cp_tmp")
+      val part = new java.io.File(s"$dir/_cp_tmp").listFiles()
+        .map(_.getName).find(_.endsWith(".parquet")).get
+      Files.createDirectories(Paths.get(s"$dir/_delta_log"))
+      Files.copy(Paths.get(s"$dir/_cp_tmp/$part"),
+        Paths.get(s"$dir/_delta_log/" + f"$v%020d.checkpoint.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$dir/_cp_tmp"))
+    }
+    val fA = writeFile("a", Seq((1L, "a")))
+    val fB = writeFile("b", Seq((2L, "b")))
+    val fC = writeFile("c", Seq((3L, "c")))
+    // checkpoint v1 covers cleaned-up JSONs 0-1 (live: A);
+    // JSON v2 adds B; JSON v3 adds C; checkpoint v3 covers A,B,C
+    writeCheckpoint(1L, Seq(fA))
+    Files.writeString(Paths.get(
+      s"$dir/_delta_log/00000000000000000002.json"),
+      s"""{"add":{"path":"$fB","size":1,"partitionValues":{},"modificationTime":0,"dataChange":true}}
+""")
+    Files.writeString(Paths.get(
+      s"$dir/_delta_log/00000000000000000003.json"),
+      s"""{"add":{"path":"$fC","size":1,"partitionValues":{},"modificationTime":0,"dataChange":true}}
+""")
+    writeCheckpoint(3L, Seq(fA, fB, fC))
+    def idsAt(v: Option[Long]): Set[Long] =
+      DeltaInterop.readDelta(spark, dir, v).select("id").collect()
+        .map(_.getLong(0)).toSet
+    assert(idsAt(None) == Set(1L, 2L, 3L))
+    assert(idsAt(Some(3L)) == Set(1L, 2L, 3L))
+    // v2 sits between the checkpoints: served from cp1 + JSON 2
+    assert(idsAt(Some(2L)) == Set(1L, 2L))
+    // v1 is exactly the older checkpoint
+    assert(idsAt(Some(1L)) == Set(1L))
+    // v0's commits are gone and no checkpoint <= 0 exists: refuse
+    val e = intercept[IllegalStateException] { idsAt(Some(0L)) }
+    assert(e.getMessage.contains("not reconstructable"), e.getMessage)
+  }
 }
