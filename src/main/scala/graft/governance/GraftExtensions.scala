@@ -51,6 +51,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // write-path enforcement: reads are REWRITTEN (filter + allowlist),
     // writes by non-admin principals are REJECTED at analysis
     ext.injectCheckRule(session => GovernanceWriteCheck(session))
+    // foreign-scan predicate pushdown: once the optimizer has pushed
+    // an enclosing WHERE down onto a delta_scan / iceberg_scan
+    // expansion, re-resolve the read with the supported conjuncts as
+    // the metadata-level file-pruning predicate; the pre-CBO sweep
+    // removes untouched markers before physical planning
+    ext.injectOptimizerRule(session =>
+      graft.plans.ForeignScanPrune(session))
+    ext.injectPreCBORule(session =>
+      graft.plans.ForeignScanStrip(session))
   }
 }
 

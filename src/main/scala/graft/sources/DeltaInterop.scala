@@ -618,6 +618,52 @@ object DeltaInterop {
       vs: Seq[Long]): Seq[String] =
     replayLog(spark, table, vs).files.map(_.path)
 
+  /** TIMESTAMP AS OF resolution: the latest commit whose instant is
+    * at-or-before `ts` (epoch millis), per the protocol's reader
+    * rules — a commit's instant is its `commitInfo.inCommitTimestamp`
+    * when the log carries one (authoritative under the
+    * inCommitTimestamp feature), else the commit FILE's modification
+    * time; instants are then adjusted to be strictly increasing
+    * (max(own, previous + 1ms), the same monotonicity repair every
+    * Delta reader applies, so a clock-skewed writer cannot make time
+    * travel non-deterministic). Refuses when `ts` predates the first
+    * SURVIVING commit — commits cleaned up under a checkpoint have no
+    * recoverable instants, and guessing would misread.
+    */
+  private def resolveTimestamp(spark: SparkSession, table: String,
+      vs: Seq[Long], ts: Long): Long = {
+    val fs = CdcApply.fsFor(spark, table)
+    require(vs.nonEmpty,
+      s"timestampAsOf over $table: no commit JSONs survive (the log " +
+        "is checkpoint-only) — commit instants are unrecoverable; " +
+        "use versionAsOf")
+    val raw = vs.map { v =>
+      val p = versionFile(table, v)
+      val in = fs.open(p)
+      val text = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      in.close()
+      val ict = text.linesIterator.filter(_.nonEmpty).flatMap { line =>
+        val n = mapper.readTree(line)
+        Option(n.get("commitInfo")).flatMap(ci =>
+          Option(ci.get("inCommitTimestamp")).filterNot(_.isNull)
+            .map(_.asLong()))
+      }.nextOption()
+      (v, ict.getOrElse(fs.getFileStatus(p).getModificationTime))
+    }
+    val adjusted = raw.tail.scanLeft(raw.head) {
+      case ((_, prev), (v, t)) => (v, math.max(t, prev + 1))
+    }
+    val at = adjusted.filter(_._2 <= ts)
+    require(at.nonEmpty,
+      s"timestamp $ts is before the first available commit of the " +
+        s"Delta table at $table (earliest surviving instant is " +
+        s"${adjusted.head._2} at version ${adjusted.head._1}; earlier " +
+        "commits, if any, were cleaned up) — refusing rather than " +
+        "guessing")
+    at.last._1
+  }
+
   // ---- metadata-level file pruning on a `where` predicate -------------
   // (shared satisfiability logic lives in [[MetaPrune]])
 
@@ -827,14 +873,19 @@ object DeltaInterop {
     */
   def readDelta(spark: SparkSession, table: String,
       versionAsOf: Option[Long] = None,
-      where: Option[String] = None): DataFrame = {
+      where: Option[String] = None,
+      timestampAsOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
     val vs = versions(spark, table)
     // a fully-checkpointed log may have had ALL its JSON commits
     // cleaned up — the checkpoint alone is a complete table
     require(vs.nonEmpty || latestCheckpoint(spark, table).isDefined,
       s"no Delta log at $table")
-    val st = replayLog(spark, table, vs, versionAsOf)
+    val pinned = timestampAsOf
+      .map(resolveTimestamp(spark, table, vs, _)).orElse(versionAsOf)
+    val st = replayLog(spark, table, vs, pinned)
     val declared = st.schema.getOrElse(
       throw new IllegalStateException(
         s"Delta log at $table carries no metaData action"))

@@ -38,14 +38,25 @@ class DeltaTableSource extends RelationProvider with DataSourceRegister {
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "format(\"delta\") requires option(\"path\", <table dir>)"))
-    // option("versionAsOf", n) = Delta time travel; option("filter",
+    // option("versionAsOf", n) / option("timestampAsOf", <ISO-8601 or
+    // epoch millis>) = Delta time travel; option("filter",
     // <sql predicate>) = row filter + metadata-level file pruning
     // (exact on partition values, conservative on add-action stats)
     val versionAsOf = parameters.get("versionAsOf").map(_.toLong)
+    val timestampAsOf = parameters.get("timestampAsOf").map { s =>
+      if (s.forall(_.isDigit)) s.toLong
+      else scala.util.Try(java.time.Instant.parse(s).toEpochMilli)
+        .orElse(scala.util.Try(java.time.LocalDateTime
+          .parse(s.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+        .getOrElse(throw new IllegalArgumentException(
+          s"timestampAsOf '$s' — use epoch millis, ISO-8601, or " +
+            "'yyyy-MM-dd HH:mm:ss' (UTC)"))
+    }
     val filter = parameters.get("filter")
     CdcRelation(sqlContext,
       DeltaInterop.readDelta(sqlContext.sparkSession, path,
-        versionAsOf, filter))
+        versionAsOf, filter, timestampAsOf))
   }
 }
 

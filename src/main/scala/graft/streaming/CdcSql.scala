@@ -162,6 +162,20 @@ object CdcSql {
         s"$what must be an integer, got '$v'")
     }
 
+  /** Epoch millis from an ISO-8601 instant ('...Z' / offset) or a
+    * 'yyyy-MM-dd HH:mm:ss[.SSS]' string interpreted as UTC —
+    * deterministic regardless of session timezone.
+    */
+  private def parseUtcMillis(s: String): Long =
+    scala.util.Try(java.time.Instant.parse(s).toEpochMilli).orElse(
+      scala.util.Try(java.time.LocalDateTime
+        .parse(s.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+      .getOrElse(throw new UnsupportedOperationException(
+        s"cannot parse timestamp '$s' — use ISO-8601 " +
+          "('2024-01-02T03:04:05Z') or 'yyyy-MM-dd HH:mm:ss[.SSS]' " +
+          "(interpreted as UTC)"))
+
   private def activeSession: SparkSession =
     SparkSession.getActiveSession.getOrElse(
       throw new IllegalStateException("no active SparkSession"))
@@ -290,6 +304,12 @@ object CdcSql {
       // partitions, deletion vectors, column mapping included);
       // governance composes with zero wiring for registered
       // locations because the expansion is ordinary parquet scans ----
+      // Each expansion is wrapped in a [[graft.plans.ForeignScan]]
+      // marker so the optimizer can hand pushed-down predicates back
+      // to the protocol reader for METADATA-LEVEL FILE PRUNING
+      // (partition values, add-action stats, Iceberg bounds) — a SQL
+      // WHERE gets the same file skipping an option("filter") caller
+      // gets ([[graft.plans.ForeignScanPrune]]).
       (FunctionIdentifier("delta_scan"),
         new ExpressionInfo("graft.streaming.CdcSql", "delta_scan"),
         args => {
@@ -299,8 +319,27 @@ object CdcSql {
           val path = argString(args(0), "delta_scan path")
           val ver = args.lift(1)
             .map(argLong(_, "delta_scan versionAsOf"))
-          graft.sources.DeltaInterop.readDelta(activeSession, path, ver)
-            .queryExecution.analyzed
+          graft.plans.ForeignScan("delta", path, ver, None,
+            graft.sources.DeltaInterop
+              .readDelta(activeSession, path, ver)
+              .queryExecution.analyzed)
+        }),
+      // TIMESTAMP AS OF from SQL: the instant parses as ISO-8601
+      // ('2024-01-02T03:04:05Z') or 'yyyy-MM-dd HH:mm:ss[.SSS]'
+      // interpreted as UTC — deterministic, session-zone-free
+      (FunctionIdentifier("delta_scan_ts"),
+        new ExpressionInfo("graft.streaming.CdcSql", "delta_scan_ts"),
+        args => {
+          if (args.size != 2)
+            throw new UnsupportedOperationException(
+              "delta_scan_ts(path, timestamp) takes 2 arguments")
+          val path = argString(args(0), "delta_scan_ts path")
+          val ts = parseUtcMillis(
+            argString(args(1), "delta_scan_ts timestamp"))
+          graft.plans.ForeignScan("delta", path, None, Some(ts),
+            graft.sources.DeltaInterop
+              .readDelta(activeSession, path, timestampAsOf = Some(ts))
+              .queryExecution.analyzed)
         }),
       (FunctionIdentifier("iceberg_scan"),
         new ExpressionInfo("graft.streaming.CdcSql", "iceberg_scan"),
@@ -311,9 +350,10 @@ object CdcSql {
           val path = argString(args(0), "iceberg_scan path")
           val snap = args.lift(1)
             .map(argLong(_, "iceberg_scan snapshotId"))
-          graft.sources.IcebergInterop
-            .readIceberg(activeSession, path, snap)
-            .queryExecution.analyzed
+          graft.plans.ForeignScan("iceberg", path, snap, None,
+            graft.sources.IcebergInterop
+              .readIceberg(activeSession, path, snap)
+              .queryExecution.analyzed)
         }),
 
       // ---- guarded maintenance entry points (CALL-style procedures).
