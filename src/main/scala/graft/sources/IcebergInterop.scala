@@ -1172,43 +1172,187 @@ object IcebergInterop {
       entries: Seq[(T, Int, Option[GenericRecord])],
       whereSql: String): Seq[T] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    val specs = identitySpecs(meta)
-    if (specs.forall(_._2.isEmpty)) return entries.map(_._1)
-    val parsed = scala.util.Try(
-      spark.sessionState.sqlParser.parseExpression(whereSql))
-    if (parsed.isFailure) return entries.map(_._1)
-    val cs = conjunctsOf(parsed.get).map { c =>
-      (c, c.collect { case a: UnresolvedAttribute => a.name }.toSet)
-    }
-    entries.groupBy(_._2).toSeq.flatMap { case (specId, group) =>
-      val fields = specs.getOrElse(specId, Seq.empty)
-      val names = fields.map(_._2.name).toSet
-      val usable = cs.filter { case (_, r) =>
-        r.nonEmpty && r.subsetOf(names) }
-      if (fields.isEmpty || usable.isEmpty) group.map(_._1)
-      else scala.util.Try {
-        val schema = StructType(fields.map { case (_, sf) =>
-          StructField(sf.name, sf.dataType, nullable = true) })
-          .add("__graft_part_idx",
-            org.apache.spark.sql.types.LongType, nullable = false)
-        val rows = group.zipWithIndex.map { case ((_, _, rec), i) =>
-          val r = rec.getOrElse(throw new IllegalArgumentException(
-            "entry without partition record"))
-          org.apache.spark.sql.Row.fromSeq(fields.map {
-            case (specName, sf) =>
-              val fld = r.getSchema.getField(specName)
-              if (fld == null) throw new IllegalArgumentException(
-                s"partition record lacks field $specName")
-              avroPartitionValue(r.get(specName), sf.dataType)
-          } :+ i.toLong)
+    val afterIdentity: Seq[(T, Int, Option[GenericRecord])] = {
+      val specs = identitySpecs(meta)
+      if (specs.forall(_._2.isEmpty)) entries
+      else {
+        val parsed = scala.util.Try(
+          spark.sessionState.sqlParser.parseExpression(whereSql))
+        if (parsed.isFailure) entries
+        else {
+          val cs = conjunctsOf(parsed.get).map { c =>
+            (c, c.collect {
+              case a: UnresolvedAttribute => a.name }.toSet)
+          }
+          entries.groupBy(_._2).toSeq.flatMap { case (specId, group) =>
+            val fields = specs.getOrElse(specId, Seq.empty)
+            val names = fields.map(_._2.name).toSet
+            val usable = cs.filter { case (_, r) =>
+              r.nonEmpty && r.subsetOf(names) }
+            if (fields.isEmpty || usable.isEmpty) group
+            else scala.util.Try {
+              val schema = StructType(fields.map { case (_, sf) =>
+                StructField(sf.name, sf.dataType, nullable = true) })
+                .add("__graft_part_idx",
+                  org.apache.spark.sql.types.LongType,
+                  nullable = false)
+              val rows = group.zipWithIndex.map { case ((_, _, rec), i) =>
+                val r = rec.getOrElse(
+                  throw new IllegalArgumentException(
+                    "entry without partition record"))
+                org.apache.spark.sql.Row.fromSeq(fields.map {
+                  case (specName, sf) =>
+                    val fld = r.getSchema.getField(specName)
+                    if (fld == null)
+                      throw new IllegalArgumentException(
+                        s"partition record lacks field $specName")
+                    avroPartitionValue(r.get(specName), sf.dataType)
+                } :+ i.toLong)
+              }
+              var df = spark.createDataFrame(rows.asJava, schema)
+              usable.foreach { case (c, _) => df = df.filter(c.sql) }
+              val kept = df.select("__graft_part_idx").collect()
+                .map(_.getLong(0)).toSet
+              group.zipWithIndex.collect {
+                case (e, i) if kept(i.toLong) => e }
+            }.getOrElse(group) // not prunable → keep (never drop)
+          }
         }
-        var df = spark.createDataFrame(rows.asJava, schema)
-        usable.foreach { case (c, _) => df = df.filter(c.sql) }
-        val kept = df.select("__graft_part_idx").collect()
-          .map(_.getLong(0)).toSet
-        group.zipWithIndex.collect {
-          case ((t, _, _), i) if kept(i.toLong) => t }
-      }.getOrElse(group.map(_._1)) // not prunable → keep (never drop)
+      }
+    }
+    transformPrune(spark, meta, afterIdentity, whereSql).map(_._1)
+  }
+
+  /** NON-IDENTITY transform fields per spec-id: (spec field name,
+    * transform string e.g. "bucket[16]", source StructField).
+    */
+  private[sources] def transformSpecs(
+      meta: com.fasterxml.jackson.databind.JsonNode)
+      : Map[Int, Seq[(String, String, StructField)]] = {
+    val byId = schemaFieldsById(meta)
+    def fieldsOf(arr: com.fasterxml.jackson.databind.JsonNode)
+        : Seq[(String, String, StructField)] =
+      arr.elements().asScala.toSeq.flatMap { f =>
+        val t = f.get("transform").asText()
+        if (t != "identity" && t != "void")
+          byId.get(f.get("source-id").asInt())
+            .map(sf => (f.get("name").asText(), t, sf))
+        else None
+      }
+    val specs = Option(meta.get("partition-specs"))
+      .map(_.elements().asScala.toSeq.map(s =>
+        s.get("spec-id").asInt() ->
+          Option(s.get("fields")).map(fieldsOf).getOrElse(Seq.empty))
+        .toMap)
+      .getOrElse(Map.empty[Int, Seq[(String, String, StructField)]])
+    if (specs.nonEmpty) specs
+    else Option(meta.get("partition-spec")).filter(_.isArray)
+      .map(arr => Map(0 -> fieldsOf(arr)))
+      .getOrElse(Map.empty)
+  }
+
+  private val BucketRe = """bucket\[(\d+)\]""".r
+  private val TruncateRe = """truncate\[(\d+)\]""".r
+
+  /** Prune on NON-IDENTITY transform partition values (bucket /
+    * truncate / year / month / day / hour —
+    * [[IcebergTransforms]]): a file is dropped only when some
+    * supported conjunct is PROVABLY unsatisfiable on its transform
+    * value. Range predicates over bucketed fields, unsupported
+    * shapes, type mismatches, or decode failures keep the file —
+    * conservative superset, row filter re-applied by the caller.
+    * Timestamp literals prune only under a UTC session (the literal's
+    * micros must mean the same instant the writer's transform saw).
+    */
+  private def transformPrune[T](spark: SparkSession,
+      meta: com.fasterxml.jackson.databind.JsonNode,
+      entries: Seq[(T, Int, Option[GenericRecord])],
+      whereSql: String): Seq[(T, Int, Option[GenericRecord])] = {
+    import IcebergTransforms._
+    import MetaPrune.{Cmp, NullTest}
+    val specs = transformSpecs(meta)
+    if (specs.forall(_._2.isEmpty)) return entries
+    val tests = MetaPrune.conjunctTests(spark, whereSql)
+    if (tests.isEmpty) return entries
+    val utc = spark.sessionState.conf.sessionLocalTimeZone == "UTC"
+    def partValue(rec: GenericRecord, name: String): Option[AnyRef] = {
+      if (rec.getSchema.getField(name) == null) None
+      else Some(rec.get(name))
+    }
+    // one (transform field, test) pair's satisfiability; anything
+    // not understood answers true
+    def satisfiable(transform: String, source: StructField,
+        raw: AnyRef, t: MetaPrune.Test): Boolean = t match {
+      case NullTest(_, isNull) =>
+        // null source rows produce null transform values, so the
+        // file's single tuple value decides exactly
+        if (isNull) raw == null else raw != null
+      case Cmp(_, op, lit) =>
+        if (raw == null) false // all-null source: no row passes a Cmp
+        else if (source.dataType == TimestampType && !utc) true
+        else transform match {
+          case BucketRe(n) =>
+            if (op != "=") true
+            else bucketOfLiteral(source.dataType, lit, n.toInt) match {
+              case Some(b) => raw match {
+                case i: java.lang.Integer => i.intValue() == b
+                case _ => true
+              }
+              case None => true
+            }
+          case TruncateRe(w) => (source.dataType, raw) match {
+            case (IntegerType | LongType | ShortType | ByteType,
+                n: java.lang.Number) =>
+              (lit.dataType match {
+                case IntegerType | LongType | ShortType | ByteType =>
+                  Some(lit.value.asInstanceOf[Number].longValue())
+                case _ => None
+              }).forall { lv =>
+                monotonicSatisfiable(op, n.longValue(),
+                  truncLong(lv, w.toInt))
+              }
+            case (StringType, s: AnyRef)
+                if lit.dataType == StringType =>
+              val part = s.toString
+              val tl = truncString(lit.value.toString, w.toInt)
+              MetaPrune.strCmp(part, tl) match {
+                case None => true
+                case Some(c) => op match {
+                  case "=" => c == 0
+                  case "<" | "<=" => c <= 0
+                  case ">" | ">=" => c >= 0
+                  case _ => true
+                }
+              }
+            case _ => true
+          }
+          case tr @ ("year" | "month" | "day" | "hour") => raw match {
+            case n: java.lang.Number =>
+              temporalOrdinal(tr, source.dataType, lit)
+                .forall(monotonicSatisfiable(op, n.longValue(), _))
+            case _ => true
+          }
+          case _ => true // unknown transform: not prunable
+        }
+    }
+    entries.filter { case (_, specId, rec) =>
+      val fields = specs.getOrElse(specId, Seq.empty)
+      if (fields.isEmpty || rec.isEmpty) true
+      else tests.forall { t =>
+        val col = t match {
+          case Cmp(n, _, _) => n
+          case NullTest(n, _) => n
+        }
+        fields.filter(_._3.name == col).forall {
+          case (specName, transform, source) =>
+            scala.util.Try {
+              partValue(rec.get, specName) match {
+                case None => true // spec field absent from the record
+                case Some(raw) => satisfiable(transform, source, raw, t)
+              }
+            }.getOrElse(true)
+        }
+      }
     }
   }
 

@@ -143,7 +143,7 @@ private[sources] object MetaPrune {
     xa.length - xb.length
   }
 
-  private def strCmp(x: String, y: String): Option[Int] =
+  private[sources] def strCmp(x: String, y: String): Option[Int] =
     if (wellFormed(x) && wellFormed(y)) Some(utf8Cmp(x, y)) else None
 
   private def leq(a: Either[BigDecimal, String],
