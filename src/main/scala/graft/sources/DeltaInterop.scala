@@ -25,8 +25,8 @@ import graft.streaming.CdcApply
   * which IS Delta's schema serialization.
   *
   * [[readDelta]] replays a `_delta_log` (ours or another writer's):
-  * base state from the newest complete CLASSIC PARQUET CHECKPOINT
-  * when one exists (real aged logs delete the JSON commits a
+  * base state from the newest complete CHECKPOINT (classic parquet
+  * or v2 top-level + sidecars) when one exists (real aged logs delete the JSON commits a
   * checkpoint covers — a JSON-only replay would silently lose their
   * adds; a gap in the JSON sequence with no covering checkpoint
   * refuses as truncated), then the net add/remove set of the JSON
@@ -38,9 +38,11 @@ import graft.streaming.CdcApply
   * constant-folds partition predicates and prunes whole groups);
   * column mapping (name and id modes) resolves physical names /
   * parquet field ids; deletion vectors ([[DeletionVectors]]) decode
-  * on executors and anti-join deleted row indexes away. Reader
-  * features beyond those (v2Checkpoint, ...) are REFUSED loudly
-  * rather than silently misread.
+  * on executors and anti-join deleted row indexes away; v2
+  * checkpoints (top-level json/parquet + `_sidecars/` parquet files)
+  * load like classic ones. Reader features beyond those
+  * (timestampNtz, ...) are REFUSED loudly rather than silently
+  * misread.
   *
   * Scale: an export is one snapshot write + one driver-side log
   * append; a read is one log replay (driver-side, O(commits) small
@@ -335,11 +337,11 @@ object DeltaInterop {
   }
 
   /** Reader features this engine implements for protocol v3 tables.
-    * Anything else (v2Checkpoint, timestampNtz, ...) refuses loudly —
-    * never misread.
+    * Anything else (timestampNtz, ...) refuses loudly — never
+    * misread.
     */
   private val SupportedReaderFeatures =
-    Set("columnMapping", "deletionVectors")
+    Set("columnMapping", "deletionVectors", "v2Checkpoint")
 
   /** Everything one ordered log replay yields: the latest declared
     * schema, its partition columns and table configuration, and the
@@ -383,49 +385,69 @@ object DeltaInterop {
     * listing is authoritative (a torn pointer must not hide a
     * complete checkpoint or point at an incomplete one).
     */
+  private sealed trait Ckpt { def version: Long }
+  private case class ClassicCkpt(version: Long, parts: Seq[Path])
+    extends Ckpt
+  private case class V2Ckpt(version: Long, file: Path, json: Boolean)
+    extends Ckpt
+
   private def latestCheckpoint(spark: SparkSession, table: String,
-      maxVersion: Option[Long] = None): Option[(Long, Seq[Path])] = {
+      maxVersion: Option[Long] = None): Option[Ckpt] = {
     val fs = CdcApply.fsFor(spark, table)
     if (!fs.exists(logDir(table))) return None
     val names = fs.listStatus(logDir(table)).toSeq
       .map(_.getPath.getName)
     val Single = "(\\d{20})\\.checkpoint\\.parquet".r
     val Part = "(\\d{20})\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet".r
-    val byVersion = scala.collection.mutable
+    // V2 checkpoints (Delta 3.x `v2Checkpoint` reader feature) are
+    // UUID-named single top-level files, json or parquet; their file
+    // actions may live in sidecars referenced from the top file
+    val V2 = "(\\d{20})\\.checkpoint\\.([A-Za-z0-9_-]+)\\.(json|parquet)".r
+    val classicByVersion = scala.collection.mutable
       .Map[Long, scala.collection.mutable.ArrayBuffer[(Int, Int, String)]]()
+    val v2ByVersion = scala.collection.mutable
+      .Map[Long, scala.collection.mutable.ArrayBuffer[(String, Boolean)]]()
     names.foreach {
       case n @ Single(v) =>
-        byVersion.getOrElseUpdate(v.toLong,
+        classicByVersion.getOrElseUpdate(v.toLong,
           scala.collection.mutable.ArrayBuffer()) += ((1, 1, n))
       case n @ Part(v, i, k) =>
-        byVersion.getOrElseUpdate(v.toLong,
+        classicByVersion.getOrElseUpdate(v.toLong,
           scala.collection.mutable.ArrayBuffer()) +=
           ((i.toInt, k.toInt, n))
+      case n @ V2(v, _, ext) =>
+        v2ByVersion.getOrElseUpdate(v.toLong,
+          scala.collection.mutable.ArrayBuffer()) +=
+          ((n, ext == "json"))
       case _ => ()
     }
-    byVersion.toSeq.filter(e => maxVersion.forall(e._1 <= _))
+    val classic: Option[Ckpt] = classicByVersion.toSeq
+      .filter(e => maxVersion.forall(e._1 <= _))
       .sortBy(-_._1).collectFirst {
-      case (v, parts)
-          if parts.map(_._2).distinct.size == 1 &&
-            parts.map(_._1).sorted == (1 to parts.head._2) =>
-        (v, parts.sortBy(_._1).map(p =>
-          new Path(logDir(table), p._3)).toSeq)
-    }
+        case (v, parts)
+            if parts.map(_._2).distinct.size == 1 &&
+              parts.map(_._1).sorted == (1 to parts.head._2) =>
+          ClassicCkpt(v, parts.sortBy(_._1).map(p =>
+            new Path(logDir(table), p._3)).toSeq)
+      }
+    val v2: Option[Ckpt] = v2ByVersion.toSeq
+      .filter(e => maxVersion.forall(e._1 <= _))
+      .sortBy(-_._1).headOption.map { case (v, files) =>
+        // multiple writers may race the same version with different
+        // uuids — any one is a complete checkpoint; pick
+        // deterministically
+        val (name, json) = files.sortBy(_._1).head
+        V2Ckpt(v, new Path(logDir(table), name), json)
+      }
+    (classic.toSeq ++ v2.toSeq).sortBy(-_.version).headOption
   }
 
-  /** Load the base state from a classic parquet checkpoint: protocol
-    * gate, latest metaData, and the live add set (a checkpoint's add
-    * rows ARE the live files; its remove rows are expired-tombstone
-    * bookkeeping). Driver-side collect of (path, partitionValues,
-    * deletionVector) per live file — the same O(files) driver
-    * footprint the log replay itself carries.
+  /** Protocol gate + latest metaData from a checkpoint-shaped
+    * DataFrame (classic parts or a v2 top-level parquet file).
     */
-  private def loadCheckpoint(spark: SparkSession, table: String,
-      parts: Seq[Path],
-      live: scala.collection.mutable.LinkedHashMap[String, LiveFile])
+  private def parquetProtocolAndMeta(df: DataFrame, table: String)
       : (Option[StructType], Seq[String], Map[String, String]) = {
     import org.apache.spark.sql.functions.col
-    val df = spark.read.parquet(parts.map(_.toString): _*)
     val cols = df.columns.toSet
     if (cols.contains("protocol")) {
       df.filter(col("protocol").isNotNull).select("protocol.*")
@@ -454,9 +476,21 @@ object DeltaInterop {
             .getOrElse(Map.empty)
         }
     }
-    require(cols.contains("add"),
-      s"checkpoint at $table carries no add column — not a classic " +
-        "checkpoint; refusing")
+    (schema, partCols, config)
+  }
+
+  /** Collect a checkpoint-shaped DataFrame's add rows into `live`
+    * (no-op when the frame carries no add column). A checkpoint's add
+    * rows ARE the live files; its remove rows are expired-tombstone
+    * bookkeeping. Driver-side collect of (path, partitionValues,
+    * deletionVector, stats) per live file — the same O(files) driver
+    * footprint the log replay itself carries.
+    */
+  private def parquetAdds(df: DataFrame,
+      live: scala.collection.mutable.LinkedHashMap[String, LiveFile])
+      : Unit = {
+    import org.apache.spark.sql.functions.col
+    if (!df.columns.contains("add")) return
     val addSchema = df.schema("add").dataType
       .asInstanceOf[StructType]
     val hasDv = addSchema.fieldNames.contains("deletionVector")
@@ -491,8 +525,140 @@ object DeltaInterop {
         else None
       live.put(path, LiveFile(path, pv, dv, stats))
     }
-    (schema, partCols, config)
   }
+
+  /** A commit/checkpoint `add` action node → [[LiveFile]]. */
+  private def addFromNode(
+      a: com.fasterxml.jackson.databind.JsonNode): LiveFile = {
+    import scala.jdk.CollectionConverters._
+    val pv = Option(a.get("partitionValues"))
+      .map(_.properties().asScala.map { e =>
+        e.getKey ->
+          (if (e.getValue.isNull) None
+           else Some(e.getValue.asText()))
+      }.toMap).getOrElse(Map.empty[String, Option[String]])
+    val dv = Option(a.get("deletionVector"))
+      .filterNot(_.isNull).map { d =>
+        DeletionVectors.DvDescriptor(
+          d.get("storageType").asText(),
+          d.get("pathOrInlineDv").asText(),
+          Option(d.get("offset")).filterNot(_.isNull)
+            .map(_.asLong()),
+          d.get("sizeInBytes").asInt(),
+          d.get("cardinality").asLong())
+      }
+    val stats = Option(a.get("stats")).filterNot(_.isNull)
+      .map(_.asText()).filter(_.nonEmpty)
+    LiveFile(a.get("path").asText(), pv, dv, stats)
+  }
+
+  /** Load the base state from a checkpoint: classic parquet (single or
+    * multi-part), or a v2 checkpoint (Delta 3.x `v2Checkpoint`
+    * feature) — a UUID-named json/parquet TOP-LEVEL file carrying
+    * protocol, metaData, a `checkpointMetadata` action whose version
+    * must match the file name, optionally inline file actions, and
+    * `sidecar` actions naming parquet files under `_delta_log/
+    * _sidecars/` that carry the rest of the file actions. A missing
+    * sidecar or a checkpointMetadata mismatch REFUSES — the top file
+    * commits the checkpoint, so an incomplete one is corruption, not
+    * an in-progress upload.
+    */
+  private def loadCheckpoint(spark: SparkSession, table: String,
+      cp: Ckpt,
+      live: scala.collection.mutable.LinkedHashMap[String, LiveFile])
+      : (Option[StructType], Seq[String], Map[String, String]) =
+    cp match {
+      case ClassicCkpt(_, parts) =>
+        val df = spark.read.parquet(parts.map(_.toString): _*)
+        require(df.columns.contains("add"),
+          s"checkpoint at $table carries no add column — not a " +
+            "classic checkpoint; refusing")
+        val meta = parquetProtocolAndMeta(df, table)
+        parquetAdds(df, live)
+        meta
+      case V2Ckpt(version, file, json) =>
+        val fs = CdcApply.fsFor(spark, table)
+        val sidecarDir = new Path(logDir(table), "_sidecars")
+        var ckptMetaVersion: Option[Long] = None
+        var sidecars: Seq[String] = Seq.empty
+        val meta =
+          if (json) {
+            import scala.jdk.CollectionConverters._
+            val in = fs.open(file)
+            val text = new String(
+              org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+            in.close()
+            var schema: Option[StructType] = None
+            var partCols: Seq[String] = Seq.empty
+            var config: Map[String, String] = Map.empty
+            text.linesIterator.filter(_.nonEmpty).foreach { line =>
+              val n = mapper.readTree(line)
+              if (n.has("protocol")) {
+                val p = n.get("protocol")
+                checkProtocol(table,
+                  p.get("minReaderVersion").asInt(),
+                  Option(p.get("readerFeatures"))
+                    .map(_.elements().asScala.map(_.asText()).toSet)
+                    .getOrElse(Set.empty[String]))
+              }
+              if (n.has("metaData")) {
+                val md = n.get("metaData")
+                schema = Some(DataType.fromJson(
+                  md.get("schemaString").asText())
+                  .asInstanceOf[StructType])
+                partCols = Option(md.get("partitionColumns"))
+                  .map(_.elements().asScala.map(_.asText()).toSeq)
+                  .getOrElse(Seq.empty)
+                config = Option(md.get("configuration"))
+                  .map(_.properties().asScala.map(e =>
+                    e.getKey -> e.getValue.asText()).toMap)
+                  .getOrElse(Map.empty)
+              }
+              if (n.has("checkpointMetadata"))
+                ckptMetaVersion = Some(
+                  n.get("checkpointMetadata").get("version").asLong())
+              if (n.has("sidecar"))
+                sidecars :+= n.get("sidecar").get("path").asText()
+              if (n.has("add")) {
+                val f = addFromNode(n.get("add"))
+                live.put(f.path, f)
+              }
+            }
+            (schema, partCols, config)
+          } else {
+            val df = spark.read.parquet(file.toString)
+            val m = parquetProtocolAndMeta(df, table)
+            import org.apache.spark.sql.functions.col
+            if (df.columns.contains("checkpointMetadata"))
+              df.filter(col("checkpointMetadata").isNotNull)
+                .select("checkpointMetadata.version").collect()
+                .foreach(r => ckptMetaVersion =
+                  Some(r.getAs[Number](0).longValue()))
+            if (df.columns.contains("sidecar"))
+              sidecars = df.filter(col("sidecar").isNotNull)
+                .select("sidecar.path").collect()
+                .map(_.getString(0)).toSeq
+            parquetAdds(df, live)
+            m
+          }
+        require(ckptMetaVersion.contains(version),
+          s"v2 checkpoint ${file.getName} at $table carries " +
+            s"checkpointMetadata version ${ckptMetaVersion
+              .fold("<none>")(_.toString)} != file-name version " +
+            s"$version — refusing a checkpoint that cannot prove " +
+            "its own identity")
+        sidecars.foreach { name =>
+          val p = new Path(sidecarDir, name)
+          if (!fs.exists(p))
+            throw new IllegalStateException(
+              s"v2 checkpoint ${file.getName} at $table references " +
+                s"missing sidecar $name — the checkpoint is " +
+                "incomplete; refusing rather than serving a " +
+                "silently partial table")
+          parquetAdds(spark.read.parquet(p.toString), live)
+        }
+        meta
+    }
 
   private def replayLog(spark: SparkSession, table: String,
       vs: Seq[Long], versionAsOf: Option[Long] = None): LogState = {
@@ -512,7 +678,7 @@ object DeltaInterop {
     // requested version out of scope; a version older than the oldest
     // reconstructable state refuses (its commits are gone).
     val available = math.max(
-      latestCheckpoint(spark, table).map(_._1).getOrElse(-1L),
+      latestCheckpoint(spark, table).map(_.version).getOrElse(-1L),
       vs.lastOption.getOrElse(-1L))
     versionAsOf.foreach(v => require(v >= 0 && v <= available,
       s"version $v of the Delta table at $table is not available " +
@@ -523,7 +689,7 @@ object DeltaInterop {
     // early JSONs were cleaned under an older checkpoint still serve
     // the read
     val cp = latestCheckpoint(spark, table, versionAsOf)
-    val cpV = cp.map(_._1).getOrElse(-1L)
+    val cpV = cp.map(_.version).getOrElse(-1L)
     val tail = vs.filter(v => v > cpV && versionAsOf.forall(v <= _))
     val head = versionAsOf.getOrElse(
       math.max(cpV, vs.lastOption.getOrElse(-1L)))
@@ -539,8 +705,8 @@ object DeltaInterop {
             s"version $v is not reconstructable") +
           "; refusing rather than serving a silently incomplete table")
     }
-    cp.foreach { case (_, parts) =>
-      val (s, pc, cfg) = loadCheckpoint(spark, table, parts, live)
+    cp.foreach { c =>
+      val (s, pc, cfg) = loadCheckpoint(spark, table, c, live)
       schema = s.orElse(schema)
       partCols = pc
       config = cfg
@@ -582,27 +748,8 @@ object DeltaInterop {
             .getOrElse(Map.empty)
         }
         if (n.has("add")) {
-          val a = n.get("add")
-          val pv = Option(a.get("partitionValues"))
-            .map(_.properties().asScala.map { e =>
-              e.getKey ->
-                (if (e.getValue.isNull) None
-                 else Some(e.getValue.asText()))
-            }.toMap).getOrElse(Map.empty[String, Option[String]])
-          val dv = Option(a.get("deletionVector"))
-            .filterNot(_.isNull).map { d =>
-              DeletionVectors.DvDescriptor(
-                d.get("storageType").asText(),
-                d.get("pathOrInlineDv").asText(),
-                Option(d.get("offset")).filterNot(_.isNull)
-                  .map(_.asLong()),
-                d.get("sizeInBytes").asInt(),
-                d.get("cardinality").asLong())
-            }
-          val path = a.get("path").asText()
-          val stats = Option(a.get("stats")).filterNot(_.isNull)
-            .map(_.asText()).filter(_.nonEmpty)
-          commitAdds.put(path, LiveFile(path, pv, dv, stats))
+          val f = addFromNode(n.get("add"))
+          commitAdds.put(f.path, f)
         }
         if (n.has("remove")) commitRemoves +=
           n.get("remove").get("path").asText()

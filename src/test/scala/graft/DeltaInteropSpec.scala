@@ -344,16 +344,16 @@ class DeltaInteropSpec extends AnyFunSuite with SparkTestBase {
     val got = DeltaInterop.readDelta(spark, delta).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == Set(1L -> "a", 2L -> "b"))
-    // a version-3 reader FEATURE this engine lacks (v2 checkpoints)
+    // a version-3 reader FEATURE this engine lacks (timestampNtz)
     // refuses loudly; reader versions beyond 3 refuse too
     Files.writeString(Paths.get(
       s"$delta/_delta_log/00000000000000000001.json"),
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"]}}
 """)
     val e = intercept[UnsupportedOperationException] {
       DeltaInterop.readDelta(spark, delta)
     }
-    assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
+    assert(e.getMessage.contains("timestampNtz"), e.getMessage)
     Files.writeString(Paths.get(
       s"$delta/_delta_log/00000000000000000001.json"),
       """{"protocol":{"minReaderVersion":4,"minWriterVersion":7}}
@@ -799,6 +799,119 @@ $meta5
     }
     assert(e5.getMessage.contains("missing commit files") &&
       e5.getMessage.contains("1"), e5.getMessage)
+  }
+
+  test("V2 CHECKPOINTS (Delta 3.x v2Checkpoint feature): a UUID-named " +
+      "top-level file (parquet or json) + _sidecars parquet files " +
+      "reads like a classic checkpoint; a missing sidecar or a " +
+      "checkpointMetadata version mismatch refuses loudly") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val spark2 = spark
+    import spark2.implicits._
+    def writeFile(dir: String, sub: String,
+        rows: Seq[(Long, String)]): String = {
+      rows.toDF("id", "s").coalesce(1).write.parquet(s"$dir/$sub")
+      val f = new java.io.File(s"$dir/$sub").listFiles()
+        .map(_.getName).find(_.endsWith(".parquet")).get
+      s"$sub/$f"
+    }
+    val schemaStr = Seq((1L, "a")).toDF("id", "s").schema.json
+    val topSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration",
+          MapType(StringType, StringType))))),
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType))))))
+    val sidecarSchema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues",
+          MapType(StringType, StringType)),
+        StructField("size", LongType))))))
+    def writeParquetAs(dir: String, rows: Seq[Row],
+        schema: StructType, dest: String): Unit = {
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.parquet(s"$dir/_cp_tmp")
+      val part = new java.io.File(s"$dir/_cp_tmp").listFiles()
+        .map(_.getName).find(_.endsWith(".parquet")).get
+      Files.createDirectories(Paths.get(s"$dir/$dest").getParent)
+      Files.copy(Paths.get(s"$dir/_cp_tmp/$part"),
+        Paths.get(s"$dir/$dest"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$dir/_cp_tmp"))
+    }
+    def topRows(version: Long, sidecars: Seq[String]): Seq[Row] =
+      Seq(
+        Row(Row(3, 7, Seq("v2Checkpoint")), null, null, null),
+        Row(null, Row("x", schemaStr, Seq.empty[String],
+          Map.empty[String, String]), null, null),
+        Row(null, null, Row(version), null)) ++
+        sidecars.map(n => Row(null, null, null, Row(n, 1L)))
+    // ---- parquet top-level + two sidecars + a JSON tail commit ----
+    val d1 = tmp("delta_v2cp")
+    val fA = writeFile(d1, "a", Seq((1L, "a")))
+    val fB = writeFile(d1, "b", Seq((2L, "b")))
+    val fC = writeFile(d1, "c", Seq((3L, "c")))
+    writeParquetAs(d1, Seq(Row(Row(fA, Map.empty[String, String], 1L))),
+      sidecarSchema, "_delta_log/_sidecars/sc-1.parquet")
+    writeParquetAs(d1, Seq(Row(Row(fB, Map.empty[String, String], 1L))),
+      sidecarSchema, "_delta_log/_sidecars/sc-2.parquet")
+    writeParquetAs(d1, topRows(5L, Seq("sc-1.parquet", "sc-2.parquet")),
+      topSchema, "_delta_log/" +
+        f"${5L}%020d.checkpoint.80a083e8-7026.parquet")
+    Files.writeString(Paths.get(
+      s"$d1/_delta_log/00000000000000000006.json"),
+      s"""{"add":{"path":"$fC","size":1,"partitionValues":{},"modificationTime":0,"dataChange":true}}
+""")
+    assert(DeltaInterop.readDelta(spark, d1).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // ---- JSON top-level with INLINE adds, checkpoint-only log ----
+    val d2 = tmp("delta_v2cp_json")
+    val f2 = writeFile(d2, "a", Seq((7L, "x")))
+    Files.createDirectories(Paths.get(s"$d2/_delta_log"))
+    val schemaEsc = schemaStr.replace("\\", "\\\\")
+      .replace("\"", "\\\"")
+    Files.writeString(Paths.get(s"$d2/_delta_log/" +
+      f"${2L}%020d.checkpoint.7d17ac10-json.json"),
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}
+{"metaData":{"id":"x","schemaString":"$schemaEsc","format":{"provider":"parquet","options":{}},"partitionColumns":[],"configuration":{}}}
+{"checkpointMetadata":{"version":2}}
+{"add":{"path":"$f2","size":1,"partitionValues":{},"modificationTime":0,"dataChange":true}}
+""")
+    assert(DeltaInterop.readDelta(spark, d2).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(7L))
+    // ---- a referenced sidecar that is MISSING refuses by name ----
+    val d3 = tmp("delta_v2cp_missing")
+    writeFile(d3, "a", Seq((1L, "a")))
+    writeParquetAs(d3, topRows(1L, Seq("gone.parquet")), topSchema,
+      "_delta_log/" + f"${1L}%020d.checkpoint.11112222-0000.parquet")
+    val e3 = intercept[IllegalStateException] {
+      DeltaInterop.readDelta(spark, d3)
+    }
+    assert(e3.getMessage.contains("missing sidecar") &&
+      e3.getMessage.contains("gone.parquet"), e3.getMessage)
+    // ---- checkpointMetadata version != file-name version refuses ----
+    val d4 = tmp("delta_v2cp_badver")
+    writeFile(d4, "a", Seq((1L, "a")))
+    writeParquetAs(d4, topRows(9L, Seq.empty), topSchema,
+      "_delta_log/" + f"${4L}%020d.checkpoint.33334444-0000.parquet")
+    val e4 = intercept[IllegalArgumentException] {
+      DeltaInterop.readDelta(spark, d4)
+    }
+    assert(e4.getMessage.contains("checkpointMetadata"), e4.getMessage)
   }
 
   test("versionAsOf BETWEEN two checkpoints: the read bases on the " +
