@@ -1225,27 +1225,71 @@ object DeltaInterop {
     val resolved =
       if (!anyDv) scanned
       else {
-        // decode each file's vector ON EXECUTORS (a 100 TB table's
-        // vectors never funnel through the driver), then one
-        // anti-join on (canonical file uri, row index); paths QUALIFY
-        // through the table's filesystem so a scheme-less local path
-        // matches Spark's file:///-rendered _metadata.file_path
+        // DV resolution strategy is picked from Σ descriptor
+        // `cardinality` — known BEFORE any decode. Small totals: one
+        // broadcast anti-join on (canonical file uri, row index) —
+        // exploded deleted rows ship to every executor once, the scan
+        // never shuffles. Huge totals (a mass-delete table): exploding
+        // the rows would either blow the broadcast or shuffle the
+        // FULL scan, so instead broadcast only the O(files)
+        // DESCRIPTORS and filter each row against its own file's
+        // bitmap, decoded at most once per executor.
         val fsq = CdcApply.fsFor(spark, table)
-        val dels = deletedRowsDf(spark, table, liveFiles.collect {
+        val withDv = liveFiles.collect {
           case LiveFile(rel, _, Some(d), _) =>
             (fsq.makeQualified(
-              IcebergInterop.resolvePath(table, rel)).toString, d) })
-        scanned.join(dels,
-          IcebergInterop.canonUri(col("_dv_path")) ===
-            IcebergInterop.canonUri(col("_del_path")) &&
-            col("_dv_idx") === col("_del_idx"),
-          "left_anti")
+              IcebergInterop.resolvePath(table, rel)).toString, d) }
+        val totalDeleted = withDv.map(_._2.cardinality).sum
+        val threshold = spark.conf
+          .get("spark.graft.delta.dvBroadcastRows", "1000000").toLong
+        if (totalDeleted <= threshold) {
+          // decode each file's vector ON EXECUTORS (a 100 TB table's
+          // vectors never funnel through the driver); paths QUALIFY
+          // through the table's filesystem so a scheme-less local
+          // path matches Spark's file:///-rendered _metadata.file_path
+          val dels = deletedRowsDf(spark, table, withDv)
+          scanned.join(
+            org.apache.spark.sql.functions.broadcast(dels),
+            IcebergInterop.canonUri(col("_dv_path")) ===
+              IcebergInterop.canonUri(col("_del_path")) &&
+              col("_dv_idx") === col("_del_idx"),
+            "left_anti")
+        } else {
+          val descByUri = withDv.map { case (p, d) =>
+            IcebergInterop.canonUriString(p) -> d }.toMap
+          val props = hadoopConfProps(spark)
+          val tableDir = table
+          val isDeleted = org.apache.spark.sql.functions.udf {
+            (path: String, idx: Long) =>
+              descByUri.get(IcebergInterop.canonUriString(path))
+                .exists(d =>
+                  DvRuntime.contains(tableDir, d, props, idx))
+          }
+          scanned.filter(!isDeleted(col("_dv_path"), col("_dv_idx")))
+        }
       }
     val out = resolved.select(
       logical.fieldNames.map(col).toIndexedSeq: _*)
     // pruning is file-level; the row predicate still applies
     where.fold(out)(w =>
       out.filter(org.apache.spark.sql.functions.expr(w)))
+  }
+
+  /** The SESSION's Hadoop configuration (fs implementations,
+    * spark.hadoop.* credentials) as a plain property array that ships
+    * to executors — a bare `new Configuration()` there would drop
+    * those settings and fail or misauthenticate file-backed vectors
+    * on s3a/abfs/hdfs.
+    */
+  private def hadoopConfProps(spark: SparkSession)
+      : Array[(String, String)] = {
+    val c = spark.sparkContext.hadoopConfiguration
+    val it = c.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    while (it.hasNext) {
+      val e = it.next(); buf += ((e.getKey, e.getValue))
+    }
+    buf.toArray
   }
 
   /** (canonical data-file path, deleted row index) rows for every
@@ -1259,20 +1303,7 @@ object DeltaInterop {
     val schema = StructType(Seq(
       StructField("_del_path", StringType, nullable = false),
       StructField("_del_idx", LongType, nullable = false)))
-    // the SESSION's Hadoop configuration (fs implementations,
-    // spark.hadoop.* credentials) ships to executors as a plain
-    // property array — a bare `new Configuration()` there would drop
-    // those settings and fail or misauthenticate file-backed vectors
-    // on s3a/abfs/hdfs
-    val confProps: Array[(String, String)] = {
-      val c = spark.sparkContext.hadoopConfiguration
-      val it = c.iterator()
-      val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
-      while (it.hasNext) {
-        val e = it.next(); buf += ((e.getKey, e.getValue))
-      }
-      buf.toArray
-    }
+    val confProps = hadoopConfProps(spark)
     val rdd = spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 64)))
       .mapPartitions { it =>
@@ -1284,5 +1315,36 @@ object DeltaInterop {
         }
       }
     spark.createDataFrame(rdd, schema)
+  }
+}
+
+/** Executor-side deletion-vector membership for the LARGE-DV read
+  * path: each file's bitmap decodes AT MOST ONCE PER JVM (keyed by
+  * descriptor identity), is kept as a sorted index array, and rows
+  * test via binary search — O(dv) decode amortized over every task
+  * that touches the file, O(log dv) per row, and only the files an
+  * executor actually reads are ever decoded (a broadcast of exploded
+  * rows would ship EVERY file's deletions to EVERY executor).
+  */
+private[sources] object DvRuntime {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  def contains(table: String, d: DeletionVectors.DvDescriptor,
+      confProps: Array[(String, String)], idx: Long): Boolean = {
+    val key = s"$table#${d.storageType}#${d.pathOrInlineDv}#${d.offset}"
+    var rows = cache.get(key)
+    if (rows == null) {
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      confProps.foreach { case (k, v) => conf.set(k, v) }
+      rows = DeletionVectors.deletedRows(table, d, conf)
+      java.util.Arrays.sort(rows)
+      // crude bound: a pathological table with thousands of huge
+      // vectors must not pin them all — dropping the cache only costs
+      // a re-decode
+      if (cache.size > 256) cache.clear()
+      cache.put(key, rows)
+    }
+    java.util.Arrays.binarySearch(rows, idx) >= 0
   }
 }

@@ -1080,6 +1080,18 @@ object IcebergInterop {
       .otherwise(norm)
   }
 
+  /** Scala twin of [[canonUri]] for executor-side string matching —
+    * MUST stay behaviorally identical (url_decode is JDK URLDecoder
+    * semantics).
+    */
+  private[sources] def canonUriString(s: String): String = {
+    val norm = s.replaceFirst("^file:/+", "file:///")
+    if (java.util.regex.Pattern.compile("%[0-9A-Fa-f]{2}")
+        .matcher(norm).find())
+      java.net.URLDecoder.decode(norm.replace("+", "%2B"), "UTF-8")
+    else norm
+  }
+
   // ---- partition pruning on identity transforms ------------------------
 
   /** IDENTITY-transform partition fields per spec-id: (spec field

@@ -187,6 +187,40 @@ class DeletionVectorSpec extends AnyFunSuite with SparkTestBase {
     assert(ids(dir) == Set(1L))
   }
 
+  test("DV resolution strategy follows Σ descriptor cardinality: " +
+      "small totals resolve via an EXPLICIT BROADCAST anti-join; " +
+      "past the threshold the scan never joins — rows filter against " +
+      "per-file bitmaps decoded on executors — and values are " +
+      "identical") {
+    val dir = tmp("dv_strategy")
+    val rel = writeDataFile(dir, "files")
+    val payload = DV.encodePayload(Seq(0L, 2L))
+    val padded = java.util.Arrays.copyOf(payload,
+      ((payload.length + 3) / 4) * 4)
+    logLine(dir, 0L, protoAndMeta + "\n" +
+      s"""{"add":{"path":"$rel","size":1,"partitionValues":{},"modificationTime":0,"dataChange":true,${dvJson("i", DV.z85Encode(padded), None, payload.length, 2L)}}}
+""")
+    // small path: broadcast anti-join, plan-asserted
+    val small = DeltaInterop.readDelta(spark, dir)
+    assert(small.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L))
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert(smallPlan.contains("BroadcastHashJoin") &&
+      smallPlan.contains("LeftAnti"),
+      s"small-DV read lost its broadcast anti-join:\n$smallPlan")
+    // large path (threshold forced to 0): no join at all — the rows
+    // filter against the broadcastable descriptor map
+    spark.conf.set("spark.graft.delta.dvBroadcastRows", "0")
+    try {
+      val large = DeltaInterop.readDelta(spark, dir)
+      assert(large.select("id").collect().map(_.getLong(0)).toSet ==
+        Set(1L, 3L))
+      val largePlan = large.queryExecution.executedPlan.toString
+      assert(!largePlan.contains("Join"),
+        s"large-DV read still joins:\n$largePlan")
+    } finally spark.conf.unset("spark.graft.delta.dvBroadcastRows")
+  }
+
   test("intra-commit ordering: a DV-update commit that serializes the " +
       "ADD (new vector) BEFORE the REMOVE (old vector) of the same " +
       "path keeps the file live — reconciliation is per commit, not " +
