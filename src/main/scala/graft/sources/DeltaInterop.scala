@@ -1316,6 +1316,169 @@ object DeltaInterop {
       }
     spark.createDataFrame(rdd, schema)
   }
+
+  // ---- streaming tail (readStream over a foreign Delta log) ---------------
+
+  /** Schema + streamability gate for `readStream.format("graft-delta")`
+    * — the logical schema the stream serves, validated ONCE at stream
+    * start. Column-mapped tables refuse (per-batch physical-name
+    * resolution under rename-while-streaming is not implemented —
+    * never misread).
+    */
+  private[sources] def streamSchema(spark: SparkSession,
+      table: String): StructType = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty || latestCheckpoint(spark, table).isDefined,
+      s"no Delta log at $table")
+    val st = replayLog(spark, table, vs)
+    val declared = st.schema.getOrElse(throw new IllegalStateException(
+      s"Delta log at $table carries no metaData action"))
+    val mode = st.config.getOrElse("delta.columnMapping.mode", "none")
+    if (mode != "none")
+      throw new UnsupportedOperationException(
+        s"readStream over $table: column mapping mode '$mode' is not " +
+          "supported for streaming — read by batch (readDelta)")
+    StructType(declared.fields.map(f =>
+      f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+  }
+
+  /** Current streamable offset of the log: the newest version (JSON
+    * head or checkpoint-only head).
+    */
+  private[sources] def headVersion(spark: SparkSession,
+      table: String): Option[Long] = {
+    val vs = versions(spark, table)
+    val cp = latestCheckpoint(spark, table).map(_.version)
+    (vs.lastOption.toSeq ++ cp.toSeq).sorted.lastOption
+  }
+
+  /** One streaming micro-batch of a foreign Delta log tail: the ADDS
+    * committed in versions (`fromExclusive`, `toInclusive`] — offset =
+    * version, so a restarted stream resumes exactly where its
+    * checkpoint says. The tail must be APPEND-SHAPED: a commit with a
+    * `remove` action, an add carrying a deletion vector, or a
+    * mid-stream schema change REFUSES loudly (a rewrite/delete under
+    * a running tail has no exactly-once rows semantics; restart with
+    * a batch read). Partitioned adds reconstruct their partition
+    * columns from `partitionValues` as typed literals, like the batch
+    * reader.
+    */
+  private[sources] def tailAdds(spark: SparkSession, table: String,
+      streamSchema: StructType, fromExclusive: Long,
+      toInclusive: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.{col, lit}
+    val fs = CdcApply.fsFor(spark, table)
+    val have = versions(spark, table).toSet
+    val want = (fromExclusive + 1) to toInclusive
+    val missing = want.filterNot(have)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"streaming tail of $table needs commit JSONs " +
+          s"${missing.take(5).mkString(", ")} which were cleaned up " +
+          "— the stream cannot resume exactly-once; restart from a " +
+          "fresh checkpoint with a batch backfill")
+    var partCols: Seq[String] = Seq.empty
+    val adds = scala.collection.mutable.ArrayBuffer[LiveFile]()
+    want.foreach { v =>
+      val in = fs.open(versionFile(table, v))
+      val text = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      in.close()
+      text.linesIterator.filter(_.nonEmpty).foreach { line =>
+        val n = mapper.readTree(line)
+        if (n.has("protocol")) {
+          val p = n.get("protocol")
+          checkProtocol(table, p.get("minReaderVersion").asInt(),
+            Option(p.get("readerFeatures"))
+              .map(_.elements().asScala.map(_.asText()).toSet)
+              .getOrElse(Set.empty[String]))
+        }
+        if (n.has("metaData")) {
+          val md = n.get("metaData")
+          val s = DataType.fromJson(md.get("schemaString").asText())
+            .asInstanceOf[StructType]
+          val logical = StructType(s.fields.map(f => f.copy(
+            metadata = org.apache.spark.sql.types.Metadata.empty)))
+          if (logical != streamSchema)
+            throw new UnsupportedOperationException(
+              s"commit $v of $table changes the schema under a " +
+                "running stream — restart the stream to pick up " +
+                "the evolution")
+          partCols = Option(md.get("partitionColumns"))
+            .map(_.elements().asScala.map(_.asText()).toSeq)
+            .getOrElse(partCols)
+        }
+        if (n.has("remove"))
+          throw new UnsupportedOperationException(
+            s"commit $v of $table removes files under a running " +
+              "stream — the tail is not append-shaped; this source " +
+              "streams appends only (rewrites/deletes need a batch " +
+              "re-read)")
+        if (n.has("add")) {
+          val f = addFromNode(n.get("add"))
+          if (f.dv.isDefined)
+            throw new UnsupportedOperationException(
+              s"commit $v of $table adds a deletion-vector file " +
+                "under a running stream — not append-shaped; " +
+                "read by batch")
+          adds += f
+        }
+      }
+    }
+    // partition columns come from the PRE-TAIL state when the tail
+    // itself repeats no metaData — derive from the base replay
+    if (partCols.isEmpty)
+      partCols = replayLog(spark, table, versions(spark, table))
+        .partitionColumns
+    val partFields = partCols.map(c =>
+      streamSchema.fields.find(_.name == c).getOrElse(
+        throw new IllegalStateException(
+          s"partition column '$c' absent from the stream schema")))
+    val dataFields = streamSchema.fields
+      .filterNot(f => partCols.contains(f.name))
+    val dataSchema = StructType(dataFields.toSeq)
+    if (adds.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        streamSchema)
+    def scanFiles(fsq: Seq[String]): DataFrame =
+      spark.read.schema(dataSchema).parquet(fsq: _*)
+    if (partCols.isEmpty)
+      scanFiles(adds.map(f =>
+        IcebergInterop.resolvePath(table, f.path).toString).toSeq)
+        .select(streamSchema.fieldNames.map(col).toIndexedSeq: _*)
+    else {
+      val groups = adds.toSeq.groupBy(f =>
+        partFields.map(pf => f.partitionValues.getOrElse(pf.name,
+          throw new IllegalStateException(
+            s"add in $table carries no partition value for " +
+              s"'${pf.name}'"))))
+        .toSeq.sortBy(_._1.toString)
+      groups.map { case (tuple, members) =>
+        val g = scanFiles(members.map(f =>
+          IcebergInterop.resolvePath(table, f.path).toString))
+        partFields.zip(tuple).foldLeft(g) { case (df, (f, v)) =>
+          df.withColumn(f.name, v match {
+            case None => lit(null).cast(f.dataType)
+            case Some(s) =>
+              if (f.dataType ==
+                  org.apache.spark.sql.types.StringType) lit(s)
+              else lit(s).cast(f.dataType)
+          })
+        }.select(streamSchema.fieldNames.map(col).toIndexedSeq: _*)
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  /** Initial streaming batch: the COMPLETE live state as of `version`
+    * (real Delta streams serve the start snapshot first, then the
+    * tail) — the full batch reader, so checkpoints, partitions, DVs
+    * and column... (column mapping already refused at stream start).
+    */
+  private[sources] def snapshotBatch(spark: SparkSession,
+      table: String, version: Long): DataFrame =
+    readDelta(spark, table, Some(version))
 }
 
 /** Executor-side deletion-vector membership for the LARGE-DV read
