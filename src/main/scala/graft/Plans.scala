@@ -434,6 +434,26 @@ object Plans {
       "over distinct representatives only — banded candidates, " +
       "never all-pairs; rebuild is the shared map-side tail with " +
       "one O(docs) primary-key text join."),
+    "q_sql_delta_scan" -> ("Foreign Delta read from SQL alone: " +
+      "delta_scan(path) expands at analysis time to an ordinary " +
+      "multi-path parquet scan of the log's LIVE file set (no custom " +
+      "operators in the plan) + a two-phase hash aggregate — " +
+      "protocol resolution is driver-side metadata, the data path is " +
+      "stock Spark."),
+    "q_sql_delta_scan_where" -> ("The round-20 pushdown seam: the " +
+      "enclosing WHERE reaches the protocol reader through the " +
+      "ForeignScan marker rewrite, so the scan's FILE LIST is " +
+      "metadata-pruned (add-action stats / partition values) before " +
+      "planning AND the predicate shows as a pushed filter on the " +
+      "surviving files — a SQL user gets option(\"filter\") " +
+      "economics; probe: pruned read time is FLAT in table file " +
+      "count (BASELINE.md interop probe)."),
+    "q_sql_iceberg_scan" -> ("iceberg_scan(path) with an enclosing " +
+      "WHERE: manifest bounds + identity/transform partition " +
+      "pruning cut the file list at the metadata level via the same " +
+      "marker rewrite; the physical plan is a plain pruned parquet " +
+      "scan + two-phase aggregate, with the residual predicate " +
+      "pushed into the scan."),
     "q_chunk_dedup" -> ("Chunk-level first-occurrence dedup: the " +
       "resolution side shuffles (sha256, doc_id, chunk_idx) — never " +
       "chunk text — into ONE min-struct hash aggregate whose partial " +

@@ -347,6 +347,28 @@ private[queries] object TierCCdc {
         s"GROUP BY s_nationkey ORDER BY s_nationkey")
     }),
 
+    // C8x3 — delta_scan from SQL with an ENCLOSING WHERE: the
+    // round-20 pushdown seam ([[graft.plans.ForeignScanPrune]]) —
+    // the predicate reaches the protocol reader's metadata-level
+    // file pruning, and the values still hash against the same
+    // filtered DuckDB oracle (pruning is a conservative superset, so
+    // any over-prune mismatches).
+    "q_sql_delta_scan_where" -> ((s, d) => {
+      val root = cdcQueryRoot(s, d)
+      val delta = new java.io.File(
+        "target/graft-data/delta_export_inc_q/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet") +
+        s"_$CdcRecipeRev").getAbsolutePath
+      synchronized {
+        graft.sources.DeltaInterop.exportIncremental(s, root, delta)
+      }
+      s.sql(s"SELECT s_nationkey, COUNT(*) AS cnt, " +
+        s"CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) " +
+        s"AS total_bal FROM delta_scan('$delta') " +
+        s"WHERE s_nationkey < 13 " +
+        s"GROUP BY s_nationkey ORDER BY s_nationkey")
+    }),
+
     // C8y — ICEBERG-SPEC EXPORT, the Delta seam's open-format twin:
     // the same CDC net state published as an Iceberg v1 metadata tree
     // (JSON table metadata + REAL Avro manifest lists/manifests with
@@ -371,6 +393,27 @@ private[queries] object TierCCdc {
         .agg(count(lit(1)).as("cnt"),
           dsum(col("s_acctbal")).as("total_bal"))
         .orderBy(col("s_nationkey"))
+    }),
+
+    // C8y1b — the SAME exported Iceberg tree scanned from SQL ALONE
+    // via iceberg_scan(path), with an enclosing WHERE that must reach
+    // the manifest-level pruning ([[graft.plans.ForeignScanPrune]]):
+    // the delta_scan posture's open-format twin, hash-checked against
+    // the equivalently filtered oracle.
+    "q_sql_iceberg_scan" -> ((s, d) => {
+      val root = cdcQueryRoot(s, d)
+      val ice = new java.io.File(
+        "target/graft-data/iceberg_export_q/" +
+        graft.sources.Artifacts.datasetKey(d, s"$d/supplier.parquet") +
+        s"_$CdcRecipeRev").getAbsolutePath
+      synchronized {
+        graft.sources.IcebergInterop.exportIncremental(s, root, ice)
+      }
+      s.sql(s"SELECT s_nationkey, COUNT(*) AS cnt, " +
+        s"CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) " +
+        s"AS total_bal FROM iceberg_scan('$ice') " +
+        s"WHERE s_nationkey < 13 " +
+        s"GROUP BY s_nationkey ORDER BY s_nationkey")
     }),
 
     // C8y2 — Iceberg TIME TRAVEL: the same change stream exported
@@ -823,6 +866,19 @@ private[queries] object TierCCdc {
         "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
         "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
         "FROM supplier WHERE s_suppkey % 7 <> 0 " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // the pushdown twin: same net state under the enclosing WHERE
+    "q_sql_delta_scan_where" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
+        "FROM supplier WHERE s_suppkey % 7 <> 0 AND s_nationkey < 13 " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    "q_sql_iceberg_scan" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
+        "FROM supplier WHERE s_suppkey % 7 <> 0 AND s_nationkey < 13 " +
         "GROUP BY s_nationkey ORDER BY s_nationkey"),
     // snapshot 0 = the untouched batch-0 insert load (every supplier,
     // original balances)
