@@ -98,6 +98,18 @@ class IcebergTableSource extends RelationProvider
       throw new IllegalArgumentException(
         "format(\"iceberg\") requires option(\"path\", <table dir>)"))
     val snapshot = parameters.get("snapshotId").map(_.toLong)
+    // option("timestampAsOf", <epoch millis | ISO-8601 | 'yyyy-MM-dd
+    // HH:mm:ss' UTC>): latest snapshot at-or-before the instant
+    val timestampAsOf = parameters.get("timestampAsOf").map { s =>
+      if (s.forall(_.isDigit)) s.toLong
+      else scala.util.Try(java.time.Instant.parse(s).toEpochMilli)
+        .orElse(scala.util.Try(java.time.LocalDateTime
+          .parse(s.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+        .getOrElse(throw new IllegalArgumentException(
+          s"timestampAsOf '$s' — use epoch millis, ISO-8601, or " +
+            "'yyyy-MM-dd HH:mm:ss' (UTC)"))
+    }
     // option("filter", <sql predicate>): applied as a row filter AND
     // pushed to the manifest level as identity-partition pruning — on
     // a partitioned foreign tree the scan never opens non-matching
@@ -105,7 +117,7 @@ class IcebergTableSource extends RelationProvider
     val filter = parameters.get("filter")
     CdcRelation(sqlContext,
       IcebergInterop.readIceberg(sqlContext.sparkSession, path,
-        snapshot, filter))
+        snapshot, filter, timestampAsOf))
   }
 }
 

@@ -1080,6 +1080,41 @@ object IcebergInterop {
       .otherwise(norm)
   }
 
+  /** Iceberg TIMESTAMP AS OF: the latest snapshot whose
+    * `timestamp-ms` is at-or-before `ts`. Refuses when any retained
+    * snapshot LACKS a timestamp (ordering would be a guess) or when
+    * `ts` predates the first retained snapshot (earlier ones were
+    * expired — their instants are unrecoverable).
+    */
+  private[sources] def resolveSnapshotAt(table: String,
+      meta: com.fasterxml.jackson.databind.JsonNode, ts: Long): Long = {
+    val snaps = meta.get("snapshots").elements().asScala.map { s =>
+      (s.get("snapshot-id").asLong(),
+        Option(s.get("timestamp-ms")).filterNot(_.isNull)
+          .map(_.asLong()))
+    }.toSeq
+    require(snaps.nonEmpty, s"Iceberg table at $table has no snapshots")
+    require(snaps.forall(_._2.isDefined),
+      s"snapshots of the Iceberg table at $table lack timestamp-ms — " +
+        "cannot order them by time; address by snapshotId instead")
+    val at = snaps.collect { case (id, Some(t)) if t <= ts => (t, id) }
+    require(at.nonEmpty,
+      s"timestamp $ts is before the first retained snapshot of the " +
+        s"Iceberg table at $table (earliest is " +
+        s"${snaps.flatMap(_._2).min}; earlier snapshots, if any, " +
+        "were expired) — refusing rather than guessing")
+    at.max._2
+  }
+
+  /** Public timestamp→snapshot resolution over the CURRENT metadata —
+    * the `iceberg_scan_ts` SQL surface pins through this.
+    */
+  def snapshotAt(spark: SparkSession, table: String, ts: Long): Long = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no Iceberg metadata at $table")
+    resolveSnapshotAt(table, parseMetadata(spark, table, vs.max), ts)
+  }
+
   /** Scala twin of [[canonUri]] for executor-side string matching —
     * MUST stay behaviorally identical (url_decode is JDK URLDecoder
     * semantics).
@@ -1386,14 +1421,19 @@ object IcebergInterop {
     */
   def readIceberg(spark: SparkSession, table: String,
       snapshotId: Option[Long] = None,
-      where: Option[String] = None): DataFrame = {
+      where: Option[String] = None,
+      asOfTimestampMs: Option[Long] = None): DataFrame = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no Iceberg metadata at $table")
     val meta = parseMetadata(spark, table, vs.max)
+    require(snapshotId.isEmpty || asOfTimestampMs.isEmpty,
+      "snapshotId and asOfTimestampMs are mutually exclusive")
+    val pinned = asOfTimestampMs
+      .map(resolveSnapshotAt(table, meta, _)).orElse(snapshotId)
     if (formatVersion(meta) == 2)
-      return IcebergV2.read(spark, table, meta, snapshotId, where)
+      return IcebergV2.read(spark, table, meta, pinned, where)
     val plain = schemaOf(meta) // validates column types up front
-    val snap = snapshotId.getOrElse(
+    val snap = pinned.getOrElse(
       meta.get("current-snapshot-id").asLong())
     val entries = liveEntries(spark, table, meta, snap)
     val files = where.fold(entries.map(_.path)) { w =>

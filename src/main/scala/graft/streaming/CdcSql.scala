@@ -355,6 +355,26 @@ object CdcSql {
               .readIceberg(activeSession, path, snap)
               .queryExecution.analyzed)
         }),
+      // Iceberg TIMESTAMP AS OF: resolves to the latest snapshot
+      // at-or-before the instant (same UTC parsing as delta_scan_ts);
+      // the resolved snapshot id pins the marker, so pushdown
+      // pruning composes with time travel
+      (FunctionIdentifier("iceberg_scan_ts"),
+        new ExpressionInfo("graft.streaming.CdcSql", "iceberg_scan_ts"),
+        args => {
+          if (args.size != 2)
+            throw new UnsupportedOperationException(
+              "iceberg_scan_ts(path, timestamp) takes 2 arguments")
+          val path = argString(args(0), "iceberg_scan_ts path")
+          val ts = parseUtcMillis(
+            argString(args(1), "iceberg_scan_ts timestamp"))
+          val snap = graft.sources.IcebergInterop
+            .snapshotAt(activeSession, path, ts)
+          graft.plans.ForeignScan("iceberg", path, Some(snap), None,
+            graft.sources.IcebergInterop
+              .readIceberg(activeSession, path, Some(snap))
+              .queryExecution.analyzed)
+        }),
 
       // ---- guarded maintenance entry points (CALL-style procedures).
       // The reference's entire operational surface is SQL strings

@@ -87,6 +87,56 @@ class IcebergInteropSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("amount") > 20.0)) == Map(3L -> 30.0))
   }
 
+  test("TIMESTAMP AS OF resolves the latest snapshot at-or-before " +
+      "the instant via timestamp-ms: Scala, SQL (iceberg_scan_ts) " +
+      "and shim (timestampAsOf) agree; before-first and " +
+      "snapshotId+timestamp refuse") {
+    import spark.implicits._
+    val root = buildCdc()
+    val ice = tmp("ice_ts")
+    assert(IcebergInterop.exportIncremental(spark, root, ice)
+      .contains(0L))
+    assert(CdcApply.applyBatch(
+      Seq((1L, 2L, 11.0, false), (2L, 2L, 20.0, true))
+        .toDF("k", "version", "amount", "deleted"),
+      1L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+      commitTs = Some(2000L)))
+    assert(IcebergInterop.exportIncremental(spark, root, ice)
+      .contains(1L))
+    // this exporter stamps timestamp-ms = snapshot id (deterministic
+    // clock); a foreign tree would carry wall-clock millis — the
+    // resolution rule is identical
+    val old = Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0)
+    val cur = Map(1L -> 11.0, 3L -> 30.0)
+    assert(state(IcebergInterop.readIceberg(spark, ice,
+      asOfTimestampMs = Some(0L))) == old)
+    assert(state(IcebergInterop.readIceberg(spark, ice,
+      asOfTimestampMs = Some(999L))) == cur)
+    // SQL: epoch-millis instants ('...0.000Z' = ms 0, '.999Z' = 999)
+    def sqlState(ts: String): Map[Long, Double] =
+      spark.sql(s"SELECT k, amount FROM iceberg_scan_ts('$ice', " +
+        s"'$ts')").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sqlState("1970-01-01T00:00:00Z") == old)
+    assert(sqlState("1970-01-01T00:00:00.999Z") == cur)
+    // shim
+    assert(state(spark.read.format("graft-iceberg")
+      .option("path", ice).option("timestampAsOf", "0").load()) == old)
+    // before the first snapshot refuses
+    val e = intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, ice,
+        asOfTimestampMs = Some(-1L))
+    }
+    assert(e.getMessage.contains("before the first retained snapshot"),
+      e.getMessage)
+    // both axes at once refuse
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergInterop.readIceberg(spark, ice, Some(0L),
+        asOfTimestampMs = Some(0L))
+    }
+    assert(e2.getMessage.contains("mutually exclusive"))
+  }
+
   test("the metadata tree is structurally spec-conformant: v1 JSON " +
       "metadata, Avro manifest list with spec fields, Avro manifests " +
       "with footer stats and little-endian bounds") {
