@@ -82,6 +82,17 @@ case class ForeignScanPrune(session: SparkSession)
       case GreaterThanOrEqual(l: Literal, a: AttributeReference)
           if ok(a, l) =>
         Some(s"${quote(a.name)} <= ${l.sql}")
+      case In(a: AttributeReference, es)
+          if scanOut.contains(a) && es.nonEmpty && es.forall {
+            case l: Literal => l.value != null
+            case _ => false
+          } =>
+        // InSet (the >threshold optimizer form) is NOT rendered —
+        // its values are internal representations; IN lists past
+        // spark.sql.optimizer.inSetConversionThreshold simply skip
+        // file pruning (row filter still applies)
+        Some(s"${quote(a.name)} IN (${es.map {
+          case l: Literal => l.sql }.mkString(", ")})")
       case IsNull(a: AttributeReference) if scanOut.contains(a) =>
         Some(s"${quote(a.name)} IS NULL")
       case IsNotNull(a: AttributeReference) if scanOut.contains(a) =>

@@ -895,6 +895,37 @@ object DeltaInterop {
               }
             }
           }
+        case MetaPrune.InList(n, ls) if partSet(n) =>
+          byName.get(n).forall { fld =>
+            f.partitionValues.get(n)
+              .orElse(f.partitionValues.get(
+                scala.util.Try(fld.metadata.getString(
+                  "delta.columnMapping.physicalName")).getOrElse(n)))
+              .fold(true) {
+                case None => false // all-null partition: no row passes
+                case Some(raw) =>
+                  MetaPrune.boundKey(fld.dataType, raw) match {
+                    case Some(v) => MetaPrune.anySatisfiable(
+                      fld.dataType, ls, Some(v), Some(v))
+                    case None => true
+                  }
+              }
+          }
+        case MetaPrune.InList(n, ls) =>
+          byName.get(n).forall { fld =>
+            stats.fold(true) { st =>
+              val allNull = (st.numRecords, st.nullCount.get(n)) match {
+                case (Some(r), Some(c)) => r > 0 && c == r
+                case _ => false
+              }
+              if (allNull) false
+              else MetaPrune.anySatisfiable(fld.dataType, ls,
+                st.min.get(n).flatMap(
+                  MetaPrune.boundKey(fld.dataType, _)),
+                st.max.get(n).flatMap(
+                  MetaPrune.boundKey(fld.dataType, _)))
+            }
+          }
         case NullTest(n, isNull) if partSet(n) =>
           f.partitionValues.get(n).fold(true)(v =>
             if (isNull) v.isEmpty else v.nonEmpty)

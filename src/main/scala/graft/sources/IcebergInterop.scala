@@ -1057,6 +1057,16 @@ object IcebergInterop {
                   .flatMap(MetaPrune.boundKey(fld.dataType, _)), k)
             }
           }
+        case MetaPrune.InList(n, ls) =>
+          idByName.get(n).fold(true) { case (id, fld) =>
+            MetaPrune.anySatisfiable(fld.dataType, ls,
+              lo.get(id).flatMap(
+                MetaPrune.icebergBound(fld.dataType, _))
+                .flatMap(MetaPrune.boundKey(fld.dataType, _)),
+              hi.get(id).flatMap(
+                MetaPrune.icebergBound(fld.dataType, _))
+                .flatMap(MetaPrune.boundKey(fld.dataType, _)))
+          }
         case NullTest(_, _) => true // null counts not consulted
       }
     }.map(_._1)
@@ -1334,6 +1344,11 @@ object IcebergInterop {
         // null source rows produce null transform values, so the
         // file's single tuple value decides exactly
         if (isNull) raw == null else raw != null
+      case MetaPrune.InList(n, ls) =>
+        // a disjunction of equalities: keep iff ANY member could
+        if (raw == null) false
+        else ls.exists(l =>
+          satisfiable(transform, source, raw, Cmp(n, "=", l)))
       case Cmp(_, op, lit) =>
         if (raw == null) false // all-null source: no row passes a Cmp
         else if (source.dataType == TimestampType && !utc) true
@@ -1389,6 +1404,7 @@ object IcebergInterop {
         val col = t match {
           case Cmp(n, _, _) => n
           case NullTest(n, _) => n
+          case MetaPrune.InList(n, _) => n
         }
         fields.filter(_._3.name == col).forall {
           case (specName, transform, source) =>

@@ -29,6 +29,12 @@ private[sources] object MetaPrune {
       lit: org.apache.spark.sql.catalyst.expressions.Literal)
     extends Test
   case class NullTest(colName: String, isNull: Boolean) extends Test
+  /** `col IN (lit, ...)` — satisfiable iff ANY member is (a
+    * disjunction of equalities; non-null literals only).
+    */
+  case class InList(colName: String,
+      lits: Seq[org.apache.spark.sql.catalyst.expressions.Literal])
+    extends Test
 
   /** Parse `whereSql` and extract the prunable top-level conjunct
     * shapes; a parse failure or no usable conjunct yields empty
@@ -65,6 +71,12 @@ private[sources] object MetaPrune {
         Some(Cmp(n, ">=", l))
       case GreaterThanOrEqual(l: Literal, UnresolvedAttribute(Seq(n))) =>
         Some(Cmp(n, "<=", l))
+      case In(UnresolvedAttribute(Seq(n)), es)
+          if es.nonEmpty && es.forall {
+            case l: Literal => l.value != null
+            case _ => false
+          } =>
+        Some(InList(n, es.map(_.asInstanceOf[Literal])))
       case org.apache.spark.sql.catalyst.expressions
           .IsNull(UnresolvedAttribute(Seq(n))) =>
         Some(NullTest(n, isNull = true))
@@ -175,6 +187,17 @@ private[sources] object MetaPrune {
     case ">=" => hi.flatMap(leq(lit, _)).getOrElse(true)
     case _ => true
   }
+
+  /** Any-member equality satisfiability of an IN list against
+    * [lo, hi] (a point interval for partition values): an
+    * unconvertible member answers "maybe" (keep the file).
+    */
+  def anySatisfiable(dt: DataType,
+      lits: Seq[org.apache.spark.sql.catalyst.expressions.Literal],
+      lo: Option[Either[BigDecimal, String]],
+      hi: Option[Either[BigDecimal, String]]): Boolean =
+    lits.exists(l => litKey(dt, l).fold(true)(k =>
+      satisfiable("=", lo, hi, k)))
 
   /** Iceberg single-value serialization of a column bound → string
     * rendering in [[boundKey]]'s domain (spec: little-endian

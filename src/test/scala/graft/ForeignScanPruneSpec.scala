@@ -101,6 +101,31 @@ ${add(f3, 30, 30, 1)}
       s"join-side predicates not pruned: ${scanned(joined)}")
   }
 
+  test("IN-list predicates prune as a disjunction of equalities: " +
+      "stats intervals keep only files covering SOME member; an " +
+      "all-miss list scans nothing; values unchanged") {
+    val delta = buildStatsDelta()
+    // members land in files b [10,20] and c [30,30]
+    val two = spark.sql(
+      s"SELECT id FROM delta_scan('$delta') WHERE id IN (12, 30)")
+    assert(two.collect().map(_.getLong(0)).toSet == Set(30L))
+    val sTwo = scanned(two)
+    assert(sTwo.size == 2 && sTwo.forall(p =>
+      p.contains("/b/") || p.contains("/c/")),
+      s"IN-list did not prune to covering files: $sTwo")
+    // no member falls in any interval: every file pruned, no scan
+    val none = spark.sql(
+      s"SELECT id FROM delta_scan('$delta') WHERE id IN (6, 7)")
+    assert(none.collect().isEmpty)
+    assert(scanned(none).isEmpty, s"all-miss IN still scanned: " +
+      s"${scanned(none)}")
+    // present members return, absent covered members row-filter away
+    val hit = spark.sql(
+      s"SELECT id FROM delta_scan('$delta') WHERE id IN (10, 20, 25)")
+    assert(hit.collect().map(_.getLong(0)).toSet == Set(10L, 20L))
+    assert(scanned(hit).size == 1)
+  }
+
   test("SQL WHERE over a PARTITIONED delta_scan cuts the file list " +
       "on partition values before any scan") {
     import java.nio.file.{Files, Paths}

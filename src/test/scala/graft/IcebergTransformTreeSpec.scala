@@ -218,6 +218,23 @@ class IcebergTransformTreeSpec extends AnyFunSuite with SparkTestBase {
     assert(combo.select("k").collect().map(_.getLong(0)).toSet ==
       Set(k1))
     assert(scanned(combo).size == 1)
+    // IN lists prune as disjunctions of equalities over the bucket
+    val inOne = read(Some(s"k IN ($k1)"))
+    assert(inOne.select("k").collect().map(_.getLong(0)).toSet ==
+      Set(k1))
+    // single-member IN folds to equality at parse time either way;
+    // the two-member list must keep BOTH buckets' files
+    val inBoth = read(Some(s"k IN ($k1, $k2)"))
+    assert(inBoth.select("k").collect().map(_.getLong(0)).toSet ==
+      Set(k1, k2))
+    assert(scanned(inBoth).size == 2)
+    // a same-bucket-as-k1 absent member keeps only g1 and row-filters
+    val absent = (100L to 200L)
+      .find(v => bucketOf(v, 8) == bucketOf(k1, 8)).get
+    val inMiss = read(Some(s"k IN ($absent)"))
+    assert(inMiss.collect().isEmpty)
+    assert(scanned(inMiss).forall(_.contains("/g1/")),
+      s"bucket IN kept a non-matching bucket: ${scanned(inMiss)}")
     // and the SQL surface gets the same pruning through the
     // enclosing-WHERE pushdown
     val viaSql = spark.sql(
@@ -225,5 +242,10 @@ class IcebergTransformTreeSpec extends AnyFunSuite with SparkTestBase {
     assert(viaSql.collect().map(_.getLong(0)).toSet == Set(k1))
     assert(scanned(viaSql).size == 1,
       s"SQL bucket pruning failed: ${scanned(viaSql)}")
+    val viaSqlIn = spark.sql(
+      s"SELECT k FROM iceberg_scan('$dir') WHERE k IN ($k1, $absent)")
+    assert(viaSqlIn.collect().map(_.getLong(0)).toSet == Set(k1))
+    assert(scanned(viaSqlIn).forall(_.contains("/g1/")),
+      s"SQL IN pruning failed: ${scanned(viaSqlIn)}")
   }
 }
