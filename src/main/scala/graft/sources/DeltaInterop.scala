@@ -100,7 +100,12 @@ object DeltaInterop {
       throw new IllegalArgumentException(s"no CDC table at $cdcRoot"))
     val fs = CdcApply.fsFor(spark, deltaDir)
     val prior = versions(spark, deltaDir)
-    val version = prior.lastOption.map(_ + 1L).getOrElse(0L)
+    // head INCLUDING checkpoints: a truncated log (checkpointLog)
+    // has no JSON commits, but the next version is still head+1
+    val version = math.max(
+      prior.lastOption.getOrElse(-1L),
+      latestCheckpoint(spark, deltaDir).map(_.version)
+        .getOrElse(-1L)) + 1L
     clearAborted(spark, deltaDir, version)
     val rel = s"v$version"
     snap.write.mode("errorifexists")
@@ -225,8 +230,14 @@ object DeltaInterop {
           "state — it was written by exportSnapshot (or a foreign " +
           "writer); incremental export requires its own lineage. " +
           "Use a fresh directory, or keep using exportSnapshot.")
+    // head INCLUDING checkpoints: after checkpointLog(truncate=true)
+    // the stamped version's JSON is gone but the checkpoint IS that
+    // committed state — the sync stays incremental
     val stateConsistent =
-      rawState.exists(_._1 == priorVs.lastOption.getOrElse(-1L))
+      rawState.exists(_._1 == math.max(
+        priorVs.lastOption.getOrElse(-1L),
+        latestCheckpoint(spark, deltaDir).map(_.version)
+          .getOrElse(-1L)))
     val prior: Map[Int, (String, Seq[String])] =
       if (stateConsistent) rawState.get._2
       else Map.empty // stale stamp: treat every bucket as changed
@@ -235,9 +246,14 @@ object DeltaInterop {
     val changed = current.filter { case (id, ident) =>
       !prior.get(id).exists(_._1 == ident) }.keys.toSeq.sorted
     val dropped = (prior.keySet -- current.keySet).toSeq.sorted
-    if (changed.isEmpty && dropped.isEmpty && priorVs.nonEmpty)
+    if (changed.isEmpty && dropped.isEmpty &&
+        (priorVs.nonEmpty ||
+          latestCheckpoint(spark, deltaDir).isDefined))
       return None
-    val version = priorVs.lastOption.map(_ + 1L).getOrElse(0L)
+    val version = math.max(
+      priorVs.lastOption.getOrElse(-1L),
+      latestCheckpoint(spark, deltaDir).map(_.version)
+        .getOrElse(-1L)) + 1L
     clearAborted(spark, deltaDir, version)
     // removals: the trusted state's files for the touched buckets, or
     // (self-heal path) EVERYTHING the log currently serves
@@ -991,6 +1007,119 @@ object DeltaInterop {
     * table's history, and it is small). Returns the deleted paths.
     * Driver-side metadata work + one delete per dead file.
     */
+  /** Write a CLASSIC single-part parquet checkpoint of the log's
+    * state at its head version, plus the advisory `_last_checkpoint`
+    * pointer — the aging move every real Delta writer makes: without
+    * it a continuously-exported table replays O(total commits) of
+    * JSON on every read; with it, reads base on the checkpoint and
+    * replay only the tail. With `truncate = true` the JSON commits
+    * the checkpoint covers are DELETED afterwards (readers refuse a
+    * gap only when no covering checkpoint exists, so this is safe by
+    * the reader's own contract; time travel BEHIND the checkpoint
+    * becomes unreconstructable — same trade as Delta's log
+    * retention). The checkpoint rides the reader's own protocol
+    * knowledge: protocol row derived from the state's features
+    * (deletion vectors → v3 + feature name, column mapping → v2),
+    * add rows carry partitionValues, deletionVector descriptors, and
+    * stats. Commit = one atomic rename; a concurrent export is safe
+    * (the checkpoint describes a committed version; newer commits
+    * simply replay on top). Returns the checkpointed version.
+    */
+  def checkpointLog(spark: SparkSession, table: String,
+      truncate: Boolean = false): Long = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val fs = CdcApply.fsFor(spark, table)
+    val vs = versions(spark, table)
+    require(vs.nonEmpty || latestCheckpoint(spark, table).isDefined,
+      s"no Delta log at $table")
+    val head = math.max(
+      latestCheckpoint(spark, table).map(_.version).getOrElse(-1L),
+      vs.lastOption.getOrElse(-1L))
+    val st = replayLog(spark, table, vs)
+    val declared = st.schema.getOrElse(throw new IllegalStateException(
+      s"Delta log at $table carries no metaData action"))
+    val anyDv = st.files.exists(_.dv.isDefined)
+    val mapped =
+      st.config.getOrElse("delta.columnMapping.mode", "none") != "none"
+    val (minR, minW, feats) =
+      if (anyDv) (3, 7, Seq("deletionVectors") ++
+        (if (mapped) Seq("columnMapping") else Nil))
+      else if (mapped) (2, 5, Seq.empty[String])
+      else (1, 2, Seq.empty[String])
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", LongType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
+    val cpSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration",
+          MapType(StringType, StringType))))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues",
+          MapType(StringType, StringType, valueContainsNull = true)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("deletionVector", dvType),
+        StructField("stats", StringType))))))
+    val rows: Seq[Row] = Seq(
+      Row(Row(minR, minW, if (feats.isEmpty) null else feats),
+        null, null),
+      Row(null, Row(java.util.UUID.nameUUIDFromBytes(
+        table.getBytes("UTF-8")).toString,
+        declared.json, st.partitionColumns,
+        st.config), null)) ++
+      st.files.map { f =>
+        val dv = f.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+          d.offset.map(Long.box).orNull, d.sizeInBytes,
+          d.cardinality)).orNull
+        Row(null, null, Row(f.path,
+          f.partitionValues.map { case (k, v) => k -> v.orNull },
+          0L, 0L, false, dv, f.stats.orNull))
+      }
+    val tmpDir = new Path(logDir(table), s".cptmp-$head")
+    if (fs.exists(tmpDir)) fs.delete(tmpDir, true)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), cpSchema)
+      .coalesce(1).write.parquet(tmpDir.toString)
+    val part = fs.listStatus(tmpDir).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).getOrElse(
+        throw new IllegalStateException("checkpoint write produced " +
+          s"no parquet part under $tmpDir"))
+    val dest = new Path(logDir(table),
+      f"$head%020d.checkpoint.parquet")
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(part, dest))
+      throw new IllegalStateException(
+        s"checkpoint rename failed for version $head of $table")
+    fs.delete(tmpDir, true)
+    // advisory pointer (this reader trusts the listing; foreign
+    // readers use it to skip the listing)
+    IcebergInterop.replaceSmallFile(spark,
+      new Path(logDir(table), s"._last_checkpoint-$head"),
+      new Path(logDir(table), "_last_checkpoint"),
+      s"""{"version":$head,"size":${rows.size}}"""
+        .getBytes("UTF-8"))
+    if (truncate)
+      vs.filter(_ <= head).foreach { v =>
+        fs.delete(versionFile(table, v), false)
+        val crc = new Path(logDir(table), f".$v%020d.json.crc")
+        if (fs.exists(crc)) fs.delete(crc, false)
+      }
+    head
+  }
+
   def vacuumExport(spark: SparkSession, table: String): Seq[String] = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no Delta log at $table")

@@ -801,6 +801,115 @@ $meta5
       e5.getMessage.contains("1"), e5.getMessage)
   }
 
+  test("checkpointLog WRITES a classic checkpoint of the head state " +
+      "(+ _last_checkpoint): reads base on it, truncation deletes " +
+      "the covered JSONs and reads still serve; version travel " +
+      "behind the truncated range refuses; DVs and partition values " +
+      "survive the round-trip") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = buildCdc()
+    val delta = tmp("delta_cpw")
+    assert(DeltaInterop.exportSnapshot(spark, root, delta) == 0L)
+    assert(CdcApply.applyBatch(
+      Seq((1L, 2L, 11.0, false), (2L, 2L, 20.0, true))
+        .toDF("k", "version", "amount", "deleted"),
+      1L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+      commitTs = Some(2000L)))
+    assert(DeltaInterop.exportSnapshot(spark, root, delta) == 1L)
+    assert(DeltaInterop.checkpointLog(spark, delta) == 1L)
+    assert(new java.io.File(delta,
+      "_delta_log/00000000000000000001.checkpoint.parquet").exists())
+    assert(new java.io.File(delta, "_delta_log/_last_checkpoint")
+      .exists())
+    assert(state(DeltaInterop.readDelta(spark, delta)) ==
+      Map(1L -> 11.0, 3L -> 30.0))
+    // truncate: the covered JSONs go; reads still serve the state
+    assert(DeltaInterop.checkpointLog(spark, delta,
+      truncate = true) == 1L)
+    assert(!new java.io.File(delta,
+      "_delta_log/00000000000000000000.json").exists())
+    assert(!new java.io.File(delta,
+      "_delta_log/00000000000000000001.json").exists())
+    assert(state(DeltaInterop.readDelta(spark, delta)) ==
+      Map(1L -> 11.0, 3L -> 30.0))
+    // the checkpoint is the floor: v1 reads, v0 refuses
+    assert(state(DeltaInterop.readDelta(spark, delta, Some(1L))) ==
+      Map(1L -> 11.0, 3L -> 30.0))
+    val e = intercept[IllegalStateException] {
+      DeltaInterop.readDelta(spark, delta, Some(0L))
+    }
+    assert(e.getMessage.contains("not reconstructable"), e.getMessage)
+    // a LATER commit replays on top of the checkpoint
+    assert(CdcApply.applyBatch(
+      Seq((4L, 3L, 40.0, false)).toDF("k", "version", "amount",
+        "deleted"),
+      2L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+      commitTs = Some(3000L)))
+    assert(DeltaInterop.exportSnapshot(spark, root, delta) == 2L)
+    assert(state(DeltaInterop.readDelta(spark, delta)) ==
+      Map(1L -> 11.0, 3L -> 30.0, 4L -> 40.0))
+    // ---- DV + partition round-trip through a WRITTEN checkpoint ----
+    val dir2 = tmp("delta_cpw_dv")
+    def writePart(sub: String, rows: Seq[(Long, String)]): String = {
+      rows.toDF("id", "s").coalesce(1).write.parquet(s"$dir2/$sub")
+      val f = new java.io.File(s"$dir2/$sub").listFiles()
+        .map(_.getName).find(_.endsWith(".parquet")).get
+      s"$sub/$f"
+    }
+    val fA = writePart("region=A", Seq((0L, "a"), (1L, "b")))
+    val fB = writePart("region=B", Seq((2L, "c")))
+    val schema2 = Seq((1L, "a", "x")).toDF("id", "s", "region")
+      .schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    val pl = graft.sources.DeletionVectors.encodePayload(Seq(0L))
+    val plPad = java.util.Arrays.copyOf(pl, ((pl.length + 3) / 4) * 4)
+    val z = graft.sources.DeletionVectors.z85Encode(plPad)
+    Files.createDirectories(Paths.get(s"$dir2/_delta_log"))
+    Files.writeString(Paths.get(
+      s"$dir2/_delta_log/00000000000000000000.json"),
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}
+{"metaData":{"id":"x","schemaString":"$schema2","format":{"provider":"parquet","options":{}},"partitionColumns":["region"],"configuration":{}}}
+{"add":{"path":"$fA","size":1,"partitionValues":{"region":"A"},"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$z","sizeInBytes":${pl.length},"cardinality":1}}}
+{"add":{"path":"$fB","size":1,"partitionValues":{"region":"B"},"modificationTime":0,"dataChange":true}}
+""")
+    def got2() = DeltaInterop.readDelta(spark, dir2)
+      .select("id", "region").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(got2() == Set(1L -> "A", 2L -> "B")) // row 0 DV-deleted
+    assert(DeltaInterop.checkpointLog(spark, dir2,
+      truncate = true) == 0L)
+    assert(!new java.io.File(dir2,
+      "_delta_log/00000000000000000000.json").exists())
+    assert(got2() == Set(1L -> "A", 2L -> "B"),
+      "DV/partition state lost through the written checkpoint")
+  }
+
+  test("INCREMENTAL export stays incremental across a truncating " +
+      "checkpoint: the stamped state matches the checkpoint head, so " +
+      "a no-change sync commits nothing and a changed sync " +
+      "republishes normally") {
+    import spark.implicits._
+    val root = buildCdc()
+    val delta = tmp("delta_cpw_inc")
+    assert(DeltaInterop.exportIncremental(spark, root, delta)
+      .contains(0L))
+    assert(DeltaInterop.checkpointLog(spark, delta,
+      truncate = true) == 0L)
+    // no CDC movement: the sync must still recognize its own state
+    assert(DeltaInterop.exportIncremental(spark, root, delta).isEmpty)
+    // CDC moves: the next sync commits version 1 on top of the
+    // checkpoint and the read serves the merged state
+    assert(CdcApply.applyBatch(
+      Seq((1L, 2L, 11.0, false)).toDF("k", "version", "amount",
+        "deleted"),
+      1L, root, Seq("k"), "version", Some("deleted"), numBuckets = 2,
+      commitTs = Some(2000L)))
+    assert(DeltaInterop.exportIncremental(spark, root, delta)
+      .contains(1L))
+    assert(state(DeltaInterop.readDelta(spark, delta)) ==
+      Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0))
+  }
+
   test("V2 CHECKPOINTS (Delta 3.x v2Checkpoint feature): a UUID-named " +
       "top-level file (parquet or json) + _sidecars parquet files " +
       "reads like a classic checkpoint; a missing sidecar or a " +
