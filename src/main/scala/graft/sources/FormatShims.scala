@@ -88,9 +88,34 @@ class DeltaTableSource extends RelationProvider with DataSourceRegister
 }
 
 class IcebergTableSource extends RelationProvider
-    with DataSourceRegister {
+    with DataSourceRegister with StreamSourceProvider {
 
   override def shortName(): String = "iceberg"
+
+  private def icePathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "format(\"iceberg\") requires option(\"path\", <table dir>)"))
+
+  /** `spark.readStream.format("graft-iceberg")` — tail an Iceberg
+    * tree as a stream: offset = metadata version, first micro-batch
+    * is the live snapshot at stream start, later ones are exactly the
+    * data files added by new commits ([[IcebergInterop.tailAdds]];
+    * non-append commits refuse loudly). Checkpointed restarts resume
+    * at the recorded metadata version.
+    */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), IcebergInterop.streamSchema(
+      sqlContext.sparkSession, icePathOf(parameters)))
+
+  override def createSource(sqlContext: SQLContext,
+      metadataPath: String, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new IcebergStreamSource(sqlContext.sparkSession,
+      icePathOf(parameters))
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -185,4 +210,57 @@ private[sources] class DeltaStreamSource(
   override def stop(): Unit = ()
 
   override def toString: String = s"DeltaStreamSource[$table]"
+}
+
+/** The V1 streaming source over an Iceberg tree: offsets are METADATA
+  * versions (each commit writes a new metadata file). `getBatch(None,
+  * v)` serves the snapshot current at metadata `v` through the full
+  * batch reader; `getBatch(Some(s), e)` serves exactly the data files
+  * added between the two ([[IcebergInterop.tailAdds]] — refuses
+  * non-append tails loudly). Same reflective streaming re-brand as
+  * the Delta source.
+  */
+private[sources] class IcebergStreamSource(
+    spark: org.apache.spark.sql.SparkSession, table: String)
+    extends org.apache.spark.sql.execution.streaming.Source {
+
+  import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  private val declared = IcebergInterop.streamSchema(spark, table)
+
+  override def schema: StructType = declared
+
+  override def getOffset: Option[V1Offset] =
+    IcebergInterop.versions(spark, table).lastOption.map(LongOffset(_))
+
+  private def idOf(o: V1Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[V1Offset],
+      end: V1Offset): org.apache.spark.sql.DataFrame = {
+    val hi = idOf(end)
+    val df = start.map(idOf) match {
+      case None =>
+        val snap = IcebergInterop
+          .streamState(spark, table, hi)._1
+        IcebergInterop.readIceberg(spark, table, Some(snap))
+      case Some(lo) if lo >= hi =>
+        IcebergInterop.tailAdds(spark, table, declared, hi, hi)
+      case Some(lo) =>
+        IcebergInterop.tailAdds(spark, table, declared, lo, hi)
+    }
+    val rdd = df.queryExecution.toRdd
+    val m = spark.getClass.getMethod("internalCreateDataFrame",
+      classOf[org.apache.spark.rdd.RDD[_]], classOf[StructType],
+      java.lang.Boolean.TYPE)
+    m.invoke(spark, rdd, declared, java.lang.Boolean.TRUE)
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"IcebergStreamSource[$table]"
 }

@@ -1090,6 +1090,86 @@ object IcebergInterop {
       .otherwise(norm)
   }
 
+  // ---- streaming tail (readStream over a foreign Iceberg tree) ------------
+
+  /** Streaming state at one METADATA version: (current snapshot id,
+    * absolute live DATA-file paths, any live DELETE files). Offsets
+    * for the streaming source are metadata versions — each commit
+    * writes a new metadata file, and [[versions]] orders them.
+    */
+  private[sources] def streamState(spark: SparkSession, table: String,
+      metaVersion: Long): (Long, Set[String], Boolean) = {
+    val meta = parseMetadata(spark, table, metaVersion)
+    val snap = meta.get("current-snapshot-id").asLong()
+    if (formatVersion(meta) == 2) {
+      val entries = IcebergV2.listEntries(spark, table, meta, snap)
+      (snap, entries.filter(_.content == 0).map(_.path).toSet,
+        entries.exists(_.content != 0))
+    } else
+      (snap, liveFiles(spark, table, meta, snap)
+        .map(p => resolvePath(table, p).toString).toSet, false)
+  }
+
+  /** Schema + streamability gate for
+    * `readStream.format("graft-iceberg")` — validated once at stream
+    * start (unsupported column types refuse inside [[schemaOf]]).
+    */
+  private[sources] def streamSchema(spark: SparkSession,
+      table: String): StructType = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no Iceberg metadata at $table")
+    schemaOf(parseMetadata(spark, table, vs.max))
+  }
+
+  /** One streaming micro-batch of an Iceberg tree: the DATA files
+    * added between metadata versions `fromV` and `toV` — the tail
+    * must be APPEND-SHAPED (no file removed, no live delete files,
+    * no schema change) or it refuses loudly; Iceberg data files carry
+    * every column, so no partition reconstruction is needed.
+    */
+  private[sources] def tailAdds(spark: SparkSession, table: String,
+      declared: StructType, fromV: Long, toV: Long): DataFrame = {
+    val have = versions(spark, table).toSet
+    val missing = ((fromV + 1) to toV).filterNot(have) ++
+      (if (have(fromV)) Nil else Seq(fromV))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"streaming tail of $table needs metadata versions " +
+          s"${missing.take(5).mkString(", ")} which were cleaned up " +
+          "— the stream cannot resume exactly-once; restart from a " +
+          "fresh checkpoint with a batch backfill")
+    val curMeta = parseMetadata(spark, table, toV)
+    if (schemaOf(curMeta) != declared)
+      throw new UnsupportedOperationException(
+        s"metadata version $toV of $table changes the schema under " +
+          "a running stream — restart the stream to pick up the " +
+          "evolution")
+    val (_, prevFiles, prevDel) = streamState(spark, table, fromV)
+    val (_, curFiles, curDel) = streamState(spark, table, toV)
+    if (curDel && !prevDel)
+      throw new UnsupportedOperationException(
+        s"metadata version $toV of $table adds DELETE files under a " +
+          "running stream — not append-shaped; read by batch")
+    val removed = prevFiles -- curFiles
+    if (removed.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"metadata version $toV of $table removes data files under " +
+          s"a running stream (${removed.take(3).mkString(", ")}" +
+          (if (removed.size > 3) ", ..." else "") +
+          ") — not append-shaped; rewrites/deletes need a batch " +
+          "re-read")
+    val added = (curFiles -- prevFiles).toSeq.sorted
+    if (added.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        declared)
+    else
+      scanReader(spark, curMeta, added.headOption.map(new Path(_)))
+        .parquet(added: _*)
+        .select(declared.fieldNames.map(
+          org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+  }
+
   /** Iceberg TIMESTAMP AS OF: the latest snapshot whose
     * `timestamp-ms` is at-or-before `ts`. Refuses when any retained
     * snapshot LACKS a timestamp (ordering would be a guess) or when

@@ -635,7 +635,7 @@ object IcebergV2 {
 
   // ---- read ------------------------------------------------------------------
 
-  private case class FileEntry(path: String, seq: Long, content: Int,
+  private[sources] case class FileEntry(path: String, seq: Long, content: Int,
       eqIds: Seq[Int], specId: Int = 0,
       part: Option[GenericRecord] = None,
       lower: Map[Int, Array[Byte]] = Map.empty,
@@ -668,20 +668,20 @@ object IcebergV2 {
     * is simply inert). Called by [[IcebergInterop.readIceberg]] — not
     * directly.
     */
-  private[sources] def read(spark: SparkSession, table: String,
+  /** Every live (non-DELETED-status) entry of one snapshot: data AND
+    * delete files, with inherited sequence numbers, spec ids,
+    * partition records and bounds — the listing [[read]] resolves and
+    * the streaming tail diffs.
+    */
+  private[sources] def listEntries(spark: SparkSession, table: String,
       meta: com.fasterxml.jackson.databind.JsonNode,
-      snapshotId: Option[Long],
-      where: Option[String] = None): DataFrame = {
-    val schema = schemaOf(meta)
-    val byId = schemaFieldsById(meta)
-    val snapId = snapshotId.getOrElse(
-      meta.get("current-snapshot-id").asLong())
+      snapId: Long): Seq[FileEntry] = {
     val snap = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == snapId)
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $snapId not in $table metadata"))
     val listPath = resolvePath(table, snap.get("manifest-list").asText())
-    val entries = readAvro(spark, listPath).flatMap { mf =>
+    readAvro(spark, listPath).flatMap { mf =>
       val mSeq = longOf(mf, "sequence_number").getOrElse(0L)
       val mPath = mf.get("manifest_path").toString
       val specId = intOf(mf, "partition_spec_id").getOrElse(0)
@@ -707,6 +707,17 @@ object IcebergV2 {
             boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds"))
         }
     }
+  }
+
+  private[sources] def read(spark: SparkSession, table: String,
+      meta: com.fasterxml.jackson.databind.JsonNode,
+      snapshotId: Option[Long],
+      where: Option[String] = None): DataFrame = {
+    val schema = schemaOf(meta)
+    val byId = schemaFieldsById(meta)
+    val snapId = snapshotId.getOrElse(
+      meta.get("current-snapshot-id").asLong())
+    val entries = listEntries(spark, table, meta, snapId)
     val dataFiles = where.fold(entries.filter(_.content == 0)) { w =>
       val p1 = partitionPrune(spark, meta,
         entries.filter(_.content == 0)
