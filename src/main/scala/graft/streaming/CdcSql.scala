@@ -556,6 +556,33 @@ object CdcSql {
             .toDF("name", "path", "committed_version")
             .queryExecution.analyzed
         }),
+      // log aging from SQL: delta_checkpoint(path[, truncate]) writes
+      // a classic parquet checkpoint of the Delta log's head state
+      // (and with truncate = true deletes the covered JSON commits) —
+      // without it a continuously-exported table replays O(total
+      // commits) per read. No governance gate: the checkpoint
+      // reorganizes METADATA of an already-exported table (the cell
+      // data left the governed root at export time, behind the
+      // export procedures' admin gate).
+      (FunctionIdentifier("delta_checkpoint"),
+        new ExpressionInfo("graft.streaming.CdcSql",
+          "delta_checkpoint"),
+        args => {
+          if (args.isEmpty || args.size > 2)
+            throw new UnsupportedOperationException(
+              "delta_checkpoint(path[, truncate]) takes 1 or 2 " +
+                "arguments")
+          val path = argString(args(0), "delta_checkpoint path")
+          val truncate = args.lift(1).exists(a =>
+            argString(a, "delta_checkpoint truncate")
+              .equalsIgnoreCase("true"))
+          val spark = activeSession
+          val v = graft.sources.DeltaInterop
+            .checkpointLog(spark, path, truncate)
+          spark.createDataFrame(Seq((path, v, truncate)))
+            .toDF("path", "checkpointed_version", "truncated")
+            .queryExecution.analyzed
+        }),
       // Iceberg-spec export from SQL — the Delta procedure's open-
       // format twin: cdc_export_iceberg(name, path) publishes
       // (incrementally) the registered table as an Iceberg v1

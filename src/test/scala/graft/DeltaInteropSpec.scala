@@ -824,9 +824,12 @@ $meta5
       .exists())
     assert(state(DeltaInterop.readDelta(spark, delta)) ==
       Map(1L -> 11.0, 3L -> 30.0))
-    // truncate: the covered JSONs go; reads still serve the state
-    assert(DeltaInterop.checkpointLog(spark, delta,
-      truncate = true) == 1L)
+    // truncate — via the SQL procedure: the covered JSONs go; reads
+    // still serve the state
+    val sqlRow = spark.sql(
+      s"SELECT * FROM delta_checkpoint('$delta', 'true')").collect()
+    assert(sqlRow.length == 1 &&
+      sqlRow.head.getAs[Long]("checkpointed_version") == 1L)
     assert(!new java.io.File(delta,
       "_delta_log/00000000000000000000.json").exists())
     assert(!new java.io.File(delta,
