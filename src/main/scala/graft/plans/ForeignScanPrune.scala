@@ -128,6 +128,11 @@ case class ForeignScanPrune(session: SparkSession)
                   fs.path, fs.version, Some(whereSql))
             }).queryExecution.analyzed
           }
+          attempt.failed.foreach(e => logWarning(
+            s"foreign-scan pruning re-read of ${fs.format} table " +
+              s"${fs.path} failed (${e.getMessage}); serving the " +
+              "unpruned subtree — results are unaffected, only file " +
+              "skipping is lost"))
           val reread = attempt.toOption
           // graft the fresh subtree under the OLD output ids so every
           // reference above keeps resolving. The marker's output may

@@ -63,6 +63,32 @@ class InteropUnitSpec extends AnyFunSuite {
       Some(Right("pear")), Right("zebra")))
   }
 
+  test("canonUriString (executor-side) renders exactly like the " +
+      "canonUri column for every path shape the DV join compares") {
+    val paths = Seq(
+      "file:/tmp/a/b.parquet",
+      "file:///tmp/a/b.parquet",
+      "file:/tmp/with space/f.parquet",
+      "file:///tmp/with%20space/f.parquet",
+      "file:/tmp/plus+sign/f.parquet",
+      "file:///tmp/plus+sign%2Bmore/f.parquet",
+      "hdfs://nn:8020/data/f.parquet",
+      "s3a://bucket/key%2Fdeep/f.parquet",
+      "/bare/local/path.parquet")
+    // the column twin needs a session; use the shared test one (a
+    // fresh getOrCreate here could become the JVM's session and
+    // poison later suites' config)
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val viaColumn = paths.toDF("p")
+      .select(IcebergInterop.canonUri(col("p")))
+      .collect().map(_.getString(0)).toSeq
+    val viaScala = paths.map(IcebergInterop.canonUriString)
+    assert(viaColumn == viaScala,
+      viaColumn.zip(viaScala).filter(t => t._1 != t._2).toString)
+  }
+
   test("bounds carrying UNPAIRED surrogates are incomparable: the " +
       "file is kept (conservative superset), never pruned") {
     val lone = "\ud83d" // high surrogate with no low surrogate
