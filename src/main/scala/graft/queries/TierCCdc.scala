@@ -369,6 +369,39 @@ private[queries] object TierCCdc {
         s"GROUP BY s_nationkey ORDER BY s_nationkey")
     }),
 
+    // C8x4 — MERGE-ON-READ Delta export: the interleaved apply → sync
+    // → apply → sync stream published with DELETION VECTORS instead
+    // of bucket rewrites (exportMor, round 20) — O(changed rows) per
+    // sync, the IcebergV2 cost class on the Delta side. Same
+    // net-state oracle as the rewrite-based exports: a key the DV
+    // resolution loses, duplicates, or fails to delete
+    // hash-mismatches.
+    "q_delta_export_mor" -> ((s, d) => {
+      import graft.streaming.CdcApply
+      val key = graft.sources.Artifacts
+        .datasetKey(d, s"$d/supplier.parquet")
+      val root = new java.io.File(
+        s"target/graft-data/cdc_mor_export_src/${key}_$CdcRecipeRev")
+        .getAbsolutePath
+      val delta = new java.io.File(
+        s"target/graft-data/delta_export_mor_q/${key}_$CdcRecipeRev")
+        .getAbsolutePath
+      synchronized {
+        val (b0, b1) = supplierCdcBatches(s, d)
+        CdcApply.applyBatch(b0, 0L, root, Seq("s_suppkey"), "version",
+          Some("deleted"), commitTs = Some(1000L))
+        graft.sources.DeltaInterop.exportMor(s, root, delta)
+        CdcApply.applyBatch(b1, 1L, root, Seq("s_suppkey"), "version",
+          Some("deleted"), commitTs = Some(2000L))
+        graft.sources.DeltaInterop.exportMor(s, root, delta)
+      }
+      graft.sources.DeltaInterop.readDelta(s, delta)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("s_acctbal")).as("total_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // C8y — ICEBERG-SPEC EXPORT, the Delta seam's open-format twin:
     // the same CDC net state published as an Iceberg v1 metadata tree
     // (JSON table metadata + REAL Avro manifest lists/manifests with
@@ -879,6 +912,13 @@ private[queries] object TierCCdc {
         "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
         "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
         "FROM supplier WHERE s_suppkey % 7 <> 0 AND s_nationkey < 13 " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    // the MOR export serves the identical net state (DV resolution)
+    "q_delta_export_mor" ->
+      ("SELECT s_nationkey, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(CASE WHEN s_suppkey % 5 = 0 THEN s_acctbal + 100 " +
+        "ELSE s_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS total_bal " +
+        "FROM supplier WHERE s_suppkey % 7 <> 0 " +
         "GROUP BY s_nationkey ORDER BY s_nationkey"),
     // snapshot 0 = the untouched batch-0 insert load (every supplier,
     // original balances)

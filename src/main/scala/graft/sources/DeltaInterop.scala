@@ -1007,6 +1007,240 @@ object DeltaInterop {
     * table's history, and it is small). Returns the deleted paths.
     * Driver-side metadata work + one delete per dead file.
     */
+  /** MERGE-ON-READ export — the Delta twin of [[IcebergV2]]'s O(batch)
+    * sync, using DELETION VECTORS instead of equality delete files
+    * (Delta has no equality deletes; DVs are its MOR primitive). The
+    * bucket-incremental exporter ([[exportIncremental]]) must REWRITE
+    * every bucket a trickle batch touches — O(bucket) parquet per
+    * sync; this export writes per sync only
+    *  - ONE new data file holding the current images of the touched
+    *    keys, and
+    *  - per prior file holding an OLD image of a touched key, a
+    *    deletion-vector update (same path re-added with the file's
+    *    DV unioned with the new dead row indexes — the protocol's
+    *    DV-update commit shape),
+    * so data work is **O(changed rows)**, independent of bucket or
+    * table size. Old-image row indexes resolve through ONE
+    * metadata-attached scan of the live files semi-joined (broadcast)
+    * to the touched keys — O(table) read at most, zero rewrite; the
+    * collected (file, index) set is O(changed rows).
+    *
+    * Correct-by-idempotence: a crash between the log commit and the
+    * state write re-syncs the same change window — every current
+    * image of a touched key (including the previous sync's own adds)
+    * gets DV-deleted and re-added fresh, so the net state is
+    * unchanged. Returns the committed version, None when the CDC
+    * table hasn't moved. Own lineage only: a log without this
+    * exporter's state sidecar refuses (mixing writers would corrupt
+    * both). Deletes resolve via the CDC stamp feed
+    * ([[CdcApply.changesSince]]), so the source table must retain
+    * stamps back to the last sync.
+    */
+  def exportMor(spark: SparkSession, cdcRoot: String,
+      deltaDir: String): Option[Long] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import scala.jdk.CollectionConverters._
+    val fs = CdcApply.fsFor(spark, deltaDir)
+    val conf = CdcApply.tableConfOf(spark, cdcRoot).getOrElse(
+      throw new IllegalArgumentException(s"no CDC table at $cdcRoot"))
+    val cur = CdcApply.currentVersion(spark, cdcRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed batch at $cdcRoot"))
+    val statePath = new Path(logDir(deltaDir), "_graft_mor_state.json")
+    val vs = versions(spark, deltaDir)
+    val hasLog =
+      vs.nonEmpty || latestCheckpoint(spark, deltaDir).isDefined
+    val state: Option[(Long, Long)] =
+      if (!fs.exists(statePath)) None
+      else {
+        val in = fs.open(statePath)
+        val text = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        in.close()
+        val n = mapper.readTree(text)
+        require(Option(n.get("format")).exists(_.asText() == "mor1"),
+          s"unknown MOR export state format at $deltaDir")
+        Some((n.get("lastBatch").asLong(), n.get("version").asLong()))
+      }
+    if (hasLog && state.isEmpty)
+      throw new IllegalStateException(
+        s"Delta log at $deltaDir carries no MOR export state — it " +
+          "was written by another exporter (or a foreign writer); " +
+          "exportMor requires its own lineage. Use a fresh directory.")
+    val version = math.max(
+      vs.lastOption.getOrElse(-1L),
+      latestCheckpoint(spark, deltaDir).map(_.version)
+        .getOrElse(-1L)) + 1L
+    // crash-debris sweep: nothing committed can reference either
+    val dataDir = new Path(deltaDir, s"mor/v$version")
+    if (fs.exists(dataDir)) fs.delete(dataDir, true)
+    val tmpLog = new Path(logDir(deltaDir), s".tmp-$version")
+    if (fs.exists(tmpLog)) fs.delete(tmpLog, false)
+    def writeState(lastBatch: Long, v: Long): Unit =
+      IcebergInterop.replaceSmallFile(spark,
+        new Path(logDir(deltaDir), s"._graft_mor_state-$v"), statePath,
+        s"""{"format":"mor1","lastBatch":$lastBatch,"version":$v}"""
+          .getBytes("UTF-8"))
+    def commit(actions: Seq[String]): Unit = {
+      val out = fs.create(tmpLog, false)
+      out.write((actions.mkString("\n") + "\n").getBytes("UTF-8"))
+      out.close()
+      if (!fs.rename(tmpLog, versionFile(deltaDir, version)))
+        throw new IllegalStateException(
+          s"concurrent Delta export lost the commit race for " +
+            s"version $version of $deltaDir")
+    }
+    val node = mapper.createObjectNode _
+    def metaAction(schema: StructType): String = {
+      val meta = node()
+      val m = meta.putObject("metaData")
+      m.put("id", java.util.UUID
+        .nameUUIDFromBytes(deltaDir.getBytes("UTF-8")).toString)
+      m.put("schemaString", schema.json)
+      val fmt = m.putObject("format")
+      fmt.put("provider", "parquet")
+      fmt.putObject("options")
+      m.putArray("partitionColumns")
+      m.putObject("configuration")
+      m.put("createdTime", 0L)
+      mapper.writeValueAsString(meta)
+    }
+    def addAction(path: String,
+        dv: Option[DeletionVectors.DvDescriptor],
+        stats: Option[String]): String = {
+      val add = node()
+      val a = add.putObject("add")
+      a.put("path", path)
+      a.put("size", 1L)
+      a.putObject("partitionValues")
+      a.put("modificationTime", 0L)
+      a.put("dataChange", true)
+      dv.foreach { d =>
+        val dn = a.putObject("deletionVector")
+        dn.put("storageType", d.storageType)
+        dn.put("pathOrInlineDv", d.pathOrInlineDv)
+        d.offset.foreach(o => dn.put("offset", o))
+        dn.put("sizeInBytes", d.sizeInBytes)
+        dn.put("cardinality", d.cardinality)
+      }
+      stats.foreach(s => a.put("stats", s))
+      mapper.writeValueAsString(add)
+    }
+    def dataFileAdds(dir: Path): Seq[String] =
+      fs.listStatus(dir).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => addAction(s"mor/v$version/${st.getPath.getName}",
+          None, None))
+    state match {
+      case None =>
+        // initial sync: the full snapshot, protocol declared v3 +
+        // deletionVectors up front (every later sync emits DVs)
+        val snap = CdcApply.readSnapshot(spark, cdcRoot).getOrElse(
+          throw new IllegalArgumentException(
+            s"CDC table at $cdcRoot has no readable snapshot"))
+        snap.write.mode("errorifexists").parquet(dataDir.toString)
+        val protocol = node()
+        val p = protocol.putObject("protocol")
+        p.put("minReaderVersion", 3)
+        p.put("minWriterVersion", 7)
+        p.putArray("readerFeatures").add("deletionVectors")
+        p.putArray("writerFeatures").add("deletionVectors")
+        commit(mapper.writeValueAsString(protocol) +:
+          metaAction(snap.schema) +: dataFileAdds(dataDir))
+        writeState(cur, version)
+        Some(version)
+      case Some((lastBatch, _)) if lastBatch >= cur => None
+      case Some((lastBatch, _)) =>
+        val feed = CdcApply.changesSince(spark, cdcRoot, lastBatch)
+          .getOrElse(throw new IllegalStateException(
+            s"CDC table at $cdcRoot serves no change feed — " +
+              "exportMor needs the stamp feed to resolve deletes"))
+        val keyCols = conf.keys
+        val touched = feed.select(keyCols.map(col): _*).distinct()
+        if (touched.isEmpty) { writeState(cur, version - 1); return None }
+        val st = replayLog(spark, deltaDir,
+          versions(spark, deltaDir))
+        val declared = st.schema.getOrElse(
+          throw new IllegalStateException(
+            s"Delta log at $deltaDir carries no metaData action"))
+        val logical = StructType(declared.fields.map(f => f.copy(
+          metadata = org.apache.spark.sql.types.Metadata.empty)))
+        // current images of the touched keys → ONE new data file set
+        val snap = CdcApply.readSnapshot(spark, cdcRoot).getOrElse(
+          throw new IllegalArgumentException(
+            s"CDC table at $cdcRoot has no readable snapshot"))
+        val newRows = snap.join(broadcast(touched), keyCols,
+          "left_semi")
+        newRows.write.mode("errorifexists").parquet(dataDir.toString)
+        // OLD images of touched keys across every live file: one
+        // metadata-attached scan, broadcast semi join, O(changed
+        // rows) collected (file uri, row index) pairs
+        val livePaths = st.files.map(f =>
+          IcebergInterop.resolvePath(deltaDir, f.path).toString)
+        val images = spark.read.schema(logical)
+          .parquet(livePaths: _*)
+          .withColumn("_mor_path", col("_metadata.file_path"))
+          .withColumn("_mor_idx", col("_metadata.row_index"))
+          .join(broadcast(touched), keyCols, "left_semi")
+          .select(col("_mor_path"), col("_mor_idx"))
+          .collect().map(r => (IcebergInterop.canonUriString(
+            r.getString(0)), r.getLong(1)))
+        val byFile = images.groupBy(_._1)
+          .map { case (p, xs) => p -> xs.map(_._2).toSet }
+        val fsq = CdcApply.fsFor(spark, deltaDir)
+        val liveByCanon = st.files.map(f =>
+          IcebergInterop.canonUriString(fsq.makeQualified(
+            IcebergInterop.resolvePath(deltaDir, f.path)).toString)
+            -> f).toMap
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val dvUpdates = byFile.toSeq.sortBy(_._1).map {
+          case (canon, deadIdx) =>
+            val f = liveByCanon.getOrElse(canon,
+              throw new IllegalStateException(
+                s"scanned file $canon not in the live set of " +
+                  s"$deltaDir — concurrent writer?"))
+            val existing = f.dv.map(d => DeletionVectors
+              .deletedRows(deltaDir, d, hconf).toSet)
+              .getOrElse(Set.empty[Long])
+            val merged = (existing ++ deadIdx).toSeq.sorted
+            val payload = DeletionVectors.encodePayload(merged)
+            val desc =
+              if (payload.length <= 512) {
+                val padded = java.util.Arrays.copyOf(payload,
+                  ((payload.length + 3) / 4) * 4)
+                DeletionVectors.DvDescriptor("i",
+                  DeletionVectors.z85Encode(padded), None,
+                  payload.length, merged.size.toLong)
+              } else {
+                val uuid = java.util.UUID.nameUUIDFromBytes(
+                  s"$version:${f.path}".getBytes("UTF-8"))
+                val bb = java.nio.ByteBuffer.allocate(16)
+                bb.putLong(uuid.getMostSignificantBits)
+                bb.putLong(uuid.getLeastSignificantBits)
+                val off = DeletionVectors.writeDvFile(spark,
+                  new Path(deltaDir, s"deletion_vector_$uuid.bin"),
+                  payload)
+                DeletionVectors.DvDescriptor("u",
+                  DeletionVectors.z85Encode(bb.array()), Some(off),
+                  payload.length, merged.size.toLong)
+              }
+            (f, desc)
+        }
+        val removesAndReadds = dvUpdates.flatMap { case (f, desc) =>
+          val rm = node()
+          val r = rm.putObject("remove")
+          r.put("path", f.path)
+          r.put("dataChange", true)
+          Seq(mapper.writeValueAsString(rm),
+            addAction(f.path, Some(desc), f.stats))
+        }
+        commit(metaAction(snap.schema) +: (removesAndReadds ++
+          dataFileAdds(dataDir)))
+        writeState(cur, version)
+        Some(version)
+    }
+  }
+
   /** Write a CLASSIC single-part parquet checkpoint of the log's
     * state at its head version, plus the advisory `_last_checkpoint`
     * pointer — the aging move every real Delta writer makes: without
