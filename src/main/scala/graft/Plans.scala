@@ -434,6 +434,14 @@ object Plans {
       "over distinct representatives only — banded candidates, " +
       "never all-pairs; rebuild is the shared map-side tail with " +
       "one O(docs) primary-key text join."),
+    "q_delta_export_mor" -> ("Merge-on-read Delta export read back: " +
+      "the sync wrote one new data file + DV updates (zero rewrite " +
+      "of prior files), and the READ is the DV resolution shape — a " +
+      "multi-path parquet scan with file metadata, one BROADCAST " +
+      "anti-join against the exploded deleted (uri, row idx) rows " +
+      "(small Σcardinality), then the plain two-phase aggregate; " +
+      "at mass-delete scale the reader switches to per-file bitmap " +
+      "probes and never shuffles the scan."),
     "q_sql_delta_scan" -> ("Foreign Delta read from SQL alone: " +
       "delta_scan(path) expands at analysis time to an ordinary " +
       "multi-path parquet scan of the log's LIVE file set (no custom " +
