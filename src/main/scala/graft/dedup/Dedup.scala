@@ -223,16 +223,28 @@ object Dedup {
       col("first.chunk_idx")).otherwise(raise_error(lit(
       s"paragraphNearDup: segment index >= $SegScale breaks " +
         "representative ordering")))
+    // MATERIALIZED with a lineage cut (r21; the clusters/pagerank
+    // localCheckpoint pattern — recomputed from the inputs on every
+    // invocation): the firsts aggregate feeds the signature build,
+    // both sides of the banding self-join, the verification shingle
+    // sets AND the kept fold — seven plan subtrees that would each
+    // re-run the segment explode + min-struct aggregate uncut
+    // (measured: the uncut plan carried 70 Exchanges).
     val firsts = segs
       .groupBy(col("chunk_text"))
       .agg(min(struct(col("_cd_id"), col("chunk_idx"))).as("first"))
       .select(col("chunk_text"), col("first._cd_id").as("_f_id"),
         col("first.chunk_idx").as("_f_idx"),
         (col("first._cd_id") * lit(SegScale) + guardedIdx).as("rep"))
+      .localCheckpoint(true)
     // stage 2: banded candidates + exact verification over DISTINCT
-    // representatives; a verified pair drops its LATER side
+    // representatives; a verified pair drops its LATER side. The sig
+    // table is cut too — the banding keyed explode and both join-backs
+    // consume it, and each would otherwise recompute the k-minhash
+    // pass over every distinct segment.
     val sigs = firsts.select(col("rep").as("doc_id"),
       minhashSignature(col("chunk_text"), k).as("sig"))
+      .localCheckpoint(true)
     val dropped = verifyJaccard(
       firsts.select(col("rep"), col("chunk_text")), "rep", "chunk_text",
       minhashCandidatesFromSigs(sigs, k, bands, bucketCap)
@@ -244,6 +256,21 @@ object Dedup {
       .agg(sort_array(collect_list(col("_f_idx"))).as("_cd_kept"))
     rebuildFromKept(docs, idCol, textCol, lineArray, "\n", kept)
   }
+
+  /** Scan-spread narrow (id, text) projection for the WINDOW-dense
+    * operators ([[substrDedup]]'s per-token sha256 pass, the minhash
+    * signature build): map work there is compute-dense enough that an
+    * under-parallelized file layout (guide §2.5) is worth one narrow
+    * round-robin of the doc rows — a no-op at production file counts
+    * ([[graft.sources.Tables.spread]]). The CHUNK-granularity family
+    * (segmentDedup/segmentBoilerplate: one hash per ~16-token chunk)
+    * measured FASTER without it — the added exchange outweighs its
+    * light map work — so it deliberately reads the scan as-is.
+    */
+  private def spreadDocs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.sources.Tables.spread(docs.select(col(idCol).as("_cd_id"),
+      col(textCol).as("_cd_text")))
 
   private def segmentDedup(docs: DataFrame, idCol: String,
       textCol: String, seg: Column => Column, sep: String): DataFrame = {
@@ -293,7 +320,9 @@ object Dedup {
       k: Int = 8): DataFrame = {
     require(k >= 2, "k must be >= 2 (a 1-token repeat is a stopword)")
     val toks = TextFunctions.tokens(col(textCol))
-    val base = docs.select(col(idCol).as("_sd_id"), toks.as("toks"))
+    val base = spreadDocs(docs, idCol, textCol)
+      .select(col("_cd_id").as("_sd_id"),
+        TextFunctions.tokens(col("_cd_text")).as("toks"))
     val wins = base.filter(size(col("toks")) >= k)
       .select(col("_sd_id"), explode(transform(
         sequence(lit(0), size(col("toks")) - k),
@@ -322,7 +351,8 @@ object Dedup {
       .otherwise(array().cast("array<bigint>"))
     val covered = array_distinct(flatten(transform(
       hitArr, p => sequence(p, p + (k - 1)))))
-    docs
+    graft.sources.Tables.spread(
+      docs.select(col(idCol), col(textCol)))
       .select(col(idCol), toks.as("toks"))
       .join(firstPos, col(idCol) === col("_sd_id"), "left")
       .select(col(idCol),
@@ -441,8 +471,12 @@ object Dedup {
     val spark = batch.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val rowsPerBand = k / bands
-    val newSigs = batch.select(col(idCol),
-      minhashSignature(col(textCol), k).as("sig"))
+    // the batch's signature pass is window-dense map work — spread it
+    // when the batch arrives as an under-split file (guide §2.5;
+    // no-op at production layouts)
+    val newSigs = spreadDocs(batch, idCol, textCol)
+      .select(col("_cd_id").as(idCol),
+        minhashSignature(col("_cd_text"), k).as("sig"))
     // prior keepers = the index minus this batch's own ids — the
     // exclusion is what makes a replayed batch see the same world it
     // saw the first time
@@ -587,8 +621,9 @@ object Dedup {
       bucketCap: Int = DefaultBucketCap): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     minhashCandidatesFromSigs(
-      docs.select(col(idCol).as("doc_id"),
-        minhashSignature(col(textCol), k).as("sig")),
+      spreadDocs(docs, idCol, textCol)
+        .select(col("_cd_id").as("doc_id"),
+          minhashSignature(col("_cd_text"), k).as("sig")),
       k, bands, bucketCap)
   }
 
@@ -941,11 +976,23 @@ object Dedup {
     require(64 % chunkBits == 0, "chunkBits must divide 64")
     val nChunks = 64 / chunkBits
     val mask = (1L << chunkBits) - 1
-    val chunked = fps.filter(col("fp").isNotNull).select(
+    // null fingerprints are skipped via a WHEN-guarded explode (an
+    // empty chunk array generates no rows) rather than a Filter: a
+    // filter on isnotnull(fp) gets pushed below the fingerprint
+    // projection, re-evaluating the (codec-expensive) fingerprint
+    // expression once in the pushed filter and again in the projection
+    // — the optimizer-duplication pathology of guide §4.4, measured at
+    // 3× on the audio/image dedup queries (r21). The guard keeps the
+    // fingerprint a single projected evaluation; pair semantics are
+    // identical (a chunkless row enters no bucket).
+    val chunked = fps.select(
       struct(col("doc_id"), col("fp")).as("m"),
-      posexplode(array((0 until nChunks).map { c =>
-        shiftrightunsigned(col("fp"), c * chunkBits).bitwiseAND(lit(mask))
-      }: _*)).as(Seq("chunk", "chunk_val")))
+      posexplode(when(col("fp").isNotNull, array((0 until nChunks).map {
+        c =>
+          shiftrightunsigned(col("fp"), c * chunkBits)
+            .bitwiseAND(lit(mask))
+      }: _*)).otherwise(array().cast("array<bigint>")))
+        .as(Seq("chunk", "chunk_val")))
     cappedPairs(chunked, Seq("chunk", "chunk_val"), "m", bucketCap)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast(LongType)

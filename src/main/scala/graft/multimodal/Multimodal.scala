@@ -38,7 +38,14 @@ object Multimodal {
     */
   def mediaFromDocs(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.select(
+    // deliberately NOT scan-spread (r21, measured): the JDK codec
+    // stack behind the payload/fingerprint expressions serializes on
+    // process-global registries (ImageIO / AudioSystem), so fanning
+    // the rows across in-JVM threads ran 2-3× SLOWER than one task;
+    // on a real cluster separate executor JVMs parallelize these for
+    // free, so the single-split case needs no in-plan fix
+    docs
+      .select(
       col("doc_id").as("media_id"),
       element_at(
         array(MediaTypes.map(lit): _*),

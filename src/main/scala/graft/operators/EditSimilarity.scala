@@ -60,19 +60,26 @@ object EditSimilarity {
     val freq = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("f"))
     // each string's q*d+1 rarest grams (total order (f, g) — the
-    // collect order never shows)
+    // collect order never shows). The string itself attaches to the
+    // per-id aggregate with ONE primary-key join and rides the (tiny)
+    // prefix rows into the candidate join, so the verify stage reads
+    // s_a/s_b off the candidate row directly — the r21 restructure
+    // replacing TWO post-candidate join-backs (each a fresh source
+    // scan) with one O(strings) join here.
     val prefix = grams.join(freq, "g")
       .groupBy(col("id"), col("len"))
       .agg(slice(array_sort(collect_list(struct(col("f"), col("g")))),
         1, q * d + 1).as("pfx"))
-      .select(col("id"), col("len"),
+      .join(long.select(col("id"), col("s")), "id")
+      .select(col("id"), col("len"), col("s"),
         explode(col("pfx")).as("e"))
-      .select(col("id"), col("len"), col("e.g").as("g"))
+      .select(col("id"), col("len"), col("s"), col("e.g").as("g"))
     val candLong = prefix.as("a")
       .join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
           abs(col("a.len") - col("b.len")) <= d)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.s").as("s_a"), col("b.s").as("s_b"))
       .distinct()
 
     // short strings: too few grams to prefix-filter — verify the
@@ -80,29 +87,34 @@ object EditSimilarity {
     // |len_a - len_b| <= d becomes an EQUI-join by exploding one side
     // into its 2d+1 admissible partner lengths (each true pair
     // matches on exactly one key) — a hash join, never a nested loop.
-    val shortKeyed = short.select(col("id"), col("len"),
+    val shortKeyed = short.select(col("id"), col("len"), col("s"),
       explode(sequence(col("len") - d, col("len") + d)).as("lk"))
     val candShort = shortKeyed.as("a")
-      .join(short.select(col("id"), col("len")).as("b"),
+      .join(short.select(col("id"), col("len"), col("s")).as("b"),
         col("a.lk") === col("b.len") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.s").as("s_a"), col("b.s").as("s_b"))
     // short x long: only longs in the d-wide length band above the
-    // short cutoff can pair with a short string — both sides tiny
+    // short cutoff can pair with a short string — both sides tiny.
+    // (id, s) swap together so s_a always names id_a's string.
     val candMixed = shortKeyed.as("a")
       .join(long.filter(col("len") < minLong + d)
-          .select(col("id"), col("len")).as("b"),
+          .select(col("id"), col("len"), col("s")).as("b"),
         col("a.lk") === col("b.len"))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
-        greatest(col("a.id"), col("b.id")).as("id_b"))
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        when(col("a.id") < col("b.id"), col("a.s"))
+          .otherwise(col("b.s")).as("s_a"),
+        when(col("a.id") < col("b.id"), col("b.s"))
+          .otherwise(col("a.s")).as("s_b"))
 
-    val named = base.select(col("id"), col("s"))
+    // threshold-banded levenshtein (O(len·d) per pair, not O(len²));
+    // it returns -1 past the threshold, so the BETWEEN keeps exactly
+    // the pairs the unbanded `dist <= d` filter kept, with identical
+    // distances
     candLong.unionByName(candShort).unionByName(candMixed)
-      .join(named.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("s", "s_a"), "id_a")
-      .join(named.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("s", "s_b"), "id_b")
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s_b")).as("dist"))
-      .filter(col("dist") <= d)
+        levenshtein(col("s_a"), col("s_b"), d).as("dist"))
+      .filter(col("dist").between(0, d))
   }
 }

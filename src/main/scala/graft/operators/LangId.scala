@@ -96,7 +96,11 @@ object LangId {
     */
   def classify(docs: DataFrame, idCol: String, textCol: String,
       profiles: DataFrame): DataFrame = {
-    val tf = docs
+    // char-gram explosion is compute-dense map work: spread an
+    // under-split doc layout first (guide §2.5; no-op at production
+    // file counts) so the split + gram pass runs on every core
+    val tf = graft.sources.Tables.spread(
+      docs.select(col(idCol), col(textCol)))
       .select(col(idCol), charsOf(col(textCol)).as("ch"))
       .select(col(idCol), explode(gramsFromChars(col("ch"))).as("gram"))
       .groupBy(col(idCol), col("gram"))

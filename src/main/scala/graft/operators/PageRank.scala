@@ -39,12 +39,17 @@ import org.apache.spark.sql.types.LongType
   * inbound sum stays below 2^63/num as long as in-degree × scale <
   * 1e17 — i.e. in-degrees up to ~1e8 at the default scale.
   *
-  * Every iteration ends in a lineage cut ([[graft.dedup.Dedup.clusters]]'s
-  * pattern — `localCheckpoint` by default, `Dataset.checkpoint` into
-  * `checkpointDir` for the executor-loss-safe cluster form): without
-  * the cut, iteration i's plan re-executes iterations 1..i-1, turning
-  * an N-iteration run into O(N²) work. Caller owns `checkpointDir`
-  * (same retention contract as clusters).
+  * Lineage cuts ([[graft.dedup.Dedup.clusters]]'s pattern —
+  * `localCheckpoint` by default, `Dataset.checkpoint` into
+  * `checkpointDir` for the executor-loss-safe cluster form) land every
+  * `cutEvery` iterations rather than every iteration (r21): each rank
+  * reference is linear (used once by the next iteration), so an uncut
+  * stretch executes exactly once at the next materialization — the cut
+  * only bounds PLAN depth and recompute-on-executor-loss, while each
+  * eager cut costs a full materialization job. Short runs between cuts
+  * therefore execute as one job; a failure replays at most `cutEvery`
+  * iterations. Caller owns `checkpointDir` (same retention contract as
+  * clusters).
   */
 object PageRank {
 
@@ -54,15 +59,17 @@ object PageRank {
     */
   def run(edges: DataFrame, iters: Int, scale: Long = 1000000000L,
       dampNum: Long = 85, dampDen: Long = 100,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      cutEvery: Int = 1): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum > 0 && dampNum < dampDen,
       s"damping must satisfy 0 < num < den, got $dampNum/$dampDen")
+    require(cutEvery >= 1, s"cutEvery must be >= 1, got $cutEvery")
     val sc = edges.sparkSession.sparkContext
     val prior = sc.getCheckpointDir
     checkpointDir.foreach(sc.setCheckpointDir(_))
     try runImpl(edges, iters, scale, dampNum, dampDen,
-      checkpointDir.isDefined)
+      checkpointDir.isDefined, cutEvery)
     finally prior match {
       case Some(d) => sc.setCheckpointDir(d)
       // restore "unset" too (the Ann.kmeans pattern): leaving the
@@ -74,7 +81,8 @@ object PageRank {
   }
 
   private def runImpl(edges: DataFrame, iters: Int, scale: Long,
-      dampNum: Long, dampDen: Long, reliable: Boolean): DataFrame = {
+      dampNum: Long, dampDen: Long, reliable: Boolean,
+      cutEvery: Int): DataFrame = {
     def cut(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true)
       else df.localCheckpoint(true)
@@ -89,7 +97,7 @@ object PageRank {
     val nodes = cut(withDeg.select(col("src").as("id")).distinct())
     val base = (dampDen - dampNum) * scale
     var ranks = nodes.select(col("id"), lit(scale).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = ranks
         .join(withDeg, ranks("id") === withDeg("src"))
         .select(col("dst").as("id"),
@@ -98,10 +106,13 @@ object PageRank {
         .agg(sum(col("c")).as("contrib"))
       // `div` (not `/`): long / long is a DOUBLE division in Spark,
       // which silently loses integer precision past 2^53
-      ranks = cut(nodes.join(contribs, Seq("id"), "left")
+      val next = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"),
           expr(s"(${base}L + ${dampNum}L * coalesce(contrib, 0L)) " +
-            s"div ${dampDen}L").as("rank")))
+            s"div ${dampDen}L").as("rank"))
+      // the final iteration never cuts — the caller's action is its
+      // materialization; intermediate cuts land on the interval
+      ranks = if (i < iters && i % cutEvery == 0) cut(next) else next
     }
     ranks
   }

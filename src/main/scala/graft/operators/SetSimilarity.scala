@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
+import graft.sources.Tables
+
 /** EXACT Jaccard set-similarity SELF-JOIN — the lossless complement
   * to the MinHash+LSH near-dup path ([[graft.dedup.Dedup]]): LSH can
   * miss a true pair (bounded, spec-pinned probability); this operator
@@ -20,7 +22,9 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *  3. candidates = equi-join on prefix tokens + the size window
   *     ceil(t*s_a) <= s_b <= floor(s_a/t);
   *  4. verify exact |A∩B| / |A∪B| on candidates only, via codegen'd
-  *     array intersection over the (sorted, distinct) token arrays.
+  *     array intersection over the (rarity-ordered, distinct) token
+  *     arrays — intersection/union sizes are order-independent, so
+  *     the ranked aggregate serves verification too.
   *
   * Hot tokens land in nobody's prefix (frequency ranking), so the
   * candidate join never degenerates to all-pairs on stopwords — the
@@ -39,24 +43,40 @@ object SetSimilarity {
   def jaccardSelfJoin(df: DataFrame, idCol: String, tokens: Column,
       t: Double): DataFrame = {
     require(t > 0.0 && t <= 1.0, s"threshold out of (0, 1]: $t")
-    val base = df.select(col(idCol).cast(LongType).as("id"),
-        array_sort(array_distinct(tokens)).as("toks"))
-      .withColumn("sz", size(col("toks")).cast(LongType))
-      .filter(col("sz") > 0)
+    val base = Tables.spread(
+      df.select(col(idCol).cast(LongType).as("id"),
+        array_distinct(tokens).as("toks"))
+        .withColumn("sz", size(col("toks")).cast(LongType))
+        .filter(col("sz") > 0))
     val toks = base.select(col("id"), col("sz"),
       explode(col("toks")).as("tok"))
     val freq = toks.groupBy(col("tok"))
       .agg(count(lit(1)).as("f"))
-    // prefix = the sz - ceil(t*sz) + 1 globally-rarest tokens,
-    // total-ordered by (f, tok) so the collect order never shows.
+    // ranked = each record's tokens total-ordered by global rarity
+    // (f, tok) — ONE aggregate that feeds BOTH the prefix explosion
+    // and the verification token arrays below, so the tokenize/
+    // shingle pipeline is evaluated once, not once per consumer (the
+    // r21 restructure: the verify stage previously re-derived its
+    // token sets from the source, re-tokenizing the corpus twice
+    // more; array_intersect/union are order-independent over the
+    // distinct arrays, so rarity order verifies identically). The
+    // aggregate is MATERIALIZED with a lineage cut (the clusters/
+    // pagerank localCheckpoint pattern — recomputed from the parquet
+    // inputs on every invocation, never across runs): four plan
+    // subtrees consume it (prefix self-join ×2, verify sets ×2), and
+    // uncut each would re-run the tokenize → frequency-join →
+    // collect pipeline.
+    val ranked = toks.join(freq, "tok")
+      .groupBy(col("id"), col("sz"))
+      .agg(array_sort(collect_list(struct(col("f"), col("tok"))))
+        .as("ranked"))
+      .localCheckpoint(true)
+    // prefix = the sz - ceil(t*sz) + 1 globally-rarest tokens.
     // posexplode keeps each prefix token's POSITION in the record's
     // full frequency-sorted token list (a prefix IS that list's head,
     // so prefix position = global position) for the PPJoin positional
     // filter below.
-    val prefix = toks.join(freq, "tok")
-      .groupBy(col("id"), col("sz"))
-      .agg(array_sort(collect_list(struct(col("f"), col("tok"))))
-        .as("ranked"))
+    val prefix = ranked
       .select(col("id"), col("sz"),
         // EPSILON-SAFE ceiling: IEEE can round t*sz a hair ABOVE the
         // exact product (5 * 0.6 = 3.000…04), and a too-large ceil
@@ -92,7 +112,11 @@ object SetSimilarity {
               lit(t / (1 + t)) - lit(1e-9)))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sets = base.select(col("id"), col("toks"), col("sz"))
+    // verification sets come from the SAME ranked aggregate as the
+    // prefixes (its exchange is reused for both join-backs), never
+    // from a fresh source scan
+    val sets = ranked.select(col("id"),
+      transform(col("ranked"), e => e("tok")).as("toks"), col("sz"))
     cand
       .join(sets.select(col("id").as("id_a"), col("toks").as("ta"),
         col("sz").as("sa")), "id_a")

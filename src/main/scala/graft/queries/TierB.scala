@@ -162,7 +162,10 @@ object TierB {
     // B7 — multi-aggregate group-by (TPC-H Q1 shape): partial/final hash
     // aggregate, map-side combine before the shuffle.
     "q_agg_multi" -> ((s, d) =>
-      Tables.lineitem(s, d)
+      // spread (no-op at production file counts): the partial-aggregate
+      // phase — Expand ×2 for the distinct count + decimal sums over
+      // 600k rows — otherwise runs inside a one-split scan task
+      Tables.spread(Tables.lineitem(s, d))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
@@ -182,7 +185,7 @@ object TierB {
 
     // B8a — ROLLUP with sentinel labels (no NULL-ordering dialect drift).
     "q_agg_rollup" -> ((s, d) =>
-      Tables.lineitem(s, d)
+      Tables.spread(Tables.lineitem(s, d))
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
         .select(
@@ -193,7 +196,7 @@ object TierB {
 
     // B8b — CUBE.
     "q_agg_cube" -> ((s, d) =>
-      Tables.lineitem(s, d)
+      Tables.spread(Tables.lineitem(s, d))
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
         .select(

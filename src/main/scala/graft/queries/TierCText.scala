@@ -86,26 +86,33 @@ private[queries] object TierCText {
     // two O(docs) primary-key joins; everything else map-side.
     "q_gopher_filter" -> ((s, d) => {
       val toks = T.tokens(col("text"))
-      val base = Tables.documents(s, d)
+      val base = Tables.spread(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
         .select(col("doc_id"), toks.as("toks"))
         .withColumn("n", size(col("toks")).cast(LongType))
-      def grams(k: Int): DataFrame = base
-        .filter(col("n") >= k)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), (col("n") - (k - 1)).cast("int")),
-          i => concat_ws(" ", slice(col("toks"), i, lit(k))))).as("g"))
-      val bg = grams(2)
-        .groupBy(col("doc_id"), col("g"))
+      // r21: ONE k-tagged gram explode + ONE (doc, k, gram) aggregate
+      // serve both the bigram argmax and the trigram occurrence/
+      // distinct stats — halving the gram shuffles and dropping the
+      // countDistinct Expand (per-(doc,k,gram) counts are already
+      // distinct, so the distinct count is a row count). Values are
+      // identical to the two-pass form: max over k=2 counts, sum /
+      // count over k=3 counts.
+      def gramStructs(k: Int): Column = when(col("n") >= k,
+        transform(sequence(lit(1), (col("n") - (k - 1)).cast("int")),
+          i => struct(lit(k).as("k"),
+            concat_ws(" ", slice(col("toks"), i, lit(k))).as("g"))))
+        .otherwise(array().cast("array<struct<k:int,g:string>>"))
+      val stats = base.filter(col("n") >= 2)
+        .select(col("doc_id"),
+          explode(concat(gramStructs(2), gramStructs(3))).as("kg"))
+        .groupBy(col("doc_id"), col("kg.k").as("k"), col("kg.g").as("g"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
-        .agg(max(col("c")).as("max_bg"))
-      val tg = grams(3)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("tri_occ"),
-          countDistinct(col("g")).as("tri_distinct"))
+        .agg(max(when(col("k") === 2, col("c"))).as("max_bg"),
+          sum(when(col("k") === 3, col("c"))).as("tri_occ"),
+          count(when(col("k") === 3, lit(1))).as("tri_distinct"))
       base
-        .join(bg, Seq("doc_id"), "left")
-        .join(tg, Seq("doc_id"), "left")
+        .join(stats, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n").as("n_tokens"),
           when(col("n") > 0, (col("n") -
             size(array_distinct(col("toks"))).cast(LongType))

@@ -216,6 +216,42 @@ object Tables {
     s.read.parquet(path.getAbsolutePath)
   }
 
+  /** Scale-adaptive scan spread (optimization guide §2.5: "one huge
+    * unsplittable file … repartition immediately after the read").
+    *
+    * Spark sizes scan parallelism by BYTES, which under-parallelizes
+    * compute-dense work (codecs, hashing, shingling: ~10³ CPU ops per
+    * input byte) whenever the source's file layout yields fewer splits
+    * than cores — the degenerate case being a single-row-group parquet
+    * file, whose scan is ONE task no matter what the split configs say.
+    * This helper round-robins such a scan across the session's default
+    * parallelism so the map-side work that follows runs on every core.
+    *
+    * The decision is derived from the INPUT (planned scan partitions vs
+    * default parallelism), not from a constant: at production scale a
+    * 100 TB table has orders of magnitude more file splits than cores,
+    * the gate never fires, and the plan is byte-identical to the
+    * un-spread one — so no query ever pays a payload-wide shuffle where
+    * the layout already parallelizes. `spark.graft.scan.spread=false`
+    * disables it outright.
+    *
+    * Apply only to NARROW frames (scan + filter/project): the partition
+    * probe plans the frame, and a frame carrying exchanges would
+    * (a) misreport and (b) under AQE eagerly materialize stages.
+    * Results are partitioning-independent for every caller by contract
+    * (exact aggregates, sorted collects, total-order outputs — the same
+    * determinism the hash oracle already enforces across engines).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val enabled = df.sparkSession.conf
+      .get("spark.graft.scan.spread", "true").toBoolean
+    val target = sc.defaultParallelism
+    if (!enabled) df
+    else if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target)
+    else df
+  }
+
   /** Register every testdata table as a temp view, so `spark.sql` text
     * matches the oracle SQL one-for-one.
     */
