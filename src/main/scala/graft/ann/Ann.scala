@@ -578,7 +578,17 @@ object Ann {
       emb.select(col(listCol).as(l), col(idCol).as(k),
         quantize(col(vecCol)).as(v))
         .withColumn(n, normSqQ(col(v)))
-    val a = side("_la", "_ka", "_va", "_na")
+    // the PROBE side is scan-spread (guide §2.5; no-op at production
+    // file counts): the within-cluster pair comparison — one integer
+    // dot product per candidate pair — evaluates on the probe side's
+    // scan tasks, and an under-split layout would run the whole
+    // quadratic-within-cluster pass on one core (pure JVM arithmetic,
+    // so unlike the JDK codec paths it parallelizes cleanly)
+    val a = graft.sources.Tables.spread(
+      emb.select(col(listCol), col(idCol), col(vecCol)))
+      .select(col(listCol).as("_la"), col(idCol).as("_ka"),
+        quantize(col(vecCol)).as("_va"))
+      .withColumn("_na", normSqQ(col("_va")))
     val b = side("_lb", "_kb", "_vb", "_nb")
     // equi-join on the cluster id; the id inequality and the similarity
     // threshold evaluate inside the join stage, so only (cluster, id,
@@ -649,9 +659,12 @@ object Ann {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val a = anchors.select(col(idCol).as("anchor_id"),
       col(labelCol).as("anchor_label"), col(vecCol).as("anchor_vec"))
-    val sims = emb
-      .select(col(idCol).as("neg_id"), col(labelCol).as("neg_label"),
-        col(vecCol).as("neg_vec"))
+    // corpus side scan-spread (guide §2.5; no-op at production file
+    // counts): the |corpus|×|anchors| cosine pass evaluates on the
+    // corpus scan tasks and must not run on one core
+    val sims = graft.sources.Tables.spread(
+      emb.select(col(idCol).as("neg_id"), col(labelCol).as("neg_label"),
+        col(vecCol).as("neg_vec")))
       .crossJoin(broadcast(a))
       .filter(col("neg_label") =!= col("anchor_label") &&
         col("neg_id") =!= col("anchor_id"))

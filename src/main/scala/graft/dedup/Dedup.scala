@@ -477,18 +477,34 @@ object Dedup {
     val newSigs = spreadDocs(batch, idCol, textCol)
       .select(col("_cd_id").as(idCol),
         minhashSignature(col("_cd_text"), k).as("sig"))
+    // REPLAY FAST PATH (r21): when the index head already covers this
+    // batch, the apply below no-ops on its replay guard and the
+    // declared answer comes from the change feed alone — so the probe
+    // plan (signatures, band join, coverage check, verification) is
+    // never needed and is skipped outright. One driver-side metadata
+    // read; applyBatch still re-checks the guard authoritatively, so
+    // a race merely builds an unused plan.
+    val replay = CdcApply.currentVersion(spark, indexRoot)
+      .exists(_ >= batchId)
     // prior keepers = the index minus this batch's own ids — the
     // exclusion is what makes a replayed batch see the same world it
     // saw the first time
-    val prior = CdcApply.readSnapshot(spark, indexRoot)
-      .map(_.join(batch.select(col(idCol)), Seq(idCol), "left_anti"))
+    val prior = if (replay) None
+      else CdcApply.readSnapshot(spark, indexRoot)
+        .map(_.join(batch.select(col(idCol)), Seq(idCol), "left_anti"))
     val droppedIds = prior.map { idx =>
       def explodeBands(sigs: DataFrame, out: String): DataFrame =
         sigs.select(col(idCol).as(out),
           explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      // the candidate set is MATERIALIZED (lineage cut, recomputed per
+      // invocation): the coverage check below and the verification
+      // both consume it, and uncut each would re-run the band-key
+      // join + both signature passes (r21 — the check used to cost a
+      // full second candidate join per batch)
       val cand = explodeBands(newSigs, "id_a")
         .join(explodeBands(idx, "id_b"), "bk")
         .select(col("id_a"), col("id_b")).distinct()
+        .localCheckpoint(true)
       // fail-closed on the corpus contract: a candidate prior-keeper
       // id with no text in `corpus` would silently vanish from the
       // verification join — an under-drop that admits a near-dup.

@@ -101,12 +101,19 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
         .toDF("doc_id", "text")
       // the corpus for batch 2 must cover ALL previously admitted
       // texts (1, 2, 11) — passing a stale corpus missing keeper 11
-      // fails LOUDLY instead of silently admitting 21
-      val e = intercept[IllegalArgumentException] {
+      // fails LOUDLY instead of silently admitting 21 (r21: the guard
+      // raises inside the strict verification join, before the index
+      // commits, instead of via a separate pre-count job)
+      val e = intercept[Exception] {
         Dedup.incrementalNearDup(b2, corpus, root,
           "doc_id", "text", 2L, numBuckets = 4, maxDeltas = maxDeltas)
       }
-      assert(e.getMessage.contains("corpus is missing"))
+      val chain = Iterator.iterate[Throwable](e)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(chain.contains("corpus is missing"))
+      // and nothing committed: the index head is still batch 1
+      assert(graft.streaming.CdcApply
+        .changesSince(spark, root, 1L).get.isEmpty)
       val s2 = Dedup.incrementalNearDup(b2, corpus.unionByName(b1), root,
         "doc_id", "text", 2L, numBuckets = 4, maxDeltas = maxDeltas)
       assert(s2.as[Long].collect().isEmpty)
