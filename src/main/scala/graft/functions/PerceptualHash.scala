@@ -35,6 +35,14 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   */
 object PerceptualHash {
 
+  // ImageIO's default useCache=true spools EVERY read/write through a
+  // temp disk-cache file created under a process-global lock — one file
+  // create+delete per decoded payload (r21, measured: the dominant
+  // non-CPU cost of the perceptual/codec paths). Byte-array payloads
+  // gain nothing from a disk cache; memory-backed streams remove both
+  // the I/O and the contention. JVM-global, idempotent.
+  javax.imageio.ImageIO.setUseCache(false)
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dhash64",

@@ -38,11 +38,12 @@ object Multimodal {
     */
   def mediaFromDocs(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    // deliberately NOT scan-spread (r21, measured): the JDK codec
-    // stack behind the payload/fingerprint expressions serializes on
-    // process-global registries (ImageIO / AudioSystem), so fanning
-    // the rows across in-JVM threads ran 2-3× SLOWER than one task;
-    // on a real cluster separate executor JVMs parallelize these for
+    // deliberately NOT scan-spread (r21, measured twice — including
+    // after the ImageIO memory-cache fix): the JDK codec stack behind
+    // the payload/fingerprint expressions serializes on process-global
+    // registries (AudioSystem provider lookup above all), so fanning
+    // the rows across in-JVM threads ran 2-4× SLOWER than one task; on
+    // a real cluster separate executor JVMs parallelize these for
     // free, so the single-split case needs no in-plan fix
     docs
       .select(

@@ -66,11 +66,17 @@ object EditSimilarity {
     // s_a/s_b off the candidate row directly — the r21 restructure
     // replacing TWO post-candidate join-backs (each a fresh source
     // scan) with one O(strings) join here.
+    // the prefix aggregate is MATERIALIZED with a lineage cut (the
+    // clusters/pagerank localCheckpoint pattern — recomputed from the
+    // inputs on every invocation): both sides of the candidate
+    // self-join consume it, and uncut each would re-run the gram
+    // explode → frequency join → collect pipeline
     val prefix = grams.join(freq, "g")
       .groupBy(col("id"), col("len"))
       .agg(slice(array_sort(collect_list(struct(col("f"), col("g")))),
         1, q * d + 1).as("pfx"))
       .join(long.select(col("id"), col("s")), "id")
+      .localCheckpoint(true)
       .select(col("id"), col("len"), col("s"),
         explode(col("pfx")).as("e"))
       .select(col("id"), col("len"), col("s"), col("e.g").as("g"))

@@ -238,7 +238,8 @@ private[queries] object TierCDedup {
         .select(explode(array_distinct(T.shingles(col("text"), 3)))
           .as("shingle"))
         .distinct()
-      docs.filter(col("doc_id") >= 10)
+      Tables.spread(docs.filter(col("doc_id") >= 10)
+          .select(col("doc_id"), col("text")))
         .select(col("doc_id"),
           explode(array_distinct(T.shingles(col("text"), 3)))
             .as("shingle"))
@@ -272,7 +273,11 @@ private[queries] object TierCDedup {
         path = new java.io.File("target/graft-data/bloom/eval_" +
           graft.sources.Artifacts.datasetKey(d,
             s"$d/documents.parquet")).getAbsolutePath)
-      val probes = docs.filter(col("doc_id") >= 10)
+      // probe side scan-spread (guide §2.5; no-op at production file
+      // counts): the shingle + k-hash probe explosion is the map-heavy
+      // half of the query
+      val probes = Tables.spread(docs.filter(col("doc_id") >= 10)
+          .select(col("doc_id"), col("text")))
         .select(col("doc_id"),
           explode(array_distinct(T.shingles(col("text"), 3)))
             .as("shingle"))

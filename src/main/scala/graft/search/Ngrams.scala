@@ -120,9 +120,14 @@ object Ngrams {
     // seconds per corpus scan — see Shingles' scaladoc); docs under
     // spanTokens are filtered up front, so its under-n whole-text
     // fallback never fires
-    def docSpans = docs
-      .filter(size(toks) >= spanTokens)
-      .select(col(idCol).as("doc_id"),
+    // scan-spread (guide §2.5; no-op at production file counts): the
+    // window explode runs once per consumer (count pass + text join)
+    // and is the dominant map work — an under-split layout would run
+    // both passes on one core
+    def docSpans = graft.sources.Tables.spread(
+      docs.filter(size(toks) >= spanTokens)
+        .select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"),
         explode(array_distinct(
           TextFunctions.shingles(col(textCol), spanTokens))).as("span"))
     val counts = docSpans
